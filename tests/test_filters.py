@@ -1,0 +1,245 @@
+"""Operator tests vs inline pandas oracles — the reference's own test
+pattern (tests/test_filter_engine.py: oracle = independent pandas
+expression on a tiny synthetic frame)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from time_series_data_trimmer_spark.operators.filters import (
+    apply_filter,
+    available_filters,
+    centered_frame,
+    resample_trial,
+    savgol_series,
+)
+
+
+def _mk(spark, values, trials=("t1", "t2")):
+    """Multi-trial frame: same values per trial (Fixture 1 + trial_id)."""
+    rows = []
+    for t in trials:
+        for i, v in enumerate(values):
+            rows.append((t, float(i), None if v is None else float(v)))
+    pdf = pd.DataFrame(rows, columns=["trial_id", "normalized_time", "ch"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def _collect(df):
+    out = df.toPandas().sort_values(["trial_id", "normalized_time"])
+    return out
+
+
+def _per_trial_oracle(pdf, fn):
+    out = pdf.copy()
+    out["ch"] = out.groupby("trial_id")["ch"].transform(fn)
+    return out.sort_values(["trial_id", "normalized_time"])
+
+
+def assert_matches(spark, values, filter_type, params, oracle_fn, **kw):
+    df, pdf = _mk(spark, values)
+    got = _collect(apply_filter(df, ["ch"], filter_type, params, **kw))
+    want = _per_trial_oracle(pdf, oracle_fn)
+    np.testing.assert_allclose(
+        got["ch"].to_numpy(dtype=float), want["ch"].to_numpy(dtype=float),
+        rtol=1e-9, atol=1e-9, equal_nan=True,
+    )
+
+
+VALS = [1, 5, 2, 8, 3, 9, 4, 7, 0, 6]
+VALS_NAN = [1, None, 2, 8, None, None, 4, 7, 0, 6]
+
+
+def test_registry_names():
+    names = available_filters()
+    for n in ("moving_rms", "absolute", "savgol", "resample", "interpolate"):
+        assert n in names
+
+
+@pytest.mark.parametrize("window", [3, 4, 5, 11])
+def test_moving_average(spark, window):
+    assert_matches(
+        spark, VALS_NAN, "moving_average", {"window": window},
+        lambda s: s.rolling(window, min_periods=1, center=True).mean(),
+    )
+
+
+@pytest.mark.parametrize("window", [3, 4, 5])
+def test_median(spark, window):
+    assert_matches(
+        spark, VALS_NAN, "median", {"window": window},
+        lambda s: s.rolling(window, min_periods=1, center=True).median(),
+    )
+
+
+def test_moving_rms(spark):
+    assert_matches(
+        spark, VALS, "moving_rms", {"window": 4},
+        lambda s: s.pow(2).rolling(4, min_periods=1, center=True).mean().pow(0.5),
+    )
+
+
+def test_absolute(spark):
+    assert_matches(spark, [-2, -1, 0, 1, 2], "absolute", {}, lambda s: s.abs())
+
+
+def test_derivative(spark):
+    fs = 120.0
+    assert_matches(
+        spark, VALS, "derivative", {},
+        lambda s: pd.Series(np.gradient(s.to_numpy(), 1.0 / fs), index=s.index),
+        sample_rate=fs,
+    )
+
+
+def test_integrate_nan_poisons_suffix(spark):
+    fs = 120.0
+    assert_matches(
+        spark, VALS_NAN, "integrate", {},
+        lambda s: pd.Series(np.cumsum(s.to_numpy()) * (1.0 / fs), index=s.index),
+        sample_rate=fs,
+    )
+
+
+def test_zscore_population_std(spark):
+    def oracle(s):
+        arr = s.to_numpy()
+        std = np.nanstd(arr) or 1.0
+        return pd.Series((arr - np.nanmean(arr)) / std, index=s.index)
+
+    assert_matches(spark, VALS_NAN, "normalize_zscore", {}, oracle)
+
+
+def test_zscore_zero_std_guard(spark):
+    assert_matches(
+        spark, [3, 3, 3, 3], "normalize_zscore", {},
+        lambda s: pd.Series((s.to_numpy() - 3.0) / 1.0, index=s.index),
+    )
+
+
+def test_normalize_percent(spark):
+    def oracle(s):
+        arr = s.to_numpy()
+        m = np.nanmax(np.abs(arr)) or 1.0
+        return pd.Series(arr / m * 100.0, index=s.index)
+
+    assert_matches(spark, [-4, 2, None, 8], "normalize_percent", {}, oracle)
+
+
+def test_detrend(spark):
+    def oracle(s):
+        arr = s.to_numpy()
+        x = np.arange(len(arr))
+        coeffs = np.polyfit(x, arr, 1)
+        return pd.Series(arr - np.polyval(coeffs, x), index=s.index)
+
+    assert_matches(spark, VALS, "detrend", {}, oracle)
+
+
+def test_interpolate_linear(spark):
+    assert_matches(
+        spark, [None, None, 2, None, None, 8, None, 4, None], "interpolate",
+        {"method": "linear"},
+        lambda s: s.interpolate(method="linear", limit_direction="both"),
+    )
+
+
+def test_savgol_kernel(spark):
+    assert_matches(
+        spark, VALS, "savgol", {"window": 5, "polyorder": 2},
+        lambda s: pd.Series(savgol_series(s.to_numpy(), 5, 2), index=s.index),
+    )
+
+
+def test_savgol_series_matches_polyfit_loop():
+    # interior-convolution fast path == the reference's per-point polyfit
+    rng = np.random.RandomState(7)
+    data = rng.randn(50)
+    win, poly = 11, 2
+    half = win // 2
+    want = np.copy(data)
+    for i in range(len(data)):
+        lo, hi = max(0, i - half), min(len(data), i + half + 1)
+        x = np.arange(lo, hi)
+        coeffs = np.polyfit(x, data[lo:hi], deg=min(poly, len(x) - 1))
+        want[i] = np.polyval(coeffs, i)
+    np.testing.assert_allclose(savgol_series(data, win, poly), want, rtol=1e-8, atol=1e-10)
+
+
+def test_butter_lowpass_fallback(spark):
+    # scipy absent → centered rolling mean of width fs/cutoff (>=3)
+    fs, cutoff = 120.0, 6.0
+    window = max(3, int(fs / max(cutoff, 1)))
+    assert_matches(
+        spark, VALS, "butter_lowpass", {"cutoff": cutoff, "order": 2},
+        lambda s: s.rolling(window, min_periods=1, center=True).mean(),
+        sample_rate=fs,
+    )
+
+
+def test_unknown_filter_is_identity(spark):
+    assert_matches(spark, VALS, "nope", {}, lambda s: s)
+
+
+def test_selection_confines_window(spark):
+    # windows must see ONLY the selected slice (filter_engine.py:30-37):
+    # edge shrink happens at the selection boundary.
+    sel = (2.0, 6.0)
+
+    def oracle(s):
+        mask = (np.arange(len(s)) >= 2) & (np.arange(len(s)) <= 6)
+        out = s.copy()
+        out[mask] = s[mask].rolling(3, min_periods=1, center=True).mean()
+        return out
+
+    assert_matches(spark, VALS, "moving_average", {"window": 3}, oracle, selection=sel)
+
+
+def test_selection_zscore_stats_from_slice_only(spark):
+    sel = (2.0, 6.0)
+
+    def oracle(s):
+        mask = (np.arange(len(s)) >= 2) & (np.arange(len(s)) <= 6)
+        arr = s[mask].to_numpy()
+        std = np.nanstd(arr) or 1.0
+        out = s.copy()
+        out[mask] = (arr - np.nanmean(arr)) / std
+        return out
+
+    assert_matches(spark, VALS, "normalize_zscore", {}, oracle, selection=sel)
+
+
+def test_resample(spark):
+    df, pdf = _mk(spark, VALS)
+    got = (
+        apply_filter(df, ["ch"], "resample", {"target_fs": 4.0}, sample_rate=1.0)
+        .toPandas().sort_values(["trial_id", "normalized_time"])
+    )
+    one = pdf[pdf.trial_id == "t1"].sort_values("normalized_time")
+    want_one = resample_trial(one, 4.0)
+    assert len(got) == 2 * len(want_one)
+    got_one = got[got.trial_id == "t1"]
+    np.testing.assert_allclose(got_one["normalized_time"].to_numpy(), want_one["normalized_time"].to_numpy())
+    np.testing.assert_allclose(got_one["ch"].to_numpy(), want_one["ch"].to_numpy())
+
+
+def test_resample_trial_reference_semantics():
+    # grid length int(t_last * fs); bool via float-interp > 0.5
+    pdf = pd.DataFrame({
+        "normalized_time": [0.0, 1.0, 2.0, 3.0],
+        "ch": [0.0, 1.0, 4.0, 9.0],
+        "is_bad_segment": [False, True, True, False],
+        "label": ["a", "b", "c", "d"],
+    })
+    out = resample_trial(pdf, 2.0)
+    assert len(out) == 6  # int(3.0 * 2)
+    np.testing.assert_allclose(out["normalized_time"], np.arange(6) / 2.0)
+    np.testing.assert_allclose(out["ch"], np.interp(np.arange(6) / 2.0, pdf["normalized_time"], pdf["ch"]))
+    assert (out["label"] == "a").all()
+    want_bad = np.interp(np.arange(6) / 2.0, pdf["normalized_time"], pdf["is_bad_segment"].astype(float)) > 0.5
+    assert (out["is_bad_segment"].to_numpy() == want_bad).all()
+
+
+def test_centered_frame_even_window_extra_left():
+    assert centered_frame(4) == (-2, 1)
+    assert centered_frame(5) == (-2, 2)

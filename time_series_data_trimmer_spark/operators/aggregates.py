@@ -1,0 +1,217 @@
+"""Aggregation operators (SURVEY §2.5 A1–A8, §2.6 W1–W6).
+
+Every aggregate partitions by the trial key; thresholds that the
+reference computes as whole-array numpy reductions become partition
+windows (one shuffle, shared with the signal filters).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from time_series_data_trimmer_spark.functions.rounding import rd
+
+DEFAULT_SAMPLE_RATE = 120.0
+
+
+def _pcols(trial_key: str | Sequence[str] | None) -> list[str]:
+    if not trial_key:
+        return []
+    return [trial_key] if isinstance(trial_key, str) else list(trial_key)
+
+
+def infer_sample_rate(
+    df: DataFrame,
+    *,
+    trial_key: str | Sequence[str] | None = "trial_id",
+    time_col: str = "normalized_time",
+    fallback: float = DEFAULT_SAMPLE_RATE,
+) -> DataFrame:
+    """A1: per-trial ``round(1 / median(positive diffs), 2)`` with a
+    120 Hz fallback (data_model.py:116-126). Exact median — never
+    ``approx_percentile`` (oracle-compared)."""
+    pcols = _pcols(trial_key)
+    ws = Window.partitionBy(*pcols).orderBy(time_col)
+    t = F.col(time_col).cast("double")
+    d = df.withColumn("__diff", t - F.lag(t).over(ws))
+    agg = d.groupBy(*pcols).agg(
+        F.median(F.when(F.col("__diff") > 0, F.col("__diff"))).alias("__dt"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    rate = F.when(
+        (F.col("__n") < 2) | F.col("__dt").isNull() | (F.col("__dt") <= 0), F.lit(float(fallback))
+    ).otherwise(rd(1.0 / F.col("__dt"), 2))
+    return agg.select(*pcols, rate.alias("sample_rate"))
+
+
+def calibration_offset(
+    df: DataFrame,
+    src: str,
+    ref: str,
+    start: float,
+    end: float,
+    *,
+    trial_key: str | Sequence[str] | None = "trial_id",
+    time_col: str = "normalized_time",
+) -> DataFrame:
+    """A3: ``mean(src - ref)`` over a time slice, per trial
+    (main.py:627-646). Filter pushes down to the scan; the agg is
+    map-side combined."""
+    t = F.col(time_col).cast("double")
+    pcols = _pcols(trial_key)
+    return (
+        df.filter(t.between(float(start), float(end)))
+        .groupBy(*pcols)
+        .agg(F.avg(F.col(src) - F.col(ref)).alias("offset"))
+    )
+
+
+def ffill(
+    df: DataFrame,
+    col: str,
+    *,
+    trial_key: str | Sequence[str] | None = "trial_id",
+    time_col: str = "normalized_time",
+    out_col: str | None = None,
+) -> DataFrame:
+    """W2: forward-fill = last non-null over the running window."""
+    pcols = _pcols(trial_key)
+    w = (
+        Window.partitionBy(*pcols)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col or col, F.last(F.col(col), ignorenulls=True).over(w))
+
+
+def episode_color(label_col) -> F.Column:
+    """E5: episode color case-mapping (main.py:1258-1266)."""
+    low = F.lower(label_col)
+    return (
+        F.when(low.contains("action") | low.contains("performing"), F.lit("#ffa500"))
+        .when(low.contains("inspect"), F.lit("#6bd47a"))
+        .otherwise(F.lit("#8888ff"))
+    )
+
+
+def _deterministic_mode(df: DataFrame, keys: list[str], value_col: str, out_col: str) -> DataFrame:
+    """Smallest-most-frequent value per key group — pandas
+    ``Series.mode().iloc[0]`` semantics (ties → smallest value), unlike
+    Spark/DuckDB ``mode`` whose tie-break is undefined."""
+    counted = df.groupBy(*keys, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.partitionBy(*keys).orderBy(F.col("__cnt").desc(), F.col(value_col).asc())
+    return (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*keys, F.col(value_col).alias(out_col))
+    )
+
+
+def episode_overlay(
+    df: DataFrame,
+    *,
+    trial_key: str | Sequence[str] | None = "trial_id",
+    time_col: str = "normalized_time",
+    index_col: str = "episode_index",
+    type_col: str = "episode_type",
+    state_col: str | None = "episode_state",
+) -> DataFrame:
+    """A4: episode spans (main.py:1233-1277): forward-fill the episode
+    index, then per episode take min/max time and the modal type/state;
+    label = ``episode:<type>[:<state>]`` with the E5 color rules.
+
+    Mode is implemented deterministically (highest count, then smallest
+    value) to match pandas ``mode().iloc[0]``.
+    """
+    pcols = _pcols(trial_key)
+    run = (
+        Window.partitionBy(*pcols)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = df.withColumn("__ep", F.last(F.col(index_col), ignorenulls=True).over(run).cast("long"))
+    d = d.withColumn("__type", F.coalesce(F.col(type_col).cast("string"), F.lit("episode")))
+    keys = pcols + ["__ep"]
+
+    spans = d.groupBy(*keys).agg(
+        F.min(F.col(time_col).cast("double")).alias("start"),
+        F.max(F.col(time_col).cast("double")).alias("end"),
+    )
+    mode_type = _deterministic_mode(d, keys, "__type", "__mode_type")
+    out = spans.join(mode_type, on=keys, how="left")
+    label = F.concat(F.lit("episode:"), F.col("__mode_type"))
+    if state_col and state_col in df.columns:
+        mode_state = _deterministic_mode(
+            d.filter(F.col(state_col).isNotNull()), keys, state_col, "__mode_state"
+        )
+        out = out.join(mode_state, on=keys, how="left")
+        label = F.when(
+            F.col("__mode_state").isNotNull(),
+            F.concat(label, F.lit(":"), F.col("__mode_state").cast("string")),
+        ).otherwise(label)
+    out = out.withColumn("label", label).withColumn("color", episode_color(F.col("label")))
+    out = out.withColumnRenamed("__ep", "episode_id")
+    return out.select(
+        *pcols, "episode_id", "start", "end", "label", "color", "__mode_type"
+    ).withColumnRenamed("__mode_type", "episode_type")
+
+
+def suggest_segments(
+    df: DataFrame,
+    channel: str,
+    *,
+    trial_key: str | Sequence[str] | None = "trial_id",
+    time_col: str = "normalized_time",
+    order_cols: Sequence[str] | None = None,
+    sigma: float = 3.0,
+) -> DataFrame:
+    """A5: spike/NaN artifact segments (main.py:1279-1308).
+
+    ``deriv = |x_i - x_{i-1}|`` (first row prepends itself → 0); spike
+    threshold ``mean(deriv) + 3·std_pop(deriv)`` per trial; NaN rows
+    flagged separately; contiguous flagged runs collapse to
+    ``(trial, kind, seg_start, seg_end)`` via gaps-and-islands —
+    the distributed replacement for the reference's Python run loop.
+    """
+    pcols = _pcols(trial_key)
+    ocols = list(order_cols) if order_cols else [time_col]
+    ws = Window.partitionBy(*pcols).orderBy(*ocols)
+    wp = Window.partitionBy(*pcols)
+
+    c = F.col(channel).cast("double")
+    t = F.col(time_col).cast("double")
+    d = df.select(
+        *pcols,
+        t.alias("__t"),
+        F.row_number().over(ws).alias("__idx"),
+        F.abs(c - F.coalesce(F.lag(c).over(ws), c)).alias("__deriv"),
+        (c.isNull() | F.isnan(c)).alias("__is_nan"),
+    )
+    # NaN-aware stats over the derivative (np.nanmean/np.nanstd ddof=0);
+    # the NaN entries of deriv come from NaN samples (lag/self null-prop).
+    thr = F.avg("__deriv").over(wp) + F.lit(float(sigma)) * F.stddev_pop("__deriv").over(wp)
+    d = d.withColumn("__spike", (F.col("__deriv") > thr) & F.col("__deriv").isNotNull())
+
+    flagged = d.select(
+        *pcols,
+        "__t",
+        "__idx",
+        F.explode(
+            F.array(
+                F.struct(F.lit("spike").alias("kind"), F.col("__spike").alias("flag")),
+                F.struct(F.lit("nan").alias("kind"), F.col("__is_nan").alias("flag")),
+            )
+        ).alias("fk"),
+    ).select(*pcols, "__t", "__idx", F.col("fk.kind").alias("kind"), F.col("fk.flag").alias("flag"))
+    flagged = flagged.filter(F.col("flag"))
+
+    wk = Window.partitionBy(*pcols, "kind").orderBy("__idx")
+    islands = flagged.withColumn("__island", F.col("__idx") - F.row_number().over(wk))
+    return islands.groupBy(*pcols, "kind", "__island").agg(
+        F.min("__t").alias("seg_start"),
+        F.max("__t").alias("seg_end"),
+        F.count(F.lit(1)).alias("n_samples"),
+    ).drop("__island")

@@ -1,0 +1,212 @@
+"""Segment-edit operators (SURVEY §2.2 P1–P8, §2.4 J1–J3).
+
+The reference's eager pandas mutations (``/root/reference/data_model.py``)
+become lazy DataFrame transforms; annotations and deletions are small
+interval DataFrames joined to samples by range containment (broadcast —
+they are tiny relative to the samples at any scale).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from time_series_data_trimmer_spark.functions.rounding import rd
+
+DEFAULT_SAMPLE_RATE = 120.0
+
+
+def _pcols(trial_key: str | Sequence[str] | None) -> list[str]:
+    if not trial_key:
+        return []
+    return [trial_key] if isinstance(trial_key, str) else list(trial_key)
+
+
+def take_time_slice(df: DataFrame, start: float, end: float, time_col: str = "normalized_time") -> DataFrame:
+    """P1: rows with start <= t <= end (data_model.py:359-363)."""
+    return df.filter(F.col(time_col).cast("double").between(float(start), float(end)))
+
+
+def delete_segment(
+    df: DataFrame,
+    start: float,
+    end: float,
+    *,
+    trial_key: str | Sequence[str] | None = "trial_id",
+    time_col: str = "normalized_time",
+    sample_rate: float = DEFAULT_SAMPLE_RATE,
+    order_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """P4: drop rows in [start, end] and collapse the timeline
+    (data_model.py:170-194).
+
+    Surviving rows are re-timed to ``round(row_index * dt, 3)`` where
+    ``dt = round(median(positive diffs of surviving time), 3)`` per
+    trial (fallback ``1/max(fs, 1e-6)``). One window pass per trial —
+    the same shuffle key as every other operator.
+    """
+    if start >= end:  # invalid range is a no-op (data_model.py:171-173)
+        return df
+    t = F.col(time_col).cast("double")
+    kept = df.filter((t < float(start)) | (t > float(end)))
+
+    pcols = _pcols(trial_key)
+    ws = Window.partitionBy(*pcols).orderBy(*(list(order_cols) if order_cols else [time_col]))
+    wp = Window.partitionBy(*pcols)
+    diff = t - F.lag(t).over(ws)
+    kept = kept.withColumn("__diff", diff)
+    dt_med = F.median(F.when(F.col("__diff") > 0, F.col("__diff"))).over(wp)
+    dt = rd(F.coalesce(dt_med, F.lit(1.0 / max(float(sample_rate), 1e-6))), 3)
+    new_time = rd((F.row_number().over(ws) - F.lit(1)).cast("double") * dt, 3)
+    return kept.withColumn(time_col, new_time).drop("__diff")
+
+
+def post_delete_sample_rate(
+    df: DataFrame,
+    *,
+    trial_key: str | Sequence[str] | None = "trial_id",
+    time_col: str = "normalized_time",
+) -> DataFrame:
+    """A2 companion: per-trial ``round(1/max(dt, 1e-6), 3)`` after a
+    collapse (data_model.py:187)."""
+    pcols = _pcols(trial_key)
+    ws = Window.partitionBy(*pcols).orderBy(time_col)
+    t = F.col(time_col).cast("double")
+    d = df.withColumn("__diff", t - F.lag(t).over(ws))
+    agg = d.groupBy(*pcols).agg(
+        rd(F.median(F.when(F.col("__diff") > 0, F.col("__diff"))), 3).alias("__dt")
+    )
+    return agg.select(
+        *pcols,
+        rd(1.0 / F.greatest(F.coalesce(F.col("__dt"), F.lit(0.0)), F.lit(1e-6)), 3).alias(
+            "sample_rate"
+        ),
+    )
+
+
+def mark_bad(
+    df: DataFrame,
+    start: float,
+    end: float,
+    *,
+    time_col: str = "normalized_time",
+    mask_col: str = "is_bad_segment",
+) -> DataFrame:
+    """P5: set the bad mask inside [start, end] (data_model.py:196-206)."""
+    if start >= end:
+        return df
+    t = F.col(time_col).cast("double")
+    existing = F.col(mask_col) if mask_col in df.columns else F.lit(False)
+    return df.withColumn(
+        mask_col,
+        F.when(t.between(float(start), float(end)), F.lit(True)).otherwise(existing),
+    )
+
+
+def delete_by_intervals(
+    df: DataFrame,
+    deletions: DataFrame,
+    *,
+    trial_key: str | None = "trial_id",
+    time_col: str = "normalized_time",
+) -> DataFrame:
+    """J2: anti range-join — drop samples inside ANY deleted interval.
+
+    ``deletions(trial_id?, start, end)`` is broadcast: the interval
+    table is tiny (human edit log), so at 100 TB this stays a
+    broadcast-nested-loop anti join with no shuffle of the samples.
+    """
+    t = F.col(time_col).cast("double")
+    cond = (t >= deletions["start"]) & (t <= deletions["end"])
+    if trial_key and trial_key in deletions.columns:
+        cond = cond & (df[trial_key] == deletions[trial_key])
+    return df.join(F.broadcast(deletions), on=cond, how="left_anti")
+
+
+def annotations_at_times(
+    samples: DataFrame,
+    annotations: DataFrame,
+    *,
+    trial_key: str | None = "trial_id",
+    time_col: str = "normalized_time",
+) -> DataFrame:
+    """J1: interval-containment join — each sample row gains the matching
+    annotation's columns (broadcast range join; annotations are tiny)."""
+    t = samples[time_col].cast("double")
+    cond = (t >= annotations["start"]) & (t <= annotations["end"])
+    if trial_key and trial_key in annotations.columns and trial_key in samples.columns:
+        cond = cond & (samples[trial_key] == annotations[trial_key])
+        annotations = annotations.withColumnRenamed(trial_key, f"__ann_{trial_key}")
+        cond = (t >= annotations["start"]) & (t <= annotations["end"]) & (
+            samples[trial_key] == annotations[f"__ann_{trial_key}"]
+        )
+    joined = samples.join(F.broadcast(annotations), on=cond, how="left")
+    return joined.drop(f"__ann_{trial_key}") if trial_key else joined
+
+
+def annotation_at_time(
+    annotations: DataFrame,
+    t: float,
+    *,
+    track_col: str = "track",
+) -> DataFrame:
+    """P6/A8: smallest annotation containing time t, episode track first
+    (main.py:1052-1057: sort by ``(track != 'episode', end - start)``)."""
+    tt = float(t)
+    return (
+        annotations.filter((F.col("start") <= tt) & (F.col("end") >= tt))
+        .orderBy((F.col(track_col) != "episode").cast("int"), F.col("end") - F.col("start"))
+        .limit(1)
+    )
+
+
+def asof_lookup(
+    df: DataFrame,
+    t: float,
+    *,
+    trial_key: str | Sequence[str] | None = "trial_id",
+    time_col: str = "normalized_time",
+) -> DataFrame:
+    """P7/J3: per trial, the row whose time is nearest to t
+    (plot3d.py:52-56 ``idxmin`` of ``abs(time - t)``).
+
+    ``min_by`` aggregation — a single map-side-combined agg, no window,
+    no sort; ties break on the earlier time like ``argmin``.
+    """
+    pcols = _pcols(trial_key)
+    tc = F.col(time_col).cast("double")
+    key = F.struct(F.abs(tc - F.lit(float(t))).alias("d"), tc.alias("t"))
+    picked = df.groupBy(*pcols).agg(
+        F.min_by(F.struct(*[F.col(c) for c in df.columns]), key).alias("row")
+    )
+    return picked.select(*[F.col(f"row.{c}").alias(c) for c in df.columns])
+
+
+def snap_to_extremum(
+    df: DataFrame,
+    channel: str,
+    *,
+    trial_key: str | Sequence[str] | None = "trial_id",
+    time_col: str = "normalized_time",
+    reach: int = 3,
+) -> DataFrame:
+    """P8: for every row, the time of the local argmin/argmax of
+    ``channel`` within ±`reach` samples — whichever extremum is farther
+    from the current value wins (main.py:979-991: snap picks min when
+    ``|max - v| < |min - v|``, else max; ties → max).
+
+    Returns df plus ``snap_time``. Pure window expressions.
+    """
+    pcols = _pcols(trial_key)
+    ws = Window.partitionBy(*pcols).orderBy(time_col).rowsBetween(-reach, reach)
+    c = F.col(channel).cast("double")
+    t = F.col(time_col).cast("double")
+    # argmax/argmin with earliest-index tie-break, like numpy argmax/argmin
+    t_max = F.max_by(F.struct(t.alias("t")), F.struct(c.alias("v"), (-t).alias("nt"))).over(ws)["t"]
+    t_min = F.min_by(F.struct(t.alias("t")), F.struct(c.alias("v"), t.alias("t2"))).over(ws)["t"]
+    v_max = F.max(c).over(ws)
+    v_min = F.min(c).over(ws)
+    pick_min = F.abs(v_max - c) < F.abs(v_min - c)
+    return df.withColumn("snap_time", F.when(pick_min, t_min).otherwise(t_max))

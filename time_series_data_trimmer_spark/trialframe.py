@@ -1,0 +1,298 @@
+"""TrialFrame — the reference's ``DataModel`` API over a lazy Spark plan
+(SURVEY §3.2, README.md:281-296 of the reference).
+
+Where the reference snapshots the full table for undo
+(``data_model.py:131-137``, its stated scale ceiling), TrialFrame's
+undo stack holds **references to immutable DataFrames** — O(1) per
+operation; lineage replaces copies. The operation history doubles as a
+serializable recipe (SURVEY §3.3/§3.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_data_trimmer_spark import schema as _schema
+from time_series_data_trimmer_spark.operators import edits as _edits
+from time_series_data_trimmer_spark.operators import aggregates as _aggs
+from time_series_data_trimmer_spark.operators.filters import apply_filter
+
+DEFAULT_SAMPLE_RATE = 120.0
+
+
+@dataclass
+class AnnotationSegment:
+    """data_model.py:20-27."""
+
+    start: float
+    end: float
+    label: str
+    track: str = "default"
+    color: str = "#4e79a7"
+    id: int = 0
+
+
+@dataclass
+class OperationRecord:
+    """data_model.py:30-35 — the de-facto logical-plan record."""
+
+    description: str
+    params: dict
+    start: float
+    end: float
+
+
+@dataclass
+class _State:
+    df: DataFrame
+    annotations: list[AnnotationSegment]
+    deletions: list[tuple[float, float]]
+    history: list[OperationRecord]
+
+
+class TrialFrame:
+    """Facade with the reference verbs over one (or many) trials.
+
+    ``trial_key=None`` replicates the reference's single-trial frames;
+    pass ``trial_key="trial_id"`` (or ``"user_id"``) for the
+    multi-trial engine — every operator then partitions by it.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        trial_key: str | None = "trial_id",
+        time_col: str = "normalized_time",
+    ) -> None:
+        self.spark = spark
+        self.trial_key = trial_key
+        self.time_col = time_col
+        self.df: DataFrame | None = None
+        self.annotations: list[AnnotationSegment] = []
+        self.deletions: list[tuple[float, float]] = []
+        self.history: list[OperationRecord] = []
+        self.sample_rate: float = DEFAULT_SAMPLE_RATE
+        self._undo: list[_State] = []
+        self._redo: list[_State] = []
+        self._id_counter = 1
+
+    # -- loading ----------------------------------------------------------
+    def load_csv(self, path: str | Sequence[str]) -> "TrialFrame":
+        """S1: CSV scan with NaN-sentinel normalization
+        (data_model.py:64-82). Multi-path scans gain a ``trial_id``
+        provenance column from ``input_file_name`` (S9)."""
+        from time_series_data_trimmer_spark.sources.readers import read_trial_csv
+
+        self.df = read_trial_csv(self.spark, path, trial_key=self.trial_key)
+        self.df = _schema.ensure_bad_mask(self.df)
+        self.df = _schema.ensure_time_axis(self.df, trial_key=self.trial_key)
+        self.annotations, self.deletions, self.history = [], [], []
+        self._undo.clear()
+        self._redo.clear()
+        self._id_counter = 1
+        self.sample_rate = self.infer_sample_rate()
+        return self
+
+    def set_dataframe(self, df: DataFrame) -> "TrialFrame":
+        self.df = _schema.ensure_bad_mask(df)
+        return self
+
+    def get_dataframe(self) -> DataFrame:
+        return self.df
+
+    @property
+    def classification(self) -> _schema.ColumnClassification:
+        return _schema.classify_columns(self.df)
+
+    @property
+    def signal_columns(self) -> list[str]:
+        return self.classification.signal_columns
+
+    def channel_groups(self) -> dict[str, list[str]]:
+        """data_model.py:310-357 cosmetic grouping."""
+        groups: dict[str, list[str]] = {}
+        for col in self.signal_columns:
+            groups.setdefault(_schema.signal_group(col), []).append(col)
+        return groups
+
+    def infer_sample_rate(self, fallback: float = DEFAULT_SAMPLE_RATE) -> float:
+        """A1 reduced to a driver scalar: median rate across trials."""
+        rates = _aggs.infer_sample_rate(
+            self.df, trial_key=self.trial_key, time_col=self.time_col, fallback=fallback
+        )
+        row = rates.agg(F.median("sample_rate").alias("r")).first()
+        return float(row["r"]) if row and row["r"] is not None else fallback
+
+    # -- undo/redo: O(1) lineage references, not copies -------------------
+    def _push(self) -> None:
+        self._undo.append(
+            _State(self.df, list(self.annotations), list(self.deletions), list(self.history))
+        )
+        self._redo.clear()
+
+    def undo(self) -> None:
+        if not self._undo:
+            return
+        self._redo.append(
+            _State(self.df, list(self.annotations), list(self.deletions), list(self.history))
+        )
+        s = self._undo.pop()
+        self.df, self.annotations, self.deletions, self.history = (
+            s.df, s.annotations, s.deletions, s.history,
+        )
+
+    def redo(self) -> None:
+        if not self._redo:
+            return
+        self._undo.append(
+            _State(self.df, list(self.annotations), list(self.deletions), list(self.history))
+        )
+        s = self._redo.pop()
+        self.df, self.annotations, self.deletions, self.history = (
+            s.df, s.annotations, s.deletions, s.history,
+        )
+
+    # -- operators --------------------------------------------------------
+    def apply(
+        self,
+        channels: Sequence[str],
+        filter_type: str,
+        params: Mapping | None = None,
+        selection: tuple[float, float] | None = None,
+    ) -> "TrialFrame":
+        """FilterEngine.apply + DataModel.apply_dataframe in one lazy step
+        (filter_engine.py:25-91, data_model.py:365-372)."""
+        self._push()
+        params = dict(params or {})
+        self.df = apply_filter(
+            self.df, channels, filter_type, params, selection,
+            trial_key=self.trial_key, time_col=self.time_col, sample_rate=self.sample_rate,
+        )
+        if filter_type == "resample":
+            self.sample_rate = float(params.get("target_fs", self.sample_rate))
+        start, end = (selection if selection else (0.0, 0.0))
+        self.history.append(
+            OperationRecord(
+                "filter",
+                {"channels": list(channels), "filter_type": filter_type, **params},
+                float(start), float(end),
+            )
+        )
+        return self
+
+    def delete_segment(self, start: float, end: float) -> "TrialFrame":
+        if start >= end:
+            return self
+        self._push()
+        self.df = _edits.delete_segment(
+            self.df, start, end,
+            trial_key=self.trial_key, time_col=self.time_col, sample_rate=self.sample_rate,
+        )
+        self.deletions.append((start, end))
+        self.history.append(OperationRecord("delete_segment", {}, start, end))
+        self.sample_rate = self.infer_sample_rate(fallback=self.sample_rate)
+        return self
+
+    def mark_bad(self, start: float, end: float) -> "TrialFrame":
+        if start >= end:
+            return self
+        self._push()
+        self.df = _edits.mark_bad(self.df, start, end, time_col=self.time_col)
+        self.history.append(OperationRecord("mark_bad", {}, start, end))
+        return self
+
+    def annotate(
+        self, start: float, end: float, label: str,
+        track: str = "default", color: str = "#4e79a7",
+    ) -> "TrialFrame":
+        if start >= end:
+            return self
+        self._push()
+        self.annotations.append(
+            AnnotationSegment(start, end, label, track, color, self._id_counter)
+        )
+        self._id_counter += 1
+        self.history.append(OperationRecord("annotate", {"label": label, "track": track}, start, end))
+        return self
+
+    def take_time_slice(self, start: float, end: float) -> DataFrame:
+        return _edits.take_time_slice(self.df, start, end, time_col=self.time_col)
+
+    def annotations_df(self) -> DataFrame:
+        rows = [asdict(a) for a in self.annotations]
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "start double, end double, label string, track string, color string, id long"
+            )
+        return self.spark.createDataFrame(rows).select("start", "end", "label", "track", "color", "id")
+
+    def deletions_df(self) -> DataFrame:
+        if not self.deletions:
+            return self.spark.createDataFrame([], "start double, end double")
+        return self.spark.createDataFrame(
+            [{"start": s, "end": e} for s, e in self.deletions]
+        ).select("start", "end")
+
+    def suggest(self, channel: str | None = None) -> DataFrame:
+        ch = channel or self.signal_columns[0]
+        return _aggs.suggest_segments(
+            self.df, ch, trial_key=self.trial_key, time_col=self.time_col
+        )
+
+    # -- persistence ------------------------------------------------------
+    def save_clean(self, path: str, fmt: str = "parquet") -> None:
+        """S4 at scale: partitioned parquet by default; CSV for parity."""
+        writer = self.df.write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", True).csv(path)
+        else:
+            if self.trial_key and self.trial_key in self.df.columns:
+                writer = writer.partitionBy(self.trial_key)
+            writer.parquet(path)
+
+    def save_annotations(self, path: str) -> None:
+        """S5: sidecar JSON, same shape as data_model.py:259-268."""
+        data = {
+            "annotations": [asdict(a) for a in self.annotations],
+            "deletions": [{"start": s, "end": e} for s, e in self.deletions],
+            "history": [asdict(r) for r in self.history],
+            "sample_rate": self.sample_rate,
+        }
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(data, f, indent=2)
+
+    def load_annotations(self, path: str) -> "TrialFrame":
+        """S5 inverse (data_model.py:270-305); deletions accepted as
+        dicts or 2-element lists."""
+        with open(path, "r", encoding="utf-8") as f:
+            data = json.load(f)
+        self.annotations = [AnnotationSegment(**a) for a in data.get("annotations", [])]
+        parsed: list[tuple[float, float]] = []
+        for d in data.get("deletions", []):
+            try:
+                if isinstance(d, dict):
+                    parsed.append((float(d["start"]), float(d["end"])))
+                elif isinstance(d, (list, tuple)) and len(d) == 2:
+                    parsed.append((float(d[0]), float(d[1])))
+            except (TypeError, ValueError, KeyError):
+                continue
+        self.deletions = parsed
+        self.history = [OperationRecord(**h) for h in data.get("history", [])]
+        if "sample_rate" in data:
+            try:
+                self.sample_rate = float(data["sample_rate"])
+            except (TypeError, ValueError):
+                pass
+        if self.annotations:
+            self._id_counter = max(a.id for a in self.annotations) + 1
+        return self
+
+    def recipe(self) -> dict:
+        """History → recipe JSON (main.py:730-742)."""
+        return {"operations": [asdict(r) for r in self.history]}
