@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline benchmark: run the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query executes end-to-end into a noop sink (full plan runs, no
+driver collect). A warmup pass triggers JVM/codegen warm paths so the
+numbers reflect steady-state plan cost, not JIT noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from time_series_data_trimmer_spark.queries import REGISTRY
+from time_series_data_trimmer_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: one per operator family, weighted toward the heavy
+#: shuffle/window paths that dominate at scale.
+HEADLINE = [
+    "f1_moving_average",        # centered rolling window chain
+    "f2_rolling_median",        # exact rolling median (sort in frame)
+    "f9_normalize_zscore",      # partition-wide stats window
+    "f6_detrend",               # OLS via covar/var windows
+    "f8_integrate",             # running decimal sum
+    "f13_interpolate_linear",   # 4 windows (prev/next value+idx)
+    "p4_delete_segment_collapse",  # anti-filter + re-time
+    "a1_sample_rate",           # exact median agg
+    "a4_episode_overlay",       # ffill + dedup mode + joins
+    "a5_suggest_segments",      # gaps-and-islands
+    "e1_frame_transform",       # scalar expression path
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    fn, _sql = REGISTRY[name]
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    names = [n for n in HEADLINE if n in REGISTRY]
+    # warmup: run the first query once to pay one-time JVM costs
+    run_query(spark, names[0], SF_DIR)
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(run_query(spark, name, SF_DIR), 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
