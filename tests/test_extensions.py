@@ -1,0 +1,197 @@
+"""Tests for recipe compiler, dedup, similarity, and text operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from time_series_data_trimmer_spark.operators import dedup as dd
+from time_series_data_trimmer_spark.operators import similarity as sim
+from time_series_data_trimmer_spark.operators import text as tx
+from time_series_data_trimmer_spark.plans.recipe import (
+    ExpressionError,
+    apply_recipe,
+    derived_channel,
+    validate_expression,
+)
+
+
+# -- recipe / plugin compiler ------------------------------------------------
+
+
+def _trial_df(spark):
+    rows = [("t1", float(i), float(i * 2), 10.0 + i) for i in range(10)]
+    return spark.createDataFrame(rows, "trial_id string, normalized_time double, a double, b double")
+
+
+def test_validate_expression_allows_columns_and_math():
+    validate_expression("abs(a) + sqrt(b) * 2", ["a", "b"])
+
+
+@pytest.mark.parametrize(
+    "expr", ["import_os()", "a; drop table x", "c + 1", "a -- comment"]
+)
+def test_validate_expression_rejects(expr):
+    with pytest.raises(ExpressionError):
+        validate_expression(expr, ["a", "b"])
+
+
+def test_derived_channel(spark):
+    df = _trial_df(spark)
+    out = derived_channel(df, "c", "a + b").toPandas()
+    np.testing.assert_allclose(out["c"], out["a"] + out["b"])
+
+
+def test_apply_recipe_chains_lazily(spark):
+    df = _trial_df(spark)
+    recipe = {
+        "operations": [
+            {"description": "filter", "params": {"channels": ["a"], "filter_type": "absolute"}},
+            {"description": "filter", "params": {"channels": ["a"], "filter_type": "moving_average",
+                                                  "window": 3, "preset": "ui-leftover"}},
+            {"description": "plugin:gs", "params": {}},
+        ]
+    }
+    plugins = {"gs": {"operations": [{"type": "derived", "name": "a_twice", "expr": "a * 2"}]}}
+    out = apply_recipe(df, recipe, plugins=plugins, sample_rate=1.0)
+    pdf = out.toPandas().sort_values("normalized_time")
+    want_a = pd.Series([float(i * 2) for i in range(10)]).rolling(3, center=True, min_periods=1).mean()
+    np.testing.assert_allclose(pdf["a"], want_a)
+    np.testing.assert_allclose(pdf["a_twice"], pdf["a"] * 2)
+
+
+# -- dedup -------------------------------------------------------------------
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),       # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),       # near dup
+        (3, "completely different text about spark engines here"),
+        (4, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    docs = _docs(spark)
+    groups = dd.exact_dedup_groups(docs).toPandas()
+    assert groups["dup_count"].sum() == 5
+    assert (groups["dup_count"] > 1).sum() == 1
+    survivors = dd.exact_dedup(docs).toPandas()
+    assert sorted(survivors["doc_id"]) == [0, 2, 3, 4]
+
+
+def test_minhash_identical_docs_always_pair(spark):
+    pairs = dd.minhash_lsh_pairs(_docs(spark)).toPandas()
+    assert (0, 1) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_minhash_jaccard_estimate_bounds(spark):
+    docs = _docs(spark)
+    pairs = dd.minhash_lsh_pairs(docs)
+    est = dd.minhash_jaccard_estimate(docs, pairs).toPandas()
+    ident = est[(est.id_a == 0) & (est.id_b == 1)]
+    if len(ident):
+        assert float(ident["jaccard_est"].iloc[0]) == 1.0
+
+
+def test_ngram_jaccard_exact(spark):
+    out = dd.ngram_jaccard_pairs(_docs(spark), min_jaccard=0.5).toPandas()
+    ident = out[(out.id_a == 0) & (out.id_b == 1)]
+    assert len(ident) == 1 and float(ident["jaccard"].iloc[0]) == 1.0
+
+
+def test_simhash_identical_zero_distance(spark):
+    fp = dd.simhash(_docs(spark))
+    pairs = dd.simhash_pairs(fp, max_hamming=3).toPandas()
+    ident = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
+    assert len(ident) == 1 and int(ident["hamming"].iloc[0]) == 0
+
+
+# -- similarity --------------------------------------------------------------
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.7, 0.7, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark):
+    out = sim.brute_force_topk(_vecs(spark), [1.0, 0.0, 0.0], k=3).toPandas()
+    assert list(out["vec_id"]) == [0, 1, 3]
+    np.testing.assert_allclose(out["cosine"].iloc[:2], [1.0, 1.0])
+
+
+def test_pairwise_topk_excludes_self(spark):
+    vecs = _vecs(spark)
+    out = sim.pairwise_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=2).toPandas()
+    assert 0 not in set(out["neighbor_id"])
+    assert list(out.sort_values("rank")["neighbor_id"]) == [1, 3]
+
+
+def test_lsh_topk_finds_identical(spark):
+    out = sim.lsh_topk(_vecs(spark), [1.0, 0.0, 0.0], k=3, bits=4).toPandas()
+    assert 1 in set(out["vec_id"])  # identical vector shares every hyperplane side
+
+
+def test_decimal_cosine_matches_numpy(spark):
+    out = sim.decimal_cosine_vs_query(_vecs(spark), [0.7, 0.7, 0.0]).toPandas()
+    got = dict(zip(out["vec_id"], out["cosine"]))
+    q = np.array([0.7, 0.7, 0.0])
+    for vid, v in [(0, [1, 0, 0]), (2, [0, 1, 0]), (4, [-1, 0, 0])]:
+        v = np.array(v, dtype=float)
+        want = v @ q / (np.linalg.norm(v) * np.linalg.norm(q))
+        assert abs(got[vid] - want) < 1e-6
+
+
+# -- text --------------------------------------------------------------------
+
+
+def test_language_id(spark):
+    rows = [
+        (0, "the cat and the dog sat in that house and it is warm"),
+        (1, "der hund und die katze das ist nicht ein problem mit"),
+        (2, "le chat est dans la maison et les oiseaux dans un arbre"),
+        (3, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.language_id(df).toPandas().set_index("doc_id")["lang_pred"]
+    assert out[0] == "en" and out[1] == "de" and out[2] == "fr" and out[3] == "und"
+
+
+def test_token_count_and_bpe(spark):
+    df = spark.createDataFrame([(0, "a bb ccc"), (1, ""), (2, "  ")], "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n"),
+        tx.bpe_ish_token_estimate(F.col("text")).alias("bpe"),
+    ).toPandas().set_index("doc_id")
+    assert out.loc[0, "n"] == 3 and out.loc[1, "n"] == 0 and out.loc[2, "n"] == 0
+    assert out.loc[0, "bpe"] >= 3
+
+
+def test_quality_score_range(spark):
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog " * 10), (1, "1,2,3!!!")],
+        "doc_id long, text string",
+    )
+    out = tx.quality_score(df).toPandas().set_index("doc_id")["quality"]
+    assert 0.0 <= out[1] < out[0] <= 1.0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello,   World!"), (1, "hello world"), (2, "different")],
+        "doc_id long, text string",
+    )
+    out = tx.fingerprint(df).toPandas().set_index("doc_id")["fingerprint"]
+    assert out[0] == out[1] != out[2]

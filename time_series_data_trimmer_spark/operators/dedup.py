@@ -1,0 +1,302 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Beyond reference parity (BASELINE.json north-star): exact dedup,
+MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection over a
+``documents(doc_id, text, …)`` table.
+
+Scale design:
+
+* Exact dedup is a hash-groupBy on ``md5(text)`` — never on the raw
+  text (shuffling 100 TB of text bytes vs 32-byte digests).
+* MinHash signatures are computed scan-side (one pass, no shuffle);
+  only the tiny (doc_id, band, band_key) tuples shuffle for the LSH
+  bucket self-join. Bucket sizes are bounded by construction, so the
+  self-join explodes only within buckets — the standard
+  shingle→minhash→band→bucket-join pipeline.
+* All hashing is md5-based (identical in Spark, DuckDB, Python) so
+  every operator is oracle-checkable; engine-native ``hash()`` is
+  never used.
+
+MinHash here takes the LEXICOGRAPHIC min of per-seed md5 hex digests —
+an order statistic on a uniform hash family, equivalent to numeric min
+of the underlying 128-bit values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BAND_SIZE = 2
+DEFAULT_SHINGLE = 3
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: md5-keyed groupBy keeping the smallest id.
+
+    Returns (content_key, keep_id, dup_count). ``dup_count > 1`` rows
+    are duplicate clusters; survivors = the keep_id per key.
+    """
+    return df.groupBy(F.md5(F.col(text_col)).alias("content_key")).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Survivors only: one row per distinct text (smallest id wins)."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(F.col("keep_id").alias(id_col))
+    return df.join(F.broadcast(keep), on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct word n-grams of a whitespace-tokenized text; texts with
+    fewer than n words collapse to one whole-text shingle."""
+    words = F.split(text, " ")
+    k = F.size(words) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.array_distinct(F.when(k >= 1, grams).otherwise(F.array(F.concat_ws(" ", words))))
+
+
+def minhash_signature(text: Column, num_hashes: int = DEFAULT_NUM_HASHES, n: int = DEFAULT_SHINGLE) -> Column:
+    """MinHash signature: per seed s, min over shingles of
+    ``md5('<s>|' || shingle)`` (lexicographic). Returns array<string>."""
+    sh = word_shingles(text, n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda x: F.md5(F.concat(F.lit(f"{s}|"), x))))
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    signature → bands of ``band_size`` hashes → band key = md5(joined
+    band) → self-join per (band, key) bucket → distinct (id_a < id_b).
+    Only (id, band, key) tuples shuffle; signatures never leave the map
+    side.
+    """
+    assert num_hashes % band_size == 0
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle)
+    d = df.select(F.col(id_col), sig.alias("sig"))
+    bands = d.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col("sig")[b * band_size + j] for j in range(band_size)]
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(num_hashes // band_size)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Estimated Jaccard for candidate pairs: fraction of agreeing
+    signature positions."""
+    sig = df.select(
+        F.col(id_col), minhash_signature(F.col(text_col), num_hashes, shingle).alias("sig")
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    j = (
+        pairs.join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
+        .join(b, pairs["id_b"] == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("jaccard_est"),
+        )
+    )
+    return j
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verification pass / standalone near-dup)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    length_bucket: int = 64,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-gram sets for candidate pairs
+    blocked by a text-length bucket (near-dups have near-equal length;
+    adjacent buckets are compared too, so the blocking is conservative
+    for ``min_jaccard ≳ length_bucket``-consistent thresholds).
+
+    Jaccard = |A∩B| / |A∪B| — an exact ratio of integers, so the
+    output is engine-deterministic with no float accumulation.
+    """
+    base = df.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), n).alias("grams"),
+        F.floor(F.length(text_col) / F.lit(length_bucket)).alias("bucket"),
+    )
+    cand = base.select(id_col, "grams", F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("blk"))
+    a = cand.alias("a")
+    b = cand.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.grams").alias("ga"),
+        F.col("b.grams").alias("gb"),
+    ).dropDuplicates(["id_a", "id_b"])
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    out = pairs.select(
+        "id_a", "id_b", (inter.cast("double") / union.cast("double")).alias("jaccard")
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 md5 hex digits → fits a signed 64-bit int in any engine
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash fingerprints from whitespace tokens.
+
+    Token hash = first 15 md5 hex digits as an integer; each bit
+    contributes +1/-1 per token occurrence; fingerprint bit b is set
+    iff the signed sum is positive. One explode + one map-side-combined
+    aggregation — scales linearly, shuffles only (doc_id, 60 ints).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    fingerprints: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over SimHash fingerprints.
+
+    Blocking: split the 60 bits into ``max_hamming + 1`` chunks — any
+    pair within the distance budget agrees exactly on ≥1 chunk
+    (pigeonhole), so the self-join runs per (chunk_id, chunk_value)
+    bucket, never all-pairs.
+    """
+    chunks = max_hamming + 1
+    width = SIMHASH_BITS // chunks
+    d = fingerprints.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("cv"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.cv").alias("cv"))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the exact baseline, plus an LSH-bucketed
+(random-hyperplane) variant as the 100 TB scale path.
+
+Scale design:
+
+* Brute force broadcasts the (tiny) query vector and computes the dot
+  product scan-side with ``zip_with``/``aggregate`` — JVM higher-order
+  functions, no Python, no shuffle until the final top-k (which is a
+  ``TakeOrdered`` — map-side partial top-k, only k rows per partition
+  move).
+* The LSH variant assigns each vector to a signed-hyperplane bucket
+  signature computed from deterministic md5-seeded pseudo-random
+  planes; queries probe only their own bucket (and optionally
+  neighbors), turning O(N) scans into O(N/2^bits).
+* Deterministic cross-engine dot products (for oracle checks) come
+  from exact DECIMAL accumulation of per-position products — float
+  summation order never matters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (JVM, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    The query vector enters the plan as an array literal (broadcast by
+    value); ordering ties break on the id for determinism.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def pairwise_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors for EVERY query row (broadcast the query set,
+    rank per query) — the batch form of brute-force ANN."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    joined = df.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_similarity(F.col(vec_col), F.col("qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplane) — the scale path
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, bits: int, seed: str = "tsdt") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5(seed|bit|i):
+    reproducible across engines and sessions, no RNG state."""
+    planes = []
+    for b in range(bits):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}|{b}|{i}".encode()).hexdigest()
+            # map 8 hex digits → [-1, 1)
+            row.append(int(h[:8], 16) / float(2**31) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-hyperplane signature: bit b = 1 iff vec·plane_b > 0."""
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        sig = sig + F.when(_dot(vec, p) > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "tsdt",
+) -> DataFrame:
+    """Approximate top-k: score only vectors sharing the query's
+    hyperplane bucket. At scale the bucket column is precomputed and
+    the table is partitioned by it, so a probe reads one partition."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, bits, seed)
+    qsig = 0
+    for b, plane in enumerate(planes):
+        if sum(float(q) * p for q, p in zip(query_vec, plane)) > 0:
+            qsig += 2**b
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucketed = df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    return (
+        bucketed.filter(F.col("bucket") == qsig)
+        .select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic (oracle-checkable) scoring
+# ---------------------------------------------------------------------------
+
+
+def decimal_cosine_vs_query(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 9,
+) -> DataFrame:
+    """Cosine vs a query vector with exact-DECIMAL accumulation: each
+    per-position product is rounded to ``scale`` decimals and summed as
+    DECIMAL, so dot products are bit-identical in any engine. Used for
+    oracle-compared queries; the float path (`brute_force_topk`) is the
+    production scorer."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+
+    def dec_dot(a: Column, b: Column) -> Column:
+        prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+        # precision 20 keeps scale 9 through addition: (20,9)+(20,9) →
+        # (21,9), cast back is lossless for |dot| ≪ 10^11. At precision 38
+        # the addition would widen to scale 8, silently rounding each step.
+        terms = F.transform(
+            prods,
+            lambda p: (F.floor(p * F.lit(float(10**scale)) + F.lit(0.5)) / F.lit(float(10**scale))).cast(
+                "decimal(20,9)"
+            ),
+        )
+        return F.aggregate(
+            terms,
+            F.lit(0).cast("decimal(20,9)"),
+            lambda acc, v: (acc + v).cast("decimal(20,9)"),
+        ).cast("double")
+
+    v = F.col(vec_col)
+    return df.select(
+        F.col(id_col),
+        (dec_dot(v, q) / (F.sqrt(dec_dot(v, v)) * F.sqrt(dec_dot(q, q)))).alias("cosine"),
+    )

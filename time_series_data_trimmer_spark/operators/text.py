@@ -1,0 +1,149 @@
+"""Text analysis operators for corpus pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything is pure Column expressions over deterministic string/integer
+math (substring counts, exact ratios of integers, md5 digests), so each
+operator is oracle-checkable across engines and runs entirely inside
+whole-stage codegen — no UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword marker sets for the n-gram heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "que"),
+}
+
+
+def _occurrences(text: Column, word: str) -> Column:
+    """Count whole-word occurrences via padded substring arithmetic:
+    ``(len(padded) - len(replace(padded, ' w '))) / len(' w ')`` —
+    identical integer math in any engine (no regex dialects)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    return (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit("")))) / F.lit(
+        len(needle)
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language over the lowercased text."""
+    low = F.lower(text)
+    scores: dict[str, Column] = {}
+    for lang, words in LANG_MARKERS.items():
+        s = F.lit(0.0)
+        for w in words:
+            s = s + _occurrences(low, w)
+        scores[lang] = s
+    return scores
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Predict the language as the marker set with the most hits
+    (ties → lexicographically first language code, deterministic);
+    no hits at all → 'und' (undetermined)."""
+    scores = lang_scores(F.col(text_col))
+    best_score = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_score <= 0, F.lit("und")).otherwise(pred)
+    return df.withColumn(out_col, pred)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (size of the split array, empty-safe)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, " "))
+    )
+
+
+def bpe_ish_token_estimate(text: Column) -> Column:
+    """Sub-word token estimate without a tokenizer model: byte length
+    scaled by the empirical ~4 chars/token BPE ratio, floored, at least
+    the whitespace word count. Deterministic integer math."""
+    words = token_count(text)
+    return F.greatest(F.floor(F.length(text) / F.lit(4)).cast("long"), words.cast("long"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features (exact integer ratios):
+
+    * n_chars, n_tokens, mean_token_len
+    * punct_ratio — fraction of .,;:!? characters
+    * stopword_ratio — English-marker hits per token
+    * digit_ratio — 0-9 characters per char
+    """
+    t = F.col(text_col)
+    low = F.lower(t)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    punct = F.lit(0).cast("long")
+    for ch in ".,;:!?":
+        punct = punct + (n_chars - F.length(F.replace(t, F.lit(ch), F.lit(""))))
+    digits = F.lit(0).cast("long")
+    for ch in "0123456789":
+        digits = digits + (n_chars - F.length(F.replace(t, F.lit(ch), F.lit(""))))
+    stop_hits = F.lit(0.0)
+    for w in LANG_MARKERS["en"]:
+        stop_hits = stop_hits + _occurrences(low, w)
+    nz = F.when(n_chars == 0, F.lit(1)).otherwise(n_chars).cast("double")
+    nt = F.when(n_tokens == 0, F.lit(1)).otherwise(n_tokens).cast("double")
+    return df.select(
+        *df.columns,
+        n_chars.alias("q_n_chars"),
+        n_tokens.cast("long").alias("q_n_tokens"),
+        ((n_chars - (n_tokens - 1)).cast("double") / nt).alias("q_mean_token_len"),
+        (punct.cast("double") / nz).alias("q_punct_ratio"),
+        (digits.cast("double") / nz).alias("q_digit_ratio"),
+        (stop_hits / nt).alias("q_stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality") -> DataFrame:
+    """Scalar quality score in [0, 1]: length band + stopword presence −
+    punctuation/digit noise. A deterministic combination of the exact
+    feature ratios (weights are engineering choices, not learned)."""
+    feats = quality_features(df, text_col)
+    length_ok = F.when(
+        (F.col("q_n_chars") >= 100) & (F.col("q_n_chars") <= 20000), F.lit(0.4)
+    ).otherwise(F.lit(0.0))
+    stop_ok = F.least(F.col("q_stopword_ratio") * F.lit(2.0), F.lit(0.4))
+    noise = F.least(
+        (F.col("q_punct_ratio") + F.col("q_digit_ratio")) * F.lit(1.0), F.lit(0.2)
+    )
+    return feats.withColumn(out_col, length_ok + stop_ok + (F.lit(0.2) - noise))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Normalized-content fingerprint: md5 of the lowercased text with
+    runs of non-alphanumerics collapsed to single spaces — a stable
+    64-hex content address robust to whitespace/punctuation drift."""
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    return df.withColumn(out_col, F.md5(normalized))
+
+
+def rolling_hash_fingerprint(
+    df: DataFrame, text_col: str = "text", window: int = 16, out_col: str = "winnow_fp"
+) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over sliding character
+    ``window``-grams of the normalized text — robust to partial edits
+    (two documents sharing long runs share the min with high
+    probability). Pure higher-order-function expressions."""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    n = F.length(normalized)
+    k = n - F.lit(window - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.md5(F.substring(normalized, i, window)),
+    )
+    return df.withColumn(out_col, F.array_min(grams))

@@ -1,0 +1,499 @@
+"""Extension query registry: TPC-H-style relational queries, corpus
+dedup / similarity / text-analysis operators, and a Structured
+Streaming tumbling-window aggregation — each with a DuckDB oracle.
+
+Same determinism conventions as queries.py (decimal accumulation for
+unordered sums, floor-formula rounding, md5-only hashing).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from time_series_data_trimmer_spark.functions.rounding import rd, sql_rd
+from time_series_data_trimmer_spark.operators import dedup as dd
+from time_series_data_trimmer_spark.operators import similarity as sim
+from time_series_data_trimmer_spark.operators import text as tx
+from time_series_data_trimmer_spark.queries import REGISTRY, _events, _table, register
+
+R = sql_rd
+
+
+def _dsum(term, scale: int = 4):
+    """Order-independent SUM: round term, accumulate as exact decimal,
+    surface as double."""
+    return F.sum(rd(term, scale).cast("decimal(38,6)")).cast("double")
+
+
+def _sql_dsum(term: str, scale: int = 4) -> str:
+    return f"CAST(sum(CAST({sql_rd(term, scale)} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational extension (SURVEY §7.3-M6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_dsum("l_quantity")} AS sum_qty,
+           {_sql_dsum("l_extendedprice")} AS sum_base_price,
+           {_sql_dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+           {_sql_dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT l.l_orderkey AS order_key,
+           {_sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
+           o.o_orderdate AS order_date
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, order_key ASC
+    LIMIT 10
+    """,
+)
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    l = _table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    # customer is tiny relative to lineitem at every SF → broadcast both
+    # dimension sides; the lineitem scan never shuffles for the joins.
+    joined = l.join(F.broadcast(o), l["l_orderkey"] == o["o_orderkey"]).join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        joined.groupBy(F.col("l_orderkey").alias("order_key"), F.col("o_orderdate").alias("order_date"))
+        .agg(_dsum(rev).alias("revenue"))
+        .select("order_key", "revenue", "order_date")
+        .orderBy(F.col("revenue").desc(), F.col("order_key").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    f"""
+    SELECT n.n_name AS nation,
+           {_sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _table(spark, sf_dir, "lineitem")
+    s = _table(spark, sf_dir, "supplier")
+    n = _table(spark, sf_dir, "nation")
+    r = _table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "n_name")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(dim), l["l_suppkey"] == dim["s_suppkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(_dsum(rev).alias("revenue"))
+    )
+
+
+@register(
+    "topk_orders_by_price",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TakeOrdered physical op: per-partition partial top-k, only k rows
+    # per partition reach the driver-side merge — no global sort.
+    return (
+        _table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup operators over documents
+# ---------------------------------------------------------------------------
+
+_SH_SQL = """
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(w) >= 3
+             THEN list_transform(generate_series(1, len(w) - 2),
+                                 i -> array_to_string(list_slice(w, i, i + 2), ' '))
+             ELSE [array_to_string(w, ' ')] END) AS grams
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+_SIG_SQL = (
+    "SELECT doc_id, ["
+    + ", ".join(
+        f"list_min(list_transform(grams, x -> md5('{s}|' || x)))" for s in range(dd.DEFAULT_NUM_HASHES)
+    )
+    + "] AS sig FROM shingled"
+)
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup_groups(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH shingled AS ({_SH_SQL}),
+    sig AS ({_SIG_SQL}),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS key
+      FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+)
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH shingled AS ({_SH_SQL}),
+    base AS (
+      SELECT s.doc_id, s.grams, length(d.text) // 64 AS bucket
+      FROM shingled s JOIN documents d USING (doc_id)
+    ),
+    cand AS (
+      SELECT doc_id, grams, unnest([bucket, bucket + 1]) AS blk FROM base
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.grams, b.grams)) AS i,
+             len(list_distinct(list_concat(a.grams, b.grams))) AS u
+      FROM cand a JOIN cand b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+    FROM pairs WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.2
+    """,
+)
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(_table(spark, sf_dir, "documents"), min_jaccard=0.2)
+
+
+_SIMHASH_BITS_SQL = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(dd.SIMHASH_BITS)
+)
+_SIMHASH_FP_SQL = " + ".join(
+    f"CASE WHEN b{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END" for b in range(dd.SIMHASH_BITS)
+)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    bits AS (SELECT doc_id, {_SIMHASH_BITS_SQL} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {_SIMHASH_FP_SQL} AS simhash FROM bits
+    """,
+)
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(_table(spark, sf_dir, "documents"))
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = dd.simhash(_table(spark, sf_dir, "documents"))
+    return dd.simhash_pairs(fp, max_hamming=3)
+
+
+REGISTRY["dedup_simhash_pairs"] = (_q_simhash_pairs, None)  # rows-only: derived op
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_DOT_TERMS = """
+      SELECT e.vec_id,
+             sum(CAST({p1} AS DECIMAL(38,9))) AS dxy,
+             sum(CAST({p2} AS DECIMAL(38,9))) AS dxx,
+             sum(CAST({p3} AS DECIMAL(38,9))) AS dyy
+      FROM (SELECT vec_id, u['i'] AS i, CAST(u['v'] AS DOUBLE) AS x
+            FROM (SELECT vec_id,
+                         unnest(list_transform(embedding, (x, i) -> {{'v': x, 'i': i}})) AS u
+                  FROM embeddings)) e
+      JOIN (SELECT u['i'] AS i, CAST(u['v'] AS DOUBLE) AS y
+            FROM (SELECT unnest(list_transform(qv, (x, i) -> {{'v': x, 'i': i}})) AS u
+                  FROM q)) qx
+        ON e.i = qx.i
+      GROUP BY e.vec_id
+""".format(
+    p1=sql_rd("e.x * qx.y", 9),
+    p2=sql_rd("e.x * e.x", 9),
+    p3=sql_rd("qx.y * qx.y", 9),
+)
+
+
+@register(
+    "sim_cosine_scores",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dots AS ({_DOT_TERMS})
+    SELECT vec_id,
+           {R("CAST(dxy AS DOUBLE) / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))", 6)} AS cosine
+    FROM dots
+    """,
+)
+def _q_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    scored = sim.decimal_cosine_vs_query(emb, qvec)
+    return scored.select("vec_id", rd(F.col("cosine"), 6).alias("cosine"))
+
+
+@register(
+    "sim_ann_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dots AS ({_DOT_TERMS})
+    SELECT vec_id,
+           {R("CAST(dxy AS DOUBLE) / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))", 6)} AS cosine
+    FROM dots
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    scored = sim.decimal_cosine_vs_query(emb, qvec).select(
+        "vec_id", rd(F.col("cosine"), 6).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.lsh_topk(emb, qvec, k=10, bits=6)
+
+
+REGISTRY["sim_lsh_topk"] = (_q_lsh_topk, None)  # rows-only: approximate path
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents
+# ---------------------------------------------------------------------------
+
+
+def _occ_sql(word: str) -> str:
+    pad = f"' ' || lower(text) || ' '"
+    needle = f" {word} "
+    return (
+        f"(length({pad}) - length(replace({pad}, '{needle}', ''))) / {len(needle)}.0"
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(_occ_sql(w) for w in tx.LANG_MARKERS[lang])
+
+
+_LANG_BEST = "greatest(" + ", ".join(f"s_{lang}" for lang in tx.LANG_MARKERS) + ")"
+_LANG_CASE = (
+    "CASE WHEN " + _LANG_BEST + " <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{lang} = {_LANG_BEST} THEN '{lang}'" for lang in sorted(tx.LANG_MARKERS)
+    )
+    + " ELSE 'und' END"
+)
+
+
+@register(
+    "text_language_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{_lang_score_sql(lang)} AS s_{lang}" for lang in tx.LANG_MARKERS)}
+      FROM documents
+    )
+    SELECT doc_id, lang, {_LANG_CASE} AS lang_pred FROM scored
+    """,
+)
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return tx.language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS q_n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(trim(text), ' ')) END AS q_n_tokens,
+             ({" + ".join(f"(length(text) - length(replace(text, '{c}', '')))" for c in ".,;:!?")}) AS punct,
+             ({" + ".join(f"(length(text) - length(replace(text, '{c}', '')))" for c in "0123456789")}) AS digits,
+             ({_lang_score_sql("en")}) AS stop_hits
+      FROM documents
+    ),
+    ratios AS (
+      SELECT doc_id, q_n_chars, q_n_tokens,
+             CAST(punct AS DOUBLE) / (CASE WHEN q_n_chars = 0 THEN 1 ELSE q_n_chars END) AS q_punct_ratio,
+             CAST(digits AS DOUBLE) / (CASE WHEN q_n_chars = 0 THEN 1 ELSE q_n_chars END) AS q_digit_ratio,
+             stop_hits / (CASE WHEN q_n_tokens = 0 THEN 1 ELSE q_n_tokens END) AS q_stopword_ratio
+      FROM feats
+    )
+    SELECT doc_id, q_n_chars, q_n_tokens,
+           {R('''(CASE WHEN q_n_chars >= 100 AND q_n_chars <= 20000 THEN 0.4 ELSE 0.0 END)
+             + least(q_stopword_ratio * 2.0, 0.4)
+             + (0.2 - least((q_punct_ratio + q_digit_ratio) * 1.0, 0.2))''', 6)} AS quality
+    FROM ratios
+    """,
+)
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    scored = tx.quality_score(docs)
+    return scored.select(
+        "doc_id", "q_n_chars", "q_n_tokens", rd(F.col("quality"), 6).alias("quality")
+    )
+
+
+@register(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split(trim(text), ' ')) END AS n_tokens,
+           greatest(CAST(floor(length(text) / 4) AS BIGINT),
+                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split(trim(text), ' ')) END AS BIGINT)) AS n_bpe_est
+    FROM documents
+    """,
+)
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        tx.bpe_ish_token_estimate(F.col("text")).alias("n_bpe_est"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprint(_table(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+@register(
+    "text_winnow_fingerprint",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(
+             generate_series(1, greatest(length(t) - 15, 1)),
+             i -> md5(substr(t, i, 16)))) AS winnow_fp
+    FROM norm
+    """,
+)
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.rolling_hash_fingerprint(_table(spark, sf_dir, "documents")).select(
+        "doc_id", "winnow_fp"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming: tumbling-window aggregation over events
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_tumbling_hour_agg",
+    f"""
+    SELECT user_id, date_trunc('hour', ts) AS window_start,
+           count(*) AS n_events,
+           {_sql_dsum("value", 2)} AS sum_value
+    FROM events
+    GROUP BY user_id, date_trunc('hour', ts)
+    """,
+)
+def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming plan (readStream → watermark → tumbling
+    window → memory sink, availableNow trigger) whose final state must
+    equal the batch oracle — the streaming generalization of the
+    reference's seasonal fold (SURVEY §2.10/E11)."""
+    from time_series_data_trimmer_spark.streaming.stream_ops import tumbling_hour_agg
+
+    return tumbling_hour_agg(spark, os.path.join(sf_dir, "events.parquet"))

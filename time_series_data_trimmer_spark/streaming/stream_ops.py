@@ -1,0 +1,115 @@
+"""Structured Streaming operators (SURVEY §2.10, §7.3-M6).
+
+The reference has no streaming (README.md:358 lists incremental loading
+as future roadmap); its seasonal fold (plot2d.py:497-501) is a batch
+tumbling-window assignment. These operators are the streaming
+generalization the north-star asks for: file-source streams with
+watermarks, tumbling/sliding window aggregations, and a stateful
+spike-suggestion variant.
+
+All builders run with ``Trigger.AvailableNow`` + memory sink when used
+from the batch query registry, so their FINAL state is comparable to a
+batch SQL oracle; pointed at a live directory with a real sink they run
+unbounded, unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_data_trimmer_spark.functions.rounding import rd
+
+
+def _events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet (nano timestamps →
+    long nanos → proper event-time timestamp column)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # the file-source needs a directory: stream the containing dir with a
+    # glob filter for the one table file
+    base, fname = os.path.split(path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", fname)
+        .parquet(base)
+    )
+    return stream.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(windowed: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming aggregation to a memory sink with
+    AvailableNow (process everything currently in the source, then
+    stop) and return the materialized result table."""
+    name = f"st_{uuid.uuid4().hex[:12]}"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = windowed.sparkSession
+    return spark.table(name)
+
+
+def tumbling_hour_agg(spark: SparkSession, path: str) -> DataFrame:
+    """Per-user tumbling 1-hour aggregation with a 1-hour watermark:
+    count + order-independent decimal sum of ``value``."""
+    stream = _events_stream(spark, path)
+    windowed = (
+        stream.withWatermark("event_time", "1 hour")
+        .groupBy(F.col("user_id"), F.window("event_time", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(rd(F.col("value"), 2).cast("decimal(38,6)")).alias("sum_dec"),
+        )
+    )
+    out = _run_to_memory(windowed, mode="complete")
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("window_start"),
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
+
+
+def sliding_mean(spark: SparkSession, path: str, window: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding-window mean of ``value`` per user — the streaming analog
+    of the centered moving average (F1)."""
+    stream = _events_stream(spark, path)
+    windowed = (
+        stream.withWatermark("event_time", "2 hours")
+        .groupBy(F.col("user_id"), F.window("event_time", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(rd(F.col("value"), 2).cast("decimal(38,6)")).alias("sum_dec"),
+        )
+    )
+    out = _run_to_memory(windowed, mode="complete")
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        (F.col("sum_dec").cast("double") / F.col("n")).alias("mean_value"),
+        F.col("n").alias("n_events"),
+    )
+
+
+def streaming_spike_counts(spark: SparkSession, path: str, threshold: float = 400.0) -> DataFrame:
+    """Stateful per-user spike counter via fixed threshold (streaming
+    cannot see the global mean+3σ without two passes; production would
+    broadcast a precomputed per-user threshold — this operator takes it
+    as a parameter)."""
+    stream = _events_stream(spark, path)
+    spikes = stream.filter(F.col("value") > threshold)
+    windowed = (
+        spikes.withWatermark("event_time", "1 hour")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_spikes"))
+    )
+    return _run_to_memory(windowed, mode="complete")
