@@ -1,0 +1,329 @@
+"""Additional reference-parity queries: the Python-kernel filters
+(savgol, butterworth fallback, resample) and the join/lookup operators
+(J1/J2, P6–P8, W2, E9).
+
+The savgol oracle is exact: the interior of a Savitzky–Golay filter is
+a fixed convolution, so the least-squares weight vector is precomputed
+once in numpy and inlined as the SAME literals into both the Spark
+expression and the DuckDB SQL — every sum then runs in identical
+left-fold order. Edge rows use per-position truncated-window weights,
+also inlined. The Spark side still runs the real applyInPandas kernel
+(tests/test_filters.py proves kernel == per-point polyfit); the oracle
+just expresses the same math relationally.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from time_series_data_trimmer_spark.functions import expressions as E
+from time_series_data_trimmer_spark.functions.rounding import rd, sql_rd
+from time_series_data_trimmer_spark.operators import edits
+from time_series_data_trimmer_spark.operators.aggregates import ffill
+from time_series_data_trimmer_spark.operators.filters import apply_filter
+from time_series_data_trimmer_spark.queries import _EVK, _T0, _W, _WP, _events, register
+
+R = sql_rd
+
+# ---------------------------------------------------------------------------
+# F3 savgol — kernel on the Spark side, literal-weight window SQL oracle
+# ---------------------------------------------------------------------------
+
+_SG_WINDOW, _SG_POLY = 11, 2
+
+
+def _savgol_weights(window: int, poly: int) -> tuple[list[float], dict[int, list[float]]]:
+    """(interior weight vector, edge weights by row index from each end).
+
+    Interior: value of the LSQ poly fit at the window center. Edges
+    (first/last half rows): truncated-window polyfit evaluated at the
+    row's own position — identical math to the reference fallback
+    (filter_engine.py:100-113)."""
+    half = window // 2
+    x = np.arange(window, dtype=float)
+    V = np.vander(x, poly + 1, increasing=True)
+    interior = ((V @ np.linalg.pinv(V))[half]).tolist()
+    edges: dict[int, list[float]] = {}
+    for i in range(half):
+        lo, hi = 0, i + half + 1  # truncated window for row i (from start)
+        xs = np.arange(lo, hi, dtype=float)
+        Ve = np.vander(xs, min(poly, len(xs) - 1) + 1, increasing=True)
+        # fit value at position i = row i of the hat matrix
+        edges[i] = (Ve @ np.linalg.pinv(Ve))[i].tolist()
+    return interior, edges
+
+
+def _sg_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir)
+    # restrict to trials long enough for a full filter window: shorter
+    # trials truncate on BOTH sides (kernel handles them; the relational
+    # oracle's one-sided edge weights don't) — same filter in the SQL.
+    w = Window.partitionBy("user_id")
+    df = df.withColumn("__n", F.count(F.lit(1)).over(w)).filter(F.col("__n") >= _SG_WINDOW).drop("__n")
+    # π-scale the channel: savgol weights are rational, so on the raw
+    # 0.01-grid input the two engines' summation orders land exactly on
+    # round-digit boundaries; an irrational factor kills the grid
+    df = df.withColumn("v", F.col("value") * F.lit(float(np.pi)))
+    out = apply_filter(
+        df, ["v"], "savgol", {"window": _SG_WINDOW, "polyorder": _SG_POLY},
+        sample_rate=120.0, **_EVK,
+    )
+    return out.select("user_id", "event_id", rd(F.col("v"), 4).alias("sg_value"))
+
+
+def _sg_oracle() -> str:
+    interior, edges = _savgol_weights(_SG_WINDOW, _SG_POLY)
+    half = _SG_WINDOW // 2
+    n = "count(*) OVER (PARTITION BY user_id)"
+    pos = "row_number() OVER (" + _W + ")"
+    # interior: sum_j w_j * value[i + j - half]
+    terms = " + ".join(
+        f"({w!r}) * lag(value, {half - j}) OVER ({_W})" if j < half
+        else (f"({w!r}) * value" if j == half else f"({w!r}) * lead(value, {j - half}) OVER ({_W})")
+        for j, w in enumerate(interior)
+    )
+    # edge row at distance d from the start uses edges[d] over rows 0..d+half;
+    # by symmetry the end edge uses the reversed weights over the last rows.
+    edge_cases = []
+    for d, ws in edges.items():
+        t_start = " + ".join(
+            f"({w!r}) * " + (
+                f"lag(value, {d - j}) OVER ({_W})" if j < d
+                else ("value" if j == d else f"lead(value, {j - d}) OVER ({_W})")
+            )
+            for j, w in enumerate(ws)
+        )
+        # end row r = n-1-d: window rows r-half .. r+d; weight for window
+        # index j is ws reflected (ws[d+half-j]), offset j-half from r
+        half_ = _SG_WINDOW // 2
+        t_end = " + ".join(
+            f"({ws[d + half_ - j]!r}) * " + (
+                f"lag(value, {half_ - j}) OVER ({_W})" if j < half_
+                else ("value" if j == half_ else f"lead(value, {j - half_}) OVER ({_W})")
+            )
+            for j in range(d + half_ + 1)
+        )
+        edge_cases.append(f"WHEN pos = {d + 1} THEN ({t_start})")
+        edge_cases.append(f"WHEN pos = n - {d} THEN ({t_end})")
+    return f"""
+    WITH base AS (
+      SELECT user_id, event_id, value * pi() AS value, ts, {pos} AS pos, {n} AS n FROM events
+      QUALIFY n >= {_SG_WINDOW}
+    )
+    SELECT user_id, event_id,
+           {R("CASE " + " ".join(edge_cases) + f" ELSE ({terms}) END", 4)} AS sg_value
+    FROM base
+    """
+
+
+register("f3_savgol", _sg_oracle())(_sg_spark)
+
+
+# ---------------------------------------------------------------------------
+# F4/F5 butterworth — scipy-absent fallback semantics (documented in
+# filter_engine.py:115-134: rolling mean of width fs/cutoff, detrend first
+# for bandpass). With scipy installed these become filtfilt kernels and the
+# oracle no longer applies (rows-only); this build targets the no-scipy env.
+# ---------------------------------------------------------------------------
+
+_BL_CUTOFF = 6.0
+_BL_WIN = max(3, int(120.0 / max(_BL_CUTOFF, 1)))  # = 20
+_BL_LO, _BL_HI = -(_BL_WIN // 2), _BL_WIN - _BL_WIN // 2 - 1
+
+
+@register(
+    "f4_butter_lowpass_fallback",
+    f"""
+    SELECT user_id, event_id,
+           {R(f"avg(value * pi()) OVER ({_W} ROWS BETWEEN {-_BL_LO} PRECEDING AND {_BL_HI} FOLLOWING)", 4)} AS lp_value
+    FROM events
+    """,
+)
+def _q_butter_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir).withColumn("v", F.col("value") * F.lit(float(np.pi)))
+    out = apply_filter(
+        df, ["v"], "butter_lowpass", {"cutoff": _BL_CUTOFF, "order": 2},
+        sample_rate=120.0, **_EVK,
+    )
+    return out.select("user_id", "event_id", rd(F.col("v"), 4).alias("lp_value"))
+
+
+# ---------------------------------------------------------------------------
+# F14 resample — applyInPandas np.interp kernel; rows-only (the lerp's
+# float sequencing inside np.interp is not reproducible as SQL text).
+# Exactness vs pandas is covered by tests/test_filters.py.
+# ---------------------------------------------------------------------------
+
+
+def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    rel = df.select(
+        "user_id",
+        "event_id",
+        (F.col("t") - F.min("t").over(w)).alias("normalized_time"),
+        "value",
+    )
+    out = apply_filter(
+        rel, ["value"], "resample", {"target_fs": 0.001},
+        trial_key="user_id", time_col="normalized_time", sample_rate=0.001,
+    )
+    return out.select("user_id", "normalized_time", rd(F.col("value"), 4).alias("value"))
+
+
+register("f14_resample", None)(_q_resample)  # rows-only: python-kernel op
+
+
+# ---------------------------------------------------------------------------
+# J1/J2, P6 — interval tables joined to samples (annotations fabricated
+# deterministically so both engines see the same intervals)
+# ---------------------------------------------------------------------------
+
+_ANN_ROWS = [
+    (1, _T0 + 0.0, _T0 + 20000.0, "warmup", "default", "#4e79a7"),
+    (2, _T0 + 15000.0, _T0 + 40000.0, "episode:inspection", "episode", "#6bd47a"),
+    (3, _T0 + 30000.0, _T0 + 90000.0, "episode:action", "episode", "#ffa500"),
+    (4, _T0 + 50000.0, _T0 + 52000.0, "blink", "eye", "#e15759"),
+]
+_ANN_SQL_VALUES = ", ".join(
+    f"({i}, {s!r}, {e!r}, '{lb}', '{tr}', '{c}')" for i, s, e, lb, tr, c in _ANN_ROWS
+)
+_ANN_SQL = (
+    f"(VALUES {_ANN_SQL_VALUES}) AS ann(ann_id, start, \"end\", label, track, color)"
+)
+
+
+def _ann_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _ANN_ROWS, "ann_id long, start double, end double, label string, track string, color string"
+    )
+
+
+@register(
+    "j1_annotation_containment_join",
+    f"""
+    SELECT e.event_id, e.user_id, ann.ann_id, ann.label
+    FROM events e JOIN {_ANN_SQL} ON epoch(e.ts) >= ann.start AND epoch(e.ts) <= ann."end"
+    """,
+)
+def _q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ann = _ann_df(spark)
+    t = ev["t"]
+    joined = ev.join(F.broadcast(ann), (t >= ann["start"]) & (t <= ann["end"]), "inner")
+    return joined.select("event_id", "user_id", "ann_id", "label")
+
+
+@register(
+    "j2_deletion_anti_join",
+    f"""
+    SELECT e.event_id, e.user_id
+    FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM {_ANN_SQL}
+      WHERE ann.track = 'episode' AND epoch(e.ts) >= ann.start AND epoch(e.ts) <= ann."end"
+    )
+    """,
+)
+def _q_j2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    dels = _ann_df(spark).filter(F.col("track") == "episode").select("start", "end")
+    out = edits.delete_by_intervals(ev, dels, trial_key=None, time_col="t")
+    return out.select("event_id", "user_id")
+
+
+@register(
+    "p6_annotation_at_time",
+    f"""
+    SELECT ann_id, label, track
+    FROM {_ANN_SQL}
+    WHERE start <= {_T0 + 35000.0} AND "end" >= {_T0 + 35000.0}
+    ORDER BY (track != 'episode'), ("end" - start)
+    LIMIT 1
+    """,
+)
+def _q_p6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    picked = edits.annotation_at_time(_ann_df(spark), _T0 + 35000.0)
+    return picked.select("ann_id", "label", "track")
+
+
+# ---------------------------------------------------------------------------
+# P7 as-of lookup, P8 snap-to-extremum, W2 ffill, E9 heading
+# ---------------------------------------------------------------------------
+
+_ASOF_T = _T0 + 43210.123
+
+
+@register(
+    "p7_asof_lookup",
+    f"""
+    SELECT user_id, event_id, epoch(ts) AS t, value FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY abs(epoch(ts) - {_ASOF_T}), epoch(ts)
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def _q_p7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "t", "value")
+    return edits.asof_lookup(ev, _ASOF_T, trial_key="user_id", time_col="t")
+
+
+@register(
+    "p8_snap_to_extremum",
+    f"""
+    WITH w AS (
+      SELECT user_id, event_id, epoch(ts) AS t, value,
+             max(value) OVER fr AS vmax, min(value) OVER fr AS vmin,
+             max_by(epoch(ts), value * 100000000.0 - (epoch(ts) - {_T0})) OVER fr AS tmax,
+             min_by(epoch(ts), value * 100000000.0 + (epoch(ts) - {_T0})) OVER fr AS tmin
+      FROM events
+      WINDOW fr AS ({_W} ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT user_id, event_id,
+           {R("CASE WHEN abs(vmax - value) < abs(vmin - value) THEN tmin ELSE tmax END", 3)} AS snap_time
+    FROM w
+    """,
+)
+def _q_p8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "t", "value")
+    out = edits.snap_to_extremum(ev, "value", trial_key="user_id", time_col="t", reach=3)
+    return out.select("user_id", "event_id", rd(F.col("snap_time"), 3).alias("snap_time"))
+
+
+@register(
+    "w2_forward_fill",
+    f"""
+    SELECT user_id, event_id,
+           last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+             OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+    FROM events
+    """,
+)
+def _q_w2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn(
+        "v", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+    out = ffill(ev, "v", trial_key="user_id", time_col="t", out_col="v_ffill")
+    return out.select("user_id", "event_id", "v_ffill")
+
+
+@register(
+    "e9_heading_from_forward",
+    f"""
+    SELECT user_id, event_id,
+           {R("degrees(atan2(sin(value), cos(value)))", 6)} AS heading
+    FROM events
+    """,
+)
+def _q_e9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "user_id", "event_id",
+        rd(E.heading_from_forward(F.cos(F.col("value")), F.sin(F.col("value"))), 6).alias("heading"),
+    )
