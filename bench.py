@@ -21,6 +21,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from time_series_data_trimmer_spark.queries import REGISTRY
+import time_series_data_trimmer_spark.queries_ext  # noqa: F401  (fills REGISTRY)
+import time_series_data_trimmer_spark.queries_parity  # noqa: F401  (fills REGISTRY)
 from time_series_data_trimmer_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,6 +41,15 @@ HEADLINE = [
     "a4_episode_overlay",       # ffill + dedup mode + joins
     "a5_suggest_segments",      # gaps-and-islands
     "e1_frame_transform",       # scalar expression path
+    "f3_savgol",                # applyInPandas DSP kernel (Arrow round-trip)
+    "tpch_q1_pricing_summary",  # wide-scan decimal agg
+    "tpch_q3_shipping_priority",  # broadcast join + top-k
+    "tpch_q5_local_supplier_volume",  # star-schema broadcast chain
+    "dedup_minhash_lsh_pairs",  # shingle→minhash→band bucket join
+    "dedup_simhash",            # explode + 60-way combine agg
+    "sim_cosine_scores",        # higher-order-function vector math
+    "text_quality_score",       # codegen string features
+    "stream_tumbling_hour_agg",  # Structured Streaming availableNow
 ]
 
 

@@ -1,0 +1,69 @@
+"""Tests for multimodal plumbing and streaming operators."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from time_series_data_trimmer_spark.operators import multimodal as mm
+
+
+def test_extract_features_deterministic(spark):
+    assets = mm.synthetic_assets(spark, n=8, kind="image")
+    a = mm.extract_features(assets).toPandas().sort_values("asset_id")
+    b = mm.extract_features(assets).toPandas().sort_values("asset_id")
+    assert len(a) == 8
+    for fa, fb in zip(a["features"], b["features"]):
+        assert len(fa) == mm.FEATURE_DIM
+        np.testing.assert_array_equal(fa, fb)
+        assert all(-1.0 <= x < 1.0 for x in fa)
+
+
+def test_extract_features_real_path_raises(spark):
+    assets = mm.synthetic_assets(spark, n=2, kind="image")
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        mm.extract_features(assets, decode="real").collect()
+
+
+def test_image_resize_stub_updates_metadata(spark):
+    assets = mm.synthetic_assets(spark, n=4, kind="image")
+    out = mm.image_resize_stub(assets, 32, 24).toPandas()
+    assert (out["width"] == 32).all() and (out["height"] == 24).all()
+    assert out["payload"].map(lambda b: len(b)).eq(16).all()
+
+
+def test_frame_sample_stub_row_explosion(spark):
+    assets = mm.synthetic_assets(spark, n=3, kind="video")  # durations 10,11,12
+    out = mm.frame_sample_stub(assets, every_s=2.0).toPandas()
+    want = sum(max(1, int((10.0 + i) / 2.0)) for i in range(3))
+    assert len(out) == want
+    one = out[out.asset_id == 0].sort_values("frame_idx")
+    np.testing.assert_allclose(one["frame_time_s"], np.arange(len(one)) * 2.0)
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    from time_series_data_trimmer_spark.streaming.stream_ops import tumbling_hour_agg
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = tumbling_hour_agg(spark, path).toPandas()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(path).withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    want = (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("event_time")).alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+    )
+    assert len(got) == len(want)
+    g = got.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    w = want.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    assert (g["n_events"].to_numpy() == w["n_events"].to_numpy()).all()
+
+
+def test_streaming_sliding_mean_runs(spark):
+    from time_series_data_trimmer_spark.streaming.stream_ops import sliding_mean
+
+    out = sliding_mean(spark, "/root/testdata/sf0.001/events.parquet").toPandas()
+    assert len(out) > 0
+    assert {"user_id", "window_start", "window_end", "mean_value", "n_events"} <= set(out.columns)

@@ -136,6 +136,34 @@ def episode_overlay(
     d = d.withColumn("__type", F.coalesce(F.col(type_col).cast("string"), F.lit("episode")))
     keys = pcols + ["__ep"]
 
+    if not (state_col and state_col in df.columns):
+        # Join-free single pass: count per (episode, type), then one
+        # window over the episode computes the span AND picks the
+        # deterministic mode (count desc, value asc) — two map-side-
+        # combined shuffles on the same key prefix, no join.
+        counted = d.groupBy(*keys, "__type").agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.col(time_col).cast("double")).alias("__mn"),
+            F.max(F.col(time_col).cast("double")).alias("__mx"),
+        )
+        wkeys = Window.partitionBy(*keys)
+        worder = wkeys.orderBy(F.col("__cnt").desc(), F.col("__type").asc())
+        picked = (
+            counted.withColumn("__rn", F.row_number().over(worder))
+            .withColumn("start", F.min("__mn").over(wkeys))
+            .withColumn("end", F.max("__mx").over(wkeys))
+            .filter(F.col("__rn") == 1)
+        )
+        label = F.concat(F.lit("episode:"), F.col("__type"))
+        out = picked.withColumn("label", label).withColumn(
+            "color", episode_color(F.col("label"))
+        )
+        out = out.withColumnRenamed("__ep", "episode_id")
+        return out.select(
+            *pcols, "episode_id", "start", "end", "label", "color",
+            F.col("__type").alias("episode_type"),
+        )
+
     spans = d.groupBy(*keys).agg(
         F.min(F.col(time_col).cast("double")).alias("start"),
         F.max(F.col(time_col).cast("double")).alias("end"),
@@ -143,7 +171,7 @@ def episode_overlay(
     mode_type = _deterministic_mode(d, keys, "__type", "__mode_type")
     out = spans.join(mode_type, on=keys, how="left")
     label = F.concat(F.lit("episode:"), F.col("__mode_type"))
-    if state_col and state_col in df.columns:
+    if True:
         mode_state = _deterministic_mode(
             d.filter(F.col(state_col).isNotNull()), keys, state_col, "__mode_state"
         )

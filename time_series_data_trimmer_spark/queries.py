@@ -296,7 +296,13 @@ _T0 = 1704067200.0  # 2024-01-01 00:00:00 UTC epoch
 )
 def _q_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _events(spark, sf_dir)
-    df = edits.take_time_slice(df, _T0 + _SLICE[0], _T0 + _SLICE[1], time_col="t")
+    # redundant raw-ts bound first: a plain long predicate reaches the
+    # parquet scan as PushedFilters (row-group min/max pruning), which the
+    # equivalent predicate on the derived `t` cannot. t ∈ [a,b] ⟺
+    # ts ∈ [a·1e9, b·1e9+999] for micro-truncated t.
+    lo, hi = _T0 + _SLICE[0], _T0 + _SLICE[1]
+    df = df.filter(F.col("ts").between(int(lo * 1e9), int(hi * 1e9) + 999))
+    df = edits.take_time_slice(df, lo, hi, time_col="t")
     return df.select("user_id", "event_id", "event_type", "value")
 
 

@@ -176,7 +176,12 @@ _SH_SQL = """
 _SIG_SQL = (
     "SELECT doc_id, ["
     + ", ".join(
-        f"list_min(list_transform(grams, x -> md5('{s}|' || x)))" for s in range(dd.DEFAULT_NUM_HASHES)
+        (
+            f"list_min(list_transform(grams, x -> substr(md5(x), {(s % 4) * 8 + 1}, 8)))"
+            if s < 4
+            else f"list_min(list_transform(grams, x -> substr(md5('x' || x), {(s % 4) * 8 + 1}, 8)))"
+        )
+        for s in range(dd.DEFAULT_NUM_HASHES)
     )
     + "] AS sig FROM shingled"
 )
