@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from time_series_data_trimmer_spark.queries import REGISTRY  # noqa: E402
 import time_series_data_trimmer_spark.queries_ext  # noqa: E402,F401  (fills REGISTRY)
 import time_series_data_trimmer_spark.queries_parity  # noqa: E402,F401  (fills REGISTRY)
+import time_series_data_trimmer_spark.queries_compose  # noqa: E402,F401  (fills REGISTRY)
 
 
 def entry(spark: SparkSession) -> DataFrame:
