@@ -1,0 +1,141 @@
+"""End-to-end TrialFrame facade + sources tests (reference API parity:
+data_model.py verbs, project_manager.py catalog, plugin_system.py)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from time_series_data_trimmer_spark import TrialFrame
+from time_series_data_trimmer_spark.sources.readers import (
+    ProjectCatalog,
+    load_plugins,
+    read_trial_csv,
+)
+
+
+@pytest.fixture()
+def trial_csvs(tmp_path):
+    paths = []
+    for trial in ("trialA", "trialB"):
+        p = tmp_path / f"{trial}.csv"
+        with open(p, "w") as f:
+            f.write("gaze_heading_deg,participant_id,score\n")
+            for i in range(20):
+                v = "" if i == 7 else ("nan" if i == 11 else f"{(i * 3.7) % 17:.2f}")
+                f.write(f"{v},P13,{i}\n")
+        paths.append(str(p))
+    return paths
+
+
+def test_load_csv_classification_and_nan_sentinels(spark, trial_csvs):
+    tf = TrialFrame(spark).load_csv(trial_csvs)
+    cls = tf.classification
+    assert cls.time_column == "normalized_time"  # fabricated (S3)
+    assert "gaze_heading_deg" in cls.signal_columns and "score" in cls.signal_columns
+    assert "participant_id" in cls.metadata_columns
+    assert cls.mask_column == "is_bad_segment"
+    pdf = tf.df.toPandas()
+    assert pdf["trial_id"].nunique() == 2  # S9 provenance
+    assert pdf["gaze_heading_deg"].isna().sum() == 4  # ""/"nan" → null ×2 trials
+    assert tf.channel_groups()["Gaze"] == ["gaze_heading_deg"]
+
+
+def test_edit_undo_redo_lineage(spark, trial_csvs):
+    tf = TrialFrame(spark).load_csv(trial_csvs)
+    n0 = tf.df.count()
+    tf.delete_segment(0.02, 0.05)
+    n1 = tf.df.count()
+    assert n1 < n0
+    tf.undo()
+    assert tf.df.count() == n0
+    tf.redo()
+    assert tf.df.count() == n1
+    assert tf.deletions == [(0.02, 0.05)]
+
+
+def test_annotation_persistence_roundtrip(spark, trial_csvs, tmp_path):
+    tf = TrialFrame(spark).load_csv(trial_csvs)
+    tf.annotate(0.0, 0.1, "blink", track="eye")
+    tf.apply(["gaze_heading_deg"], "moving_average", {"window": 3})
+    path = str(tmp_path / "ann.json")
+    tf.save_annotations(path)
+
+    data = json.load(open(path))
+    assert data["annotations"][0]["label"] == "blink"
+    assert data["history"][-1]["params"]["filter_type"] == "moving_average"
+
+    tf2 = TrialFrame(spark)
+    tf2.df = tf.df
+    tf2.load_annotations(path)
+    assert tf2.annotations[0].track == "eye"
+    assert tf2._id_counter == 2
+    # list-form deletions accepted (data_model.py:289-293)
+    data["deletions"] = [[1.0, 2.0]]
+    json.dump(data, open(path, "w"))
+    tf2.load_annotations(path)
+    assert tf2.deletions == [(1.0, 2.0)]
+
+
+def test_save_clean_parquet_partitioned(spark, trial_csvs, tmp_path):
+    tf = TrialFrame(spark).load_csv(trial_csvs)
+    out = str(tmp_path / "clean")
+    tf.save_clean(out)
+    assert any(d.startswith("trial_id=") for d in os.listdir(out))
+    back = spark.read.parquet(out)
+    assert back.count() == tf.df.count()
+
+
+def test_recipe_roundtrip_through_facade(spark, trial_csvs):
+    from time_series_data_trimmer_spark.plans.recipe import apply_recipe
+
+    tf = TrialFrame(spark).load_csv(trial_csvs)
+    tf.apply(["score"], "normalize_percent", {})
+    recipe = tf.recipe()
+    assert recipe["operations"][0]["description"] == "filter"
+
+    tf2 = TrialFrame(spark).load_csv(trial_csvs)
+    replayed = apply_recipe(
+        tf2.df, recipe, trial_key="trial_id", sample_rate=tf2.sample_rate
+    )
+    a = tf.df.toPandas().sort_values(["trial_id", "normalized_time"])["score"].to_numpy()
+    b = replayed.toPandas().sort_values(["trial_id", "normalized_time"])["score"].to_numpy()
+    np.testing.assert_allclose(a, b)
+
+
+def test_project_catalog_roundtrip(tmp_path, spark):
+    cat = ProjectCatalog()
+    cat.add_trial("/data/a.csv", participant="P1", condition="stand")
+    cat.add_trial("/data/b.csv")
+    cat.update_status("/data/a.csv", "cleaned", "ok")
+    cat.recipes.append(type(cat.recipes)) if False else None
+    path = str(tmp_path / "project.json")
+    cat.save(path)
+    back = ProjectCatalog.load(path)
+    assert back.trials[0].status == "cleaned"
+    assert back.trials[0].participant == "P1"
+    assert back.preferences["default_fs"] == 120.0
+    assert back.to_df(spark).count() == 2
+
+
+def test_plugin_loader(tmp_path):
+    spec = {"name": "GazeSmooth", "operations": [
+        {"type": "filter", "channels": ["g"], "filter": "savgol",
+         "params": {"window": 11, "polyorder": 2}},
+        {"type": "derived", "name": "g_abs", "expr": "abs(g)"}]}
+    with open(tmp_path / "gaze.json", "w") as f:
+        json.dump(spec, f)
+    with open(tmp_path / "broken.plugin", "w") as f:
+        f.write("{not json")
+    plugins = load_plugins(str(tmp_path))
+    assert set(plugins) == {"GazeSmooth"}
+    assert plugins["GazeSmooth"]["operations"][1]["name"] == "g_abs"
+
+
+def test_read_trial_csv_single_path_keeps_existing_trial_id(spark, tmp_path):
+    p = tmp_path / "x.csv"
+    with open(p, "w") as f:
+        f.write("trial_id,v\nk1,1\nk1,2\n")
+    df = read_trial_csv(spark, str(p))
+    assert df.toPandas()["trial_id"].tolist() == ["k1", "k1"]
