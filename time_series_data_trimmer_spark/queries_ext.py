@@ -242,12 +242,12 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(_table(spark, sf_dir, "documents"), min_jaccard=0.2)
 
 
-_SIMHASH_BITS_SQL = ", ".join(
-    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
-    for b in range(dd.SIMHASH_BITS)
+_SIMHASH_BITS_SQL = "count(*) AS n, " + ", ".join(
+    f"sum((h >> {b}) & 1) AS b{b}" for b in range(dd.SIMHASH_BITS)
 )
 _SIMHASH_FP_SQL = " + ".join(
-    f"CASE WHEN b{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END" for b in range(dd.SIMHASH_BITS)
+    f"CASE WHEN 2 * b{b} - n > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+    for b in range(dd.SIMHASH_BITS)
 )
 
 
