@@ -67,3 +67,43 @@ def test_streaming_sliding_mean_runs(spark):
     out = sliding_mean(spark, "/root/testdata/sf0.001/events.parquet").toPandas()
     assert len(out) > 0
     assert {"user_id", "window_start", "window_end", "mean_value", "n_events"} <= set(out.columns)
+
+
+def test_streaming_session_window_matches_batch_sessionize(spark):
+    from time_series_data_trimmer_spark.operators.aggregates import sessionize
+    from time_series_data_trimmer_spark.streaming.stream_ops import session_agg
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = session_agg(spark, path, gap="30 minutes").toPandas()
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(path).withColumn(
+        "t", F.expr("ts div 1000").cast("double") / 1e6
+    )
+    want = sessionize(ev, 1800.0, trial_key="user_id", time_col="t").toPandas()
+    # same session structure: session counts per user and event totals agree
+    g = got.groupby("user_id")["n_events"].agg(["count", "sum"]).sort_index()
+    w = want.groupby("user_id")["n_events"].agg(["count", "sum"]).sort_index()
+    assert (g["count"].to_numpy() == w["count"].to_numpy()).all()
+    assert (g["sum"].to_numpy() == w["sum"].to_numpy()).all()
+
+
+def test_stateful_running_counts(spark):
+    from time_series_data_trimmer_spark.streaming.stream_ops import running_counts_with_state
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = running_counts_with_state(spark, path, threshold=250.0).toPandas()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(path)
+    want = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") > 250.0).cast("long")).alias("n_spikes"),
+        )
+        .toPandas()
+    )
+    g = got.sort_values("user_id").reset_index(drop=True)
+    w = want.sort_values("user_id").reset_index(drop=True)
+    assert (g["n_events"].to_numpy() == w["n_events"].to_numpy()).all()
+    assert (g["n_spikes"].to_numpy() == w["n_spikes"].to_numpy()).all()

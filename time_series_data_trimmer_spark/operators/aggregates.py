@@ -243,3 +243,44 @@ def suggest_segments(
         F.max("__t").alias("seg_end"),
         F.count(F.lit(1)).alias("n_samples"),
     ).drop("__island")
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: float,
+    *,
+    trial_key: str | Sequence[str] | None = "trial_id",
+    time_col: str = "normalized_time",
+    order_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Session windows over batch data via gaps-and-islands: a new
+    session starts where the gap to the previous event exceeds
+    ``gap_seconds``. Returns per-session (trial, session_id, start,
+    end, n_events).
+
+    Same semantics as Structured Streaming's ``session_window`` with a
+    static gap (streaming/stream_ops.session_agg is the incremental
+    twin); one window pass + one map-side-combined aggregation, all on
+    the trial partitioning.
+    """
+    pcols = _pcols(trial_key)
+    ocols = list(order_cols) if order_cols else [time_col]
+    ws = Window.partitionBy(*pcols).orderBy(*ocols)
+    t = F.col(time_col).cast("double")
+    d = df.withColumn(
+        "__new_session",
+        F.when(
+            (t - F.lag(t).over(ws)) > float(gap_seconds), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    d = d.withColumn(
+        "__session",
+        F.sum("__new_session").over(
+            ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return d.groupBy(*pcols, F.col("__session").alias("session_id")).agg(
+        F.min(t).alias("session_start"),
+        F.max(t).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

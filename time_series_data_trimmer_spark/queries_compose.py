@@ -151,3 +151,37 @@ def _q_butter_bandpass(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_rate=120.0, **_EVK,
     )
     return out.select("user_id", "event_id", rd(F.col("v"), 4).alias("bp_value"))
+
+
+@register(
+    "a9_sessionize",
+    f"""
+    WITH gaps AS (
+      SELECT user_id, epoch(ts) AS t,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER ({_W}) > 1800.0
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    ids AS (
+      SELECT user_id, t,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id,
+           {R("min(t)", 3)} AS session_start, {R("max(t)", 3)} AS session_end,
+           count(*) AS n_events
+    FROM ids GROUP BY user_id, session_id
+    """,
+)
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_data_trimmer_spark.operators.aggregates import sessionize
+
+    df = _events(spark, sf_dir)
+    out = sessionize(df, 1800.0, trial_key="user_id", time_col="t", order_cols=["t", "event_id"])
+    return out.select(
+        "user_id", "session_id",
+        rd(F.col("session_start"), 3).alias("session_start"),
+        rd(F.col("session_end"), 3).alias("session_end"),
+        "n_events",
+    )

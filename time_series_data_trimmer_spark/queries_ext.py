@@ -9,7 +9,7 @@ unordered sums, floor-formula rounding, md5-only hashing).
 from __future__ import annotations
 
 import os
-import uuid
+
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -502,3 +502,134 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_data_trimmer_spark.streaming.stream_ops import tumbling_hour_agg
 
     return tumbling_hour_agg(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Additional TPC-H-style coverage + end-to-end corpus pipeline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    f"""
+    SELECT {_sql_dsum("l_extendedprice * l_discount")} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """,
+)
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pure scan-side query: every predicate reaches the parquet reader;
+    # the agg is a single map-side-combined global reduce
+    l = _table(spark, sf_dir, "lineitem")
+    out = l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return out.agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+           {_sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, custkey ASC
+    LIMIT 20
+    """,
+)
+def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _table(spark, sf_dir, "customer")
+    n = _table(spark, sf_dir, "nation")
+    o = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    l = _table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    dim = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        "c_custkey", "c_name", "n_name"
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(o), l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(dim), o["o_custkey"] == dim["c_custkey"])
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(_dsum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "corpus_pipeline_end_to_end",
+    f"""
+    WITH quality AS (
+      SELECT doc_id, lang, n_chars,
+             ({_lang_score_sql("en")}) /
+               (CASE WHEN length(trim(text)) = 0 THEN 1
+                     ELSE len(string_split(trim(text), ' ')) END) AS stop_ratio,
+             md5(text) AS content_key,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(trim(text), ' ')) END AS n_tokens
+      FROM documents
+      WHERE n_chars >= 100
+    ),
+    survivors AS (
+      SELECT content_key, min(doc_id) AS doc_id FROM quality GROUP BY content_key
+    ),
+    kept AS (
+      SELECT q.* FROM quality q JOIN survivors s ON q.doc_id = s.doc_id
+      WHERE q.stop_ratio > 0.01
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           {R("CAST(sum(n_chars) AS DOUBLE) / count(*)", 4)} AS avg_chars
+    FROM kept GROUP BY lang
+    """,
+)
+def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline story in one lazy plan: length filter →
+    exact dedup (md5 survivors) → quality gate (stopword ratio) → corpus
+    stats per language. Text bytes never shuffle: dedup keys are
+    digests, stats are integers."""
+    docs = _table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+    low = F.lower(F.col("text"))
+    stop_hits = F.lit(0.0)
+    for w in tx.LANG_MARKERS["en"]:
+        stop_hits = stop_hits + tx._occurrences(low, w)
+    q = docs.select(
+        "doc_id", "lang", "n_chars",
+        (stop_hits / F.when(tx.token_count(F.col("text")) == 0, F.lit(1))
+         .otherwise(tx.token_count(F.col("text"))).cast("double")).alias("stop_ratio"),
+        F.md5("text").alias("content_key"),
+        tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    survivors = q.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
+    kept = q.join(F.broadcast(survivors.select("doc_id")), "doc_id", "left_semi").filter(
+        F.col("stop_ratio") > 0.01
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        rd(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
+    )

@@ -113,3 +113,65 @@ def streaming_spike_counts(spark: SparkSession, path: str, threshold: float = 40
         .agg(F.count(F.lit(1)).alias("n_spikes"))
     )
     return _run_to_memory(windowed, mode="complete")
+
+
+def session_agg(spark: SparkSession, path: str, gap: str = "30 minutes") -> DataFrame:
+    """Streaming session windows: ``session_window`` merges events whose
+    gaps stay under ``gap`` into one stateful window per user — the
+    incremental twin of aggregates.sessionize."""
+    stream = _events_stream(spark, path)
+    windowed = (
+        stream.withWatermark("event_time", "1 hour")
+        .groupBy(F.session_window("event_time", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(windowed, mode="complete")
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
+
+
+def running_counts_with_state(spark: SparkSession, path: str, threshold: float = 250.0) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running totals (events seen, spikes over threshold) maintained in
+    GroupState across triggers — the pattern for operators that native
+    window aggs can't express (e.g. order-dependent state machines)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StructField, StructType,
+    )
+    import pandas as pd
+
+    stream = _events_stream(spark, path)
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("n_spikes", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n_events", LongType()), StructField("n_spikes", LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n_events, n_spikes = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_events += len(pdf)
+            n_spikes += int((pdf["value"] > threshold).sum())
+        state.update((n_events, n_spikes))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n_events], "n_spikes": [n_spikes]}
+        )
+
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(result, mode="update")
