@@ -440,6 +440,19 @@ def _group_cols(trial_key: str | Sequence[str] | None, has_sel: bool) -> list[st
     return cols
 
 
+def _spread_for_kernel(df: DataFrame, gcols: list[str]) -> DataFrame:
+    """Explicitly hash-spread the trial groups before a grouped-map
+    kernel: the stage is CPU-bound in Python, and AQE's byte-based
+    coalescing would otherwise merge the small shuffle down to 1-2
+    partitions, serializing all kernels onto 1-2 workers. The explicit
+    count is honored verbatim; the subsequent groupBy reuses the same
+    hash partitioning (no extra exchange)."""
+    if not gcols:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, *[F.col(c) for c in gcols])
+
+
 def _apply_pandas_kernel(
     df: DataFrame,
     channels: Sequence[str],
@@ -467,6 +480,7 @@ def _apply_pandas_kernel(
             pdf[ch] = fn(pdf[ch].to_numpy(dtype=float))
         return pdf
 
+    df = _spread_for_kernel(df, gcols)
     grouped = df.groupBy(*gcols) if gcols else df.groupBy(F.lit(1).alias("__g"))
     out = grouped.applyInPandas(run, schema=schema)
     return out
@@ -512,6 +526,7 @@ def _apply_pandas_interpolate(
             )
         return pdf
 
+    df = _spread_for_kernel(df, gcols)
     grouped = df.groupBy(*gcols) if gcols else df.groupBy(F.lit(1).alias("__g"))
     return grouped.applyInPandas(run, schema=schema)
 
@@ -551,5 +566,6 @@ def _apply_resample(
                 out[f.name] = out[f.name].astype(float)
         return out
 
+    df = _spread_for_kernel(df, gcols)
     grouped = df.groupBy(*gcols) if gcols else df.groupBy(F.lit(1).alias("__g"))
     return grouped.applyInPandas(run, schema=schema)

@@ -65,8 +65,12 @@ def _sg_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = df.withColumn("__n", F.count(F.lit(1)).over(w)).filter(F.col("__n") >= _SG_WINDOW).drop("__n")
     # π-scale the channel: savgol weights are rational, so on the raw
     # 0.01-grid input the two engines' summation orders land exactly on
-    # round-digit boundaries; an irrational factor kills the grid
-    df = df.withColumn("v", F.col("value") * F.lit(float(np.pi)))
+    # round-digit boundaries; an irrational factor kills the grid.
+    # Project to the 4 needed columns BEFORE the grouped-map kernel —
+    # every retained column rides the Arrow round-trip through Python.
+    df = df.select(
+        "user_id", "event_id", "t", (F.col("value") * F.lit(float(np.pi))).alias("v")
+    )
     out = apply_filter(
         df, ["v"], "savgol", {"window": _SG_WINDOW, "polyorder": _SG_POLY},
         sample_rate=120.0, **_EVK,
