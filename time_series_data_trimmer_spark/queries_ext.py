@@ -633,3 +633,87 @@ def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         rd(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
     )
+
+
+@register(
+    "tpch_q18_large_volume_orders",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING {_sql_dsum("l_quantity", 2)} > 180.0
+    )
+    SELECT o.o_orderkey AS orderkey, o.o_totalprice AS totalprice,
+           {_sql_dsum("l.l_quantity", 2)} AS total_qty
+    FROM orders o
+    JOIN big b ON o.o_orderkey = b.l_orderkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    ORDER BY totalprice DESC, orderkey ASC
+    LIMIT 15
+    """,
+)
+def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # agg → semi-join shape: the HAVING aggregate builds a small key set,
+    # broadcast back against orders/lineitem
+    l = _table(spark, sf_dir, "lineitem")
+    o = _table(spark, sf_dir, "orders")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity"), 2).alias("q"))
+        .filter(F.col("q") > 180.0)
+        .select(F.col("l_orderkey").alias("big_orderkey"))  # disambiguate the self-join
+    )
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["big_orderkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_orderkey").alias("orderkey"), F.col("o_totalprice").alias("totalprice"))
+        .agg(_dsum(F.col("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("totalprice").desc(), F.col("orderkey").asc())
+        .limit(15)
+    )
+
+
+@register(
+    "cdc_latest_event_per_user_type",
+    f"""
+    SELECT user_id, event_type, event_id, value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def _q_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDC/log-compaction dedup: keep the newest record per key — the
+    # standard keep-latest operator for incremental training-data feeds.
+    # max_by over a composite key would also work; row_number keeps the
+    # full row without struct packing.
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+@register(
+    "distinct_event_types_per_user",
+    """
+    SELECT user_id,
+           count(DISTINCT event_type) AS n_types,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def _q_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir)
+    return df.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
