@@ -53,6 +53,14 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
         return problems
     if problems:
         return problems
+    # dtype agreement: the driver's schema compare may be type-strict
+    for c in sorted(got.columns):
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        gi, wi = got[c].dtype.itemsize, want[c].dtype.itemsize
+        if (gk, gi) != (wk, wi) and not (gk == wk == "O"):
+            problems.append(f"dtype {c}: spark {got[c].dtype} vs oracle {want[c].dtype}")
+    if problems:
+        return problems
     g, w = canon(got), canon(want)
     for c in g.columns:
         gv, wv = g[c].to_numpy(), w[c].to_numpy()

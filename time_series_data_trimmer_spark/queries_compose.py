@@ -164,8 +164,8 @@ def _q_butter_bandpass(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ids AS (
       SELECT user_id, t,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY t
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id,

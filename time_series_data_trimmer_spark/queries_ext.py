@@ -411,7 +411,7 @@ def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
              stop_hits / (CASE WHEN q_n_tokens = 0 THEN 1 ELSE q_n_tokens END) AS q_stopword_ratio
       FROM feats
     )
-    SELECT doc_id, q_n_chars, q_n_tokens,
+    SELECT doc_id, CAST(q_n_chars AS BIGINT) AS q_n_chars, q_n_tokens,
            {R('''(CASE WHEN q_n_chars >= 100 AND q_n_chars <= 20000 THEN 0.4 ELSE 0.0 END)
              + least(q_stopword_ratio * 2.0, 0.4)
              + (0.2 - least((q_punct_ratio + q_digit_ratio) * 1.0, 0.2))''', 6)} AS quality
@@ -422,7 +422,10 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     scored = tx.quality_score(docs)
     return scored.select(
-        "doc_id", "q_n_chars", "q_n_tokens", rd(F.col("quality"), 6).alias("quality")
+        "doc_id",
+        F.col("q_n_chars").cast("long").alias("q_n_chars"),
+        "q_n_tokens",
+        rd(F.col("quality"), 6).alias("quality"),
     )
 
 
@@ -602,7 +605,7 @@ def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE q.stop_ratio > 0.01
     )
     SELECT lang, count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            {R("CAST(sum(n_chars) AS DOUBLE) / count(*)", 4)} AS avg_chars
     FROM kept GROUP BY lang
     """,

@@ -193,7 +193,7 @@ _ANN_ROWS = [
     (4, _T0 + 50000.0, _T0 + 52000.0, "blink", "eye", "#e15759"),
 ]
 _ANN_SQL_VALUES = ", ".join(
-    f"({i}, {s!r}, {e!r}, '{lb}', '{tr}', '{c}')" for i, s, e, lb, tr, c in _ANN_ROWS
+    f"(CAST({i} AS BIGINT), {s!r}, {e!r}, '{lb}', '{tr}', '{c}')" for i, s, e, lb, tr, c in _ANN_ROWS
 )
 _ANN_SQL = (
     f"(VALUES {_ANN_SQL_VALUES}) AS ann(ann_id, start, \"end\", label, track, color)"
