@@ -61,8 +61,15 @@ def _sg_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # restrict to trials long enough for a full filter window: shorter
     # trials truncate on BOTH sides (kernel handles them; the relational
     # oracle's one-sided edge weights don't) — same filter in the SQL.
-    w = Window.partitionBy("user_id")
-    df = df.withColumn("__n", F.count(F.lit(1)).over(w)).filter(F.col("__n") >= _SG_WINDOW).drop("__n")
+    # Broadcast semi-join rather than a count window: a window here would
+    # impose hashpartitioning(user_id) as ENSURE_REQUIREMENTS, Catalyst
+    # would collapse the kernel's explicit repartition into it, and AQE
+    # would coalesce the whole CPU-bound kernel stage down to 2 tasks.
+    big = (
+        df.groupBy("user_id").agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= _SG_WINDOW).select("user_id")
+    )
+    df = df.join(F.broadcast(big), "user_id", "left_semi")
     # π-scale the channel: savgol weights are rational, so on the raw
     # 0.01-grid input the two engines' summation orders land exactly on
     # round-digit boundaries; an irrational factor kills the grid.
