@@ -148,6 +148,27 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def decimal_dot(a: Column, b: Column, scale: int = 9) -> Column:
+    """Dot product with exact-DECIMAL accumulation: each per-position
+    product is rounded to ``scale`` decimals and summed as DECIMAL, so
+    the result is bit-identical in any engine regardless of summation
+    order. Precision 20 keeps scale 9 through addition ((20,9)+(20,9) →
+    (21,9), lossless cast back for |dot| ≪ 10^11); at precision 38 the
+    addition would widen to scale 8 and silently round every step."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    terms = F.transform(
+        prods,
+        lambda p: (F.floor(p * F.lit(float(10**scale)) + F.lit(0.5)) / F.lit(float(10**scale))).cast(
+            "decimal(20,9)"
+        ),
+    )
+    return F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(20,9)"),
+        lambda acc, v: (acc + v).cast("decimal(20,9)"),
+    ).cast("double")
+
+
 def decimal_cosine_vs_query(
     df: DataFrame,
     query_vec: list[float],
@@ -155,32 +176,42 @@ def decimal_cosine_vs_query(
     vec_col: str = "embedding",
     scale: int = 9,
 ) -> DataFrame:
-    """Cosine vs a query vector with exact-DECIMAL accumulation: each
-    per-position product is rounded to ``scale`` decimals and summed as
-    DECIMAL, so dot products are bit-identical in any engine. Used for
-    oracle-compared queries; the float path (`brute_force_topk`) is the
-    production scorer."""
+    """Cosine vs a query vector via `decimal_dot` — the oracle-compared
+    scorer; the float path (`brute_force_topk`) is the production one."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-
-    def dec_dot(a: Column, b: Column) -> Column:
-        prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-        # precision 20 keeps scale 9 through addition: (20,9)+(20,9) →
-        # (21,9), cast back is lossless for |dot| ≪ 10^11. At precision 38
-        # the addition would widen to scale 8, silently rounding each step.
-        terms = F.transform(
-            prods,
-            lambda p: (F.floor(p * F.lit(float(10**scale)) + F.lit(0.5)) / F.lit(float(10**scale))).cast(
-                "decimal(20,9)"
-            ),
-        )
-        return F.aggregate(
-            terms,
-            F.lit(0).cast("decimal(20,9)"),
-            lambda acc, v: (acc + v).cast("decimal(20,9)"),
-        ).cast("double")
-
     v = F.col(vec_col)
     return df.select(
         F.col(id_col),
-        (dec_dot(v, q) / (F.sqrt(dec_dot(v, v)) * F.sqrt(dec_dot(q, q)))).alias("cosine"),
+        (decimal_dot(v, q, scale) / (F.sqrt(decimal_dot(v, v, scale)) * F.sqrt(decimal_dot(q, q, scale)))).alias("cosine"),
+    )
+
+
+def topk_similar_pairs(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    deterministic: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-dup: the k most similar (id_a < id_b)
+    pairs across the whole table. All-pairs — the exactness baseline
+    the LSH bucket path (`lsh_topk` buckets) approximates at scale;
+    norms are computed once per vector, the self-join streams only
+    (id, vec, norm) tuples."""
+    dot = decimal_dot if deterministic else (lambda a, b: _dot(a, b))
+    base = df.select(
+        F.col(id_col), F.col(vec_col).alias("v"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(k)
     )

@@ -720,3 +720,39 @@ def _q_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+_EX_SQL = """
+      SELECT vec_id, u['i'] AS i, CAST(u['v'] AS DOUBLE) AS x
+      FROM (SELECT vec_id,
+                   unnest(list_transform(embedding, (x, i) -> {'v': x, 'i': i})) AS u
+            FROM embeddings)
+"""
+
+
+@register(
+    "dedup_embedding_topk_pairs",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             sum(CAST({sql_rd("a.x * b.x", 9)} AS DECIMAL(38,9))) AS dxy
+      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(sum(CAST({sql_rd("x * x", 9)} AS DECIMAL(38,9))) AS DOUBLE)) AS nrm
+      FROM ex GROUP BY vec_id
+    )
+    SELECT id_a, id_b,
+           {R("CAST(dxy AS DOUBLE) / (na.nrm * nb.nrm)", 6)} AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = id_a
+    JOIN norms nb ON nb.vec_id = id_b
+    ORDER BY CAST(dxy AS DOUBLE) / (na.nrm * nb.nrm) DESC, id_a ASC, id_b ASC
+    LIMIT 20
+    """,
+)
+def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sim.topk_similar_pairs(_table(spark, sf_dir, "embeddings"), k=20)
+    return out.select("id_a", "id_b", rd(F.col("cosine"), 6).alias("cosine"))
