@@ -134,3 +134,16 @@ def test_property_interpolate_linear(spark, values):
         spark, values, "interpolate", {"method": "linear"},
         lambda s: s.interpolate(method="linear", limit_direction="both"),
     )
+
+
+def test_direction_to_frame_orthonormal(spark):
+    rng = np.random.RandomState(9)
+    dirs = rng.randn(6, 3)
+    dirs = dirs[np.abs(dirs[:, :2]).sum(axis=1) > 0.1]  # avoid the up-axis singularity
+    df = spark.createDataFrame([tuple(map(float, d)) for d in dirs], "dx double, dy double, dz double")
+    out = df.select(E.direction_to_frame("dx", "dy", "dz").alias("f")).toPandas()
+    for row, d in zip(out["f"], dirs):
+        m = np.array(row).reshape(3, 3)  # rows: forward, right, up
+        np.testing.assert_allclose(m[0], d / np.linalg.norm(d), atol=1e-12)
+        np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-12)  # orthonormal
+        assert abs(np.dot(m[1], [0, 0, 1])) < 1e-12  # right ⊥ world-up

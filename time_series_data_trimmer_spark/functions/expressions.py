@@ -86,3 +86,23 @@ def euler_zyx_to_rotation_matrix(yaw, pitch, roll) -> Column:
 def normalize_column_name(name) -> Column:
     """E14: lowercase, non-alphanumerics → ``_`` (plot3d.py:370-371)."""
     return F.regexp_replace(F.lower(_c(name)), "[^a-z0-9]+", "_")
+
+
+def _cross(ax, ay, az, bx, by, bz) -> tuple[Column, Column, Column]:
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def direction_to_frame(dx, dy, dz) -> Column:
+    """E10: direction vector → orthonormal frame (plot3d.py:198-212):
+    forward = v/|v|; right = forward × worldUp (z), normalized;
+    up = right × forward. Row-major 3×3 (rows: forward, right, up) as
+    array<double>. Pure trig/arith expressions."""
+    dx, dy, dz = _c(dx), _c(dy), _c(dz)
+    n = F.sqrt(dx * dx + dy * dy + dz * dz)
+    fx, fy, fz = dx / n, dy / n, dz / n
+    # world up = (0, 0, 1)
+    rx, ry, rz = _cross(fx, fy, fz, F.lit(0.0), F.lit(0.0), F.lit(1.0))
+    rn = F.sqrt(rx * rx + ry * ry + rz * rz)
+    rx, ry, rz = rx / rn, ry / rn, rz / rn
+    ux, uy, uz = _cross(rx, ry, rz, fx, fy, fz)
+    return F.array(fx, fy, fz, rx, ry, rz, ux, uy, uz)

@@ -55,12 +55,16 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the oracle comparison bit-exact.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     micros = F.expr("ts div 1000")
     return df.withColumn("t", micros.cast("double") / F.lit(1e6))
 
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # session TZ pinned to UTC: Spark timestamps are session-TZ while the
+    # DuckDB oracle's are UTC-naive (the driver's session may differ)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -756,3 +756,52 @@ _EX_SQL = """
 def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sim.topk_similar_pairs(_table(spark, sf_dir, "embeddings"), k=20)
     return out.select("id_a", "id_b", rd(F.col("cosine"), 6).alias("cosine"))
+
+
+@register(
+    "rollup_lineitem_status",
+    f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           {_sql_dsum("l_quantity", 2)} AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hierarchical totals in one pass (partial-agg friendly; Spark plans
+    # rollup as Expand + single aggregation, not N scans)
+    l = _table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(_dsum(F.col("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "pivot_returnflag_by_status",
+    f"""
+    SELECT l_returnflag AS returnflag,
+           {_sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE NULL END", 2)} AS qty_o,
+           {_sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE NULL END", 2)} AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pivot compiles to the same conditional-aggregate shape as the
+    # portable CASE form in the oracle
+    l = _table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            _dsum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")), 2).alias("qty_o"),
+            _dsum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")), 2).alias("qty_f"),
+        )
+    )
