@@ -139,3 +139,35 @@ def test_read_trial_csv_single_path_keeps_existing_trial_id(spark, tmp_path):
         f.write("trial_id,v\nk1,1\nk1,2\n")
     df = read_trial_csv(spark, str(p))
     assert df.toPandas()["trial_id"].tolist() == ["k1", "k1"]
+
+
+def test_preview_same_grid(spark, trial_csvs):
+    import numpy as np
+
+    tf = TrialFrame(spark).load_csv(trial_csvs)
+    pv = tf.preview(["score"], "moving_average", {"window": 3}).toPandas()
+    assert {"original", "filtered"} <= set(pv.columns)
+    assert len(pv) == tf.df.count()
+    # state untouched
+    assert tf.history == []
+    one = pv[pv.trial_id == pv.trial_id.iloc[0]].sort_values("normalized_time")
+    import pandas as pd
+    want = one["original"].rolling(3, center=True, min_periods=1).mean()
+    np.testing.assert_allclose(one["filtered"], want)
+
+
+def test_preview_resample_interpolates_original(spark, trial_csvs):
+    import numpy as np
+
+    tf = TrialFrame(spark).load_csv(trial_csvs)
+    fs = tf.sample_rate
+    pv = tf.preview(["score"], "resample", {"target_fs": fs / 2.0}).toPandas()
+    assert {"original", "filtered"} <= set(pv.columns)
+    assert 0 < len(pv) < tf.df.count()
+    assert pv["original"].notna().all()
+
+
+def test_heatmap_matrix_zero_fills(spark, trial_csvs):
+    tf = TrialFrame(spark).load_csv(trial_csvs)
+    hm = tf.heatmap_matrix(["gaze_heading_deg", "score"]).toPandas()
+    assert hm["gaze_heading_deg"].notna().all()  # NaNs → 0 (plot2d.py:561-573)

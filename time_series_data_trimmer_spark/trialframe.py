@@ -245,6 +245,69 @@ class TrialFrame:
             self.df, ch, trial_key=self.trial_key, time_col=self.time_col
         )
 
+    def preview(
+        self,
+        channels: Sequence[str],
+        filter_type: str,
+        params: Mapping | None = None,
+        selection: tuple[float, float] | None = None,
+    ) -> DataFrame:
+        """Filter preview (main.py:706-725): the first selected channel
+        before/after the filter, WITHOUT mutating state. Returns a lazy
+        frame (trial?, time, original, filtered); for grid-changing
+        filters (resample) the original is linearly interpolated onto
+        the new time base, exactly like the reference preview."""
+        ch = list(channels)[0]
+        filtered = apply_filter(
+            self.df, [ch], filter_type, dict(params or {}), selection,
+            trial_key=self.trial_key, time_col=self.time_col, sample_rate=self.sample_rate,
+        )
+        keys = ([self.trial_key] if self.trial_key else []) + [self.time_col]
+        f = filtered.select(*keys, F.col(ch).alias("filtered"))
+        if filter_type != "resample":
+            o = self.df.select(*keys, F.col(ch).alias("original"))
+            return o.join(f, on=keys, how="inner")
+        # resample changed the grid: interpolate the original onto it via
+        # union + prev/next windows + lerp (the F13-linear machinery over
+        # the combined time base)
+        from pyspark.sql import Window as _W
+
+        o = self.df.select(*keys, F.col(ch).alias("original")).withColumn(
+            "__src", F.lit(0)
+        )
+        fu = f.withColumn("__src", F.lit(1)).withColumn("original", F.lit(None).cast("double"))
+        o = o.withColumn("filtered", F.lit(None).cast("double"))
+        u = o.select(*keys, "original", "filtered", "__src").unionByName(
+            fu.select(*keys, "original", "filtered", "__src")
+        )
+        pcols = [self.trial_key] if self.trial_key else []
+        ws = _W.partitionBy(*pcols).orderBy(self.time_col, "__src")
+        back = ws.rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        fwd = ws.rowsBetween(_W.currentRow, _W.unboundedFollowing)
+        t = F.col(self.time_col).cast("double")
+        pv = F.last("original", ignorenulls=True).over(back)
+        nv = F.first("original", ignorenulls=True).over(fwd)
+        pt = F.last(F.when(F.col("original").isNotNull(), t), ignorenulls=True).over(back)
+        nt = F.first(F.when(F.col("original").isNotNull(), t), ignorenulls=True).over(fwd)
+        lerp = (
+            F.when(pv.isNull(), nv)
+            .when(nv.isNull(), pv)
+            .when(nt == pt, pv)
+            .otherwise(pv + (nv - pv) * (t - pt) / (nt - pt))
+        )
+        return (
+            u.withColumn("original_interp", lerp)
+            .filter(F.col("__src") == 1)
+            .select(*keys, F.col("original_interp").alias("original"), "filtered")
+        )
+
+    def heatmap_matrix(self, channels: Sequence[str]) -> DataFrame:
+        """E12: channel × time matrix input (plot2d.py:561-573):
+        selected channels with nulls zero-filled — the client collects
+        and pivots for rendering."""
+        keys = ([self.trial_key] if self.trial_key else []) + [self.time_col]
+        return self.df.select(*keys, *channels).na.fill(0.0, subset=list(channels))
+
     # -- persistence ------------------------------------------------------
     def save_clean(self, path: str, fmt: str = "parquet") -> None:
         """S4 at scale: partitioned parquet by default; CSV for parity."""
