@@ -195,3 +195,41 @@ def test_fingerprint_normalization(spark):
     )
     out = tx.fingerprint(df).toPandas().set_index("doc_id")["fingerprint"]
     assert out[0] == out[1] != out[2]
+
+
+def test_ivf_topk_recall(spark):
+    # clustered synthetic vectors: IVF with enough probes must find the
+    # same top neighbors as brute force
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    rows = []
+    for c in range(4):
+        center = rng.randn(8) * 5
+        for i in range(25):
+            v = center + rng.randn(8) * 0.3
+            rows.append((c * 25 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qvec = [float(x) for x in rows[3][1]]
+
+    exact = sim.brute_force_topk(df, qvec, k=5).toPandas()
+    approx = sim.ivf_topk(df, qvec, k=5, n_centroids=8, nprobe=4).toPandas()
+    # the query's own cluster is always probed → top hit identical
+    assert approx["vec_id"].iloc[0] == exact["vec_id"].iloc[0]
+    assert len(set(approx["vec_id"]) & set(exact["vec_id"])) >= 3
+
+    full = sim.ivf_topk(df, qvec, k=5, n_centroids=8, nprobe=8).toPandas()
+    assert list(full["vec_id"]) == list(exact["vec_id"])  # nprobe=all → exact
+
+
+def test_ivf_assign_partitions_all_vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    rows = [(i, [float(x) for x in rng.randn(4)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = sim.ivf_centroids(df, n_centroids=5)
+    assert len(cents) == 5
+    assigned = sim.ivf_assign(df, cents).toPandas()
+    assert len(assigned) == 40
+    assert assigned["centroid_id"].between(0, 4).all()

@@ -215,3 +215,94 @@ def topk_similar_pairs(
         .orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the coarse-quantization scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids: the vectors whose md5(id) hashes
+    are smallest — a reproducible pseudo-random sample (no RNG state,
+    no k-means iterations; at 100 TB you'd refine these with a few
+    Lloyd rounds over a sample, the index structure is identical)."""
+    picked = (
+        df.select(
+            F.col(id_col), F.col(vec_col),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(i, [float(x) for x in row[vec_col]]) for i, row in enumerate(picked)]
+
+
+def _sq_dist_to(vec: Column, center: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (scan-side argmin over
+    the broadcast centroid list). At scale, write the result partitioned
+    by ``centroid_id`` — a probe then reads nprobe partitions only.
+
+    argmin via array_min + array_position: an iterative when-chain would
+    embed each previous step twice and blow the expression tree up
+    exponentially in the centroid count (2^k nodes — observed as an
+    analyzer hang at k=16)."""
+    dists = F.array(*[_sq_dist_to(F.col(vec_col), center) for _cid, center in centroids])
+    best = F.array_min(dists)
+    # 1-based first-match position → centroid list index (ties → first)
+    idx = (F.array_position(dists, best) - 1).cast("int")
+    cid_lookup = F.array(*[F.lit(cid) for cid, _ in centroids])
+    return df.select(
+        F.col(id_col), F.col(vec_col),
+        F.element_at(cid_lookup, idx + 1).alias("centroid_id"),
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k: score only the vectors assigned to the
+    ``nprobe`` centroids nearest the query. O(N·nprobe/n_centroids)
+    scan instead of O(N); exactness rises with nprobe (→ brute force at
+    nprobe = n_centroids)."""
+    centroids = centroids or ivf_centroids(df, n_centroids, id_col, vec_col)
+    ranked = sorted(
+        centroids,
+        key=lambda c: sum((q - x) ** 2 for q, x in zip(query_vec, c[1])),
+    )
+    probe_ids = [cid for cid, _ in ranked[:nprobe]]
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("centroid_id").isin(probe_ids))
+        .select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

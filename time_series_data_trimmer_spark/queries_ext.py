@@ -805,3 +805,12 @@ def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")), 2).alias("qty_f"),
         )
     )
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.ivf_topk(emb, qvec, k=10, n_centroids=16, nprobe=4)
+
+
+REGISTRY["sim_ivf_topk"] = (_q_ivf_topk, None)  # rows-only: approximate path
