@@ -1,0 +1,99 @@
+"""Skew-handling helpers: salting for hot keys, bucketed tables for
+co-located joins.
+
+AQE's skew-join splitting (enabled in the session conf) handles most
+runtime skew; these helpers cover the two cases it cannot:
+
+* **Salted aggregation** — one pathological key (a single enormous
+  trial / user) overwhelms one reducer even when AQE splits joins.
+  Two-phase aggregate: (key, salt) partial → key final. Works for any
+  algebraic aggregate; the helper wires the common count/sum/min/max.
+* **Bucketed tables** — two big fact tables repeatedly joined on the
+  same key should be written bucketed so the join is co-located
+  (zero Exchange on either side at read time). This is the "pay the
+  shuffle once at write" pattern the 100 TB lake uses for
+  samples ⋈ features joins.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+    salt_source: str | Column | None = None,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation.
+
+    ``aggs`` maps output name → (function, column) with function in
+    {count, sum, min, max}; the partial phase groups by
+    (keys..., salt) and the final phase re-combines per key — the hot
+    key's rows spread over ``salt_buckets`` reducers in phase one.
+
+    The salt derives from a deterministic hash of ``salt_source`` (a
+    row-unique column, e.g. the event id) — never ``rand()``, so plans
+    stay re-executable/resumable.
+    """
+    unsupported = [fn for fn, _ in aggs.values() if fn not in ("count", "sum", "min", "max")]
+    if unsupported:
+        raise ValueError(f"salted_agg cannot re-combine {unsupported[0]!r} (not algebraic here)")
+    if salt_source is None:
+        salt = (F.monotonically_increasing_id() % salt_buckets).cast("int")
+    else:
+        src = F.col(salt_source) if isinstance(salt_source, str) else salt_source
+        salt = F.pmod(F.xxhash64(src), F.lit(salt_buckets)).cast("int")
+    d = df.withColumn("__salt", salt)
+
+    partial_exprs = []
+    final_exprs = []
+    for out, (fn, col) in aggs.items():
+        p = f"__p_{out}"
+        if fn == "count":
+            partial_exprs.append(F.count(F.lit(1) if col == "*" else F.col(col)).alias(p))
+            final_exprs.append(F.sum(p).alias(out))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(col).alias(p))
+            final_exprs.append(F.sum(p).alias(out))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(p))
+            final_exprs.append(F.min(p).alias(out))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(p))
+            final_exprs.append(F.max(p).alias(out))
+        else:
+            raise ValueError(f"salted_agg cannot re-combine {fn!r} (not algebraic here)")
+    part = d.groupBy(*key_cols, "__salt").agg(*partial_exprs)
+    return part.groupBy(*key_cols).agg(*final_exprs)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table:
+    subsequent equi-joins/aggregations on ``bucket_cols`` between
+    co-bucketed tables need NO exchange — the shuffle was paid once at
+    write. Sorting within buckets additionally removes the join's sort."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join_is_shuffle_free(spark: SparkSession, left: str, right: str, on: Sequence[str]) -> bool:
+    """Diagnostic: True iff joining two saved tables on ``on`` plans
+    without any Exchange (i.e., bucketing was honored)."""
+    j = spark.table(left).join(spark.table(right), list(on))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    # only SHUFFLE exchanges count — BroadcastExchange moves no fact rows
+    return "Exchange hashpartitioning" not in plan

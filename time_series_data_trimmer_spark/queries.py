@@ -202,8 +202,8 @@ REGISTRY["f10_normalize_percent"] = (
     """,
 )
 
-REGISTRY["f6_detrend"] = (
-    _filter_query("detrend", {}, "detrended", 4),
+@register(
+    "f6_detrend",
     f"""
     WITH base AS (
       SELECT user_id, event_id, value,
@@ -212,18 +212,43 @@ REGISTRY["f6_detrend"] = (
     ),
     fit AS (
       SELECT user_id, event_id, value, idx,
-             covar_pop(idx, value) OVER ({_WP}) / var_pop(idx) OVER ({_WP}) AS slope,
-             avg(value) OVER ({_WP}) AS vbar,
-             avg(idx) OVER ({_WP}) AS ibar,
+             CAST(count(*) OVER ({_WP}) AS DOUBLE) AS n,
+             CAST(sum(CAST(idx AS DECIMAL(38,0))) OVER ({_WP}) AS DOUBLE) AS sx,
+             CAST(sum(CAST(idx * idx AS DECIMAL(38,0))) OVER ({_WP}) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(value AS DECIMAL(38,2))) OVER ({_WP}) AS DOUBLE) AS sy,
+             CAST(sum(CAST(idx * value AS DECIMAL(38,2))) OVER ({_WP}) AS DOUBLE) AS sxy,
              max(CASE WHEN value IS NULL THEN 1 ELSE 0 END) OVER ({_WP}) AS has_null
       FROM base
     )
     SELECT user_id, event_id,
            {R('''CASE WHEN has_null > 0 THEN NULL
-                 ELSE value - ((vbar - slope * ibar) + slope * idx) END''', 4)} AS detrended
+                 ELSE value - ((sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n))
+                               + ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * idx) END''', 4)} AS detrended
     FROM fit
     """,
 )
+def _q_detrend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same closed-form OLS as apply_filter("detrend") — see
+    # tests/test_filters.py for the polyfit parity test — but the OLS
+    # moments accumulate in exact DECIMAL: covar_pop/var_pop float sums
+    # differ between engines at ~1e-10, enough to flip round-4 digits on
+    # the 2-decimal value grid (observed 2/100k rows at sf0.1). idx and
+    # idx·value(2dp) are exactly representable in the decimals below.
+    df = _events(spark, sf_dir)
+    ws = Window.partitionBy("user_id").orderBy("t", "event_id")
+    wp = Window.partitionBy("user_id")
+    idx = (F.row_number().over(ws) - F.lit(1)).cast("double")
+    d = df.select("user_id", "event_id", "value", idx.alias("idx"))
+    n = F.count(F.lit(1)).over(wp).cast("double")
+    sx = F.sum(F.col("idx").cast("decimal(38,0)")).over(wp).cast("double")
+    sxx = F.sum((F.col("idx") * F.col("idx")).cast("decimal(38,0)")).over(wp).cast("double")
+    sy = F.sum(F.col("value").cast("decimal(38,2)")).over(wp).cast("double")
+    sxy = F.sum((F.col("idx") * F.col("value")).cast("decimal(38,2)")).over(wp).cast("double")
+    has_null = F.max(F.col("value").isNull().cast("int")).over(wp)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    trend = (sy / n - slope * (sx / n)) + slope * F.col("idx")
+    detr = F.when(has_null > 0, F.lit(None).cast("double")).otherwise(F.col("value") - trend)
+    return d.select("user_id", "event_id", rd(detr, 4).alias("detrended"))
 
 
 @register(
