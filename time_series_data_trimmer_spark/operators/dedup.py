@@ -49,9 +49,21 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Survivors only: one row per distinct text (smallest id wins)."""
-    keep = exact_dedup_groups(df, id_col, text_col).select(F.col("keep_id").alias(id_col))
-    return df.join(F.broadcast(keep), on=id_col, how="left_semi")
+    """Survivors only: one row per distinct text (smallest id wins).
+
+    Implemented as ``row_number() over (partition by md5(text) order by
+    id) = 1`` — a single shuffle by content digest and no join at all.
+    (The previous form broadcast an O(distinct-docs) survivor-id set,
+    which grows linearly with the corpus and OOMs at scale.)
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 # ---------------------------------------------------------------------------

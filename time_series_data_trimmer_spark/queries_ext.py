@@ -94,10 +94,13 @@ def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
-    # customer is tiny relative to lineitem at every SF → broadcast both
-    # dimension sides; the lineitem scan never shuffles for the joins.
-    joined = l.join(F.broadcast(o), l["l_orderkey"] == o["o_orderkey"]).join(
-        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    # orders and customer both scale with SF, so neither may be
+    # force-broadcast (an unconditional hint overrides the size
+    # threshold and OOMs at 100×). shuffle_hash keeps the join
+    # sort-free; AQE upgrades it to broadcast at runtime whenever the
+    # filtered side actually fits.
+    joined = l.join(o.hint("shuffle_hash"), l["l_orderkey"] == o["o_orderkey"]).join(
+        c.hint("shuffle_hash"), o["o_custkey"] == c["c_custkey"]
     )
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
@@ -133,8 +136,10 @@ def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "n_name")
     )
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # nation/region are constant-size → broadcast; supplier scales with
+    # SF → shuffle_hash (AQE broadcasts it at runtime while it fits)
     return (
-        l.join(F.broadcast(dim), l["l_suppkey"] == dim["s_suppkey"])
+        l.join(dim.hint("shuffle_hash"), l["l_suppkey"] == dim["s_suppkey"])
         .groupBy(F.col("n_name").alias("nation"))
         .agg(_dsum(rev).alias("revenue"))
     )
@@ -569,9 +574,12 @@ def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "n_name"
     )
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # date-filtered orders and customer⋈nation both scale with SF —
+    # shuffle_hash, never an unconditional broadcast (AQE still picks
+    # BHJ at runtime when a side fits)
     return (
-        l.join(F.broadcast(o), l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(dim), o["o_custkey"] == dim["c_custkey"])
+        l.join(o.hint("shuffle_hash"), l["l_orderkey"] == o["o_orderkey"])
+        .join(dim.hint("shuffle_hash"), o["o_custkey"] == dim["c_custkey"])
         .groupBy(
             F.col("c_custkey").alias("custkey"),
             F.col("c_name").alias("name"),
@@ -627,9 +635,14 @@ def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_key"),
         tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
-    survivors = q.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
-    kept = q.join(F.broadcast(survivors.select("doc_id")), "doc_id", "left_semi").filter(
-        F.col("stop_ratio") > 0.01
+    # survivor pick = row_number over the content digest — one shuffle,
+    # no join, nothing broadcast (the previous broadcast semi-join
+    # shipped an O(distinct-docs) id set to every executor)
+    w = Window.partitionBy("content_key").orderBy(F.col("doc_id").asc())
+    kept = (
+        q.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("stop_ratio") > 0.01))
+        .drop("__rn")
     )
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -656,8 +669,10 @@ def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # agg → semi-join shape: the HAVING aggregate builds a small key set,
-    # broadcast back against orders/lineitem
+    # agg → semi-join shape: the HAVING aggregate builds a key set whose
+    # size is data-dependent (could be O(orders) under a loose
+    # threshold) — join it back with shuffle_hash, never a forced
+    # broadcast; AQE converts to BHJ at runtime when the set is small
     l = _table(spark, sf_dir, "lineitem")
     o = _table(spark, sf_dir, "orders")
     big = (
@@ -667,7 +682,7 @@ def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("big_orderkey"))  # disambiguate the self-join
     )
     return (
-        o.join(F.broadcast(big), o["o_orderkey"] == big["big_orderkey"])
+        o.join(big.hint("shuffle_hash"), o["o_orderkey"] == big["big_orderkey"])
         .join(l, l["l_orderkey"] == o["o_orderkey"])
         .groupBy(F.col("o_orderkey").alias("orderkey"), F.col("o_totalprice").alias("totalprice"))
         .agg(_dsum(F.col("l_quantity"), 2).alias("total_qty"))
