@@ -1,0 +1,85 @@
+"""LSH-blocked embedding near-dup: recall vs the all-pairs exact path,
+and the no-quadratic-join plan invariant.
+
+The blocked path (`topk_similar_pairs_blocked`) is the production
+operator; `topk_similar_pairs` (all-pairs BroadcastNestedLoopJoin) is
+kept only as the exactness baseline these tests measure recall against.
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_data_trimmer_spark.operators import similarity as sim
+
+DIM = 32
+N_BASE = 60
+N_DUPS = 20
+
+
+def _pseudo_vec(tag: str, dim: int = DIM) -> list[float]:
+    """Deterministic pseudo-random unit-ish vector from md5(tag|i)."""
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"{tag}|{i}".encode()).hexdigest()
+        out.append(int(h[:8], 16) / float(2**31) - 1.0)
+    return out
+
+
+def _planted(spark):
+    """N_BASE independent vectors + N_DUPS tiny perturbations of the
+    first N_DUPS — each (i, i + N_BASE) pair is a true near-dup with
+    cosine ≥ 0.99; every other pair is far (random 32-dim)."""
+    rows = []
+    for i in range(N_BASE):
+        rows.append((i, _pseudo_vec(f"base{i}")))
+    for i in range(N_DUPS):
+        v = _pseudo_vec(f"base{i}")
+        nrm = math.sqrt(sum(x * x for x in v))
+        p = _pseudo_vec(f"pert{i}")
+        # perturbation at ~2% of the vector norm → cosine ≈ 0.9998
+        v2 = [x + 0.02 * nrm * y / math.sqrt(sum(z * z for z in p)) for x, y in zip(v, p)]
+        rows.append((i + N_BASE, v2))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_planted_near_dup_recall_is_one(spark):
+    df = _planted(spark)
+    cand = sim.lsh_candidate_pairs(df, DIM, bits=8, tables=6)
+    got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    planted = {(i, i + N_BASE) for i in range(N_DUPS)}
+    missed = planted - got
+    assert not missed, f"LSH blocking missed planted near-dups: {missed}"
+
+
+def test_blocked_topk_matches_allpairs_on_near_dups(spark):
+    df = _planted(spark)
+    exact = sim.topk_similar_pairs(df, k=N_DUPS).collect()
+    blocked = sim.topk_similar_pairs_blocked(df, k=N_DUPS, bits=8, tables=6).collect()
+    exact_pairs = [(r["id_a"], r["id_b"]) for r in exact]
+    blocked_pairs = [(r["id_a"], r["id_b"]) for r in blocked]
+    # the exact top-20 is exactly the planted set, and the blocked path
+    # reproduces it in the same order with the same cosines
+    assert exact_pairs == blocked_pairs
+    for re_, rb in zip(exact, blocked):
+        assert abs(re_["cosine"] - rb["cosine"]) < 1e-12
+
+
+def test_blocked_plan_has_no_quadratic_join(spark):
+    df = _planted(spark)
+    out = sim.topk_similar_pairs_blocked(df, k=5, bits=8, tables=6)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_allpairs_path_still_exact(spark):
+    # the opt-in verification path: top-1 of planted data is the most
+    # similar planted pair
+    df = _planted(spark)
+    top = sim.topk_similar_pairs(df, k=1).collect()[0]
+    assert top["id_b"] == top["id_a"] + N_BASE
+    assert top["cosine"] > 0.99

@@ -193,11 +193,13 @@ def topk_similar_pairs(
     vec_col: str = "embedding",
     deterministic: bool = True,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: the k most similar (id_a < id_b)
-    pairs across the whole table. All-pairs — the exactness baseline
-    the LSH bucket path (`lsh_topk` buckets) approximates at scale;
-    norms are computed once per vector, the self-join streams only
-    (id, vec, norm) tuples."""
+    """All-pairs embedding-cosine top-k — the EXACTNESS VERIFICATION
+    path only. This plans as a BroadcastNestedLoopJoin (non-equi
+    condition): O(N²) compares, O(N) broadcast — correct at test SF,
+    unusable at scale. The production operator is
+    `topk_similar_pairs_blocked` (LSH candidate blocking + exact
+    re-rank); use this one on samples to measure the blocked path's
+    recall (see tests/test_similarity_blocked.py)."""
     dot = decimal_dot if deterministic else (lambda a, b: _dot(a, b))
     base = df.select(
         F.col(id_col), F.col(vec_col).alias("v"),
@@ -212,6 +214,142 @@ def topk_similar_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             cos.alias("cosine"),
         )
+        .orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(k)
+    )
+
+
+def _table_planes(dim: int, bits: int, tables: int, seed: str = "tsdt") -> list[list[list[float]]]:
+    """``tables`` independent hyperplane families; table t reuses
+    `_hyperplanes` with seed ``{seed}|t{t}`` so every weight is
+    md5-derivable (and therefore reproducible inside a SQL oracle)."""
+    return [_hyperplanes(dim, bits, seed=f"{seed}|t{t}") for t in range(tables)]
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    bits: int = 8,
+    tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "tsdt",
+) -> DataFrame:
+    """(id, t, sig): per-table ``bits``-bit signed-hyperplane signatures
+    (bit b set iff the DECIMAL-exact dot with plane b is > 0 — decimal
+    so bucket assignment is bit-identical in any engine).
+
+    Shape: posexplode the vector, broadcast-join the (t, b, i, w) plane
+    weights (a data-independent dim·bits·tables-row table), then ONE
+    map-side-combined aggregation with ``bits`` conditional decimal
+    sums. The dim×bits×tables intermediate never shuffles — only the
+    N·tables signature rows do. (A pure expression form — bits·tables
+    `decimal_dot` higher-order calls per row — is 5-10× slower:
+    Catalyst neither CSEs across HOF lambdas nor codegens decimal HOF
+    folds well; same lesson as `dedup.minhash_signatures`.)
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    planes = _table_planes(dim, bits, tables, seed)
+    rows = [
+        (t, b, i, planes[t][b][i])
+        for t in range(tables)
+        for b in range(bits)
+        for i in range(dim)
+    ]
+    pdf = df.sparkSession.createDataFrame(rows, "t int, b int, i int, w double")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("i", "x"))
+    )
+    term = rd(F.col("x").cast("double") * F.col("w"), 9).cast("decimal(20,9)")
+    d = ex.join(F.broadcast(pdf), "i").groupBy(id_col, "t").agg(
+        *[F.sum(F.when(F.col("b") == b, term)).alias(f"d{b}") for b in range(bits)]
+    )
+    sig = None
+    for b in range(bits):
+        bit = F.when(
+            F.col(f"d{b}").cast("double") > 0, F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return d.select(F.col(id_col), F.col("t"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    dim: int,
+    bits: int = 8,
+    tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "tsdt",
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs from multi-table hyperplane LSH.
+
+    A pair is a candidate iff it shares a (table, signature) bucket.
+    Bucket pair explosion reuses the minhash-LSH shape: group → sorted
+    id list → local combinatorics; only (id, table, sig) longs shuffle,
+    vectors never leave the scan side. Candidate volume is tuned by
+    ``bits`` (buckets per table = 2^bits; grow bits with log N to keep
+    bucket sizes O(1)) and recall by ``tables``.
+    """
+    tagged = lsh_signatures(df, dim, bits, tables, id_col, vec_col, seed)
+    buckets = (
+        tagged.groupBy("t", "sig")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arrays).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+
+def topk_similar_pairs_blocked(
+    df: DataFrame,
+    k: int = 20,
+    bits: int = 8,
+    tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "tsdt",
+) -> DataFrame:
+    """Embedding-cosine near-dup at scale: LSH candidate blocking +
+    exact (decimal) re-rank — the production replacement for the
+    all-pairs `topk_similar_pairs`.
+
+    Plan shape: candidate generation is a groupBy + local pair
+    explosion (no join); the re-rank is two equi shuffle-hash joins
+    keyed on the ids — no BroadcastNestedLoopJoin, no CartesianProduct,
+    nothing broadcast that scales with N. Compare volume is
+    Σ_buckets |B|² instead of N²; recall on true near-dups (cosine
+    ≳ 0.9) is ≈ 1 − (1 − p^bits)^tables with p = 1 − θ/π (≈ 0.97+ at
+    the defaults), measured against the all-pairs path in
+    tests/test_similarity_blocked.py.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    cand = lsh_candidate_pairs(df, dim, bits, tables, id_col, vec_col, seed)
+    base = df.select(
+        F.col(id_col), F.col(vec_col).alias("v"),
+        F.sqrt(decimal_dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+    )
+    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    joined = cand.join(a.hint("shuffle_hash"), "id_a").join(b.hint("shuffle_hash"), "id_b")
+    cos = decimal_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        joined.select("id_a", "id_b", cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(k)
     )

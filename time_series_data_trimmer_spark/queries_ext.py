@@ -745,15 +745,46 @@ _EX_SQL = """
 """
 
 
+# LSH blocking parameters for the embedding near-dup query. dim=64 is a
+# property of the embeddings tables (all SFs); bits/tables trade
+# candidate volume vs recall (see operators/similarity.py).
+_EMB_DIM, _EMB_BITS, _EMB_TABLES = 64, 8, 6
+
+
 @register(
     "dedup_embedding_topk_pairs",
     f"""
     WITH ex AS ({_EX_SQL}),
-    dots AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             sum(CAST({sql_rd("a.x * b.x", 9)} AS DECIMAL(38,9))) AS dxy
-      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
-      GROUP BY a.vec_id, b.vec_id
+    planes AS (
+      SELECT t.t, b.b, i.i,
+             ('0x' || substr(md5('tsdt|t' || t.t || '|' || b.b || '|' || i.i), 1, 8))::BIGINT
+               / 2147483648.0 - 1.0 AS w
+      FROM generate_series(0, {_EMB_TABLES - 1}) t(t),
+           generate_series(0, {_EMB_BITS - 1}) b(b),
+           generate_series(0, {_EMB_DIM - 1}) i(i)
+    ),
+    pdots AS (
+      SELECT e.vec_id, p.t, p.b,
+             CAST(sum(CAST({sql_rd("e.x * p.w", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS d
+      FROM ex e JOIN planes p ON p.i = e.i - 1
+      GROUP BY e.vec_id, p.t, p.b
+    ),
+    sigs AS (
+      SELECT vec_id, t,
+             sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sig
+      FROM pdots GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    pairdots AS (
+      SELECT c.id_a, c.id_b,
+             sum(CAST({sql_rd("ea.x * eb.x", 9)} AS DECIMAL(38,9))) AS dxy
+      FROM cand c
+      JOIN ex ea ON ea.vec_id = c.id_a
+      JOIN ex eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+      GROUP BY c.id_a, c.id_b
     ),
     norms AS (
       SELECT vec_id, sqrt(CAST(sum(CAST({sql_rd("x * x", 9)} AS DECIMAL(38,9))) AS DOUBLE)) AS nrm
@@ -761,7 +792,7 @@ _EX_SQL = """
     )
     SELECT id_a, id_b,
            {R("CAST(dxy AS DOUBLE) / (na.nrm * nb.nrm)", 6)} AS cosine
-    FROM dots
+    FROM pairdots
     JOIN norms na ON na.vec_id = id_a
     JOIN norms nb ON nb.vec_id = id_b
     ORDER BY CAST(dxy AS DOUBLE) / (na.nrm * nb.nrm) DESC, id_a ASC, id_b ASC
@@ -769,7 +800,15 @@ _EX_SQL = """
     """,
 )
 def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = sim.topk_similar_pairs(_table(spark, sf_dir, "embeddings"), k=20)
+    """LSH-blocked near-dup pairs (production path). The oracle SQL
+    replicates the SAME deterministic blocking (md5-derived planes,
+    decimal-exact dot signs), so the gate verifies the full blocked
+    algorithm against an independent engine — same approach as
+    dedup_minhash_lsh_pairs. The all-pairs exact path remains available
+    as sim.topk_similar_pairs for recall measurement."""
+    out = sim.topk_similar_pairs_blocked(
+        _table(spark, sf_dir, "embeddings"), k=20, bits=_EMB_BITS, tables=_EMB_TABLES
+    )
     return out.select("id_a", "id_b", rd(F.col("cosine"), 6).alias("cosine"))
 
 
