@@ -92,6 +92,20 @@ def test_derivative(spark):
     )
 
 
+def test_derivative_nan_neighbors_match_np_gradient(spark):
+    # np.gradient NaN semantics: a mid-series NaN poisons its NEIGHBORS'
+    # central differences (they reference it), while the NaN row itself
+    # gets a FINITE central difference when both its neighbors are
+    # finite ((y[i+1]-y[i-1])/2dt never reads y[i]). Edges are position-
+    # based, not null-based.
+    fs = 120.0
+    assert_matches(
+        spark, VALS_NAN, "derivative", {},
+        lambda s: pd.Series(np.gradient(s.to_numpy(dtype=float), 1.0 / fs), index=s.index),
+        sample_rate=fs,
+    )
+
+
 def test_integrate_nan_poisons_suffix(spark):
     fs = 120.0
     assert_matches(

@@ -171,3 +171,60 @@ def test_heatmap_matrix_zero_fills(spark, trial_csvs):
     tf = TrialFrame(spark).load_csv(trial_csvs)
     hm = tf.heatmap_matrix(["gaze_heading_deg", "score"]).toPandas()
     assert hm["gaze_heading_deg"].notna().all()  # NaNs → 0 (plot2d.py:561-573)
+
+
+def test_numeric_nan_sentinels_become_null_not_nan(spark, trial_csvs):
+    # the csv nanValue option parses numeric 'nan' cells to Double.NaN,
+    # but the engine's missing representation is null — NaN would
+    # propagate through avg/stddev/max and poison whole windows where
+    # the pandas reference (min_periods=1) skips the sample
+    from pyspark.sql import functions as F
+
+    df = read_trial_csv(spark, trial_csvs)
+    assert df.filter(F.isnan("gaze_heading_deg")).count() == 0
+    assert df.filter(F.col("gaze_heading_deg").isNull()).count() == 4
+
+    tf = TrialFrame(spark).load_csv(trial_csvs).apply(
+        ["gaze_heading_deg"], "moving_average", {"window": 3}
+    )
+    vals = tf.df.toPandas()["gaze_heading_deg"].to_numpy(dtype=float)
+    # every window contains >= 1 non-missing sample, so nothing is NaN
+    assert np.isfinite(vals).all()
+
+
+def test_suggest_flags_infinite_samples(spark):
+    # ~np.isfinite (main.py:1289): ±Inf counts as an artifact sample
+    import pandas as pd
+
+    from time_series_data_trimmer_spark.operators.aggregates import suggest_segments
+
+    pdf = pd.DataFrame(
+        {
+            "trial_id": ["t1"] * 8,
+            "normalized_time": [i / 10.0 for i in range(8)],
+            "ch": [1.0, 1.1, float("inf"), 1.2, float("-inf"), 1.3, None, 1.4],
+        }
+    )
+    out = suggest_segments(spark.createDataFrame(pdf), "ch").toPandas()
+    nan_rows = out[out["kind"] == "nan"]
+    flagged_starts = sorted(nan_rows["seg_start"].tolist())
+    assert flagged_starts == [0.2, 0.4, 0.6]
+
+
+def test_delete_segment_rate_uses_3_decimal_reference_formula(spark):
+    # data_model.py:187: rate = round(1/max(dt, 1e-6), 3) — with
+    # dt = 0.012 that is 83.333; the 2-decimal infer_sample_rate formula
+    # would give 83.33
+    import pandas as pd
+
+    n = 50
+    pdf = pd.DataFrame(
+        {
+            "trial_id": ["t1"] * n,
+            "normalized_time": [round(i * 0.012, 3) for i in range(n)],
+            "ch": [float(i) for i in range(n)],
+        }
+    )
+    tf = TrialFrame(spark).set_dataframe(spark.createDataFrame(pdf))
+    tf.delete_segment(0.1, 0.2)
+    assert tf.sample_rate == pytest.approx(83.333, abs=1e-9)

@@ -216,7 +216,9 @@ def suggest_segments(
         t.alias("__t"),
         F.row_number().over(ws).alias("__idx"),
         F.abs(c - F.coalesce(F.lag(c).over(ws), c)).alias("__deriv"),
-        (c.isNull() | F.isnan(c)).alias("__is_nan"),
+        # ~np.isfinite (main.py:1289): NaN, null AND ±Inf all count as
+        # artifact samples — isnan alone would silently unflag infinities
+        (c.isNull() | F.isnan(c) | (F.abs(c) == F.lit(float("inf")))).alias("__is_nan"),
     )
     # NaN-aware stats over the derivative (np.nanmean/np.nanstd ddof=0);
     # the NaN entries of deriv come from NaN samples (lag/self null-prop).

@@ -150,13 +150,19 @@ def _f_absolute(c: Column, ws: WindowSpec, wp: WindowSpec, p: Mapping, fs: float
 
 def _f_derivative(c: Column, ws: WindowSpec, wp: WindowSpec, p: Mapping, fs: float) -> Column:
     # np.gradient(x, dt): central differences, one-sided at the edges
-    # (filter_engine.py:62). dt = 1/max(fs, 1.0).
+    # (filter_engine.py:62). dt = 1/max(fs, 1.0). Edges are POSITIONS
+    # (first/last row of the trial), not null-neighbors: a mid-series
+    # null sample must poison its neighbors' central differences the way
+    # NaN poisons np.gradient — null arithmetic does that for free, so
+    # no isNull special-casing beyond the position tests.
     dt = 1.0 / max(fs, 1.0)
     prev, nxt = F.lag(c).over(ws), F.lead(c).over(ws)
+    rn = F.row_number().over(ws)
+    cnt = F.count(F.lit(1)).over(wp)
     return (
-        F.when(prev.isNull() & nxt.isNull(), F.lit(None).cast("double"))
-        .when(prev.isNull(), (nxt - c) / F.lit(dt))
-        .when(nxt.isNull(), (c - prev) / F.lit(dt))
+        F.when(cnt == 1, F.lit(None).cast("double"))
+        .when(rn == 1, (nxt - c) / F.lit(dt))
+        .when(rn == cnt, (c - prev) / F.lit(dt))
         .otherwise((nxt - prev) / F.lit(2.0 * dt))
     )
 

@@ -134,14 +134,16 @@ REGISTRY["f7_derivative"] = (
     WITH base AS (
       SELECT user_id, event_id, value,
              lag(value)  OVER ({_W}) AS prev,
-             lead(value) OVER ({_W}) AS nxt
+             lead(value) OVER ({_W}) AS nxt,
+             row_number() OVER ({_W}) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS cnt
       FROM events
     )
     SELECT user_id, event_id,
            {R('''CASE
-             WHEN prev IS NULL AND nxt IS NULL THEN NULL
-             WHEN prev IS NULL THEN (nxt - value) * 120.0
-             WHEN nxt IS NULL THEN (value - prev) * 120.0
+             WHEN cnt = 1 THEN NULL
+             WHEN rn = 1 THEN (nxt - value) * 120.0
+             WHEN rn = cnt THEN (value - prev) * 120.0
              ELSE (nxt - prev) * 60.0
            END''', 4)} AS deriv
     FROM base
@@ -445,7 +447,8 @@ def _q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags AS (
       SELECT user_id, t, idx, 'spike' AS kind FROM stats WHERE deriv > thr
       UNION ALL
-      SELECT user_id, t, idx, 'nan' AS kind FROM stats WHERE value IS NULL
+      SELECT user_id, t, idx, 'nan' AS kind FROM stats
+      WHERE value IS NULL OR isnan(value) OR isinf(value)
     ),
     isl AS (
       SELECT *, idx - row_number() OVER (PARTITION BY user_id, kind ORDER BY idx) AS island

@@ -47,6 +47,16 @@ def read_trial_csv(
     string_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "string"]
     if string_cols:
         df = df.replace(list(NAN_SENTINELS), None, subset=string_cols)
+    # numeric 'nan'/'NaN' cells: the csv nanValue option parses them to
+    # Double.NaN, but the engine's missing-value representation is null
+    # (the pandas reference skips NaN via min_periods=1 rolling windows,
+    # data_model.py:68 — Spark avg/stddev/max would PROPAGATE NaN and
+    # poison whole windows). Normalize on the float columns too.
+    float_cols = [
+        f.name for f in df.schema.fields if f.dataType.typeName() in ("double", "float")
+    ]
+    for c in float_cols:
+        df = df.withColumn(c, F.when(F.isnan(F.col(c)), None).otherwise(F.col(c)))
     if trial_key and trial_key not in df.columns:
         df = df.withColumn(
             trial_key,

@@ -196,7 +196,16 @@ class TrialFrame:
         )
         self.deletions.append((start, end))
         self.history.append(OperationRecord("delete_segment", {}, start, end))
-        self.sample_rate = self.infer_sample_rate(fallback=self.sample_rate)
+        # post-delete rate uses the reference's 3-decimal formula
+        # round(1/max(dt, 1e-6), 3) (data_model.py:187) via
+        # post_delete_sample_rate — NOT infer_sample_rate's 2-decimal
+        # round(1/median_dt, 2), which drifts by the rounding digit.
+        rates = _edits.post_delete_sample_rate(
+            self.df, trial_key=self.trial_key, time_col=self.time_col
+        )
+        row = rates.agg(F.median("sample_rate").alias("r")).first()
+        if row and row["r"] is not None:
+            self.sample_rate = float(row["r"])
         return self
 
     def mark_bad(self, start: float, end: float) -> "TrialFrame":
