@@ -416,6 +416,63 @@ def ivf_assign(
     )
 
 
+def ivf_assign_dec(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Oracle-reproducible IVF assignment: DECIMAL-exact (9 dp) squared
+    distances via posexplode + broadcast centroid join + one map-side-
+    combined aggregation, argmin by row_number with (distance, cid)
+    tie-break — bit-identical in any engine. Same shape as
+    `lsh_signatures`; vectors never shuffle, the broadcast is the
+    bounded k·dim centroid table."""
+    from pyspark.sql import Window
+
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    rows = [
+        (cid, i, float(x)) for cid, vec in centroids for i, x in enumerate(vec)
+    ]
+    cdf = df.sparkSession.createDataFrame(rows, "cid int, i int, w double")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("i", "x"))
+    )
+    diff = F.col("x").cast("double") - F.col("w")
+    term = rd(diff * diff, 9).cast("decimal(38,9)")
+    d = ex.join(F.broadcast(cdf), "i").groupBy(id_col, "cid").agg(F.sum(term).alias("d"))
+    w = Window.partitionBy(id_col).orderBy(F.col("d").asc(), F.col("cid").asc())
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("cid").alias("centroid_id"))
+    )
+
+
+def probe_centroids(
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    nprobe: int = 4,
+) -> list[int]:
+    """The ``nprobe`` centroids nearest the query under the SAME
+    decimal-exact distance the SQL oracle computes: each squared term
+    rounded via floor(d²·1e9 + 0.5) and accumulated as an integer —
+    ranking ties break on cid. Pure driver-side math over k rows."""
+    import math
+
+    ranked = []
+    for cid, vec in centroids:
+        s = 0
+        for qx, cx in zip(query_vec, vec):
+            d = float(qx) - float(cx)
+            s += math.floor(d * d * 1e9 + 0.5)
+        ranked.append((s, cid))
+    return [cid for _, cid in sorted(ranked)[:nprobe]]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],

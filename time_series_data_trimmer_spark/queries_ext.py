@@ -273,17 +273,50 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    bits AS (SELECT doc_id, {_SIMHASH_BITS_SQL} FROM hashed GROUP BY doc_id),
+    fp AS (SELECT doc_id, {_SIMHASH_FP_SQL} AS simhash FROM bits),
+    ck AS (
+      SELECT doc_id, simhash, c.c AS chunk, (simhash >> (c.c * 15)) & 32767 AS cv
+      FROM fp, generate_series(0, 3) c(c)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM ck a JOIN ck b
+        ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+)
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-blocked SimHash near-dup pairs; the oracle replicates
+    the 60-bit fingerprint + 4-chunk blocking + Hamming filter in SQL
+    (bit ops are engine-portable, the hash family is md5-only)."""
     fp = dd.simhash(_table(spark, sf_dir, "documents"))
-    return dd.simhash_pairs(fp, max_hamming=3)
-
-
-REGISTRY["dedup_simhash_pairs"] = (_q_simhash_pairs, None)  # rows-only: derived op
+    out = dd.simhash_pairs(fp, max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
+
+_EX_SQL = """
+      SELECT vec_id, u['i'] AS i, CAST(u['v'] AS DOUBLE) AS x
+      FROM (SELECT vec_id,
+                   unnest(list_transform(embedding, (x, i) -> {'v': x, 'i': i})) AS u
+            FROM embeddings)
+"""
 
 _DOT_TERMS = """
       SELECT e.vec_id,
@@ -344,13 +377,58 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
 
 
+_LSH_Q_BITS = 6  # 2^6 buckets over the probe table
+
+
+@register(
+    "sim_lsh_topk",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    planes AS (
+      SELECT b.b, i.i,
+             ('0x' || substr(md5('tsdt|t0|' || b.b || '|' || i.i), 1, 8))::BIGINT
+               / 2147483648.0 - 1.0 AS w
+      FROM generate_series(0, {_LSH_Q_BITS - 1}) b(b),
+           generate_series(0, 63) i(i)
+    ),
+    pdots AS (
+      SELECT e.vec_id, p.b,
+             CAST(sum(CAST({sql_rd("e.x * p.w", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS d
+      FROM ex e JOIN planes p ON p.i = e.i - 1
+      GROUP BY e.vec_id, p.b
+    ),
+    sigs AS (
+      SELECT vec_id,
+             sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sig
+      FROM pdots GROUP BY vec_id
+    ),
+    qsig AS (SELECT sig FROM sigs WHERE vec_id = 0),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dots AS ({_DOT_TERMS})
+    SELECT d.vec_id,
+           {R("CAST(dxy AS DOUBLE) / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))", 6)} AS cosine
+    FROM dots d JOIN sigs s ON s.vec_id = d.vec_id, qsig
+    WHERE s.sig = qsig.sig
+    ORDER BY cosine DESC, d.vec_id ASC
+    LIMIT 10
+    """,
+)
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH probe top-k: score only the query's hyperplane bucket.
+    Bucket assignment uses decimal-exact dot signs (lsh_signatures), so
+    the oracle reproduces the bucket — the probe reads |bucket| ≈ N/2^bits
+    vectors instead of N."""
     emb = _table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return sim.lsh_topk(emb, qvec, k=10, bits=6)
-
-
-REGISTRY["sim_lsh_topk"] = (_q_lsh_topk, None)  # rows-only: approximate path
+    sigs = sim.lsh_signatures(emb, dim=len(qvec), bits=_LSH_Q_BITS, tables=1)
+    qsig = int(sigs.filter(F.col("vec_id") == 0).first()["sig"])  # bounded 1-row fetch
+    bucket = sigs.filter(F.col("sig") == qsig).select("vec_id")
+    scored = sim.decimal_cosine_vs_query(emb.join(bucket, "vec_id"), qvec)
+    return (
+        scored.select("vec_id", rd(F.col("cosine"), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -737,14 +815,6 @@ def _q_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EX_SQL = """
-      SELECT vec_id, u['i'] AS i, CAST(u['v'] AS DOUBLE) AS x
-      FROM (SELECT vec_id,
-                   unnest(list_transform(embedding, (x, i) -> {'v': x, 'i': i})) AS u
-            FROM embeddings)
-"""
-
-
 # LSH blocking parameters for the embedding near-dup query. dim=64 is a
 # property of the embeddings tables (all SFs); bits/tables trade
 # candidate volume vs recall (see operators/similarity.py).
@@ -861,10 +931,60 @@ def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ivf_topk",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    ord AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
+      FROM embeddings
+      QUALIFY cid <= 15
+    ),
+    cex AS (SELECT o.cid, e.i, e.x FROM ord o JOIN ex e ON e.vec_id = o.vec_id),
+    dists AS (
+      SELECT e.vec_id, c.cid,
+             sum(CAST({sql_rd("(e.x - c.x) * (e.x - c.x)", 9)} AS DECIMAL(38,9))) AS d
+      FROM ex e JOIN cex c ON c.i = e.i
+      GROUP BY e.vec_id, c.cid
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    qdist AS (
+      SELECT c.cid,
+             sum(CAST({sql_rd("(qq.x - c.x) * (qq.x - c.x)", 9)} AS DECIMAL(38,9))) AS d
+      FROM (SELECT i, x FROM ex WHERE vec_id = 0) qq
+      JOIN cex c ON c.i = qq.i
+      GROUP BY c.cid
+    ),
+    probe AS (SELECT cid FROM qdist QUALIFY row_number() OVER (ORDER BY d, cid) <= 4),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dots AS ({_DOT_TERMS})
+    SELECT d.vec_id,
+           {R("CAST(dxy AS DOUBLE) / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))", 6)} AS cosine
+    FROM dots d
+    JOIN assigned a ON a.vec_id = d.vec_id
+    JOIN probe p ON p.cid = a.cid
+    ORDER BY cosine DESC, d.vec_id ASC
+    LIMIT 10
+    """,
+)
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe top-k: deterministic md5-sampled centroids, DECIMAL-
+    exact assignment (ivf_assign_dec) and probe ranking
+    (probe_centroids) so the oracle reproduces cell membership; only
+    the nprobe=4 of 16 cells are scored."""
     emb = _table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return sim.ivf_topk(emb, qvec, k=10, n_centroids=16, nprobe=4)
-
-
-REGISTRY["sim_ivf_topk"] = (_q_ivf_topk, None)  # rows-only: approximate path
+    cents = sim.ivf_centroids(emb, 16)
+    assigned = sim.ivf_assign_dec(emb, cents)
+    probe_ids = sim.probe_centroids(cents, qvec, nprobe=4)
+    keep = assigned.filter(F.col("centroid_id").isin(probe_ids)).select("vec_id")
+    scored = sim.decimal_cosine_vs_query(emb.join(keep, "vec_id"), qvec)
+    return (
+        scored.select("vec_id", rd(F.col("cosine"), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
