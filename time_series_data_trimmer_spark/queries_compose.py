@@ -110,10 +110,12 @@ _F5_HI = 10.0
 _F5_WIN = max(3, int(120.0 / max(_F5_HI, 1)))  # 12
 _F5_LO, _F5_HIF = -(_F5_WIN // 2), _F5_WIN - _F5_WIN // 2 - 1
 
+# like f3/f4: the oracle models the scipy-ABSENT fallback branch; under
+# scipy the kernel runs filtfilt and the query downgrades to rows-only
+# (see queries_parity.HAS_SCIPY)
+from time_series_data_trimmer_spark.queries_parity import HAS_SCIPY  # noqa: E402
 
-@register(
-    "f5_butter_bandpass_fallback",
-    f"""
+_F5_SQL = f"""
     WITH base AS (
       SELECT user_id, event_id, value * pi() AS v,
              CAST(row_number() OVER ({_W}) - 1 AS DOUBLE) AS idx
@@ -132,8 +134,10 @@ _F5_LO, _F5_HIF = -(_F5_WIN // 2), _F5_WIN - _F5_WIN // 2 - 1
     SELECT user_id, event_id,
            {R(f"avg(v) OVER (PARTITION BY user_id ORDER BY idx ROWS BETWEEN {-_F5_LO} PRECEDING AND {_F5_HIF} FOLLOWING)", 4)} AS bp_value
     FROM fit
-    """,
-)
+    """
+
+
+@register("f5_butter_bandpass_fallback", None if HAS_SCIPY else _F5_SQL)
 def _q_butter_bandpass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5 scipy-absent fallback (filter_engine.py:125-129): linear
     detrend then the lowpass rolling mean. The kernel runs per trial in

@@ -23,10 +23,23 @@ from time_series_data_trimmer_spark.functions import expressions as E
 from time_series_data_trimmer_spark.functions.rounding import rd, sql_rd
 from time_series_data_trimmer_spark.operators import edits
 from time_series_data_trimmer_spark.operators.aggregates import ffill
-from time_series_data_trimmer_spark.operators.filters import apply_filter
+from time_series_data_trimmer_spark.operators.filters import (
+    _apply_pandas_interpolate,
+    _scipy_signal,
+    apply_filter,
+)
 from time_series_data_trimmer_spark.queries import _EVK, _T0, _W, _WP, _events, register
 
 R = sql_rd
+
+#: With scipy installed, savgol/butterworth switch to the
+#: scipy.signal branch (savgol_filter / filtfilt — filter_engine.py:
+#: 94-134), whose float paths and edge semantics the relational oracles
+#: below do NOT model. Register those oracles only in scipy-absent
+#: environments; under scipy the queries stay registered rows-only and
+#: the skipif-gated tests in tests/test_filters.py carry the parity
+#: burden instead.
+HAS_SCIPY = _scipy_signal is not None
 
 # ---------------------------------------------------------------------------
 # F3 savgol — kernel on the Spark side, literal-weight window SQL oracle
@@ -130,7 +143,7 @@ def _sg_oracle() -> str:
     """
 
 
-register("f3_savgol", _sg_oracle())(_sg_spark)
+register("f3_savgol", None if HAS_SCIPY else _sg_oracle())(_sg_spark)
 
 
 # ---------------------------------------------------------------------------
@@ -145,14 +158,14 @@ _BL_WIN = max(3, int(120.0 / max(_BL_CUTOFF, 1)))  # = 20
 _BL_LO, _BL_HI = -(_BL_WIN // 2), _BL_WIN - _BL_WIN // 2 - 1
 
 
-@register(
-    "f4_butter_lowpass_fallback",
-    f"""
+_F4_SQL = f"""
     SELECT user_id, event_id,
            {R(f"avg(value * pi()) OVER ({_W} ROWS BETWEEN {-_BL_LO} PRECEDING AND {_BL_HI} FOLLOWING)", 4)} AS lp_value
     FROM events
-    """,
-)
+    """
+
+
+@register("f4_butter_lowpass_fallback", None if HAS_SCIPY else _F4_SQL)
 def _q_butter_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _events(spark, sf_dir).withColumn("v", F.col("value") * F.lit(float(np.pi)))
     out = apply_filter(
@@ -160,6 +173,65 @@ def _q_butter_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_rate=120.0, **_EVK,
     )
     return out.select("user_id", "event_id", rd(F.col("v"), 4).alias("lp_value"))
+
+
+# ---------------------------------------------------------------------------
+# F13 non-linear interpolate MACHINERY: the applyInPandas kernel that the
+# scipy methods (nearest/quadratic/cubic) run through, driven here with
+# method='linear' (the one method pandas computes without scipy), so the
+# kernel path is verified end-to-end against the SAME relational oracle
+# as the expression-path f13. The scipy methods themselves are covered by
+# skipif-gated parity tests (tests/test_filters.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f13_interpolate_kernel",
+    f"""
+    WITH holed AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    pos AS (
+      SELECT user_id, event_id, v,
+             CAST(row_number() OVER ({_W}) AS DOUBLE) AS idx
+      FROM holed
+    ),
+    filled AS (
+      SELECT user_id, event_id, v, idx,
+             last_value(v IGNORE NULLS) OVER ({_WP} ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+             first_value(v IGNORE NULLS) OVER ({_WP} ORDER BY idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER ({_WP} ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_i,
+             first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER ({_WP} ORDER BY idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_i
+      FROM pos
+    )
+    SELECT user_id, event_id,
+           {R('''CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v) * (idx - prev_i) / (next_i - prev_i)
+           END''', 4)} AS v_interp
+    FROM filled
+    """,
+)
+def _q_interp_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas Series.interpolate(method='linear', limit_direction='both')
+    through the grouped-map kernel (filters._apply_pandas_interpolate) —
+    the same code path the scipy methods use (filter_engine.py:85-87)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "t",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    out = _apply_pandas_interpolate(
+        ev, ["v"], "linear", trial_key="user_id", time_col="t", has_sel=False
+    )
+    return out.select("user_id", "event_id", rd(F.col("v"), 4).alias("v_interp"))
 
 
 # ---------------------------------------------------------------------------
