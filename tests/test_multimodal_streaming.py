@@ -107,3 +107,69 @@ def test_stateful_running_counts(spark):
     w = want.sort_values("user_id").reset_index(drop=True)
     assert (g["n_events"].to_numpy() == w["n_events"].to_numpy()).all()
     assert (g["n_spikes"].to_numpy() == w["n_spikes"].to_numpy()).all()
+
+
+def test_streaming_file_sink_matches_batch_on_closed_windows(spark, tmp_path):
+    # production path: append-mode parquet sink emits each window exactly
+    # once when the watermark closes it; every emitted row must equal the
+    # batch aggregate for that window, and every window strictly older
+    # than (max event time - watermark delay) must have been emitted
+    from time_series_data_trimmer_spark.functions.rounding import rd
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        tumbling_hour_agg_to_files,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = tumbling_hour_agg_to_files(
+        spark, path, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    ).toPandas()
+    assert len(got) > 0
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(path).withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    batch = (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("event_time")).alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(rd(F.col("value"), 2).cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .toPandas()
+    )
+    max_t = ev.agg(F.max("event_time")).collect()[0][0]
+
+    bkey = {
+        (r.user_id, r.window_start): (r.n_events, r.sum_value)
+        for r in batch.itertuples()
+    }
+    # (a) value parity: every emitted window equals the batch aggregate
+    for r in got.itertuples():
+        k = (r.user_id, r.window_start)
+        assert k in bkey, f"sink emitted a window batch does not have: {k}"
+        n, s = bkey[k]
+        assert r.n_events == n
+        assert abs(r.sum_value - s) < 1e-9
+    # (b) completeness: windows closed strictly before the final
+    # watermark (max event time - 1h delay) were all emitted
+    import pandas as pd
+
+    emitted = {(r.user_id, r.window_start) for r in got.itertuples()}
+    wm = pd.Timestamp(max_t) - pd.Timedelta(hours=1)
+    for r in batch.itertuples():
+        window_end = pd.Timestamp(r.window_start) + pd.Timedelta(hours=1)
+        if window_end < wm:
+            assert (r.user_id, r.window_start) in emitted, (
+                f"closed window missing from sink: {(r.user_id, r.window_start)}"
+            )
+
+
+def test_streaming_session_file_sink_runs(spark, tmp_path):
+    from time_series_data_trimmer_spark.streaming.stream_ops import session_agg_to_files
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    out = session_agg_to_files(
+        spark, path, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+    assert out.count() > 0
+    assert set(out.columns) == {"user_id", "session_start", "session_end", "n_events"}

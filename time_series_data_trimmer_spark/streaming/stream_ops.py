@@ -57,9 +57,30 @@ def _run_to_memory(windowed: DataFrame, mode: str = "complete") -> DataFrame:
     return spark.table(name)
 
 
-def tumbling_hour_agg(spark: SparkSession, path: str) -> DataFrame:
-    """Per-user tumbling 1-hour aggregation with a 1-hour watermark:
-    count + order-independent decimal sum of ``value``."""
+def _run_to_files(out: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
+    """Execute a streaming aggregation to a PARQUET sink in APPEND mode
+    with AvailableNow — the production path. Append emits each window
+    exactly once, when the watermark closes it, so sink size is
+    O(closed windows per trigger), never O(total state): unlike the
+    complete-mode memory sink (which collects the entire aggregate state
+    into driver memory and is kept only as the oracle harness), this
+    scales to unbounded streams. Windows still open at end-of-stream
+    (inside the watermark delay of max event time) remain in state and
+    are emitted by the next run off the same checkpoint."""
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _tumbling_hour_windowed(spark: SparkSession, path: str) -> DataFrame:
+    """Shared streaming plan: per-user tumbling 1-hour aggregation with
+    a 1-hour watermark — count + order-independent decimal sum."""
     stream = _events_stream(spark, path)
     windowed = (
         stream.withWatermark("event_time", "1 hour")
@@ -69,13 +90,52 @@ def tumbling_hour_agg(spark: SparkSession, path: str) -> DataFrame:
             F.sum(rd(F.col("value"), 2).cast("decimal(38,6)")).alias("sum_dec"),
         )
     )
-    out = _run_to_memory(windowed, mode="complete")
-    return out.select(
+    return windowed.select(
         "user_id",
         F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
         "n_events",
         F.col("sum_dec").cast("double").alias("sum_value"),
     )
+
+
+def tumbling_hour_agg(spark: SparkSession, path: str) -> DataFrame:
+    """Oracle-harness form: complete-mode memory sink, so the FINAL
+    state (every window) is comparable to the batch SQL oracle. The
+    production form is `tumbling_hour_agg_to_files`."""
+    out = _run_to_memory(_tumbling_hour_windowed(spark, path), mode="complete")
+    return out.select("user_id", "window_start", "n_events", "sum_value")
+
+
+def tumbling_hour_agg_to_files(
+    spark: SparkSession, path: str, out_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Production form: append-mode parquet sink (exactly-once via the
+    checkpoint; only watermark-closed windows are written). Returns a
+    batch DataFrame over the sink directory."""
+    _run_to_files(_tumbling_hour_windowed(spark, path), out_dir, checkpoint_dir)
+    return spark.read.parquet(out_dir)
+
+
+def session_agg_to_files(
+    spark: SparkSession, path: str, out_dir: str, checkpoint_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Append-mode production form of `session_agg` (closed session
+    windows only)."""
+    stream = _events_stream(spark, path)
+    windowed = (
+        stream.withWatermark("event_time", "1 hour")
+        .groupBy(F.session_window("event_time", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    _run_to_files(windowed, out_dir, checkpoint_dir)
+    return spark.read.parquet(out_dir)
 
 
 def sliding_mean(spark: SparkSession, path: str, window: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
