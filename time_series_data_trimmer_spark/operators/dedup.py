@@ -249,6 +249,7 @@ def ngram_jaccard_pairs(
     n: int = DEFAULT_SHINGLE,
     length_bucket: int = 64,
     min_jaccard: float = 0.0,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-gram sets for candidate pairs
     blocked by a text-length bucket (near-dups have near-equal length;
@@ -257,6 +258,14 @@ def ngram_jaccard_pairs(
 
     Jaccard = |A∩B| / |A∪B| — an exact ratio of integers, so the
     output is engine-deterministic with no float accumulation.
+
+    The within-bucket pairing is quadratic and length distributions are
+    skewed in real corpora, so an unbounded bucket explodes at scale:
+    pass ``max_bucket`` to cap each block at its first ``max_bucket``
+    docs by id (deterministic truncation — recall loss, never a blowup).
+    Use `ngram_jaccard_overflow` to see which buckets were truncated and
+    by how much; production pipelines alert on that report rather than
+    silently absorbing an O(|B|²) stage.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     base = df.repartition(par, F.col(id_col)).select(
@@ -265,6 +274,15 @@ def ngram_jaccard_pairs(
         F.floor(F.length(text_col) / F.lit(length_bucket)).alias("bucket"),
     )
     cand = base.select(id_col, "grams", F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("blk"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("blk").orderBy(F.col(id_col).asc())
+        cand = (
+            cand.withColumn("__rn", F.row_number().over(wb))
+            .filter(F.col("__rn") <= int(max_bucket))
+            .drop("__rn")
+        )
     a = cand.alias("a")
     b = cand.alias("b")
     pairs = a.join(
@@ -284,6 +302,31 @@ def ngram_jaccard_pairs(
     if min_jaccard > 0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
     return out
+
+
+def ngram_jaccard_overflow(
+    df: DataFrame,
+    max_bucket: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length_bucket: int = 64,
+) -> DataFrame:
+    """(blk, n_docs, n_dropped) for every length block that exceeds
+    ``max_bucket`` — the logged-overflow companion of the capped
+    `ngram_jaccard_pairs`. One groupBy over (id, blk) longs."""
+    base = df.select(
+        F.col(id_col),
+        F.floor(F.length(text_col) / F.lit(length_bucket)).alias("bucket"),
+    )
+    cand = base.select(
+        id_col, F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("blk")
+    )
+    return (
+        cand.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > int(max_bucket))
+        .withColumn("n_dropped", F.col("n_docs") - F.lit(int(max_bucket)))
+    )
 
 
 # ---------------------------------------------------------------------------
