@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Round-2 scaling evidence: the six formerly-weak queries at sf0.1 vs a
+10x synthetic scale-up, after the de-quadratification fixes.
+
+Builds /tmp/tsdt_scale10 by unioning sf0.1 ten times with shifted keys
+(derived scratch data, never committed):
+
+* orders/lineitem/customer: order/cust keys offset per copy (dimension
+  tables nation/region/supplier/part are NOT grown - they are true
+  dimensions)
+* documents: doc_id offset, text suffixed per copy (docs stay distinct,
+  so dedup work scales instead of collapsing)
+* embeddings: vec_id offset, elements jittered with md5-derived noise
+  (copies are NOT near-dups - candidate volume reflects the random-pair
+  collision rate, the honest worst case)
+* events: user_id/event_id offset (10x users, same hour span)
+
+For the LSH-blocked embedding query, bits follows log2(N) (+3 bits at
+10x) per the operator's scale rule - buckets stay O(1) and candidates
+grow ~linearly, the property the measurement demonstrates.
+
+Usage: python scripts/scaling_run.py [--rebuild]
+Prints one JSON line per query: name, sf0.1 sec, 10x sec, growth.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from time_series_data_trimmer_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/tsdt_scale10"
+COPIES = 10
+
+
+def build(spark):
+    os.makedirs(DST, exist_ok=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def shifted_union(table, shifts):  # shifts: {col: per-copy offset}
+        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        parts = []
+        for i in range(COPIES):
+            p = df
+            for col, off in shifts.items():
+                p = p.withColumn(col, F.col(col) + F.lit(i * off))
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    okey, ckey = 10_000_000, 1_000_000
+    shifted_union("orders", {"o_orderkey": okey, "o_custkey": ckey}).write.mode(
+        "overwrite"
+    ).parquet(f"{DST}/orders.parquet")
+    shifted_union("lineitem", {"l_orderkey": okey}).write.mode("overwrite").parquet(
+        f"{DST}/lineitem.parquet"
+    )
+    shifted_union("customer", {"c_custkey": ckey}).write.mode("overwrite").parquet(
+        f"{DST}/customer.parquet"
+    )
+    for t in ("nation", "region", "supplier", "part"):
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{DST}/{t}.parquet"
+        )
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    parts = []
+    for i in range(COPIES):
+        parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+            .withColumn("text", F.concat(F.col("text"), F.lit(f" copytag{i}")))
+            .withColumn("n_chars", F.length("text"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    parts = []
+    for i in range(COPIES):
+        # deterministic md5 jitter in [-0.25, 0.25): decorrelates copies
+        noise = F.transform(
+            F.col("embedding"),
+            lambda x, j: x
+            + (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.lit(i), F.col("vec_id").cast("string"), j.cast("string")
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(float(16**6))
+                - F.lit(0.5)
+            )
+            * F.lit(0.5),
+        )
+        parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000)).withColumn(
+                "embedding", noise.cast("array<float>")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    parts = []
+    for i in range(COPIES):
+        parts.append(
+            ev.withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000)).withColumn(
+                "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{DST}/events.parquet")
+
+
+def steady(fn, runs=2):
+    t = None
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        t = time.time() - t0
+    return t
+
+
+def main():
+    spark = get_spark("scaling-run")
+    if "--rebuild" in sys.argv or not os.path.exists(f"{DST}/embeddings.parquet"):
+        build(spark)
+
+    import __spark_entry__ as entry
+    from time_series_data_trimmer_spark.operators import similarity as sim
+    from time_series_data_trimmer_spark.queries import _table
+    from time_series_data_trimmer_spark.streaming import stream_ops
+
+    qs = entry.queries()
+    results = {}
+
+    for name in (
+        "tpch_q3_shipping_priority",
+        "tpch_q10_returned_items",
+        "tpch_q18_large_volume_orders",
+        "corpus_pipeline_end_to_end",
+    ):
+        t1 = steady(lambda: qs[name](spark, SRC).collect())
+        t10 = steady(lambda: qs[name](spark, DST).collect())
+        results[name] = (t1, t10)
+
+    # LSH-blocked embedding pairs: bits follows log2(N) (8 -> 11 at 10x)
+    def emb_pairs(sf_dir, bits):
+        df = sim.topk_similar_pairs_blocked(
+            _table(spark, sf_dir, "embeddings"), k=20, bits=bits, tables=6
+        )
+        df.collect()
+
+    t1 = steady(lambda: emb_pairs(SRC, 8))
+    t10 = steady(lambda: emb_pairs(DST, 11))
+    results["dedup_embedding_topk_pairs(blocked, bits=log2 N)"] = (t1, t10)
+
+    cand1 = sim.lsh_candidate_pairs(_table(spark, SRC, "embeddings"), 64, 8, 6).count()
+    cand10 = sim.lsh_candidate_pairs(_table(spark, DST, "embeddings"), 64, 11, 6).count()
+    results["_lsh_candidates"] = (cand1, cand10)
+
+    # streaming production path: append-mode file sink at 1x and 10x
+    import shutil
+    import uuid
+
+    def stream_files(sf_dir):
+        d = f"/tmp/tsdt_sink_{uuid.uuid4().hex[:8]}"
+        stream_ops.tumbling_hour_agg_to_files(
+            spark, f"{sf_dir}/events.parquet", f"{d}/out", f"{d}/ckpt"
+        ).count()
+        shutil.rmtree(d, ignore_errors=True)
+
+    t1 = steady(lambda: stream_files(SRC), runs=1)
+    t10 = steady(lambda: stream_files(DST), runs=1)
+    results["stream_tumbling_file_sink"] = (t1, t10)
+
+    for name, (a, b) in results.items():
+        growth = round(b / a, 2) if a else None
+        print(
+            json.dumps(
+                {"query": name, "sf0.1": round(a, 2), "x10": round(b, 2), "growth": growth}
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -29,14 +29,18 @@ def _events_stream(spark: SparkSession, path: str) -> DataFrame:
     long nanos → proper event-time timestamp column)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    # the file-source needs a directory: stream the containing dir with a
-    # glob filter for the one table file
-    base, fname = os.path.split(path)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", fname)
-        .parquet(base)
-    )
+    if os.path.isdir(path):
+        # a parquet DIRECTORY (the normal layout) streams directly
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        # a single parquet FILE: the file-source needs a directory, so
+        # stream the containing dir with a glob filter for the one file
+        base, fname = os.path.split(path)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", fname)
+            .parquet(base)
+        )
     return stream.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
 
 
