@@ -228,3 +228,32 @@ def test_delete_segment_rate_uses_3_decimal_reference_formula(spark):
     tf = TrialFrame(spark).set_dataframe(spark.createDataFrame(pdf))
     tf.delete_segment(0.1, 0.2)
     assert tf.sample_rate == pytest.approx(83.333, abs=1e-9)
+
+
+def test_reference_autosave_roundtrip(spark, trial_csvs, tmp_path):
+    # migration path: the engine can read (and write) the desktop
+    # reference's autosave JSON (main.py:1317-1355 dict-of-lists format)
+    p = str(tmp_path / "autosave.json")
+    tf = TrialFrame(spark).load_csv(trial_csvs)
+    tf.annotate(1.0, 2.0, "warmup").annotate(3.0, 4.0, "blink", track="eye")
+    tf.autosave(p)
+
+    # the file is bit-compatible with what the reference's restore reads:
+    # data as dict-of-lists, annotations as dataclass dicts, deletions
+    with open(p) as f:
+        state = json.load(f)
+    assert isinstance(state["data"], dict)
+    assert all(isinstance(v, list) for v in state["data"].values())
+    assert state["annotations"][0]["label"] == "warmup"
+
+    tf2 = TrialFrame(spark).restore_autosave(p)
+    assert tf2.df.count() == tf.df.count()
+    assert sorted(tf2.df.columns) == sorted(tf.df.columns)
+    assert [a.label for a in tf2.annotations] == ["warmup", "blink"]
+    assert tf2._id_counter == max(a.id for a in tf.annotations) + 1
+
+
+def test_autosave_refuses_large_frames(spark, trial_csvs):
+    tf = TrialFrame(spark).load_csv(trial_csvs)
+    with pytest.raises(ValueError, match="driver-side"):
+        tf.autosave("/tmp/never_written.json", max_rows=5)

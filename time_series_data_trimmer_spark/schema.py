@@ -107,9 +107,23 @@ def ensure_time_axis(
     At scale the row index comes from ``row_number`` over the trial
     partition — one shuffle keyed by ``trial_key`` that every subsequent
     windowed operator reuses.
+
+    With ``trial_key=None`` AND no ``order_by``, the window is global
+    and ordered by ``monotonically_increasing_id()`` — Spark must plan
+    a SINGLE-partition sort, which is only acceptable for one-trial
+    frames that fit one executor. Multi-trial data must pass a key (a
+    warning fires otherwise).
     """
     if classify_columns(df).time_column is not None:
         return df
+    if trial_key is None and order_by is None:
+        import warnings
+
+        warnings.warn(
+            "ensure_time_axis without trial_key/order_by plans a global "
+            "single-partition sort; pass trial_key for multi-trial data",
+            stacklevel=2,
+        )
     w = Window.partitionBy(*( [trial_key] if trial_key else [] ))
     w = w.orderBy(order_by) if order_by else w.orderBy(F.monotonically_increasing_id())
     return df.withColumn(

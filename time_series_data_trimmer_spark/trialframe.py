@@ -365,6 +365,51 @@ class TrialFrame:
             self._id_counter = max(a.id for a in self.annotations) + 1
         return self
 
+    # -- reference autosave compatibility (main.py:1317-1355) -------------
+    def autosave(self, path: str, max_rows: int = 1_000_000) -> None:
+        """Write the reference's autosave JSON: ``{"data":
+        dict-of-lists, "annotations": [...], "deletions": [...]}``
+        (main.py:1317-1327). This collects the frame to the driver —
+        it exists for migration/API parity with the desktop reference,
+        and refuses frames over ``max_rows``; the scale-native
+        checkpoint is `save_clean` (parquet)."""
+        n = self.df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"autosave is a driver-side JSON dump ({n} rows > {max_rows}); "
+                "use save_clean(parquet) for large frames"
+            )
+        state = {
+            "data": self.df.toPandas().to_dict(orient="list"),
+            "annotations": [asdict(a) for a in self.annotations],
+            "deletions": [list(d) for d in self.deletions],
+        }
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(state, f)
+
+    def restore_autosave(self, path: str) -> "TrialFrame":
+        """Read a reference-format autosave file (main.py:1329-1352):
+        dict-of-lists data → DataFrame, annotations, deletions. Closes
+        the migration path from a desktop session into this engine."""
+        import pandas as pd
+
+        with open(path, "r", encoding="utf-8") as f:
+            state = json.load(f)
+        data = state.get("data")
+        if data:
+            self.set_dataframe(self.spark.createDataFrame(pd.DataFrame(data)))
+        self.annotations = [
+            AnnotationSegment(**a) for a in state.get("annotations", [])
+        ]
+        self.deletions = [
+            (float(d[0]), float(d[1]))
+            for d in state.get("deletions", [])
+            if isinstance(d, (list, tuple)) and len(d) == 2
+        ]
+        if self.annotations:
+            self._id_counter = max(a.id for a in self.annotations) + 1
+        return self
+
     def recipe(self) -> dict:
         """History → recipe JSON (main.py:730-742)."""
         return {"operations": [asdict(r) for r in self.history]}
