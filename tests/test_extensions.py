@@ -233,3 +233,40 @@ def test_ivf_assign_partitions_all_vectors(spark):
     assigned = sim.ivf_assign(df, cents).toPandas()
     assert len(assigned) == 40
     assert assigned["centroid_id"].between(0, 4).all()
+
+
+def test_connected_components_chain_triangle_singleton(spark):
+    import pandas as pd
+
+    from time_series_data_trimmer_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4, triangle 10-11-12, singleton 20
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+            columns=["id_a", "id_b"],
+        )
+    )
+    ids = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3, 4, 10, 11, 12, 20]}))
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, all_ids=ids).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_dedup_cluster_survivors_keep_min_per_cluster(spark):
+    import pandas as pd
+
+    from time_series_data_trimmer_spark.operators.dedup import dedup_cluster_survivors
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 7, 9], "text": ["a", "a2", "a3", "b", "c"]}
+        )
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(1, 2), (2, 3)], columns=["id_a", "id_b"])
+    )
+    kept = sorted(r["doc_id"] for r in dedup_cluster_survivors(docs, pairs).collect())
+    assert kept == [1, 7, 9]

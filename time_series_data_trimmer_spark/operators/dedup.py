@@ -304,6 +304,72 @@ def ngram_jaccard_pairs(
     return out
 
 
+def connected_components(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup CLUSTERS from candidate pairs: (id, cluster_id) where
+    cluster_id = the minimum id reachable through the pair graph — the
+    step that turns pairwise near-dup detection into dedup groups a
+    survivor policy can act on.
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels; converged when no
+    label changes. Rounds ≈ graph diameter — near-dup clusters are
+    dense and shallow (dup chains of length > 20 essentially don't
+    occur), so the loop is short; each round is one shuffle of (id,
+    label) longs plus a bounded count() action, and `localCheckpoint`
+    truncates the lineage so the plan never grows. (At extreme
+    diameters the large-star/small-star alternation halves rounds to
+    O(log n); the simple form is kept for determinism and plan
+    clarity.)
+
+    ``all_ids`` (e.g. ``documents.select('doc_id')``) adds singleton
+    nodes so every document gets a cluster row.
+    """
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    nodes = sym.select(F.col("src").alias(id_col)).distinct()
+    if all_ids is not None:
+        nodes = nodes.union(all_ids.select(F.col(all_ids.columns[0]).alias(id_col))).distinct()
+    labels = nodes.select(F.col(id_col), F.col(id_col).alias("cluster_id")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels[id_col])
+            .groupBy(F.col("dst").alias(id_col))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        merged = labels.join(nbr_min, id_col, "left").select(
+            F.col(id_col),
+            F.col("cluster_id").alias("old"),
+            F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
+                "cluster_id"
+            ),
+        )
+        changed = merged.filter(F.col("cluster_id") != F.col("old")).count()
+        labels = merged.select(id_col, "cluster_id").localCheckpoint()
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_cluster_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full rows of the cluster representatives (min id per near-dup
+    cluster) — the end of the pairs → clusters → survivors pipeline."""
+    comp = connected_components(pairs, all_ids=df.select(id_col), id_col=id_col)
+    keep = comp.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return df.join(keep.hint("shuffle_hash"), id_col, "left_semi")
+
+
 def ngram_jaccard_overflow(
     df: DataFrame,
     max_bucket: int,

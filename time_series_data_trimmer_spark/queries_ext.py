@@ -307,6 +307,44 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE shingled AS ({_SH_SQL}),
+    sig AS ({_SIG_SQL}),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS key
+      FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+)
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the minhash-LSH candidate pairs: every
+    document labeled with the min id reachable through the pair graph
+    (iterative min-label propagation; the oracle computes the same
+    fixpoint with a recursive CTE). Singletons keep their own id."""
+    docs = _table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs)
+    return dd.connected_components(pairs, all_ids=docs.select("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
