@@ -270,3 +270,52 @@ def test_dedup_cluster_survivors_keep_min_per_cluster(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup_cluster_survivors(docs, pairs).collect())
     assert kept == [1, 7, 9]
+
+
+def test_redact_behavior(spark):
+    import pandas as pd
+
+    from time_series_data_trimmer_spark.operators.text import redact_documents
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "contact jane.doe+spam@example.co.uk for details",
+                    "see https://example.com/a?b=1#c and also http://x.io",
+                    "call +1 (555) 123-4567 today",
+                    "clean text stays untouched",
+                ],
+            }
+        )
+    )
+    got = {r["doc_id"]: r["text_redacted"] for r in redact_documents(docs).collect()}
+    assert got[1] == "contact <EMAIL> for details"
+    assert got[2] == "see <URL> and also <URL>"
+    assert got[3] == "call <NUM> today"
+    assert got[4] == "clean text stays untouched"
+
+
+def test_token_percentiles_and_dup_rate(spark):
+    import pandas as pd
+
+    from time_series_data_trimmer_spark.operators.text import (
+        dup_rate_by_source,
+        token_percentiles,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "lang": ["en"] * 6,
+                "source": ["a", "a", "a", "b", "b", "b"],
+                "text": ["w " * n for n in (1, 2, 3, 4, 5, 6)],
+            }
+        )
+    )
+    p = token_percentiles(docs).collect()[0]
+    assert p["n_docs"] == 6 and p["p50"] == 3.5  # exact interpolated median
+    d = {r["source"]: r for r in dup_rate_by_source(docs).collect()}
+    assert d["a"]["n_distinct"] == 3 and d["a"]["dup_rate"] == 0.0

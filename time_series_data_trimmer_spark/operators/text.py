@@ -147,3 +147,81 @@ def rolling_hash_fingerprint(
         lambda i: F.md5(F.substring(normalized, i, window)),
     )
     return df.withColumn(out_col, F.array_min(grams))
+
+
+#: redaction patterns (portable across Java regex and RE2): emails,
+#: URLs, and long digit runs (phone/account numbers). Order matters —
+#: URLs before digit runs so ports/paths redact as part of the URL.
+REDACT_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\+?[0-9][0-9 ().+-]{6,}[0-9]", "<NUM>"),
+)
+
+
+def redact(text: Column) -> Column:
+    """PII-ish scrubbing for training corpora: replace emails, URLs and
+    long digit runs with typed placeholder tokens. Plain
+    ``regexp_replace`` chain — whole-stage codegen, and the patterns
+    avoid constructs where Java regex and RE2 dialects diverge
+    (no backrefs, no lookaround), so the op is oracle-checkable."""
+    out = text
+    for pat, repl in REDACT_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_documents(df: DataFrame, text_col: str = "text", out_col: str = "text_redacted") -> DataFrame:
+    return df.withColumn(out_col, redact(F.col(text_col)))
+
+
+def token_percentiles(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact interpolated token-count percentiles per group — the
+    corpus length-distribution stat every data pipeline dashboards.
+
+    Spark's `percentile` (exact: sort, pos = (n-1)·p, linear
+    interpolation) — never `approx_percentile`, which is
+    sketch-dependent and engine-specific. DuckDB's `quantile_cont`
+    computes the identical definition, so the op is oracle-checkable.
+    At 100 TB scale the exact form costs a per-group sort of ints;
+    switch to approx_percentile only when cross-engine equality stops
+    mattering.
+    """
+    nt = token_count(F.col(text_col)).cast("double")
+    aggs = [
+        F.expr(f"percentile(__nt, {p!r})").alias(f"p{int(p * 100)}")
+        for p in percentiles
+    ]
+    return (
+        df.select(F.col(group_col), nt.alias("__nt"))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
+    )
+
+
+def dup_rate_by_source(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source duplication dashboard: docs, distinct contents
+    (md5 — digests aggregate, text bytes never shuffle), and the exact
+    duplicate fraction."""
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5(F.col(text_col))).alias("n_distinct"),
+        )
+        .withColumn(
+            "dup_rate",
+            (F.col("n_docs") - F.col("n_distinct")).cast("double")
+            / F.col("n_docs").cast("double"),
+        )
+    )

@@ -603,6 +603,66 @@ def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_redact_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{tx.REDACT_PATTERNS[0][0]}', '<EMAIL>', 'g'),
+             '{tx.REDACT_PATTERNS[1][0]}', '<URL>', 'g'),
+             '{tx.REDACT_PATTERNS[2][0]}', '<NUM>', 'g')) AS redacted_md5
+    FROM documents
+    """,
+)
+def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-ish scrubbing verified end-to-end: md5 of the redacted text
+    must match an independent engine applying the same pattern chain
+    (the synthetic corpus contains no PII, so this checks the regex
+    dialect portability; behavioral coverage is in test_extensions)."""
+    out = tx.redact_documents(_table(spark, sf_dir, "documents"))
+    return out.select("doc_id", F.md5(F.col("text_redacted")).alias("redacted_md5"))
+
+
+@register(
+    "text_token_percentiles",
+    f"""
+    WITH nt AS (
+      SELECT lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(trim(text), ' ')) END AS n_tokens
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           {R("quantile_cont(n_tokens, 0.5)", 6)} AS p50,
+           {R("quantile_cont(n_tokens, 0.9)", 6)} AS p90,
+           {R("quantile_cont(n_tokens, 0.99)", 6)} AS p99
+    FROM nt GROUP BY lang
+    """,
+)
+def _q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.token_percentiles(_table(spark, sf_dir, "documents"))
+    return out.select(
+        "lang", "n_docs",
+        rd(F.col("p50"), 6).alias("p50"),
+        rd(F.col("p90"), 6).alias("p90"),
+        rd(F.col("p99"), 6).alias("p99"),
+    )
+
+
+@register(
+    "text_dup_rate_by_source",
+    f"""
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_distinct,
+           {R("CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*)", 6)} AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def _q_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.dup_rate_by_source(_table(spark, sf_dir, "documents"))
+    return out.select("source", "n_docs", "n_distinct", rd(F.col("dup_rate"), 6).alias("dup_rate"))
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming: tumbling-window aggregation over events
 # ---------------------------------------------------------------------------
