@@ -868,6 +868,44 @@ def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_salted_user_agg",
+    f"""
+    SELECT user_id, count(*) AS n_events,
+           {_sql_dsum("value", 2)} AS sum_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation through the driver gate: the
+    salted (key, salt) partial → key final plan must produce EXACTLY the
+    plain GROUP BY answer. Sum terms are decimal (associative), so the
+    salt-dependent combine order cannot perturb the result; the salt is
+    a deterministic xxhash of event_id, never rand()."""
+    from time_series_data_trimmer_spark.operators import skew
+
+    ev = _events(spark, sf_dir).withColumn(
+        "__v", rd(F.col("value"), 2).cast("decimal(38,6)")
+    )
+    out = skew.salted_agg(
+        ev,
+        ["user_id"],
+        {
+            "n_events": ("count", "*"),
+            "sum_value": ("sum", "__v"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        salt_source="event_id",
+    )
+    return out.select(
+        "user_id", "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value", "max_value",
+    )
+
+
+@register(
     "cdc_latest_event_per_user_type",
     f"""
     SELECT user_id, event_type, event_id, value
