@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Training-corpus curation end-to-end on this engine: redact → quality
+gate → exact dedup → near-dup pairs (minhash LSH) → clusters (connected
+components) → survivor selection → corpus stats. Every stage is the
+production scale path (digest shuffles, bucket-local pair explosion,
+window survivor picks — no broadcasts of unbounded frames, no all-pairs
+joins).
+
+Run: python examples/corpus_pipeline.py [sf_dir]   (default sf0.01)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from time_series_data_trimmer_spark.operators import dedup as dd
+from time_series_data_trimmer_spark.operators import text as tx
+from time_series_data_trimmer_spark.session import get_spark
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    spark = get_spark("corpus-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    print(f"input: {docs.count()} documents from {SF_DIR}")
+
+    # 1. scrub PII-ish spans (emails/URLs/number runs) — codegen regex chain
+    docs = tx.redact_documents(docs).withColumn("text", F.col("text_redacted")).drop(
+        "text_redacted"
+    )
+
+    # 2. quality gate: language + score, keep docs that look like prose.
+    # Materialize this stage boundary: redact+language+quality composed
+    # into ONE projection exceeds whole-stage-codegen method limits
+    # (Catalyst's project collapsing re-inlines every marker-count
+    # subtree), and Spark would silently fall back to interpreted
+    # execution. At 100 TB the stage boundary is a parquet write; here
+    # localCheckpoint plays that role.
+    scored = tx.quality_score(tx.language_id(docs)).localCheckpoint()
+    kept = scored.filter((F.col("quality") >= 0.4) & (F.col("lang_pred") != "und"))
+    print(f"quality gate kept: {kept.count()}")
+
+    # 3. exact dedup — row_number over md5(text), one digest shuffle
+    exact = dd.exact_dedup(kept)
+    print(f"after exact dedup: {exact.count()}")
+
+    # 4. near-dup pairs → clusters → survivors (min id per cluster)
+    pairs = dd.minhash_lsh_pairs(exact)
+    survivors = dd.dedup_cluster_survivors(exact, pairs)
+    print(f"near-dup pairs: {pairs.count()}; survivors: {survivors.count()}")
+
+    # 5. corpus stats a pipeline dashboards
+    stats = tx.token_percentiles(survivors).orderBy("lang")
+    stats.show(truncate=False)
+    dup = tx.dup_rate_by_source(docs).orderBy(F.col("dup_rate").desc()).limit(5)
+    dup.show(truncate=False)
+
+
+if __name__ == "__main__":
+    main()
