@@ -906,6 +906,72 @@ def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fact-fact LEFT SEMI with a mixed equi + non-equi condition
+    # (adapted q4: the synthetic schema has no commit/receipt dates, so
+    # "late line exists" = shipped after the order date). Both sides
+    # scale with SF → shuffle-hash; the equi key carries the join, the
+    # date predicate filters inside it.
+    o = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    l = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        l.hint("shuffle_hash"),
+        (o["o_orderkey"] == l["l_orderkey"]) & (l["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    f"""
+    SELECT {R(
+        "100.0 * CAST("
+        + _sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END")
+        + " AS DOUBLE) / CAST("
+        + _sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")
+        + " AS DOUBLE)", 6)} AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # part scales with SF (it is NOT a broadcast-safe dimension at the
+    # 100 TB target) → shuffle_hash build side; the date filter reaches
+    # the lineitem scan so only one month of the fact table shuffles
+    l = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    p = _table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    joined = l.join(p.hint("shuffle_hash"), l["l_partkey"] == p["p_partkey"])
+    return joined.agg(
+        rd(
+            F.lit(100.0) * _dsum(promo) / _dsum(rev), 6
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
     "cdc_latest_event_per_user_type",
     f"""
     SELECT user_id, event_type, event_id, value
