@@ -688,6 +688,45 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_hour_agg(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+@register(
+    "stream_session_agg",
+    f"""
+    WITH gaps AS (
+      SELECT user_id, epoch(ts) AS t,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY epoch(ts)) >= 1800.0
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    ids AS (
+      SELECT user_id, t,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           {R("min(t)", 3)} AS session_start,
+           {R("max(t) + 1800.0", 3)} AS session_end,
+           count(*) AS n_events
+    FROM ids GROUP BY user_id, session_id
+    """,
+)
+def _q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Structured Streaming session windows (session_window merge
+    state) whose final state must equal the batch gaps-and-islands
+    fixpoint. Spark session semantics modeled exactly in the oracle:
+    a session BREAKS on gap >= 30 min (merge requires next_start
+    strictly inside the window) and session end = last event + gap."""
+    from time_series_data_trimmer_spark.streaming.stream_ops import session_agg
+
+    out = session_agg(spark, os.path.join(sf_dir, "events.parquet"), gap="30 minutes")
+    return out.select(
+        "user_id",
+        rd(F.col("session_start").cast("double"), 3).alias("session_start"),
+        rd(F.col("session_end").cast("double"), 3).alias("session_end"),
+        "n_events",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Additional TPC-H-style coverage + end-to-end corpus pipeline
 # ---------------------------------------------------------------------------
