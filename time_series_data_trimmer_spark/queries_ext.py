@@ -689,6 +689,42 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sliding_mean",
+    f"""
+    WITH slotted AS (
+      SELECT user_id, epoch(ts) AS t, value,
+             unnest([CAST(floor(epoch(ts) / 1800.0) AS BIGINT),
+                     CAST(floor(epoch(ts) / 1800.0) AS BIGINT) - 1]) AS slot
+      FROM events
+    )
+    SELECT user_id,
+           {R("slot * 1800.0", 3)} AS window_start,
+           {R("slot * 1800.0 + 3600.0", 3)} AS window_end,
+           {R("CAST(sum(CAST(" + sql_rd("value", 2) + " AS DECIMAL(38,6))) AS DOUBLE) / count(*)", 6)} AS mean_value,
+           count(*) AS n_events
+    FROM slotted
+    WHERE t >= slot * 1800.0 AND t < slot * 1800.0 + 3600.0
+    GROUP BY user_id, slot
+    """,
+)
+def _q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1 h / 30 min) streaming mean: every event lands
+    in exactly two windows; the oracle materializes the same two slots
+    per event with unnest and reproduces the decimal-sum mean. Final
+    complete-mode state == the batch fixpoint."""
+    from time_series_data_trimmer_spark.streaming.stream_ops import sliding_mean
+
+    out = sliding_mean(spark, os.path.join(sf_dir, "events.parquet"))
+    return out.select(
+        "user_id",
+        rd(F.col("window_start").cast("double"), 3).alias("window_start"),
+        rd(F.col("window_end").cast("double"), 3).alias("window_end"),
+        rd(F.col("mean_value"), 6).alias("mean_value"),
+        "n_events",
+    )
+
+
+@register(
     "stream_session_agg",
     f"""
     WITH gaps AS (
