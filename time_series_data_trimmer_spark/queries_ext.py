@@ -247,6 +247,41 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(_table(spark, sf_dir, "documents"), min_jaccard=0.2)
 
 
+@register(
+    "dedup_ngram_jaccard_capped",
+    f"""
+    WITH shingled AS ({_SH_SQL}),
+    base AS (
+      SELECT s.doc_id, s.grams, length(d.text) // 64 AS bucket
+      FROM shingled s JOIN documents d USING (doc_id)
+    ),
+    cand AS (
+      SELECT doc_id, grams, unnest([bucket, bucket + 1]) AS blk FROM base
+    ),
+    capped AS (
+      SELECT doc_id, grams, blk FROM cand
+      QUALIFY row_number() OVER (PARTITION BY blk ORDER BY doc_id) <= 40
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.grams, b.grams)) AS i,
+             len(list_distinct(list_concat(a.grams, b.grams))) AS u
+      FROM capped a JOIN capped b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+    FROM pairs WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.2
+    """,
+)
+def _q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-bucket production variant through the gate: each
+    length block truncated to its first 40 docs by id (deterministic),
+    reproduced in SQL with the same QUALIFY cap — proves the skew guard
+    changes candidate sets identically in both engines."""
+    return dd.ngram_jaccard_pairs(
+        _table(spark, sf_dir, "documents"), min_jaccard=0.2, max_bucket=40
+    )
+
+
 _SIMHASH_BITS_SQL = "count(*) AS n, " + ", ".join(
     f"sum((h >> {b}) & 1) AS b{b}" for b in range(dd.SIMHASH_BITS)
 )
