@@ -724,6 +724,25 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_spike_counts",
+    """
+    SELECT user_id, count(*) AS n_spikes
+    FROM events WHERE value > 150.0
+    GROUP BY user_id
+    """,
+)
+def _q_stream_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user spike counter (threshold filter inside the
+    stream); final complete-mode state == the batch filtered count."""
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        streaming_spike_counts,
+    )
+
+    out = streaming_spike_counts(spark, os.path.join(sf_dir, "events.parquet"), 150.0)
+    return out.select("user_id", F.col("n_spikes"))
+
+
+@register(
     "stream_sliding_mean",
     f"""
     WITH slotted AS (
