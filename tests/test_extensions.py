@@ -319,3 +319,19 @@ def test_token_percentiles_and_dup_rate(spark):
     assert p["n_docs"] == 6 and p["p50"] == 3.5  # exact interpolated median
     d = {r["source"]: r for r in dup_rate_by_source(docs).collect()}
     assert d["a"]["n_distinct"] == 3 and d["a"]["dup_rate"] == 0.0
+
+
+def test_connected_components_long_chain_converges(spark):
+    # pointer-jumping makes rounds O(log n): a 200-node path graph
+    # (diameter 199) must converge well inside max_iter=20 — plain
+    # neighbor propagation would need 199 rounds and exit silently wrong
+    import pandas as pd
+
+    from time_series_data_trimmer_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(i, i + 1) for i in range(199)], columns=["id_a", "id_b"])
+    )
+    got = connected_components(pairs).collect()
+    assert len(got) == 200
+    assert all(r["cluster_id"] == 0 for r in got)

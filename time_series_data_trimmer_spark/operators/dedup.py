@@ -352,18 +352,36 @@ def connected_components(
             ).alias("cluster_id"),
         )
 
+    def pointer_jump(lbl):
+        # label[x] ← label[label[x]]: every label is itself a node id,
+        # and labels only decrease, so the parent's label is always ≤ —
+        # this squares the effective pointer depth each round, giving
+        # O(log n) total rounds even on path graphs (plain neighbor
+        # propagation alone needs O(diameter) rounds and would exit
+        # max_iter SILENTLY WRONG on a long chain)
+        parent = lbl.select(
+            F.col(id_col).alias("__pid"), F.col("cluster_id").alias("__plabel")
+        )
+        return lbl.join(parent, lbl["cluster_id"] == F.col("__pid")).select(
+            F.col(id_col), F.col("__plabel").alias("cluster_id")
+        )
+
+    converged = False
     for _ in range(max_iter):
-        # two hops per round before the (count + checkpoint) actions —
-        # per-round job overhead dominates at small data and rounds are
-        # the unit of cost at scale, so halving them is free accuracy
-        merged = propagate(propagate(labels)).withColumnRenamed("cluster_id", "new")
+        merged = pointer_jump(propagate(labels)).withColumnRenamed("cluster_id", "new")
         merged = labels.join(merged, id_col).select(
             F.col(id_col), F.col("cluster_id").alias("old"), F.col("new").alias("cluster_id")
         )
         changed = merged.filter(F.col("cluster_id") != F.col("old")).count()
         labels = merged.select(id_col, "cluster_id").localCheckpoint()
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds "
+            "(pointer-jumping needs ~log2(n) — raise max_iter)"
+        )
     return labels
 
 
