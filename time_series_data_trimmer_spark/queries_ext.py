@@ -723,6 +723,43 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_hour_agg(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+_MM_FEATS = ", ".join(
+    f"('0x' || substr(h{d + 1}, {(k % 4) * 8 + 1}, 8))::BIGINT / 2147483648.0 - 1.0 AS f{k}"
+    for k, d in [(k, k // 4) for k in range(16)]
+)
+
+
+@register(
+    "multimodal_fake_features",
+    f"""
+    WITH h AS (SELECT doc_id AS asset_id, md5(text) AS h1 FROM documents),
+    hh AS (
+      SELECT asset_id, h1, md5(h1) AS h2, md5(md5(h1)) AS h3, md5(md5(md5(h1))) AS h4
+      FROM h
+    )
+    SELECT asset_id, {_MM_FEATS} FROM hh
+    """,
+)
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal mapInPandas plumbing through the exact-value gate:
+    documents' text bytes become binary payloads, the (fake, md5-seeded)
+    decoder emits 16 features per asset inside an Arrow batch stream,
+    and the oracle reproduces the iterated-digest features in SQL —
+    payload bytes never shuffle (output schema is id + features only).
+    The real-codec path keeps its documented NotImplementedError site."""
+    from time_series_data_trimmer_spark.operators.multimodal import extract_features
+
+    assets = _table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_features(assets, id_col="asset_id")
+    return feats.select(
+        "asset_id",
+        *[F.element_at(F.col("features"), k + 1).alias(f"f{k}") for k in range(16)],
+    )
+
+
 @register(
     "stream_spike_counts",
     """
