@@ -1105,6 +1105,65 @@ def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {_sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey = o.o_custkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+    WHERE ns.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      AND nc.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      AND ns.n_name <> nc.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+    """,
+)
+def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the widest join tree in the registry (6 relations): nation twice
+    # (constant → broadcast); supplier, customer, orders all scale with
+    # SF → shuffle_hash builds, lineitem streams. Nation-pair filters
+    # push into the supplier/customer scans through the broadcast joins.
+    l = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = _table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = _table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    )
+    s = (
+        _table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = (
+        l.join(s.hint("shuffle_hash"), l["l_suppkey"] == s["s_suppkey"])
+        .join(o.hint("shuffle_hash"), l["l_orderkey"] == o["o_orderkey"])
+        .join(c.hint("shuffle_hash"), o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_dsum(rev).alias("revenue"))
+    )
+
+
+@register(
     "tpch_q14_promo_revenue",
     f"""
     SELECT {R(
