@@ -1197,6 +1197,174 @@ def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q8_market_share",
+    f"""
+    WITH volumes AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             {sql_rd("l.l_extendedprice * (1.0 - l.l_discount)", 4)} AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = nc.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'EUROPE'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           {R("CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)"
+              " / CAST(sum(CAST(volume AS DECIMAL(38,6))) AS DOUBLE)", 6)} AS mkt_share
+    FROM volumes GROUP BY o_year
+    """,
+)
+def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # market-share ratio: conditional decimal sum over total decimal sum
+    # within the customer region, per order year. nation/region constant
+    # → broadcast; supplier/customer/orders scale → shuffle_hash.
+    l = _table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    n = _table(spark, sf_dir, "nation")
+    r = _table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cdim = (
+        _table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey")
+    )
+    sdim = (
+        _table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = rd(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4)
+    j = (
+        l.join(o.hint("shuffle_hash"), l["l_orderkey"] == o["o_orderkey"])
+        .join(cdim.hint("shuffle_hash"), o["o_custkey"] == cdim["c_custkey"])
+        .join(sdim.hint("shuffle_hash"), l["l_suppkey"] == sdim["s_suppkey"])
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
+        .otherwise(F.lit(0.0))
+        .cast("decimal(38,6)")
+    ).cast("double")
+    den = F.sum(F.col("volume").cast("decimal(38,6)")).cast("double")
+    return j.groupBy("o_year").agg(rd(num / den, 6).alias("mkt_share"))
+
+
+@register(
+    "tpch_q13_customer_order_distribution",
+    """
+    WITH counts AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM counts GROUP BY c_count
+    """,
+)
+def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LEFT OUTER fact join (customers with zero orders must appear with
+    # c_count = 0) → distribution of distributions. Both sides scale
+    # with SF → shuffle_hash; count(o_orderkey) ignores the null-padded
+    # rows exactly like the SQL count of a nullable column.
+    c = _table(spark, sf_dir, "customer").select("c_custkey")
+    o = _table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    counts = (
+        c.join(o.hint("shuffle_hash"), c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {_sql_dsum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # argmax over an aggregate: rank the per-supplier revenues with a
+    # global max window instead of re-aggregating in a scalar subquery —
+    # one extra single-column exchange, no second scan of lineitem
+    l = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("total_revenue"))
+    )
+    top = rev.withColumn(
+        "__mx", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("__mx"))
+    s = _table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(top.hint("shuffle_hash"), s["s_suppkey"] == top["supplier_no"])
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            "total_revenue",
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    f"""
+    WITH joined AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice,
+             avg(l.l_quantity) OVER (PARTITION BY l.l_partkey) AS avg_qty,
+             count(*) OVER (PARTITION BY l.l_partkey) AS n_lines
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#1'
+    )
+    SELECT {R("CAST(" + _sql_dsum("CASE WHEN l_quantity < 0.5 * avg_qty THEN l_extendedprice ELSE NULL END")
+             + " AS DOUBLE) / 7.0", 6)} AS avg_yearly
+    FROM joined
+    """,
+)
+def _q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # correlated per-part average (the classic q17 scalar subquery) as a
+    # window over the join — ONE pass over the brand's lineitems instead
+    # of a re-aggregating subquery join. avg over integers is exact
+    # (count * 0.5 thresholds), so no decimal machinery needed there.
+    l = _table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = _table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    j = l.join(p.hint("shuffle_hash"), l["l_partkey"] == p["p_partkey"])
+    w = Window.partitionBy("l_partkey")
+    j = j.withColumn("avg_qty", F.avg("l_quantity").over(w))
+    small = F.when(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"), F.col("l_extendedprice"))
+    return j.agg(rd(_dsum(small) / F.lit(7.0), 6).alias("avg_yearly"))
+
+
+@register(
     "cdc_latest_event_per_user_type",
     f"""
     SELECT user_id, event_type, event_id, value
