@@ -78,7 +78,11 @@ def main() -> None:
         # codegen-compile costs (irrelevant at 100 TB where execution
         # dominates planning); record the best of two steady-state runs
         # (min filters transient machine-load noise, observed at ±40%
-        # on a busy box while per-query capability is stable)
+        # on a busy box while per-query capability is stable).
+        # METHODOLOGY NOTE: BENCH_r01/BASELINE recorded a SINGLE steady
+        # run ("n": 1); r02 onward records min-of-two ("n": 2) — compare
+        # rounds r02+ to each other, and to r01 only with that bias
+        # (min-of-two reads slightly faster on a noisy machine) in mind.
         run_query(spark, name, SF_DIR)
         timings[name] = round(
             min(run_query(spark, name, SF_DIR), run_query(spark, name, SF_DIR)), 3
@@ -92,6 +96,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                # min-of-two steady runs since r02 (r01/BASELINE: single run)
+                "timing_rule": "min_of_2_steady",
             }
         )
     )

@@ -6,6 +6,7 @@ import os
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from time_series_data_trimmer_spark import TrialFrame
 from time_series_data_trimmer_spark.sources.readers import (
@@ -257,3 +258,25 @@ def test_autosave_refuses_large_frames(spark, trial_csvs):
     tf = TrialFrame(spark).load_csv(trial_csvs)
     with pytest.raises(ValueError, match="driver-side"):
         tf.autosave("/tmp/never_written.json", max_rows=5)
+
+
+def test_ensure_time_axis_raises_on_keyless_multipartition(spark):
+    from time_series_data_trimmer_spark.schema import ensure_time_axis
+
+    df = spark.range(0, 100, 1, 4).withColumn("ch_v", F.col("id") * 0.5).drop("id")
+    # keyless + multi-partition: the fabricated axis would depend on
+    # partition layout and plan a single-partition global sort — refuse
+    with pytest.raises(ValueError, match="multi-partition"):
+        ensure_time_axis(df)
+    # single-partition keyless input still works (with a warning)
+    one = df.coalesce(1)
+    with pytest.warns(UserWarning, match="single-partition sort"):
+        out = ensure_time_axis(one)
+    assert "normalized_time" in out.columns
+    assert out.count() == 100
+    # keyed input is unaffected regardless of partitioning
+    keyed = spark.range(0, 100, 1, 4).select(
+        (F.col("id") % 4).alias("trial_id"), (F.col("id") * 0.5).alias("ch_v")
+    )
+    out2 = ensure_time_axis(keyed, trial_key="trial_id")
+    assert out2.count() == 100

@@ -324,6 +324,7 @@ def topk_similar_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "tsdt",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup at scale: LSH candidate blocking +
     exact (decimal) re-rank — the production replacement for the
@@ -337,8 +338,20 @@ def topk_similar_pairs_blocked(
     ≳ 0.9) is ≈ 1 − (1 − p^bits)^tables with p = 1 − θ/π (≈ 0.97+ at
     the defaults), measured against the all-pairs path in
     tests/test_similarity_blocked.py.
+
+    Pass ``dim`` (the embedding length) explicitly: array columns carry
+    no length in their Spark schema, and sniffing it with ``.first()``
+    launches a driver-side job before the main plan even builds (and
+    dies on an empty table). The fallback sniff is kept only for ad-hoc
+    use.
     """
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        row = df.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "cannot infer embedding dim from an empty table; pass dim="
+            )
+        dim = len(row[0])
     cand = lsh_candidate_pairs(df, dim, bits, tables, id_col, vec_col, seed)
     base = df.select(
         F.col(id_col), F.col(vec_col).alias("v"),

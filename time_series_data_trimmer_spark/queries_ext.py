@@ -1472,7 +1472,8 @@ def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh_pairs. The all-pairs exact path remains available
     as sim.topk_similar_pairs for recall measurement."""
     out = sim.topk_similar_pairs_blocked(
-        _table(spark, sf_dir, "embeddings"), k=20, bits=_EMB_BITS, tables=_EMB_TABLES
+        _table(spark, sf_dir, "embeddings"), k=20, bits=_EMB_BITS,
+        tables=_EMB_TABLES, dim=_EMB_DIM,
     )
     return out.select("id_a", "id_b", rd(F.col("cosine"), 6).alias("cosine"))
 

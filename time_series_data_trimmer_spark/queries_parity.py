@@ -226,7 +226,12 @@ def _q_interp_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same code path the scipy methods use (filter_engine.py:85-87)."""
     ev = _events(spark, sf_dir).select(
         "user_id", "event_id", "t",
-        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+        # mirror the oracle's CASE WHEN = 'error' THEN NULL ELSE value END
+        # exactly: a != predicate would NULL the value for NULL event_type
+        # where the oracle keeps it (three-valued logic divergence)
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
     )
     out = _apply_pandas_interpolate(
         ev, ["v"], "linear", trial_key="user_id", time_col="t", has_sel=False
@@ -390,6 +395,8 @@ def _q_p8(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def _q_w2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).withColumn(
+        # exact mirror of the oracle's CASE WHEN event_type <> 'error'
+        # THEN value END: both engines yield NULL for NULL event_type
         "v", F.when(F.col("event_type") != "error", F.col("value"))
     )
     out = ffill(ev, "v", trial_key="user_id", time_col="t", out_col="v_ffill")

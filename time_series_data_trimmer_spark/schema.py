@@ -111,12 +111,22 @@ def ensure_time_axis(
     With ``trial_key=None`` AND no ``order_by``, the window is global
     and ordered by ``monotonically_increasing_id()`` — Spark must plan
     a SINGLE-partition sort, which is only acceptable for one-trial
-    frames that fit one executor. Multi-trial data must pass a key (a
-    warning fires otherwise).
+    frames that fit one executor. That combination therefore RAISES
+    when the input spans more than one partition (the ids are only
+    ordered within a partition, so the fabricated axis would depend on
+    partition layout AND the sort would funnel everything through one
+    task); single-partition input still gets a warning.
     """
     if classify_columns(df).time_column is not None:
         return df
     if trial_key is None and order_by is None:
+        if df.rdd.getNumPartitions() > 1:
+            raise ValueError(
+                "ensure_time_axis without trial_key/order_by on multi-partition "
+                "input: monotonically_increasing_id() is only ordered within a "
+                "partition and the global window would plan a single-partition "
+                "sort — pass trial_key (or order_by) instead"
+            )
         import warnings
 
         warnings.warn(

@@ -61,7 +61,7 @@ def _run_to_memory(windowed: DataFrame, mode: str = "complete") -> DataFrame:
     return spark.table(name)
 
 
-def _run_to_files(out: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
+def _run_to_files(out: DataFrame, out_dir: str, checkpoint_dir: str) -> DataFrame:
     """Execute a streaming aggregation to a PARQUET sink in APPEND mode
     with AvailableNow — the production path. Append emits each window
     exactly once, when the watermark closes it, so sink size is
@@ -70,7 +70,13 @@ def _run_to_files(out: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
     into driver memory and is kept only as the oracle harness), this
     scales to unbounded streams. Windows still open at end-of-stream
     (inside the watermark delay of max event time) remain in state and
-    are emitted by the next run off the same checkpoint."""
+    are emitted by the next run off the same checkpoint.
+
+    Returns a batch DataFrame over the sink with the plan's own schema
+    pinned on the read: a short stream can end with NO window closed
+    past the watermark, leaving the sink directory without data files —
+    schema inference would fail there, while the pinned schema yields an
+    empty DataFrame with the right shape."""
     q = (
         out.writeStream.format("parquet")
         .option("path", out_dir)
@@ -80,6 +86,7 @@ def _run_to_files(out: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
         .start()
     )
     q.awaitTermination()
+    return out.sparkSession.read.schema(out.schema).parquet(out_dir)
 
 
 def _tumbling_hour_windowed(spark: SparkSession, path: str) -> DataFrame:
@@ -116,9 +123,9 @@ def tumbling_hour_agg_to_files(
 ) -> DataFrame:
     """Production form: append-mode parquet sink (exactly-once via the
     checkpoint; only watermark-closed windows are written). Returns a
-    batch DataFrame over the sink directory."""
-    _run_to_files(_tumbling_hour_windowed(spark, path), out_dir, checkpoint_dir)
-    return spark.read.parquet(out_dir)
+    batch DataFrame over the sink directory (schema pinned, so an
+    empty sink reads as an empty frame rather than failing inference)."""
+    return _run_to_files(_tumbling_hour_windowed(spark, path), out_dir, checkpoint_dir)
 
 
 def session_agg_to_files(
@@ -138,8 +145,7 @@ def session_agg_to_files(
             "n_events",
         )
     )
-    _run_to_files(windowed, out_dir, checkpoint_dir)
-    return spark.read.parquet(out_dir)
+    return _run_to_files(windowed, out_dir, checkpoint_dir)
 
 
 def sliding_mean(spark: SparkSession, path: str, window: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
