@@ -24,7 +24,7 @@ def _skewed(spark, n=200):
 
 def test_capped_pair_count_is_bounded(spark):
     df = _skewed(spark)
-    unbounded = ngram_jaccard_pairs(df).count()
+    unbounded = ngram_jaccard_pairs(df, max_bucket=None).count()
     assert unbounded > 10_000  # the skew really is quadratic
 
     capped = ngram_jaccard_pairs(df, max_bucket=CAP)
@@ -55,10 +55,30 @@ def test_overflow_report_names_truncated_buckets(spark):
         assert r["n_dropped"] == r["n_docs"] - CAP
 
 
-def test_uncapped_default_semantics_unchanged(spark):
-    # the registered dedup_ngram_jaccard query runs uncapped; the cap
-    # must be strictly opt-in
+def test_default_is_bounded_and_small_corpus_results_unchanged(spark):
+    # the DEFAULT is now the bounded form (DEFAULT_MAX_BUCKET); on a
+    # corpus below the cap it returns exactly the unbounded answer, and
+    # unbounded pairing is strictly opt-in via max_bucket=None
+    from time_series_data_trimmer_spark.operators.dedup import DEFAULT_MAX_BUCKET
+
+    assert DEFAULT_MAX_BUCKET is not None and DEFAULT_MAX_BUCKET > 0
     rows = [(0, "a b c d e f"), (1, "a b c d e g"), (2, "x y z p q r")]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
     out = ngram_jaccard_pairs(df, min_jaccard=0.2).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
+    explicit = ngram_jaccard_pairs(df, min_jaccard=0.2, max_bucket=None).collect()
+    assert {(r["id_a"], r["id_b"]) for r in explicit} == {(0, 1)}
+
+
+def test_default_cap_bounds_skewed_corpus(spark):
+    # same skewed corpus as above, but through the DEFAULT call — the
+    # point of the r3 change: no parameter needed for the bound to hold
+    from time_series_data_trimmer_spark.operators import dedup as dd
+
+    old = dd.DEFAULT_MAX_BUCKET
+    dd.DEFAULT_MAX_BUCKET = CAP  # shrink the cap so 200 docs overflow it
+    try:
+        capped = ngram_jaccard_pairs(_skewed(spark), max_bucket=dd.DEFAULT_MAX_BUCKET)
+        assert capped.count() <= 2 * CAP * (CAP - 1) // 2
+    finally:
+        dd.DEFAULT_MAX_BUCKET = old

@@ -30,6 +30,11 @@ from pyspark.sql import functions as F
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_SIZE = 2
 DEFAULT_SHINGLE = 3
+#: default per-length-block cap for exact-Jaccard pairing: bounds each
+#: block's pair work at C(1000, 2) ≈ 5·10^5 comparisons regardless of
+#: corpus skew (an unbounded block on boilerplate-heavy corpora is
+#: quadratic in the block size — the classic silent scale-killer)
+DEFAULT_MAX_BUCKET = 1000
 
 
 # ---------------------------------------------------------------------------
@@ -249,7 +254,7 @@ def ngram_jaccard_pairs(
     n: int = DEFAULT_SHINGLE,
     length_bucket: int = 64,
     min_jaccard: float = 0.0,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-gram sets for candidate pairs
     blocked by a text-length bucket (near-dups have near-equal length;
@@ -261,11 +266,14 @@ def ngram_jaccard_pairs(
 
     The within-bucket pairing is quadratic and length distributions are
     skewed in real corpora, so an unbounded bucket explodes at scale:
-    pass ``max_bucket`` to cap each block at its first ``max_bucket``
-    docs by id (deterministic truncation — recall loss, never a blowup).
-    Use `ngram_jaccard_overflow` to see which buckets were truncated and
-    by how much; production pipelines alert on that report rather than
-    silently absorbing an O(|B|²) stage.
+    each block is therefore capped at its first ``max_bucket`` docs by
+    id BY DEFAULT (deterministic truncation — bounded recall loss,
+    never a blowup; per-block pair work ≤ C(max_bucket, 2)). Pass
+    ``max_bucket=None`` explicitly to run unbounded — that is a
+    verification/small-corpus path, not a default. Use
+    `ngram_jaccard_overflow` with the same cap to see which blocks were
+    truncated and by how much; production pipelines alert on that
+    report rather than silently absorbing an O(|B|²) stage.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     base = df.repartition(par, F.col(id_col)).select(
@@ -460,52 +468,141 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return sums.select(F.col(id_col), fp.alias("simhash"))
 
 
+#: keys-per-doc budget for the combinatorial SimHash blocking — C(m,
+#: m-h) grows fast with the chunk count m, so the adaptive rule stops
+#: widening keys once a doc would emit more than this many blocking rows
+SIMHASH_MAX_KEYS_PER_DOC = 256
+
+
+def simhash_chunk_plan(
+    max_hamming: int, n_docs: int | None = None, n_chunks: int | None = None
+) -> tuple[int, list[tuple[int, ...]]]:
+    """Choose the SimHash blocking layout: (chunk count m, list of
+    (m − max_hamming)-sized chunk-index combinations).
+
+    Pigeonhole (Manku et al., WWW'07 permutation-table style): ≤ h
+    damaged bits damage ≤ h chunks, so every pair within the Hamming
+    budget agrees EXACTLY on at least one (m − h)-subset of chunks —
+    blocking on every such subset finds all pairs. Wider m ⇒ wider
+    effective keys ((m − h)·(60/m) bits ⇒ expected bucket size
+    N/2^bits) at the cost of C(m, m − h) keys per doc.
+
+    The N-ADAPTIVE rule (mirroring the log₂N ``bits`` rule of the
+    embedding LSH path): target key width = log₂(n_docs) + 10 margin
+    (default 30 bits ≈ corpora to ~10⁹ docs), pick the smallest valid
+    m — a divisor of 60 strictly above ``max_hamming`` — that reaches
+    it within the keys-per-doc budget; if none reaches it, take the
+    widest affordable m (never silently fall back to narrow keys when
+    a wider affordable layout exists).
+    """
+    import itertools
+    import math
+
+    divisors = [
+        m for m in range(max_hamming + 1, SIMHASH_BITS + 1) if SIMHASH_BITS % m == 0
+    ]
+    if not divisors:
+        raise ValueError(f"max_hamming={max_hamming} leaves no valid chunking of {SIMHASH_BITS} bits")
+    if n_chunks is not None:
+        if n_chunks not in divisors:
+            raise ValueError(
+                f"n_chunks must be a divisor of {SIMHASH_BITS} greater than "
+                f"max_hamming={max_hamming}; valid: {divisors}"
+            )
+        m = n_chunks
+    else:
+        target_bits = 30 if n_docs is None else min(54, math.ceil(math.log2(max(n_docs, 2))) + 10)
+        affordable = [
+            m for m in divisors
+            if math.comb(m, m - max_hamming) <= SIMHASH_MAX_KEYS_PER_DOC
+        ]
+        if not affordable:
+            affordable = divisors[:1]  # C(h+1, 1) = h+1 keys — always affordable
+
+        def key_bits(m: int) -> int:
+            return (m - max_hamming) * (SIMHASH_BITS // m)
+
+        meeting = [m for m in affordable if key_bits(m) >= target_bits]
+        m = min(meeting) if meeting else max(affordable, key=key_bits)
+    combos = list(itertools.combinations(range(m), m - max_hamming))
+    return m, combos
+
+
 def simhash_pairs(
-    fingerprints: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_docs: int | None = None,
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance over SimHash fingerprints.
 
-    Blocking: split the 60 bits into ``max_hamming + 1`` chunks — any
-    pair within the distance budget agrees exactly on ≥1 chunk
-    (pigeonhole), so the self-join runs per (chunk_id, chunk_value)
-    bucket, never all-pairs.
+    Blocking via `simhash_chunk_plan`: the 60 bits split into m chunks
+    and every (m − max_hamming)-subset of chunks becomes a blocking
+    key, so any pair within the distance budget collides on ≥ 1 key
+    (pigeonhole) while bucket population shrinks to N/2^((m−h)·60/m) —
+    N-adaptive via ``n_docs`` (expected corpus size), or fixed via
+    ``n_chunks``. The default (30-bit keys, 20 keys/doc at h=3) holds
+    bucket sizes O(1) to ~10⁹ docs; the previous fixed 4×15-bit layout
+    grew buckets linearly with N past ~10⁸.
+
+    Pairing is bucket-local: group by key, collect the (id, simhash)
+    structs, emit each bucket's pairs with array combinatorics — the
+    fingerprint plan executes ONCE (a self-join would run the whole
+    token-explode aggregation for both sides) and only (key, id,
+    fingerprint) tuples shuffle.
     """
-    chunks = max_hamming + 1
-    width = SIMHASH_BITS // chunks
-    d = fingerprints.select(
+    m, combos = simhash_chunk_plan(max_hamming, n_docs, n_chunks)
+    width = SIMHASH_BITS // m
+    mask = (1 << width) - 1
+
+    def chunk(c: int):
+        return F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
+
+    def combo_key(combo: tuple[int, ...]):
+        key = None
+        for pos, c in enumerate(combo):
+            term = F.shiftleft(chunk(c), pos * width)
+            key = term if key is None else key + term
+        return key
+
+    keyed = fingerprints.select(
         id_col,
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("cv"),
-                    )
-                    for c in range(chunks)
+                    F.struct(F.lit(ci).alias("ck"), combo_key(combo).alias("cv"))
+                    for ci, combo in enumerate(combos)
                 ]
             )
-        ).alias("ck"),
-    ).select(id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.cv").alias("cv"))
-    a, b = d.alias("a"), d.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).alias("k"),
+    ).select(id_col, "simhash", F.col("k.ck").alias("ck"), F.col("k.cv").alias("cv"))
+    buckets = (
+        keyed.groupBy("ck", "cv")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("h")))
+            ).alias("docs")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.size("docs") > 1)
     )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size("docs")),
+                lambda y: F.struct(
+                    x["i"].alias("id_a"),
+                    y["i"].alias("id_b"),
+                    F.bit_count(x["h"].bitwiseXOR(y["h"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arrays).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -233,17 +233,26 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
       SELECT doc_id, grams, unnest([bucket, bucket + 1]) AS blk FROM base
     ),
+    capped AS (
+      SELECT doc_id, grams, blk FROM cand
+      QUALIFY row_number() OVER (PARTITION BY blk ORDER BY doc_id) <= {dd.DEFAULT_MAX_BUCKET}
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              len(list_intersect(a.grams, b.grams)) AS i,
              len(list_distinct(list_concat(a.grams, b.grams))) AS u
-      FROM cand a JOIN cand b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.blk = b.blk AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
     FROM pairs WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.2
     """,
 )
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary form now runs the DEFAULT (bounded) blocking: every
+    length block capped at dedup.DEFAULT_MAX_BUCKET docs, reproduced
+    in SQL with the same QUALIFY cap — the unbounded variant is no
+    longer registered anywhere (it remains callable with
+    max_bucket=None as a small-corpus verification path)."""
     return dd.ngram_jaccard_pairs(_table(spark, sf_dir, "documents"), min_jaccard=0.2)
 
 
@@ -308,6 +317,22 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(_table(spark, sf_dir, "documents"))
 
 
+# the N-adaptive combinatorial blocking layout, shared verbatim with the
+# oracle: m chunks, every (m − h)-subset of chunk indices is a blocking
+# key (pigeonhole over Hamming ≤ h) — the SQL enumerates the SAME combos
+_SIMHASH_M, _SIMHASH_COMBOS = dd.simhash_chunk_plan(3, n_chunks=6)
+_SIMHASH_W = dd.SIMHASH_BITS // _SIMHASH_M
+_SIMHASH_COMBO_VALUES = ", ".join(
+    "(" + ", ".join(str(x) for x in (ci, *combo)) + ")"
+    for ci, combo in enumerate(_SIMHASH_COMBOS)
+)
+_SIMHASH_COMBO_COLS = ", ".join(f"c{p}" for p in range(len(_SIMHASH_COMBOS[0])))
+_SIMHASH_KEY_SQL = " + ".join(
+    f"(((simhash >> (cb.c{p} * {_SIMHASH_W})) & {(1 << _SIMHASH_W) - 1}) << {p * _SIMHASH_W})"
+    for p in range(len(_SIMHASH_COMBOS[0]))
+)
+
+
 @register(
     "dedup_simhash_pairs",
     f"""
@@ -320,25 +345,28 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits AS (SELECT doc_id, {_SIMHASH_BITS_SQL} FROM hashed GROUP BY doc_id),
     fp AS (SELECT doc_id, {_SIMHASH_FP_SQL} AS simhash FROM bits),
     ck AS (
-      SELECT doc_id, simhash, c.c AS chunk, (simhash >> (c.c * 15)) & 32767 AS cv
-      FROM fp, generate_series(0, 3) c(c)
+      SELECT doc_id, simhash, cb.combo_id, {_SIMHASH_KEY_SQL} AS cv
+      FROM fp, (VALUES {_SIMHASH_COMBO_VALUES}) cb(combo_id, {_SIMHASH_COMBO_COLS})
     ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.simhash AS ha, b.simhash AS hb
       FROM ck a JOIN ck b
-        ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+        ON a.combo_id = b.combo_id AND a.cv = b.cv AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
     FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
     """,
 )
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pigeonhole-blocked SimHash near-dup pairs; the oracle replicates
-    the 60-bit fingerprint + 4-chunk blocking + Hamming filter in SQL
-    (bit ops are engine-portable, the hash family is md5-only)."""
+    """Pigeonhole-blocked SimHash near-dup pairs with the N-adaptive
+    combinatorial layout (m=6 chunks × 10 bits, C(6,3)=20 subsets →
+    30-bit keys: bucket size N/2^30 instead of the old fixed layout's
+    N/2^15). The oracle replicates fingerprint + the SAME combo table
+    + Hamming filter in SQL (bit ops are engine-portable, the hash
+    family is md5-only)."""
     fp = dd.simhash(_table(spark, sf_dir, "documents"))
-    out = dd.simhash_pairs(fp, max_hamming=3)
+    out = dd.simhash_pairs(fp, max_hamming=3, n_chunks=_SIMHASH_M)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
