@@ -240,10 +240,25 @@ def _q_interp_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# F14 resample — applyInPandas np.interp kernel; rows-only (the lerp's
-# float sequencing inside np.interp is not reproducible as SQL text).
-# Exactness vs pandas is covered by tests/test_filters.py.
+# F14 resample — applyInPandas np.interp kernel, through the EXACT gate.
+#
+# Everything np.interp does on this input is closed-form IEEE double
+# arithmetic, reproducible as SQL text when sequenced identically:
+#   grid      t_new[k] = k / 0.001          (int64/double division,
+#                                            NOT k * 1000.0 — one ulp apart)
+#   n_new     = int(t_last * 0.001)         (double multiply, truncate)
+#   bracketing: j = the unique segment with xp[j] <= t < xp[j+1]
+#               (t_new < t_last always: n_new*1000 <= t_last; and the
+#               time axis is strictly increasing — no duplicate (user,
+#               ts) in the corpus — so half-open segments partition it)
+#   lerp      slope = (fp[j+1]-fp[j]) / (xp[j+1]-xp[j]);
+#             out   = slope*(t - xp[j]) + fp[j]   (same op order)
+# Kernel passthrough branches (trials with < 2 rows or a grid of <= 1
+# point return their ORIGINAL rows, filter_engine.py:153-156) are
+# mirrored as a UNION ALL branch gated on the same conditions.
 # ---------------------------------------------------------------------------
+
+_RS_FS = 0.001  # target_fs: one sample per 1000 s over the multi-week span
 
 
 def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,13 +271,61 @@ def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     out = apply_filter(
-        rel, ["value"], "resample", {"target_fs": 0.001},
-        trial_key="user_id", time_col="normalized_time", sample_rate=0.001,
+        rel, ["value"], "resample", {"target_fs": _RS_FS},
+        trial_key="user_id", time_col="normalized_time", sample_rate=_RS_FS,
     )
-    return out.select("user_id", "normalized_time", rd(F.col("value"), 4).alias("value"))
+    return out.select(
+        # the kernel schema widens every numeric column to double (the
+        # grid rows are synthesized); the key interpolates between
+        # identical values so the cast back to long is exact
+        F.col("user_id").cast("long").alias("user_id"),
+        "normalized_time",
+        rd(F.col("value"), 4).alias("value"),
+    )
 
 
-register("f14_resample", None)(_q_resample)  # rows-only: python-kernel op
+_RS_ORACLE = f"""
+    WITH rel AS (
+      SELECT user_id,
+             epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id) AS nt,
+             value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS pos
+      FROM events
+    ),
+    meta AS (
+      SELECT user_id, max(nt) AS t_last, count(*) AS n,
+             CAST(trunc(max(nt) * (0.001::DOUBLE)) AS BIGINT) AS n_new
+      FROM rel GROUP BY user_id
+    ),
+    seg AS (
+      SELECT user_id, nt AS x0, value AS f0,
+             lead(nt)    OVER (PARTITION BY user_id ORDER BY pos) AS x1,
+             lead(value) OVER (PARTITION BY user_id ORDER BY pos) AS f1
+      FROM rel
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(0, n_new - 1)) AS DOUBLE) / (0.001::DOUBLE) AS t_new
+      FROM meta WHERE n >= 2 AND n_new > 1
+    ),
+    interp AS (
+      SELECT g.user_id, g.t_new AS normalized_time,
+             ((s.f1 - s.f0) / (s.x1 - s.x0)) * (g.t_new - s.x0) + s.f0 AS v
+      FROM grid g JOIN seg s
+        ON g.user_id = s.user_id AND g.t_new >= s.x0 AND g.t_new < s.x1
+    ),
+    passthru AS (
+      SELECT r.user_id, r.nt AS normalized_time, r.value AS v
+      FROM rel r JOIN meta m USING (user_id)
+      WHERE m.n < 2 OR m.n_new <= 1
+    ),
+    unioned AS (
+      SELECT * FROM interp UNION ALL SELECT * FROM passthru
+    )
+    SELECT user_id, normalized_time, {R("v", 4)} AS value FROM unioned
+    """
+
+register("f14_resample", _RS_ORACLE)(_q_resample)
 
 
 # ---------------------------------------------------------------------------
