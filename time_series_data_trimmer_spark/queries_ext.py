@@ -1393,6 +1393,178 @@ def _q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q19_disjunctive_revenue",
+    f"""
+    SELECT {_sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def _q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q19 (adapted to the synthetic part schema: brand/size/quantity
+    # branches instead of brand/container/shipmode): the point is the
+    # DISJUNCTIVE mixed-side predicate. Expressed as a plain WHERE over
+    # the equi-join, Catalyst's CNF conversion pushes the part-only
+    # disjunction to the part scan and the quantity disjunction to the
+    # lineitem scan (PushedFilters: Or(...) on both) — at 100 TB the
+    # scan prunes before the join instead of filtering after it. Both
+    # sides scale with SF → shuffle-hash, AQE upgrades when one fits.
+    l = _table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = l.join(p.hint("shuffle_hash"), l["l_partkey"] == p["p_partkey"])
+
+    def branch(brand: str, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    j = j.filter(
+        branch("Brand#1", 15, 1, 11) | branch("Brand#2", 25, 10, 20) | branch("Brand#3", 35, 20, 30)
+    )
+    return j.agg(
+        _dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late b
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_1'
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = b.l_orderkey AND l2.l_suppkey <> b.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = b.l_orderkey AND l3.l_suppkey <> b.l_suppkey
+      )
+    GROUP BY s.s_name
+    """,
+)
+def _q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q21 (adapted: lateness = shipped > 60 days after the order date —
+    # the synthetic schema has no commit/receipt dates): suppliers who
+    # were the ONLY late supplier of a multi-supplier finished order.
+    # The two correlated subqueries become the two equi-key plan shapes
+    # this registry was missing: EXISTS → LEFT SEMI shuffle-hash join,
+    # NOT EXISTS → LEFT ANTI shuffle-hash join, both keyed on
+    # l_orderkey with the supplier inequality as a residual condition.
+    # Aggregation runs on the key (suppkey) BEFORE the supplier/nation
+    # dimension joins (nation broadcasts; supplier is aggregated rows).
+    o = _table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        l.join(o.hint("shuffle_hash"), l["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = _table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    semi = late.join(
+        others.hint("shuffle_hash"),
+        (late["l_orderkey"] == others["o2_orderkey"])
+        & (late["l_suppkey"] != others["o2_suppkey"]),
+        "left_semi",
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("a_orderkey"), F.col("l_suppkey").alias("a_suppkey")
+    )
+    only_late = semi.join(
+        other_late.hint("shuffle_hash"),
+        (semi["l_orderkey"] == other_late["a_orderkey"])
+        & (semi["l_suppkey"] != other_late["a_suppkey"]),
+        "left_anti",
+    )
+    per_supp = only_late.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
+    s = _table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1").select(
+        "n_nationkey"
+    )
+    dim = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        per_supp.join(F.broadcast(dim), per_supp["l_suppkey"] == dim["s_suppkey"])
+        .select("s_name", "numwait")
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    f"""
+    WITH eligible AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    ),
+    thresh AS (
+      SELECT sum(CAST({sql_rd("c_acctbal", 2)} AS DECIMAL(38,6))) AS total,
+             count(*) AS n
+      FROM eligible WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           {_sql_dsum("c_acctbal", 2)} AS totacctbal
+    FROM eligible c, thresh t
+    WHERE CAST({sql_rd("c_acctbal", 2)} AS DECIMAL(38,6)) * t.n > t.total
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q22 (adapted: country code = c_nationkey — the synthetic schema
+    # has no phone column; "never placed an urgent order" replaces "no
+    # orders at all", which the generator never produces): above-average
+    # balance customers in chosen countries with no urgent order.
+    # Plan shapes: a 1-row broadcast cross join for the scalar-subquery
+    # threshold, and NOT EXISTS → LEFT ANTI shuffle-hash equi-join on
+    # custkey against the filtered orders side. The avg comparison is
+    # decimal-exact (bal·n > Σbal) so neither engine's float summation
+    # order can flip a boundary customer.
+    c = _table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    bal_dec = rd(F.col("c_acctbal"), 2).cast("decimal(38,6)")
+    thresh = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal_dec).alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    urgent = _table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    kept = (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(bal_dec * F.col("n") > F.col("total"))
+        .join(urgent.hint("shuffle_hash"), c["c_custkey"] == urgent["o_custkey"], "left_anti")
+    )
+    return kept.groupBy(F.col("c_nationkey").alias("cntrycode")).agg(
+        F.count(F.lit(1)).alias("numcust"), _dsum(F.col("c_acctbal"), 2).alias("totacctbal")
+    )
+
+
+@register(
     "cdc_latest_event_per_user_type",
     f"""
     SELECT user_id, event_type, event_id, value
