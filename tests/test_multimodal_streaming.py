@@ -173,3 +173,39 @@ def test_streaming_session_file_sink_runs(spark, tmp_path):
     )
     assert out.count() > 0
     assert set(out.columns) == {"user_id", "session_start", "session_end", "n_events"}
+
+
+def test_stream_dedup_file_sink_matches_batch_distinct(spark, tmp_path):
+    # streaming dedup production path: append-mode parquet sink; the
+    # emitted rows must equal batch SELECT DISTINCT on the same digest
+    # (watermark delay covers the corpus span so nothing is late), and
+    # a SECOND run off the same checkpoint must emit nothing new
+    # (exactly-once restartability)
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        stream_dedup_to_files,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    got = stream_dedup_to_files(spark, path, sink, ckpt).toPandas()
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(path)
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    batch = (
+        ev.select(
+            "user_id",
+            F.md5(
+                F.concat(F.col("event_type"), F.lit("|"), cents.cast("string"))
+            ).alias("content_key"),
+        )
+        .distinct()
+        .toPandas()
+    )
+    want = set(map(tuple, batch[["user_id", "content_key"]].itertuples(index=False)))
+    emitted = set(map(tuple, got[["user_id", "content_key"]].itertuples(index=False)))
+    assert emitted == want
+    assert len(got) == len(emitted), "sink contains duplicate rows"
+
+    rerun = stream_dedup_to_files(spark, path, sink, ckpt).toPandas()
+    assert len(rerun) == len(got), "restart from checkpoint re-emitted rows"

@@ -808,6 +808,29 @@ def _q_stream_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup",
+    """
+    SELECT DISTINCT user_id,
+           md5(event_type || '|' ||
+               CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR))
+             AS content_key
+    FROM events
+    """,
+)
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming deduplication on a content digest
+    (dropDuplicatesWithinWatermark): exactly-once emission per distinct
+    (user, content) observation — the streaming twin of exact_dedup.
+    The digest quantizes the float channel to integer cents before
+    hashing so the DuckDB oracle reproduces it bit-for-bit (raw
+    double→string casts differ across engines). With the delay
+    covering the corpus span, the appended rows equal batch DISTINCT."""
+    from time_series_data_trimmer_spark.streaming.stream_ops import stream_dedup
+
+    return stream_dedup(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register(
     "stream_sliding_mean",
     f"""
     WITH slotted AS (

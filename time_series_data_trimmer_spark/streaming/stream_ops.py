@@ -204,6 +204,69 @@ def session_agg(spark: SparkSession, path: str, gap: str = "30 minutes") -> Data
     )
 
 
+def _dedup_plan(
+    spark: SparkSession,
+    path: str,
+    keys: tuple[str, ...] = ("user_id",),
+    watermark: str = "45 days",
+) -> DataFrame:
+    """Shared streaming-dedup plan: content digest + watermarked
+    ``dropDuplicatesWithinWatermark`` — exactly-once emission of each
+    distinct (key, content) observation.
+
+    The digest is md5 over the content columns with the float channel
+    quantized to an integer (floor(value·100 + 0.5) — cents), never a
+    raw double→string cast: engines disagree on float formatting, and
+    the batch oracle must reproduce the digest bit-for-bit.
+
+    State holds one digest per distinct key seen within the watermark
+    delay; the watermark purges entries older than the delay, so state
+    is O(distinct keys per delay window), not O(stream length). The
+    default delay is chosen to cover the bounded test corpus (~30 days
+    of events) so the final result equals batch DISTINCT exactly; a
+    production deployment picks the delay that matches its duplicate
+    horizon (how stale a replayed record can be).
+    """
+    stream = _events_stream(spark, path)
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    digest = F.md5(
+        F.concat(F.col("event_type"), F.lit("|"), cents.cast("string"))
+    )
+    keyed = stream.withColumn("content_key", digest).withWatermark(
+        "event_time", watermark
+    )
+    deduped = keyed.dropDuplicatesWithinWatermark([*keys, "content_key"])
+    return deduped.select(*keys, "content_key")
+
+
+def stream_dedup(
+    spark: SparkSession,
+    path: str,
+    keys: tuple[str, ...] = ("user_id",),
+    watermark: str = "45 days",
+) -> DataFrame:
+    """Oracle-harness form: append-mode memory sink; the emitted rows
+    are one per distinct (keys, content_key) — comparable to batch
+    SELECT DISTINCT. Production form: `stream_dedup_to_files`."""
+    return _run_to_memory(_dedup_plan(spark, path, keys, watermark), mode="append")
+
+
+def stream_dedup_to_files(
+    spark: SparkSession,
+    path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...] = ("user_id",),
+    watermark: str = "45 days",
+) -> DataFrame:
+    """Production form: append-mode parquet sink with checkpoint —
+    exactly-once deduped records, restartable from the checkpoint
+    (a second run over the same source emits nothing new)."""
+    return _run_to_files(
+        _dedup_plan(spark, path, keys, watermark), out_dir, checkpoint_dir
+    )
+
+
 def running_counts_with_state(spark: SparkSession, path: str, threshold: float = 250.0) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running totals (events seen, spikes over threshold) maintained in
