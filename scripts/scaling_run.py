@@ -171,13 +171,27 @@ def main():
     # LSH-blocked embedding pairs: bits follows log2(N) (8 -> 11 at 10x)
     def emb_pairs(sf_dir, bits):
         df = sim.topk_similar_pairs_blocked(
-            _table(spark, sf_dir, "embeddings"), k=20, bits=bits, tables=6
+            _table(spark, sf_dir, "embeddings"), k=20, bits=bits, tables=6, dim=64
         )
         df.collect()
 
     t1 = steady(lambda: emb_pairs(SRC, 8))
     t10 = steady(lambda: emb_pairs(DST, 11))
     results["dedup_embedding_topk_pairs(blocked, bits=log2 N)"] = (t1, t10)
+
+    # round-3 changed queries: bounded-by-default ngram Jaccard, the
+    # N-adaptive combinatorial SimHash blocking, and the three new
+    # TPC-H join shapes (semi/anti/disjunctive-pushdown)
+    for name in (
+        "dedup_ngram_jaccard",
+        "dedup_simhash_pairs",
+        "tpch_q19_disjunctive_revenue",
+        "tpch_q21_waiting_supplier",
+        "tpch_q22_global_sales_opportunity",
+    ):
+        t1 = steady(lambda: qs[name](spark, SRC).collect())
+        t10 = steady(lambda: qs[name](spark, DST).collect())
+        results[name] = (t1, t10)
 
     cand1 = sim.lsh_candidate_pairs(_table(spark, SRC, "embeddings"), 64, 8, 6).count()
     cand10 = sim.lsh_candidate_pairs(_table(spark, DST, "embeddings"), 64, 11, 6).count()

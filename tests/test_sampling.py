@@ -1,0 +1,80 @@
+"""Deterministic sampling / data mixing: membership must be a pure
+function of (seed, key) — stable under repartitioning — and budgets
+must bound token totals exactly."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from time_series_data_trimmer_spark.operators import sampling as sp
+
+
+def _docs(spark, n=400):
+    rows = [
+        (i, f"src{i % 5}", " ".join(f"w{j}" for j in range((i % 30) + 5)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    )
+
+
+def test_membership_stable_under_repartitioning(spark):
+    df = _docs(spark)
+    a = {r["doc_id"] for r in sp.hash_sample(df, 0.3).select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in sp.hash_sample(df.repartition(17, "source"), 0.3)
+        .select("doc_id")
+        .collect()
+    }
+    c = {
+        r["doc_id"]
+        for r in sp.hash_sample(df.coalesce(1), 0.3).select("doc_id").collect()
+    }
+    assert a == b == c and 0 < len(a) < 400
+    # df.sample (per-partition RNG) would NOT give this guarantee
+
+
+def test_rates_approximately_honored_and_seed_independent(spark):
+    df = _docs(spark)
+    n = sp.hash_sample(df, 0.5).count()
+    assert 120 <= n <= 280  # 0.5 ± generous binomial slack on 400
+    # different seeds give different (deterministic) samples
+    s1 = {r["doc_id"] for r in sp.hash_sample(df, 0.5, seed="a").collect()}
+    s2 = {r["doc_id"] for r in sp.hash_sample(df, 0.5, seed="b").collect()}
+    assert s1 != s2
+    assert s1 == {r["doc_id"] for r in sp.hash_sample(df, 0.5, seed="a").collect()}
+
+
+def test_stratified_rates_per_stratum(spark):
+    df = _docs(spark)
+    out = sp.stratified_hash_sample(df, {"src0": 1.0, "src1": 0.0}, 0.5)
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_src.get("src0") == 80  # rate 1.0 keeps all 80
+    assert "src1" not in by_src  # rate 0.0 drops all
+    for s in ("src2", "src3", "src4"):
+        assert 20 <= by_src.get(s, 0) <= 60  # default 0.5 of 80
+
+
+def test_token_budget_is_exact_prefix(spark):
+    df = _docs(spark)
+    budget = 200
+    out = sp.token_budget_per_stratum(df, budget).toPandas()
+    # never exceeded, per stratum
+    assert (out.groupby("source")["n_tokens"].sum() <= budget).all()
+    assert (out["cum_tokens"] <= budget).all()
+    # prefix property: the kept set is the maximal hash-ordered prefix —
+    # recompute the order in pandas and compare exactly
+    full = df.withColumn("h", sp.hash_u32(F.col("doc_id"))).toPandas()
+    full["n_tokens"] = full["text"].str.split().str.len()
+    kept_want = set()
+    for _, grp in full.sort_values(["h", "doc_id"]).groupby("source"):
+        cum = 0
+        for r in grp.itertuples():
+            cum += r.n_tokens
+            if cum <= budget:
+                kept_want.add(r.doc_id)
+    assert set(out["doc_id"]) == kept_want

@@ -276,20 +276,36 @@ def ngram_jaccard_pairs(
     report rather than silently absorbing an O(|B|²) stage.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    base = df.repartition(par, F.col(id_col)).select(
-        F.col(id_col),
-        word_shingles(F.col(text_col), n).alias("grams"),
-        F.floor(F.length(text_col) / F.lit(length_bucket)).alias("bucket"),
-    )
-    cand = base.select(id_col, "grams", F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("blk"))
     if max_bucket is not None:
+        # cap FIRST, shingle the survivors: the cap window then shuffles
+        # (id, text, blk) instead of the larger distinct-gram arrays, and
+        # shingling cost drops from O(corpus) to O(cap · blocks).
+        # WindowGroupLimit (rank-limit pushdown) prunes each block to the
+        # first max_bucket ids before the full sort materializes.
         from pyspark.sql import Window
 
+        base = df.repartition(par, F.col(id_col)).select(
+            F.col(id_col),
+            F.col(text_col),
+            F.floor(F.length(text_col) / F.lit(length_bucket)).alias("bucket"),
+        )
+        cand = base.select(
+            id_col, text_col, F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("blk")
+        )
         wb = Window.partitionBy("blk").orderBy(F.col(id_col).asc())
         cand = (
             cand.withColumn("__rn", F.row_number().over(wb))
             .filter(F.col("__rn") <= int(max_bucket))
-            .drop("__rn")
+            .select(id_col, word_shingles(F.col(text_col), n).alias("grams"), "blk")
+        )
+    else:
+        base = df.repartition(par, F.col(id_col)).select(
+            F.col(id_col),
+            word_shingles(F.col(text_col), n).alias("grams"),
+            F.floor(F.length(text_col) / F.lit(length_bucket)).alias("bucket"),
+        )
+        cand = base.select(
+            id_col, "grams", F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("blk")
         )
     a = cand.alias("a")
     b = cand.alias("b")

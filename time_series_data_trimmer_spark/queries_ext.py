@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from time_series_data_trimmer_spark.functions.rounding import rd, sql_rd
 from time_series_data_trimmer_spark.operators import dedup as dd
+from time_series_data_trimmer_spark.operators import sampling as sp
 from time_series_data_trimmer_spark.operators import similarity as sim
 from time_series_data_trimmer_spark.operators import text as tx
 from time_series_data_trimmer_spark.queries import REGISTRY, _events, _table, register
@@ -724,6 +725,98 @@ def _q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tx.dup_rate_by_source(_table(spark, sf_dir, "documents"))
     return out.select("source", "n_docs", "n_distinct", rd(F.col("dup_rate"), 6).alias("dup_rate"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / data mixing (training-data pipeline ops):
+# membership is a pure function of md5(seed|key) — reproducible across
+# reruns, partitionings, and engines, unlike df.sample's per-partition
+# RNG. All integer math; the oracles replicate the hash bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATE = 0.25
+_STRATA_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
+_STRATA_DEFAULT = 0.1
+_MIX_BUDGET = 600
+_SQL_H = sp.sql_hash_u32("doc_id")
+_SQL_NTOK = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split(trim(text), ' ')) END"
+)
+
+
+@register(
+    "sample_hash_bernoulli",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_SQL_H} < {int(_SAMPLE_RATE * (1 << 32))}
+    """,
+)
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample (keep iff hash_u32(doc_id) <
+    rate·2³²): scan-side codegen, no shuffle, membership stable under
+    repartitioning — the reproducible alternative to df.sample."""
+    out = sp.hash_sample(_table(spark, sf_dir, "documents"), _SAMPLE_RATE)
+    return out.select("doc_id", "source")
+
+
+_STRATA_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN source = '{s}' THEN {int(r * (1 << 32))}"
+        for s, r in sorted(_STRATA_RATES.items())
+    )
+    + f" ELSE {int(_STRATA_DEFAULT * (1 << 32))} END"
+)
+
+
+@register(
+    "sample_stratified_by_source",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_SQL_H} < {_STRATA_CASE}
+    """,
+)
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing primitive
+    ('80% of src0, 50% of src1, 25% of src2, 10% of the rest'). The
+    per-row threshold is a CASE over the stratum: still one scan, no
+    join, no shuffle."""
+    out = sp.stratified_hash_sample(
+        _table(spark, sf_dir, "documents"), _STRATA_RATES, _STRATA_DEFAULT
+    )
+    return out.select("doc_id", "source")
+
+
+@register(
+    "mix_token_budget_per_source",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             {_SQL_H} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {_MIX_BUDGET}
+    """,
+)
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing: each source keeps a deterministic
+    hash-ordered prefix of docs while the running token total stays
+    within budget (docs are atomic — cap, never split). One window
+    shuffle on the stratum key, integer cumulative sum, no joins."""
+    out = sp.token_budget_per_stratum(
+        _table(spark, sf_dir, "documents"), _MIX_BUDGET
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
 
 
 # ---------------------------------------------------------------------------
