@@ -116,3 +116,48 @@ def token_budget_per_stratum(
         .filter(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
     )
     return out
+
+
+def sequence_pack_offsets(
+    df: DataFrame,
+    seq_len: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "tsdt",
+) -> DataFrame:
+    """Concat-and-chop sequence packing offsets — the layout step of
+    LLM training-data prep: documents are concatenated in a
+    deterministic hash order and the token stream is chopped into
+    fixed ``seq_len`` windows.
+
+    Emits, per doc: its global token interval [tok_start, tok_end) and
+    the first/last training-sequence index it lands in (a doc straddles
+    a boundary iff first_seq < last_seq — the packing report that tells
+    you how much attention-masking/fragmentation a mix produces).
+
+    One GLOBAL ordered cumulative sum — in Spark a keyless running
+    window means a single-partition sort, so at scale this runs
+    per-stratum in production (pass a partition column via
+    ``stratum_col`` in `token_budget_per_stratum` first, or pack per
+    shard); the registered form demonstrates the semantics. All
+    integer math: exact in any engine.
+    """
+    h = hash_u32(F.col(key_col), seed)
+    w = Window.orderBy(h.asc(), F.col(key_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_tok = token_count(F.col(text_col)).cast("long")
+    out = (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("tok_end", F.sum("n_tokens").over(w))
+        .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    return out.select(
+        F.col(key_col),
+        "n_tokens",
+        "tok_start",
+        "tok_end",
+        F.floor(F.col("tok_start") / F.lit(int(seq_len))).cast("long").alias("first_seq"),
+        F.floor((F.col("tok_end") - 1) / F.lit(int(seq_len))).cast("long").alias("last_seq"),
+    )

@@ -225,3 +225,43 @@ def dup_rate_by_source(
             / F.col("n_docs").cast("double"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    top_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted-index build (token → posting list) for the ``top_k``
+    highest-document-frequency tokens — the corpus-search / stopword-
+    discovery primitive.
+
+    Per token: document frequency, total occurrences, and the posting
+    list as a sorted comma-joined id string (strings are engine-portable
+    where array columns are not — the oracle compares them exactly).
+
+    Plan: explode(split) → one map-side-combined aggregation keyed on
+    the token (only (token, id) pairs shuffle, never text bytes), then
+    TakeOrdered for the top-k — no global sort. Posting lists are
+    bounded by top_k·N at the driver only via the caller's collect;
+    at 100 TB you'd write the full index partitioned by token prefix
+    instead of taking top-k (same plan minus the limit).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    agg = toks.groupBy("token").agg(
+        F.countDistinct(F.col(id_col)).alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_occurrences"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set(F.col(id_col))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return agg.orderBy(
+        F.col("doc_freq").desc(), F.col("token").asc()
+    ).limit(int(top_k))

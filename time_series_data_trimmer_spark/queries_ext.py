@@ -727,6 +727,34 @@ def _q_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "n_docs", "n_distinct", rd(F.col("dup_rate"), 6).alias("dup_rate"))
 
 
+@register(
+    "text_inverted_index",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents
+    ),
+    t2 AS (SELECT * FROM toks WHERE length(token) > 0),
+    occ AS (SELECT token, count(*) AS total_occurrences FROM t2 GROUP BY token),
+    post AS (SELECT token, doc_id FROM t2 GROUP BY 1, 2),
+    idx AS (
+      SELECT token, count(*) AS doc_freq,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      FROM post GROUP BY token
+    )
+    SELECT i.token, i.doc_freq, o.total_occurrences, i.postings
+    FROM idx i JOIN occ o USING (token)
+    ORDER BY doc_freq DESC, token LIMIT 100
+    """,
+)
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build for the 100 highest-df tokens: one
+    map-side-combined aggregation on the token ((token, id) pairs
+    shuffle, never text), postings as sorted id strings, TakeOrdered
+    top-k. The doc_freq-desc/token-asc order is strict and total, so
+    the LIMIT selects the same set in both engines."""
+    return tx.inverted_index(_table(spark, sf_dir, "documents"), top_k=100)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / data mixing (training-data pipeline ops):
 # membership is a pure function of md5(seed|key) — reproducible across
@@ -817,6 +845,38 @@ def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         _table(spark, sf_dir, "documents"), _MIX_BUDGET
     )
     return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+@register(
+    "mix_sequence_pack_offsets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             {_SQL_H} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS tok_end
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, tok_end - n_tokens AS tok_start, tok_end,
+           CAST(floor((tok_end - n_tokens) / 512.0) AS BIGINT) AS first_seq,
+           CAST(floor((tok_end - 1) / 512.0) AS BIGINT) AS last_seq
+    FROM c WHERE n_tokens > 0
+    """,
+)
+def _q_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing (seq_len=512): each doc's global
+    token interval and the training sequences it spans, in deterministic
+    hash order — the packing report that quantifies fragmentation.
+    The registered form demonstrates the semantics with a global
+    running sum; production packs per shard (see the operator
+    docstring)."""
+    return sp.sequence_pack_offsets(_table(spark, sf_dir, "documents"), seq_len=512)
 
 
 # ---------------------------------------------------------------------------
