@@ -82,3 +82,66 @@ def test_default_cap_bounds_skewed_corpus(spark):
         assert capped.count() <= 2 * CAP * (CAP - 1) // 2
     finally:
         dd.DEFAULT_MAX_BUCKET = old
+
+
+def _brute_jaccard(rows, n=3, tau=0.2):
+    def shingles(text):
+        w = text.split(" ")
+        if len(w) >= n:
+            return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+        return {" ".join(w)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            j = inter / union
+            if j >= tau:
+                out[(a, b)] = j
+    return out
+
+
+def test_prefix_join_equals_brute_force(spark):
+    # planted near-dups + random docs: PPJoin-style prefix filtering
+    # must reproduce the exhaustive τ-Jaccard answer EXACTLY (zero
+    # false negatives is the operator's contract)
+    import random
+
+    from time_series_data_trimmer_spark.operators.dedup import (
+        ngram_jaccard_prefix_pairs,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(40)}" for _ in range(20))) for i in range(80)
+    ]
+    for i in range(10):  # plant near-dups of the first ten docs
+        words = rows[i][1].split()
+        words[3] = "X"
+        rows.append((200 + i, " ".join(words)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_prefix_pairs(df, min_jaccard=0.2).collect()
+    }
+    want = _brute_jaccard(rows, tau=0.2)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+    assert any(a < 100 <= b for a, b in got), "planted dups must be found"
+
+
+def test_prefix_join_rejects_nonpositive_tau(spark):
+    import pytest as _pytest
+
+    from time_series_data_trimmer_spark.operators.dedup import (
+        ngram_jaccard_prefix_pairs,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame([(0, "a b c")], columns=["doc_id", "text"]))
+    with _pytest.raises(ValueError):
+        ngram_jaccard_prefix_pairs(df, min_jaccard=0.0)

@@ -292,6 +292,46 @@ def _q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PREFIX_TAU = 0.2
+
+
+@register(
+    "dedup_ngram_jaccard_prefix",
+    f"""
+    WITH sub AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    shingled AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(generate_series(1, len(w) - 2),
+                                   i -> array_to_string(list_slice(w, i, i + 2), ' '))
+               ELSE [array_to_string(w, ' ')] END) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM sub)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.grams, b.grams)) AS i,
+             len(list_distinct(list_concat(a.grams, b.grams))) AS u
+      FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+    FROM pairs WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= {_PREFIX_TAU}
+    """,
+)
+def _q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT τ-Jaccard join via PPJoin-style prefix filtering: the
+    oracle is plain BRUTE FORCE over all pairs — prefix filtering has
+    zero false negatives, so the blocked Spark plan must reproduce the
+    exhaustive answer verbatim. Restricted to half the corpus (doc_id
+    parity — keeps cross-source near-dups, unlike a source filter) so
+    the quadratic oracle stays cheap; the Spark side scales by
+    blocking on each doc's rarest grams (candidate volume tracks
+    rare-gram df², not corpus size)."""
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    return dd.ngram_jaccard_prefix_pairs(docs, min_jaccard=_PREFIX_TAU)
+
+
 _SIMHASH_BITS_SQL = "count(*) AS n, " + ", ".join(
     f"sum((h >> {b}) & 1) AS b{b}" for b in range(dd.SIMHASH_BITS)
 )
