@@ -135,6 +135,57 @@ def test_prefix_join_equals_brute_force(spark):
     assert any(a < 100 <= b for a, b in got), "planted dups must be found"
 
 
+def test_prefix_join_exact_integer_boundary(spark):
+    # r3 advice counterexample: τ·|doc| lands on an exact integer for
+    # BOTH docs, so the old sz - floor(τ·sz) prefix was one gram short
+    # and the qualifying pair had no common gram in either prefix.
+    # 'w1..w6' → 4 shingles, 'w3..w6' → 2; J = 2/4 = 0.5 exactly.
+    from time_series_data_trimmer_spark.operators.dedup import (
+        ngram_jaccard_prefix_pairs,
+    )
+
+    rows = [(1, "w1 w2 w3 w4 w5 w6"), (2, "w3 w4 w5 w6")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_prefix_pairs(df, min_jaccard=0.5).collect()
+    }
+    assert got == {(1, 2): 0.5}, got
+
+
+def test_prefix_join_boundary_sweep(spark):
+    # sweep τ over values that hit integer τ·sz products on many sizes
+    # (incl. non-dyadic τ where binary floats jitter) and check the
+    # operator against brute force each time — the filters must only
+    # prune, never drop a qualifying pair.
+    import random
+
+    from time_series_data_trimmer_spark.operators.dedup import (
+        ngram_jaccard_prefix_pairs,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    doc_id = 0
+    # subset chains: doc k = first (4 + k) words of a 16-word base —
+    # pairwise Jaccards land on many exact rationals
+    base = [f"s{i}" for i in range(16)]
+    for k in range(8):
+        rows.append((doc_id, " ".join(base[: 4 + k])))
+        doc_id += 1
+    for _ in range(30):  # noise docs
+        rows.append((doc_id, " ".join(f"t{rng.randrange(30)}" for _ in range(12))))
+        doc_id += 1
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    for tau in (0.2, 0.25, 0.5, 0.75):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_prefix_pairs(df, min_jaccard=tau).collect()
+        }
+        want = set(_brute_jaccard(rows, tau=tau))
+        assert got == want, f"tau={tau}: missing={want - got} extra={got - want}"
+
+
 def test_prefix_join_rejects_nonpositive_tau(spark):
     import pytest as _pytest
 

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from time_series_data_trimmer_spark.operators import multimodal as mm
+from time_series_data_trimmer_spark.sources.events import event_seconds, event_time
 
 
 def test_extract_features_deterministic(spark):
@@ -47,9 +48,8 @@ def test_streaming_tumbling_matches_batch(spark):
     path = "/root/testdata/sf0.001/events.parquet"
     got = tumbling_hour_agg(spark, path).toPandas()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(path).withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = spark.read.parquet(path)
+    ev = ev.withColumn("event_time", event_time(ev))
     want = (
         ev.groupBy("user_id", F.date_trunc("hour", F.col("event_time")).alias("window_start"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -77,9 +77,8 @@ def test_streaming_session_window_matches_batch_sessionize(spark):
     got = session_agg(spark, path, gap="30 minutes").toPandas()
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(path).withColumn(
-        "t", F.expr("ts div 1000").cast("double") / 1e6
-    )
+    ev = spark.read.parquet(path)
+    ev = ev.withColumn("t", event_seconds(ev))
     want = sessionize(ev, 1800.0, trial_key="user_id", time_col="t").toPandas()
     # same session structure: session counts per user and event totals agree
     g = got.groupby("user_id")["n_events"].agg(["count", "sum"]).sort_index()
@@ -126,9 +125,8 @@ def test_streaming_file_sink_matches_batch_on_closed_windows(spark, tmp_path):
     assert len(got) > 0
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(path).withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = spark.read.parquet(path)
+    ev = ev.withColumn("event_time", event_time(ev))
     batch = (
         ev.groupBy("user_id", F.date_trunc("hour", F.col("event_time")).alias("window_start"))
         .agg(
@@ -196,7 +194,11 @@ def test_stream_dedup_file_sink_matches_batch_distinct(spark, tmp_path):
         ev.select(
             "user_id",
             F.md5(
-                F.concat(F.col("event_type"), F.lit("|"), cents.cast("string"))
+                F.concat(
+                    F.coalesce(F.col("event_type"), F.lit("<null>")),
+                    F.lit("|"),
+                    F.coalesce(cents.cast("string"), F.lit("<null>")),
+                )
             ).alias("content_key"),
         )
         .distinct()

@@ -383,21 +383,41 @@ def ngram_jaccard_prefix_pairs(
     text_col: str = "text",
     n: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
-    """EXACT τ-Jaccard pair join via prefix filtering (PPJoin-style) —
-    every pair with Jaccard ≥ τ is returned, with NO length-block
-    approximation and NO truncation: the scale-safe path to exactness
-    that `ngram_jaccard_pairs` trades away with its cap.
+    """EXACT τ-Jaccard pair join via prefix filtering (full
+    PPJoin-style: prefix + length + positional filters) — every pair
+    with Jaccard ≥ τ is returned, with NO length-block approximation
+    and NO truncation: the scale-safe path to exactness that
+    `ngram_jaccard_pairs` trades away with its cap.
 
     Prefix filter: order every doc's grams by a global canonical order
-    (document frequency asc, gram asc — rarest first) and index only
-    the first ``|A| − ⌊τ·|A|⌋`` grams. If |A∩B| ≥ τ·|A∪B| then the
-    canonically-smallest common gram lies inside BOTH prefixes
-    (otherwise the intersection fits in the suffix of length < τ·|A|,
-    contradicting |A∩B| ≥ τ·|A| ≤ τ·|A∪B|... ≥), so joining prefixes
-    on the gram finds every true pair — blocking keyed on the RAREST
-    grams, where bucket sizes are smallest. Float-safe: the prefix
-    length uses floor, which can only lengthen a prefix on a float
-    boundary (more candidates, never a miss).
+    (document frequency asc, gram asc — rarest first) and index the
+    first ``|A| − ⌈τ·|A|⌉ + 1`` grams.  For any pair with
+    J(A,B) ≥ τ the overlap o = |A∩B| satisfies o ≥ ⌈τ·|A|⌉ and
+    o ≥ ⌈τ·|B|⌉ (since o ≥ τ(|A|+|B|)/(1+τ) and the smaller set is at
+    least τ× the larger), so if no common gram fell in a doc's prefix
+    the whole intersection would fit into its last ⌈τ·|size|⌉ − 1
+    positions — pigeonhole contradiction.  Hence joining prefixes on
+    the gram finds every true pair, keyed on the RAREST grams where
+    bucket sizes are smallest.  The +1 matters: with the shorter
+    ``sz − ⌊τ·sz⌋`` prefix, a boundary pair whose τ·|size| is an exact
+    integer can legally keep all its common grams out of the prefix
+    (zero-false-negative contract broken).  Float-safe: ⌈·⌉ is taken
+    on ``τ·sz − 1e-9`` so binary-float jitter above an exact integer
+    product can only LENGTHEN a prefix, never shorten it.
+
+    Length filter (join-time): J ≤ min(|A|,|B|)/max(|A|,|B|), so any
+    true pair has min ≥ ⌈τ·max⌉ — candidates between very different
+    sizes are dropped before the verify join ever sees them.
+
+    Positional filter (join-time): a prefix match at canonical
+    positions (rn_a, rn_b) bounds the overlap by
+    ``min(|A|−rn_a, |B|−rn_b) + 1`` (the canonically-smallest common
+    gram has every other common gram after it in BOTH docs), which
+    must reach the PPJoin overlap threshold
+    α = ⌈τ/(1+τ)·(|A|+|B|)⌉.  Both extra filters only PRUNE
+    candidates; the smallest-common-gram row always survives them, so
+    exactness is untouched while candidate volume shrinks on
+    heterogeneous corpora.
 
     Work profile: candidate volume is Σ_g∈prefixes C(df_prefix(g), 2),
     dominated by rare grams (df ≈ 1-2) rather than the corpus's hot
@@ -413,6 +433,13 @@ def ngram_jaccard_prefix_pairs(
     """
     if not 0.0 < min_jaccard <= 1.0:
         raise ValueError("prefix filtering requires 0 < min_jaccard <= 1")
+    tau = float(min_jaccard)
+    # ceil with a 1e-9 slack: exact-integer products that float jitter
+    # pushes above the integer still ceil to the true value, so every
+    # derived bound errs on the side of MORE candidates, never fewer.
+    def _safe_ceil(x):
+        return F.ceil(x - F.lit(1e-9))
+
     toks = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
     )
@@ -429,14 +456,25 @@ def ngram_jaccard_prefix_pairs(
         F.count(F.lit(1)).over(wsz).alias("sz"),
     )
     prefix = ranked.filter(
-        F.col("rn") <= F.col("sz") - F.floor(F.lit(float(min_jaccard)) * F.col("sz"))
+        F.col("rn")
+        <= F.col("sz") - _safe_ceil(F.lit(tau) * F.col("sz")) + F.lit(1)
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    sza, szb = F.col("pa.sz"), F.col("pb.sz")
+    # PPJoin overlap threshold α = ⌈τ/(1+τ)·(|A|+|B|)⌉
+    alpha = _safe_ceil(F.lit(tau / (1.0 + tau)) * (sza + szb))
     cand = (
         pa.join(
             pb,
             (F.col("pa.g") == F.col("pb.g"))
-            & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")),
+            & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
+            # length filter: min size must reach ⌈τ·max size⌉
+            & (F.least(sza, szb) >= _safe_ceil(F.lit(tau) * F.greatest(sza, szb)))
+            # positional filter: overlap reachable from this match must reach α
+            & (
+                F.least(sza - F.col("pa.rn"), szb - F.col("pb.rn")) + F.lit(1)
+                >= alpha
+            ),
         )
         .select(
             F.col(f"pa.{id_col}").alias("id_a"),
@@ -707,11 +745,30 @@ def simhash_pairs(
     bucket sizes O(1) to ~10⁹ docs; the previous fixed 4×15-bit layout
     grew buckets linearly with N past ~10⁸.
 
-    Pairing is bucket-local: group by key, collect the (id, simhash)
-    structs, emit each bucket's pairs with array combinatorics — the
-    fingerprint plan executes ONCE (a self-join would run the whole
-    token-explode aggregation for both sides) and only (key, id,
-    fingerprint) tuples shuffle.
+    Pairing is bucket-local and JOIN-FREE, and it is EXACT-DUP-PROOF:
+    the corpus first collapses to DISTINCT fingerprints (ids collected
+    per fingerprint), so a million byte-identical documents contribute
+    ONE struct to their buckets instead of C(10⁶, 2) pair structs in a
+    single row (the r3 OOM hazard on dup-heavy corpora — the normal
+    dedup input). The pipeline:
+
+    1. ``groupBy(simhash)`` → (fingerprint, sorted id list) — identical
+       docs collapse here; one shuffle of (id, fingerprint) tuples.
+    2. Hamming-0 pairs stream straight out of each group through two
+       chained generators (posexplode + explode-of-slice) — per-row
+       memory is one group's id list (linear), never a quadratic pair
+       array; the quadratic pair volume is genuine OUTPUT, produced
+       incrementally by the generators.
+    3. DISTINCT fingerprints go through the combinatorial blocking
+       keys; bucket pair structs compare fingerprints only (hamming ≥ 1
+       by construction). Fingerprint pairs dedupe on (ha, hb) BEFORE
+       id expansion — cheaper than deduping expanded id pairs.
+    4. Each surviving fingerprint pair fans out to id pairs with two
+       chained explodes (again streaming, no quadratic row).
+
+    The fingerprint plan still executes ONCE (no self-join anywhere —
+    plan-shape test pins this) and only (key, fingerprint, ids) tuples
+    shuffle.
     """
     m, combos = simhash_chunk_plan(max_hamming, n_docs, n_chunks)
     width = SIMHASH_BITS // m
@@ -727,9 +784,25 @@ def simhash_pairs(
             key = term if key is None else key + term
         return key
 
-    keyed = fingerprints.select(
-        id_col,
+    groups = fingerprints.groupBy("simhash").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    same = (
+        groups.filter(F.size("ids") > 1)
+        .select("ids", F.posexplode("ids").alias("i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias(
+                "id_b"
+            ),
+        )
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    if max_hamming < 1:
+        return same
+    keyed = groups.select(
         "simhash",
+        "ids",
         F.explode(
             F.array(
                 *[
@@ -738,12 +811,12 @@ def simhash_pairs(
                 ]
             )
         ).alias("k"),
-    ).select(id_col, "simhash", F.col("k.ck").alias("ck"), F.col("k.cv").alias("cv"))
+    ).select("simhash", "ids", F.col("k.ck").alias("ck"), F.col("k.cv").alias("cv"))
     buckets = (
         keyed.groupBy("ck", "cv")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("h")))
+                F.collect_list(F.struct(F.col("simhash").alias("h"), F.col("ids").alias("ids")))
             ).alias("docs")
         )
         .filter(F.size("docs") > 1)
@@ -754,16 +827,28 @@ def simhash_pairs(
             lambda x, i: F.transform(
                 F.slice(F.col("docs"), i + 2, F.size("docs")),
                 lambda y: F.struct(
-                    x["i"].alias("id_a"),
-                    y["i"].alias("id_b"),
+                    x["h"].alias("ha"),
+                    x["ids"].alias("ids_a"),
+                    y["h"].alias("hb"),
+                    y["ids"].alias("ids_b"),
                     F.bit_count(x["h"].bitwiseXOR(y["h"])).alias("hamming"),
                 ),
             ),
         )
     )
-    return (
+    fpairs = (
         buckets.select(F.explode(pair_arrays).alias("p"))
-        .select("p.id_a", "p.id_b", "p.hamming")
+        .select("p.*")
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["ha", "hb"])
     )
+    cross = (
+        fpairs.select("ids_b", "hamming", F.explode("ids_a").alias("ra"))
+        .select("ra", "hamming", F.explode("ids_b").alias("rb"))
+        .select(
+            F.least("ra", "rb").alias("id_a"),
+            F.greatest("ra", "rb").alias("id_b"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross)

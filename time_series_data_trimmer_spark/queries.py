@@ -32,6 +32,10 @@ from time_series_data_trimmer_spark.functions.rounding import rd, sql_rd
 from time_series_data_trimmer_spark.operators import aggregates as aggs
 from time_series_data_trimmer_spark.operators import edits
 from time_series_data_trimmer_spark.operators.filters import apply_filter
+from time_series_data_trimmer_spark.sources.events import (
+    event_seconds,
+    event_ts_pushdown,
+)
 
 #: name → (spark_builder(spark, sf_dir) -> DataFrame, oracle_sql | None)
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
@@ -48,17 +52,14 @@ def register(name: str, sql: str | None):
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events + a double-seconds time axis ``t`` (epoch seconds).
 
-    The driver's ``events.parquet`` stores nanosecond timestamps, which
-    Spark's vectorized reader rejects; ``nanosAsLong`` (session conf)
-    reads them as raw int64 nanos. DuckDB truncates nanos→micros on
-    read, so ``t`` is derived the same way (``ts div 1000 / 1e6``) to
-    keep the oracle comparison bit-exact.
+    ``ts`` layout has varied across driver rounds (int64 nanos vs
+    timestamp[us]); `sources/events.py` derives integer epoch-micros
+    for either, matching DuckDB ``epoch(ts)`` bit-exactly.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    micros = F.expr("ts div 1000")
-    return df.withColumn("t", micros.cast("double") / F.lit(1e6))
+    return df.withColumn("t", event_seconds(df))
 
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -327,12 +328,12 @@ _T0 = 1704067200.0  # 2024-01-01 00:00:00 UTC epoch
 )
 def _q_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _events(spark, sf_dir)
-    # redundant raw-ts bound first: a plain long predicate reaches the
-    # parquet scan as PushedFilters (row-group min/max pruning), which the
-    # equivalent predicate on the derived `t` cannot. t ∈ [a,b] ⟺
-    # ts ∈ [a·1e9, b·1e9+999] for micro-truncated t.
+    # redundant raw-ts bound first: a layout-adaptive predicate on the
+    # physical ts column reaches the parquet scan as PushedFilters
+    # (row-group min/max pruning), which the equivalent predicate on
+    # the derived `t` cannot; the t filter below keeps it exact.
     lo, hi = _T0 + _SLICE[0], _T0 + _SLICE[1]
-    df = df.filter(F.col("ts").between(int(lo * 1e9), int(hi * 1e9) + 999))
+    df = df.filter(event_ts_pushdown(df, lo, hi))
     df = edits.take_time_slice(df, lo, hi, time_col="t")
     return df.select("user_id", "event_id", "event_type", "value")
 

@@ -1004,8 +1004,9 @@ def _q_stream_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup",
     """
     SELECT DISTINCT user_id,
-           md5(event_type || '|' ||
-               CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR))
+           md5(coalesce(event_type, '<null>') || '|' ||
+               coalesce(CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR),
+                        '<null>'))
              AS content_key
     FROM events
     """,

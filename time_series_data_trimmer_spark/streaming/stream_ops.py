@@ -22,11 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from time_series_data_trimmer_spark.functions.rounding import rd
+from time_series_data_trimmer_spark.sources.events import event_time
 
 
 def _events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over the events parquet (nano timestamps →
-    long nanos → proper event-time timestamp column)."""
+    """File-source stream over the events parquet (either ts layout →
+    proper event-time timestamp column; see sources/events.py)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     if os.path.isdir(path):
@@ -41,7 +42,7 @@ def _events_stream(spark: SparkSession, path: str) -> DataFrame:
             .option("pathGlobFilter", fname)
             .parquet(base)
         )
-    return stream.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("event_time", event_time(stream))
 
 
 def _run_to_memory(windowed: DataFrame, mode: str = "complete") -> DataFrame:
@@ -217,7 +218,11 @@ def _dedup_plan(
     The digest is md5 over the content columns with the float channel
     quantized to an integer (floor(value·100 + 0.5) — cents), never a
     raw double→string cast: engines disagree on float formatting, and
-    the batch oracle must reproduce the digest bit-for-bit.
+    the batch oracle must reproduce the digest bit-for-bit. NULL inputs
+    coalesce to a '<null>' sentinel BEFORE hashing — a bare concat
+    null-propagates, which would silently collapse every null-bearing
+    observation per key into one regardless of the other column's
+    value (r3 advice).
 
     State holds one digest per distinct key seen within the watermark
     delay; the watermark purges entries older than the delay, so state
@@ -230,7 +235,11 @@ def _dedup_plan(
     stream = _events_stream(spark, path)
     cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
     digest = F.md5(
-        F.concat(F.col("event_type"), F.lit("|"), cents.cast("string"))
+        F.concat(
+            F.coalesce(F.col("event_type"), F.lit("<null>")),
+            F.lit("|"),
+            F.coalesce(cents.cast("string"), F.lit("<null>")),
+        )
     )
     keyed = stream.withColumn("content_key", digest).withWatermark(
         "event_time", watermark
