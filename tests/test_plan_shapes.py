@@ -63,6 +63,76 @@ def test_simhash_pairs_plan_has_no_joins(spark):
         assert node not in plan, f"unexpected {node} in simhash_pairs plan"
 
 
+def _keyless_windows(df) -> list[str]:
+    """Window nodes with an EMPTY partition spec in the optimized
+    logical plan — the single-partition-sort shape that dies at 100×
+    (Spark logs 'WindowExec: No Partition Defined' at runtime)."""
+    hits = []
+
+    def walk(node):
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            hits.append(node.toString().splitlines()[0][:120])
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return hits
+
+
+# the sanctioned BroadcastNestedLoopJoin shapes — both have build sides
+# that do NOT scale with the fact table:
+#   (a) a 1-row scalar aggregate broadcast-cross-joined back
+#       (PLANS.md invariant 7)
+#   (b) an interval/annotation table broadcast range join (KB build
+#       side: the reference's annotation and deletion lists, SURVEY
+#       §1.1 — bounded by human labeling, not data volume)
+_SCALAR_BNLJ_OK = {
+    "tpch_q15_top_supplier",  # (a)
+    "tpch_q17_small_quantity_revenue",  # (a)
+    "tpch_q22_global_sales_opportunity",  # (a)
+    "j1_annotation_containment_join",  # (b)
+    "j2_deletion_anti_join",  # (b)
+}
+
+
+def test_registry_sweep_global_invariants(spark):
+    # EVERY registered query's plan upholds the scale invariants —
+    # no whitelist for keyless windows (the r3 verdict's two offenders,
+    # tpch_q15 and mix_sequence_pack_offsets, are fixed in r4):
+    #   1. no empty-partition Window anywhere
+    #   2. no SortMergeJoin (shuffle-hash + AQE upgrade policy)
+    #   3. no CartesianProduct
+    #   4. BroadcastNestedLoopJoin only for the 1-row scalar pattern
+    # Streaming queries are excluded: their builders execute to a
+    # memory sink, so the returned frame is a materialized result, not
+    # a lazy plan (their plan properties are covered by the streaming
+    # parity tests).
+    qs = entry.queries()
+    audited, problems = 0, []
+    for name, fn in qs.items():
+        if name.startswith("stream_"):
+            continue
+        df = fn(spark, SF)
+        audited += 1
+        kw = _keyless_windows(df)
+        if kw:
+            problems.append(f"{name}: keyless Window {kw}")
+        plan = ""
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        if "SortMergeJoin" in plan:
+            problems.append(f"{name}: SortMergeJoin")
+        if "CartesianProduct" in plan:
+            problems.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _SCALAR_BNLJ_OK:
+            problems.append(f"{name}: unsanctioned BroadcastNestedLoopJoin")
+    assert audited >= 85, f"sweep only saw {audited} queries — registry shrank?"
+    assert not problems, "scale invariant violations:\n" + "\n".join(problems)
+
+
 def test_sampling_queries_have_no_shuffle(spark):
     # scan-side membership: no Exchange in the Bernoulli/stratified plans
     for name in ("sample_hash_bernoulli", "sample_stratified_by_source"):

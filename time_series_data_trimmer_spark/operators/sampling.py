@@ -118,12 +118,48 @@ def token_budget_per_stratum(
     return out
 
 
+def _base_offset_frame(df: DataFrame, totals: DataFrame, shard_col: str) -> DataFrame:
+    """Tiny second phase of the distributed prefix-sum: collect the
+    per-shard token totals (BOUNDED — one row per shard), cumsum them
+    driver-side in shard order, and return a broadcastable
+    (shard, __base) frame. The collect is the same bounded-action class
+    as the IVF centroid pick; everything heavy stays distributed."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = sorted(
+        ((r[0], r[1] or 0) for r in totals.collect()), key=lambda x: x[0]
+    )
+    out, acc = [], 0
+    for shard_val, tot in rows:
+        out.append((shard_val, acc))
+        acc += int(tot)
+    schema = StructType(
+        [
+            StructField(shard_col, totals.schema[0].dataType),
+            StructField("__base", LongType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out, schema)
+
+
+def _chop(out: DataFrame, seq_len: int, *head_cols: str) -> DataFrame:
+    return out.select(
+        *head_cols,
+        "n_tokens",
+        "tok_start",
+        "tok_end",
+        F.floor(F.col("tok_start") / F.lit(int(seq_len))).cast("long").alias("first_seq"),
+        F.floor((F.col("tok_end") - 1) / F.lit(int(seq_len))).cast("long").alias("last_seq"),
+    )
+
+
 def sequence_pack_offsets(
     df: DataFrame,
     seq_len: int,
     key_col: str = "doc_id",
     text_col: str = "text",
     seed: str = "tsdt",
+    shard_bits: int = 6,
 ) -> DataFrame:
     """Concat-and-chop sequence packing offsets — the layout step of
     LLM training-data prep: documents are concatenated in a
@@ -135,29 +171,90 @@ def sequence_pack_offsets(
     a boundary iff first_seq < last_seq — the packing report that tells
     you how much attention-masking/fragmentation a mix produces).
 
-    One GLOBAL ordered cumulative sum — in Spark a keyless running
-    window means a single-partition sort, so at scale this runs
-    per-stratum in production (pass a partition column via
-    ``stratum_col`` in `token_budget_per_stratum` first, or pack per
-    shard); the registered form demonstrates the semantics. All
-    integer math: exact in any engine.
+    SCALE-SAFE GLOBAL ORDER (r4): the r3 form ran ONE keyless running
+    window — a single-partition sort of the whole corpus. This form is
+    a distributed prefix-sum with data-independent shard boundaries:
+    the shard id is the TOP ``shard_bits`` bits of the same hash that
+    defines the concat order, so (shard, h, key) order IS (h, key)
+    order — per-shard window cumsum runs 2^shard_bits-way parallel,
+    the per-shard totals (2^shard_bits rows) cumsum driver-side into
+    base offsets, and a broadcast join adds each shard's base. Results
+    are bit-identical to the global-window form; no keyless WindowExec
+    anywhere in the plan. Raise ``shard_bits`` with cluster width
+    (uniform hash ⇒ balanced shards). All integer math: exact in any
+    engine.
     """
     h = hash_u32(F.col(key_col), seed)
-    w = Window.orderBy(h.asc(), F.col(key_col).asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     n_tok = token_count(F.col(text_col)).cast("long")
+    t = df.select(
+        F.col(key_col),
+        n_tok.alias("n_tokens"),
+        h.alias("__h"),
+        F.shiftright(h, 32 - int(shard_bits)).cast("long").alias("__shard"),
+    )
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(F.col("__h").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("__loc_end", F.sum("n_tokens").over(w))
+    totals = t.groupBy("__shard").agg(F.sum("n_tokens").alias("__tot"))
+    bases = _base_offset_frame(df, totals, "__shard")
     out = (
-        df.withColumn("n_tokens", n_tok)
-        .withColumn("tok_end", F.sum("n_tokens").over(w))
+        local.join(F.broadcast(bases), "__shard")
+        .withColumn("tok_end", F.col("__loc_end") + F.col("__base"))
         .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
         .filter(F.col("n_tokens") > 0)
     )
-    return out.select(
+    return _chop(out, seq_len, key_col)
+
+
+def sequence_pack_offsets_sharded(
+    df: DataFrame,
+    seq_len: int,
+    shard_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "tsdt",
+) -> DataFrame:
+    """Production per-shard sequence packing: documents concatenate in
+    (shard, hash, key) order — shard-major, deterministic within each
+    shard — and offsets are GLOBALLY contiguous across shards (each
+    shard's stream starts at the running total of all prior shards).
+
+    Same two-phase distributed prefix-sum as `sequence_pack_offsets`
+    but keyed on a REAL column (source / date bucket / tenant): one
+    per-shard window cumsum (parallel across shards), one tiny
+    per-shard total aggregate collected and cumsum'd driver-side
+    (bounded: one row per shard), one broadcast join. This is the form
+    a 100 TB mix actually calls — no global sort, no keyless window;
+    shard skew follows the shard column's data skew, so pick shards
+    with bounded size (or sub-shard via `sequence_pack_offsets`'s
+    hash-bit sharding within each).
+
+    ``shard_col`` values must be non-null (they define the concat
+    order across shards).
+    """
+    h = hash_u32(F.col(key_col), seed)
+    n_tok = token_count(F.col(text_col)).cast("long")
+    t = df.select(
+        F.col(shard_col),
         F.col(key_col),
-        "n_tokens",
-        "tok_start",
-        "tok_end",
-        F.floor(F.col("tok_start") / F.lit(int(seq_len))).cast("long").alias("first_seq"),
-        F.floor((F.col("tok_end") - 1) / F.lit(int(seq_len))).cast("long").alias("last_seq"),
+        n_tok.alias("n_tokens"),
+        h.alias("__h"),
     )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col("__h").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("__loc_end", F.sum("n_tokens").over(w))
+    totals = t.groupBy(shard_col).agg(F.sum("n_tokens").alias("__tot"))
+    bases = _base_offset_frame(df, totals, shard_col)
+    out = (
+        local.join(F.broadcast(bases), shard_col)
+        .withColumn("tok_end", F.col("__loc_end") + F.col("__base"))
+        .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    return _chop(out, seq_len, key_col, shard_col)

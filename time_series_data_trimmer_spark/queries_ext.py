@@ -912,11 +912,47 @@ def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chop sequence packing (seq_len=512): each doc's global
     token interval and the training sequences it spans, in deterministic
-    hash order — the packing report that quantifies fragmentation.
-    The registered form demonstrates the semantics with a global
-    running sum; production packs per shard (see the operator
-    docstring)."""
+    hash order. r4: scale-safe distributed prefix-sum — the shard id is
+    the hash's top bits, so per-shard window cumsum + broadcast base
+    offsets reproduce the global-order result bit-for-bit with no
+    keyless window anywhere in the plan (the oracle stays the simple
+    global-window SQL)."""
     return sp.sequence_pack_offsets(_table(spark, sf_dir, "documents"), seq_len=512)
+
+
+@register(
+    "mix_sequence_pack_sharded",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             {_SQL_H} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY source, h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS tok_end
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, tok_end - n_tokens AS tok_start, tok_end,
+           CAST(floor((tok_end - n_tokens) / 512.0) AS BIGINT) AS first_seq,
+           CAST(floor((tok_end - 1) / 512.0) AS BIGINT) AS last_seq
+    FROM c WHERE n_tokens > 0
+    """,
+)
+def _q_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production per-shard packing (shard = source, seq_len=512):
+    shard-major deterministic concat order with globally contiguous
+    offsets — per-shard window cumsum, driver-side cumsum of the
+    per-shard totals (one bounded row per shard), broadcast base-offset
+    join. The oracle is the equivalent single global window ordered by
+    (source, h, doc_id) — DuckDB doesn't need the scale-safe shape,
+    the result must match it exactly."""
+    return sp.sequence_pack_offsets_sharded(
+        _table(spark, sf_dir, "documents"), seq_len=512
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1553,9 +1589,14 @@ def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # argmax over an aggregate: rank the per-supplier revenues with a
-    # global max window instead of re-aggregating in a scalar subquery —
-    # one extra single-column exchange, no second scan of lineitem
+    # argmax over an aggregate, scalar-subquery style (the q22 pattern,
+    # PLANS.md invariant 7): reduce the per-supplier revenues to a
+    # 1-ROW max aggregate and broadcast-cross-join it back, then filter
+    # equality. The r3 form used max().over(Window.partitionBy()) — an
+    # EMPTY-PARTITION window that funnels every supplier's aggregate
+    # through one task (WindowExec "No Partition Defined"); at 100×
+    # TPC-H that single task sorts millions of rows. Here the max is a
+    # partial-aggregated 1-row exchange and the revenue rows stream.
     l = _table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
@@ -1564,9 +1605,10 @@ def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(_dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("total_revenue"))
     )
-    top = rev.withColumn(
-        "__mx", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("__mx"))
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("__mx")
+    )
     s = _table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         s.join(top.hint("shuffle_hash"), s["s_suppkey"] == top["supplier_no"])
