@@ -50,6 +50,15 @@ HEADLINE = [
     "sim_cosine_scores",        # higher-order-function vector math
     "text_quality_score",       # codegen string features
     "stream_tumbling_hour_agg",  # Structured Streaming availableNow
+    # r4: the true heavy hitters, previously off-headline — a
+    # regression here was invisible to BENCH_r*. Per-query timings
+    # remain comparable to r3 for the 20 names above.
+    "dedup_ngram_jaccard",       # capped inverted-index pairing (most expensive query)
+    "dedup_ngram_jaccard_prefix",  # exact PPJoin prefix+length+positional join
+    "dedup_simhash_pairs",       # combinatorial-key bucket pairing
+    "dedup_embedding_topk_pairs",  # LSH-blocked + exact decimal re-rank
+    "tpch_q21_waiting_supplier",  # widest semi/anti join tree
+    "mix_sequence_pack_offsets",  # distributed prefix-sum packing
 ]
 
 

@@ -25,23 +25,30 @@ from time_series_data_trimmer_spark.functions.rounding import rd
 from time_series_data_trimmer_spark.sources.events import event_time
 
 
-def _events_stream(spark: SparkSession, path: str) -> DataFrame:
+def _events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the events parquet (either ts layout →
-    proper event-time timestamp column; see sources/events.py)."""
+    proper event-time timestamp column; see sources/events.py).
+
+    ``max_files_per_trigger`` bounds each micro-batch to N source files
+    (oldest modification time first) — production backpressure control,
+    and the lever the late-data tests use to force a deterministic
+    batch-per-file schedule so watermark advancement between batches is
+    observable."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     if os.path.isdir(path):
         # a parquet DIRECTORY (the normal layout) streams directly
-        stream = spark.readStream.schema(schema).parquet(path)
+        stream = reader.parquet(path)
     else:
         # a single parquet FILE: the file-source needs a directory, so
         # stream the containing dir with a glob filter for the one file
         base, fname = os.path.split(path)
-        stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", fname)
-            .parquet(base)
-        )
+        stream = reader.option("pathGlobFilter", fname).parquet(base)
     return stream.withColumn("event_time", event_time(stream))
 
 
@@ -90,10 +97,12 @@ def _run_to_files(out: DataFrame, out_dir: str, checkpoint_dir: str) -> DataFram
     return out.sparkSession.read.schema(out.schema).parquet(out_dir)
 
 
-def _tumbling_hour_windowed(spark: SparkSession, path: str) -> DataFrame:
+def _tumbling_hour_windowed(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Shared streaming plan: per-user tumbling 1-hour aggregation with
     a 1-hour watermark — count + order-independent decimal sum."""
-    stream = _events_stream(spark, path)
+    stream = _events_stream(spark, path, max_files_per_trigger)
     windowed = (
         stream.withWatermark("event_time", "1 hour")
         .groupBy(F.col("user_id"), F.window("event_time", "1 hour").alias("w"))
@@ -120,13 +129,21 @@ def tumbling_hour_agg(spark: SparkSession, path: str) -> DataFrame:
 
 
 def tumbling_hour_agg_to_files(
-    spark: SparkSession, path: str, out_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Production form: append-mode parquet sink (exactly-once via the
     checkpoint; only watermark-closed windows are written). Returns a
     batch DataFrame over the sink directory (schema pinned, so an
     empty sink reads as an empty frame rather than failing inference)."""
-    return _run_to_files(_tumbling_hour_windowed(spark, path), out_dir, checkpoint_dir)
+    return _run_to_files(
+        _tumbling_hour_windowed(spark, path, max_files_per_trigger),
+        out_dir,
+        checkpoint_dir,
+    )
 
 
 def session_agg_to_files(
@@ -210,6 +227,7 @@ def _dedup_plan(
     path: str,
     keys: tuple[str, ...] = ("user_id",),
     watermark: str = "45 days",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Shared streaming-dedup plan: content digest + watermarked
     ``dropDuplicatesWithinWatermark`` — exactly-once emission of each
@@ -232,7 +250,7 @@ def _dedup_plan(
     production deployment picks the delay that matches its duplicate
     horizon (how stale a replayed record can be).
     """
-    stream = _events_stream(spark, path)
+    stream = _events_stream(spark, path, max_files_per_trigger)
     cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
     digest = F.md5(
         F.concat(
@@ -267,12 +285,15 @@ def stream_dedup_to_files(
     checkpoint_dir: str,
     keys: tuple[str, ...] = ("user_id",),
     watermark: str = "45 days",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Production form: append-mode parquet sink with checkpoint —
     exactly-once deduped records, restartable from the checkpoint
     (a second run over the same source emits nothing new)."""
     return _run_to_files(
-        _dedup_plan(spark, path, keys, watermark), out_dir, checkpoint_dir
+        _dedup_plan(spark, path, keys, watermark, max_files_per_trigger),
+        out_dir,
+        checkpoint_dir,
     )
 
 
