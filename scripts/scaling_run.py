@@ -197,6 +197,93 @@ def main():
     cand10 = sim.lsh_candidate_pairs(_table(spark, DST, "embeddings"), 64, 11, 6).count()
     results["_lsh_candidates"] = (cand1, cand10)
 
+    # r4: fused multi-op paths + the scale-safe packing rewrite
+    for name in (
+        "recipe_compiled_chain",
+        "mix_sequence_pack_offsets",
+        "mix_sequence_pack_sharded",
+        "dedup_ngram_jaccard_prefix",
+    ):
+        t1 = steady(lambda: qs[name](spark, SRC).collect())
+        t10 = steady(lambda: qs[name](spark, DST).collect())
+        results[name] = (t1, t10)
+
+    # r4: PPJoin candidate volume — prefix filter alone vs + length
+    # + positional (both only prune; result set identical, tested)
+    from time_series_data_trimmer_spark.operators import dedup as dd
+    from pyspark.sql import functions as F
+
+    def ppjoin_cands(sf_dir, use_len, use_pos):
+        docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+        toks = docs.select(
+            F.col("doc_id"),
+            F.explode(dd.word_shingles(F.col("text"), dd.DEFAULT_SHINGLE)).alias("g"),
+        )
+        cand, _ = dd.prefix_join_candidates(
+            toks, 0.2, use_length_filter=use_len, use_positional_filter=use_pos
+        )
+        return cand.count()
+
+    for sf_name, d in (("sf0.1", SRC), ("x10", DST)):
+        results[f"_ppjoin_candidates_{sf_name}(prefix_only,+len,+len+pos)"] = (
+            ppjoin_cands(d, False, False),
+            (ppjoin_cands(d, True, False), ppjoin_cands(d, True, True)),
+        )
+
+    # r4: JOIN-side skew rehearsal — events fact side with 70% of rows
+    # on one hot key, joined to a small-but-not-broadcast dim; AQE must
+    # split the hot partition (skew=true) at both scales
+    from time_series_data_trimmer_spark.operators.skew import aqe_skew_split_applied
+
+    def skew_join(sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        facts = ev.select(
+            F.when(F.col("event_id") % 10 < 7, F.lit(0))
+            .otherwise(F.col("user_id"))
+            .alias("k"),
+            "event_id",
+            "value",
+            F.repeat(F.md5(F.col("event_id").cast("string")), 4).alias("pad"),
+        )
+        dims = spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("dv")
+        )
+        prev = {
+            "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold"
+            ),
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": spark.conf.get(
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+            ),
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": spark.conf.get(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+            ),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+            ),
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1048576"
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "524288"
+            )
+            t0 = time.time()
+            split = aqe_skew_split_applied(facts.join(dims, "k"))
+            return time.time() - t0, split
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
+
+    (t1, s1), (t10, s10) = skew_join(SRC), skew_join(DST)
+    results["skew_join_aqe_split(events, 70% hot key)"] = (
+        (round(t1, 2), s1),
+        (round(t10, 2), s10),
+    )
+
     # streaming production path: append-mode file sink at 1x and 10x
     import shutil
     import uuid
@@ -213,12 +300,15 @@ def main():
     results["stream_tumbling_file_sink"] = (t1, t10)
 
     for name, (a, b) in results.items():
-        growth = round(b / a, 2) if a else None
-        print(
-            json.dumps(
-                {"query": name, "sf0.1": round(a, 2), "x10": round(b, 2), "growth": growth}
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            growth = round(b / a, 2) if a else None
+            print(
+                json.dumps(
+                    {"query": name, "sf0.1": round(a, 2), "x10": round(b, 2), "growth": growth}
+                )
             )
-        )
+        else:
+            print(json.dumps({"query": name, "sf0.1": a, "x10": b}))
 
 
 if __name__ == "__main__":

@@ -58,6 +58,52 @@ def test_salted_agg_rejects_non_algebraic():
         salted_agg(None, ["k"], {"m": ("median", "v")})
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    # JOIN-side skew (the case salting doesn't cover): one hot join key
+    # holding most of the fact rows. With broadcast disabled (so the
+    # join really shuffles) and the skew thresholds lowered to test
+    # volume, AQE must split the hot partition — the final adaptive
+    # plan marks the join skew=true — and the join result must be
+    # unchanged.
+    from time_series_data_trimmer_spark.operators.skew import (
+        aqe_skew_split_applied,
+    )
+
+    # incompressible padding: shuffle skew detection reads COMPRESSED
+    # map-output sizes, so a constant pad would vanish
+    pad = F.repeat(F.md5(F.col("id").cast("string")), 8)
+    facts = spark.range(0, 120_000).select(
+        F.when(F.col("id") % 10 < 8, F.lit(0)).otherwise(F.col("id") % 97).alias("k"),
+        F.col("id").alias("fid"),
+        pad.alias("pad"),
+    )
+    dims = spark.range(0, 97).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("dval")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "262144",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "131072",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16384",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = facts.join(dims, "k")
+        assert aqe_skew_split_applied(joined), (
+            "AQE did not split the hot partition:\n"
+            + joined._jdf.queryExecution().executedPlan().toString()[:2000]
+        )
+        # correctness unchanged by the split
+        n = facts.join(dims, "k").count()
+        assert n == 120_000
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_bucketed_join_no_exchange(spark, tmp_path):
     # warehouse.dir is static conf — tables land in ./spark-warehouse
     # (gitignored); clear both catalog entries AND stale locations left by

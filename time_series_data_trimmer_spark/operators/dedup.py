@@ -376,6 +376,76 @@ def ngram_jaccard_pairs(
     return out
 
 
+def prefix_join_candidates(
+    toks: DataFrame,
+    min_jaccard: float,
+    id_col: str = "doc_id",
+    use_length_filter: bool = True,
+    use_positional_filter: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate-pair stage of the PPJoin-style exact τ-Jaccard join:
+    (candidate id pairs, ranked token frame). Split out so the filter
+    contributions are measurable (scripts/scaling_run.py counts
+    candidates with each filter toggled); `ngram_jaccard_prefix_pairs`
+    always runs with both filters on — they only prune, never drop a
+    qualifying pair (proof sketches in its docstring).
+
+    ``toks``: (id_col, g) exploded token/gram rows, one per distinct
+    gram per doc.
+    """
+    tau = float(min_jaccard)
+
+    # ceil with a 1e-9 slack: exact-integer products that float jitter
+    # pushes above the integer still ceil to the true value, so every
+    # derived bound errs on the side of MORE candidates, never fewer.
+    def _safe_ceil(x):
+        return F.ceil(x - F.lit(1e-9))
+
+    dfc = toks.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(dfc.hint("shuffle_hash"), "g")
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("g").asc())
+    wsz = Window.partitionBy(id_col)
+    ranked = ranked.select(
+        F.col(id_col),
+        "g",
+        F.row_number().over(wdoc).alias("rn"),
+        F.count(F.lit(1)).over(wsz).alias("sz"),
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("sz") - _safe_ceil(F.lit(tau) * F.col("sz")) + F.lit(1)
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    sza, szb = F.col("pa.sz"), F.col("pb.sz")
+    # PPJoin overlap threshold α = ⌈τ/(1+τ)·(|A|+|B|)⌉
+    alpha = _safe_ceil(F.lit(tau / (1.0 + tau)) * (sza + szb))
+    cond = (F.col("pa.g") == F.col("pb.g")) & (
+        F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")
+    )
+    if use_length_filter:
+        # length filter: min size must reach ⌈τ·max size⌉
+        cond = cond & (
+            F.least(sza, szb) >= _safe_ceil(F.lit(tau) * F.greatest(sza, szb))
+        )
+    if use_positional_filter:
+        # positional filter: overlap reachable from this match must reach α
+        cond = cond & (
+            F.least(sza - F.col("pa.rn"), szb - F.col("pb.rn")) + F.lit(1)
+            >= alpha
+        )
+    cand = (
+        pa.join(pb, cond)
+        .select(
+            F.col(f"pa.{id_col}").alias("id_a"),
+            F.col(f"pb.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return cand, ranked
+
+
 def ngram_jaccard_prefix_pairs(
     df: DataFrame,
     min_jaccard: float,
@@ -433,55 +503,10 @@ def ngram_jaccard_prefix_pairs(
     """
     if not 0.0 < min_jaccard <= 1.0:
         raise ValueError("prefix filtering requires 0 < min_jaccard <= 1")
-    tau = float(min_jaccard)
-    # ceil with a 1e-9 slack: exact-integer products that float jitter
-    # pushes above the integer still ceil to the true value, so every
-    # derived bound errs on the side of MORE candidates, never fewer.
-    def _safe_ceil(x):
-        return F.ceil(x - F.lit(1e-9))
-
     toks = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
     )
-    dfc = toks.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    ranked = toks.join(dfc.hint("shuffle_hash"), "g")
-    from pyspark.sql import Window
-
-    wdoc = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("g").asc())
-    wsz = Window.partitionBy(id_col)
-    ranked = ranked.select(
-        F.col(id_col),
-        "g",
-        F.row_number().over(wdoc).alias("rn"),
-        F.count(F.lit(1)).over(wsz).alias("sz"),
-    )
-    prefix = ranked.filter(
-        F.col("rn")
-        <= F.col("sz") - _safe_ceil(F.lit(tau) * F.col("sz")) + F.lit(1)
-    )
-    pa, pb = prefix.alias("pa"), prefix.alias("pb")
-    sza, szb = F.col("pa.sz"), F.col("pb.sz")
-    # PPJoin overlap threshold α = ⌈τ/(1+τ)·(|A|+|B|)⌉
-    alpha = _safe_ceil(F.lit(tau / (1.0 + tau)) * (sza + szb))
-    cand = (
-        pa.join(
-            pb,
-            (F.col("pa.g") == F.col("pb.g"))
-            & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
-            # length filter: min size must reach ⌈τ·max size⌉
-            & (F.least(sza, szb) >= _safe_ceil(F.lit(tau) * F.greatest(sza, szb)))
-            # positional filter: overlap reachable from this match must reach α
-            & (
-                F.least(sza - F.col("pa.rn"), szb - F.col("pb.rn")) + F.lit(1)
-                >= alpha
-            ),
-        )
-        .select(
-            F.col(f"pa.{id_col}").alias("id_a"),
-            F.col(f"pb.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
+    cand, ranked = prefix_join_candidates(toks, min_jaccard, id_col)
     sz = ranked.filter(F.col("rn") == 1).select(F.col(id_col), F.col("sz"))
     ta = toks.select(F.col(id_col).alias("id_a"), F.col("g"))
     tb = toks.select(F.col(id_col).alias("__idb"), F.col("g").alias("gb"))

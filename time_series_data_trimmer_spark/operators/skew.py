@@ -90,6 +90,27 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def aqe_skew_split_applied(df: DataFrame) -> bool:
+    """Diagnostic: execute ``df`` (noop sink — full plan, no collect)
+    and report whether AQE's skew-join handling actually split a hot
+    partition (the final adaptive plan marks the join ``skew=true``).
+
+    This is the runtime complement to `salted_agg`: JOIN-side skew is
+    AQE's job (`spark.sql.adaptive.skewJoin.*` — on in the session
+    conf), and at 100 TB you want proof the mechanism engages rather
+    than faith that it might. Pair with lowered
+    ``skewedPartitionThresholdInBytes`` /
+    ``advisoryPartitionSizeInBytes`` to rehearse the behavior on test
+    volumes; production defaults (256 MB) engage on real hot keys.
+    """
+    # execute through the frame's OWN QueryExecution: a sink write (or
+    # count()) builds a separate QueryExecution, leaving this one's
+    # adaptive plan un-finalized (isFinalPlan=false, no skew markers)
+    df.foreachPartition(lambda _: None)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "skew=true" in plan
+
+
 def bucketed_join_is_shuffle_free(spark: SparkSession, left: str, right: str, on: Sequence[str]) -> bool:
     """Diagnostic: True iff joining two saved tables on ``on`` plans
     without any Exchange (i.e., bucketing was honored)."""
