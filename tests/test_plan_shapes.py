@@ -88,6 +88,7 @@ def _keyless_windows(df) -> list[str]:
 #       side: the reference's annotation and deletion lists, SURVEY
 #       §1.1 — bounded by human labeling, not data volume)
 _SCALAR_BNLJ_OK = {
+    "tpch_q11_important_parts",  # (a)
     "tpch_q15_top_supplier",  # (a)
     "tpch_q17_small_quantity_revenue",  # (a)
     "tpch_q22_global_sales_opportunity",  # (a)

@@ -1824,6 +1824,291 @@ def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH eu_supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    costs AS (
+      SELECT l_partkey, l_suppkey, min({sql_rd("l_extendedprice", 2)}) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    ec AS (
+      SELECT c.l_partkey, c.l_suppkey, c.cost, e.s_name, e.s_acctbal, e.n_name
+      FROM costs c JOIN eu_supp e ON c.l_suppkey = e.s_suppkey
+    ),
+    mc AS (SELECT l_partkey, min(cost) AS mincost FROM ec GROUP BY l_partkey)
+    SELECT p.p_partkey AS partkey, ec.s_name AS name, ec.n_name AS nation,
+           {sql_rd("ec.s_acctbal", 2)} AS acctbal, ec.cost AS supply_cost
+    FROM part p
+    JOIN ec ON ec.l_partkey = p.p_partkey
+    JOIN mc ON mc.l_partkey = ec.l_partkey AND ec.cost = mc.mincost
+    WHERE p.p_size <= 10
+    """,
+)
+def _q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q2 (adapted: the synthetic schema has no partsupp, so "supply
+    # cost" = min rounded extendedprice per (part, supplier) from
+    # lineitem; region filter on the SUPPLIER side as in the original).
+    # The defining shape survives: a CORRELATED GROUPWISE MIN — min
+    # cost per part across qualifying suppliers — expressed as a
+    # per-part min aggregate equality-joined back (never a window over
+    # an unkeyed frame, never a per-row subquery). nation/region
+    # broadcast; every SF-scaling side joins shuffle-hash.
+    n = _table(spark, sf_dir, "nation")
+    r = _table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        _table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        _table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(rd(F.col("l_extendedprice"), 2)).alias("cost"))
+    )
+    ec = costs.join(eu.hint("shuffle_hash"), costs["l_suppkey"] == eu["s_suppkey"])
+    mc = ec.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("cost").alias("mincost")
+    )
+    p = _table(spark, sf_dir, "part").filter(F.col("p_size") <= 10).select("p_partkey")
+    out = (
+        ec.join(
+            mc.hint("shuffle_hash"),
+            (ec["l_partkey"] == mc["__pk"]) & (ec["cost"] == mc["mincost"]),
+        )
+        .join(p.hint("shuffle_hash"), ec["l_partkey"] == p["p_partkey"])
+    )
+    return out.select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("s_name").alias("name"),
+        F.col("n_name").alias("nation"),
+        rd(F.col("s_acctbal"), 2).alias("acctbal"),
+        F.col("cost").alias("supply_cost"),
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    f"""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {_sql_dsum("l.l_extendedprice * (1.0 - l.l_discount) - 0.5 * l.l_quantity")} AS sum_profit
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, CAST(year(o.o_orderdate) AS BIGINT)
+    """,
+)
+def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q9 (adapted: profit uses a constant unit cost 0.5·quantity in
+    # place of the absent ps_supplycost). The shape is the widest
+    # PROFIT join tree: fact ⋈ orders ⋈ part(name LIKE) ⋈ supplier ⋈
+    # nation, decimal-summed by (nation, year). The LIKE filter prunes
+    # part BEFORE the join (predicate at the scan), so the fact side
+    # shrinks at the first shuffle-hash join.
+    l = _table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    o = _table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = _table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey")
+    s = _table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.5) * F.col("l_quantity")
+    )
+    j = (
+        l.join(p.hint("shuffle_hash"), l["l_partkey"] == p["p_partkey"])
+        .join(o.hint("shuffle_hash"), l["l_orderkey"] == o["o_orderkey"])
+        .join(s.hint("shuffle_hash"), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(_dsum(profit).alias("sum_profit"))
+
+
+@register(
+    "tpch_q11_important_parts",
+    f"""
+    WITH rich AS (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 2000.0),
+    vals AS (
+      SELECT l.l_partkey, {_sql_dsum("l.l_extendedprice", 2)} AS value
+      FROM lineitem l JOIN rich ON l.l_suppkey = rich.s_suppkey
+      GROUP BY l.l_partkey
+    ),
+    total AS (
+      SELECT sum(CAST(value AS DECIMAL(38,6))) AS tot, count(*) AS n FROM vals
+    )
+    SELECT v.l_partkey AS partkey, v.value
+    FROM vals v, total t
+    WHERE CAST(v.value AS DECIMAL(38,6)) * t.n * 10 > 12 * t.tot
+    """,
+)
+def _q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q11 (adapted: "important stock" = per-part lineitem value from
+    # high-balance suppliers exceeding 1.2x the MEAN part value; the
+    # synthetic schema has no partsupp, and a mean-relative threshold —
+    # value·n·10 > 12·total, integer-decimal exact — stays meaningful at every SF where TPC-H's
+    # fixed global fraction empties as the corpus grows). Shape
+    # preserved: GROUP SUMS COMPARED AGAINST A GLOBAL SCALAR — the
+    # per-part aggregate joins a 1-ROW total via broadcast cross join
+    # (the q22 scalar pattern), decimal-exact on both engines.
+    rich = _table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") >= 2000.0
+    ).select("s_suppkey")
+    l = _table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    vals = (
+        l.join(rich.hint("shuffle_hash"), l["l_suppkey"] == rich["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(_dsum(F.col("l_extendedprice"), 2).alias("value"))
+    )
+    total = vals.agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value").cast("decimal(38,6)") * F.col("n") * F.lit(10)
+            > F.lit(12) * F.col("tot")
+        )
+        .select(F.col("l_partkey").alias("partkey"), "value")
+    )
+
+
+@register(
+    "tpch_q12_priority_by_returnflag",
+    """
+    SELECT l.l_returnflag AS returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def _q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q12 (adapted: l_returnflag stands in for the absent l_shipmode).
+    # The shape: fact-fact equi-join with CONDITIONAL INTEGER
+    # AGGREGATION (CASE inside sum) — pure codegen, no decimal needed
+    # since the counts are exact integers; the year filter reaches the
+    # lineitem scan.
+    l = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    o = _table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    j = l.join(o.hint("shuffle_hash"), l["l_orderkey"] == o["o_orderkey"])
+    return j.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.sum(high).alias("high_line_count"),
+        F.sum(F.lit(1) - high).alias("low_line_count"),
+    )
+
+
+@register(
+    "tpch_q16_supplier_variety",
+    """
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13' AND p.p_size IN (1, 2, 3, 4, 5)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def _q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q16 (adapted: "customer complaints" exclusion becomes low-balance
+    # suppliers — no comment column). Shape preserved: DISTINCT-COUNT
+    # aggregation over an ANTI-JOINED fact — NOT IN → LeftAnti
+    # shuffle-hash (supplier scales with SF; never broadcast by hint),
+    # then countDistinct per part attribute triple (Spark plans the
+    # distinct as a two-phase expand + agg, map-side combined).
+    bad = _table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000.0
+    ).select("s_suppkey")
+    p = _table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(1, 2, 3, 4, 5)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    l = _table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    kept = l.join(
+        bad.hint("shuffle_hash"), l["l_suppkey"] == bad["s_suppkey"], "left_anti"
+    )
+    j = kept.join(p.hint("shuffle_hash"), kept["l_partkey"] == p["p_partkey"])
+    return j.groupBy(
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("type"),
+        F.col("p_size").alias("size"),
+    ).agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+
+
+@register(
+    "tpch_q20_heavy_shippers",
+    """
+    WITH small_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    ),
+    shipped AS (
+      SELECT l.l_suppkey, sum(CAST(l.l_quantity AS BIGINT)) AS qty
+      FROM lineitem l JOIN small_parts sp ON l.l_partkey = sp.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l.l_suppkey
+      HAVING sum(CAST(l.l_quantity AS BIGINT)) > 100
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name
+    FROM supplier s
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM shipped)
+    """,
+)
+def _q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q20 (adapted: availqty > half-of-shipped becomes a HAVING
+    # threshold on shipped quantity — no partsupp). Shape preserved:
+    # NESTED IN-SUBQUERIES → a semi-join CHAIN: parts filtered by name
+    # prefix (scan predicate) semi-restrict lineitem, the per-supplier
+    # aggregate filters by HAVING, and the result semi-joins supplier
+    # (LeftSemi shuffle-hash — the key set scales with SF).
+    sp_keys = _table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    l = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    shipped = (
+        l.join(sp_keys.hint("shuffle_hash"), l["l_partkey"] == sp_keys["p_partkey"], "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    s = _table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(shipped.hint("shuffle_hash"), s["s_suppkey"] == shipped["l_suppkey"], "left_semi")
+        .select(F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("name"))
+    )
+
+
+@register(
     "cdc_latest_event_per_user_type",
     f"""
     SELECT user_id, event_type, event_id, value

@@ -47,7 +47,13 @@ def event_seconds(df: DataFrame, ts_col: str = "ts") -> Column:
 
 def event_time(df: DataFrame, ts_col: str = "ts") -> Column:
     """Proper TIMESTAMP event-time column (for streaming watermarks)."""
-    return F.timestamp_micros(event_micros(df, ts_col))
+    dt = dict(df.dtypes).get(ts_col)
+    if dt in ("bigint", "long"):
+        return F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+    # already a timestamp: a plain cast (no-op for TIMESTAMP, wall-clock
+    # reinterpretation for NTZ under the pinned UTC session TZ) beats a
+    # timestamp_micros(unix_micros(...)) round trip
+    return F.col(ts_col).cast("timestamp")
 
 
 def event_ts_pushdown(
