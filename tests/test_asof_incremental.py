@@ -1,0 +1,102 @@
+"""Unit tests for the general as-of join and incremental dedup."""
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from time_series_data_trimmer_spark.operators.dedup import dedup_incremental
+from time_series_data_trimmer_spark.operators.edits import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2, 2, 3],
+                "t": [1.0, 5.0, 9.0, 2.0, 4.0, 7.0],
+                "lid": [10, 11, 12, 20, 21, 30],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2, 9],
+                "t": [0.5, 5.0, 8.0, 3.0, 1.0],
+                "v": [100.0, 200.0, 300.0, 400.0, 900.0],
+            }
+        )
+    )
+    return left, right
+
+
+def test_asof_join_backward_matches_merge_asof(spark):
+    left, right = _frames(spark)
+    got = (
+        asof_join(left, right, ["k"], "t", ["v"])
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    lp = left.toPandas().sort_values(["t", "k"])
+    rp = right.toPandas().sort_values(["t", "k"])
+    want = pd.merge_asof(lp, rp, on="t", by="k", direction="backward").sort_values(
+        "lid"
+    ).reset_index(drop=True)
+    assert got["v"].fillna(-1).tolist() == want["v"].fillna(-1).tolist()
+    # tie at t=5.0 is INCLUSIVE (right row at the same instant matches)
+    assert got.loc[got.lid == 11, "v"].iloc[0] == 200.0
+    # left row before any right row → null match
+    assert pd.isna(got.loc[got.lid == 20, "v"].iloc[0])
+    # matched right time surfaces
+    assert got.loc[got.lid == 12, "asof_t"].iloc[0] == 8.0
+
+
+def test_asof_join_forward_matches_merge_asof(spark):
+    left, right = _frames(spark)
+    got = (
+        asof_join(left, right, ["k"], "t", ["v"], direction="forward")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    lp = left.toPandas().sort_values(["t", "k"])
+    rp = right.toPandas().sort_values(["t", "k"])
+    want = pd.merge_asof(lp, rp, on="t", by="k", direction="forward").sort_values(
+        "lid"
+    ).reset_index(drop=True)
+    assert got["v"].fillna(-1).tolist() == want["v"].fillna(-1).tolist()
+
+
+def test_asof_join_rejects_bad_direction(spark):
+    import pytest
+
+    left, right = _frames(spark)
+    with pytest.raises(ValueError):
+        asof_join(left, right, ["k"], "t", ["v"], direction="nearest")
+
+
+def test_dedup_incremental_survivors_and_state_update(spark):
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": ["aa", "bb", "aa", "cc", "bb"],
+            }
+        )
+    )
+    import hashlib
+
+    seen = spark.createDataFrame(
+        pd.DataFrame({"digest": [hashlib.md5(b"cc").hexdigest()]})
+    )
+    got = (
+        dedup_incremental(new, seen)
+        .toPandas()
+        .sort_values("keep_id")
+        .reset_index(drop=True)
+    )
+    # 'cc' already ingested → dropped; 'aa' and 'bb' survive once each
+    # with their in-batch dup counts
+    assert got["keep_id"].tolist() == [1, 2]
+    assert got["batch_dups"].tolist() == [2, 2]

@@ -877,3 +877,38 @@ def simhash_pairs(
         )
     )
     return same.unionByName(cross)
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    seen_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: survivors of a NEW batch against an
+    already-ingested corpus — the daily-increment path of a 100 TB
+    pipeline, where re-deduping the full corpus per batch is a
+    non-starter. ``seen_digests`` is the historical digest table (one
+    md5 per ingested distinct content; the output of prior increments
+    or of `exact_dedup` on the backfill).
+
+    Plan: digest the new batch (scan-side md5, text bytes never
+    shuffle), LEFT ANTI shuffle-hash against the seen digests (the
+    seen side scales with corpus history — never broadcast by hint;
+    AQE upgrades while it fits), then the standard within-batch
+    survivor pick (min id per digest + batch dup count). Emits
+    (digest, keep_id, batch_dups): exactly the rows to append to both
+    the corpus and the seen-digest table, making the operator its own
+    state update.
+    """
+    d = new_df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("digest")
+    )
+    seen = seen_digests.select(F.col(seen_digests.columns[0]).alias("__seen"))
+    fresh = d.join(
+        seen.hint("shuffle_hash"), d["digest"] == seen["__seen"], "left_anti"
+    )
+    return fresh.groupBy("digest").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("batch_dups"),
+    )

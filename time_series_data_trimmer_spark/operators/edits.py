@@ -210,3 +210,64 @@ def snap_to_extremum(
     v_min = F.min(c).over(ws)
     pick_min = F.abs(v_max - c) < F.abs(v_min - c)
     return df.withColumn("snap_time", F.when(pick_min, t_min).otherwise(t_max))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_cols: list[str],
+    right_time_alias: str = "asof_t",
+    direction: str = "backward",
+) -> DataFrame:
+    """General scalable AS-OF JOIN: every left row gains the right row
+    with the greatest right time ≤ left time (``backward``; ties
+    inclusive) — or the smallest right time ≥ left time (``forward``) —
+    per key. The trades⋈quotes / sensor⋈calibration primitive, and the
+    table-valued generalization of P7's single-time `asof_lookup`
+    (reference plot3d.py:188-204 does one bisect per render tick).
+
+    Spark-first plan — the UNION TRICK, not a range join: tag both
+    sides, union them, and take ``last(right value, ignorenulls)`` over
+    one (key)-partitioned window ordered by (time, side, tiebreak).
+    ONE hash Exchange on the key, one sort, zero BNLJ — a range-join
+    formulation would nested-loop O(|L|·|R|) per key at 100 TB scale.
+    At equal times the right row sorts BEFORE the left row (side 0 <
+    side 1), making the match inclusive, which is DuckDB/pandas
+    ``ASOF JOIN`` semantics exactly — so the operator is
+    oracle-checkable against a native ASOF engine.
+
+    ``right`` must be unique per (keys, time) — pre-aggregate if not
+    (multiple right rows at the exact matched time make every as-of
+    engine's pick arbitrary; uniqueness is what makes the result
+    well-defined). Right payload columns (``value_cols``) must not
+    collide with left column names; the matched right time surfaces as
+    ``right_time_alias``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    lt = left.withColumn("__side", F.lit(1))
+    rt = (
+        right.select(
+            *key_cols,
+            F.col(time_col),
+            F.col(time_col).alias(right_time_alias),
+            *value_cols,
+        )
+        .withColumn("__side", F.lit(0))
+    )
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+    tcol = F.col(time_col).asc() if direction == "backward" else F.col(time_col).desc()
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(tcol, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [right_time_alias, *value_cols]
+    out = merged
+    for c in carried:
+        out = out.withColumn(
+            c, F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w)
+        )
+    return out.filter(F.col("__side") == 1).drop("__side")

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from time_series_data_trimmer_spark.functions.rounding import rd, sql_rd
 from time_series_data_trimmer_spark.operators import dedup as dd
+from time_series_data_trimmer_spark.operators import edits
 from time_series_data_trimmer_spark.operators import sampling as sp
 from time_series_data_trimmer_spark.operators import similarity as sim
 from time_series_data_trimmer_spark.operators import text as tx
@@ -2106,6 +2107,89 @@ def _q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(shipped.hint("shuffle_hash"), s["s_suppkey"] == shipped["l_suppkey"], "left_semi")
         .select(F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("name"))
     )
+
+
+@register(
+    "asof_join_click_purchase",
+    f"""
+    WITH l AS (
+      SELECT user_id, event_id, epoch(ts) AS t
+      FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+      SELECT user_id, epoch(ts) AS rt,
+             max({sql_rd("value", 2)}) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, epoch(ts)
+    )
+    SELECT l.user_id, l.event_id, l.t,
+           r.rt AS asof_t, r.purchase_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.t >= r.rt
+    """,
+)
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General AS-OF JOIN (trades⋈quotes shape): every click event
+    gains the most recent purchase value per user at-or-before its
+    time. Spark side = the union trick (ONE key-partitioned window,
+    zero range join — a range formulation nested-loops at scale);
+    oracle = DuckDB's NATIVE ASOF LEFT JOIN, so the semantics
+    (inclusive ties, per-key most-recent) are checked against a
+    reference as-of engine, not a re-derivation. The right side
+    pre-aggregates to one row per (user, t) — as-of is only
+    well-defined on a unique time series."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "t"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "t")
+        .agg(F.max(rd(F.col("value"), 2)).alias("purchase_value"))
+    )
+    out = edits.asof_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        time_col="t",
+        value_cols=["purchase_value"],
+        right_time_alias="asof_t",
+    )
+    return out.select("user_id", "event_id", "t", "asof_t", "purchase_value")
+
+
+@register(
+    "dedup_incremental_batch",
+    """
+    WITH seen AS (
+      SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 3 = 0
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 3 <> 0
+    ),
+    fresh AS (
+      SELECT b.* FROM batch b WHERE NOT EXISTS (
+        SELECT 1 FROM seen s WHERE s.d = b.digest
+      )
+    )
+    SELECT digest, min(doc_id) AS keep_id, count(*) AS batch_dups
+    FROM fresh GROUP BY digest
+    """,
+)
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a new batch (docs with doc_id % 3 ≠ 0)
+    deduped against the already-ingested corpus (digests of the % 3 = 0
+    docs) — digest anti-join + within-batch survivor pick. The
+    daily-increment path: the alternative (re-running exact dedup over
+    corpus+batch) rescans the full history every day."""
+    docs = _table(spark, sf_dir, "documents")
+    seen = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(F.md5("text").alias("d"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return dd.dedup_incremental(batch, seen)
 
 
 @register(
