@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Training-corpus curation end-to-end on this engine: redact → quality
 gate → exact dedup → near-dup pairs (minhash LSH) → clusters (connected
-components) → survivor selection → corpus stats. Every stage is the
-production scale path (digest shuffles, bucket-local pair explosion,
-window survivor picks — no broadcasts of unbounded frames, no all-pairs
-joins).
+components) → survivor selection → corpus stats → token-budget +
+Bernoulli mix → shard-major sequence packing → incremental dedup of the
+next batch. Every stage is the production scale path (digest shuffles,
+bucket-local pair explosion, window survivor picks, distributed
+prefix-sum packing — no broadcasts of unbounded frames, no all-pairs
+joins, no global sorts).
 
 Run: python examples/corpus_pipeline.py [sf_dir]   (default sf0.01)
 """
@@ -17,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from time_series_data_trimmer_spark.operators import dedup as dd
+from time_series_data_trimmer_spark.operators import sampling as sp
 from time_series_data_trimmer_spark.operators import text as tx
 from time_series_data_trimmer_spark.session import get_spark
 
@@ -59,6 +62,28 @@ def main() -> None:
     stats.show(truncate=False)
     dup = tx.dup_rate_by_source(docs).orderBy(F.col("dup_rate").desc()).limit(5)
     dup.show(truncate=False)
+
+    # 6. mix: per-source token budgets, then a deterministic Bernoulli
+    # thin — both are pure hash membership (repartition/retry/engine
+    # stable), so the mix is reproducible forever
+    budgeted = sp.token_budget_per_stratum(survivors, budget_tokens=20_000)
+    mixed = sp.hash_sample(budgeted, rate=0.9)
+    print(f"after budget+sample mix: {mixed.count()}")
+
+    # 7. pack: shard-major concat-and-chop sequence layout (per-source
+    # shards, globally contiguous offsets; distributed prefix-sum — no
+    # global sort anywhere)
+    packed = sp.sequence_pack_offsets_sharded(mixed, seq_len=512)
+    frag = packed.filter(F.col("first_seq") != F.col("last_seq")).count()
+    total = packed.count()
+    print(f"packed {total} docs into 512-token sequences; {frag} straddle a boundary")
+
+    # 8. tomorrow's increment: dedup a new batch against today's corpus
+    # digests only (never rescan history). Here: replay the raw docs as
+    # the "new batch" — everything already ingested is dropped.
+    seen = survivors.select(F.md5("text").alias("digest"))
+    increment = dd.dedup_incremental(docs, seen)
+    print(f"incremental batch: {increment.count()} genuinely-new docs")
 
 
 if __name__ == "__main__":

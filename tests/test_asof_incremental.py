@@ -68,6 +68,39 @@ def test_asof_join_forward_matches_merge_asof(spark):
     assert got["v"].fillna(-1).tolist() == want["v"].fillna(-1).tolist()
 
 
+def test_asof_join_randomized_vs_merge_asof(spark):
+    # seeded fuzz: random keys/times (with deliberate exact-tie
+    # collisions via integer times), both directions, vs pandas
+    import random
+
+    rng = random.Random(99)
+    lrows = [
+        (rng.randrange(6), float(rng.randrange(50)), i) for i in range(400)
+    ]
+    seen = set()
+    rrows = []
+    for j in range(200):
+        k, t = rng.randrange(6), float(rng.randrange(50))
+        if (k, t) not in seen:  # right must be unique per (key, time)
+            seen.add((k, t))
+            rrows.append((k, t, float(j)))
+    left = spark.createDataFrame(pd.DataFrame(lrows, columns=["k", "t", "lid"]))
+    right = spark.createDataFrame(pd.DataFrame(rrows, columns=["k", "t", "v"]))
+    lp = left.toPandas().sort_values(["t", "k", "lid"]).reset_index(drop=True)
+    rp = right.toPandas().sort_values(["t", "k"]).reset_index(drop=True)
+    for direction in ("backward", "forward"):
+        got = (
+            asof_join(left, right, ["k"], "t", ["v"], direction=direction)
+            .toPandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            lp, rp, on="t", by="k", direction=direction
+        ).sort_values("lid").reset_index(drop=True)
+        assert got["v"].fillna(-1).tolist() == want["v"].fillna(-1).tolist(), direction
+
+
 def test_asof_join_rejects_bad_direction(spark):
     import pytest
 
