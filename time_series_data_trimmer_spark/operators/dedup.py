@@ -322,17 +322,43 @@ def ngram_jaccard_pairs(
         sz = cand.select(F.col(id_col), F.size("grams").alias("sz")).dropDuplicates(
             [id_col]
         )
-        ga, gb = g.alias("ga"), g.alias("gb")
-        co = ga.join(
-            gb,
-            (F.col("ga.blk") == F.col("gb.blk"))
-            & (F.col("ga.g") == F.col("gb.g"))
-            & (F.col(f"ga.{id_col}") < F.col(f"gb.{id_col}")),
-        ).select(
-            F.col(f"ga.{id_col}").alias("id_a"),
-            F.col(f"gb.{id_col}").alias("id_b"),
-            F.col("ga.blk").alias("blk"),
-        )
+        if max_bucket is not None:
+            # postings-list pairing (r4): group ids per (block, gram) and
+            # stream each posting's pairs through two chained generators.
+            # One execution of the cap+shingle pipeline and ONE shuffle —
+            # the previous gram self-join re-executed that pipeline for
+            # BOTH join sides (measured 1.5× slower). Posting arrays are
+            # bounded by the block cap, so per-row memory is bounded by
+            # construction.
+            posts = (
+                g.groupBy("blk", "g")
+                .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+                .filter(F.size("ids") > 1)
+            )
+            co = (
+                posts.select("blk", "ids", F.posexplode("ids").alias("i", "id_a"))
+                .select(
+                    "blk",
+                    "id_a",
+                    F.explode(
+                        F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+                    ).alias("id_b"),
+                )
+            )
+        else:
+            # unbounded path: boilerplate grams could make a posting array
+            # as large as a whole block, so pairs stream through a join
+            ga, gb = g.alias("ga"), g.alias("gb")
+            co = ga.join(
+                gb,
+                (F.col("ga.blk") == F.col("gb.blk"))
+                & (F.col("ga.g") == F.col("gb.g"))
+                & (F.col(f"ga.{id_col}") < F.col(f"gb.{id_col}")),
+            ).select(
+                F.col(f"ga.{id_col}").alias("id_a"),
+                F.col(f"gb.{id_col}").alias("id_b"),
+                F.col("ga.blk").alias("blk"),
+            )
         inter = (
             co.groupBy("blk", "id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("i"))
