@@ -2110,6 +2110,32 @@ def _q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_enriched_counts",
+    f"""
+    WITH dim AS (
+      SELECT DISTINCT user_id, user_id % 10 AS cohort FROM events
+    )
+    SELECT d.cohort, count(*) AS n_events,
+           {_sql_dsum("e.value", 2)} AS sum_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY d.cohort
+    """,
+)
+def _q_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event STREAM joins a broadcast
+    static cohort dimension per micro-batch and aggregates per cohort —
+    the events ⋈ user-profile production shape. Final streaming state
+    must equal the batch join + groupBy the oracle runs."""
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        stream_static_enriched_counts,
+    )
+
+    return stream_static_enriched_counts(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
+@register(
     "asof_join_click_purchase",
     f"""
     WITH l AS (

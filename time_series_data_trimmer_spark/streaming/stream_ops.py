@@ -338,3 +338,37 @@ def running_counts_with_state(spark: SparkSession, path: str, threshold: float =
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(result, mode="update")
+
+
+def stream_static_enriched_counts(
+    spark: SparkSession, path: str, n_cohorts: int = 10
+) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a STATIC
+    dimension (computed once per query start, broadcast to every
+    micro-batch) and aggregates per enriched key — the
+    "events ⋈ user-profile" production shape. The static side here is
+    a derived cohort table (user_id % n); in production it is any
+    batch DataFrame — Spark replans the join per trigger, so a
+    broadcast-able dim stays broadcast.
+
+    Stream-static joins need no watermark on the static side and the
+    stream side needs none for an inner equi-join; the aggregate runs
+    in complete mode for the oracle harness (final state == batch
+    join + groupBy).
+    """
+    stream = _events_stream(spark, path)
+    static_dim = (
+        spark.read.parquet(path)
+        .select("user_id")
+        .distinct()
+        .withColumn("cohort", F.pmod(F.col("user_id"), F.lit(n_cohorts)).cast("long"))
+    )
+    joined = stream.join(F.broadcast(static_dim), "user_id")
+    agg = joined.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(rd(F.col("value"), 2).cast("decimal(38,6)")).alias("sum_dec"),
+    )
+    out = _run_to_memory(agg, mode="complete")
+    return out.select(
+        "cohort", "n_events", F.col("sum_dec").cast("double").alias("sum_value")
+    )
