@@ -78,3 +78,49 @@ def test_token_budget_is_exact_prefix(spark):
             if cum <= budget:
                 kept_want.add(r.doc_id)
     assert set(out["doc_id"]) == kept_want
+
+
+def test_pack_offsets_contiguous_and_covering(spark):
+    # distributed prefix-sum invariants: offsets are contiguous in the
+    # global hash order (next tok_start == prev tok_end), start at 0,
+    # and cover exactly the total token count
+    import pandas as pd
+
+    from time_series_data_trimmer_spark.operators.sampling import (
+        sequence_pack_offsets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sequence_pack_offsets(docs, seq_len=128).toPandas()
+    out = out.sort_values("tok_start").reset_index(drop=True)
+    assert out.tok_start.iloc[0] == 0
+    assert (out.tok_end - out.tok_start == out.n_tokens).all()
+    assert (
+        out.tok_start.iloc[1:].to_numpy() == out.tok_end.iloc[:-1].to_numpy()
+    ).all(), "gaps or overlaps in the packed stream"
+    assert out.tok_end.iloc[-1] == out.n_tokens.sum()
+
+
+def test_pack_sharded_shard_major_and_contiguous(spark):
+    # shard-major: all of shard A's interval precedes shard B's for
+    # A < B; within AND across shards the stream is contiguous
+    from time_series_data_trimmer_spark.operators.sampling import (
+        sequence_pack_offsets_sharded,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sequence_pack_offsets_sharded(docs, seq_len=128).toPandas()
+    out = out.sort_values("tok_start").reset_index(drop=True)
+    assert out.tok_start.iloc[0] == 0
+    assert (
+        out.tok_start.iloc[1:].to_numpy() == out.tok_end.iloc[:-1].to_numpy()
+    ).all()
+    # shard blocks are intervals: the source sequence, read in offset
+    # order, never returns to an earlier shard
+    sources = out.source.tolist()
+    first_seen = {}
+    for i, s in enumerate(sources):
+        if s in first_seen:
+            assert sources[i - 1] == s, f"shard {s} interleaved at row {i}"
+        else:
+            first_seen[s] = i
