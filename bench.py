@@ -107,6 +107,10 @@ def main() -> None:
                 "sf": _sf_from_dir(SF_DIR),
                 # min-of-two steady runs since r02 (r01/BASELINE: single run)
                 "timing_rule": "min_of_2_steady",
+                # r4 extended the headline from 20 to 26 queries (the six
+                # heavy dedup/join hitters) — compare totals to r3 only
+                # over the shared 20; per-query keys are stable
+                "headline_set": "r4-extended-26",
             }
         )
     )

@@ -439,6 +439,11 @@ def prefix_join_candidates(
         F.row_number().over(wdoc).alias("rn"),
         F.count(F.lit(1)).over(wsz).alias("sz"),
     )
+    # NOTE: ranked feeds five consumers (both self-join sides, the
+    # size table, both verify branches). No explicit materialization:
+    # the identical window subtree collapses to ONE shuffle via
+    # ReusedExchange, and an eager localCheckpoint here measured ~2×
+    # SLOWER (extra materialization pass + an AQE boundary).
     prefix = ranked.filter(
         F.col("rn")
         <= F.col("sz") - _safe_ceil(F.lit(tau) * F.col("sz")) + F.lit(1)
@@ -534,8 +539,8 @@ def ngram_jaccard_prefix_pairs(
     )
     cand, ranked = prefix_join_candidates(toks, min_jaccard, id_col)
     sz = ranked.filter(F.col("rn") == 1).select(F.col(id_col), F.col("sz"))
-    ta = toks.select(F.col(id_col).alias("id_a"), F.col("g"))
-    tb = toks.select(F.col(id_col).alias("__idb"), F.col("g").alias("gb"))
+    ta = ranked.select(F.col(id_col).alias("id_a"), F.col("g"))
+    tb = ranked.select(F.col(id_col).alias("__idb"), F.col("g").alias("gb"))
     inter = (
         cand.join(ta.hint("shuffle_hash"), "id_a")
         .join(
