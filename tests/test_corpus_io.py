@@ -1,0 +1,60 @@
+"""Corpus layout management: partition pruning and small-file compaction."""
+
+import contextlib
+import io
+import os
+
+from pyspark.sql import functions as F
+
+from time_series_data_trimmer_spark.sources.corpus_io import (
+    compact_directory,
+    parquet_file_stats,
+    write_partitioned,
+)
+
+
+def test_write_partitioned_prunes_at_planning_time(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "by_source")
+    write_partitioned(docs, out, ["source"])
+    # one directory per source value
+    dirs = [d for d in os.listdir(out) if d.startswith("source=")]
+    n_sources = docs.select("source").distinct().count()
+    assert len(dirs) == n_sources
+
+    one = spark.read.parquet(out).filter(F.col("source") == "src3")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one.explain("formatted")
+    plan = buf.getvalue()
+    # the filter lands in PartitionFilters (directory pruning), and the
+    # result matches the unpartitioned read
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("source" in ln for ln in pf), plan
+    want = docs.filter(F.col("source") == "src3").count()
+    assert one.count() == want
+
+
+def test_compact_directory_merges_small_files(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "shattered")
+    # simulate an append-sink's layout debt: 64 tiny files
+    docs.repartition(64).write.mode("overwrite").parquet(out)
+    before_n, before_bytes = parquet_file_stats(out)
+    assert before_n >= 64
+    rows_before = spark.read.parquet(out).count()
+
+    # target = total size → everything fits in one file
+    b, a = compact_directory(spark, out, target_file_bytes=before_bytes * 2)
+    assert b == before_n and a < before_n and a <= 2
+
+    # contents unchanged (rows and a content checksum)
+    after = spark.read.parquet(out)
+    assert after.count() == rows_before
+    chk = lambda df: df.agg(
+        F.sum(F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long"))
+    ).collect()[0][0]
+    assert chk(after) == chk(docs)
+    # no staging/backup residue
+    parent = os.path.dirname(out)
+    assert not [d for d in os.listdir(parent) if "__compact" in d]

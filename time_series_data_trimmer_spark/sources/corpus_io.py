@@ -1,0 +1,89 @@
+"""Corpus-layout management: partitioned writes and small-file
+compaction.
+
+At 100 TB the TABLE LAYOUT is as much a part of query performance as
+the plan: a corpus partitioned by a low-cardinality column prunes whole
+directories before the scan starts (PartitionFilters — cheaper than
+row-group pruning, which still opens footers), and streaming/append
+sinks accumulate thousands of KB-sized files whose per-file open cost
+eventually dominates scans (the classic small-file problem).
+Reference: the engine's own append-mode streaming sinks
+(streaming/stream_ops.py) produce exactly this layout debt.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write a corpus hive-partitioned by ``partition_by`` (one
+    directory per value combination). Readers filtering on those
+    columns prune directories at PLANNING time — `PartitionFilters` in
+    the scan, zero I/O for excluded partitions — which row-group
+    min/max pruning cannot match (it still opens every file footer).
+
+    Choose LOW-cardinality columns (source, language, date bucket):
+    each combination becomes a directory, and a high-cardinality
+    partition key recreates the small-file problem this module's
+    `compact_directory` exists to fix.
+    """
+    writer = df.write.mode("overwrite")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.partitionBy(*partition_by).parquet(path)
+
+
+def parquet_file_stats(path: str) -> tuple[int, int]:
+    """(file count, total bytes) of the parquet data files under a
+    directory tree — the small-file diagnostic."""
+    n, total = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return n, total
+
+
+def compact_directory(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files:
+    the maintenance pass that follows append-mode streaming sinks
+    (thousands of KB-sized commits) before the corpus is scanned at
+    scale. Returns (files before, files after).
+
+    Repartition count = ceil(current bytes / target) — based on the
+    ACTUAL on-disk size, not row counts, so compression ratio is
+    accounted for. The rewrite stages into a sibling directory and
+    atomically renames, so a crash mid-compaction never leaves the
+    corpus truncated (the original survives until the swap).
+    """
+    import math
+    import shutil
+
+    before_n, before_bytes = parquet_file_stats(path)
+    n_files = max(1, math.ceil(before_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    staged = path.rstrip("/") + ".__compact_tmp__"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staged)
+    old = path.rstrip("/") + ".__compact_old__"
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+    after_n, _ = parquet_file_stats(path)
+    return before_n, after_n
