@@ -133,3 +133,33 @@ def test_dedup_incremental_survivors_and_state_update(spark):
     # with their in-batch dup counts
     assert got["keep_id"].tolist() == [1, 2]
     assert got["batch_dups"].tolist() == [2, 2]
+
+
+def test_asof_join_null_payload_not_blended(spark):
+    # r4 review finding: a matched right row with a NULL payload must
+    # surface AS NULL — per-column last(ignorenulls) would skip it and
+    # blend a STALE value with the newer asof_t
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": [3.0], "lid": [1]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [1.0, 2.0], "v": [100.0, None]})
+    )
+    got = asof_join(left, right, ["k"], "t", ["v"]).toPandas()
+    assert got["asof_t"].iloc[0] == 2.0
+    assert pd.isna(got["v"].iloc[0]), "stale v=100.0 blended into the t=2.0 match"
+
+
+def test_dedup_incremental_null_text_suppressed_on_next_batch(spark):
+    # r4 review finding: md5(NULL)=NULL and NULL==NULL is never true in
+    # the anti-join, so null-text docs would re-emit forever; the
+    # sentinel digest makes the state update actually suppress them
+    batch1 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [None, "aa"]})
+    )
+    out1 = dedup_incremental(batch1, spark.createDataFrame(pd.DataFrame({"digest": ["x"]})))
+    rows1 = out1.toPandas()
+    assert len(rows1) == 2 and rows1["digest"].notna().all()
+    # feed batch1's output digests back as state; replay the same batch
+    out2 = dedup_incremental(batch1, out1.select("digest"))
+    assert out2.count() == 0, "replayed batch must be fully suppressed"

@@ -932,8 +932,12 @@ def dedup_incremental(
     the corpus and the seen-digest table, making the operator its own
     state update.
     """
+    # coalesce before hashing: md5(NULL) is NULL and NULL == NULL is
+    # never true in the anti-join, so null-text docs would re-emit as
+    # "fresh" on EVERY increment (state never suppresses them)
     d = new_df.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("digest")
+        F.col(id_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit("<null>"))).alias("digest"),
     )
     seen = seen_digests.select(F.col(seen_digests.columns[0]).alias("__seen"))
     fresh = d.join(

@@ -264,10 +264,17 @@ def asof_join(
         .orderBy(tcol, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry the matched right row as ONE struct: per-column
+    # last(ignorenulls) would skip a legitimately-NULL payload field and
+    # blend values from DIFFERENT right rows (stale value with a newer
+    # asof_t). The struct is non-null exactly when a right row exists,
+    # so NULL fields inside the true match are preserved.
     carried = [right_time_alias, *value_cols]
-    out = merged
+    match = F.last(
+        F.when(F.col("__side") == 0, F.struct(*[F.col(c) for c in carried])),
+        ignorenulls=True,
+    ).over(w)
+    out = merged.withColumn("__match", match)
     for c in carried:
-        out = out.withColumn(
-            c, F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w)
-        )
-    return out.filter(F.col("__side") == 1).drop("__side")
+        out = out.withColumn(c, F.col("__match")[c])
+    return out.filter(F.col("__side") == 1).drop("__side", "__match")

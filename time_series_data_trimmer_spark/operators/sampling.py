@@ -192,6 +192,11 @@ def sequence_pack_offsets(
         h.alias("__h"),
         F.shiftright(h, 32 - int(shard_bits)).cast("long").alias("__shard"),
     )
+    # totals.collect() and the window/join run as SEPARATE jobs, so
+    # without a persist the tokenize+hash scan of the whole corpus runs
+    # twice. Lazy localCheckpoint: materialized by the collect, reused
+    # by the main job (narrow rows, MEMORY_AND_DISK).
+    t = t.localCheckpoint(eager=False)
     w = (
         Window.partitionBy("__shard")
         .orderBy(F.col("__h").asc(), F.col(key_col).asc())
@@ -243,6 +248,9 @@ def sequence_pack_offsets_sharded(
         n_tok.alias("n_tokens"),
         h.alias("__h"),
     )
+    # same two-job shape as sequence_pack_offsets: persist the narrow
+    # frame so the corpus scan happens once
+    t = t.localCheckpoint(eager=False)
     w = (
         Window.partitionBy(shard_col)
         .orderBy(F.col("__h").asc(), F.col(key_col).asc())

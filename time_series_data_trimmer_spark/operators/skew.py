@@ -105,8 +105,11 @@ def aqe_skew_split_applied(df: DataFrame) -> bool:
     """
     # execute through the frame's OWN QueryExecution: a sink write (or
     # count()) builds a separate QueryExecution, leaving this one's
-    # adaptive plan un-finalized (isFinalPlan=false, no skew markers)
-    df.foreachPartition(lambda _: None)
+    # adaptive plan un-finalized (isFinalPlan=false, no skew markers).
+    # JVM-only action: toRdd().count() finalizes the same adaptive plan
+    # without pickling a single row into Python (foreachPartition would
+    # serialize the whole join output to Python workers just to drop it)
+    df._jdf.queryExecution().toRdd().count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "skew=true" in plan
 

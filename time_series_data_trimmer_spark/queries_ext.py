@@ -2188,10 +2188,10 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental_batch",
     """
     WITH seen AS (
-      SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 3 = 0
+      SELECT DISTINCT md5(coalesce(text, '<null>')) AS d FROM documents WHERE doc_id % 3 = 0
     ),
     batch AS (
-      SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 3 <> 0
+      SELECT doc_id, md5(coalesce(text, '<null>')) AS digest FROM documents WHERE doc_id % 3 <> 0
     ),
     fresh AS (
       SELECT b.* FROM batch b WHERE NOT EXISTS (

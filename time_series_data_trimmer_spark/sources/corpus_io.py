@@ -66,22 +66,46 @@ def compact_directory(
 
     Repartition count = ceil(current bytes / target) — based on the
     ACTUAL on-disk size, not row counts, so compression ratio is
-    accounted for. The rewrite stages into a sibling directory and
-    atomically renames, so a crash mid-compaction never leaves the
-    corpus truncated (the original survives until the swap).
+    accounted for. The rewrite stages into a sibling directory, then
+    swaps via two renames; the original survives (as the staged dir or
+    the ``.__compact_old__`` backup) until the swap completes, and the
+    next invocation AUTO-RECOVERS any crash residue: stranded staging
+    is discarded, a stranded backup is restored if the corpus path is
+    missing, cleaned up if the swap had finished.
     """
     import math
     import shutil
 
+    staged = path.rstrip("/") + ".__compact_tmp__"
+    old = path.rstrip("/") + ".__compact_old__"
+    # crash recovery BEFORE doing anything: a stranded staging dir is an
+    # incomplete write (safe to discard); a stranded backup with the
+    # corpus path missing means we died mid-swap — restore the backup;
+    # a stranded backup WITH the corpus present means the swap finished
+    # and only cleanup was lost.
+    if os.path.exists(staged):
+        shutil.rmtree(staged)
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+
     before_n, before_bytes = parquet_file_stats(path)
     n_files = max(1, math.ceil(before_bytes / target_file_bytes))
     df = spark.read.parquet(path)
-    staged = path.rstrip("/") + ".__compact_tmp__"
-    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        # co-locate each partition value: round-robin repartition would
+        # spread every value over all n_files tasks and partitionBy
+        # would then write up to n_files × n_values tiny files — WORSE
+        # than the input
+        df = df.repartition(n_files, *partition_by)
+    else:
+        df = df.repartition(n_files)
+    writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staged)
-    old = path.rstrip("/") + ".__compact_old__"
     os.rename(path, old)
     os.rename(staged, path)
     shutil.rmtree(old)

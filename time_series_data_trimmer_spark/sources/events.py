@@ -69,8 +69,14 @@ def event_ts_pushdown(
     import math
 
     dt = dict(df.dtypes).get(ts_col)
-    if dt in ("bigint", "long"):  # nanos: t truncates, widen the top by 999 ns
-        return F.col(ts_col).between(int(lo_s * 1e9), int(hi_s * 1e9) + 999)
+    if dt in ("bigint", "long"):
+        # nanos: widen the top by the 999 ns truncation window, and BOTH
+        # ends by 2048 ns float slack — at 2024-epoch magnitudes (~1.7e18)
+        # a double ulp is 256 ns, so the bare product can overshoot the
+        # exact bound and silently prune rows the exact t-filter keeps
+        return F.col(ts_col).between(
+            int(lo_s * 1e9) - 2048, int(hi_s * 1e9) + 999 + 2048
+        )
     lo = F.timestamp_micros(F.lit(math.floor(lo_s * 1e6) - 1)).cast(dt)
     hi = F.timestamp_micros(F.lit(math.ceil(hi_s * 1e6) + 1)).cast(dt)
     return F.col(ts_col).between(lo, hi)

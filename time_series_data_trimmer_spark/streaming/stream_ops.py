@@ -361,7 +361,12 @@ def stream_static_enriched_counts(
         spark.read.parquet(path)
         .select("user_id")
         .distinct()
-        .withColumn("cohort", F.pmod(F.col("user_id"), F.lit(n_cohorts)).cast("long"))
+        .withColumn(
+            # sign-following % (not pmod): the DuckDB oracle's user_id %
+            # n is sign-following, and the two must agree if a data
+            # round ever ships negative ids
+            "cohort", (F.col("user_id") % F.lit(n_cohorts)).cast("long")
+        )
     )
     joined = stream.join(F.broadcast(static_dim), "user_id")
     agg = joined.groupBy("cohort").agg(
