@@ -150,3 +150,35 @@ def test_dedup_watermark_eviction_and_replay(spark, tmp_path):
     assert by_user.get(5) == 1, got.to_dict("records")
     # both user-1 rows carry the SAME content key (it is a true replay)
     assert got[got.user_id == 1].content_key.nunique() == 1
+
+
+def test_stream_upsert_latest_wins_and_replay_idempotent(spark, tmp_path):
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        stream_upsert_to_keyed_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 1000
+    # batch 0: users 1,2; batch 1: user 1 updated (later event), user 3 new
+    _write_events(
+        src, "f1.parquet", [(1, 10, 1, "a", 1.0), (2, 10, 2, "a", 2.0)], t0
+    )
+    _write_events(
+        src, "f2.parquet", [(3, 20, 1, "a", 9.0), (4, 5, 3, "a", 3.0)], t0 + 100
+    )
+    out, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    got = stream_upsert_to_keyed_parquet(
+        spark, src, out, ckpt, max_files_per_trigger=1
+    ).toPandas()
+    state = dict(zip(got.user_id, got.value))
+    assert state == {1: 9.0, 2: 2.0, 3: 3.0}, state
+    assert len(got) == 3  # one row per key, not per event
+
+    # replay from the same checkpoint: nothing new to process, and the
+    # idempotent merge leaves the table unchanged
+    again = stream_upsert_to_keyed_parquet(
+        spark, src, out, ckpt, max_files_per_trigger=1
+    ).toPandas()
+    assert dict(zip(again.user_id, again.value)) == state
+    assert len(again) == 3

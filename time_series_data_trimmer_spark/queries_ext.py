@@ -2136,6 +2136,48 @@ def _q_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_upsert_latest_state",
+    """
+    SELECT user_id, value FROM (
+      SELECT user_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def _q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT sink (foreachBatch CDC apply): latest state per
+    key maintained across micro-batches in hash-bucketed plain parquet
+    with dynamic partition overwrite — idempotent latest-wins merge, so
+    at-least-once batch replays converge (exactly-once-effective
+    without an ACID table format). Final table must equal the batch
+    latest-per-key oracle."""
+    import shutil
+    import tempfile
+
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        stream_upsert_to_keyed_parquet,
+    )
+
+    work = tempfile.mkdtemp(prefix="tsdt_upsert_")
+    try:
+        out = stream_upsert_to_keyed_parquet(
+            spark,
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(work, "table"),
+            os.path.join(work, "ckpt"),
+        )
+        result = out.select("user_id", "value")
+        # materialize before the temp dir vanishes
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "asof_join_click_purchase",
     f"""
     WITH l AS (

@@ -377,3 +377,84 @@ def stream_static_enriched_counts(
     return out.select(
         "cohort", "n_events", F.col("sum_dec").cast("double").alias("sum_value")
     )
+
+
+def stream_upsert_to_keyed_parquet(
+    spark: SparkSession,
+    path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    n_buckets: int = 16,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming UPSERT (CDC apply) into plain parquet — latest state
+    per key maintained across micro-batches, no table format required.
+
+    Each micro-batch runs a MERGE via ``foreachBatch``:
+
+    1. the batch's keys map to hash buckets (``pmod(xxhash64(key), n)``
+       — the table is hive-partitioned by bucket so a batch touching k
+       buckets rewrites only those directories);
+    2. existing rows of the AFFECTED buckets are read back, unioned
+       with the batch, and reduced to latest-per-key (greatest
+       (event_time, event_id) — a total order, so ties are impossible);
+    3. dynamic partition overwrite rewrites exactly the affected
+       buckets.
+
+    Restart/replay safety: foreachBatch side effects are AT-LEAST-once,
+    but the merge is IDEMPOTENT (latest-per-key over a total order), so
+    replaying a batch converges to the same table — the standard
+    recipe for exactly-once-effective sinks without ACID tables. At
+    100 TB, bucket count scales so a bucket rewrite stays modest;
+    hot-key batches touch few buckets.
+
+    Returns the final keyed table (one row per key seen).
+    """
+    stream = _events_stream(spark, path, max_files_per_trigger)
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    keyed = stream.withColumn("__bucket", bucket)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        b = batch_df.select(
+            key_col, "__bucket", "event_time", "event_id", "value"
+        )
+        if b.isEmpty():
+            return
+        sess = b.sparkSession
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        affected = [r["__bucket"] for r in b.select("__bucket").distinct().collect()]
+        merged = b
+        if os.path.exists(out_dir):
+            existing = sess.read.parquet(out_dir).filter(
+                F.col("__bucket").isin(affected)
+            )
+            merged = b.unionByName(existing)
+        w = W.partitionBy(key_col).orderBy(
+            F.col("event_time").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        (
+            latest.write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(out_dir)
+        )
+
+    q = (
+        keyed.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    if not os.path.exists(out_dir):
+        return spark.createDataFrame([], "user_id long")
+    return spark.read.parquet(out_dir).drop("__bucket")
