@@ -2136,6 +2136,46 @@ def _q_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f1_time_window_mean",
+    f"""
+    SELECT user_id, event_id,
+           {R("CAST(sum(CAST(" + sql_rd("value", 2) + " AS DECIMAL(38,6))) OVER w AS DOUBLE)"
+              " / CAST(count(*) OVER w AS DOUBLE)", 6)} AS tw_mean
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 2500000 PRECEDING AND 2500000 FOLLOWING
+    )
+    """,
+)
+def _q_time_window_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based rolling mean: a RANGE window frame over the time axis
+    (±2.5 s of each sample) — the frame family the sample-count rolling
+    ops (F1/F2/F11, ROW frames) cannot express when sampling is
+    irregular. The order key is INTEGER epoch-microseconds (Spark's
+    rangeBetween takes long offsets; micros are exact in both engines),
+    frame = ±2,500,000 µs. Same single (user)-keyed Exchange + sort as
+    the row-frame family; the frame bound is a value offset evaluated
+    inside WindowExec, no extra pass. Decimal-accumulated sum / integer
+    count so the mean is order-independent; identical-µs rows are
+    RANGE-peers in both engines, making ties well-defined."""
+    from time_series_data_trimmer_spark.sources.events import event_micros
+
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = df.withColumn("t_us", event_micros(df))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_us"))
+        .rangeBetween(-2_500_000, 2_500_000)
+    )
+    s = F.sum(rd(F.col("value"), 2).cast("decimal(38,6)")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    return ev.select(
+        "user_id", "event_id", rd(s / n, 6).alias("tw_mean")
+    )
+
+
+@register(
     "stream_upsert_latest_state",
     """
     SELECT user_id, value FROM (
