@@ -149,6 +149,13 @@ def main():
     spark = get_spark("scaling-run")
     if "--rebuild" in sys.argv or not os.path.exists(f"{DST}/embeddings.parquet"):
         build(spark)
+    # --only q1,q2,... : measure a subset of the REGISTERED queries and
+    # skip every special-cased measurement block (fast iteration on new
+    # operators without re-paying the full matrix)
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
 
     import __spark_entry__ as entry
     from time_series_data_trimmer_spark.operators import similarity as sim
@@ -157,6 +164,15 @@ def main():
 
     qs = entry.queries()
     results = {}
+
+    if only is not None:
+        for name in sorted(only):
+            t1 = steady(lambda: qs[name](spark, SRC).collect())
+            t10 = steady(lambda: qs[name](spark, DST).collect())
+            results[name] = (t1, t10)
+        for name, (a, b) in results.items():
+            print(json.dumps({"query": name, "sf0.1": round(a, 2), "x10": round(b, 2), "growth": round(b / a, 2) if a else None}))
+        return
 
     for name in (
         "tpch_q3_shipping_priority",

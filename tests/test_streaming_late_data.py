@@ -182,3 +182,55 @@ def test_stream_upsert_latest_wins_and_replay_idempotent(spark, tmp_path):
     ).toPandas()
     assert dict(zip(again.user_id, again.value)) == state
     assert len(again) == 3
+
+
+def test_stream_upsert_rewrites_only_affected_buckets(spark, tmp_path):
+    # dynamic partition overwrite is scoped: a later run whose batch
+    # touches other keys must leave untouched buckets' files alone
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        stream_upsert_to_keyed_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 1000
+    _write_events(
+        src, "f1.parquet", [(i, 10, uid, "a", float(uid)) for i, uid in enumerate(range(20))], t0
+    )
+    out, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    stream_upsert_to_keyed_parquet(spark, src, out, ckpt, n_buckets=8)
+
+    def bucket_files():
+        state = {}
+        for d in os.listdir(out):
+            if d.startswith("__bucket="):
+                p = os.path.join(out, d)
+                state[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(p, f)))
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+        return state
+
+    before = bucket_files()
+    assert len(before) >= 4  # several buckets populated
+
+    # second run: ONE key updated
+    _write_events(src, "f2.parquet", [(100, 20, 0, "a", 99.0)], t0 + 100)
+    stream_upsert_to_keyed_parquet(spark, src, out, ckpt, n_buckets=8)
+    after = bucket_files()
+
+    from pyspark.sql import functions as F
+
+    hot = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(0).cast("long")), F.lit(8)).cast("int").alias("b")
+    ).collect()[0]["b"]
+    changed = {d for d in after if after[d] != before.get(d)}
+    assert f"__bucket={hot}" in changed
+    untouched = set(before) - {f"__bucket={hot}"}
+    assert all(after[d] == before[d] for d in untouched), (
+        f"unaffected buckets rewritten: {changed - {f'__bucket={hot}'}}"
+    )
+    # and the update landed
+    final = spark.read.parquet(out)
+    assert final.filter(F.col("user_id") == 0).select("value").collect()[0][0] == 99.0
