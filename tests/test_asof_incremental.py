@@ -163,3 +163,33 @@ def test_dedup_incremental_null_text_suppressed_on_next_batch(spark):
     # feed batch1's output digests back as state; replay the same batch
     out2 = dedup_incremental(batch1, out1.select("digest"))
     assert out2.count() == 0, "replayed batch must be fully suppressed"
+
+
+def test_asof_and_packing_invariant_under_repartitioning(spark):
+    # the determinism contract: results are pure functions of the DATA,
+    # never of the physical layout (retries/cluster-size changes can't
+    # shift a training mix or an as-of match)
+    from time_series_data_trimmer_spark.operators.sampling import (
+        sequence_pack_offsets,
+    )
+
+    left, right = _frames(spark)
+    a = asof_join(left, right, ["k"], "t", ["v"]).toPandas()
+    b = asof_join(
+        left.repartition(7), right.repartition(3), ["k"], "t", ["v"]
+    ).toPandas()
+    key = ["k", "t", "lid"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+        check_like=True,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p1 = sequence_pack_offsets(docs, seq_len=256).toPandas()
+    p2 = sequence_pack_offsets(docs.repartition(13), seq_len=256).toPandas()
+    pd.testing.assert_frame_equal(
+        p1.sort_values("doc_id").reset_index(drop=True),
+        p2.sort_values("doc_id").reset_index(drop=True),
+        check_like=True,
+    )
