@@ -2464,6 +2464,47 @@ def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "melt_lineitem_measures",
+    """
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           channel, value
+    FROM (
+      UNPIVOT (
+        SELECT l_orderkey, l_linenumber,
+               l_quantity, l_extendedprice, l_discount, l_tax
+        FROM lineitem WHERE l_orderkey % 100 = 0
+      ) ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME channel VALUE value
+    )
+    """,
+)
+def _q_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (UNPIVOT/melt): the inverse of the pivot
+    query, and the multi-channel overlay layout the reference's plot
+    view builds per render (plot2d.py iterates channels into stacked
+    series). Spark's native `unpivot` is a zero-shuffle Expand node —
+    rows fan out scan-side, nothing is aggregated or joined, so the
+    reshape survives any scale the scan itself survives. Measure
+    columns must share a type (all double here); the filter keeps the
+    oracle's row count honest without losing generality."""
+    l = (
+        _table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        )
+    )
+    return l.unpivot(
+        ["orderkey", "linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "channel",
+        "value",
+    )
+
+
+@register(
     "sim_ivf_topk",
     f"""
     WITH ex AS ({_EX_SQL}),
