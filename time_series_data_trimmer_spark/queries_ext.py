@@ -2267,6 +2267,86 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, epoch(ts) AS t
+      FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+      SELECT user_id, epoch(ts) AS ct FROM events
+      WHERE event_type = 'click' GROUP BY user_id, epoch(ts)
+    ),
+    p AS (
+      SELECT user_id, epoch(ts) AS pt FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id, epoch(ts)
+    ),
+    vc AS (
+      SELECT v.user_id, v.event_id, v.t, c.ct
+      FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.t <= c.ct
+    ),
+    vcp AS (
+      SELECT vc.user_id, vc.event_id, vc.t, vc.ct, p.pt
+      FROM vc ASOF LEFT JOIN p ON vc.user_id = p.user_id AND vc.ct <= p.pt
+    )
+    SELECT user_id, count(*) AS n_views,
+           CAST(sum(CASE WHEN ct IS NOT NULL AND ct - t <= 600.0
+                          AND pt IS NOT NULL AND pt - ct <= 3600.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM vcp GROUP BY user_id
+    """,
+)
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel (view → click within 10 min → purchase
+    within 1 h of the click), per user — the composed form of the
+    general as-of join: TWO chained forward as-of joins (each one
+    keyed window over a tagged union, zero range joins), then a
+    conditional count. The oracle chains DuckDB's native forward ASOF
+    (``l.t <= r.t``) twice, so the composition semantics — nearest
+    FOLLOWING event, inclusive, per key — are checked against a
+    reference as-of engine end to end."""
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "t"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .drop("__c")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .drop("__c")
+    )
+    vc = edits.asof_join(
+        views, clicks, ["user_id"], "t", [], right_time_alias="ct",
+        direction="forward",
+    )
+    # second hop measures from the matched click time: re-key the left
+    # frame's time axis to ct (keep the view time as t_view)
+    vc2 = vc.select(
+        "user_id", "event_id", F.col("t").alias("t_view"), F.col("ct"),
+    ).withColumn("t", F.col("ct"))
+    vcp = edits.asof_join(
+        vc2, purchases, ["user_id"], "t", [], right_time_alias="pt",
+        direction="forward",
+    )
+    converted = (
+        F.col("ct").isNotNull()
+        & (F.col("ct") - F.col("t_view") <= 600.0)
+        & F.col("pt").isNotNull()
+        & (F.col("pt") - F.col("ct") <= 3600.0)
+    ).cast("long")
+    return vcp.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum(converted).alias("n_converted"),
+    )
+
+
+@register(
     "dedup_incremental_batch",
     """
     WITH seen AS (
