@@ -140,3 +140,43 @@ def test_sampling_queries_have_no_shuffle(spark):
         plan = _plan(spark, name)
         body = plan.split("===== Subqueries")[0]
         assert "Exchange" not in body, f"{name} plans a shuffle:\n{body}"
+
+
+def test_streaming_plans_stateful_and_broadcast_shapes(spark):
+    # the registry sweep skips stream_* (their builders execute to a
+    # sink); audit the streaming PLANS directly on the unstarted frames
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        _dedup_plan,
+        _events_stream,
+        _tumbling_hour_windowed,
+    )
+    from pyspark.sql import functions as F
+
+    path = "/root/testdata/sf0.001/events.parquet"
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    tumbling = plan_of(_tumbling_hour_windowed(spark, path))
+    assert "StateStoreSave" in tumbling  # genuinely stateful agg
+    assert "EventTimeWatermark" in tumbling  # watermark wired in
+    assert "SortMergeJoin" not in tumbling
+
+    dedup = plan_of(_dedup_plan(spark, path))
+    assert "DropDuplicatesWithinWatermark" in dedup or "StreamingDeduplicateWithinWatermark" in dedup
+    assert "EventTimeWatermark" in dedup
+
+    # stream-static enrichment: the static dim must be BROADCAST into
+    # each micro-batch, never shuffled against the stream
+    stream = _events_stream(spark, path)
+    static_dim = (
+        spark.read.parquet(path).select("user_id").distinct()
+        .withColumn("cohort", (F.col("user_id") % 10).cast("long"))
+    )
+    joined = stream.join(F.broadcast(static_dim), "user_id")
+    enr = plan_of(joined)
+    assert "BroadcastHashJoin" in enr
+    assert "SortMergeJoin" not in enr
