@@ -20,10 +20,7 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from time_series_data_trimmer_spark.session import get_spark
-from time_series_data_trimmer_spark.sources.corpus_io import (
-    compact_directory,
-    parquet_file_stats,
-)
+from time_series_data_trimmer_spark.sources.corpus_io import compact_directory
 from time_series_data_trimmer_spark.streaming import stream_ops
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -43,7 +40,8 @@ def main() -> None:
         sink = stream_ops.tumbling_hour_agg_to_files(
             spark, events, f"{work}/hourly", f"{work}/hourly_ckpt"
         )
-        print("closed hourly windows in sink:", sink.count())
+        n_sink = sink.count()  # capture BEFORE compaction replaces the files
+        print("closed hourly windows in sink:", n_sink)
 
         # 3. streaming dedup (state expires with the watermark)
         deduped = stream_ops.stream_dedup_to_files(
@@ -58,10 +56,11 @@ def main() -> None:
         print("keyed state rows:", state.count())
 
         # 5. the append sink's layout debt, then the maintenance pass
-        n_before, _ = parquet_file_stats(f"{work}/hourly")
         b, a = compact_directory(spark, f"{work}/hourly", 64 * 1024 * 1024)
         print(f"compaction: {b} files -> {a}")
-        assert spark.read.parquet(f"{work}/hourly").count() == sink.count()
+        # fresh read: re-running the OLD sink frame would scan its
+        # stale (pre-compaction) file listing
+        assert spark.read.parquet(f"{work}/hourly").count() == n_sink
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

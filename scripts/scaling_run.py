@@ -166,6 +166,9 @@ def main():
     results = {}
 
     if only is not None:
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown queries in --only: {sorted(unknown)}")
         for name in sorted(only):
             t1 = steady(lambda: qs[name](spark, SRC).collect())
             t10 = steady(lambda: qs[name](spark, DST).collect())

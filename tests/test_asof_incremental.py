@@ -193,3 +193,25 @@ def test_asof_and_packing_invariant_under_repartitioning(spark):
         p2.sort_values("doc_id").reset_index(drop=True),
         check_like=True,
     )
+
+
+def test_asof_join_null_left_time_gets_no_match(spark):
+    # r4 review finding #2: a left row with NULL time has no as-of
+    # position — forward direction sorted NULLs last and fabricated a
+    # match (the funnel's second hop feeds exactly this shape)
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [None, 5.0], "lid": [1, 2]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [3.0, 7.0], "v": [30.0, 70.0]})
+    )
+    for direction, want in (("backward", 30.0), ("forward", 70.0)):
+        got = (
+            asof_join(left, right, ["k"], "t", ["v"], direction=direction)
+            .toPandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        assert pd.isna(got.loc[got.lid == 1, "v"].iloc[0]), direction
+        assert pd.isna(got.loc[got.lid == 1, "asof_t"].iloc[0]), direction
+        assert got.loc[got.lid == 2, "v"].iloc[0] == want, direction

@@ -932,12 +932,15 @@ def dedup_incremental(
     the corpus and the seen-digest table, making the operator its own
     state update.
     """
-    # coalesce before hashing: md5(NULL) is NULL and NULL == NULL is
+    # sentinel AFTER hashing: md5(NULL) is NULL and NULL == NULL is
     # never true in the anti-join, so null-text docs would re-emit as
-    # "fresh" on EVERY increment (state never suppresses them)
+    # "fresh" on EVERY increment. Coalescing the DIGEST (not the text)
+    # is collision-free: md5 output is fixed-width hex, so no real
+    # document can produce the sentinel (hash-the-coalesced-text would
+    # conflate NULL with a doc whose text is literally the sentinel).
     d = new_df.select(
         F.col(id_col),
-        F.md5(F.coalesce(F.col(text_col), F.lit("<null>"))).alias("digest"),
+        F.coalesce(F.md5(F.col(text_col)), F.lit("<NULL>")).alias("digest"),
     )
     seen = seen_digests.select(F.col(seen_digests.columns[0]).alias("__seen"))
     fresh = d.join(

@@ -274,6 +274,11 @@ def asof_join(
         F.when(F.col("__side") == 0, F.struct(*[F.col(c) for c in carried])),
         ignorenulls=True,
     ).over(w)
+    # a left row with NULL time has no as-of position (ASOF/merge_asof
+    # return no match); without this guard the null sorts to an end of
+    # the window order and fabricates a match. Times must be non-NaN
+    # (NaN has no total-order position either; filter upstream).
+    match = F.when(F.col(time_col).isNotNull(), match)
     out = merged.withColumn("__match", match)
     for c in carried:
         out = out.withColumn(c, F.col("__match")[c])

@@ -282,11 +282,10 @@ def profile_table(df, columns: list[str] | None = None):
     from pyspark.sql import functions as F
 
     cols = columns or df.columns
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__n")]  # shared row count, once
     for c in cols:
         col = F.col(c)
         aggs += [
-            F.count(F.lit(1)).alias(f"__n_{c}"),
             F.count(col).alias(f"__nn_{c}"),
             F.count_distinct(col).alias(f"__d_{c}"),
             F.min(col.cast("string")).alias(f"__min_{c}"),
@@ -299,8 +298,8 @@ def profile_table(df, columns: list[str] | None = None):
         parts.append(
             F.struct(
                 F.lit(c).alias("column"),
-                F.col(f"__n_{c}").alias("n_rows"),
-                (F.col(f"__n_{c}") - F.col(f"__nn_{c}")).alias("n_null"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{c}")).alias("n_null"),
                 F.col(f"__d_{c}").alias("n_distinct"),
                 F.col(f"__min_{c}").alias("min_str"),
                 F.col(f"__max_{c}").alias("max_str"),

@@ -2384,10 +2384,10 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental_batch",
     """
     WITH seen AS (
-      SELECT DISTINCT md5(coalesce(text, '<null>')) AS d FROM documents WHERE doc_id % 3 = 0
+      SELECT DISTINCT coalesce(md5(text), '<NULL>') AS d FROM documents WHERE doc_id % 3 = 0
     ),
     batch AS (
-      SELECT doc_id, md5(coalesce(text, '<null>')) AS digest FROM documents WHERE doc_id % 3 <> 0
+      SELECT doc_id, coalesce(md5(text), '<NULL>') AS digest FROM documents WHERE doc_id % 3 <> 0
     ),
     fresh AS (
       SELECT b.* FROM batch b WHERE NOT EXISTS (
@@ -2610,12 +2610,15 @@ def _q_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         )
     )
-    return l.unpivot(
+    out = l.unpivot(
         ["orderkey", "linenumber"],
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         "channel",
         "value",
     )
+    # Spark unpivot KEEPS null measures; DuckDB UNPIVOT drops them —
+    # pin the shared (exclude-nulls) semantic explicitly
+    return out.filter(F.col("value").isNotNull())
 
 
 @register(

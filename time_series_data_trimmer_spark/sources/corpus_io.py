@@ -92,6 +92,11 @@ def compact_directory(
             os.rename(old, path)
 
     before_n, before_bytes = parquet_file_stats(path)
+    if before_n == 0:
+        # a streaming sink can legitimately hold only _spark_metadata
+        # and no data files yet; nothing to compact (and schema
+        # inference over zero files would throw)
+        return (0, 0)
     n_files = max(1, math.ceil(before_bytes / target_file_bytes))
     df = spark.read.parquet(path)
     if partition_by:
@@ -140,8 +145,13 @@ def read_documents(
         df = spark.read.csv(path, header=True, inferSchema=True, escape='"')
     else:
         raise ValueError(f"unsupported corpus format: {fmt!r}")
-    if id_col in df.columns:
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if id_col in df.columns:
         df = df.withColumn(id_col, F.col(id_col).cast("long"))
+    if text_col in df.columns:
+        # jsonl/csv inference can type an all-null or all-numeric text
+        # field as something other than string; downstream digests and
+        # shingles assume string
+        df = df.withColumn(text_col, F.col(text_col).cast("string"))
     return df

@@ -453,8 +453,13 @@ def stream_upsert_to_keyed_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    try:
+        q.awaitTermination()
+    finally:
+        # restore even when a micro-batch throws: leaking dynamic mode
+        # session-wide silently turns later full-table overwrites into
+        # partial partition overwrites
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     if not os.path.exists(out_dir):
         return spark.createDataFrame([], "user_id long")
     return spark.read.parquet(out_dir).drop("__bucket")
