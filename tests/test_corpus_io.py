@@ -22,7 +22,10 @@ def test_write_partitioned_prunes_at_planning_time(spark, tmp_path):
     n_sources = docs.select("source").distinct().count()
     assert len(dirs) == n_sources
 
-    one = spark.read.parquet(out).filter(F.col("source") == "src3")
+    # pick a REAL source value (don't hardcode one — the driver
+    # regenerates testdata per round)
+    some_source = docs.select("source").first()[0]
+    one = spark.read.parquet(out).filter(F.col("source") == some_source)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         one.explain("formatted")
@@ -31,7 +34,7 @@ def test_write_partitioned_prunes_at_planning_time(spark, tmp_path):
     # result matches the unpartitioned read
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("source" in ln for ln in pf), plan
-    want = docs.filter(F.col("source") == "src3").count()
+    want = docs.filter(F.col("source") == some_source).count()
     assert one.count() == want
 
 
