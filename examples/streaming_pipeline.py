@@ -55,8 +55,13 @@ def main() -> None:
         )
         print("keyed state rows:", state.count())
 
-        # 5. the append sink's layout debt, then the maintenance pass
-        b, a = compact_directory(spark, f"{work}/hourly", 64 * 1024 * 1024)
+        # 5. the append sink's layout debt, then the maintenance pass.
+        # The hourly query is stopped (one-shot availableNow run), so the
+        # sink can be FINALIZED: compaction drops _spark_metadata and the
+        # directory becomes batch-read-only from here on.
+        b, a = compact_directory(
+            spark, f"{work}/hourly", 64 * 1024 * 1024, finalize_streaming_sink=True
+        )
         print(f"compaction: {b} files -> {a}")
         # fresh read: re-running the OLD sink frame would scan its
         # stale (pre-compaction) file listing

@@ -215,3 +215,37 @@ def test_asof_join_null_left_time_gets_no_match(spark):
         assert pd.isna(got.loc[got.lid == 1, "v"].iloc[0]), direction
         assert pd.isna(got.loc[got.lid == 1, "asof_t"].iloc[0]), direction
         assert got.loc[got.lid == 2, "v"].iloc[0] == want, direction
+
+
+def test_asof_join_null_right_time_never_matches(spark):
+    # r4 advisor finding (medium): a NULL-time RIGHT row sorts FIRST under
+    # the ascending (backward) window order, so left rows before any real
+    # right row inherited its payload (v with asof_t NULL). DuckDB ASOF
+    # returns no match for them. The right frame is now filtered on
+    # time-not-null before the union.
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [1.0, 5.0], "lid": [1, 2]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [None, 3.0], "v": [99.0, 30.0]})
+    )
+    for direction, want1, want2 in (
+        ("backward", None, 30.0),  # t=1: no right row <= 1; t=5: matches 3.0
+        ("forward", 30.0, None),  # t=1: matches 3.0; t=5: no right row >= 5
+    ):
+        got = (
+            asof_join(left, right, ["k"], "t", ["v"], direction=direction)
+            .toPandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        for lid, want in ((1, want1), (2, want2)):
+            val = got.loc[got.lid == lid, "v"].iloc[0]
+            if want is None:
+                assert pd.isna(val), (direction, lid)
+                assert pd.isna(got.loc[got.lid == lid, "asof_t"].iloc[0]), (
+                    direction,
+                    lid,
+                )
+            else:
+                assert val == want, (direction, lid)

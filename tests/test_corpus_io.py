@@ -100,6 +100,50 @@ def test_compact_recovers_from_crash_residue(spark, tmp_path):
     assert not [d for d in os.listdir(parent) if "__compact" in d]
 
 
+def test_compact_streaming_sink_end_to_end(spark, tmp_path):
+    """Compaction against the engine's OWN streaming sink output — the
+    stated motivation for compact_directory (r4 verdict #6), plus the
+    advisor's _spark_metadata contract: refuse without the finalize
+    flag, drop the log with it, batch read equals the sink's result."""
+    import pytest
+
+    from time_series_data_trimmer_spark.streaming import stream_ops
+
+    out = str(tmp_path / "dedup_sink")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    sink = stream_ops.stream_dedup_to_files(
+        spark, "/root/testdata/sf0.001/events.parquet", out, ckpt
+    )
+    rows_before = sink.count()
+    assert rows_before > 0
+    schema = sink.schema
+    chk = lambda df: df.agg(
+        F.sum(
+            F.conv(
+                F.substring(F.md5(F.concat_ws("\x1f", *df.columns)), 1, 8), 16, 10
+            ).cast("long")
+        )
+    ).collect()[0][0]
+    chk_before = chk(sink)
+    assert os.path.isdir(os.path.join(out, "_spark_metadata"))
+    before_n, before_bytes = parquet_file_stats(out)
+    assert before_n > 1, "sink produced a single file; layout debt not exercised"
+
+    # a live-looking sink (metadata log present) refuses compaction
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        compact_directory(spark, out, target_file_bytes=before_bytes * 2)
+
+    b, a = compact_directory(
+        spark, out, target_file_bytes=before_bytes * 2, finalize_streaming_sink=True
+    )
+    assert b == before_n and a < before_n, (b, a)
+    # finalized: log gone, directory is a plain batch-readable corpus
+    assert not os.path.exists(os.path.join(out, "_spark_metadata"))
+    after = spark.read.schema(schema).parquet(out)
+    assert after.count() == rows_before
+    assert chk(after) == chk_before
+
+
 def test_read_documents_jsonl_roundtrip(spark, tmp_path):
     import json as _json
 

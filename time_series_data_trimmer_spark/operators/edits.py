@@ -248,8 +248,13 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lt = left.withColumn("__side", F.lit(1))
+    # a right row with NULL time has no as-of position either: under the
+    # ascending window order NULLs sort FIRST, so every left row preceding
+    # any real right row would inherit the NULL-time row's payload (with a
+    # NULL asof_t) — a fabricated match no ASOF engine produces. Drop them.
     rt = (
-        right.select(
+        right.filter(F.col(time_col).isNotNull())
+        .select(
             *key_cols,
             F.col(time_col),
             F.col(time_col).alias(right_time_alias),

@@ -2405,9 +2405,13 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily-increment path: the alternative (re-running exact dedup over
     corpus+batch) rescans the full history every day."""
     docs = _table(spark, sf_dir, "documents")
+    # sentinel-coalesce to match both the oracle's seen CTE and
+    # dedup_incremental's batch-digest convention: with NULL-text docs in
+    # the history, bare md5(text) (NULL) would never anti-join-suppress
+    # the batch's '<NULL>' digests (r4 advisor finding).
     seen = (
         docs.filter(F.col("doc_id") % 3 == 0)
-        .select(F.md5("text").alias("d"))
+        .select(F.coalesce(F.md5("text"), F.lit("<NULL>")).alias("d"))
         .distinct()
     )
     batch = docs.filter(F.col("doc_id") % 3 != 0)

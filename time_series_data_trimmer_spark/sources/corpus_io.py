@@ -58,6 +58,7 @@ def compact_directory(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_by: list[str] | None = None,
+    finalize_streaming_sink: bool = False,
 ) -> tuple[int, int]:
     """Rewrite a parquet directory into ~``target_file_bytes`` files:
     the maintenance pass that follows append-mode streaming sinks
@@ -72,9 +73,32 @@ def compact_directory(
     next invocation AUTO-RECOVERS any crash residue: stranded staging
     is discarded, a stranded backup is restored if the corpus path is
     missing, cleaned up if the swap had finished.
+
+    **Compaction FINALIZES a streaming sink.** A file-sink directory
+    carries a ``_spark_metadata`` transaction log naming the exact files
+    each micro-batch committed; the staged rewrite replaces those files
+    and drops the log, so (a) a restarted streaming query would append
+    against a checkpoint whose sink log references deleted files, and
+    (b) any metadata-log-aware reader would see none of the compacted
+    data — silent loss. The compacted directory is therefore
+    BATCH-READ-ONLY (plain ``spark.read.parquet`` file listing, which
+    sees exactly the compacted files). To make that contract explicit,
+    compacting a directory containing ``_spark_metadata`` raises unless
+    ``finalize_streaming_sink=True``, which asserts the writing query is
+    permanently stopped; the stale log is then removed with the old
+    files. (r4 advisor finding.)
     """
     import math
     import shutil
+
+    meta_log = os.path.join(path, "_spark_metadata")
+    if os.path.exists(meta_log) and not finalize_streaming_sink:
+        raise ValueError(
+            f"{path} is a streaming file sink (_spark_metadata present); "
+            "compaction drops the sink log and the directory becomes "
+            "batch-read-only. Stop the writing query permanently and pass "
+            "finalize_streaming_sink=True to proceed."
+        )
 
     staged = path.rstrip("/") + ".__compact_tmp__"
     old = path.rstrip("/") + ".__compact_old__"
