@@ -145,6 +145,51 @@ def steady(fn, runs=2):
     return t
 
 
+DUP_DST = "/tmp/tsdt_scale10_dup"
+
+
+def build_dup_dense(spark):
+    """A 10× documents table where the copies are BYTE-IDENTICAL (only
+    doc_id shifts): distinct content stays at sf0.1 level while rows
+    grow 10× — the corpus shape real crawls have (30%+ exact dups) and
+    the one the r5 digest-collapsed Jaccard path is built for."""
+    os.makedirs(DUP_DST, exist_ok=True)
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    parts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        for i in range(COPIES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{DUP_DST}/documents.parquet")
+
+
+def run_dup_dense(spark):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    if not os.path.exists(f"{DUP_DST}/documents.parquet"):
+        build_dup_dense(spark)
+    name = "dedup_ngram_jaccard"
+    t1 = steady(lambda: qs[name](spark, SRC).collect())
+    t10 = steady(lambda: qs[name](spark, DUP_DST).collect())
+    n1 = qs[name](spark, SRC).count()
+    n10 = qs[name](spark, DUP_DST).count()
+    print(
+        json.dumps(
+            {
+                "query": f"{name} (dup-dense 10x: identical copies)",
+                "sf0.1": round(t1, 2),
+                "x10": round(t10, 2),
+                "growth": round(t10 / t1, 2),
+                "pairs_sf0.1": n1,
+                "pairs_x10": n10,
+            }
+        )
+    )
+
+
 def main():
     spark = get_spark("scaling-run")
     if "--rebuild" in sys.argv or not os.path.exists(f"{DST}/embeddings.parquet"):
@@ -152,6 +197,10 @@ def main():
     # --only q1,q2,... : measure a subset of the REGISTERED queries and
     # skip every special-cased measurement block (fast iteration on new
     # operators without re-paying the full matrix)
+    if "--dup-dense" in sys.argv:
+        run_dup_dense(spark)
+        return
+
     only = None
     for a in sys.argv[1:]:
         if a.startswith("--only="):

@@ -196,3 +196,99 @@ def test_prefix_join_rejects_nonpositive_tau(spark):
     df = spark.createDataFrame(pd.DataFrame([(0, "a b c")], columns=["doc_id", "text"]))
     with _pytest.raises(ValueError):
         ngram_jaccard_prefix_pairs(df, min_jaccard=0.0)
+
+
+def _capped_ref(rows, n=3, tau=0.2, cap=5, length_bucket=64):
+    """Python reference for the CAPPED τ>0 semantics: explode each doc
+    to its (bucket, bucket+1) blocks, keep the first `cap` doc ids per
+    block, emit every co-surviving pair that shares ≥1 gram with
+    Jaccard ≥ τ."""
+    from collections import defaultdict
+
+    def shingles(text):
+        w = text.split(" ")
+        if len(w) >= n:
+            return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+        return {" ".join(w)}
+
+    blocks = defaultdict(list)
+    for i, t in rows:
+        b = len(t) // length_bucket
+        for blk in (b, b + 1):
+            blocks[blk].append(i)
+    sets = {i: shingles(t) for i, t in rows}
+    out = {}
+    for blk, ids in blocks.items():
+        surv = sorted(ids)[:cap]
+        for x in range(len(surv)):
+            for y in range(x + 1, len(surv)):
+                a, b = surv[x], surv[y]
+                inter = len(sets[a] & sets[b])
+                if inter == 0:
+                    continue
+                j = inter / len(sets[a] | sets[b])
+                if j >= tau:
+                    out[(a, b)] = j
+    return out
+
+
+def _dup_dense_rows(n_families=8, copies=5):
+    """Byte-identical families (the corpus shape the r5 digest-collapse
+    targets) plus one near-dup variant per family."""
+    rows, did = [], 0
+    for f in range(n_families):
+        words = [f"t{f}w{j}" for j in range(12)]
+        text = " ".join(words)
+        near = " ".join(words[:-1] + [f"zz{f}"])
+        for _ in range(copies):
+            rows.append((did, text))
+            did += 1
+        rows.append((did, near))
+        did += 1
+    return rows
+
+
+def test_digest_collapsed_equals_reference_no_cap(spark):
+    # r5: the capped τ>0 path is digest-collapsed; with the cap not
+    # binding it must equal the plain blocked-Jaccard answer, including
+    # the intra-family 1.0 pairs generated from membership alone
+    rows = _dup_dense_rows()
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, min_jaccard=0.2, max_bucket=10_000).collect()
+    }
+    want = _capped_ref(rows, cap=10_000)
+    assert got == want
+    # sanity: the corpus really is dup-dense and families pair at 1.0
+    assert sum(1 for j in got.values() if j == 1.0) >= 8 * (5 * 4 // 2)
+
+
+def test_digest_collapsed_cap_splits_families_exactly(spark):
+    # the cap is per DOC, so a byte-identical family straddling the cap
+    # boundary must contribute only its surviving members' pairs — the
+    # per-block co-survival join preserves doc-level cap semantics
+    rows = _dup_dense_rows(n_families=6, copies=5)
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    for cap in (3, 7, 12):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, min_jaccard=0.2, max_bucket=cap).collect()
+        }
+        want = _capped_ref(rows, cap=cap)
+        assert got == want, f"cap={cap}"
+
+
+def test_digest_collapsed_null_text_sane(spark):
+    # NULL texts group under the sentinel digest: they pair with each
+    # other (word_shingles gives them the single "" shingle) and never
+    # self-pair or cross-pair with real text
+    rows = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [None, None, "a b c d e f"]}
+    )
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, min_jaccard=0.2).collect()
+    }
+    assert got == {(1, 2): 1.0}
