@@ -249,3 +249,82 @@ def test_asof_join_null_right_time_never_matches(spark):
                 )
             else:
                 assert val == want, (direction, lid)
+
+
+def test_incremental_multi_batch_converges_to_one_shot(spark):
+    """r5: three sequential batches through the bucketed-history loop
+    equal one-shot exact dedup over the union (associativity). Batches
+    arrive in id order (the append-only ingest case), so keep_id is the
+    GLOBAL min id per digest, not just the earliest-batch min."""
+    from time_series_data_trimmer_spark.operators.dedup import (
+        exact_dedup_groups,
+        incremental_dedup_batches,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # id-ordered tertiles — data-derived split points, testdata-proof
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    batches = [
+        docs.filter(F.col("doc_id") <= c1),
+        docs.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)),
+        docs.filter(F.col("doc_id") > c2),
+    ]
+    table = "tsdt_hist_test_conv"
+    try:
+        hist = incremental_dedup_batches(spark, batches, history_table=table)
+        got = {
+            r["digest"]: r["keep_id"] for r in hist.select("digest", "keep_id").collect()
+        }
+        want = {
+            r["content_key"]: r["keep_id"]
+            for r in exact_dedup_groups(docs).withColumn(
+                "content_key", F.coalesce("content_key", F.lit("<NULL>"))
+            ).collect()
+        }
+        assert got == want
+        # every batch contributed
+        assert hist.select("batch_id").distinct().count() == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_incremental_history_antijoin_is_colocated(spark):
+    """The history side of the per-batch anti-join must be a bucketed
+    scan with NO exchange: the ever-growing side never re-shuffles."""
+    from time_series_data_trimmer_spark.operators.dedup import (
+        incremental_dedup_batches,
+    )
+    from time_series_data_trimmer_spark.operators.skew import (
+        bucketed_join_is_shuffle_free,
+        write_bucketed,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hist_t, batch_t = "tsdt_hist_test_plan", "tsdt_batch_test_plan"
+    try:
+        incremental_dedup_batches(
+            spark,
+            [docs.filter(F.col("doc_id") % 2 == 0)],
+            history_table=hist_t,
+        )
+        # a co-bucketed batch digest table joins with ZERO exchanges
+        batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+            F.coalesce(F.md5("text"), F.lit("<NULL>")).alias("digest"),
+            "doc_id",
+        )
+        write_bucketed(batch, batch_t, ["digest"], n_buckets=8)
+        assert bucketed_join_is_shuffle_free(spark, hist_t, batch_t, ["digest"])
+
+        # and in the operator's own anti-join (plain batch side), the
+        # HISTORY side still plans without an exchange: exactly one
+        # Exchange total (the batch side)
+        seen = spark.table(hist_t).select("digest")
+        fresh = batch.join(seen, "digest", "left_anti").groupBy("digest").agg(
+            F.min("doc_id").alias("keep_id")
+        )
+        plan = fresh._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    finally:
+        for t in (hist_t, batch_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

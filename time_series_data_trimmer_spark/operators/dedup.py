@@ -1123,3 +1123,60 @@ def dedup_incremental(
         F.min(id_col).alias("keep_id"),
         F.count(F.lit(1)).alias("batch_dups"),
     )
+
+
+def incremental_dedup_batches(
+    spark,
+    batches: list[DataFrame],
+    history_table: str = "tsdt_digest_history",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8,
+) -> DataFrame:
+    """The production incremental-dedup LOOP (r5): apply ``batches`` in
+    order against a digest history stored as a HASH-BUCKETED managed
+    table, appending each batch's survivors. Returns the final history
+    (digest, keep_id, batch_dups, batch_id).
+
+    Scale shape, per batch:
+
+    * the history side of the anti-join is a bucketed scan — its
+      partitioning satisfies the join's required distribution, so the
+      EVER-GROWING side never shuffles again (the shuffle was paid once,
+      at append time); only the day's batch exchanges (linear in batch);
+    * the survivor agg reuses the join's digest partitioning — one
+      Exchange total per batch;
+    * each step ends in a WRITE, so batch N's cost is independent of how
+      many batches preceded it (no ever-growing lazy plan — the classic
+      incremental-pipeline trap of composing a season of daily frames
+      into one DAG).
+
+    CONVERGENCE (pinned in tests/test_asof_incremental.py): after N
+    batches the surviving digest set equals one-shot `exact_dedup` over
+    the concatenation, with keep_id = the min id within the EARLIEST
+    batch containing the digest (equal to the global min when batches
+    arrive in id order — the usual append-only ingest).
+    """
+    from .skew import write_bucketed
+
+    spark.sql(f"DROP TABLE IF EXISTS {history_table}")
+    for i, b in enumerate(batches):
+        d = b.select(
+            F.col(id_col),
+            F.coalesce(F.md5(F.col(text_col)), F.lit("<NULL>")).alias("digest"),
+        )
+        if i > 0:
+            seen = spark.table(history_table).select("digest")
+            d = d.join(seen, "digest", "left_anti")
+        surv = d.groupBy("digest").agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("batch_dups"),
+        ).withColumn("batch_id", F.lit(i))
+        write_bucketed(
+            surv,
+            history_table,
+            ["digest"],
+            n_buckets=n_buckets,
+            mode="append" if i > 0 else "overwrite",
+        )
+    return spark.table(history_table)

@@ -79,12 +79,15 @@ def write_bucketed(
     bucket_cols: Sequence[str],
     n_buckets: int = 32,
     sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
 ) -> None:
     """Persist as a bucketed (and optionally sorted) managed table:
     subsequent equi-joins/aggregations on ``bucket_cols`` between
     co-bucketed tables need NO exchange — the shuffle was paid once at
-    write. Sorting within buckets additionally removes the join's sort."""
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    write. Sorting within buckets additionally removes the join's sort.
+    ``mode="append"`` grows an existing table batch-by-batch under the
+    SAME bucket spec (the incremental-dedup digest history)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)

@@ -2419,6 +2419,51 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_multi",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 3 AS b,
+             coalesce(md5(text), '<NULL>') AS digest
+      FROM documents
+    ),
+    fb AS (SELECT digest, min(b) AS batch_id FROM d GROUP BY digest)
+    SELECT d.digest, min(d.doc_id) AS keep_id,
+           count(*) AS batch_dups, CAST(f.batch_id AS INT) AS batch_id
+    FROM d JOIN fb f ON d.digest = f.digest AND d.b = f.batch_id
+    GROUP BY d.digest, f.batch_id
+    """,
+)
+def _q_dedup_incremental_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-dedup PRODUCTION LOOP (r5): three sequential
+    batches (doc_id % 3) applied against a hash-bucketed digest-history
+    table via `incremental_dedup_batches` — each batch anti-joins the
+    bucketed history (history side shuffle-free) and appends its
+    survivors. The oracle states the loop's fixed point directly: a
+    digest survives in the EARLIEST batch containing it, with that
+    batch's min id and dup count — which is what N anti-join steps
+    converge to regardless of N (associativity; the 3-batch == one-shot
+    equivalence is pinned in tests/test_asof_incremental.py)."""
+    import shutil
+    import uuid
+
+    docs = _table(spark, sf_dir, "documents")
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    table = f"tsdt_hist_{uuid.uuid4().hex[:8]}"
+    try:
+        out = dd.incremental_dedup_batches(spark, batches, history_table=table)
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(
+            os.path.join(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+                         .removeprefix("file:"), table),
+            ignore_errors=True,
+        )
+    return result
+
+
+@register(
     "cdc_latest_event_per_user_type",
     f"""
     SELECT user_id, event_type, event_id, value
