@@ -234,3 +234,34 @@ def test_stream_upsert_rewrites_only_affected_buckets(spark, tmp_path):
     # and the update landed
     final = spark.read.parquet(out)
     assert final.filter(F.col("user_id") == 0).select("value").collect()[0][0] == 99.0
+
+
+def test_rocksdb_state_store_is_default_with_metrics(spark):
+    """r5: every streaming query runs on the RocksDB state store (state
+    off-heap — the HDFS-backed provider holds all keys on the JVM heap
+    and OOMs at a 100 TB keyspace). Pin the conf takes effect and that
+    state metrics are observable for capacity planning."""
+    import uuid
+
+    from time_series_data_trimmer_spark.streaming import stream_ops
+
+    plan = stream_ops._dedup_plan(spark, "/root/testdata/sf0.001/events.parquet")
+    name = f"rocks_{uuid.uuid4().hex[:8]}"
+    stream_ops._streaming_confs(spark)
+    q = (
+        plan.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert "RocksDB" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+    assert spark.table(name).count() > 0
+    m = stream_ops.state_store_metrics(q)
+    assert m, "no stateOperators in progress"
+    dedup = m[0]
+    assert dedup["state_rows"] and dedup["state_rows"] > 0
+    assert dedup["memory_used_bytes"] and dedup["memory_used_bytes"] > 0

@@ -52,10 +52,52 @@ def _events_stream(
     return stream.withColumn("event_time", event_time(stream))
 
 
+#: default state-store backend for every streaming query in this module.
+#: The HDFS-backed provider keeps ALL state keys as JVM heap objects —
+#: at a 100 TB keyspace (streaming dedup state is one digest per
+#: distinct key in the watermark horizon) that is an executor OOM, not a
+#: tuning problem. RocksDB keeps state off-heap with incremental
+#: checkpointing; Spark ships the JNI bundle, so this is conf-only.
+#: Override (e.g. to A/B the providers) with
+#: SPARK_GRAFT_STATE_STORE=hdfs.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _streaming_confs(spark: SparkSession) -> None:
+    """Apply the module's streaming defaults to the session. Called at
+    every query-start point so ad-hoc sessions get the same backend."""
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb").lower() != "hdfs":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+
+
+def state_store_metrics(query) -> list[dict]:
+    """Per-stateful-operator state metrics of a finished/running query
+    (from ``lastProgress``): operator name, state rows, memory bytes —
+    the numbers capacity planning needs (state growth per watermark
+    horizon, bytes per key)."""
+    p = query.lastProgress
+    if not p:
+        return []
+    return [
+        {
+            "operator": op.get("operatorName"),
+            "state_rows": op.get("numRowsTotal"),
+            "memory_used_bytes": op.get("memoryUsedBytes"),
+            "rows_updated": op.get("numRowsUpdated"),
+        }
+        for op in p.get("stateOperators", [])
+    ]
+
+
 def _run_to_memory(windowed: DataFrame, mode: str = "complete") -> DataFrame:
     """Execute a streaming aggregation to a memory sink with
     AvailableNow (process everything currently in the source, then
     stop) and return the materialized result table."""
+    _streaming_confs(windowed.sparkSession)
     name = f"st_{uuid.uuid4().hex[:12]}"
     q = (
         windowed.writeStream.format("memory")
@@ -85,6 +127,7 @@ def _run_to_files(out: DataFrame, out_dir: str, checkpoint_dir: str) -> DataFram
     past the watermark, leaving the sink directory without data files —
     schema inference would fail there, while the pinned schema yields an
     empty DataFrame with the right shape."""
+    _streaming_confs(out.sparkSession)
     q = (
         out.writeStream.format("parquet")
         .option("path", out_dir)
@@ -447,6 +490,7 @@ def stream_upsert_to_keyed_parquet(
             .parquet(out_dir)
         )
 
+    _streaming_confs(spark)
     q = (
         keyed.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint_dir)
