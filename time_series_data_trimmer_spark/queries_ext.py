@@ -2338,46 +2338,72 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional count. The oracle chains DuckDB's native forward ASOF
     (``l.t <= r.t``) twice, so the composition semantics — nearest
     FOLLOWING event, inclusive, per key — are checked against a
-    reference as-of engine end to end."""
+    reference as-of engine end to end. r5: expressed through the
+    general N-step `funnel` operator (this 3-step query keeps its
+    original handwritten oracle; the 4-step registration below uses the
+    generated one)."""
     ev = _events(spark, sf_dir)
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "event_id", "t"
+    hops = edits.funnel(ev, ["view", "click", "purchase"], [600.0, 3600.0])
+    return (
+        edits.funnel_summary(hops)
+        .withColumnRenamed("n_anchors", "n_views")
     )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "t")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .drop("__c")
+
+
+def _funnel_oracle_sql(steps: list[str], windows: list[float]) -> str:
+    """Generate the chained-native-ASOF DuckDB oracle for an N-step
+    funnel — one ``ASOF LEFT JOIN`` per hop, measuring each hop from the
+    previous hop's matched time, then the conversion rollup. Generated
+    per step count so ANY `funnel(steps, windows)` call is
+    oracle-checkable, not just the shapes someone hand-wrote."""
+    ctes = [
+        f"s0 AS (SELECT user_id, event_id, epoch(ts) AS t_0\n"
+        f"        FROM events WHERE event_type = '{steps[0]}')"
+    ]
+    for i, s in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT user_id, epoch(ts) AS t_{i} FROM events\n"
+            f"        WHERE event_type = '{s}' GROUP BY user_id, epoch(ts))"
+        )
+    prev = "s0"
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"j{i} AS (SELECT {prev}.*, s{i}.t_{i}\n"
+            f"        FROM {prev} ASOF LEFT JOIN s{i}\n"
+            f"        ON {prev}.user_id = s{i}.user_id"
+            f" AND {prev}.t_{i - 1} <= s{i}.t_{i})"
+        )
+        prev = f"j{i}"
+    conds = " AND ".join(
+        f"t_{i} IS NOT NULL AND t_{i} - t_{i - 1} <= {float(w)}"
+        for i, w in enumerate(windows, start=1)
     )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "t")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .drop("__c")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT user_id, count(*) AS n_anchors,
+           CAST(sum(CASE WHEN {conds} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted
+    FROM {prev} GROUP BY user_id
+    """
     )
-    vc = edits.asof_join(
-        views, clicks, ["user_id"], "t", [], right_time_alias="ct",
-        direction="forward",
-    )
-    # second hop measures from the matched click time: re-key the left
-    # frame's time axis to ct (keep the view time as t_view)
-    vc2 = vc.select(
-        "user_id", "event_id", F.col("t").alias("t_view"), F.col("ct"),
-    ).withColumn("t", F.col("ct"))
-    vcp = edits.asof_join(
-        vc2, purchases, ["user_id"], "t", [], right_time_alias="pt",
-        direction="forward",
-    )
-    converted = (
-        F.col("ct").isNotNull()
-        & (F.col("ct") - F.col("t_view") <= 600.0)
-        & F.col("pt").isNotNull()
-        & (F.col("pt") - F.col("ct") <= 3600.0)
-    ).cast("long")
-    return vcp.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_views"),
-        F.sum(converted).alias("n_converted"),
-    )
+
+
+_FUNNEL4_STEPS = ["signup", "view", "click", "purchase"]
+_FUNNEL4_WINDOWS = [86400.0, 3600.0, 3600.0]
+
+
+@register(
+    "funnel_signup_4step",
+    _funnel_oracle_sql(_FUNNEL4_STEPS, _FUNNEL4_WINDOWS),
+)
+def _q_funnel_4step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-step funnel (signup → view ≤1 d → click ≤1 h → purchase ≤1 h)
+    through the general N-step operator, with the oracle SQL GENERATED
+    for the same (steps, windows) — proving the loop of forward as-of
+    hops composes to DuckDB's chained native ASOF at arbitrary depth."""
+    ev = _events(spark, sf_dir)
+    hops = edits.funnel(ev, _FUNNEL4_STEPS, _FUNNEL4_WINDOWS)
+    return edits.funnel_summary(hops)
 
 
 @register(
