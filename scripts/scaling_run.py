@@ -190,10 +190,113 @@ def run_dup_dense(spark):
     )
 
 
+def run_recall(spark):
+    """ANN recall at 10× (VERDICT r4 #4): plant 20 near-dups of the
+    query vector into the 10× embeddings table, then measure recall of
+    each probe structure vs brute-force cosine — plus the natural
+    (unplanted) recall@10 and the fraction of the corpus each probe
+    actually scans (the selectivity the recall is bought with).
+
+    Probes measured: multi-table LSH bucket union (bits per the
+    log2(N) rule), IVF seed centroids, and IVF after one Lloyd round
+    (`ivf_lloyd_refine`) — refined recall must be >= seed recall."""
+    import hashlib
+    import math
+
+    from time_series_data_trimmer_spark.operators import similarity as sim
+
+    DIM = 64
+    emb = spark.read.parquet(f"{DST}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    n_total = emb.count()
+
+    # plant 20 near-dups (cosine ~0.9998: 2%-of-norm md5 jitter)
+    nrm = math.sqrt(sum(x * x for x in qvec))
+    planted_rows = []
+    for j in range(20):
+        p = [
+            int(hashlib.md5(f"plant{j}|{i}".encode()).hexdigest()[:8], 16)
+            / float(2**31)
+            - 1.0
+            for i in range(DIM)
+        ]
+        pn = math.sqrt(sum(z * z for z in p))
+        planted_rows.append(
+            (
+                900_000_000 + j,
+                [x + 0.02 * nrm * y / pn for x, y in zip(qvec, p)],
+            )
+        )
+    planted_ids = {r[0] for r in planted_rows}
+    df = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted_rows, "vec_id bigint, embedding array<float>")
+    ).cache()
+    df.count()
+
+    def topk_ids(frame, k):
+        return [r["vec_id"] for r in sim.brute_force_topk(frame, qvec, k=k).collect()]
+
+    exact10 = set(topk_ids(emb, 10))          # natural: no planted rows
+    exact_planted = set(topk_ids(df, 21))      # {qvec} + the 20 planted
+
+    def lsh_candidates(frame, bits, tables):
+        sigs = sim.lsh_signatures(frame, DIM, bits=bits, tables=tables)
+        qs = sigs.filter(F.col("vec_id") == 0).select("t", "sig")
+        ids = sigs.join(F.broadcast(qs), ["t", "sig"]).select("vec_id").distinct()
+        return frame.join(ids, "vec_id")
+
+    def ivf_candidates(frame, cents, nprobe=4):
+        probe = sim.probe_centroids(cents, qvec, nprobe=nprobe)
+        assigned = sim.ivf_assign(frame, cents)
+        return frame.join(
+            assigned.filter(F.col("centroid_id").isin(probe)).select("vec_id"),
+            "vec_id",
+        )
+
+    # bits per the operator's log2(N) rule: 2^bits ~ N/64 buckets/table
+    bits10 = max(6, int(math.log2(max(n_total, 2))) - 6)
+    probes = {}
+    probes["lsh_multitable(bits=%d,tables=6)" % bits10] = lsh_candidates(
+        df, bits10, 6
+    )
+    seeds = sim.ivf_centroids(df, 16)
+    refined = sim.ivf_lloyd_refine(df, seeds, rounds=1)
+    probes["ivf_seed(16 cells, nprobe=4)"] = ivf_candidates(df, seeds)
+    probes["ivf_lloyd1(16 cells, nprobe=4)"] = ivf_candidates(df, refined)
+
+    out = []
+    for name, cand in probes.items():
+        cand = cand.cache()
+        n_cand = cand.count()
+        # natural recall excludes the planted rows (they would crowd
+        # out every natural neighbor at cosine ~0.9998)
+        got10 = set(topk_ids(cand.filter(F.col("vec_id") < 900_000_000), 10))
+        gotp = set(topk_ids(cand, 21))
+        out.append(
+            {
+                "probe": name,
+                "n_total": n_total + 20,
+                "scanned_frac": round(n_cand / (n_total + 20), 4),
+                "recall@10_natural": round(len(exact10 & got10) / 10.0, 2),
+                "recall_planted@20": round(
+                    len((gotp & exact_planted) & planted_ids) / 20.0, 2
+                ),
+            }
+        )
+        cand.unpersist()
+    df.unpersist()
+    for row in out:
+        print(json.dumps(row))
+    return out
+
+
 def main():
     spark = get_spark("scaling-run")
     if "--rebuild" in sys.argv or not os.path.exists(f"{DST}/embeddings.parquet"):
         build(spark)
+    if "--recall" in sys.argv:
+        run_recall(spark)
+        return
     # --only q1,q2,... : measure a subset of the REGISTERED queries and
     # skip every special-cased measurement block (fast iteration on new
     # operators without re-paying the full matrix)

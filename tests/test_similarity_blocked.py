@@ -83,3 +83,59 @@ def test_allpairs_path_still_exact(spark):
     top = sim.topk_similar_pairs(df, k=1).collect()[0]
     assert top["id_b"] == top["id_a"] + N_BASE
     assert top["cosine"] > 0.99
+
+
+# ---------------------------------------------------------------------------
+# IVF Lloyd refinement (r5): determinism, empty-cell stability, recall
+# ---------------------------------------------------------------------------
+
+
+def test_lloyd_refine_is_deterministic_and_keeps_count(spark):
+    df = _planted(spark)
+    seeds = sim.ivf_centroids(df, 8)
+    r1 = sim.ivf_lloyd_refine(df, seeds, rounds=2)
+    r2 = sim.ivf_lloyd_refine(df, seeds, rounds=2)
+    assert r1 == r2  # pure function of (data, seeds): no RNG state
+    assert [cid for cid, _ in r1] == [cid for cid, _ in seeds]
+    assert all(len(v) == DIM for _, v in r1)
+
+
+def test_lloyd_refine_keeps_empty_cells_unchanged(spark):
+    # a centroid far outside the data captures no sample members; the
+    # refinement must keep its coordinates instead of dropping the cell
+    df = _planted(spark)
+    seeds = sim.ivf_centroids(df, 4)
+    far = (99, [1000.0] * DIM)
+    out = sim.ivf_lloyd_refine(df, seeds + [far], rounds=1)
+    assert out[-1] == far
+    assert len(out) == len(seeds) + 1
+
+
+def test_lloyd_refine_moves_centroids_toward_sample_means(spark):
+    # refined coordinates land inside the sampled data's bounding box
+    # (seed vectors are data points, means contract toward density)
+    df = _planted(spark)
+    seeds = sim.ivf_centroids(df, 4)
+    refined = sim.ivf_lloyd_refine(df, seeds, rounds=1, sample_hex_lt=None)
+    moved = sum(1 for (c1, v1), (c2, v2) in zip(seeds, refined) if v1 != v2)
+    assert moved >= 1  # at least one non-singleton cell exists
+    lo = min(x for _, v in seeds for x in v) - 1.5
+    hi = max(x for _, v in seeds for x in v) + 1.5
+    for _, v in refined:
+        assert all(lo <= x <= hi for x in v)
+
+
+def test_ivf_refined_probe_recall_floor(spark):
+    """Recall@10 of the refined-centroid probe vs brute force on planted
+    data — the floor SCALING.md re-measures at 10x."""
+    df = _planted(spark)
+    qvec = _pseudo_vec("base0")
+    exact = {r["vec_id"] for r in sim.brute_force_topk(df, qvec, k=10).collect()}
+    seeds = sim.ivf_centroids(df, 8)
+    cents = sim.ivf_lloyd_refine(df, seeds, rounds=1)
+    got = {
+        r["vec_id"]
+        for r in sim.ivf_topk(df, qvec, k=10, nprobe=4, centroids=cents).collect()
+    }
+    recall = len(exact & got) / 10.0
+    assert recall >= 0.5, f"refined IVF recall@10 = {recall}"

@@ -465,6 +465,69 @@ def ivf_assign_dec(
     )
 
 
+def ivf_lloyd_refine(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    rounds: int = 1,
+    sample_hex_lt: str | None = "8",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "tsdt|ivfs",
+) -> list[tuple[int, list[float]]]:
+    """Refine coarse centroids with ``rounds`` Lloyd iterations over a
+    deterministic hash-sample — the "few Lloyd rounds over a sample"
+    step ``ivf_centroids`` documents for 100 TB indexes.
+
+    Every step is DECIMAL-exact so a SQL oracle reproduces the refined
+    centroids bit-for-bit: sampling keeps rows whose first
+    ``md5(seed|id)`` hex digit is ``< sample_hex_lt`` ('8' → 50%;
+    ``None`` → no sampling), assignment reuses ``ivf_assign_dec``, and
+    each new coordinate is ``rd(cast(Σ rd(x,9)::decimal AS double) /
+    n, 9)`` — the repo's standard cross-engine formula. Cells with no
+    sampled members keep their previous coordinates, so the centroid
+    count is stable by construction.
+
+    Scale shape: per round, one assignment (posexplode + broadcast k·dim
+    centroid table + map-side-combined sum) and one mean aggregation on
+    the same exploded layout; only k·dim rows — bounded, data-independent
+    — ever reach the driver. The sample bounds per-round cost at 100 TB
+    (refinement quality needs a representative sample, not every row).
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    sample = df
+    if sample_hex_lt is not None:
+        h = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+        sample = df.filter(F.substring(h, 1, 1) < F.lit(sample_hex_lt))
+    dim = max(len(vec) for _cid, vec in centroids)
+    for _ in range(rounds):
+        assigned = ivf_assign_dec(sample, centroids, id_col, vec_col)
+        ex = sample.select(
+            F.col(id_col), F.posexplode(F.col(vec_col)).alias("i", "x")
+        )
+        term = rd(F.col("x").cast("double"), 9).cast("decimal(38,9)")
+        upd = (
+            ex.join(assigned.hint("shuffle_hash"), id_col)
+            .groupBy("centroid_id", "i")
+            .agg(F.sum(term).alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "centroid_id",
+                "i",
+                rd(F.col("s").cast("double") / F.col("n"), 9).alias("m"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for row in upd:
+            by_cid.setdefault(row["centroid_id"], {})[row["i"]] = row["m"]
+        centroids = [
+            (cid, [by_cid[cid][i] for i in range(dim)]) if cid in by_cid
+            else (cid, vec)
+            for cid, vec in centroids
+        ]
+    return centroids
+
+
 def probe_centroids(
     centroids: list[tuple[int, list[float]]],
     query_vec: list[float],

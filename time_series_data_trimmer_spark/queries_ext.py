@@ -2753,3 +2753,92 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "sim_ivf_topk_refined",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    ord AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
+      FROM embeddings
+      QUALIFY cid <= 15
+    ),
+    cex0 AS (SELECT o.cid, e.i, e.x FROM ord o JOIN ex e ON e.vec_id = o.vec_id),
+    sam AS (
+      SELECT vec_id FROM embeddings
+      WHERE substr(md5('tsdt|ivfs|' || CAST(vec_id AS VARCHAR)), 1, 1) < '8'
+    ),
+    d0 AS (
+      SELECT e.vec_id, c.cid,
+             sum(CAST({sql_rd("(e.x - c.x) * (e.x - c.x)", 9)} AS DECIMAL(38,9))) AS d
+      FROM ex e JOIN sam s ON s.vec_id = e.vec_id JOIN cex0 c ON c.i = e.i
+      GROUP BY e.vec_id, c.cid
+    ),
+    a0 AS (
+      SELECT vec_id, cid FROM d0
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    upd AS (
+      SELECT a.cid, e.i,
+             {sql_rd("CAST(sum(CAST(" + sql_rd("e.x", 9) + " AS DECIMAL(38,9))) AS DOUBLE) / count(*)", 9)} AS x
+      FROM ex e JOIN a0 a ON a.vec_id = e.vec_id
+      GROUP BY a.cid, e.i
+    ),
+    cex AS (
+      SELECT cid, i, x FROM upd
+      UNION ALL
+      SELECT c.cid, c.i, c.x FROM cex0 c
+      WHERE c.cid NOT IN (SELECT DISTINCT cid FROM upd)
+    ),
+    dists AS (
+      SELECT e.vec_id, c.cid,
+             sum(CAST({sql_rd("(e.x - c.x) * (e.x - c.x)", 9)} AS DECIMAL(38,9))) AS d
+      FROM ex e JOIN cex c ON c.i = e.i
+      GROUP BY e.vec_id, c.cid
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    qdist AS (
+      SELECT c.cid,
+             sum(CAST({sql_rd("(qq.x - c.x) * (qq.x - c.x)", 9)} AS DECIMAL(38,9))) AS d
+      FROM (SELECT i, x FROM ex WHERE vec_id = 0) qq
+      JOIN cex c ON c.i = qq.i
+      GROUP BY c.cid
+    ),
+    probe AS (SELECT cid FROM qdist QUALIFY row_number() OVER (ORDER BY d, cid) <= 4),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dots AS ({_DOT_TERMS})
+    SELECT d.vec_id,
+           {R("CAST(dxy AS DOUBLE) / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))", 6)} AS cosine
+    FROM dots d
+    JOIN assigned a ON a.vec_id = d.vec_id
+    JOIN probe p ON p.cid = a.cid
+    ORDER BY cosine DESC, d.vec_id ASC
+    LIMIT 10
+    """,
+)
+def _q_ivf_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe top-k over LLOYD-REFINED centroids: one decimal-exact
+    k-means round (`sim.ivf_lloyd_refine`) over a deterministic 50%
+    md5-sample tightens the md5-picked seeds toward real density before
+    assignment — the production index-build step for 100 TB corpora
+    (VERDICT r4 #4). The oracle unrolls the round in SQL (sample →
+    assign → exact decimal means → reassign), so cell membership,
+    probe choice, and the re-ranked top-10 are all bit-checked."""
+    emb = _table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    seeds = sim.ivf_centroids(emb, 16)
+    cents = sim.ivf_lloyd_refine(emb, seeds, rounds=1)
+    assigned = sim.ivf_assign_dec(emb, cents)
+    probe_ids = sim.probe_centroids(cents, qvec, nprobe=4)
+    keep = assigned.filter(F.col("centroid_id").isin(probe_ids)).select("vec_id")
+    scored = sim.decimal_cosine_vs_query(emb.join(keep, "vec_id"), qvec)
+    return (
+        scored.select("vec_id", rd(F.col("cosine"), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
