@@ -239,33 +239,42 @@ def lsh_signatures(
     (bit b set iff the DECIMAL-exact dot with plane b is > 0 — decimal
     so bucket assignment is bit-identical in any engine).
 
-    Shape: posexplode the vector, broadcast-join the (t, b, i, w) plane
-    weights (a data-independent dim·bits·tables-row table), then ONE
-    map-side-combined aggregation with ``bits`` conditional decimal
-    sums. The dim×bits×tables intermediate never shuffles — only the
-    N·tables signature rows do. (A pure expression form — bits·tables
-    `decimal_dot` higher-order calls per row — is 5-10× slower:
-    Catalyst neither CSEs across HOF lambdas nor codegens decimal HOF
-    folds well; same lesson as `dedup.minhash_signatures`.)
+    Shape: posexplode the vector, broadcast-join a (t, i)-keyed plane
+    table with the ``bits`` weights of each table PIVOTED INTO COLUMNS
+    (``w_0..w_{bits-1}``), then ONE map-side-combined aggregation with
+    ``bits`` decimal sums grouped by (id, t). The r5 bits-pivot
+    replaces the earlier (t, b, i, w) long-form join, whose output
+    materialized N·dim·tables·bits rows (6.1M at sf0.1) — same
+    arithmetic cell count, bits× fewer row objects through codegen
+    (measured ~10% on the blocked-pairs query; the FULL tables·bits
+    pivot with a single groupBy(id) was tried and is ~15% SLOWER —
+    48-wide decimal aggregation buffers cost more than the fan-out
+    they save). (A pure expression form — bits·tables `decimal_dot`
+    higher-order calls per row — is 5-10× slower: Catalyst neither
+    CSEs across HOF lambdas nor codegens decimal HOF folds well; same
+    lesson as `dedup.minhash_signatures`.)
     """
     from time_series_data_trimmer_spark.functions.rounding import rd
 
     planes = _table_planes(dim, bits, tables, seed)
     rows = [
-        (t, b, i, planes[t][b][i])
+        tuple([t, i] + [planes[t][b][i] for b in range(bits)])
         for t in range(tables)
-        for b in range(bits)
         for i in range(dim)
     ]
-    pdf = df.sparkSession.createDataFrame(rows, "t int, b int, i int, w double")
+    schema = "t int, i int, " + ", ".join(f"w_{b} double" for b in range(bits))
+    pdf = df.sparkSession.createDataFrame(rows, schema)
     par = df.sparkSession.sparkContext.defaultParallelism
     ex = (
         df.repartition(par, F.col(id_col))
         .select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("i", "x"))
     )
-    term = rd(F.col("x").cast("double") * F.col("w"), 9).cast("decimal(20,9)")
+    x = F.col("x").cast("double")
     d = ex.join(F.broadcast(pdf), "i").groupBy(id_col, "t").agg(
-        *[F.sum(F.when(F.col("b") == b, term)).alias(f"d{b}") for b in range(bits)]
+        *[
+            F.sum(rd(x * F.col(f"w_{b}"), 9).cast("decimal(20,9)")).alias(f"d{b}")
+            for b in range(bits)
+        ]
     )
     sig = None
     for b in range(bits):
@@ -462,6 +471,44 @@ def ivf_assign_dec(
         d.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(F.col(id_col), F.col("cid").alias("centroid_id"))
+    )
+
+
+def mean_pool(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    out_scale: int = 6,
+) -> DataFrame:
+    """Element-wise mean of embeddings per group — the chunk→document
+    (or class-centroid) pooling step of embedding pipelines.
+
+    posexplode + ONE map-side-combined decimal aggregation per
+    (group, position); only narrow (group, i, sum, count) partials
+    shuffle, never vectors. Output stays as narrow rows
+    (group, i, m, n) — the pooled array is one
+    ``sort_array(collect_list(struct(i, m)))`` away, kept as rows so
+    results are engine-comparable and the reshape never moves wide
+    arrays through an exchange. Means are decimal-exact
+    (``rd(cast(Σ rd(x,9)::decimal AS double) / n, out_scale)``), so
+    pooled centroids are bit-reproducible across engines.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    ex = df.select(F.col(group_col), F.posexplode(F.col(vec_col)).alias("i", "x"))
+    x = F.col("x").cast("double")
+    return (
+        ex.groupBy(group_col, "i")
+        .agg(
+            F.sum(rd(x, 9).cast("decimal(38,9)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col(group_col),
+            F.col("i").cast("long").alias("i"),
+            rd(F.col("s").cast("double") / F.col("n"), out_scale).alias("m"),
+            F.col("n").alias("n_vecs"),
+        )
     )
 
 

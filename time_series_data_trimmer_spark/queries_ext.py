@@ -2756,6 +2756,31 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_mean_pool_by_label",
+    f"""
+    WITH ex AS (
+      SELECT label, u['i'] - 1 AS i, CAST(u['v'] AS DOUBLE) AS x
+      FROM (SELECT label,
+                   unnest(list_transform(embedding, (x, i) -> {{'v': x, 'i': i}})) AS u
+            FROM embeddings)
+    )
+    SELECT label, i,
+           {sql_rd("CAST(sum(CAST(" + sql_rd("x", 9) + " AS DECIMAL(38,9))) AS DOUBLE) / count(*)", 6)} AS m,
+           count(*) AS n_vecs
+    FROM ex GROUP BY label, i
+    """,
+)
+def _q_emb_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-pooled embedding (`sim.mean_pool`) — the
+    chunk→document / class-centroid pooling step of embedding
+    pipelines. One map-side-combined decimal aggregation over narrow
+    (label, position) partials; vectors never shuffle, means are
+    decimal-exact so pooled centroids reproduce bit-for-bit in any
+    engine."""
+    return sim.mean_pool(_table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "sim_ivf_topk_refined",
     f"""
     WITH ex AS ({_EX_SQL}),
