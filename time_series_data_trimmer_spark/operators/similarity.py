@@ -596,6 +596,90 @@ def probe_centroids(
     return [cid for _, cid in sorted(ranked)[:nprobe]]
 
 
+def ivf_batch_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Top-k neighbors for EVERY query row in ONE corpus pass — the
+    batch-retrieval shape of production ANN (embedding search over a
+    training corpus runs thousands of probes per job, not one).
+
+    Plan: the corpus is IVF-assigned once (`ivf_assign_dec`, decimal-
+    exact); each query's ``nprobe`` nearest cells are ranked on the
+    driver over the bounded centroid list (`probe_centroids` — k·|Q|
+    scalar work); the (query, cell) probe table broadcast-joins the
+    assignment, so a query only ever scores the vectors inside its own
+    probed cells (O(N·nprobe/n_centroids) per query, never O(N)); the
+    exact decimal re-rank joins candidate vectors by id (shuffle-hash)
+    with the broadcast query vectors and ranks per query with a KEYED
+    window. Queries must be bounded (a batch, not a second corpus) —
+    they are collected to the driver for probe ranking and broadcast
+    for scoring; for corpus×corpus joins use the LSH pair path.
+
+    Returns (query_id, vec_id, cosine, rank) with rank ≤ k per query;
+    a query's own row is NOT excluded (rank 1 ≈ itself when the query
+    comes from the corpus) — filter upstream if unwanted.
+    """
+    from pyspark.sql import Window
+
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    centroids = centroids or ivf_centroids(df, n_centroids, id_col, vec_col)
+    assigned = ivf_assign_dec(df, centroids, id_col, vec_col)
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).collect()
+    spark = df.sparkSession
+    probe_rows = [
+        (int(r["query_id"]), cid)
+        for r in qrows
+        for cid in probe_centroids(
+            centroids, [float(x) for x in r["qvec"]], nprobe
+        )
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "query_id bigint, centroid_id int")
+    qvec_df = spark.createDataFrame(
+        [(int(r["query_id"]), [float(x) for x in r["qvec"]]) for r in qrows],
+        "query_id bigint, qvec array<double>",
+    )
+    cand = assigned.join(F.broadcast(probe_df), "centroid_id").select(
+        id_col, "query_id"
+    )
+    scored = (
+        cand.join(df.select(id_col, vec_col).hint("shuffle_hash"), id_col)
+        .join(F.broadcast(qvec_df), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            (
+                decimal_dot(F.col(vec_col), F.col("qvec"))
+                / (
+                    F.sqrt(decimal_dot(F.col(vec_col), F.col(vec_col)))
+                    * F.sqrt(decimal_dot(F.col("qvec"), F.col("qvec")))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.col(id_col),
+            rd(F.col("cosine"), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -2756,6 +2756,74 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_batch_topk",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    ord AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
+      FROM embeddings
+      QUALIFY cid <= 15
+    ),
+    cex AS (SELECT o.cid, e.i, e.x FROM ord o JOIN ex e ON e.vec_id = o.vec_id),
+    dists AS (
+      SELECT e.vec_id, c.cid,
+             sum(CAST({sql_rd("(e.x - c.x) * (e.x - c.x)", 9)} AS DECIMAL(38,9))) AS d
+      FROM ex e JOIN cex c ON c.i = e.i
+      GROUP BY e.vec_id, c.cid
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    qex AS (SELECT vec_id AS query_id, i, x FROM ex WHERE vec_id IN (0, 1, 2, 3, 4)),
+    qdist AS (
+      SELECT q.query_id, c.cid,
+             sum(CAST({sql_rd("(q.x - c.x) * (q.x - c.x)", 9)} AS DECIMAL(38,9))) AS d
+      FROM qex q JOIN cex c ON c.i = q.i
+      GROUP BY q.query_id, c.cid
+    ),
+    probe AS (
+      SELECT query_id, cid FROM qdist
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, cid) <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id FROM probe p JOIN assigned a ON a.cid = p.cid
+    ),
+    terms AS (
+      SELECT c.query_id, c.vec_id,
+             sum(CAST({sql_rd("e.x * q.x", 9)} AS DECIMAL(38,9))) AS dxy,
+             sum(CAST({sql_rd("e.x * e.x", 9)} AS DECIMAL(38,9))) AS dxx,
+             sum(CAST({sql_rd("q.x * q.x", 9)} AS DECIMAL(38,9))) AS dyy
+      FROM cand c
+      JOIN ex e ON e.vec_id = c.vec_id
+      JOIN qex q ON q.query_id = c.query_id AND q.i = e.i
+      GROUP BY c.query_id, c.vec_id
+    ),
+    scored AS (
+      SELECT query_id, vec_id,
+             {R("CAST(dxy AS DOUBLE) / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))", 6)} AS cosine
+      FROM terms
+    )
+    SELECT query_id, vec_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def _q_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: IVF top-10 for five query vectors in ONE corpus pass
+    (`sim.ivf_batch_topk`) — the corpus is assigned once, each query
+    scores only its nprobe=4 probed cells, ranking is a query-keyed
+    window. The production shape for retrieval jobs that run thousands
+    of probes; everything decimal-exact so the oracle reproduces cell
+    membership, candidates, and ranks."""
+    emb = _table(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id").isin([0, 1, 2, 3, 4]))
+    return sim.ivf_batch_topk(emb, qset, k=10)
+
+
+@register(
     "emb_mean_pool_by_label",
     f"""
     WITH ex AS (
