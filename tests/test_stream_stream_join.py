@@ -1,0 +1,94 @@
+"""Stream-stream interval join: cross-batch matching and the
+state-bounding watermark contract.
+
+The oracle parity run (stream_stream_click_purchase_join) proves the
+join computes the batch interval join on in-order data; these tests
+prove the STATEFUL cross-batch behavior with a deterministic
+batch-per-file schedule (maxFilesPerTrigger=1, spaced mtimes — same
+harness as test_streaming_late_data):
+
+* a purchase arriving in a LATER batch than its click still pairs when
+  it is on time (the click is buffered in join state);
+* once the global watermark passes a click's match horizon
+  (click_time + window), its state row is DROPPED and a late purchase
+  can no longer produce the pair the batch join would — the price of
+  bounded state, pinned so nobody builds on the opposite assumption.
+"""
+
+import os
+import time
+
+from tests.test_streaming_late_data import _write_events
+
+
+def _run(spark, src):
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        stream_stream_interval_join,
+    )
+
+    out = stream_stream_interval_join(
+        spark, src, window="2 hours", watermark="3 hours", max_files_per_trigger=1
+    )
+    return {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["gap_us"])
+        for r in out.collect()
+    }
+
+
+def test_on_time_purchase_pairs_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 1000
+    # batch 0: the click to be matched later, plus a click+purchase
+    # advancer pair at 01:00 (u8) that also pairs with itself (gap 0).
+    # End-of-batch watermark = 01:00 - 3h → clamped below every event.
+    _write_events(
+        src,
+        "f1.parquet",
+        [(1, 0, 1, "click", 1.0), (2, 60, 8, "click", 1.0), (3, 60, 8, "purchase", 5.0)],
+        t0,
+    )
+    # batch 1: u1's purchase at 00:30 — later batch, on time (nothing
+    # evicted), inside [00:00, 02:00] → must pair with click 1.
+    _write_events(src, "f2.parquet", [(4, 30, 1, "purchase", 7.0)], t0 + 100)
+    got = _run(spark, src)
+    assert (1, 1, 4, 30 * 60 * 1_000_000) in got
+    assert (8, 2, 3, 0) in got
+    assert len(got) == 2
+
+
+def test_late_purchase_after_state_eviction_is_dropped(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 1000
+    # batch 0: click at 00:00 (u1) + advancers at 10:00 on BOTH sides
+    # (each side's watermark tracks its own filtered stream, the query
+    # takes the min). The 07:00 watermark (10:00 - 3h) takes effect in
+    # batch 1 — watermarks always lag one batch.
+    _write_events(
+        src,
+        "f1.parquet",
+        [
+            (1, 0, 1, "click", 1.0),
+            (2, 600, 9, "click", 1.0),
+            (3, 600, 9, "purchase", 2.0),
+        ],
+        t0,
+    )
+    # batch 1: unrelated traffic (u7 pairs with itself). End-of-batch
+    # cleanup runs under the 07:00 watermark, which is past the u1
+    # click's match horizon 02:00 → its state row drops HERE.
+    _write_events(
+        src,
+        "f2.parquet",
+        [(4, 605, 7, "click", 1.0), (5, 605, 7, "purchase", 3.0)],
+        t0 + 100,
+    )
+    # batch 2: u1's purchase at 00:30 — the batch join would pair it,
+    # but the click state is gone AND the row is behind the watermark
+    # → no pair. Bounded state, honestly surfaced.
+    _write_events(src, "f3.parquet", [(6, 30, 1, "purchase", 7.0)], t0 + 200)
+    got = _run(spark, src)
+    assert (9, 2, 3, 0) in got
+    assert (7, 4, 5, 0) in got
+    assert not any(u == 1 for (u, _c, _p, _g) in got)

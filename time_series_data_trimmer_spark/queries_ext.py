@@ -2218,6 +2218,33 @@ def _q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_click_purchase_join",
+    f"""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+           {sql_rd("p.value", 2)} AS purchase_value
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (attribution shape): clicks and
+    purchases are two live watermarked streams; the event-time interval
+    in the join condition bounds both sides' state to the
+    watermark+window horizon. Finals (append-mode, availableNow) must
+    equal the batch interval join the oracle runs."""
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        stream_stream_interval_join,
+    )
+
+    return stream_stream_interval_join(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
+@register(
     "asof_join_click_purchase",
     f"""
     WITH l AS (

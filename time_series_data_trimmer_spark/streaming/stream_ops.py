@@ -422,6 +422,69 @@ def stream_static_enriched_counts(
     )
 
 
+def stream_stream_interval_join(
+    spark: SparkSession,
+    path: str,
+    window: str = "2 hours",
+    watermark: str = "3 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner interval join: each click joins
+    the same user's purchases inside ``[click, click + window]`` — the
+    attribution-join production shape (two live streams, neither
+    broadcast-able, correlated by key + event-time proximity).
+
+    Both sides carry a watermark and the join condition carries the
+    event-time interval, which is what lets Spark BOUND the join state:
+    a buffered click can only ever match purchases up to
+    ``click + window``, so once the purchase-side watermark passes that
+    horizon the click's state row is dropped (and symmetrically for
+    buffered purchases). State is O(events per watermark+window
+    horizon), never O(stream length). Inner stream-stream joins emit in
+    APPEND mode only — each matched pair exactly once — which is also
+    why the memory-sink harness compares finals against the batch
+    interval join directly.
+    """
+    _streaming_confs(spark)
+    clicks = (
+        _events_stream(spark, path, max_files_per_trigger)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("event_time").alias("c_time"),
+        )
+        .withWatermark("c_time", watermark)
+    )
+    purchases = (
+        _events_stream(spark, path, max_files_per_trigger)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("event_time").alias("p_time"),
+            "value",
+        )
+        .withWatermark("p_time", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_time") >= F.col("c_time"))
+        & (F.col("p_time") <= F.col("c_time") + F.expr(f"INTERVAL {window}")),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros(F.col("p_time")) - F.unix_micros(F.col("c_time"))).alias(
+            "gap_us"
+        ),
+        rd(F.col("value"), 2).alias("purchase_value"),
+    )
+    return _run_to_memory(joined, mode="append")
+
+
 def stream_upsert_to_keyed_parquet(
     spark: SparkSession,
     path: str,
