@@ -173,3 +173,56 @@ def test_read_documents_rejects_unknown_format(spark):
 
     with pytest.raises(ValueError):
         read_documents(spark, "/nonexistent", fmt="avro")
+
+
+def test_range_sorted_write_has_disjoint_file_ranges(spark, tmp_path):
+    """write_range_sorted produces files whose per-file [min, max] on
+    the sort key are pairwise disjoint — the zone map a point/range
+    predicate prunes against — and preserves the data exactly."""
+    from time_series_data_trimmer_spark.sources.corpus_io import (
+        parquet_key_ranges,
+        write_range_sorted,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "sorted")
+    write_range_sorted(docs, out, ["doc_id"], num_files=8)
+
+    ranges = sorted(
+        (lo, hi) for _f, lo, hi in parquet_key_ranges(out, "doc_id")
+    )
+    assert len(ranges) >= 2  # actually split across files
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+        assert lo_a <= hi_a < lo_b  # contiguous, non-overlapping
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+
+
+def test_range_sorted_point_read_touches_one_file_worth_of_ranges(spark, tmp_path):
+    """A point predicate on the sort key intersects exactly ONE file's
+    [min, max] range — the layout-level pruning guarantee (Spark pushes
+    the predicate to parquet, and only that file's row groups can
+    produce rows)."""
+    from time_series_data_trimmer_spark.sources.corpus_io import (
+        parquet_key_ranges,
+        write_range_sorted,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "sorted")
+    write_range_sorted(docs, out, ["doc_id"], num_files=8)
+    target = docs.select("doc_id").orderBy("doc_id").limit(1).collect()[0][0]
+
+    hits = [
+        f for f, lo, hi in parquet_key_ranges(out, "doc_id") if lo <= target <= hi
+    ]
+    assert len(hits) == 1
+
+    got = spark.read.parquet(out).filter(F.col("doc_id") == target)
+    assert got.count() == 1
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id" in plan

@@ -307,3 +307,61 @@ def profile_table(df, columns: list[str] | None = None):
             )
         )
     return one.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``top_k`` terms by a deterministic tf-idf:
+    ``score = tf · (N + 1) / (df + 1)`` — the keyword-extraction /
+    doc-representation primitive of text pipelines.
+
+    The idf ratio is deliberately UN-LOGGED: ``ln`` is not
+    bit-reproducible across engines (libm vs Java Math.log can differ
+    in the last ulp), while IEEE multiply/divide are correctly rounded
+    everywhere — so this variant crosses the exact oracle gate, at the
+    cost of a steeper rare-term weighting than the classic log form
+    (same determinism-over-convention policy as functions/rounding.py).
+
+    Plan: one token explode; tf = map-side-combined count per
+    (doc, token); df = a count over the tf table's NARROW (token) rows;
+    N joins in as a 1-row broadcast scalar (the sanctioned BNLJ shape);
+    the per-doc top-k is a KEYED row_number window. Only (doc, token)
+    pairs shuffle — text bytes never leave the scan.
+    """
+    from pyspark.sql import Window
+
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(dfreq.hint("shuffle_hash"), "token").crossJoin(
+        F.broadcast(n)
+    ).select(
+        F.col(id_col),
+        "token",
+        "tf",
+        "doc_freq",
+        (
+            F.col("tf").cast("double")
+            * (F.col("n_docs") + F.lit(1)).cast("double")
+            / (F.col("doc_freq") + F.lit(1)).cast("double")
+        ).alias("s"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("s").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(top_k))
+        .select(
+            id_col, "token", "tf", "doc_freq", "rank", rd(F.col("s"), 6).alias("score")
+        )
+    )

@@ -2783,6 +2783,38 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents
+    ),
+    t2 AS (SELECT * FROM toks WHERE length(token) > 0),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM t2 GROUP BY 1, 2),
+    dfq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfq.doc_freq,
+             CAST(tf.tf AS DOUBLE) * CAST(n.n_docs + 1 AS DOUBLE)
+               / CAST(dfq.doc_freq + 1 AS DOUBLE) AS s
+      FROM tf JOIN dfq USING (token), n
+    )
+    SELECT doc_id, token, tf, doc_freq,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, token ASC) AS INT) AS rank,
+           {sql_rd("s", 6)} AS score
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf terms (`tx.tfidf_top_terms`) — keyword
+    extraction over the corpus. Un-logged idf ratio so the score is
+    IEEE-deterministic across engines (ln() is last-ulp ambiguous);
+    one token explode, narrow tf/df aggregations, 1-row scalar N,
+    keyed top-k window."""
+    return tx.tfidf_top_terms(_table(spark, sf_dir, "documents"), top_k=3)
+
+
+@register(
     "sim_ivf_batch_topk",
     f"""
     WITH ex AS ({_EX_SQL}),

@@ -41,6 +41,69 @@ def write_partitioned(
     writer.partitionBy(*partition_by).parquet(path)
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write a corpus GLOBALLY RANGE-SORTED on ``sort_cols``:
+    `repartitionByRange` splits the key space into contiguous,
+    non-overlapping ranges (one per output file) and
+    `sortWithinPartitions` orders rows inside each, so every file's
+    parquet min/max stats for the leading sort column are DISJOINT.
+
+    Why this is a first-class layout at 100 TB: hive partitioning
+    (`write_partitioned`) only works for low-cardinality keys; for a
+    high-cardinality key (doc_id, timestamp, user_id) the sorted-range
+    layout is the zone-map equivalent — a point or range predicate on
+    the sort key maps to the few files whose [min, max] intersect it,
+    and parquet row-group pruning inside those files cuts further. The
+    two compose: partition by the coarse key, range-sort inside each
+    partition.
+
+    Range boundaries come from Spark's reservoir sampling of the key
+    distribution (`spark.sql.execution.rangeExchange.sampleSizePerPartition`),
+    so skewed keys still land in balanced files — the property a naive
+    fixed-width bucketing of the key space loses.
+    """
+    num_files = num_files or df.sparkSession.sparkContext.defaultParallelism
+    cols = [df[c] for c in sort_cols]
+    out = df.repartitionByRange(int(num_files), *cols).sortWithinPartitions(*cols)
+    writer = out.write.mode("overwrite")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.parquet(path)
+
+
+def parquet_key_ranges(path: str, column: str) -> list[tuple[str, object, object]]:
+    """Per-file (file, min, max) of ``column`` from the parquet footer
+    statistics — the zone map a range-sorted layout creates. Reads
+    footers only, never data pages."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, f)
+            md = pq.ParquetFile(fp).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                for ci in range(grp.num_columns):
+                    col = grp.column(ci)
+                    if col.path_in_schema == column and col.statistics is not None:
+                        s = col.statistics
+                        lo = s.min if lo is None or s.min < lo else lo
+                        hi = s.max if hi is None or s.max > hi else hi
+            if lo is not None:
+                out.append((fp, lo, hi))
+    return out
+
+
 def parquet_file_stats(path: str) -> tuple[int, int]:
     """(file count, total bytes) of the parquet data files under a
     directory tree — the small-file diagnostic."""
