@@ -59,6 +59,12 @@ HEADLINE = [
     "dedup_embedding_topk_pairs",  # LSH-blocked + exact decimal re-rank
     "tpch_q21_waiting_supplier",  # widest semi/anti join tree
     "mix_sequence_pack_offsets",  # distributed prefix-sum packing
+    # r5: the round's marquee additions, on-headline from day one so
+    # regressions are visible immediately (r4 lesson).
+    "sim_ivf_batch_topk",        # one-pass batch ANN (assign + probe + keyed rank)
+    "sim_ivf_topk_refined",      # Lloyd-refined IVF probe (decimal-exact round)
+    "stream_stream_click_purchase_join",  # watermarked stream-stream interval join
+    "text_tfidf_top_terms",      # token explode + tf/df + keyed top-k window
 ]
 
 
@@ -110,7 +116,7 @@ def main() -> None:
                 # r4 extended the headline from 20 to 26 queries (the six
                 # heavy dedup/join hitters) — compare totals to r3 only
                 # over the shared 20; per-query keys are stable
-                "headline_set": "r4-extended-26",
+                "headline_set": "r5-extended-30",
             }
         )
     )
