@@ -335,3 +335,64 @@ def test_connected_components_long_chain_converges(spark):
     got = connected_components(pairs).collect()
     assert len(got) == 200
     assert all(r["cluster_id"] == 0 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# r5: chunking + quantization operators
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from time_series_data_trimmer_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(50))), (2, "a b"), (3, None), (4, "   ")],
+        "doc_id int, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 50 tokens, stride 24 → chunks at 0 (32 toks), 24 (26 toks),
+    # 48 (2 toks)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in c1] == [32, 26, 2]
+    assert c1[0]["chunk_text"].split(" ")[0] == "t0"
+    assert c1[1]["chunk_text"].split(" ")[0] == "t24"  # overlap of 8
+    assert c1[2]["chunk_text"] == "t48 t49"
+    # doc 2: one short chunk; NULL and whitespace-only texts: no chunks
+    assert [r["chunk_text"] for r in by_doc[2]] == ["a b"]
+    assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_quantization_roundtrip_error_bound(spark):
+    from time_series_data_trimmer_spark.operators.similarity import (
+        quantization_report,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rep = quantization_report(emb)
+    rows = rep.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        # max reconstruction error of 256-level quantization is bounded
+        # by scale/2 (+ float32 representation slack)
+        assert r["max_abs_err"] <= r["q_scale"] * 0.5 + 1e-6, r
+        assert 0 <= r["q_sum"] <= 255 * r["n_dims"]
+
+
+def test_quantization_constant_vector_is_exact(spark):
+    from time_series_data_trimmer_spark.operators.similarity import (
+        quantization_report,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, [0.0, 1.0, 0.25, 0.75])],
+        "vec_id long, embedding array<float>",
+    )
+    q = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert q[1]["qvec"] == [0] * 8 and q[1]["q_scale"] == 1.0
+    assert q[2]["qvec"][0] == 0 and q[2]["qvec"][1] == 255
+    rep = {r["vec_id"]: r for r in quantization_report(df).collect()}
+    assert rep[1]["max_abs_err"] == 0.0

@@ -474,6 +474,108 @@ def ivf_assign_dec(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """Per-vector scalar quantization to ``levels`` integer codes —
+    the int8 storage layout of production vector stores (4× smaller
+    scans/shuffles than float32; dequantize as ``lo + q·scale``).
+
+    Codes are ``floor((x − lo)/scale + 0.5)`` with
+    ``scale = (hi − lo)/(levels − 1)`` (constant vectors get scale 1 →
+    all-zero codes, reconstruction exact) — the repo's floor-formula
+    rounding, so codes are bit-identical in any engine. Pure scan-side
+    higher-order expressions, zero shuffle.
+
+    Returns (id, qvec, q_lo, q_scale, n_dims) — everything needed to
+    dequantize downstream.
+    """
+    v = F.col(vec_col)
+    lo = F.array_min(v).cast("double")
+    hi = F.array_max(v).cast("double")
+    scale = F.when(hi == lo, F.lit(1.0)).otherwise(
+        (hi - lo) / F.lit(float(levels - 1))
+    )
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            v, lambda x: F.floor((x.cast("double") - lo) / scale + F.lit(0.5)).cast("long")
+        ).alias("qvec"),
+        lo.alias("q_lo"),
+        scale.alias("q_scale"),
+        F.size(v).alias("n_dims"),
+    )
+
+
+def quantization_report(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """Quantize + dequantize and report, per vector: the code checksum
+    (pins every code exactly), and the max absolute reconstruction
+    error — the accuracy audit run before switching a corpus to the
+    quantized layout. All IEEE-deterministic, oracle-checkable."""
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    v = F.col(vec_col)
+    lo = F.array_min(v).cast("double")
+    hi = F.array_max(v).cast("double")
+    scale = F.when(hi == lo, F.lit(1.0)).otherwise(
+        (hi - lo) / F.lit(float(levels - 1))
+    )
+    # staged projections (no self-join, single scan): stage 1 pins
+    # lo/scale once, stage 2 quantizes against them, stage 3 audits.
+    # Internal names (__lo/__scale) deliberately differ from the output
+    # aliases: Spark's implicit LATERAL COLUMN ALIAS resolution makes a
+    # later expression in the same select() resolve `q_lo` to an
+    # earlier `rd(...).alias("q_lo")` SIBLING rather than the input
+    # column — with same-named intermediates, max_abs_err silently
+    # recomputed against the ROUNDED lo/scale (observed: 1.5e-8 drift,
+    # oracle mismatch). Distinct internal names make the reference
+    # unambiguous.
+    base = df.select(
+        F.col(id_col),
+        v.alias("__v"),
+        lo.alias("__lo"),
+        scale.alias("__scale"),
+        F.size(v).alias("n_dims"),
+    )
+    q = base.withColumn(
+        "qvec",
+        F.transform(
+            F.col("__v"),
+            lambda x: F.floor(
+                (x.cast("double") - F.col("__lo")) / F.col("__scale") + F.lit(0.5)
+            ).cast("long"),
+        ),
+    )
+    err = F.array_max(
+        F.zip_with(
+            F.col("__v"),
+            F.col("qvec"),
+            lambda x, qq: F.abs(
+                F.col("__lo") + qq.cast("double") * F.col("__scale") - x.cast("double")
+            ),
+        )
+    )
+    qsum = F.aggregate(
+        F.col("qvec"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return q.select(
+        F.col(id_col),
+        F.col("n_dims"),
+        qsum.alias("q_sum"),
+        rd(F.col("__lo"), 9).alias("q_lo"),
+        rd(F.col("__scale"), 9).alias("q_scale"),
+        rd(err, 9).alias("max_abs_err"),
+    )
+
+
 def mean_pool(
     df: DataFrame,
     group_col: str = "label",

@@ -365,3 +365,54 @@ def tfidf_top_terms(
             id_col, "token", "tf", "doc_freq", "rank", rd(F.col("s"), 6).alias("score")
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    chunking step that precedes embedding in retrieval pipelines
+    (chunk → embed → `sim.mean_pool` back to doc vectors).
+
+    Chunk c covers tokens ``[c·stride, c·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens − overlap``; chunks are emitted while
+    ``c·stride < n_tokens``, so the tail is covered and short tails
+    produce short chunks (the standard sliding-window convention).
+    NULL/empty texts produce ZERO chunks — chunking feeds embedding,
+    and embedding nothing is not a row.
+
+    Pure scan-side expressions: the token array is built once per row
+    (split + empty filter, positions preserved), ``sequence`` fans out
+    chunk indices, ``slice`` + ``array_join`` materialize each chunk —
+    no shuffle at all; the operator scales with the scan. Output:
+    (id, chunk_id, chunk_text, n_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    ts = F.filter(
+        F.split(F.trim(F.col(text_col)), " "), lambda x: F.length(x) > 0
+    )
+    n = F.size(ts)
+    n_chunks = F.ceil(n.cast("double") / F.lit(float(stride))).cast("int")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), ts.alias("__ts"), n.alias("__n"), n_chunks.alias("__nc")
+    ).filter(F.col("__n") > 0)
+    ex = base.select(
+        id_col,
+        "__ts",
+        "__n",
+        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * F.lit(stride)
+    piece = F.slice(F.col("__ts"), start + 1, chunk_tokens)
+    return ex.select(
+        id_col,
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - start).cast("int").alias("n_tokens"),
+    )

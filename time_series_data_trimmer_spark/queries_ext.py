@@ -2783,6 +2783,76 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_quantization_report",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS lo,
+             CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS hi
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, embedding, lo,
+             CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / 255.0 END AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, embedding, lo, scale,
+             list_transform(
+               embedding,
+               x -> CAST(floor((CAST(x AS DOUBLE) - lo) / scale + 0.5) AS BIGINT)
+             ) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(len(qv) AS INT) AS n_dims,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+           {sql_rd("lo", 9)} AS q_lo,
+           {sql_rd("scale", 9)} AS q_scale,
+           {sql_rd("list_aggregate(list_transform(embedding, (x, i) -> abs(lo + qv[i] * scale - CAST(x AS DOUBLE))), 'max')", 9)} AS max_abs_err
+    FROM q
+    """,
+)
+def _q_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style scalar quantization audit (`sim.quantization_report`):
+    per vector, the code CHECKSUM (pins every quantized value — the
+    floor-formula codes are bit-identical cross-engine) and the max
+    reconstruction error of the 4×-smaller layout. Pure scan-side
+    higher-order expressions, zero shuffle."""
+    return sim.quantization_report(_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "text_chunk_documents",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> length(x) > 0) AS ts
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sized AS (SELECT doc_id, ts, len(ts) AS n FROM base WHERE len(ts) > 0),
+    ex AS (
+      SELECT doc_id, ts, n,
+             CAST(unnest(generate_series(0, CAST(ceil(n / 24.0) AS INT) - 1)) AS INT) AS chunk_id
+      FROM sized
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(list_slice(ts, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ') AS chunk_text,
+           CAST(least(32, n - chunk_id * 24) AS INT) AS n_tokens
+    FROM ex
+    """,
+)
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (`tx.chunk_documents`,
+    32-token chunks, 8-token overlap → stride 24) — the chunk step of
+    chunk→embed→pool retrieval pipelines. Zero-shuffle scan-side fan-
+    out; the oracle rebuilds every chunk string with list slicing."""
+    return tx.chunk_documents(
+        _table(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+@register(
     "text_tfidf_top_terms",
     f"""
     WITH toks AS (
