@@ -139,3 +139,38 @@ def test_ivf_refined_probe_recall_floor(spark):
     }
     recall = len(exact & got) / 10.0
     assert recall >= 0.5, f"refined IVF recall@10 = {recall}"
+
+
+def test_ivf_index_append_equals_rebuild(spark, tmp_path):
+    """Frozen-centroid contract: appending a batch to the on-disk IVF
+    index produces exactly the index a full rebuild would, and the
+    probe prunes to its nprobe cell directories at planning time."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    from pyspark.sql import functions as F2
+
+    base = emb.filter(F2.col("vec_id") % 5 < 4)
+    batch = emb.filter(F2.col("vec_id") % 5 == 4)
+    cents = sim.ivf_centroids(base, 8)
+    qvec = [float(x) for x in emb.filter(F2.col("vec_id") == 0).first()["embedding"]]
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    sim.ivf_write_index(base, inc, cents)
+    sim.ivf_write_index(batch, inc, cents, mode="append")
+    sim.ivf_write_index(emb, full, cents)
+
+    stats = lambda d: {
+        (r["centroid_id"], r["n_vectors"])
+        for r in sim.ivf_cell_stats(spark, d).collect()
+    }
+    assert stats(inc) == stats(full)
+
+    probe_inc = sim.ivf_index_probe(spark, inc, cents, qvec, k=5, nprobe=3)
+    probe_full = sim.ivf_index_probe(spark, full, cents, qvec, k=5, nprobe=3)
+    assert probe_inc.collect() == probe_full.collect()
+
+    plan = probe_inc._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200]

@@ -782,6 +782,71 @@ def ivf_batch_topk(
     )
 
 
+def ivf_write_index(
+    df: DataFrame,
+    index_dir: str,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize (or extend, ``mode='append'``) an on-disk IVF index:
+    vectors written hive-partitioned by ``centroid_id``, so a probe
+    reads only its nprobe cell DIRECTORIES (PartitionFilters — pruned
+    at planning time, zero I/O for other cells).
+
+    The incremental-maintenance contract: centroids are FROZEN at
+    index build; daily vector batches are assigned against the same
+    centroid list and appended — cell membership is a pure function of
+    (vector, centroids), so appended cells stay exactly the cells a
+    full rebuild would produce, and batch cost is O(batch), not
+    O(index). Rebuild (re-seed + `ivf_lloyd_refine`) when drift makes
+    cells unbalanced — `ivf_cell_stats` is the monitor.
+    """
+    assigned = ivf_assign_dec(df, centroids, id_col, vec_col)
+    out = df.join(assigned.hint("shuffle_hash"), id_col)
+    out.write.mode(mode).partitionBy("centroid_id").parquet(index_dir)
+
+
+def ivf_index_probe(
+    spark,
+    index_dir: str,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the on-disk IVF index: rank cells driver-side over the
+    bounded centroid list, scan ONLY those partition directories
+    (planning-time pruning), exact decimal re-rank inside."""
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    probe_ids = probe_centroids(centroids, query_vec, nprobe)
+    cand = spark.read.parquet(index_dir).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    scored = decimal_cosine_vs_query(cand, query_vec, id_col, vec_col)
+    return (
+        scored.select(id_col, rd(F.col("cosine"), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_cell_stats(spark, index_dir: str) -> DataFrame:
+    """Per-cell population of the on-disk index — the drift monitor
+    that decides when frozen centroids need a rebuild (cells read via
+    partition listing + count, a metadata-cheap aggregation)."""
+    return (
+        spark.read.parquet(index_dir)
+        .groupBy("centroid_id")
+        .count()
+        .withColumnRenamed("count", "n_vectors")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],

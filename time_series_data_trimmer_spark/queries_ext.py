@@ -2783,6 +2783,75 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_incremental_probe",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    ord AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
+      FROM embeddings WHERE vec_id % 5 < 4
+      QUALIFY cid <= 15
+    ),
+    cex AS (SELECT o.cid, e.i, e.x FROM ord o JOIN ex e ON e.vec_id = o.vec_id),
+    dists AS (
+      SELECT e.vec_id, c.cid,
+             sum(CAST({sql_rd("(e.x - c.x) * (e.x - c.x)", 9)} AS DECIMAL(38,9))) AS d
+      FROM ex e JOIN cex c ON c.i = e.i
+      GROUP BY e.vec_id, c.cid
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    qdist AS (
+      SELECT c.cid,
+             sum(CAST({sql_rd("(qq.x - c.x) * (qq.x - c.x)", 9)} AS DECIMAL(38,9))) AS d
+      FROM (SELECT i, x FROM ex WHERE vec_id = 0) qq
+      JOIN cex c ON c.i = qq.i
+      GROUP BY c.cid
+    ),
+    probe AS (SELECT cid FROM qdist QUALIFY row_number() OVER (ORDER BY d, cid) <= 4),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dots AS ({_DOT_TERMS})
+    SELECT d.vec_id,
+           {R("CAST(dxy AS DOUBLE) / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))", 6)} AS cosine
+    FROM dots d
+    JOIN assigned a ON a.vec_id = d.vec_id
+    JOIN probe p ON p.cid = a.cid
+    ORDER BY cosine DESC, d.vec_id ASC
+    LIMIT 10
+    """,
+)
+def _q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance (`sim.ivf_write_index` /
+    `ivf_index_probe`): centroids seed from the BASE corpus (vec_id %
+    5 < 4) and FREEZE; the remaining 20% arrives as a later batch and
+    is assigned + appended into the cell-partitioned on-disk index;
+    the probe reads only its nprobe cell directories. The oracle is
+    the probe over a one-shot index of the full corpus with the same
+    frozen centroids — append-equals-rebuild is the contract (cell
+    membership is a pure function of vector × centroids)."""
+    import shutil
+    import tempfile
+
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 < 4)
+    batch = emb.filter(F.col("vec_id") % 5 == 4)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = sim.ivf_centroids(base, 16)
+    work = tempfile.mkdtemp(prefix="tsdt_ivf_idx_")
+    try:
+        idx = os.path.join(work, "index")
+        sim.ivf_write_index(base, idx, cents)
+        sim.ivf_write_index(batch, idx, cents, mode="append")
+        out = sim.ivf_index_probe(spark, idx, cents, qvec, k=10, nprobe=4)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "emb_quantization_report",
     f"""
     WITH v AS (
