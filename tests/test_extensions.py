@@ -396,3 +396,22 @@ def test_quantization_constant_vector_is_exact(spark):
     assert q[2]["qvec"][0] == 0 and q[2]["qvec"][1] == 255
     rep = {r["vec_id"]: r for r in quantization_report(df).collect()}
     assert rep[1]["max_abs_err"] == 0.0
+
+
+def test_decontaminate_flags_verbatim_overlap_only(spark):
+    from time_series_data_trimmer_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # contains heldout 4-grams
+            (2, "one two three four five six"),          # disjoint vocabulary
+            (3, None),                                    # NULL text: never flagged
+        ],
+        "doc_id int, text string",
+    )
+    heldout = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r["n_shared_grams"] for r in decontaminate(train, heldout, n=4).collect()}
+    # train doc 1 shares the 2 distinct 4-grams of the heldout doc
+    assert out == {1: 2}

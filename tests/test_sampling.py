@@ -124,3 +124,25 @@ def test_pack_sharded_shard_major_and_contiguous(spark):
             assert sources[i - 1] == s, f"shard {s} interleaved at row {i}"
         else:
             first_seen[s] = i
+
+
+def test_train_val_test_split_stable_and_exhaustive(spark):
+    from time_series_data_trimmer_spark.operators.sampling import train_val_test_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        (r["doc_id"], r["split"])
+        for r in train_val_test_split(docs).select("doc_id", "split").collect()
+    }
+    b = {
+        (r["doc_id"], r["split"])
+        for r in train_val_test_split(docs.repartition(13))
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b  # membership is layout-independent
+    labels = {s for _, s in a}
+    assert labels <= {"train", "val", "test"}
+    n = len(a)
+    n_train = sum(1 for _, s in a if s == "train")
+    assert n_train / n > 0.6  # 80% nominal, generous tolerance at small N

@@ -1180,3 +1180,50 @@ def incremental_dedup_batches(
             mode="append" if i > 0 else "overwrite",
         )
     return spark.table(history_table)
+
+
+def decontaminate(
+    train: DataFrame,
+    heldout: DataFrame,
+    n: int = 5,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train-set decontamination against a held-out set: flag every
+    train document sharing >= ``min_shared`` distinct word ``n``-grams
+    with ANY held-out document — the benchmark-leakage scan every
+    serious LLM training pipeline runs before training (the published
+    recipes use 8-13-gram overlap; ``n`` is the knob).
+
+    Plan: both sides shingle scan-side (`word_shingles`, distinct per
+    doc) and immediately collapse to md5 DIGESTS, so the join moves
+    32-hex keys, never gram text; the held-out side dedups to DISTINCT
+    grams (its doc identity is irrelevant — any hit contaminates); one
+    shuffle-hash equi-join + one count per train doc. Cost is linear
+    in corpus gram volume + join output; nothing is broadcast (a
+    held-out set can be millions of docs), nothing quadratic.
+
+    Returns (id, n_shared_grams) for flagged train docs — anti-join it
+    back to drop them (`exact_dedup`-style survivor pattern).
+    """
+    t_grams = (
+        train.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+        )
+        .select(id_col, F.md5("g").alias("gd"))
+    )
+    h_grams = (
+        heldout.filter(F.col(text_col).isNotNull())
+        .select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+        .select(F.md5("g").alias("gd"))
+        .distinct()
+    )
+    hits = t_grams.join(h_grams.hint("shuffle_hash"), "gd")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= int(min_shared))
+    )

@@ -266,3 +266,31 @@ def sequence_pack_offsets_sharded(
         .filter(F.col("n_tokens") > 0)
     )
     return _chop(out, seq_len, key_col, shard_col)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    key_col: str = "doc_id",
+    seed: str = "tsdt|split",
+) -> DataFrame:
+    """Deterministic 3-way split: every row gains a ``split`` label
+    (train/val/test) from its hash bucket — the dataset-versioning
+    primitive (membership is a pure function of (seed, key): stable
+    under repartitioning, appends, retries, and engines, so a doc can
+    NEVER migrate between splits across pipeline runs — the leakage
+    mode `df.randomSplit` invites).
+
+    Bucket layout: [0, test)|[test, test+val)|[rest] of the u32 hash
+    space. Scan-side codegen label assignment, no shuffle.
+    """
+    h = hash_u32(F.col(key_col), seed)
+    t_hi = int(test_frac * _HASH_SPACE)
+    v_hi = t_hi + int(val_frac * _HASH_SPACE)
+    label = (
+        F.when(h < F.lit(t_hi), F.lit("test"))
+        .when(h < F.lit(v_hi), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", label)

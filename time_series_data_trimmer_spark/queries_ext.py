@@ -2783,6 +2783,79 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mix_train_val_test_split",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('tsdt|split' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN hv < {int(0.1 * (1 << 32))} THEN 'test'
+                WHEN hv < {2 * int(0.1 * (1 << 32))} THEN 'val'
+                ELSE 'train' END AS split
+    FROM h
+    """,
+)
+def _q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (`sp.train_val_test_split`,
+    10/10/80 by u32 hash bucket): labels are a pure function of
+    (seed, doc_id) — no row can migrate between splits across runs,
+    appends, or engines (the leakage mode randomSplit invites).
+    Scan-side codegen, zero shuffle."""
+    out = sp.train_val_test_split(
+        _table(spark, sf_dir, "documents"), val_frac=0.1, test_frac=0.1
+    )
+    return out.select("doc_id", "source", "split")
+
+
+@register(
+    "dedup_decontaminate_vs_heldout",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE source <> 'src0' AND text IS NOT NULL
+    ),
+    tg AS (
+      SELECT doc_id, md5(g) AS gd FROM (
+        SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) - 3 >= 1
+          THEN list_transform(generate_series(1, len(w) - 3),
+                              i -> array_to_string(w[i:i+3], ' '))
+          ELSE [array_to_string(w, ' ')] END)) AS g
+        FROM t)
+    ),
+    h AS (
+      SELECT DISTINCT md5(g) AS gd FROM (
+        SELECT unnest(list_distinct(CASE WHEN len(w) - 3 >= 1
+          THEN list_transform(generate_series(1, len(w) - 3),
+                              i -> array_to_string(w[i:i+3], ' '))
+          ELSE [array_to_string(w, ' ')] END)) AS g
+        FROM (SELECT string_split(text, ' ') AS w FROM documents
+              WHERE source = 'src0' AND text IS NOT NULL))
+    )
+    SELECT tg.doc_id, count(*) AS n_shared_grams
+    FROM tg JOIN h USING (gd)
+    GROUP BY tg.doc_id
+    HAVING count(*) >= 1
+    """,
+)
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage scan (`dd.decontaminate`): train docs (source
+    != src0) sharing any distinct word 4-gram with the held-out set
+    (source == src0) are flagged with their shared-gram count — the
+    decontamination pass every LLM training pipeline runs. Both sides
+    shingle scan-side and join on md5 DIGESTS (narrow keys, nothing
+    broadcast, linear in gram volume)."""
+    docs = _table(spark, sf_dir, "documents")
+    return dd.decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=4,
+        min_shared=1,
+    )
+
+
+@register(
     "sim_ivf_incremental_probe",
     f"""
     WITH ex AS ({_EX_SQL}),
