@@ -92,3 +92,50 @@ def test_late_purchase_after_state_eviction_is_dropped(spark, tmp_path):
     assert (9, 2, 3, 0) in got
     assert (7, 4, 5, 0) in got
     assert not any(u == 1 for (u, _c, _p, _g) in got)
+
+
+def _run_outer(spark, src):
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        stream_stream_interval_join,
+    )
+
+    out = stream_stream_interval_join(
+        spark,
+        src,
+        window="2 hours",
+        watermark="3 hours",
+        max_files_per_trigger=1,
+        how="left_outer",
+    )
+    return {
+        (r["user_id"], r["click_id"], r["purchase_id"]) for r in out.collect()
+    }
+
+
+def test_left_outer_emits_null_row_on_eviction_only(spark, tmp_path):
+    """left_outer contract: an unmatched click emits (click, NULL) when
+    its state is EVICTED (watermark past click + window); a click still
+    inside the horizon at end-of-stream has emitted nothing."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 1000
+    # batch 0: unmatched click u1 at 00:00; matched pair u9 at 10:00
+    # (advances both sides' watermarks to 07:00 for batch 1).
+    _write_events(
+        src,
+        "f1.parquet",
+        [
+            (1, 0, 1, "click", 1.0),
+            (2, 600, 9, "click", 1.0),
+            (3, 600, 9, "purchase", 2.0),
+        ],
+        t0,
+    )
+    # batch 1: traffic at 10:05 — end-of-batch cleanup under the 07:00
+    # watermark evicts the u1 click → its NULL row emits. The u7 click
+    # (10:05) is still inside every horizon at end-of-stream.
+    _write_events(src, "f2.parquet", [(4, 605, 7, "click", 1.0)], t0 + 100)
+    got = _run_outer(spark, src)
+    assert (9, 2, 3) in got          # matched pair, same as inner
+    assert (1, 1, None) in got       # evicted unmatched click → NULL row
+    assert not any(c == 4 for (_u, c, _p) in got)  # still-open click: nothing

@@ -428,6 +428,7 @@ def stream_stream_interval_join(
     window: str = "2 hours",
     watermark: str = "3 hours",
     max_files_per_trigger: int | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked STREAM-STREAM inner interval join: each click joins
     the same user's purchases inside ``[click, click + window]`` — the
@@ -472,7 +473,7 @@ def stream_stream_interval_join(
         (F.col("user_id") == F.col("p_user"))
         & (F.col("p_time") >= F.col("c_time"))
         & (F.col("p_time") <= F.col("c_time") + F.expr(f"INTERVAL {window}")),
-        "inner",
+        how,
     ).select(
         "user_id",
         "click_id",
