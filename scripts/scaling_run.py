@@ -41,22 +41,29 @@ DST = "/tmp/tsdt_scale10"
 COPIES = 10
 
 
+def _shifted_union(spark, table, shifts):
+    """COPIES shifted copies of a base table unioned (shifts: {col:
+    per-copy offset}) — shared by build() and build_dup_dense so the
+    two 10x builders cannot drift."""
+    df = spark.read.parquet(f"{SRC}/{table}.parquet")
+    parts = []
+    for i in range(COPIES):
+        p = df
+        for col, off in shifts.items():
+            p = p.withColumn(col, F.col(col) + F.lit(i * off))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def build(spark):
     os.makedirs(DST, exist_ok=True)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    def shifted_union(table, shifts):  # shifts: {col: per-copy offset}
-        df = spark.read.parquet(f"{SRC}/{table}.parquet")
-        parts = []
-        for i in range(COPIES):
-            p = df
-            for col, off in shifts.items():
-                p = p.withColumn(col, F.col(col) + F.lit(i * off))
-            parts.append(p)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+    def shifted_union(table, shifts):
+        return _shifted_union(spark, table, shifts)
 
     okey, ckey = 10_000_000, 1_000_000
     shifted_union("orders", {"o_orderkey": okey, "o_custkey": ckey}).write.mode(
@@ -154,15 +161,9 @@ def build_dup_dense(spark):
     grow 10× — the corpus shape real crawls have (30%+ exact dups) and
     the one the r5 digest-collapsed Jaccard path is built for."""
     os.makedirs(DUP_DST, exist_ok=True)
-    docs = spark.read.parquet(f"{SRC}/documents.parquet")
-    parts = [
-        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
-        for i in range(COPIES)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.write.mode("overwrite").parquet(f"{DUP_DST}/documents.parquet")
+    _shifted_union(spark, "documents", {"doc_id": 1_000_000}).write.mode(
+        "overwrite"
+    ).parquet(f"{DUP_DST}/documents.parquet")
 
 
 def run_dup_dense(spark):

@@ -385,3 +385,27 @@ def test_funnel_n_step_chain_and_break_propagation(spark):
 
     with pytest.raises(ValueError):
         funnel(ev, ["a", "b", "c"], [10.0])
+
+
+def test_incremental_dedup_resume_continues_history(spark):
+    """resume=True keeps the stored history: a second PROCESS RUN'S
+    batch anti-joins against day 1's digests instead of rebuilding —
+    the nightly production shape (r5 review finding)."""
+    from time_series_data_trimmer_spark.operators.dedup import (
+        incremental_dedup_batches,
+    )
+
+    b1 = spark.createDataFrame([(1, "aa"), (2, "bb")], "doc_id long, text string")
+    b2 = spark.createDataFrame([(3, "aa"), (4, "cc")], "doc_id long, text string")
+    tbl = "tsdt_hist_resume_test"
+    incremental_dedup_batches(spark, [b1], history_table=tbl)
+    out = incremental_dedup_batches(spark, [b2], history_table=tbl, resume=True)
+    rows = {(r["keep_id"], r["batch_id"]) for r in out.collect()}
+    # doc 3 ("aa") is suppressed by day-1 history; doc 4 survives as
+    # batch_id 1 (continuing from the stored max)
+    assert rows == {(1, 0), (2, 0), (4, 1)}
+    # resume=False (default) rebuilds: doc 3 would survive again
+    out2 = incremental_dedup_batches(spark, [b2], history_table=tbl)
+    keep = {r["keep_id"] for r in out2.collect()}
+    assert keep == {3, 4}
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -1132,6 +1132,7 @@ def incremental_dedup_batches(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 8,
+    resume: bool = False,
 ) -> DataFrame:
     """The production incremental-dedup LOOP (r5): apply ``batches`` in
     order against a digest history stored as a HASH-BUCKETED managed
@@ -1156,11 +1157,27 @@ def incremental_dedup_batches(
     the concatenation, with keep_id = the min id within the EARLIEST
     batch containing the digest (equal to the global min when batches
     arrive in id order — the usual append-only ingest).
+
+    ``resume=False`` (default) treats ``history_table`` as scratch and
+    REBUILDS it — the first-season / test shape. The nightly production
+    call is ``resume=True``: the existing history is kept, every batch
+    in this call anti-joins against it, and batch_ids continue from the
+    stored maximum. (r5 review finding: the unconditional drop made the
+    documented nightly loop destructive across process runs.)
     """
     from .skew import write_bucketed
 
-    spark.sql(f"DROP TABLE IF EXISTS {history_table}")
-    for i, b in enumerate(batches):
+    if resume and spark.catalog.tableExists(history_table):
+        start = (
+            spark.table(history_table)
+            .agg(F.max("batch_id").alias("m"))
+            .first()["m"]
+            + 1
+        )
+    else:
+        spark.sql(f"DROP TABLE IF EXISTS {history_table}")
+        start = 0
+    for i, b in enumerate(batches, start=start):
         d = b.select(
             F.col(id_col),
             F.coalesce(F.md5(F.col(text_col)), F.lit("<NULL>")).alias("digest"),

@@ -379,9 +379,12 @@ def chunk_documents(
     (chunk → embed → `sim.mean_pool` back to doc vectors).
 
     Chunk c covers tokens ``[c·stride, c·stride + chunk_tokens)`` with
-    ``stride = chunk_tokens − overlap``; chunks are emitted while
-    ``c·stride < n_tokens``, so the tail is covered and short tails
-    produce short chunks (the standard sliding-window convention).
+    ``stride = chunk_tokens − overlap``; emission STOPS at the first
+    chunk that reaches the document end (``c·stride + chunk_tokens ≥
+    n``), so the tail is covered exactly once and no chunk is fully
+    contained in its predecessor (a naive while-start<n rule emits
+    redundant tail slivers that downstream embedding would then
+    double-weight — r5 review finding).
     NULL/empty texts produce ZERO chunks — chunking feeds embedding,
     and embedding nothing is not a row.
 
@@ -398,7 +401,12 @@ def chunk_documents(
         F.split(F.trim(F.col(text_col)), " "), lambda x: F.length(x) > 0
     )
     n = F.size(ts)
-    n_chunks = F.ceil(n.cast("double") / F.lit(float(stride))).cast("int")
+    n_chunks = F.when(n <= F.lit(chunk_tokens), F.lit(1)).otherwise(
+        (
+            F.ceil((n - F.lit(chunk_tokens)).cast("double") / F.lit(float(stride)))
+            + F.lit(1)
+        ).cast("int")
+    )
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), ts.alias("__ts"), n.alias("__n"), n_chunks.alias("__nc")
     ).filter(F.col("__n") > 0)

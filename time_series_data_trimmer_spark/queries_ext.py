@@ -171,13 +171,16 @@ def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup operators over documents
 # ---------------------------------------------------------------------------
 
+# grams from coalesce(text, ''): Spark's word_shingles(NULL) yields the
+# single "" shingle (concat_ws over a null array), and string_split('')
+# reproduces it — NULL-text docs carry [''] in BOTH engines
 _SH_SQL = """
     SELECT doc_id,
            list_distinct(CASE WHEN len(w) >= 3
              THEN list_transform(generate_series(1, len(w) - 2),
                                  i -> array_to_string(list_slice(w, i, i + 2), ' '))
              ELSE [array_to_string(w, ' ')] END) AS grams
-    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents)
 """
 
 _SIG_SQL = (
@@ -233,7 +236,13 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM shingled s JOIN documents d USING (doc_id)
     ),
     cand AS (
-      SELECT doc_id, grams, unnest([bucket, bucket + 1]) AS blk FROM base
+      -- NULL text => NULL bucket => ONE NULL block row (mirrors the
+      -- Spark side's array_distinct([NULL, NULL]); list_distinct would
+      -- DROP the NULL, so the CASE keeps it explicitly)
+      SELECT doc_id, grams,
+             unnest(CASE WHEN bucket IS NULL THEN [CAST(NULL AS BIGINT)]
+                    ELSE [bucket, bucket + 1] END) AS blk
+      FROM base
     ),
     capped AS (
       SELECT doc_id, grams, blk FROM cand
@@ -243,7 +252,7 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              len(list_intersect(a.grams, b.grams)) AS i,
              len(list_distinct(list_concat(a.grams, b.grams))) AS u
-      FROM capped a JOIN capped b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.blk IS NOT DISTINCT FROM b.blk AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
     FROM pairs WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.2
@@ -267,7 +276,13 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM shingled s JOIN documents d USING (doc_id)
     ),
     cand AS (
-      SELECT doc_id, grams, unnest([bucket, bucket + 1]) AS blk FROM base
+      -- NULL text => NULL bucket => ONE NULL block row (mirrors the
+      -- Spark side's array_distinct([NULL, NULL]); list_distinct would
+      -- DROP the NULL, so the CASE keeps it explicitly)
+      SELECT doc_id, grams,
+             unnest(CASE WHEN bucket IS NULL THEN [CAST(NULL AS BIGINT)]
+                    ELSE [bucket, bucket + 1] END) AS blk
+      FROM base
     ),
     capped AS (
       SELECT doc_id, grams, blk FROM cand
@@ -277,7 +292,7 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              len(list_intersect(a.grams, b.grams)) AS i,
              len(list_distinct(list_concat(a.grams, b.grams))) AS u
-      FROM capped a JOIN capped b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.blk IS NOT DISTINCT FROM b.blk AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
     FROM pairs WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.2
@@ -2787,7 +2802,7 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH h AS (
       SELECT doc_id, source,
-             ('0x' || substr(md5('tsdt|split' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+             {sp.sql_hash_u32('doc_id', 'tsdt|split')} AS hv
       FROM documents
     )
     SELECT doc_id, source,
@@ -2975,7 +2990,9 @@ def _q_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized AS (SELECT doc_id, ts, len(ts) AS n FROM base WHERE len(ts) > 0),
     ex AS (
       SELECT doc_id, ts, n,
-             CAST(unnest(generate_series(0, CAST(ceil(n / 24.0) AS INT) - 1)) AS INT) AS chunk_id
+             CAST(unnest(generate_series(0,
+               CASE WHEN n <= 32 THEN 0
+                    ELSE CAST(ceil((n - 32) / 24.0) AS INT) END)) AS INT) AS chunk_id
       FROM sized
     )
     SELECT doc_id, chunk_id,

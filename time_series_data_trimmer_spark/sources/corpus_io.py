@@ -97,6 +97,11 @@ def parquet_key_ranges(path: str, column: str) -> list[tuple[str, object, object
                     col = grp.column(ci)
                     if col.path_in_schema == column and col.statistics is not None:
                         s = col.statistics
+                        # writers may emit a statistics object WITHOUT
+                        # min/max (e.g. long binary columns) — skip it,
+                        # never compare against None
+                        if not s.has_min_max:
+                            continue
                         lo = s.min if lo is None or s.min < lo else lo
                         hi = s.max if hi is None or s.max > hi else hi
             if lo is not None:
@@ -154,15 +159,6 @@ def compact_directory(
     import math
     import shutil
 
-    meta_log = os.path.join(path, "_spark_metadata")
-    if os.path.exists(meta_log) and not finalize_streaming_sink:
-        raise ValueError(
-            f"{path} is a streaming file sink (_spark_metadata present); "
-            "compaction drops the sink log and the directory becomes "
-            "batch-read-only. Stop the writing query permanently and pass "
-            "finalize_streaming_sink=True to proceed."
-        )
-
     staged = path.rstrip("/") + ".__compact_tmp__"
     old = path.rstrip("/") + ".__compact_old__"
     # crash recovery BEFORE doing anything: a stranded staging dir is an
@@ -177,6 +173,19 @@ def compact_directory(
             shutil.rmtree(old)
         else:
             os.rename(old, path)
+
+    # the sink guard runs AFTER recovery: a finalize run that died
+    # mid-swap leaves the corpus path missing, and a pre-recovery check
+    # would see no _spark_metadata and let a later UNFLAGGED call
+    # finalize the restored sink silently (r5 review finding)
+    meta_log = os.path.join(path, "_spark_metadata")
+    if os.path.exists(meta_log) and not finalize_streaming_sink:
+        raise ValueError(
+            f"{path} is a streaming file sink (_spark_metadata present); "
+            "compaction drops the sink log and the directory becomes "
+            "batch-read-only. Stop the writing query permanently and pass "
+            "finalize_streaming_sink=True to proceed."
+        )
 
     before_n, before_bytes = parquet_file_stats(path)
     if before_n == 0:
