@@ -415,3 +415,37 @@ def test_decontaminate_flags_verbatim_overlap_only(spark):
     out = {r["doc_id"]: r["n_shared_grams"] for r in decontaminate(train, heldout, n=4).collect()}
     # train doc 1 shares the 2 distinct 4-grams of the heldout doc
     assert out == {1: 2}
+
+
+def test_chunk_documents_coverage_properties(spark):
+    """Invariants across sizes: every token is covered, consecutive
+    chunks overlap by exactly `overlap` (except a shorter tail), and no
+    chunk is fully contained in its predecessor."""
+    from time_series_data_trimmer_spark.operators.text import chunk_documents
+
+    sizes = [1, 7, 24, 25, 31, 32, 33, 48, 56, 57, 80, 200]
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"w{i}" for i in range(n))) for n in sizes],
+        "doc_id int, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    stride = 24
+    for n in sizes:
+        cs = sorted(by_doc[n], key=lambda r: r["chunk_id"])
+        covered = set()
+        prev_end = None
+        for c in cs:
+            start = c["chunk_id"] * stride
+            toks = c["chunk_text"].split(" ")
+            assert toks == [f"w{i}" for i in range(start, start + c["n_tokens"])]
+            end = start + c["n_tokens"]
+            if prev_end is not None:
+                assert end > prev_end  # never contained in predecessor
+            prev_end = end
+            covered |= set(range(start, end))
+        assert covered == set(range(n)), f"n={n}"
+        # stop-at-end rule: at most one chunk reaches the document end
+        assert sum(1 for c in cs if c["chunk_id"] * stride + c["n_tokens"] == n) == 1
