@@ -132,3 +132,45 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     assert out.count() == 10000
     spark.sql("DROP TABLE IF EXISTS bt_left")
     spark.sql("DROP TABLE IF EXISTS bt_right")
+
+
+def test_runtime_bloom_filter_engages_on_selective_join(spark):
+    """Rehearsal of Spark's runtime bloom-filter pruning: with the
+    application-side size threshold lowered to test volume (production
+    default 10GB engages on real fact tables), a selective dim filter
+    injects a bloom probe into the fact side of the join — and without
+    the selective filter, no bloom is built (the mechanism is guarded,
+    not unconditional)."""
+    from time_series_data_trimmer_spark.operators.skew import (
+        runtime_bloom_filter_applied,
+    )
+
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        sel = o.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = l.join(sel.hint("shuffle_hash"), l["l_orderkey"] == sel["o_orderkey"])
+        assert runtime_bloom_filter_applied(j)
+        # no selective creation-side filter -> no bloom injected
+        j2 = l.join(o.hint("shuffle_hash"), l["l_orderkey"] == o["o_orderkey"])
+        assert not runtime_bloom_filter_applied(j2)
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)

@@ -124,3 +124,25 @@ def bucketed_join_is_shuffle_free(spark: SparkSession, left: str, right: str, on
     plan = j._jdf.queryExecution().executedPlan().toString()
     # only SHUFFLE exchanges count — BroadcastExchange moves no fact rows
     return "Exchange hashpartitioning" not in plan
+
+
+def runtime_bloom_filter_applied(df: DataFrame) -> bool:
+    """Diagnostic: does the optimized plan carry a runtime BLOOM FILTER
+    on the large (application) side of a join — Spark's row-level
+    runtime pruning for selective joins the optimizer cannot push
+    statically (the dimension filter's qualifying keys are only known
+    at run time).
+
+    The complement to static pushdown and AQE skew handling: at 100 TB
+    a selective dim join prunes the fact scan by probing the bloom
+    filter built from the filtered creation side, cutting shuffle input
+    by the dim filter's selectivity. Injection is guarded by
+    ``spark.sql.optimizer.runtime.bloomFilter.*`` thresholds — the
+    application side must look big enough to be worth the build
+    (default 10 GB scan), so bench-scale rehearsals lower
+    ``applicationSideScanSizeThreshold`` exactly as the skew rehearsal
+    lowers its partition thresholds; production defaults engage on
+    real fact tables.
+    """
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return "bloom" in plan.lower()
