@@ -77,6 +77,68 @@ def write_range_sorted(
     writer.parquet(path)
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+) -> None:
+    """Write a corpus Z-ORDERED on ``cols``: each column min-max scales
+    into a ``bits``-bit bucket, buckets BIT-INTERLEAVE into one Morton
+    key, and the data range-sorts on that key — so EVERY listed column
+    gets locality (moderately tight per-file min/max), where a plain
+    range sort gives one column perfect zone maps and the others none.
+
+    The multi-dimensional complement to `write_range_sorted`: the
+    layout for corpora probed by more than one high-cardinality
+    predicate (user AND time, doc AND length). Per-column ranges are
+    wider than a dedicated single-column sort — the classic Z-order
+    trade (N dimensions each at ~1/2^(bits/N) selectivity instead of
+    one at 1/2^bits).
+
+    Column min/max come from ONE scan-side aggregate (a bounded 1-row
+    collect); the Morton key is a pure codegen expression
+    (shift/mask/or per bit); the write is `repartitionByRange` on the
+    key — no UDF, no global sort.
+    """
+    from pyspark.sql import functions as F
+
+    num_files = num_files or df.sparkSession.sparkContext.defaultParallelism
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    top = (1 << bits) - 1
+    bucket_cols = []
+    for c in cols:
+        mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        b = F.floor(
+            (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(float(top))
+        ).cast("long")
+        # clamp: the max value lands exactly on top, rounding slack aside
+        bucket_cols.append(F.least(F.greatest(b, F.lit(0)), F.lit(top)))
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits):
+        for i, bc in enumerate(bucket_cols):
+            z = z + (
+                F.shiftright(bc, b).bitwiseAND(F.lit(1))
+                * F.lit(1 << (b * n + i)).cast("long")
+            )
+    out = (
+        df.withColumn("__zkey", z)
+        .repartitionByRange(int(num_files), F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+    out.write.mode("overwrite").parquet(path)
+
+
 def parquet_key_ranges(path: str, column: str) -> list[tuple[str, object, object]]:
     """Per-file (file, min, max) of ``column`` from the parquet footer
     statistics — the zone map a range-sorted layout creates. Reads
