@@ -449,3 +449,22 @@ def test_chunk_documents_coverage_properties(spark):
         assert covered == set(range(n)), f"n={n}"
         # stop-at-end rule: at most one chunk reaches the document end
         assert sum(1 for c in cs if c["chunk_id"] * stride + c["n_tokens"] == n) == 1
+
+
+def test_collapse_repeat_tokens_semantics(spark):
+    from time_series_data_trimmer_spark.operators.text import collapse_repeat_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the cat sat sat"),
+            (2, "a b a b"),      # non-consecutive repeats stay
+            (3, "x"),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: (r["cleaned"], r["n_removed"]) for r in collapse_repeat_tokens(df).collect()}
+    assert out[1] == ("the cat sat", 3)
+    assert out[2] == ("a b a b", 0)
+    assert out[3] == ("x", 0)
+    assert out[4] == (None, None)

@@ -424,3 +424,32 @@ def chunk_documents(
         F.array_join(piece, " ").alias("chunk_text"),
         F.least(F.lit(chunk_tokens), F.col("__n") - start).cast("int").alias("n_tokens"),
     )
+
+
+def collapse_repeat_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collapse runs of consecutively-repeated whitespace tokens
+    ("the the the cat" → "the cat") — the intra-document repetition
+    cleaner of crawl pipelines (boilerplate stutter, scraper echo,
+    decoder loops all surface as immediate token repeats).
+
+    Pure scan-side array expressions: split once, keep token i iff it
+    differs from token i−1 (index-aware `filter` — the i=0 guard
+    compares a token against itself under `greatest(i,1)` instead of
+    indexing position 0, which ANSI `element_at` rejects), re-join.
+    Returns (id, cleaned text, n_removed); NULL text propagates NULLs.
+    """
+    w = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        w,
+        lambda x, i: (i == F.lit(0))
+        | (x != F.element_at(w, F.greatest(i, F.lit(1)))),
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("cleaned"),
+        (F.size(w) - F.size(kept)).alias("n_removed"),
+    )

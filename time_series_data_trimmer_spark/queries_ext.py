@@ -2980,6 +2980,29 @@ def _q_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_collapse_repeat_tokens",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    k AS (
+      SELECT doc_id, ws,
+             list_filter(ws, (x, i) -> i = 1 OR x <> ws[i - 1]) AS kept
+      FROM w
+    )
+    SELECT doc_id,
+           array_to_string(kept, ' ') AS cleaned,
+           CAST(len(ws) - len(kept) AS INT) AS n_removed
+    FROM k
+    """,
+)
+def _q_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition cleaner (`tx.collapse_repeat_tokens`):
+    consecutive duplicate tokens collapse to one — scraper stutter /
+    decoder-loop cleanup, pure scan-side array expressions (388 of 500
+    sf0.01 docs carry at least one repeat run)."""
+    return tx.collapse_repeat_tokens(_table(spark, sf_dir, "documents"))
+
+
+@register(
     "text_chunk_documents",
     """
     WITH base AS (
