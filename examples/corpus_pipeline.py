@@ -48,6 +48,17 @@ def main() -> None:
     kept = scored.filter((F.col("quality") >= 0.4) & (F.col("lang_pred") != "und"))
     print(f"quality gate kept: {kept.count()}")
 
+    # 2b. intra-doc repetition cleanup (r5): collapse scraper-stutter
+    # token runs before any digesting (dedup digests must see the
+    # CLEANED text or stuttered near-copies evade exact dedup)
+    cleaned = tx.collapse_repeat_tokens(kept)
+    kept = (
+        kept.join(cleaned.select("doc_id", "cleaned"), "doc_id")
+        .withColumn("text", F.col("cleaned"))
+        .drop("cleaned")
+    )
+    print(f"repeat-collapsed: {cleaned.filter(F.col('n_removed') > 0).count()} docs had stutter runs")
+
     # 3. exact dedup — row_number over md5(text), one digest shuffle
     exact = dd.exact_dedup(kept)
     print(f"after exact dedup: {exact.count()}")
@@ -56,6 +67,22 @@ def main() -> None:
     pairs = dd.minhash_lsh_pairs(exact)
     survivors = dd.dedup_cluster_survivors(exact, pairs)
     print(f"near-dup pairs: {pairs.count()}; survivors: {survivors.count()}")
+
+    # 4b. decontamination (r5): drop training docs sharing word
+    # 4-grams with the held-out benchmark slice (here: source src0
+    # stands in for the eval set) — digest equi-join, nothing broadcast
+    heldout = docs.filter(F.col("source") == "src0")
+    flagged = dd.decontaminate(
+        survivors.filter(F.col("source") != "src0"), heldout, n=4
+    )
+    survivors = survivors.join(
+        flagged.select("doc_id"), "doc_id", "left_anti"
+    )
+    print(f"decontamination dropped: {flagged.count()} leaked docs")
+
+    # 4c. split labels (r5): hash-bucket train/val/test — membership a
+    # pure function of doc_id, immune to re-runs and appends
+    survivors = sp.train_val_test_split(survivors)
 
     # 5. corpus stats a pipeline dashboards
     stats = tx.token_percentiles(survivors).orderBy("lang")

@@ -146,3 +146,30 @@ def test_train_val_test_split_stable_and_exhaustive(spark):
     n = len(a)
     n_train = sum(1 for _, s in a if s == "train")
     assert n_train / n > 0.6  # 80% nominal, generous tolerance at small N
+
+
+def test_hash_top_n_per_group_append_stability(spark):
+    """Appending new rows can only ADD/DISPLACE by hash rank — it never
+    arbitrarily churns existing picks (the reservoir-sampling failure
+    this operator exists to avoid)."""
+    from time_series_data_trimmer_spark.operators.sampling import (
+        hash_top_n_per_group,
+        hash_u32,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "s") for i in range(40)], "doc_id long, source string"
+    )
+    extra = spark.createDataFrame(
+        [(i, "s") for i in range(40, 60)], "doc_id long, source string"
+    )
+    pick1 = {r["doc_id"] for r in hash_top_n_per_group(base, 10).collect()}
+    pick2 = {
+        r["doc_id"]
+        for r in hash_top_n_per_group(base.unionByName(extra), 10).collect()
+    }
+    assert len(pick1) == len(pick2) == 10
+    # members leaving pick1 were displaced ONLY by lower-hash newcomers
+    newcomers = pick2 - pick1
+    assert newcomers <= set(range(40, 60))
+    assert len(pick1 - pick2) == len(newcomers)

@@ -294,3 +294,32 @@ def train_val_test_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", label)
+
+
+def hash_top_n_per_group(
+    df: DataFrame,
+    n: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "tsdt|topn",
+) -> DataFrame:
+    """Deterministic fixed-size sample PER GROUP: the ``n`` rows with
+    the smallest ``hash_u32(key)`` in each group — "1000 docs per
+    source", reproducibly (rate-based sampling can't pin exact counts;
+    RNG reservoir sampling re-deals per run). Hash-rank makes the
+    sample a pure function of (seed, keys): appending NEW rows can only
+    swap members whose hash outranks them — existing picks never churn
+    arbitrarily.
+
+    One keyed window (row_number over the hash) — a single shuffle on
+    the group column; skewed groups are bounded by n on output.
+    """
+    from pyspark.sql import Window
+
+    h = hash_u32(F.col(key_col), seed)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__hr", F.row_number().over(w))
+        .filter(F.col("__hr") <= int(n))
+        .drop("__hr")
+    )

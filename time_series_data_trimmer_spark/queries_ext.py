@@ -2798,6 +2798,30 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_top_n_per_source",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {sp.sql_hash_u32('doc_id', 'tsdt|topn')} AS hv
+      FROM documents
+    )
+    SELECT doc_id, source FROM h
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) <= 10
+    """,
+)
+def _q_top_n_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sample
+    (`sp.hash_top_n_per_group`, 10 docs per source by smallest u32
+    hash): exact counts per stratum, append-stable membership, one
+    keyed window — what rate-based sampling can't give and RNG
+    reservoirs can't reproduce."""
+    out = sp.hash_top_n_per_group(
+        _table(spark, sf_dir, "documents"), n=10, group_col="source"
+    )
+    return out.select("doc_id", "source")
+
+
+@register(
     "mix_train_val_test_split",
     f"""
     WITH h AS (
