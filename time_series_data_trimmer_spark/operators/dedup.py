@@ -1244,3 +1244,217 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .filter(F.col("n_shared_grams") >= int(min_shared))
     )
+
+
+# ---------------------------------------------------------------------------
+# substring-level (span) dedup — Lee et al., "Deduplicating Training
+# Data Makes Language Models Better" (ACL 2022). Doc-level dedup
+# (exact_dedup / minhash / simhash above) misses boilerplate REPEATED
+# INSIDE otherwise-distinct documents (license headers, navigation
+# chrome, quoted passages); the published recipe finds every k-token
+# span shared across documents and removes all but one occurrence.
+# ---------------------------------------------------------------------------
+
+
+def positional_grams(
+    df: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, pos, gd): every k-token gram with its 1-based start token
+    position, collapsed to an md5 digest SCAN-SIDE — positions and
+    32-hex digests shuffle downstream, gram text bytes never do.
+    Documents with fewer than ``k`` whitespace tokens emit nothing
+    (unlike `word_shingles`, no whole-text fallback: a span shorter
+    than the window is below the duplication granularity by
+    definition)."""
+    words = F.split(F.trim(F.col(text_col)), " ")
+    n_grams = F.size(words) - F.lit(k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, k))),
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .filter(n_grams >= 1)
+        .select(F.col(id_col), F.posexplode(grams).alias("pos0", "gd"))
+        .select(id_col, (F.col("pos0") + 1).alias("pos"), "gd")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal token spans covered by ``k``-token grams occurring in
+    >= ``min_docs`` DISTINCT documents. Returns (id, span_start,
+    span_end, n_tokens), positions 1-based inclusive; overlapping or
+    token-adjacent gram hits are merged into one maximal span
+    (gaps-and-islands, running-max end).
+
+    Plan shape: one scan builds positional gram digests
+    (`positional_grams`); one hash aggregation per digest counts
+    distinct docs (map-side partial distinct on (gd, id)); one
+    shuffle-hash equi-join rehydrates hit positions (the dup-gram side
+    is UNBOUNDED on boilerplate-heavy corpora — never broadcast); the
+    island merge is a per-document keyed window over the doc's own hit
+    list (bounded by doc length, skew-free). Everything that shuffles
+    is (32-hex, int) rows — linear in corpus token count, never
+    quadratic in duplicate multiplicity, because docs-per-gram is
+    COUNTED, not paired.
+    """
+    grams = positional_grams(df, k, id_col, text_col)
+    dup_gd = (
+        grams.groupBy("gd")
+        .agg(F.countDistinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= int(min_docs))
+        .select("gd")
+    )
+    hits = grams.join(dup_gd.hint("shuffle_hash"), "gd").select(
+        id_col, F.col("pos").alias("s"), (F.col("pos") + k - 1).alias("e")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(w), F.lit(-1)) + 1, 1).otherwise(0),
+    )
+    wi = Window.partitionBy(id_col).orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(wi))
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select(
+            id_col,
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by_col: str = "source",
+) -> DataFrame:
+    """Per-``by_col`` duplicated-token budget: total tokens, tokens
+    inside cross-document duplicate spans, and the duplicated
+    fraction — the corpus-health metric that decides whether span
+    removal is worth a full rewrite pass. Two algebraic aggregations
+    joined on the (tiny) group key; the span side reuses
+    `duplicate_spans` unchanged."""
+    spans = duplicate_spans(df, k, min_docs, id_col, text_col)
+    per_doc = spans.groupBy(id_col).agg(F.sum("n_tokens").alias("dup_tokens"))
+    toks = df.select(
+        F.col(by_col),
+        F.col(id_col),
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.size(F.split(F.trim(F.col(text_col)), " ")),
+        )
+        .otherwise(0)
+        .alias("n_tok"),
+    )
+    joined = toks.join(per_doc, id_col, "left").na.fill({"dup_tokens": 0})
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    return (
+        joined.groupBy(by_col)
+        .agg(
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("dup_tokens").alias("dup_span_tokens"),
+        )
+        .select(
+            by_col,
+            "total_tokens",
+            "dup_span_tokens",
+            rd(F.col("dup_span_tokens") / F.col("total_tokens"), 6).alias("dup_fraction"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level dedup REWRITE: for every cross-document duplicate
+    gram, the lowest-``id`` document containing it is the OWNER and
+    keeps its text; every other document drops the tokens covered by
+    that gram's occurrences. Returns (id, text) with non-owner span
+    tokens removed (empty string when a doc is fully covered) —
+    deterministic and append-stable (new higher-id docs never steal
+    ownership from already-ingested ones); after the rewrite each
+    removed gram survives only in its owner, so a second pass finds
+    none of the first pass's duplicates again.
+
+    Cost model: the token-level explode is restricted to AFFECTED
+    documents only — untouched docs pass through as a column copy, so
+    the rewrite is linear in (hit volume × k), not in corpus size.
+    Covered-token sets dedup on (id, t) before the anti-join.
+    """
+    grams = positional_grams(df, k, id_col, text_col)
+    owners = (
+        grams.groupBy("gd")
+        .agg(
+            F.countDistinct(F.col(id_col)).alias("nd"),
+            F.min(F.col(id_col)).alias("owner"),
+        )
+        .filter(F.col("nd") >= int(min_docs))
+        .select("gd", "owner")
+    )
+    covered = (
+        grams.join(owners.hint("shuffle_hash"), "gd")
+        .filter(F.col(id_col) != F.col("owner"))
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("t"),
+        )
+        .distinct()
+    )
+    affected = covered.select(id_col).distinct()
+    aff_tok = (
+        df.join(affected, id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.trim(F.col(text_col)), " ")).alias("t0", "tok"),
+        )
+        .select(id_col, (F.col("t0") + 1).alias("t"), "tok")
+    )
+    kept = aff_tok.join(covered, [id_col, "t"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("__new_text")
+    )
+    # fully-covered docs drop out of `kept` entirely — restore as ""
+    rebuilt_all = affected.join(rebuilt, id_col, "left").na.fill({"__new_text": ""})
+    return (
+        df.join(rebuilt_all, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("__new_text").isNotNull(), F.col("__new_text")
+            )
+            .otherwise(F.col(text_col))
+            .alias(text_col),
+        )
+    )

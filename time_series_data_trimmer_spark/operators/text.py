@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from time_series_data_trimmer_spark.functions.rounding import rd
+
 #: tiny per-language stopword marker sets for the n-gram heuristic.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
@@ -265,6 +267,80 @@ def inverted_index(
     return agg.orderBy(
         F.col("doc_freq").desc(), F.col("token").asc()
     ).limit(int(top_k))
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    perplexity-style fluency signal training pipelines threshold on
+    (the published recipes score against a KenLM n-gram model; this is
+    the same statistic with the model TRAINED ON THE CORPUS ITSELF in
+    the same job, add-one smoothed):
+
+        p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+        score(d) = mean over d's bigrams of -log2 p   (lower = more
+                   typical of the corpus; boilerplate scores low,
+                   line noise scores high)
+
+    Returns (id, n_bigrams, avg_nll) for documents with >= 2 tokens.
+
+    Scale plan: bigrams and their contexts collapse to md5 DIGESTS
+    scan-side, so the count aggregations and both probability joins
+    shuffle 32-hex keys, never token text. Counts are map-side
+    partial; the vocabulary size V is a 1-row aggregate broadcast back
+    (the sanctioned scalar pattern). Per-term -log2 values round to 6
+    decimals and accumulate as exact decimals, so the per-doc mean is
+    order-independent (same convention as every unordered float sum
+    here).
+    """
+    words = F.split(F.trim(F.col(text_col)), " ")
+    n = F.size(words)
+    bigram_structs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.md5(F.concat_ws(" ", F.slice(words, i, 2))).alias("bd"),
+            F.md5(F.element_at(words, i)).alias("cd"),
+        ),
+    )
+    bg = (
+        df.filter(F.col(text_col).isNotNull())
+        .filter(n >= 2)
+        .select(F.col(id_col), F.explode(bigram_structs).alias("b"))
+        .select(id_col, F.col("b.bd").alias("bd"), F.col("b.cd").alias("cd"))
+    )
+    bgc = bg.groupBy("bd").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = bg.groupBy("cd").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(words).alias("tok"))
+        .agg(F.countDistinct(F.md5("tok")).alias("v"))
+    )
+    scored = (
+        bg.join(bgc.hint("shuffle_hash"), "bd")
+        .join(ctx.hint("shuffle_hash"), "cd")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            rd(
+                -F.log2(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                ),
+                6,
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        rd(
+            F.sum(F.col("nll").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_nll"),
+    )
 
 
 def profile_table(df, columns: list[str] | None = None):

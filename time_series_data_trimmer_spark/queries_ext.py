@@ -3270,3 +3270,195 @@ def _q_ivf_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# substring-level (span) dedup — Lee et al. ACL 2022 granularity
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+
+
+def _span_grams_sql(k: int) -> str:
+    """Shared oracle prelude: (doc_id, pos, gd) positional k-gram
+    digests, 1-based, mirroring `dd.positional_grams`."""
+    return f"""
+    toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    posns AS (
+      SELECT doc_id, w, generate_subscripts(w, 1) AS pos
+      FROM toks WHERE len(w) >= {k}
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(list_slice(w, pos, pos+{k - 1}), ' ')) AS gd
+      FROM posns WHERE pos <= len(w) - {k - 1}
+    )"""
+
+
+_SPAN_ISLANDS_SQL = f"""
+    dup AS (SELECT gd FROM grams GROUP BY gd HAVING count(distinct doc_id) >= 2),
+    hits AS (
+      SELECT g.doc_id, g.pos AS s, g.pos + {_SPAN_K - 1} AS e
+      FROM grams g JOIN dup d ON d.gd = g.gd
+    ),
+    marked AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                 PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+             THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, s, e,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    )"""
+
+
+@register(
+    "dedup_duplicate_spans",
+    f"""
+    WITH {_span_grams_sql(_SPAN_K)},
+    {_SPAN_ISLANDS_SQL}
+    SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+           max(e) - min(s) + 1 AS n_tokens
+    FROM islands GROUP BY doc_id, island
+    """,
+)
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate detection (`dd.duplicate_spans`): the
+    dedup granularity doc-level passes miss — k-token spans repeated
+    ACROSS documents (license headers, boilerplate, quoted passages),
+    merged into maximal per-doc islands. Linear plan: positional gram
+    digests scan-side, one distinct-doc count per digest, one
+    shuffle-hash rehydration join, per-doc keyed window merge."""
+    return dd.duplicate_spans(_table(spark, sf_dir, "documents"), k=_SPAN_K)
+
+
+@register(
+    "dedup_span_stats_by_source",
+    f"""
+    WITH {_span_grams_sql(_SPAN_K)},
+    {_SPAN_ISLANDS_SQL},
+    spans AS (
+      SELECT doc_id, max(e) - min(s) + 1 AS n_tokens
+      FROM islands GROUP BY doc_id, island
+    ),
+    per_doc AS (SELECT doc_id, sum(n_tokens) AS dup_tokens FROM spans GROUP BY doc_id),
+    tok AS (
+      SELECT d.source, d.doc_id,
+             CASE WHEN d.text IS NOT NULL
+                  THEN len(string_split(trim(d.text), ' ')) ELSE 0 END AS n_tok,
+             coalesce(p.dup_tokens, 0) AS dup_tokens
+      FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    )
+    SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(dup_tokens) AS BIGINT) AS dup_span_tokens,
+           {R("CAST(sum(dup_tokens) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)", 6)} AS dup_fraction
+    FROM tok GROUP BY source
+    """,
+)
+def _q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicated-token budget (`dd.duplicate_span_stats`):
+    the corpus-health metric that decides whether a span-removal
+    rewrite pass pays for itself. Algebraic aggregations only on top
+    of the span plan; exact integer token counts, fraction rounded
+    with the shared floor formula."""
+    return dd.duplicate_span_stats(_table(spark, sf_dir, "documents"), k=_SPAN_K)
+
+
+@register(
+    "dedup_span_removal",
+    f"""
+    WITH {_span_grams_sql(_SPAN_K)},
+    owners AS (
+      SELECT gd, min(doc_id) AS owner FROM grams
+      GROUP BY gd HAVING count(distinct doc_id) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT g.doc_id, u.t
+      FROM grams g JOIN owners o ON o.gd = g.gd AND o.owner <> g.doc_id,
+           unnest(generate_series(g.pos, g.pos + {_SPAN_K - 1})) AS u(t)
+    ),
+    affected AS (SELECT DISTINCT doc_id FROM covered),
+    aff_tok AS (
+      SELECT p.doc_id, generate_subscripts(p.w, 1) AS t, unnest(p.w) AS tok
+      FROM (SELECT t2.doc_id, t2.w FROM toks t2
+            JOIN affected a ON a.doc_id = t2.doc_id) p
+    ),
+    kept AS (
+      SELECT a.doc_id, a.t, a.tok FROM aff_tok a
+      ANTI JOIN covered c ON c.doc_id = a.doc_id AND c.t = a.t
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY t) AS new_text
+      FROM kept GROUP BY doc_id
+    ),
+    rebuilt_all AS (
+      SELECT a.doc_id AS rid, coalesce(r.new_text, '') AS new_text
+      FROM affected a LEFT JOIN rebuilt r ON r.doc_id = a.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN ra.rid IS NOT NULL THEN ra.new_text ELSE d.text END AS text
+    FROM documents d LEFT JOIN rebuilt_all ra ON ra.rid = d.doc_id
+    """,
+)
+def _q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup REWRITE (`dd.remove_duplicate_spans`): each
+    duplicate gram's lowest-id document owns it; every other document
+    drops the covered tokens — the Lee-et-al. remove-all-but-one
+    contract, made deterministic and append-stable by min-id
+    ownership. The token-level explode touches AFFECTED docs only;
+    untouched docs pass through as a column copy."""
+    return dd.remove_duplicate_spans(_table(spark, sf_dir, "documents"), k=_SPAN_K)
+
+
+@register(
+    "text_bigram_lm_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    posns AS (
+      SELECT doc_id, w, generate_subscripts(w, 1) AS pos
+      FROM toks WHERE len(w) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(w, pos, pos+1), ' ')) AS bd,
+             md5(w[pos]) AS cd
+      FROM posns WHERE pos <= len(w) - 1
+    ),
+    bgc AS (SELECT bd, count(*) AS c2 FROM bg GROUP BY bd),
+    ctx AS (SELECT cd, count(*) AS c1 FROM bg GROUP BY cd),
+    vocab AS (
+      SELECT count(distinct md5(u.tok)) AS v
+      FROM toks, unnest(toks.w) AS u(tok)
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             {R("-log2(CAST(c.c2 + 1 AS DOUBLE) / CAST(x.c1 + vocab.v AS DOUBLE))", 6)} AS nll
+      FROM bg b
+      JOIN bgc c ON c.bd = b.bd
+      JOIN ctx x ON x.cd = b.cd
+      CROSS JOIN vocab
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           {R("CAST(sum(CAST(nll AS DECIMAL(38,6))) AS DOUBLE) / count(*)", 6)} AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def _q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM fluency score (`tx.bigram_lm_score`):
+    the perplexity-style filter signal, trained and applied in one
+    job. Digest-keyed counts and joins (32-hex keys shuffle, never
+    token text); V is the sanctioned 1-row broadcast scalar; per-term
+    -log2 terms round@6 then decimal-accumulate so the per-doc mean is
+    order-independent."""
+    return tx.bigram_lm_score(_table(spark, sf_dir, "documents"))
