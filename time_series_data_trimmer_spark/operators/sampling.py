@@ -296,6 +296,60 @@ def train_val_test_split(
     return df.withColumn("split", label)
 
 
+def shuffle_to_shards(
+    df: DataFrame,
+    n_shards: int = 64,
+    key_col: str = "doc_id",
+    seed: str = "tsdt|shuffle",
+) -> DataFrame:
+    """Deterministic GLOBAL example shuffle into ``n_shards`` output
+    shards — the final export step before training (SGD wants examples
+    in an order uncorrelated with source/time/crawl locality; a global
+    `orderBy(rand())` is a full sort with an unstable key, the classic
+    anti-pattern). Every row gains (shard, pos): shard =
+    hash mod n_shards, pos = the row's rank within its shard by
+    (hash, key).
+
+    The hash permutation IS the shuffle: reading shards in order
+    yields a pseudo-random global permutation that is a pure function
+    of (seed, keys) — reproducible across runs, engines, and
+    repartitioning, and append-stable (new rows interleave without
+    re-dealing existing positions beyond their insertion points). One
+    shuffle on the shard id + per-shard keyed window — no global
+    sort, no single-partition stage; shard skew is bounded by hash
+    uniformity (±O(√(N/n_shards)))."""
+    h = hash_u32(F.col(key_col), seed)
+    out = df.withColumn("shard", F.pmod(h, F.lit(int(n_shards))).cast("int"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(h.asc(), F.col(key_col).asc())
+    return out.withColumn("pos", F.row_number().over(w).cast("long") - 1)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    key_col: str = "doc_id",
+    seed: str = "tsdt|shuffle",
+) -> None:
+    """Materialize `shuffle_to_shards` as one parquet directory per
+    shard (``shard=K/``), rows laid out in shuffled order (parquet
+    preserves within-file row order, so a sequential reader of a shard
+    streams examples in the permuted order with zero read-time
+    sorting). `repartition(shard)` co-locates each shard into exactly
+    the task that writes it; `sortWithinPartitions` orders rows inside
+    the shard file without any global sort."""
+    out = shuffle_to_shards(df, n_shards, key_col, seed)
+    (
+        out.repartition(int(n_shards), F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def hash_top_n_per_group(
     df: DataFrame,
     n: int,

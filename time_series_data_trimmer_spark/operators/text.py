@@ -269,6 +269,75 @@ def inverted_index(
     ).limit(int(top_k))
 
 
+#: ordered C4/Gopher-style filter rules over the `quality_features` +
+#: `language_id` frame. Order matters: the funnel reports CUMULATIVE
+#: survivors after each rule, the way published pipeline papers report
+#: attrition. Thresholds are engineering choices, not learned.
+C4_RULES: list[tuple[str, "callable"]] = [
+    ("nonnull_text", lambda: F.col("text").isNotNull()),
+    ("min_tokens", lambda: F.col("q_n_tokens") >= 10),
+    ("max_tokens", lambda: F.col("q_n_tokens") <= 20000),
+    (
+        "mean_token_len",
+        lambda: (F.col("q_mean_token_len") >= 2.0) & (F.col("q_mean_token_len") <= 12.0),
+    ),
+    ("digit_ratio", lambda: F.col("q_digit_ratio") <= 0.15),
+    ("punct_ratio", lambda: F.col("q_punct_ratio") <= 0.15),
+    ("stopword_ratio", lambda: F.col("q_stopword_ratio") >= 0.01),
+    ("lang_en", lambda: F.col("lang_pred") == "en"),
+]
+
+
+def _c4_flag_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
+    feats = language_id(quality_features(df, text_col), text_col)
+    cum = None
+    for i, (_, rule) in enumerate(C4_RULES):
+        cond = rule()
+        cum = cond if cum is None else (cum & cond)
+        feats = feats.withColumn(f"__pass_{i}", F.when(cum, 1).otherwise(0))
+    return feats
+
+
+def c4_filter_survivors(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Documents surviving ALL `C4_RULES` — the rule-based cleaning
+    pass every web-corpus pipeline runs before dedup (C4 / Gopher
+    lineage). Pure scan-side codegen: features, language scores, and
+    every rule evaluate in one WholeStageCodegen span; no shuffle, no
+    UDF, nothing collected."""
+    last = len(C4_RULES) - 1
+    return (
+        _c4_flag_frame(df, text_col)
+        .filter(F.col(f"__pass_{last}") == 1)
+        .select(id_col, "lang_pred", "q_n_tokens")
+    )
+
+
+def c4_filter_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-rule CUMULATIVE attrition of `C4_RULES`: one row per stage
+    (stage, rule, n_pass = docs passing rules 0..stage). The
+    corpus-health report that decides threshold tuning before a
+    full-filter rewrite. One scan, conditional sums into a single
+    aggregate row, exploded to stage rows driver-free — the explode is
+    over a constant-size literal array."""
+    flags = _c4_flag_frame(df, text_col)
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_in"),
+        *[F.sum(f"__pass_{i}").alias(f"c{i}") for i in range(len(C4_RULES))],
+    )
+    rows = F.array(
+        F.struct(F.lit(0).alias("stage"), F.lit("input").alias("rule"), F.col("n_in").cast("long").alias("n_pass")),
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage"),
+                F.lit(name).alias("rule"),
+                F.col(f"c{i}").cast("long").alias("n_pass"),
+            )
+            for i, (name, _) in enumerate(C4_RULES)
+        ],
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.stage", "r.rule", "r.n_pass")
+
+
 def bigram_lm_score(
     df: DataFrame,
     id_col: str = "doc_id",

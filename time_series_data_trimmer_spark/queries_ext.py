@@ -3462,3 +3462,103 @@ def _q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     -log2 terms round@6 then decimal-accumulate so the per-doc mean is
     order-independent."""
     return tx.bigram_lm_score(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mix_shuffle_shards",
+    f"""
+    WITH h AS (
+      SELECT doc_id, {sp.sql_hash_u32('doc_id', 'tsdt|shuffle')} AS hv
+      FROM documents
+    )
+    SELECT doc_id, CAST(hv % 16 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def _q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle (`sp.shuffle_to_shards`):
+    hash-permutation into 16 shards with within-shard positions — the
+    export-order primitive (no global sort, no rand()); one shuffle +
+    per-shard keyed window."""
+    out = sp.shuffle_to_shards(_table(spark, sf_dir, "documents"), n_shards=16)
+    return out.select("doc_id", "shard", "pos")
+
+
+# C4/Gopher-style rule filter: SQL mirror of tx.C4_RULES (same order,
+# same thresholds — keep in sync).
+_C4_FEATS_SQL = f"""
+    feats AS (
+      SELECT doc_id, text,
+             length(text) AS q_n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(trim(text), ' ')) END AS q_n_tokens,
+             ({" + ".join(f"(length(text) - length(replace(text, '{c}', '')))" for c in ".,;:!?")}) AS punct,
+             ({" + ".join(f"(length(text) - length(replace(text, '{c}', '')))" for c in "0123456789")}) AS digits,
+             {", ".join(f"{_lang_score_sql(lang)} AS s_{lang}" for lang in tx.LANG_MARKERS)}
+      FROM documents
+    ),
+    ratios AS (
+      SELECT doc_id, text, q_n_chars, q_n_tokens,
+             CAST(q_n_chars - (q_n_tokens - 1) AS DOUBLE)
+               / (CASE WHEN q_n_tokens = 0 THEN 1 ELSE q_n_tokens END) AS q_mean_token_len,
+             CAST(punct AS DOUBLE) / (CASE WHEN q_n_chars = 0 THEN 1 ELSE q_n_chars END) AS q_punct_ratio,
+             CAST(digits AS DOUBLE) / (CASE WHEN q_n_chars = 0 THEN 1 ELSE q_n_chars END) AS q_digit_ratio,
+             (s_en) / (CASE WHEN q_n_tokens = 0 THEN 1 ELSE q_n_tokens END) AS q_stopword_ratio,
+             {_LANG_CASE} AS lang_pred
+      FROM feats
+    )"""
+
+_C4_RULES_SQL = [
+    ("nonnull_text", "text IS NOT NULL"),
+    ("min_tokens", "q_n_tokens >= 10"),
+    ("max_tokens", "q_n_tokens <= 20000"),
+    ("mean_token_len", "q_mean_token_len >= 2.0 AND q_mean_token_len <= 12.0"),
+    ("digit_ratio", "q_digit_ratio <= 0.15"),
+    ("punct_ratio", "q_punct_ratio <= 0.15"),
+    ("stopword_ratio", "q_stopword_ratio >= 0.01"),
+    ("lang_en", "lang_pred = 'en'"),
+]
+
+_C4_CUM = [
+    " AND ".join(f"({c})" for _, c in _C4_RULES_SQL[: i + 1])
+    for i in range(len(_C4_RULES_SQL))
+]
+
+
+@register(
+    "pipeline_c4_survivors",
+    f"""
+    WITH {_C4_FEATS_SQL}
+    SELECT doc_id, lang_pred, q_n_tokens
+    FROM ratios WHERE {_C4_CUM[-1]}
+    """,
+)
+def _q_c4_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style rule-based cleaning pass
+    (`tx.c4_filter_survivors`): length band, token-shape, noise
+    ratios, stopword presence, language gate — all in one scan-side
+    WholeStageCodegen span, zero shuffle/UDF."""
+    return tx.c4_filter_survivors(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pipeline_c4_funnel",
+    f"""
+    WITH {_C4_FEATS_SQL},
+    agg AS (
+      SELECT count(*) AS n_in,
+             {", ".join(f"sum(CASE WHEN {_C4_CUM[i]} THEN 1 ELSE 0 END) AS c{i}" for i in range(len(_C4_RULES_SQL)))}
+      FROM ratios
+    )
+    SELECT 0 AS stage, 'input' AS rule, CAST(n_in AS BIGINT) AS n_pass FROM agg
+    {" ".join(f"UNION ALL SELECT {i + 1} AS stage, '{name}' AS rule, CAST(c{i} AS BIGINT) AS n_pass FROM agg" for i, (name, _) in enumerate(_C4_RULES_SQL))}
+    """,
+)
+def _q_c4_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-rule attrition of the C4-style filter
+    (`tx.c4_filter_funnel`): one scan, conditional sums into a single
+    aggregate row, exploded to (stage, rule, n_pass) rows — the
+    threshold-tuning report before a full-filter rewrite."""
+    return tx.c4_filter_funnel(_table(spark, sf_dir, "documents"))
