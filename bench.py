@@ -65,6 +65,12 @@ HEADLINE = [
     "sim_ivf_topk_refined",      # Lloyd-refined IVF probe (decimal-exact round)
     "stream_stream_click_purchase_join",  # watermarked stream-stream interval join
     "text_tfidf_top_terms",      # token explode + tf/df + keyed top-k window
+    # r5 second batch, on-headline from day one:
+    "dedup_duplicate_spans",     # substring-level dedup (positional gram digests)
+    "dedup_span_removal",        # span rewrite (ownership + affected-doc rebuild)
+    "text_bigram_lm_score",      # corpus-trained bigram LM (digest-keyed joins)
+    "pipeline_c4_survivors",     # C4-style codegen rule filter
+    "mix_shuffle_shards",        # hash-permutation global training shuffle
 ]
 
 
@@ -116,7 +122,7 @@ def main() -> None:
                 # r4 extended the headline from 20 to 26 queries (the six
                 # heavy dedup/join hitters) — compare totals to r3 only
                 # over the shared 20; per-query keys are stable
-                "headline_set": "r5-extended-30",
+                "headline_set": "r5-extended-35",
             }
         )
     )

@@ -1268,13 +1268,24 @@ def positional_grams(
     definition)."""
     words = F.split(F.trim(F.col(text_col)), " ")
     n_grams = F.size(words) - F.lit(k - 1)
+    # arrays_zip of k length-(n-k+1) shifted views + one transform:
+    # O(n·k) element copies in k bulk slices, ~2x faster than the
+    # per-position transform(sequence, i -> slice(words, i, k)) form
+    # (measured at sf0.1; results identical).
+    shifted = [F.slice(words, i + 1, n_grams) for i in range(k)]
     grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, k))),
+        F.arrays_zip(*shifted),
+        lambda s: F.md5(F.concat_ws(" ", *[s[str(i)] for i in range(k)])),
     )
+    # explicit wide repartition before the hash-heavy explode (the
+    # minhash precedent): a small local corpus scans as ONE partition
+    # and AQE would keep this CPU-bound stage narrow based on its tiny
+    # byte size; at scale the scan is already wide and this coalesces.
+    par = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.filter(F.col(text_col).isNotNull())
         .filter(n_grams >= 1)
+        .repartition(par, F.col(id_col))
         .select(F.col(id_col), F.posexplode(grams).alias("pos0", "gd"))
         .select(id_col, (F.col("pos0") + 1).alias("pos"), "gd")
     )

@@ -377,6 +377,43 @@ def topk_similar_pairs_blocked(
     )
 
 
+def threshold_similar_pairs_blocked(
+    df: DataFrame,
+    tau: float = 0.95,
+    bits: int = 8,
+    tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "tsdt",
+    dim: int | None = None,
+) -> DataFrame:
+    """Thresholded variant of `topk_similar_pairs_blocked`: ALL
+    candidate pairs with exact cosine >= ``tau`` (no global top-k, no
+    sort, no limit) — the edge set semantic dedup needs. Same LSH
+    candidate blocking + decimal re-rank plan; output volume is the
+    true near-dup pair count within LSH recall, linear-ish in corpus
+    size for a fixed dup rate rather than quadratic."""
+    if dim is None:
+        row = df.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "cannot infer embedding dim from an empty table; pass dim="
+            )
+        dim = len(row[0])
+    cand = lsh_candidate_pairs(df, dim, bits, tables, id_col, vec_col, seed)
+    base = df.select(
+        F.col(id_col), F.col(vec_col).alias("v"),
+        F.sqrt(decimal_dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+    )
+    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    joined = cand.join(a.hint("shuffle_hash"), "id_a").join(b.hint("shuffle_hash"), "id_b")
+    cos = decimal_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return joined.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= F.lit(float(tau))
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) index — the coarse-quantization scale path
 # ---------------------------------------------------------------------------
@@ -874,4 +911,62 @@ def ivf_topk(
         .select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def dequantize(qvec: Column, lo: Column, scale: Column) -> Column:
+    """Reconstruct ``lo + code·scale`` from `quantize_embeddings`
+    output — scan-side, zero shuffle."""
+    return F.transform(qvec, lambda c: lo + c.cast("double") * scale)
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 30,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    levels: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + quantized-scan top-k with exact re-rank — the full
+    production ANN read path of a disk-resident vector store:
+
+    1. coarse quantizer: probe the ``nprobe`` cells nearest the query
+       (decimal-exact assignment, as `ivf_topk`);
+    2. fine scan: score probed candidates against the query on their
+       QUANTIZED reconstruction (`quantize_embeddings` codes,
+       ``lo + q·scale`` — the int8 layout a 100 TB store actually
+       reads; 4× less I/O than float32) and keep a deterministic
+       ``shortlist`` by (approx dot desc, id);
+    3. exact re-rank: fetch full-precision vectors for the shortlist
+       only and return the top ``k`` by exact decimal cosine.
+
+    Every step is a pure function of the inputs (floor-formula codes,
+    decimal accumulation, id tie-breaks), so the whole pipeline is
+    oracle-checkable. Shortlist selection is a TakeOrdered (partial
+    per-partition top-k, no global sort); the re-rank join touches
+    ``shortlist`` rows."""
+    cents = ivf_centroids(df, n_centroids, id_col, vec_col)
+    assigned = ivf_assign_dec(df, cents, id_col, vec_col)
+    probe_ids = probe_centroids(cents, query_vec, nprobe=nprobe)
+    keep = assigned.filter(F.col("centroid_id").isin(probe_ids)).select(id_col)
+    qz = quantize_embeddings(df.join(keep, id_col), id_col, vec_col, levels)
+    recon = dequantize(F.col("qvec"), F.col("q_lo"), F.col("q_scale"))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    approx = qz.select(
+        F.col(id_col), decimal_dot(recon, q).alias("approx_dot")
+    )
+    short = (
+        approx.orderBy(F.col("approx_dot").desc(), F.col(id_col).asc())
+        .limit(int(shortlist))
+        .select(id_col, "approx_dot")
+    )
+    exact = decimal_cosine_vs_query(df.join(short, id_col), query_vec, id_col, vec_col)
+    return (
+        exact.join(short, id_col)
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(int(k))
     )

@@ -3562,3 +3562,168 @@ def _q_c4_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate row, exploded to (stage, rule, n_pass) rows — the
     threshold-tuning report before a full-filter rewrite."""
     return tx.c4_filter_funnel(_table(spark, sf_dir, "documents"))
+
+
+_EMB_CLUSTER_TAU = 0.4
+
+
+@register(
+    "dedup_embedding_clusters",
+    f"""
+    WITH RECURSIVE ex AS ({_EX_SQL}),
+    planes AS (
+      SELECT t.t, b.b, i.i,
+             ('0x' || substr(md5('tsdt|t' || t.t || '|' || b.b || '|' || i.i), 1, 8))::BIGINT
+               / 2147483648.0 - 1.0 AS w
+      FROM generate_series(0, {_EMB_TABLES - 1}) t(t),
+           generate_series(0, {_EMB_BITS - 1}) b(b),
+           generate_series(0, {_EMB_DIM - 1}) i(i)
+    ),
+    pdots AS (
+      SELECT e.vec_id, p.t, p.b,
+             CAST(sum(CAST({sql_rd("e.x * p.w", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS d
+      FROM ex e JOIN planes p ON p.i = e.i - 1
+      GROUP BY e.vec_id, p.t, p.b
+    ),
+    sigs AS (
+      SELECT vec_id, t,
+             sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sig
+      FROM pdots GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    pairdots AS (
+      SELECT c.id_a, c.id_b,
+             sum(CAST({sql_rd("ea.x * eb.x", 9)} AS DECIMAL(38,9))) AS dxy
+      FROM cand c
+      JOIN ex ea ON ea.vec_id = c.id_a
+      JOIN ex eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+      GROUP BY c.id_a, c.id_b
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(sum(CAST({sql_rd("x * x", 9)} AS DECIMAL(38,9))) AS DOUBLE)) AS nrm
+      FROM ex GROUP BY vec_id
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM pairdots
+      JOIN norms na ON na.vec_id = id_a
+      JOIN norms nb ON nb.vec_id = id_b
+      WHERE CAST(dxy AS DOUBLE) / (na.nrm * nb.nrm) >= {_EMB_CLUSTER_TAU}
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    reach(src, dst) AS (
+      SELECT vec_id AS src, vec_id AS dst FROM embeddings
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst
+    )
+    SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+)
+def _q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup clusters: LSH-blocked candidate pairs with exact
+    cosine >= τ (`sim.threshold_similar_pairs_blocked` — no top-k cap,
+    the full thresholded edge set) fed into the same min-label
+    connected components as the text-dedup path
+    (`dd.connected_components`). The embedding-space analogue of
+    `dedup_clusters`; oracle computes the identical fixpoint with a
+    recursive CTE over the identically-blocked edge set."""
+    emb = _table(spark, sf_dir, "embeddings")
+    pairs = sim.threshold_similar_pairs_blocked(
+        emb, tau=_EMB_CLUSTER_TAU, bits=_EMB_BITS, tables=_EMB_TABLES, dim=_EMB_DIM
+    )
+    out = dd.connected_components(
+        pairs.select("id_a", "id_b"), all_ids=emb.select("vec_id"), id_col="vec_id"
+    )
+    return out.select("vec_id", "cluster_id")
+
+
+@register(
+    "sim_ivf_pq_topk",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    ord AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
+      FROM embeddings
+      QUALIFY cid <= 15
+    ),
+    cex AS (SELECT o.cid, e.i, e.x FROM ord o JOIN ex e ON e.vec_id = o.vec_id),
+    dists AS (
+      SELECT e.vec_id, c.cid,
+             sum(CAST({sql_rd("(e.x - c.x) * (e.x - c.x)", 9)} AS DECIMAL(38,9))) AS d
+      FROM ex e JOIN cex c ON c.i = e.i
+      GROUP BY e.vec_id, c.cid
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    qdist AS (
+      SELECT c.cid,
+             sum(CAST({sql_rd("(qq.x - c.x) * (qq.x - c.x)", 9)} AS DECIMAL(38,9))) AS d
+      FROM (SELECT i, x FROM ex WHERE vec_id = 0) qq
+      JOIN cex c ON c.i = qq.i
+      GROUP BY c.cid
+    ),
+    probe AS (SELECT cid FROM qdist QUALIFY row_number() OVER (ORDER BY d, cid) <= 4),
+    probed AS (
+      SELECT a.vec_id FROM assigned a JOIN probe p ON p.cid = a.cid
+    ),
+    qp AS (
+      SELECT e.vec_id, min(e.x) AS lo, max(e.x) AS hi
+      FROM ex e JOIN probed pr ON pr.vec_id = e.vec_id
+      GROUP BY e.vec_id
+    ),
+    qp2 AS (
+      SELECT vec_id, lo,
+             CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / 255.0 END AS scale
+      FROM qp
+    ),
+    recon AS (
+      SELECT e.vec_id, e.i,
+             q2.lo + floor((e.x - q2.lo) / q2.scale + 0.5) * q2.scale AS rx
+      FROM ex e JOIN qp2 q2 ON q2.vec_id = e.vec_id
+    ),
+    qv AS (SELECT i, x FROM ex WHERE vec_id = 0),
+    adots AS (
+      SELECT r.vec_id,
+             CAST(sum(CAST({sql_rd("r.rx * qv.x", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS approx_dot
+      FROM recon r JOIN qv ON qv.i = r.i
+      GROUP BY r.vec_id
+    ),
+    short AS (
+      SELECT vec_id, approx_dot FROM adots
+      QUALIFY row_number() OVER (ORDER BY approx_dot DESC, vec_id ASC) <= 30
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dots AS ({_DOT_TERMS})
+    SELECT d.vec_id,
+           {R("CAST(dxy AS DOUBLE) / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))", 6)} AS cosine,
+           {R("s.approx_dot", 6)} AS approx_dot
+    FROM dots d JOIN short s ON s.vec_id = d.vec_id
+    ORDER BY cosine DESC, d.vec_id ASC
+    LIMIT 10
+    """,
+)
+def _q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + quantized-scan + exact re-rank (`sim.ivf_pq_topk`): the
+    full disk-resident ANN read path — coarse probe (4/16 cells),
+    int8-style quantized candidate scoring (the 4×-smaller layout a
+    100 TB store scans), deterministic 30-candidate shortlist, exact
+    decimal re-rank of the shortlist only. Oracle unrolls every stage:
+    md5-seeded centroids, decimal assignment, floor-formula codes,
+    reconstruction, shortlist, re-rank."""
+    emb = _table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = sim.ivf_pq_topk(emb, qvec, k=10, shortlist=30, n_centroids=16, nprobe=4)
+    return out.select(
+        "vec_id",
+        rd(F.col("cosine"), 6).alias("cosine"),
+        rd(F.col("approx_dot"), 6).alias("approx_dot"),
+    )
