@@ -632,3 +632,183 @@ def collapse_repeat_tokens(
         F.array_join(kept, " ").alias("cleaned"),
         (F.size(w) - F.size(kept)).alias("n_removed"),
     )
+
+
+#: stopword markers for the Gopher-style repetition filter (subset of
+#: LANG_MARKERS["en"] that actually occurs in whitespace corpora).
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in")
+
+
+def _top_run(sorted_arr: Column, mass_fn) -> Column:
+    """Max-char-mass run over a SORTED array: one linear `aggregate`
+    pass tracking (prev, run-length, best mass, best gram, best count)
+    where mass = run × mass_fn(gram). Equal grams are adjacent after
+    `array_sort`, so the most frequent gram is the longest run; strict
+    `>` keeps the lexicographically-smallest gram on char-mass ties
+    (ascending traversal visits it first). O(n log n) per document and
+    entirely scan-side — computing a per-document mode needs no
+    explode/groupBy shuffle because documents are row-independent."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("mass"),
+        F.lit("").alias("tok"),
+        F.lit(0).cast("long").alias("cnt"),
+    )
+
+    def step(st, x):
+        run2 = F.when(x == st["prev"], st["run"] + F.lit(1).cast("long")).otherwise(
+            F.lit(1).cast("long")
+        )
+        m2 = run2 * mass_fn(x)
+        better = m2 > st["mass"]
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.when(better, m2).otherwise(st["mass"]).alias("mass"),
+            F.when(better, x).otherwise(st["tok"]).alias("tok"),
+            F.when(better, run2).otherwise(st["cnt"]).alias("cnt"),
+        )
+
+    return F.aggregate(sorted_arr, zero, step)
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repetition metrics in the MassiveText/Gopher
+    lineage (Rae et al. 2021 §A1.1): duplicate-token fraction and the
+    character fraction covered by the most frequent unigram and
+    bigram. High values mark boilerplate, scraper echo, and
+    decoder-loop text that survives exact dedup because the repetition
+    is INTRA-document.
+
+    Definitions (documented because published variants differ):
+    `dup_token_frac` = (n_tokens − n_distinct)/n_tokens;
+    `top_*_char_frac` = occurrences × covered chars ÷ total token
+    chars, where a bigram occurrence covers len(a)+len(b) chars
+    (the joining space is excluded; overlapping occurrences count).
+
+    Scale shape: zero shuffle — tokenize, `array_sort`, and one linear
+    run-length `aggregate` per gram order, one scan-side stage (per-doc
+    mode via sorted runs, NOT an explode + groupBy, which would shuffle
+    the corpus token stream for a row-local statistic; the higher-order
+    lambdas opt the project out of whole-stage codegen but evaluate
+    JVM-side — no Python in the path). Bigrams are zip_with over two shifted
+    views (bulk slices — the r5 lesson; per-position slicing is
+    quadratic in copies).
+    """
+    ws = F.filter(
+        F.split(F.trim(F.col(text_col)), " "), lambda x: F.length(x) > 0
+    )
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), ws.alias("__ws"))
+        .filter(F.size("__ws") > 0)
+    )
+    w = F.col("__ws")
+    n = F.size(w)
+    n1 = F.greatest(n - F.lit(1), F.lit(0))
+    big = F.zip_with(
+        F.slice(w, F.lit(1), n1),
+        F.slice(w, F.lit(2), n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    stats = base.select(
+        F.col(id_col),
+        n.alias("__n"),
+        F.size(F.array_distinct(w)).alias("__nd"),
+        F.aggregate(
+            w, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")
+        ).alias("__chars"),
+        _top_run(F.array_sort(w), lambda x: F.length(x).cast("long")).alias("__u"),
+        _top_run(
+            F.array_sort(big), lambda x: F.length(x).cast("long") - F.lit(1)
+        ).alias("__b"),
+    )
+    return stats.select(
+        F.col(id_col),
+        F.col("__n").cast("int").alias("n_tokens"),
+        F.col("__nd").cast("int").alias("n_distinct"),
+        rd((F.col("__n") - F.col("__nd")).cast("double") / F.col("__n"), 6).alias(
+            "dup_token_frac"
+        ),
+        F.col("__u.tok").alias("top_token"),
+        F.col("__u.cnt").cast("int").alias("top_token_count"),
+        rd(F.col("__u.mass").cast("double") / F.col("__chars"), 6).alias(
+            "top_token_char_frac"
+        ),
+        F.col("__b.tok").alias("top_bigram"),
+        F.col("__b.cnt").cast("int").alias("top_bigram_count"),
+        rd(F.col("__b.mass").cast("double") / F.col("__chars"), 6).alias(
+            "top_bigram_char_frac"
+        ),
+    )
+
+
+def gopher_repetition_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents surviving the Gopher-style REPETITION rules — the
+    quality axis `C4_RULES` does not cover (C4 checks length/ratio
+    features; Gopher additionally drops intra-document repetition,
+    Rae et al. 2021 Table A1). Rules, all INTEGER-exact comparisons
+    (cross-multiplied, no float thresholds):
+
+    - R1 token count in [20, 10000]
+    - R2 mean token length in [3, 10]        (3n ≤ chars ≤ 10n)
+    - R3 ≥ 2 stopword occurrences            (GOPHER_STOPWORDS)
+    - R4 duplicate-token fraction ≤ 0.6      (5(n−nd) ≤ 3n)
+    - R5 top-unigram char fraction ≤ 0.15    (20·mass ≤ 3·chars)
+
+    One conjunction over the `repetition_stats` internals plus padded
+    stopword counting — a single scan-side JVM stage, zero shuffle,
+    nothing collected.
+    """
+    ws = F.filter(
+        F.split(F.trim(F.col(text_col)), " "), lambda x: F.length(x) > 0
+    )
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.col(text_col), ws.alias("__ws"))
+        .filter(F.size("__ws") > 0)
+    )
+    w = F.col("__ws")
+    feats = base.select(
+        F.col(id_col),
+        F.size(w).cast("long").alias("__n"),
+        F.size(F.array_distinct(w)).cast("long").alias("__nd"),
+        F.aggregate(
+            w, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")
+        ).alias("__chars"),
+        _top_run(F.array_sort(w), lambda x: F.length(x).cast("long"))[
+            "mass"
+        ].alias("__umass"),
+        sum(
+            (_occurrences(F.col(text_col), s) for s in GOPHER_STOPWORDS),
+            F.lit(0),
+        ).alias("__stop"),
+    )
+    cond = (
+        F.col("__n").between(20, 10000)
+        & (F.lit(3) * F.col("__n") <= F.col("__chars"))
+        & (F.col("__chars") <= F.lit(10) * F.col("__n"))
+        & (F.col("__stop") >= 2)
+        & (F.lit(5) * (F.col("__n") - F.col("__nd")) <= F.lit(3) * F.col("__n"))
+        & (F.lit(20) * F.col("__umass") <= F.lit(3) * F.col("__chars"))
+    )
+    return feats.filter(cond).select(
+        F.col(id_col),
+        F.col("__n").cast("int").alias("n_tokens"),
+        F.col("__stop").cast("int").alias("stopword_hits"),
+        rd((F.col("__n") - F.col("__nd")).cast("double") / F.col("__n"), 6).alias(
+            "dup_token_frac"
+        ),
+        rd(F.col("__umass").cast("double") / F.col("__chars"), 6).alias(
+            "top_token_char_frac"
+        ),
+    )

@@ -3727,3 +3727,110 @@ def _q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rd(F.col("cosine"), 6).alias("cosine"),
         rd(F.col("approx_dot"), 6).alias("approx_dot"),
     )
+
+
+_REP_WS = """
+    w AS (
+      SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> length(x) > 0) AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT doc_id, ws, len(ws) AS n,
+             list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS chars,
+             len(list_distinct(ws)) AS nd
+      FROM w WHERE len(ws) > 0
+    ),
+    toks AS (SELECT doc_id, unnest(ws) AS tok FROM s),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    topu AS (
+      SELECT doc_id, tok, c, c * length(tok) AS mass,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY c * length(tok) DESC, tok ASC
+             ) AS rn
+      FROM tc
+    )
+"""
+
+
+@register(
+    "text_repetition_stats",
+    f"""
+    WITH {_REP_WS},
+    bgl AS (
+      SELECT doc_id, list_filter(
+               list_transform(ws, (x, i) ->
+                 CASE WHEN i < len(ws) THEN x || ' ' || ws[i + 1] END),
+               b -> b IS NOT NULL) AS bs
+      FROM s
+    ),
+    bt AS (SELECT doc_id, unnest(bs) AS b FROM bgl),
+    bc AS (SELECT doc_id, b, count(*) AS c FROM bt GROUP BY 1, 2),
+    topb AS (
+      SELECT doc_id, b, c, c * (length(b) - 1) AS mass,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY c * (length(b) - 1) DESC, b ASC
+             ) AS rn
+      FROM bc
+    )
+    SELECT s.doc_id,
+           CAST(s.n AS INT) AS n_tokens,
+           CAST(s.nd AS INT) AS n_distinct,
+           {R("CAST(s.n - s.nd AS DOUBLE) / s.n", 6)} AS dup_token_frac,
+           u.tok AS top_token,
+           CAST(u.c AS INT) AS top_token_count,
+           {R("CAST(u.mass AS DOUBLE) / s.chars", 6)} AS top_token_char_frac,
+           coalesce(b.b, '') AS top_bigram,
+           CAST(coalesce(b.c, 0) AS INT) AS top_bigram_count,
+           {R("CAST(coalesce(b.mass, 0) AS DOUBLE) / s.chars", 6)} AS top_bigram_char_frac
+    FROM s
+    JOIN (SELECT * FROM topu WHERE rn = 1) u ON s.doc_id = u.doc_id
+    LEFT JOIN (SELECT * FROM topb WHERE rn = 1) b ON s.doc_id = b.doc_id
+    """,
+)
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher/MassiveText repetition metrics
+    (`tx.repetition_stats`): duplicate-token fraction + top-unigram /
+    top-bigram char coverage — the intra-document repetition signal
+    exact dedup cannot see. Spark computes each doc's mode via
+    array_sort + ONE linear run-length `aggregate` (zero shuffle,
+    whole-stage codegen); the oracle takes the explode + GROUP BY +
+    argmax road and must agree exactly, tie-broken to the
+    lexicographically-smallest gram on equal char mass."""
+    return tx.repetition_stats(_table(spark, sf_dir, "documents"))
+
+
+_GOPHER_STOP_SQL = " + ".join(
+    f"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2}.0"
+    for w in tx.GOPHER_STOPWORDS
+)
+
+
+@register(
+    "pipeline_gopher_repetition_survivors",
+    f"""
+    WITH {_REP_WS},
+    st AS (SELECT doc_id, {_GOPHER_STOP_SQL} AS stop FROM documents WHERE text IS NOT NULL)
+    SELECT s.doc_id,
+           CAST(s.n AS INT) AS n_tokens,
+           CAST(st.stop AS INT) AS stopword_hits,
+           {R("CAST(s.n - s.nd AS DOUBLE) / s.n", 6)} AS dup_token_frac,
+           {R("CAST(u.mass AS DOUBLE) / s.chars", 6)} AS top_token_char_frac
+    FROM s
+    JOIN (SELECT * FROM topu WHERE rn = 1) u ON s.doc_id = u.doc_id
+    JOIN st ON s.doc_id = st.doc_id
+    WHERE s.n BETWEEN 20 AND 10000
+      AND 3 * s.n <= s.chars AND s.chars <= 10 * s.n
+      AND st.stop >= 2
+      AND 5 * (s.n - s.nd) <= 3 * s.n
+      AND 20 * u.mass <= 3 * s.chars
+    """,
+)
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter (`tx.gopher_repetition_filter`):
+    the quality axis C4_RULES lacks — token-count and mean-length
+    bounds plus stopword floor, duplicate-token cap (≤0.6), and
+    top-unigram char-coverage cap (≤0.15), all INTEGER-exact
+    cross-multiplied comparisons. One scan-side conjunction; at
+    sf0.01 each repetition rule cuts a 20-40% band, so the filter is
+    a real attrition stage, not a pass-through."""
+    return tx.gopher_repetition_filter(_table(spark, sf_dir, "documents"))
