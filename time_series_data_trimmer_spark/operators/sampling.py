@@ -377,3 +377,61 @@ def hash_top_n_per_group(
         .filter(F.col("__hr") <= int(n))
         .drop("__hr")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    target_frac: float = 0.25,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "tsdt|temp",
+) -> DataFrame:
+    """Temperature-scaled domain mixing (α = 0.5): sample the corpus so
+    each group's share follows ``count^α / Σ count^α`` — small domains
+    upweighted, dominant domains damped — at an overall expected rate
+    of ``target_frac``. The multilingual/multi-domain rebalancing step
+    of LLM data pipelines (mT5-style α-sampling) as one declarative
+    plan.
+
+    Per-group keep rate ``r_g = min(1, target·N·√c_g / (c_g·T))`` with
+    ``T = Σ √c_g``; a doc is kept iff ``hash_u32(key) <
+    floor(r_g·2^32)`` — membership is a pure function of (seed, key),
+    stable under repartitioning and reruns. α is fixed at 0.5 because
+    sqrt is the one non-trivial power with correctly-rounded IEEE
+    semantics in every engine; arbitrary ``pow`` is libm-specific in
+    the last ulp and would break the exact oracle. √c_g is rounded to
+    9 decimals and T accumulated in decimal(38,9), so every rate is
+    bit-reproducible cross-engine.
+
+    Scale shape: one map-side-combined count aggregation (narrow
+    (group, count) rows), the 1-row (T, N) scalar broadcast — the
+    sanctioned BNLJ pattern — and a broadcast hash join of the
+    bounded rate table back onto the corpus; text bytes never
+    shuffle, membership evaluates scan-side.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c"))
+    u = rd(F.sqrt(F.col("__c").cast("double")), 9)
+    scalars = counts.agg(
+        F.sum(u.cast("decimal(38,9)")).cast("double").alias("__T"),
+        F.sum("__c").cast("double").alias("__N"),
+    )
+    rates = counts.crossJoin(F.broadcast(scalars)).select(
+        F.col(group_col),
+        F.least(
+            F.lit(1.0),
+            ((F.lit(float(target_frac)) * F.col("__N")) * u)
+            / (F.col("__c").cast("double") * F.col("__T")),
+        ).alias("__rate"),
+    )
+    thr = F.floor(F.col("__rate") * F.lit(float(_HASH_SPACE))).cast("long")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_u32(F.col(key_col), seed) < thr)
+        .select(
+            F.col(key_col),
+            F.col(group_col),
+            rd(F.col("__rate"), 9).alias("keep_rate"),
+        )
+    )

@@ -3834,3 +3834,35 @@ def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01 each repetition rule cuts a 20-40% band, so the filter is
     a real attrition stage, not a pass-through."""
     return tx.gopher_repetition_filter(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mix_temperature_sample",
+    f"""
+    WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+    t AS (
+      SELECT CAST(sum(CAST({R("sqrt(CAST(c AS DOUBLE))", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS T,
+             CAST(sum(c) AS DOUBLE) AS N
+      FROM c
+    ),
+    r AS (
+      SELECT source,
+             least(1.0,
+               ((0.25 * t.N) * {R("sqrt(CAST(c AS DOUBLE))", 9)})
+                 / ((CAST(c AS DOUBLE)) * t.T)) AS rate
+      FROM c, t
+    )
+    SELECT d.doc_id, d.source, {R("r.rate", 9)} AS keep_rate
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE {sp.sql_hash_u32("d.doc_id", "tsdt|temp")}
+          < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+    """,
+)
+def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature-scaled domain sampling
+    (`sp.temperature_sample`): per-source keep rates ∝ √count/count at
+    an overall 25% target — the mT5-style domain-rebalancing step.
+    Rates are decimal-exact (√c rounded to 9 dp, T summed in decimal),
+    membership is the portable md5 coin; the oracle reproduces every
+    rate and every member bit-for-bit."""
+    return sp.temperature_sample(_table(spark, sf_dir, "documents"), target_frac=0.25)
