@@ -970,3 +970,74 @@ def ivf_pq_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+def covariance_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_scale: int = 6,
+) -> DataFrame:
+    """Distributed covariance matrix of an embedding column — the
+    first step of PCA / whitening / decorrelation over a 100 TB vector
+    store (the d×d covariance is the bounded summary a driver-side
+    eigensolver then factors; d² stays tiny while N is the scale
+    axis).
+
+    Returns the upper triangle as narrow rows (i, j, n_vecs, cov),
+    i ≤ j, 0-based, cov = E[x_i·x_j] − E[x_i]·E[x_j].
+
+    Scale shape: each row expands scan-side into its d(d+1)/2 products
+    (nested shifted-slice transforms — no self-join, so vectors never
+    shuffle); the explode feeds a map-side-combined aggregation whose
+    partial state is ≤ d² rows PER PARTITION, so the only exchange
+    carries d²·n_partitions narrow partial rows regardless of N.
+    Sums are decimal-exact over 9-dp-rounded terms (the repo's
+    cross-engine formula), so every covariance entry is
+    bit-reproducible in the SQL oracle.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    v = F.col(vec_col)
+    n_dim = F.size(v)
+    pairs = F.flatten(
+        F.transform(
+            v,
+            lambda x, i: F.transform(
+                F.slice(v, i + F.lit(1), n_dim - i),
+                lambda y, jj: F.struct(
+                    i.alias("i"),
+                    (i + jj).alias("j"),
+                    (x.cast("double") * y.cast("double")).alias("p"),
+                ),
+            ),
+        )
+    )
+    ex = df.select(F.explode(pairs).alias("pr")).select(
+        F.col("pr.i").alias("i"), F.col("pr.j").alias("j"), F.col("pr.p").alias("p")
+    )
+    prods = ex.groupBy("i", "j").agg(
+        F.sum(rd(F.col("p"), 9).cast("decimal(38,9)")).alias("__sp"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    means = (
+        df.select(F.posexplode(v).alias("mi", "x"))
+        .groupBy("mi")
+        .agg(F.sum(rd(F.col("x").cast("double"), 9).cast("decimal(38,9)")).alias("__s"))
+        .select(F.col("mi"), (F.col("__s").cast("double")).alias("__sm"))
+    )
+    mi = F.broadcast(means.select(F.col("mi"), F.col("__sm").alias("__smi")))
+    mj = F.broadcast(means.select(F.col("mi").alias("mj"), F.col("__sm").alias("__smj")))
+    nn = F.col("__n").cast("double")
+    cov = (F.col("__sp").cast("double") / nn) - (
+        (F.col("__smi") / nn) * (F.col("__smj") / nn)
+    )
+    return (
+        prods.join(mi, prods["i"] == mi["mi"])
+        .join(mj, prods["j"] == mj["mj"])
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.col("__n").alias("n_vecs"),
+            rd(cov, out_scale).alias("cov"),
+        )
+    )

@@ -3866,3 +3866,39 @@ def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership is the portable md5 coin; the oracle reproduces every
     rate and every member bit-for-bit."""
     return sp.temperature_sample(_table(spark, sf_dir, "documents"), target_frac=0.25)
+
+
+@register(
+    "emb_covariance",
+    f"""
+    WITH t AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding,
+               (x, i) -> {{'i': i - 1, 'x': CAST(x AS DOUBLE)}})) AS u
+      FROM embeddings
+    ),
+    e AS (SELECT vec_id, u.i AS i, u.x AS x FROM t),
+    pr AS (
+      SELECT a.i AS i, b.i AS j,
+             sum(CAST({R("a.x * b.x", 9)} AS DECIMAL(38,9))) AS sp,
+             count(*) AS n
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT i, CAST(sum(CAST({R("x", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS sm
+      FROM e GROUP BY i
+    )
+    SELECT CAST(pr.i AS INT) AS i, CAST(pr.j AS INT) AS j, pr.n AS n_vecs,
+           {R("(CAST(pr.sp AS DOUBLE) / CAST(pr.n AS DOUBLE)) - ((mi.sm / CAST(pr.n AS DOUBLE)) * (mj.sm / CAST(pr.n AS DOUBLE)))", 6)} AS cov
+    FROM pr JOIN m mi ON pr.i = mi.i JOIN m mj ON pr.j = mj.i
+    """,
+)
+def _q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed d×d covariance of the embedding store
+    (`sim.covariance_matrix`) — the bounded-summary first step of
+    PCA/whitening at 100 TB: N is the scale axis, the d² result is
+    driver-sized. Scan-side nested shifted-slice pair expansion (no
+    self-join — the oracle takes the self-join road and must agree),
+    map-side-combined decimal aggregation, broadcast mean joins."""
+    return sim.covariance_matrix(_table(spark, sf_dir, "embeddings"))
