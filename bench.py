@@ -71,6 +71,12 @@ HEADLINE = [
     "text_bigram_lm_score",      # corpus-trained bigram LM (digest-keyed joins)
     "pipeline_c4_survivors",     # C4-style codegen rule filter
     "mix_shuffle_shards",        # hash-permutation global training shuffle
+    # r5 third batch, on-headline from day one:
+    "text_repetition_stats",     # per-doc mode via sorted run-length aggregate
+    "pipeline_gopher_repetition_survivors",  # integer-exact repetition rules
+    "mix_temperature_sample",    # alpha=0.5 domain rebalancing
+    "emb_covariance",            # d^2-bounded pair-explode aggregation
+    "emb_jl_project",            # JL +-1 projection (literal sign matrix, scan-side)
 ]
 
 
@@ -122,7 +128,7 @@ def main() -> None:
                 # r4 extended the headline from 20 to 26 queries (the six
                 # heavy dedup/join hitters) — compare totals to r3 only
                 # over the shared 20; per-query keys are stable
-                "headline_set": "r5-extended-35",
+                "headline_set": "r5-extended-40",
             }
         )
     )

@@ -986,8 +986,9 @@ def covariance_matrix(
     Returns the upper triangle as narrow rows (i, j, n_vecs, cov),
     i ≤ j, 0-based, cov = E[x_i·x_j] − E[x_i]·E[x_j].
 
-    Scale shape: each row expands scan-side into its d(d+1)/2 products
-    (nested shifted-slice transforms — no self-join, so vectors never
+    Scale shape: one CPU-spread repartition of the raw vectors, then
+    each row expands scan-side into its d(d+1)/2 products (nested
+    shifted-slice transforms — no self-join, no per-element vector
     shuffle); the explode feeds a map-side-combined aggregation whose
     partial state is ≤ d² rows PER PARTITION, so the only exchange
     carries d²·n_partitions narrow partial rows regardless of N.
@@ -997,6 +998,14 @@ def covariance_matrix(
     """
     from time_series_data_trimmer_spark.functions.rounding import rd
 
+    # CPU-spread: a small/single-file vector store scans as ONE
+    # partition, which would serialize the d(d+1)/2-per-row expansion
+    # into one task (the dedup-family precedent). At cluster scale
+    # defaultParallelism is cluster width, so this never narrows a
+    # wide scan; AQE coalesces if the shuffle is redundant. Only
+    # (id-free) d-float vectors move — once.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(par)
     v = F.col(vec_col)
     n_dim = F.size(v)
     pairs = F.flatten(
@@ -1040,4 +1049,91 @@ def covariance_matrix(
             F.col("__n").alias("n_vecs"),
             rd(cov, out_scale).alias("cov"),
         )
+    )
+
+
+def jl_sign_matrix(in_dim: int, out_dim: int, seed: str = "tsdt|jl") -> list[list[int]]:
+    """Deterministic ±1 Johnson–Lindenstrauss projection matrix:
+    sign(k, j) = +1 iff the first hex digit of ``md5(seed|k|j)`` is
+    even. Pure Python/hashlib — the same literal matrix is inlined
+    into BOTH the Spark plan and the SQL oracle, so the projection is
+    engine-independent by construction (no RNG, no broadcast needed:
+    k·d ints travel inside the plan)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed}|{k}|{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for j in range(in_dim)
+        ]
+        for k in range(out_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "tsdt|jl",
+    out_scale: int = 6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss projection to ``out_dim`` dims with the
+    ±1 (Achlioptas) construction: y_k = Σ_j sign_kj·x_j / √out_dim.
+    The standard cheap dimensionality reduction before LSH/ANN at
+    100 TB — distance-preserving to (1±ε) with out_dim = O(log N/ε²),
+    and ±1 signs mean the projection is adds/subtracts, no float
+    matrix multiply.
+
+    Returns narrow rows (id, k, y) — the reshaped array is one
+    ``sort_array(collect_list(struct(k, y)))`` away; rows keep the
+    result engine-comparable.
+
+    Determinism: signs flip terms exactly (±x is sign-bit-only), each
+    component accumulates 9-dp-rounded terms in decimal(38,9) — a
+    fixed-order-free EXACT sum — then divides by √out_dim once.
+    Scale shape: pure scan-side per-row expression fan-out (out_dim
+    structs per row), zero shuffle, nothing broadcast — the sign
+    matrix rides in the plan as literals.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    signs = jl_sign_matrix(in_dim, out_dim, seed)
+    v = F.col(vec_col)
+    inv = 1.0 / float(out_dim) ** 0.5
+    comps = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            v,
+                            F.array(*[F.lit(s) for s in signs[k]]),
+                            lambda x, s: rd(x.cast("double"), 9) * s.cast("double"),
+                        ),
+                        # decimal(38,9) would be the reflex, but
+                        # (38,9)+(38,9) widens to (39,9) which Spark caps
+                        # at (38,8) — SILENTLY rounding the 9th decimal at
+                        # every fold step. (20,9)+(20,9) → (21,9) stays
+                        # inside the precision budget, so each add is
+                        # exact; the re-cast pins the accumulator type.
+                        F.lit(0).cast("decimal(20,9)"),
+                        lambda acc, t: (acc + t.cast("decimal(20,9)")).cast(
+                            "decimal(20,9)"
+                        ),
+                    ).cast("double")
+                    * F.lit(inv)
+                ).alias("y"),
+            )
+            for k in range(out_dim)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(comps).alias("c")).select(
+        F.col(id_col),
+        F.col("c.k").alias("k"),
+        rd(F.col("c.y"), out_scale).alias("y"),
     )

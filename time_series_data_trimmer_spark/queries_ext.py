@@ -3902,3 +3902,37 @@ def _q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join — the oracle takes the self-join road and must agree),
     map-side-combined decimal aggregation, broadcast mean joins."""
     return sim.covariance_matrix(_table(spark, sf_dir, "embeddings"))
+
+
+def _jl_oracle_sql(in_dim: int, out_dim: int, seed: str = "tsdt|jl") -> str:
+    signs = sim.jl_sign_matrix(in_dim, out_dim, seed)
+    inv = repr(1.0 / float(out_dim) ** 0.5)
+    term = R("CAST(x AS DOUBLE)", 9)
+    comps = ",\n       ".join(
+        "{'k': %d, 'y': CAST(list_aggregate(list_transform(embedding, (x, j) -> "
+        "CAST((%s) * ([%s][j]) AS DECIMAL(38,9))), 'sum') AS DOUBLE) * %s}"
+        % (k, term, ", ".join(str(s) for s in signs[k]), inv)
+        for k in range(out_dim)
+    )
+    return f"""
+    SELECT vec_id, CAST(u.k AS INT) AS k, {R("u.y", 6)} AS y
+    FROM (
+      SELECT vec_id, unnest([
+       {comps}
+      ]) AS u
+      FROM embeddings
+    )
+    """
+
+
+@register("emb_jl_project", _jl_oracle_sql(64, 16))
+def _q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 projection 64→16 (`sim.jl_project`):
+    the distance-preserving cheap dimensionality reduction before
+    LSH/ANN on a 100 TB vector store. The md5-derived sign matrix is
+    inlined as literals into BOTH plans; components accumulate
+    9-dp-rounded terms in decimal (order-free exact sum), so every
+    projected coordinate matches the oracle bit-for-bit. Pure
+    scan-side fan-out, zero shuffle."""
+    out = sim.jl_project(_table(spark, sf_dir, "embeddings"), in_dim=64, out_dim=16)
+    return out.select("vec_id", F.col("k").cast("int").alias("k"), "y")
