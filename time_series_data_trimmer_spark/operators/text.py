@@ -812,3 +812,54 @@ def gopher_repetition_filter(
             "top_token_char_frac"
         ),
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "tsdt|hls",
+) -> DataFrame:
+    """Per-document linear-model score over hashed token features —
+    the fasttext/CCNet-style model-based quality filter SHAPE: each
+    token hashes to a weight, the document score is the mean weight
+    (the raw logit; no sigmoid — ``exp`` is libm-specific in the last
+    ulp and a monotone transform adds nothing to a threshold filter).
+
+    Weights here are md5-derived standins, w(tok) =
+    round(u32(md5(seed|tok))/2³² − 0.5, 6) ∈ [−0.5, 0.5] — the
+    plumbing (feature hashing, exact accumulation, scan-side scoring)
+    is the operator; swapping in learned weights means joining or
+    map-literal-ing a real weight table, nothing else changes.
+
+    Scale shape: zero shuffle — tokenize and fold per row, md5
+    evaluated inside the lambda, sums exact in decimal(20,6). At
+    100 TB this is a pure scan multiply, embarrassingly parallel.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    ws = F.filter(
+        F.split(F.trim(F.col(text_col)), " "), lambda x: F.length(x) > 0
+    )
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), ws.alias("__ws"))
+        .filter(F.size("__ws") > 0)
+    )
+
+    def w(tok):
+        u = F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + "|"), tok)), 1, 8), 16, 10
+        ).cast("long")
+        return rd(u.cast("double") / F.lit(4294967296.0) - F.lit(0.5), 6)
+
+    total = F.aggregate(
+        F.col("__ws"),
+        F.lit(0).cast("decimal(20,6)"),
+        lambda acc, t: (acc + w(t).cast("decimal(20,6)")).cast("decimal(20,6)"),
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("__ws").cast("int").alias("n_tokens"),
+        rd(total.cast("double") / F.size("__ws"), 6).alias("logit"),
+    )

@@ -3936,3 +3936,32 @@ def _q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-side fan-out, zero shuffle."""
     out = sim.jl_project(_table(spark, sf_dir, "embeddings"), in_dim=64, out_dim=16)
     return out.select("vec_id", F.col("k").cast("int").alias("k"), "y")
+
+
+@register(
+    "text_hashed_linear_score",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> length(x) > 0) AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT doc_id, len(ws) AS n,
+             list_aggregate(list_transform(ws, t ->
+               CAST({R("(('0x' || substr(md5('tsdt|hls' || '|' || t), 1, 8))::BIGINT) / 4294967296.0 - 0.5", 6)} AS DECIMAL(20,6))
+             ), 'sum') AS tot
+      FROM w WHERE len(ws) > 0
+    )
+    SELECT doc_id, CAST(n AS INT) AS n_tokens,
+           {R("CAST(tot AS DOUBLE) / n", 6)} AS logit
+    FROM s
+    """,
+)
+def _q_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear scoring (`tx.hashed_linear_score`): the
+    model-based quality-filter shape (fasttext/CCNet lineage) with
+    md5-derived stand-in weights — mean hashed-token weight as a raw
+    logit, exact decimal accumulation, zero shuffle. Swapping learned
+    weights in changes a weight lookup, not the plan."""
+    return tx.hashed_linear_score(_table(spark, sf_dir, "documents"))
