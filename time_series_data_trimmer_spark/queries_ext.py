@@ -3965,3 +3965,58 @@ def _q_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     logit, exact decimal accumulation, zero shuffle. Swapping learned
     weights in changes a weight lookup, not the plan."""
     return tx.hashed_linear_score(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_diff_versions",
+    """
+    WITH h AS (
+      SELECT doc_id, text,
+             substr(md5('tsdt|diff|' || CAST(doc_id AS VARCHAR)), 1, 1) AS hx
+      FROM documents
+    ),
+    new_v AS (
+      SELECT doc_id,
+             CASE WHEN hx = '1' THEN text || ' v2' ELSE text END AS text
+      FROM h WHERE hx <> '0'
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM h WHERE hx = '2'
+    ),
+    o AS (SELECT doc_id, coalesce(md5(text), '<NULL>') AS do_ FROM documents),
+    n AS (SELECT doc_id, coalesce(md5(text), '<NULL>') AS dn_ FROM new_v)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.do_ = n.dn_ THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """,
+)
+def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (`corpus_io.corpus_diff`): old = the
+    documents table, new = a deterministically derived next crawl
+    (md5 band 0 removed, band 1 edited, band 2 duplicated under new
+    ids) — per-doc added/removed/changed/unchanged status. Digest-only
+    full-outer shuffle-hash join; text bytes never shuffle."""
+    from time_series_data_trimmer_spark.sources.corpus_io import corpus_diff
+
+    docs = _table(spark, sf_dir, "documents")
+    hx = F.substring(
+        F.md5(F.concat(F.lit("tsdt|diff|"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    h = docs.select("doc_id", "text", hx.alias("__hx"))
+    new_v = (
+        h.filter(F.col("__hx") != "0")
+        .select(
+            "doc_id",
+            F.when(F.col("__hx") == "1", F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            h.filter(F.col("__hx") == "2").select(
+                (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(docs, new_v)

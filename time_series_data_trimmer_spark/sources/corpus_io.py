@@ -313,3 +313,61 @@ def read_documents(
         # shingles assume string
         df = df.withColumn(text_col, F.col(text_col).cast("string"))
     return df
+
+
+def corpus_diff(
+    old: "DataFrame",
+    new: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Snapshot diff between two corpus versions — the dataset-
+    versioning primitive behind "what changed between crawl N and
+    crawl N+1": per doc id, ``added`` (only in new), ``removed``
+    (only in old), ``changed`` (same id, different content digest),
+    or ``unchanged``.
+
+    Content identity is the md5 digest (sentinel-coalesced so NULL
+    text is a value, matching the dedup family's convention), so text
+    bytes never shuffle — the full-outer join moves (id, 32-hex)
+    rows only. One shuffle-hash join keyed on the id; at 100 TB both
+    sides partition-prune if snapshots are stored id-bucketed (the
+    `write_partitioned` layout), and AQE upgrades to broadcast when
+    one side is a small incremental batch.
+    """
+    from pyspark.sql import functions as F
+
+    def keyed(df, tag):
+        return df.select(
+            F.col(id_col),
+            F.coalesce(F.md5(text_col), F.lit("<NULL>")).alias(f"__d_{tag}"),
+        )
+
+    o = keyed(old, "o")
+    n = keyed(new, "n")
+    j = o.join(n.hint("shuffle_hash"), id_col, "full_outer")
+    status = (
+        F.when(F.col("__d_o").isNull(), F.lit("added"))
+        .when(F.col("__d_n").isNull(), F.lit("removed"))
+        .when(F.col("__d_o") == F.col("__d_n"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))
+
+
+def corpus_diff_summary(
+    old: "DataFrame",
+    new: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Aggregate view of `corpus_diff`: one row per status with count —
+    the snapshot health report (a sudden `removed` spike is the
+    classic upstream-crawl regression signal)."""
+    from pyspark.sql import functions as F
+
+    return (
+        corpus_diff(old, new, id_col, text_col)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
