@@ -95,6 +95,7 @@ _SCALAR_BNLJ_OK = {
     "text_tfidf_top_terms",  # (a) — the 1-row corpus-size scalar N
     "text_bigram_lm_score",  # (a) — the 1-row vocabulary-size scalar V
     "mix_temperature_sample",  # (a) — the 1-row (T, N) rate scalars
+    "emb_pca_power_iteration",  # (a) — the 1-row norm scalar, once per iteration
     "j1_annotation_containment_join",  # (b)
     "j2_deletion_anti_join",  # (b)
 }

@@ -1137,3 +1137,81 @@ def jl_project(
         F.col("c.k").alias("k"),
         rd(F.col("c.y"), out_scale).alias("y"),
     )
+
+
+def power_iteration_top_eigen(
+    df: DataFrame,
+    rounds: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Leading eigenvector of the embedding covariance by power
+    iteration — the PCA axis, end-to-end on Spark: the d×d covariance
+    is computed DISTRIBUTED (`covariance_matrix`; N is the scale
+    axis), then ``rounds`` iterations of v ← C·v / ‖C·v‖ run on the
+    bounded d² frame. Returns (i, v, eigenvalue) — eigenvalue is the
+    final iterate's norm (the Rayleigh-quotient limit for a dominant
+    positive eigenvalue).
+
+    Every step is decimal-exact so a SQL oracle can unroll the whole
+    iteration: products are 12-dp-rounded then summed in
+    decimal(38,12) (exact, order-free), norms are sqrt of exact sums
+    (correctly-rounded IEEE), iterates re-round to 9 dp. The start
+    vector is the uniform unit vector rd(1/√d, 9) — positive, so the
+    dominant-eigenvector sign is deterministic (no eigensolver sign
+    ambiguity).
+
+    Scale shape: the heavy stage is the covariance (see
+    `covariance_matrix`); the symmetric matrix is localCheckpointed
+    (d² bounded rows — sanctioned) so iterations do NOT re-run the
+    corpus pass per round; each round is a broadcast join of the
+    64-row iterate against the d² frame plus the sanctioned 1-row
+    norm-scalar broadcast. Nothing unbounded touches the driver.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    cov = covariance_matrix(df)
+    full = (
+        cov.select("i", "j", "cov")
+        .unionByName(
+            cov.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    import math
+
+    d = len(df.select(vec_col).first()[0])
+    v0 = math.floor(1.0 / float(d) ** 0.5 * 1e9 + 0.5) / 1e9
+    v = full.select(F.col("i").alias("idx")).distinct().select(
+        "idx", F.lit(float(v0)).alias("val")
+    )
+    w = None
+    for _ in range(int(rounds)):
+        w = (
+            full.join(F.broadcast(v), full["j"] == v["idx"])
+            .groupBy(full["i"].alias("widx"))
+            .agg(
+                F.sum(
+                    rd(F.col("cov") * F.col("val"), 12).cast("decimal(38,12)")
+                ).alias("__s")
+            )
+            .select(F.col("widx"), F.col("__s").cast("double").alias("w"))
+        )
+        nm = w.agg(
+            F.sqrt(
+                F.sum(rd(F.col("w") * F.col("w"), 12).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+            ).alias("nm")
+        )
+        v = w.crossJoin(F.broadcast(nm)).select(
+            F.col("widx").alias("idx"),
+            rd(F.col("w") / F.col("nm"), 9).alias("val"),
+            F.col("nm").alias("__nm"),
+        )
+    return v.select(
+        F.col("idx").cast("int").alias("i"),
+        F.col("val").alias("v"),
+        rd(F.col("__nm"), 6).alias("eigenvalue"),
+    )

@@ -4020,3 +4020,67 @@ def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return corpus_diff(docs, new_v)
+
+
+def _pca_oracle_sql(rounds: int = 3, v0: str = "0.125") -> str:
+    cov_expr = R(
+        "(CAST(pr.sp AS DOUBLE) / CAST(pr.n AS DOUBLE)) - ((mi.sm / CAST(pr.n AS DOUBLE)) * (mj.sm / CAST(pr.n AS DOUBLE)))",
+        6,
+    )
+    rounds_sql = ""
+    prev = "v0"
+    for r in range(1, rounds + 1):
+        rounds_sql += f""",
+    w{r} AS (
+      SELECT f.i AS idx,
+             CAST(sum(CAST({R("f.cov * v.val", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS w
+      FROM fm f JOIN {prev} v ON f.j = v.idx GROUP BY f.i
+    ),
+    n{r} AS (
+      SELECT sqrt(CAST(sum(CAST({R("w * w", 12)} AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM w{r}
+    ),
+    v{r} AS (SELECT idx, {R("w / nm", 9)} AS val FROM w{r}, n{r})"""
+        prev = f"v{r}"
+    return f"""
+    WITH t AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding,
+               (x, i) -> {{'i': i - 1, 'x': CAST(x AS DOUBLE)}})) AS u
+      FROM embeddings
+    ),
+    e AS (SELECT vec_id, u.i AS i, u.x AS x FROM t),
+    pr AS (
+      SELECT a.i AS i, b.i AS j,
+             sum(CAST({R("a.x * b.x", 9)} AS DECIMAL(38,9))) AS sp,
+             count(*) AS n
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT i, CAST(sum(CAST({R("x", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS sm
+      FROM e GROUP BY i
+    ),
+    cv AS (
+      SELECT pr.i AS i, pr.j AS j, {cov_expr} AS cov
+      FROM pr JOIN m mi ON pr.i = mi.i JOIN m mj ON pr.j = mj.i
+    ),
+    fm AS (
+      SELECT i, j, cov FROM cv
+      UNION ALL
+      SELECT j AS i, i AS j, cov FROM cv WHERE i <> j
+    ),
+    v0 AS (SELECT DISTINCT i AS idx, CAST({v0} AS DOUBLE) AS val FROM fm){rounds_sql}
+    SELECT CAST(v.idx AS INT) AS i, v.val AS v, {R("n.nm", 6)} AS eigenvalue
+    FROM v{rounds} v, n{rounds} n
+    """
+
+
+@register("emb_pca_power_iteration", _pca_oracle_sql(3))
+def _q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA leading axis end-to-end (`sim.power_iteration_top_eigen`):
+    DISTRIBUTED covariance (the N-scale stage) + 3 decimal-exact power
+    iterations on the bounded d² frame, eigenvalue = final iterate
+    norm. The oracle unrolls the complete iteration (covariance →
+    symmetric matrix → 3× multiply/normalize) and matches every
+    component and the eigenvalue bit-for-bit."""
+    return sim.power_iteration_top_eigen(_table(spark, sf_dir, "embeddings"), rounds=3)
