@@ -77,3 +77,37 @@ def test_repetition_filter_rules(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     kept = {r["doc_id"] for r in tx.gopher_repetition_filter(df).collect()}
     assert kept == {1}
+
+
+# ---------------------------------------------------------------------------
+# property: the sorted-run-length argmax equals a brute-force Counter
+# ---------------------------------------------------------------------------
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_token = st.text(alphabet="abcx", min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tokens=st.lists(_token, min_size=1, max_size=30))
+def test_top_token_matches_counter(spark, tokens):
+    s = _stats(spark, [(1, " ".join(tokens))])[1]
+    cnt = Counter(tokens)
+    # argmax by (char mass desc, token asc) — the documented tie-break
+    best = min(cnt.items(), key=lambda kv: (-kv[1] * len(kv[0]), kv[0]))
+    total_chars = sum(len(t) for t in tokens)
+    assert s["top_token"] == best[0]
+    assert s["top_token_count"] == best[1]
+    assert s["n_tokens"] == len(tokens)
+    assert s["n_distinct"] == len(cnt)
+    import math
+    assert s["top_token_char_frac"] == math.floor(
+        best[1] * len(best[0]) / total_chars * 1e6 + 0.5
+    ) / 1e6
