@@ -77,6 +77,7 @@ HEADLINE = [
     "mix_temperature_sample",    # alpha=0.5 domain rebalancing
     "emb_covariance",            # d^2-bounded pair-explode aggregation
     "emb_jl_project",            # JL +-1 projection (literal sign matrix, scan-side)
+    "pipeline_pretraining_corpus",  # filter -> dedup -> rebalance -> stats, one plan
 ]
 
 
@@ -128,7 +129,7 @@ def main() -> None:
                 # r4 extended the headline from 20 to 26 queries (the six
                 # heavy dedup/join hitters) — compare totals to r3 only
                 # over the shared 20; per-query keys are stable
-                "headline_set": "r5-extended-40",
+                "headline_set": "r5-extended-41",
             }
         )
     )

@@ -96,6 +96,7 @@ _SCALAR_BNLJ_OK = {
     "text_bigram_lm_score",  # (a) — the 1-row vocabulary-size scalar V
     "mix_temperature_sample",  # (a) — the 1-row (T, N) rate scalars
     "emb_pca_power_iteration",  # (a) — the 1-row norm scalar, once per iteration
+    "pipeline_pretraining_corpus",  # (a) — temperature_sample's (T, N) scalars
     "j1_annotation_containment_join",  # (b)
     "j2_deletion_anti_join",  # (b)
 }

@@ -863,3 +863,41 @@ def hashed_linear_score(
         F.size("__ws").cast("int").alias("n_tokens"),
         rd(total.cast("double") / F.size("__ws"), 6).alias("logit"),
     )
+
+
+def gopher_repetition_survivor_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """`gopher_repetition_filter` as a row filter: the INPUT rows that
+    survive the repetition rules, plus `n_tokens` — the form pipeline
+    compositions consume (the feature-frame variant returns metrics
+    instead of payload columns)."""
+    ws = F.filter(
+        F.split(F.trim(F.col(text_col)), " "), lambda x: F.length(x) > 0
+    )
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("__ws", ws)
+        .filter(F.size("__ws") > 0)
+    )
+    w = F.col("__ws")
+    n = F.size(w).cast("long")
+    nd = F.size(F.array_distinct(w)).cast("long")
+    chars = F.aggregate(
+        w, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")
+    )
+    umass = _top_run(F.array_sort(w), lambda x: F.length(x).cast("long"))["mass"]
+    stop = sum(
+        (_occurrences(F.col(text_col), s) for s in GOPHER_STOPWORDS), F.lit(0)
+    )
+    cond = (
+        n.between(20, 10000)
+        & (F.lit(3) * n <= chars)
+        & (chars <= F.lit(10) * n)
+        & (stop >= 2)
+        & (F.lit(5) * (n - nd) <= F.lit(3) * n)
+        & (F.lit(20) * umass <= F.lit(3) * chars)
+    )
+    return base.filter(cond).withColumn("n_tokens", n.cast("int")).drop("__ws")

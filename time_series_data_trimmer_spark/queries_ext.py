@@ -4084,3 +4084,87 @@ def _q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric matrix → 3× multiply/normalize) and matches every
     component and the eigenvalue bit-for-bit."""
     return sim.power_iteration_top_eigen(_table(spark, sf_dir, "embeddings"), rounds=3)
+
+
+@register(
+    "pipeline_pretraining_corpus",
+    f"""
+    WITH {_REP_WS},
+    st AS (SELECT doc_id, {_GOPHER_STOP_SQL} AS stop FROM documents WHERE text IS NOT NULL),
+    surv AS (
+      SELECT d.doc_id, d.source, d.text, CAST(s.n AS INT) AS n_tokens
+      FROM documents d
+      JOIN s ON d.doc_id = s.doc_id
+      JOIN (SELECT * FROM topu WHERE rn = 1) u ON d.doc_id = u.doc_id
+      JOIN st ON d.doc_id = st.doc_id
+      WHERE s.n BETWEEN 20 AND 10000
+        AND 3 * s.n <= s.chars AND s.chars <= 10 * s.n
+        AND st.stop >= 2
+        AND 5 * (s.n - s.nd) <= 3 * s.n
+        AND 20 * u.mass <= 3 * s.chars
+    ),
+    dd AS (
+      SELECT * FROM (
+        SELECT surv.*,
+               row_number() OVER (
+                 PARTITION BY coalesce(md5(text), '<NULL>')
+                 ORDER BY doc_id ASC
+               ) AS rn
+        FROM surv
+      ) WHERE rn = 1
+    ),
+    c AS (SELECT source, count(*) AS c FROM dd GROUP BY source),
+    t AS (
+      SELECT CAST(sum(CAST({R("sqrt(CAST(c AS DOUBLE))", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS T,
+             CAST(sum(c) AS DOUBLE) AS N
+      FROM c
+    ),
+    r AS (
+      SELECT source,
+             least(1.0,
+               ((0.3 * t.N) * {R("sqrt(CAST(c AS DOUBLE))", 9)})
+                 / ((CAST(c AS DOUBLE)) * t.T)) AS rate
+      FROM c, t
+    ),
+    sampled AS (
+      SELECT dd.doc_id, dd.source, dd.n_tokens, r.rate
+      FROM dd JOIN r ON dd.source = r.source
+      WHERE {sp.sql_hash_u32("dd.doc_id", "tsdt|corpus")}
+            < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           {R("any_value(rate)", 9)} AS keep_rate
+    FROM sampled GROUP BY source
+    """,
+)
+def _q_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining-corpus build as ONE lazy plan: Gopher
+    repetition filter (scan-side) → exact dedup (digest window, min-id
+    survivor) → α=0.5 temperature rebalancing over SURVIVOR counts
+    (decimal-exact rates, md5-coin membership) → per-source corpus
+    stats. Text bytes shuffle once (the dedup window on the content
+    digest carries the payload only because the composition keeps
+    rows; a digest-only variant is `dedup_exact_groups`); every other
+    stage moves narrow rows. The end-to-end story query: raw crawl in,
+    rebalanced deduped corpus accounting out."""
+    docs = _table(spark, sf_dir, "documents")
+    surv = tx.gopher_repetition_survivor_rows(docs)
+    w = Window.partitionBy(
+        F.coalesce(F.md5("text"), F.lit("<NULL>"))
+    ).orderBy(F.col("doc_id").asc())
+    dd = surv.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    sampled = sp.temperature_sample(
+        dd, target_frac=0.3, group_col="source", key_col="doc_id", seed="tsdt|corpus"
+    )
+    joined = sampled.join(
+        dd.select("doc_id", "n_tokens").hint("shuffle_hash"), "doc_id"
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        rd(F.any_value(F.col("keep_rate")), 9).alias("keep_rate"),
+    )
