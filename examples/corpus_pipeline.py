@@ -59,6 +59,12 @@ def main() -> None:
     )
     print(f"repeat-collapsed: {cleaned.filter(F.col('n_removed') > 0).count()} docs had stutter runs")
 
+    # 2c. Gopher-style repetition gate (r5): drop docs whose repetition
+    # is INTRA-document (one dominant token / high duplicate-token
+    # fraction) — invisible to exact dedup, scan-side integer rules
+    kept = tx.gopher_repetition_survivor_rows(kept).drop("n_tokens")
+    print(f"after repetition rules: {kept.count()}")
+
     # 3. exact dedup — row_number over md5(text), one digest shuffle
     exact = dd.exact_dedup(kept)
     print(f"after exact dedup: {exact.count()}")
@@ -95,6 +101,15 @@ def main() -> None:
     # stable), so the mix is reproducible forever
     budgeted = sp.token_budget_per_stratum(survivors, budget_tokens=20_000)
     mixed = sp.hash_sample(budgeted, rate=0.9)
+    # domain accounting for the final mix: α=0.5 temperature rates show
+    # what a rebalanced draw WOULD keep per source (small domains up)
+    rates = (
+        sp.temperature_sample(budgeted, target_frac=0.5)
+        .groupBy("source").agg(F.first("keep_rate").alias("keep_rate"),
+                               F.count(F.lit(1)).alias("n_kept"))
+        .orderBy(F.col("keep_rate").desc()).limit(3)
+    )
+    print("temperature-rebalanced top rates:", [tuple(r) for r in rates.collect()])
     print(f"after budget+sample mix: {mixed.count()}")
 
     # 7. pack: shard-major concat-and-chop sequence layout (per-source
