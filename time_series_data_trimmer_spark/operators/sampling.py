@@ -393,6 +393,10 @@ def temperature_sample(
     of LLM data pipelines (mT5-style α-sampling) as one declarative
     plan.
 
+    Filter-shaped: returns the surviving INPUT rows (full schema)
+    plus their group's ``keep_rate``; NULL group keys participate as
+    the ``<NULL>`` sentinel group rather than silently dropping.
+
     Per-group keep rate ``r_g = min(1, target·N·√c_g / (c_g·T))`` with
     ``T = Σ √c_g``; a doc is kept iff ``hash_u32(key) <
     floor(r_g·2^32)`` — membership is a pure function of (seed, key),
@@ -411,14 +415,19 @@ def temperature_sample(
     """
     from time_series_data_trimmer_spark.functions.rounding import rd
 
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c"))
+    # NULL groups are a real group: sentinel-coalesce the key (the
+    # dedup-family convention) so their docs participate instead of
+    # silently vanishing at the rate join while still inflating N/T.
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("<NULL>"))
+    tagged = df.withColumn("__g", g)
+    counts = tagged.groupBy("__g").agg(F.count(F.lit(1)).alias("__c"))
     u = rd(F.sqrt(F.col("__c").cast("double")), 9)
     scalars = counts.agg(
         F.sum(u.cast("decimal(38,9)")).cast("double").alias("__T"),
         F.sum("__c").cast("double").alias("__N"),
     )
     rates = counts.crossJoin(F.broadcast(scalars)).select(
-        F.col(group_col),
+        F.col("__g"),
         F.least(
             F.lit(1.0),
             ((F.lit(float(target_frac)) * F.col("__N")) * u)
@@ -426,12 +435,12 @@ def temperature_sample(
         ).alias("__rate"),
     )
     thr = F.floor(F.col("__rate") * F.lit(float(_HASH_SPACE))).cast("long")
+    # filter-shaped: the full input schema passes through (composers
+    # keep their payload columns — no re-join to recover them), plus
+    # the group's keep_rate.
     return (
-        df.join(F.broadcast(rates), group_col)
+        tagged.join(F.broadcast(rates), "__g")
         .filter(hash_u32(F.col(key_col), seed) < thr)
-        .select(
-            F.col(key_col),
-            F.col(group_col),
-            rd(F.col("__rate"), 9).alias("keep_rate"),
-        )
+        .withColumn("keep_rate", rd(F.col("__rate"), 9))
+        .drop("__g", "__rate")
     )

@@ -976,6 +976,7 @@ def covariance_matrix(
     df: DataFrame,
     vec_col: str = "embedding",
     out_scale: int = 6,
+    expect_dim: int | None = None,
 ) -> DataFrame:
     """Distributed covariance matrix of an embedding column — the
     first step of PCA / whitening / decorrelation over a 100 TB vector
@@ -998,6 +999,13 @@ def covariance_matrix(
     """
     from time_series_data_trimmer_spark.functions.rounding import rd
 
+    # PRECONDITION: fixed-dimension vectors with no NULL elements —
+    # a NULL element would be counted in n_vecs but skipped by the
+    # sums, biasing every covariance entry it touches. `expect_dim`
+    # guards the ragged case scan-side (rows of any other length are
+    # dropped); NULL elements are the store's contract to prevent.
+    if expect_dim is not None:
+        df = df.filter(F.size(F.col(vec_col)) == int(expect_dim))
     # CPU-spread: a small/single-file vector store scans as ONE
     # partition, which would serialize the d(d+1)/2-per-row expansion
     # into one task (the dedup-family precedent). At cluster scale
@@ -1102,6 +1110,10 @@ def jl_project(
     from time_series_data_trimmer_spark.functions.rounding import rd
 
     signs = jl_sign_matrix(in_dim, out_dim, seed)
+    # zip_with pads a short vector with NULLs, which would null the
+    # whole component (and diverge from the oracle, which iterates
+    # actual elements): project ONLY exact-in_dim rows.
+    df = df.filter(F.size(F.col(vec_col)) == int(in_dim))
     v = F.col(vec_col)
     inv = 1.0 / float(out_dim) ** 0.5
     comps = F.array(
@@ -1169,7 +1181,12 @@ def power_iteration_top_eigen(
     """
     from time_series_data_trimmer_spark.functions.rounding import rd
 
-    cov = covariance_matrix(df)
+    if int(rounds) < 1:
+        raise ValueError("power iteration needs rounds >= 1")
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("empty input frame — no vectors to factor")
+    cov = covariance_matrix(df, vec_col=vec_col)
     full = (
         cov.select("i", "j", "cov")
         .unionByName(
@@ -1181,7 +1198,7 @@ def power_iteration_top_eigen(
     )
     import math
 
-    d = len(df.select(vec_col).first()[0])
+    d = len(first[0])
     v0 = math.floor(1.0 / float(d) ** 0.5 * 1e9 + 0.5) / 1e9
     v = full.select(F.col("i").alias("idx")).distinct().select(
         "idx", F.lit(float(v0)).alias("val")
