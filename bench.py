@@ -101,6 +101,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         # steady-state measurement: first run pays one-time analysis/
         # codegen-compile costs (irrelevant at 100 TB where execution
@@ -111,28 +112,33 @@ def main() -> None:
         # run ("n": 1); r02 onward records min-of-two ("n": 2) — compare
         # rounds r02+ to each other, and to r01 only with that bias
         # (min-of-two reads slightly faster on a noisy machine) in mind.
-        run_query(spark, name, SF_DIR)
-        timings[name] = round(
-            min(run_query(spark, name, SF_DIR), run_query(spark, name, SF_DIR)), 3
-        )
+        # Per-query isolation (r5 lesson): one broken query must cost
+        # one line in the report, never the whole round's bench.
+        try:
+            run_query(spark, name, SF_DIR)
+            timings[name] = round(
+                min(run_query(spark, name, SF_DIR), run_query(spark, name, SF_DIR)),
+                3,
+            )
+        except Exception as exc:  # noqa: BLE001 — report and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-                # min-of-two steady runs since r02 (r01/BASELINE: single run)
-                "timing_rule": "min_of_2_steady",
-                # r4 extended the headline from 20 to 26 queries (the six
-                # heavy dedup/join hitters) — compare totals to r3 only
-                # over the shared 20; per-query keys are stable
-                "headline_set": "r5-extended-41",
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        # min-of-two steady runs since r02 (r01/BASELINE: single run)
+        "timing_rule": "min_of_2_steady",
+        # r4 extended the headline from 20 to 26 queries (the six
+        # heavy dedup/join hitters) — compare totals to r3 only
+        # over the shared 20; per-query keys are stable
+        "headline_set": "r5-extended-41",
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

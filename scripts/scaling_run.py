@@ -285,6 +285,32 @@ def run_recall(spark):
             }
         )
         cand.unpersist()
+
+    # IVF-PQ (VERDICT r5 #7): same probed cells as ivf_seed, but the
+    # fine scan reads int8 RECONSTRUCTIONS and only the shortlist gets
+    # exact vectors — recall must survive the quantization noise.
+    pq_natural = {
+        r["vec_id"]
+        for r in sim.ivf_pq_topk(
+            df.filter(F.col("vec_id") < 900_000_000), qvec, k=10, shortlist=40
+        ).collect()
+    }
+    pq_planted = {
+        r["vec_id"]
+        for r in sim.ivf_pq_topk(df, qvec, k=21, shortlist=60).collect()
+    }
+    seed_cells = ivf_candidates(df, seeds)
+    out.append(
+        {
+            "probe": "ivf_pq(16 cells, nprobe=4, int8, shortlist=40/60)",
+            "n_total": n_total + 20,
+            "scanned_frac": round(seed_cells.count() / (n_total + 20), 4),
+            "recall@10_natural": round(len(exact10 & pq_natural) / 10.0, 2),
+            "recall_planted@20": round(
+                len(pq_planted & planted_ids) / 20.0, 2
+            ),
+        }
+    )
     df.unpersist()
     for row in out:
         print(json.dumps(row))

@@ -97,6 +97,8 @@ _SCALAR_BNLJ_OK = {
     "mix_temperature_sample",  # (a) — the 1-row (T, N) rate scalars
     "emb_pca_power_iteration",  # (a) — the 1-row norm scalar, once per iteration
     "pipeline_pretraining_corpus",  # (a) — temperature_sample's (T, N) scalars
+    "text_bm25_topk",  # (a) — the 1-row (N, avgdl) corpus-stats scalar
+    "mix_epoch_upsample",  # (a) — the 1-row c_max scalar
     "j1_annotation_containment_join",  # (b)
     "j2_deletion_anti_join",  # (b)
 }

@@ -1,0 +1,165 @@
+"""Property tests for the round-6 operator wave: SemDeDup, BM25,
+epoch upsampling, user-event sessionization, per-group quality
+percentiles, CUBE. (Exact-value correctness is the DuckDB oracle's
+job — scripts/check_oracle.py; these pin the semantic invariants that
+survive refactors.)"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from time_series_data_trimmer_spark.operators import aggregates as ag
+from time_series_data_trimmer_spark.operators import sampling as sp
+from time_series_data_trimmer_spark.operators import similarity as sim
+from time_series_data_trimmer_spark.operators import text as tx
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+# --- SemDeDup -------------------------------------------------------------
+
+
+def test_semdedup_survivors_partition_of_input(emb):
+    surv = sim.semdedup_survivors(emb, tau=0.4, n_centroids=16)
+    n, n_surv = emb.count(), surv.count()
+    assert 0 < n_surv <= n
+    # survivor ids are input ids, once each
+    assert surv.select("vec_id").distinct().count() == n_surv
+    assert surv.join(emb, "vec_id", "left_anti").count() == 0
+
+
+def test_semdedup_dropped_have_smaller_neighbor(emb):
+    """Every dropped vector has a same-cell smaller-id neighbor with
+    cosine >= tau (the drop rule, verified against the pair set)."""
+    pairs = sim.semdedup_pairs(emb, tau=0.4, n_centroids=16)
+    surv = sim.semdedup_survivors(emb, tau=0.4, n_centroids=16)
+    dropped = emb.select("vec_id").join(surv, "vec_id", "left_anti")
+    uncovered = dropped.join(
+        pairs.select(F.col("id_b").alias("vec_id")).distinct(), "vec_id", "left_anti"
+    )
+    assert uncovered.count() == 0
+    # and no survivor appears as a dropped id_b
+    bad = surv.join(
+        pairs.select(F.col("id_b").alias("vec_id")).distinct(), "vec_id", "inner"
+    )
+    assert bad.count() == 0
+
+
+def test_semdedup_pairs_are_within_cell_and_thresholded(emb):
+    pairs = sim.semdedup_pairs(emb, tau=0.4, n_centroids=16)
+    rows = pairs.collect()
+    assert all(r.id_a < r.id_b for r in rows)
+    assert all(r.cosine >= 0.4 for r in rows)
+
+
+# --- BM25 -----------------------------------------------------------------
+
+
+def test_bm25_topk_invariants(docs):
+    out = tx.bm25_topk(docs, ["spark", "window", "join"], k=10).collect()
+    assert 0 < len(out) <= 10
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r.n_terms_matched <= 3 for r in out)
+    assert all(r.score > 0 for r in out)
+
+
+def test_bm25_single_term_matches_manual(spark):
+    """3-doc corpus small enough to check BM25 by hand."""
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b c d"), (3, "b c d e")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.score for r in tx.bm25_topk(df, ["a"], k=3).collect()}
+    # df("a")=2, N=3 -> idf = (3-2+0.5)/(2+0.5) = 0.6; avgdl = 4
+    # doc1: tf=3, dl=4 -> 0.6*3*2.2/(3+1.2*(0.25+0.75*1)) = 3.96/4.2
+    assert out[1] == pytest.approx(0.6 * 3 * 2.2 / (3 + 1.2), abs=1e-6)
+    assert out[2] == pytest.approx(0.6 * 1 * 2.2 / (1 + 1.2), abs=1e-6)
+    assert 3 not in out  # no query term -> not retrieved
+    assert out[1] > out[2]  # higher tf wins at equal dl
+
+
+# --- epoch upsampling -----------------------------------------------------
+
+
+def test_epoch_upsample_replication_counts(docs):
+    out = sp.epoch_upsample(docs, max_epochs=4)
+    per_src = (
+        out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_out"), F.max("epoch").alias("epochs"))
+        .collect()
+    )
+    base = {r.source: r.n_in for r in
+            docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_in")).collect()}
+    for r in per_src:
+        assert 1 <= r.epochs <= 4
+        assert r.n_out == base[r.source] * r.epochs  # exact integer replication
+    # the largest domain is never upsampled
+    largest = max(base, key=lambda s: base[s])
+    assert {r.epochs for r in per_src if r.source == largest} == {1}
+
+
+def test_epoch_upsample_preserves_schema_plus_epoch(docs):
+    out = sp.epoch_upsample(docs, max_epochs=4)
+    assert out.columns == docs.columns + ["epoch"]
+
+
+# --- user-event sessionization -------------------------------------------
+
+
+def test_sessionize_gap_property(events):
+    """Within a session all consecutive gaps are <= 30 min; across
+    consecutive sessions of one user the boundary gap is > 30 min."""
+    sess = ag.sessionize_user_events(events, gap_minutes=30)
+    rows = sorted(
+        sess.collect(), key=lambda r: (r.user_id, r.session_idx)
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for _u, ss in by_user.items():
+        for i, r in enumerate(ss):
+            assert r.session_start <= r.session_end
+            if i:
+                gap = (r.session_start - ss[i - 1].session_end).total_seconds()
+                assert gap > 30 * 60
+    # every event accounted for exactly once
+    assert sum(r.n_events for r in rows) == events.count()
+
+
+def test_sessionize_single_shuffle_plan(events):
+    plan = ag.sessionize_user_events(events)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # window + cumsum + agg share one shuffle
+
+
+# --- quality percentile ---------------------------------------------------
+
+
+def test_quality_percentile_bounds_and_monotonicity(docs):
+    out = tx.quality_percentile_by_group(docs).collect()
+    assert all(0.0 <= r.pct_rank <= 1.0 for r in out)
+    assert all(0 <= r.decile <= 9 for r in out)
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for _lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.quality)
+        for a, b in zip(rs, rs[1:]):
+            assert a.pct_rank <= b.pct_rank  # rank monotone in score
+            if a.quality == b.quality:
+                assert a.pct_rank == b.pct_rank  # value-ties share rank

@@ -286,3 +286,66 @@ def sessionize(
         F.max(t).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def sessionize_user_events(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Batch gap-based sessionization over the EVENTS table (the
+    trial-data twin is `sessionize` above): split each user's event stream
+    wherever the gap to the previous event exceeds ``gap_minutes``,
+    then aggregate per session — the batch twin of the streaming
+    session window (`stream_ops.session_agg`), and the classic
+    gaps-and-islands shape (`suggest_segments` applies the same trick
+    to NaN runs).
+
+    Plan: ONE shuffle, on the user key — the lag window, the boundary
+    cumsum, and the session aggregation all share the same
+    partitioning (Exchange reuse), so sessionization costs exactly one
+    pass over (user, ts, value) rows regardless of corpus size. Gap
+    arithmetic is integer microseconds (no float time math); ties on
+    ``ts`` break by ``order_tiebreak`` for a total, engine-portable
+    order.
+
+    Output: (user, session_idx 1-based, session_start, session_end,
+    n_events, duration_sec, total_value rounded to 2 dp).
+    """
+    from time_series_data_trimmer_spark.sources.events import event_micros
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    )
+    us = event_micros(df, ts_col)
+    prev = F.lag(us).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((us - prev) > F.lit(int(gap_minutes) * 60_000_000)), 1
+    ).otherwise(0)
+    marked = df.withColumn("__new", new_sess).withColumn(
+        "__sess",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        marked.groupBy(user_col, "__sess")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                (F.max(us) - F.min(us)) / F.lit(1_000_000)
+            ).alias("duration_sec"),
+            # per-event 2-dp round + DECIMAL sum: order-independent,
+            # bit-identical in any engine (double-sum would be
+            # summation-order-dependent)
+            F.sum(rd(F.col(value_col).cast("double"), 2).cast("decimal(38,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .withColumnRenamed("__sess", "session_idx")
+    )

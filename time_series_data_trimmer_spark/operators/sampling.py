@@ -444,3 +444,51 @@ def temperature_sample(
         .withColumn("keep_rate", rd(F.col("__rate"), 9))
         .drop("__g", "__rate")
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    max_epochs: int = 4,
+    group_col: str = "source",
+) -> DataFrame:
+    """Epoch-based domain upsampling: replicate each group's rows an
+    INTEGER number of times — ``epochs_g = min(max_epochs,
+    ceil(√(c_max / c_g)))`` — so small domains are seen more times per
+    training pass, the way LLM data recipes mix under-represented
+    sources (multi-epoch Wikipedia vs single-epoch web crawl). The
+    integer-replication complement to `temperature_sample`: that one
+    DOWN-samples dominant domains probabilistically; this one
+    UP-samples small domains exactly, with a hard cap so no domain
+    repeats enough to memorize.
+
+    The √ ratio is the α = 0.5 temperature law in replication form;
+    c_max/c_g is an exact-integer ratio in double (both < 2^53), and
+    IEEE sqrt/ceil are correctly rounded, so every epoch count is
+    engine-portable.
+
+    Plan shape: one map-side-combined group count; the (group →
+    epochs) table is bounded by |groups| and broadcasts back; the
+    replication is ``explode(sequence(1, epochs))`` ON THE SCAN — rows
+    fan out executor-side with zero shuffle of the payload. Output =
+    input schema + ``epoch`` (1-based replica index); downstream
+    shuffling (e.g. `shuffle_shards`) keys on (id, epoch) so replicas
+    spread across shards.
+    """
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("<NULL>"))
+    tagged = df.withColumn("__g", g)
+    counts = tagged.groupBy("__g").agg(F.count(F.lit(1)).alias("__c"))
+    cmax = counts.agg(F.max("__c").alias("__cmax"))
+    epochs = counts.crossJoin(F.broadcast(cmax)).select(
+        F.col("__g"),
+        F.least(
+            F.lit(int(max_epochs)).cast("int"),
+            F.ceil(
+                F.sqrt(F.col("__cmax").cast("double") / F.col("__c").cast("double"))
+            ).cast("int"),
+        ).alias("__epochs"),
+    )
+    return (
+        tagged.join(F.broadcast(epochs), "__g")
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__epochs"))))
+        .drop("__g", "__epochs")
+    )

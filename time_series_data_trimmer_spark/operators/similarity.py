@@ -1232,3 +1232,90 @@ def power_iteration_top_eigen(
         F.col("val").alias("v"),
         rd(F.col("__nm"), 6).alias("eigenvalue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — IVF-cell-blocked semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    tau: float = 0.4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Within-cell semantic near-dup pairs, the SemDeDup candidate
+    structure (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): cluster the
+    embedding space coarsely, then compare ONLY vectors that landed in
+    the same cell — the k-means cells replace LSH buckets as the
+    blocking structure, so compare volume is Σ_cells |C|² rather than
+    N², and (unlike LSH) the same clustering is reusable for IVF
+    search and domain analysis.
+
+    Plan shape: `ivf_assign_dec` is a posexplode + broadcast (k·dim
+    centroid table) + one map-side-combined aggregation; the pair join
+    is a shuffle-hash self-join keyed on ``centroid_id`` (AQE sees the
+    real cell sizes); the exact cosine is `decimal_dot` on the carried
+    arrays — JVM-side zip_with, no Python. Grow ``n_centroids`` ∝ N at
+    scale (SemDeDup uses k ≈ N/1000) so cells stay O(1) and the
+    self-join stays linear; the centroid table stays a broadcast
+    because k·dim ≪ memory even at k = 10⁵.
+
+    Returns (id_a < id_b, centroid_id, cosine) for all same-cell pairs
+    with exact decimal cosine ≥ ``tau``. Pass a precomputed
+    ``assigned`` (id, centroid_id) to share one assignment plan across
+    pairs + survivors.
+    """
+    if assigned is None:
+        centroids = ivf_centroids(df, n_centroids, id_col, vec_col)
+        assigned = ivf_assign_dec(df, centroids, id_col, vec_col)
+    base = (
+        df.select(F.col(id_col), F.col(vec_col).alias("v"))
+        .join(assigned.hint("shuffle_hash"), id_col)
+        .withColumn("nrm", F.sqrt(decimal_dot(F.col("v"), F.col("v"))))
+    )
+    a = base.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    joined = a.join(b.hint("shuffle_hash"), "centroid_id").filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    cos = decimal_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return joined.select(
+        "id_a", "id_b", "centroid_id", cos.alias("cosine")
+    ).filter(F.col("cosine") >= F.lit(float(tau)))
+
+
+def semdedup_survivors(
+    df: DataFrame,
+    tau: float = 0.4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup survivor set: drop every vector that has a SMALLER-id
+    same-cell neighbor with cosine ≥ τ; keep the rest. The greedy
+    min-id-wins rule (the repo's standing survivor convention — simhash
+    and exact-dedup use the same one) is deterministic, engine-portable
+    and anti-join-shaped; the paper's "keep the item farthest from the
+    centroid" tie-break changes WHICH representative survives, not how
+    many, and would cost an extra distance join for no plan benefit.
+
+    Output: (id, centroid_id) for survivors. The drop set moves as
+    bare ids (one distinct + one left_anti, both narrow); embeddings
+    never shuffle beyond the pair join in `semdedup_pairs`.
+    """
+    centroids = ivf_centroids(df, n_centroids, id_col, vec_col)
+    assigned = ivf_assign_dec(df, centroids, id_col, vec_col)
+    pairs = semdedup_pairs(df, tau, n_centroids, id_col, vec_col, assigned=assigned)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.join(dropped.hint("shuffle_hash"), id_col, "left_anti")

@@ -901,3 +901,129 @@ def gopher_repetition_survivor_rows(
         & (F.lit(20) * umass <= F.lit(3) * chars)
     )
     return base.filter(cond).withColumn("n_tokens", n.cast("int")).drop("__ws")
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval: top-``k`` documents for a bag-of-words query —
+    the lexical-retrieval half of a RAG / eval-set-mining pipeline
+    (Robertson & Zaragoza 2009, Okapi BM25).
+
+    The idf is the BM25 ratio UN-LOGGED — ``(N − df + 0.5)/(df + 0.5)``
+    — for the same reason `tfidf_top_terms` un-logs its idf: ``ln`` is
+    not bit-reproducible across engines while IEEE ×/÷ are correctly
+    rounded everywhere. Ranking monotonicity per term is unchanged
+    (log is monotone); absolute scores are steeper. Per-term scores
+    are rounded to 9 dp and summed as DECIMAL so the multi-term sum is
+    order-independent.
+
+    Plan shape: the query-term filter lands ON THE SCAN (an `isin`
+    over the exploded tokens, before any shuffle), so tf/df move only
+    (doc, term∈query) rows — at 100 TB that is the difference between
+    shuffling the corpus vocabulary and shuffling ~|query| longs per
+    matching doc. Document length joins in keyed on the id
+    (shuffle-hash); the corpus stats (N, total length → avgdl) is the
+    sanctioned 1-row broadcast. Top-k is a single global
+    orderBy+limit — a per-partition TakeOrdered, no full sort.
+    """
+    from pyspark.sql import Window  # noqa: F401  (kept for parity with siblings)
+
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    terms = [str(t) for t in query_terms]
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    joined = (
+        tf.join(dfreq.hint("shuffle_hash"), "token")
+        .join(dl.hint("shuffle_hash"), id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = (
+        F.col("n_docs").cast("double") - F.col("doc_freq").cast("double") + F.lit(0.5)
+    ) / (F.col("doc_freq").cast("double") + F.lit(0.5))
+    denom = F.col("tf").cast("double") + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b))
+        + F.lit(float(b)) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    term_score = idf * (F.col("tf").cast("double") * F.lit(float(k1) + 1.0)) / denom
+    per_doc = joined.select(
+        F.col(id_col),
+        rd(term_score, 9).cast("decimal(38,9)").alias("s"),
+    ).groupBy(id_col).agg(
+        F.sum("s").alias("s_dec"), F.count(F.lit(1)).alias("n_terms_matched")
+    )
+    return (
+        per_doc.select(
+            F.col(id_col),
+            F.col("n_terms_matched"),
+            rd(F.col("s_dec").cast("double"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+
+
+def quality_percentile_by_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group quality-score normalization: percent_rank of each
+    document's quality WITHIN its group, plus the decile bucket — the
+    "keep the top X% per language" selection primitive (absolute
+    quality thresholds are incomparable across languages; rank within
+    the language first, then cut).
+
+    Determinism: the rank orders by the 6-dp ROUNDED score, so ties
+    are value-ties in every engine (percent_rank gives tied values the
+    same rank; ntile would split ties by arbitrary row order and is
+    deliberately avoided). Decile = min(9, floor(pct·10)).
+
+    Plan: quality features are pure codegen on the scan; ONE shuffle
+    on the group key serves the rank window. Group count is small
+    (languages), so partitions are few and large — at 100 TB replace
+    percent_rank with a two-pass histogram rank (per-group value
+    histogram broadcast, rank = running count below) to avoid the
+    single-reducer-per-language window; the semantics here are the
+    spec for that rewrite.
+    """
+    from pyspark.sql import Window
+
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    scored = quality_score(df, text_col)
+    q6 = rd(F.col("quality"), 6)
+    w = Window.partitionBy(group_col).orderBy(q6.asc())
+    return (
+        scored.withColumn("q6", q6)
+        .withColumn("pct_rank", rd(F.percent_rank().over(w), 9))
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("q6").alias("quality"),
+            "pct_rank",
+            F.least(
+                F.lit(9).cast("long"), F.floor(F.col("pct_rank") * F.lit(10.0))
+            ).alias("decile"),
+        )
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from time_series_data_trimmer_spark.functions.rounding import rd, sql_rd
+from time_series_data_trimmer_spark.operators import aggregates as ag
 from time_series_data_trimmer_spark.operators import dedup as dd
 from time_series_data_trimmer_spark.operators import edits
 from time_series_data_trimmer_spark.operators import sampling as sp
@@ -3865,7 +3866,9 @@ def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rates are decimal-exact (√c rounded to 9 dp, T summed in decimal),
     membership is the portable md5 coin; the oracle reproduces every
     rate and every member bit-for-bit."""
-    return sp.temperature_sample(_table(spark, sf_dir, "documents"), target_frac=0.25)
+    return sp.temperature_sample(
+        _table(spark, sf_dir, "documents"), target_frac=0.25
+    ).select("doc_id", "source", "keep_rate")
 
 
 @register(
@@ -4160,11 +4163,306 @@ def _q_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = sp.temperature_sample(
         dd, target_frac=0.3, group_col="source", key_col="doc_id", seed="tsdt|corpus"
     )
-    joined = sampled.join(
-        dd.select("doc_id", "n_tokens").hint("shuffle_hash"), "doc_id"
-    )
-    return joined.groupBy("source").agg(
+    # temperature_sample is filter-shaped: `sampled` already carries the
+    # full survivor schema (incl. n_tokens) plus keep_rate — aggregate it
+    # directly; a compensation join would duplicate n_tokens.
+    return sampled.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         rd(F.any_value(F.col("keep_rate")), 9).alias("keep_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r6: SemDeDup — IVF-cell-blocked semantic dedup
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU, _SEMDEDUP_K = 0.4, 16
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    ord AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
+      FROM embeddings
+      QUALIFY cid <= {_SEMDEDUP_K - 1}
+    ),
+    cex AS (SELECT o.cid, e.i, e.x FROM ord o JOIN ex e ON e.vec_id = o.vec_id),
+    dists AS (
+      SELECT e.vec_id, c.cid,
+             sum(CAST({sql_rd("(e.x - c.x) * (e.x - c.x)", 9)} AS DECIMAL(38,9))) AS d
+      FROM ex e JOIN cex c ON c.i = e.i
+      GROUP BY e.vec_id, c.cid
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(sum(CAST({sql_rd("x * x", 9)} AS DECIMAL(38,9))) AS DOUBLE)) AS nrm
+      FROM ex GROUP BY vec_id
+    ),
+    pdots AS (
+      SELECT aa.vec_id AS id_a, bb.vec_id AS id_b,
+             sum(CAST({sql_rd("ea.x * eb.x", 9)} AS DECIMAL(38,9))) AS dxy
+      FROM assigned aa
+      JOIN assigned bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+      JOIN ex ea ON ea.vec_id = aa.vec_id
+      JOIN ex eb ON eb.vec_id = bb.vec_id AND eb.i = ea.i
+      GROUP BY aa.vec_id, bb.vec_id
+    ),
+    dropped AS (
+      SELECT DISTINCT p.id_b AS vec_id
+      FROM pdots p
+      JOIN norms na ON na.vec_id = p.id_a
+      JOIN norms nb ON nb.vec_id = p.id_b
+      WHERE CAST(p.dxy AS DOUBLE) / (na.nrm * nb.nrm) >= {_SEMDEDUP_TAU}
+    )
+    SELECT a.vec_id, CAST(a.cid AS INT) AS centroid_id
+    FROM assigned a
+    WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) survivor set
+    (`sim.semdedup_survivors`): coarse IVF cells as the blocking
+    structure, exact decimal cosine >= tau within each cell, greedy
+    min-id survivor per near-dup neighborhood. The embedding-space
+    complement to `dedup_embedding_clusters` (LSH-blocked CC): the
+    cell structure here is the SAME index `sim_ivf_*` search uses, so
+    one clustering pays for dedup AND retrieval. The oracle replays
+    the identical deterministic centroid pick (md5-order sample),
+    decimal-exact assignment argmin, within-cell pair dots, and the
+    NOT-IN drop rule."""
+    emb = _table(spark, sf_dir, "embeddings")
+    return sim.semdedup_survivors(
+        emb, tau=_SEMDEDUP_TAU, n_centroids=_SEMDEDUP_K
+    ).select("vec_id", F.col("centroid_id").cast("int").alias("centroid_id"))
+
+
+_BM25_TERMS = ["spark", "window", "join"]
+_BM25_K, _BM25_K1, _BM25_B = 15, 1.2, 0.75
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.token
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(trim(text), ' ')) AS token) t
+      WHERE len(t.token) > 0
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM toks WHERE token IN ('spark', 'window', 'join')
+      GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY token),
+    scored AS (
+      SELECT t.doc_id,
+             CAST({sql_rd(
+                 "((CAST(s.n_docs AS DOUBLE) - CAST(d.doc_freq AS DOUBLE) + 0.5)"
+                 " / (CAST(d.doc_freq AS DOUBLE) + 0.5))"
+                 " * (CAST(t.tf AS DOUBLE) * 2.2)"
+                 " / (CAST(t.tf AS DOUBLE)"
+                 "    + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl))",
+                 9,
+             )} AS DECIMAL(38,9)) AS s
+      FROM tf t
+      JOIN dfreq d ON d.token = t.token
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           count(*) AS n_terms_matched,
+           {R("CAST(sum(s) AS DOUBLE)", 6)} AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {_BM25_K}
+    """,
+)
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (`tx.bm25_topk`) for the query
+    "spark window join": query-term filter ON the token scan, narrow
+    (doc, term) tf/df shuffles, 1-row corpus-stats broadcast, un-logged
+    idf (the repo's determinism-over-convention policy), decimal-summed
+    per-term scores, TakeOrdered top-k. The lexical-retrieval primitive
+    a RAG or eval-mining pipeline runs per query."""
+    return tx.bm25_topk(
+        _table(spark, sf_dir, "documents"),
+        query_terms=_BM25_TERMS,
+        k=_BM25_K, k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+@register(
+    "mix_epoch_upsample",
+    """
+    WITH c AS (
+      SELECT coalesce(CAST(source AS VARCHAR), '<NULL>') AS g, count(*) AS c
+      FROM documents GROUP BY 1
+    ),
+    m AS (SELECT max(c) AS cmax FROM c),
+    e AS (
+      SELECT g,
+             least(4, CAST(ceil(sqrt(CAST(m.cmax AS DOUBLE) / CAST(c.c AS DOUBLE))) AS INT)) AS epochs
+      FROM c, m
+    )
+    SELECT d.doc_id, d.source,
+           CAST(unnest(generate_series(1, e.epochs)) AS INT) AS epoch
+    FROM documents d
+    JOIN e ON coalesce(CAST(d.source AS VARCHAR), '<NULL>') = e.g
+    """,
+)
+def _q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-based domain upsampling (`sp.epoch_upsample`): integer
+    replication epochs_g = min(4, ceil(sqrt(c_max/c_g))) per source —
+    the multi-epoch small-domain mixing of LLM data recipes, as an
+    explode(sequence) on the scan (zero payload shuffle; the
+    (group, epochs) table is a bounded broadcast). Complement of
+    `mix_temperature_sample`: that down-samples dominant domains,
+    this up-samples small ones, both under the alpha=0.5 law."""
+    return sp.epoch_upsample(
+        _table(spark, sf_dir, "documents"), max_epochs=4
+    ).select("doc_id", "source", "epoch")
+
+
+@register(
+    "sessionize_events",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS newf
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *,
+             sum(newf) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess
+      FROM m
+    )
+    SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           (max(us) - min(us)) / 1000000 AS duration_sec,
+           CAST(sum(CAST({R("CAST(value AS DOUBLE)", 2)} AS DECIMAL(38,2))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (`ag.sessionize`, 30-min gap):
+    the one-shuffle gaps-and-islands plan — lag window, boundary
+    cumsum, and per-session aggregation all share the user-key
+    Exchange. Integer-microsecond gap math, decimal-summed values.
+    The batch twin of `stream_session_agg`."""
+    out = ag.sessionize_user_events(_table(spark, sf_dir, "events"), gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "session_start", "session_end", "n_events", "duration_sec", "total_value",
+    )
+
+
+@register(
+    "cube_revenue_by_flag_status",
+    f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+           {_sql_dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def _q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with revenue + grouping id —
+    completes the multi-level aggregation family (rollup, pivot, melt,
+    grouping-set cube). Spark plans cube as ONE Expand + one
+    aggregation (4 grouping sets, single scan, partial-agg friendly) —
+    the same shape DuckDB executes, not N passes. `grouping_id()`
+    disambiguates real NULL keys from subtotal rows; revenue is the
+    order-independent decimal sum."""
+    l = _table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            _dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            F.col("gid").cast("long").alias("gid"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+@register(
+    "text_quality_percentile_by_lang",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             length(text) AS q_n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(trim(text), ' ')) END AS q_n_tokens,
+             ({" + ".join(f"(length(text) - length(replace(text, '{c}', '')))" for c in ".,;:!?")}) AS punct,
+             ({" + ".join(f"(length(text) - length(replace(text, '{c}', '')))" for c in "0123456789")}) AS digits,
+             ({_lang_score_sql("en")}) AS stop_hits
+      FROM documents
+    ),
+    ratios AS (
+      SELECT doc_id, lang,
+             CAST(punct AS DOUBLE) / (CASE WHEN q_n_chars = 0 THEN 1 ELSE q_n_chars END) AS q_punct_ratio,
+             CAST(digits AS DOUBLE) / (CASE WHEN q_n_chars = 0 THEN 1 ELSE q_n_chars END) AS q_digit_ratio,
+             stop_hits / (CASE WHEN q_n_tokens = 0 THEN 1 ELSE q_n_tokens END) AS q_stopword_ratio,
+             q_n_chars
+      FROM feats
+    ),
+    q AS (
+      SELECT doc_id, lang,
+             {R('''(CASE WHEN q_n_chars >= 100 AND q_n_chars <= 20000 THEN 0.4 ELSE 0.0 END)
+               + least(q_stopword_ratio * 2.0, 0.4)
+               + (0.2 - least((q_punct_ratio + q_digit_ratio) * 1.0, 0.2))''', 6)} AS quality
+      FROM ratios
+    ),
+    ranked AS (
+      SELECT doc_id, lang, quality,
+             {R("percent_rank() OVER (PARTITION BY lang ORDER BY quality ASC)", 9)} AS pct_rank
+      FROM q
+    )
+    SELECT doc_id, lang, quality, pct_rank,
+           CAST(least(9, CAST(floor(pct_rank * 10.0) AS INT)) AS BIGINT) AS decile
+    FROM ranked
+    """,
+)
+def _q_quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality normalization
+    (`tx.quality_percentile_by_group`): percent_rank of the 6-dp
+    quality score WITHIN each language + decile bucket — the
+    "top X% per language" selection primitive. Rank keys on the
+    ROUNDED score so ties are value-ties in every engine; ntile is
+    deliberately avoided (it splits ties by arbitrary row order).
+    One group-key shuffle; the docstring specs the two-pass histogram
+    rank that replaces the per-language window at 100 TB."""
+    return tx.quality_percentile_by_group(_table(spark, sf_dir, "documents"))
