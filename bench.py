@@ -78,6 +78,13 @@ HEADLINE = [
     "emb_covariance",            # d^2-bounded pair-explode aggregation
     "emb_jl_project",            # JL +-1 projection (literal sign matrix, scan-side)
     "pipeline_pretraining_corpus",  # filter -> dedup -> rebalance -> stats, one plan
+    # r6, on-headline from day one:
+    "dedup_semantic",            # SemDeDup: IVF-cell-blocked exact-cosine dedup
+    "text_bm25_topk",            # BM25 retrieval (scan-side term filter)
+    "mix_epoch_upsample",        # integer multi-epoch domain replication
+    "sessionize_events",         # one-exchange gaps-and-islands sessionization
+    "text_quality_percentile_by_lang",  # per-group percent_rank + deciles
+    "cube_revenue_by_flag_status",  # CUBE via one Expand+agg pass
 ]
 
 
@@ -134,7 +141,7 @@ def main() -> None:
         # r4 extended the headline from 20 to 26 queries (the six
         # heavy dedup/join hitters) — compare totals to r3 only
         # over the shared 20; per-query keys are stable
-        "headline_set": "r5-extended-41",
+        "headline_set": "r6-extended-47",
     }
     if errors:
         payload["errors"] = errors

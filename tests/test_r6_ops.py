@@ -163,3 +163,98 @@ def test_quality_percentile_bounds_and_monotonicity(docs):
             assert a.pct_rank <= b.pct_rank  # rank monotone in score
             if a.quality == b.quality:
                 assert a.pct_rank == b.pct_rank  # value-ties share rank
+
+
+# --- contamination fraction ----------------------------------------------
+
+
+def test_contamination_fraction_total_and_bounded(docs, spark):
+    from time_series_data_trimmer_spark.operators import dedup as dd
+
+    train = docs.filter(F.col("source") != "src0")
+    held = docs.filter(F.col("source") == "src0")
+    out = dd.contamination_fraction(train, held, n=4)
+    rows = out.collect()
+    # total scoring: every train doc with text appears exactly once
+    assert len(rows) == train.filter(F.col("text").isNotNull()).count()
+    assert all(0.0 <= r.contamination_frac <= 1.0 for r in rows)
+    assert all(r.n_shared <= r.n_grams for r in rows)
+    # consistency with the hard-threshold flag: flagged set == frac > 0
+    flagged = {r.doc_id for r in dd.decontaminate(train, held, n=4).collect()}
+    assert {r.doc_id for r in rows if r.n_shared > 0} == flagged
+
+
+# --- KMV sketch -----------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    from time_series_data_trimmer_spark.operators import sketches as sk
+
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(40)], "grp string, val string"
+    )
+    r = sk.kmv_distinct(df, "grp", "val", k=64).collect()[0]
+    assert r.n_kept == 40
+    assert r.est_distinct == 40.0  # below k the sketch IS the exact count
+    assert r.exact_distinct == 40
+
+
+def test_kmv_estimator_rel_error(spark):
+    from time_series_data_trimmer_spark.operators import sketches as sk
+
+    n = 2000
+    df = spark.createDataFrame(
+        [("g", f"value-{i}") for i in range(n)], "grp string, val string"
+    )
+    r = sk.kmv_distinct(df, "grp", "val", k=64).collect()[0]
+    assert r.n_kept == 64
+    assert r.exact_distinct == n
+    # KMV rel error ~ 1/sqrt(k-2) ≈ 13%; allow 4 sigma
+    assert abs(r.est_distinct - n) / n < 4 / (62 ** 0.5)
+
+
+def test_kmv_duplicates_do_not_inflate(spark):
+    from time_series_data_trimmer_spark.operators import sketches as sk
+
+    df = spark.createDataFrame(
+        [("g", f"v{i % 10}") for i in range(500)], "grp string, val string"
+    )
+    r = sk.kmv_distinct(df, "grp", "val", k=64).collect()[0]
+    assert r.est_distinct == 10.0 and r.exact_distinct == 10
+
+
+# --- global n-gram top-k --------------------------------------------------
+
+
+def test_ngram_topk_matches_brute_force(spark):
+    from collections import Counter
+
+    from time_series_data_trimmer_spark.operators import text as tx2
+
+    rows = [(1, "a b a b c"), (2, "a b x"), (3, "q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.gram, r.occurrences) for r in tx2.ngram_topk_global(df, n=2, k=10).collect()}
+    want = Counter()
+    for _i, t in rows:
+        w = t.split(" ")
+        for j in range(len(w) - 1):
+            want[" ".join(w[j : j + 2])] += 1
+    assert got == set(want.items())
+
+
+# --- cohort retention -----------------------------------------------------
+
+
+def test_cohort_retention_invariants(events):
+    from time_series_data_trimmer_spark.operators import aggregates as ag2
+
+    rows = ag2.cohort_retention(events).collect()
+    assert all(r.week_offset >= 0 for r in rows)
+    assert all(0.0 < r.retained_frac <= 1.0 for r in rows)
+    # at offset 0 every cohort member is active by definition of first week
+    for r in rows:
+        if r.week_offset == 0:
+            assert r.n_active == r.cohort_size
+    # cohort sizes partition the user base
+    sizes = {r.cohort_week: r.cohort_size for r in rows}
+    assert sum(sizes.values()) == events.select("user_id").distinct().count()

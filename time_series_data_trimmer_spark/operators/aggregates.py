@@ -349,3 +349,45 @@ def sessionize_user_events(
         )
         .withColumnRenamed("__sess", "session_idx")
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by first-seen
+    week; for each (cohort_week, week_offset) the count of cohort
+    members active that week and the retained fraction — the classic
+    product-analytics triangle, and the engagement view of a training
+    corpus's event exhaust.
+
+    All time math is integer epoch-weeks (``floor(us / week_us)``);
+    the retained fraction is one exact-integer division. Plan: distinct
+    (user, week) narrow pairs; the per-user min-week is a map-side-
+    combined agg on the SAME user-key shuffle; cohort sizes are a
+    bounded (weeks) aggregate joined back by broadcast.
+    """
+    from time_series_data_trimmer_spark.sources.events import event_micros
+
+    week = F.floor(event_micros(df, ts_col) / F.lit(604_800_000_000)).cast("long")
+    uw = df.select(F.col(user_col).alias("u"), week.alias("w")).distinct()
+    first = uw.groupBy("u").agg(F.min("w").alias("cohort_w"))
+    act = uw.join(first.hint("shuffle_hash"), "u")
+    sizes = first.groupBy("cohort_w").agg(F.count(F.lit(1)).alias("cohort_size"))
+    cells = act.groupBy("cohort_w", "w").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_w")
+        .select(
+            F.col("cohort_w").alias("cohort_week"),
+            (F.col("w") - F.col("cohort_w")).alias("week_offset"),
+            "n_active",
+            "cohort_size",
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retained_frac"),
+        )
+    )

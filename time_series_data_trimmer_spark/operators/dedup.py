@@ -1469,3 +1469,58 @@ def remove_duplicate_spans(
             .alias(text_col),
         )
     )
+
+
+def contamination_fraction(
+    train: DataFrame,
+    heldout: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document contamination SCORE: the fraction of each train
+    doc's distinct word n-grams that appear anywhere in the held-out
+    set — the graded complement of `decontaminate` (which flags on a
+    hard shared-count threshold). Published recipes drop at frac ≥
+    0.8-ish for benchmark overlap and log the distribution below; the
+    fraction is what lets a pipeline tune that knob per benchmark.
+
+    Same plan discipline as `decontaminate`: both sides shingle
+    scan-side and collapse to md5 digests before anything moves; the
+    held-out side dedups to distinct grams; the per-doc total and the
+    per-doc hit count share the (id, digest) shuffle. Every train doc
+    appears in the output (zero-hit docs with frac 0.0) so the result
+    is a total scoring, join-able back as a filter column.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    t_grams = (
+        train.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+        )
+        .select(id_col, F.md5("g").alias("gd"))
+    )
+    totals = t_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    h_grams = (
+        heldout.filter(F.col(text_col).isNotNull())
+        .select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+        .select(F.md5("g").alias("gd"))
+        .distinct()
+    )
+    hits = (
+        t_grams.join(h_grams.hint("shuffle_hash"), "gd")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return totals.join(hits.hint("shuffle_hash"), id_col, "left").select(
+        F.col(id_col),
+        "n_grams",
+        F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+        rd(
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double"),
+            9,
+        ).alias("contamination_frac"),
+    )

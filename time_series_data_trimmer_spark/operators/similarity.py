@@ -1289,8 +1289,17 @@ def semdedup_pairs(
     joined = a.join(b.hint("shuffle_hash"), "centroid_id").filter(
         F.col("id_a") < F.col("id_b")
     )
+    # two-tier scoring (5.0 s → ~1.9 s at sf0.1): the cheap FLOAT
+    # cosine prunes the Σ|C|² candidate pairs; the DECIMAL-exact
+    # cosine (the oracle-compared decision value) re-scores only pairs
+    # inside the margin. Sound because |float − decimal| is bounded by
+    # the 9-dp per-term rounding (64 · 5e-10) plus float summation
+    # error — orders of magnitude under the 1e-4 margin — so no pair
+    # with decimal cosine ≥ τ is ever pruned.
+    fcos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cand = joined.filter(fcos >= F.lit(float(tau) - 1e-4))
     cos = decimal_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return joined.select(
+    return cand.select(
         "id_a", "id_b", "centroid_id", cos.alias("cosine")
     ).filter(F.col("cosine") >= F.lit(float(tau)))
 
@@ -1315,6 +1324,10 @@ def semdedup_survivors(
     never shuffle beyond the pair join in `semdedup_pairs`.
     """
     centroids = ivf_centroids(df, n_centroids, id_col, vec_col)
+    # the assignment subtree feeds both the pair join and the final
+    # anti-join; recomputing it is cheaper than checkpointing it
+    # (measured 2.93 s vs 3.01 s at sf0.1 — the subtree is one
+    # posexplode+argmin, and a checkpoint pays a materialization)
     assigned = ivf_assign_dec(df, centroids, id_col, vec_col)
     pairs = semdedup_pairs(df, tau, n_centroids, id_col, vec_col, assigned=assigned)
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()

@@ -1,0 +1,115 @@
+"""Mergeable distinct-count sketches over the portable md5 hash.
+
+The 100 TB problem: ``COUNT(DISTINCT x)`` per group shuffles every
+distinct value; a sketch shuffles a BOUNDED summary per group instead
+and stays mergeable across partitions, days, and corpus snapshots.
+Spark's built-in ``approx_count_distinct`` (HyperLogLog++) is the
+production answer but its register layout is engine-private — useless
+for the exact-oracle gate and for cross-system reconciliation. The KMV
+(k-minimum-values / bottom-k) sketch here (Bar-Yossef et al. 2002,
+"Counting distinct elements in a data stream") is built on the repo's
+portable ``hash_u32`` coin, so every register and the final estimate
+are bit-identical in Spark, DuckDB, and Python — a sketch you can ship
+between engines and diff.
+
+Accuracy: relative error ~ 1/sqrt(k-2) (k=64 → ~13%); the estimator is
+exact below k distinct values (the sketch holds them all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from time_series_data_trimmer_spark.operators.sampling import hash_u32
+
+_HASH_SPACE_F = float(1 << 32)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    seed: str = "tsdt|kmv",
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate, plus the exact count for
+    audit.
+
+    Estimator: keep the ``k`` smallest 32-bit hashes of the distinct
+    values; if fewer than ``k`` survive the estimate IS the exact
+    count, else ``(k-1) · 2³² / h_k`` with ``h_k`` the k-th smallest
+    hash — all IEEE ×/÷ on exact integers, engine-portable.
+
+    Plan shape: one distinct on narrow (group, hash-long) pairs (the
+    values themselves never shuffle — ``hash_u32`` evaluates on the
+    scan), one keyed row_number window to keep the bottom-k, one
+    map-side-combined aggregation. Per-group state is ≤ k longs at
+    every stage — the property that makes the sketch mergeable: union
+    two corpora's (group, hash) bottom-k sets, re-rank, re-estimate,
+    no rescan of either side.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    hashed = df.select(
+        F.col(group_col).alias("g"),
+        hash_u32(F.col(value_col), seed).alias("u"),
+    ).distinct()
+    w = Window.partitionBy("g").orderBy(F.col("u").asc())
+    bottom = hashed.withColumn("__rn", F.row_number().over(w))
+    exact = hashed.groupBy("g").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    kept = (
+        bottom.filter(F.col("__rn") <= int(k))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("u").alias("kth"))
+    )
+    est = F.when(
+        F.col("n_kept") < int(k), F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_HASH_SPACE_F) / F.col("kth").cast("double")
+    )
+    return (
+        kept.join(exact.hint("shuffle_hash"), "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_kept",
+            rd(est, 6).alias("est_distinct"),
+            "exact_distinct",
+        )
+    )
+
+
+def sql_kmv_distinct(
+    table_expr: str,
+    group_col: str,
+    value_expr: str,
+    k: int = 64,
+    seed: str = "tsdt|kmv",
+) -> str:
+    """The identical KMV estimate as DuckDB SQL (for oracle reuse)."""
+    from time_series_data_trimmer_spark.functions.rounding import sql_rd
+    from time_series_data_trimmer_spark.operators.sampling import sql_hash_u32
+
+    u = sql_hash_u32(value_expr, seed)
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT {group_col} AS g, {u} AS u FROM {table_expr}
+    ),
+    ranked AS (
+      SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u ASC) AS rn
+      FROM hashed
+    ),
+    exact AS (SELECT g, count(*) AS exact_distinct FROM hashed GROUP BY g),
+    kept AS (
+      SELECT g, count(*) AS n_kept, max(u) AS kth
+      FROM ranked WHERE rn <= {int(k)} GROUP BY g
+    )
+    SELECT kept.g AS {group_col}, kept.n_kept,
+           {sql_rd(
+               f"CASE WHEN kept.n_kept < {int(k)} THEN CAST(kept.n_kept AS DOUBLE)"
+               f" ELSE {float(k - 1)} * {_HASH_SPACE_F} / CAST(kept.kth AS DOUBLE) END",
+               6,
+           )} AS est_distinct,
+           exact.exact_distinct
+    FROM kept JOIN exact ON kept.g = exact.g
+    """

@@ -1027,3 +1027,47 @@ def quality_percentile_by_group(
             ).alias("decile"),
         )
     )
+
+
+def ngram_topk_global(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 25,
+    text_col: str = "text",
+) -> DataFrame:
+    """Global top-``k`` word n-grams by OCCURRENCE count (not distinct
+    docs) — the corpus-statistics view (boilerplate discovery, stop
+    phrase lists, tokenizer-vocab seeding) where `tfidf_top_terms` is
+    the per-document view.
+
+    Grams build scan-side with shifted array views (`arrays_zip` on
+    `slice`d copies — the zero-copy trick from the bigram LM, not a
+    per-position lambda); occurrences (NOT deduped per doc) flow into
+    ONE map-side-combined count, so the shuffle carries (gram, partial
+    count) — bounded by vocabulary, not corpus. Top-k is a
+    TakeOrdered, tie-broken on the gram text for determinism.
+    """
+    words = F.split(F.trim(F.col(text_col)), " ")
+    views = [words] + [
+        F.slice(words, i + 1, F.greatest(F.size(words) - i, F.lit(0)))
+        for i in range(1, n)
+    ]
+    zipped = F.arrays_zip(*views)
+    gram = F.concat_ws(
+        " ", *[F.col("z").getField(str(i)) for i in range(n)]
+    )
+    grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(zipped).alias("z"))
+        # a zip row is a full n-gram only when every view still has an
+        # element (the last n-1 rows of each doc are ragged)
+        .filter(F.col("z").getField(str(n - 1)).isNotNull())
+        .select(gram.alias("gram"))
+        .filter(F.length("gram") > 0)
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), F.col("gram").asc())
+        .limit(int(k))
+    )

@@ -4466,3 +4466,143 @@ def _q_quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
     One group-key shuffle; the docstring specs the two-pass histogram
     rank that replaces the per-language window at 100 TB."""
     return tx.quality_percentile_by_group(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "decontam_overlap_frac",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE source <> 'src0' AND text IS NOT NULL
+    ),
+    tg AS (
+      SELECT doc_id, md5(g) AS gd FROM (
+        SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) - 3 >= 1
+          THEN list_transform(generate_series(1, len(w) - 3),
+                              i -> array_to_string(w[i:i+3], ' '))
+          ELSE [array_to_string(w, ' ')] END)) AS g
+        FROM t)
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id),
+    h AS (
+      SELECT DISTINCT md5(g) AS gd FROM (
+        SELECT unnest(list_distinct(CASE WHEN len(w) - 3 >= 1
+          THEN list_transform(generate_series(1, len(w) - 3),
+                              i -> array_to_string(w[i:i+3], ' '))
+          ELSE [array_to_string(w, ' ')] END)) AS g
+        FROM (SELECT string_split(text, ' ') AS w FROM documents
+              WHERE source = 'src0' AND text IS NOT NULL))
+    ),
+    hit AS (
+      SELECT tg.doc_id, count(*) AS n_shared
+      FROM tg JOIN h USING (gd) GROUP BY tg.doc_id
+    )
+    SELECT tot.doc_id, tot.n_grams,
+           coalesce(hit.n_shared, 0) AS n_shared,
+           {R("CAST(coalesce(hit.n_shared, 0) AS DOUBLE) / CAST(tot.n_grams AS DOUBLE)", 9)} AS contamination_frac
+    FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+    """,
+)
+def _q_decontam_overlap_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination scoring (`dd.contamination_fraction`): for
+    every train doc (source != src0), the FRACTION of its distinct
+    word 4-grams found anywhere in the held-out set (source == src0) —
+    the tunable complement of the hard-threshold
+    `dedup_decontaminate_vs_heldout` flag. Digest-only joins, total
+    output (zero-hit docs score 0.0)."""
+    docs = _table(spark, sf_dir, "documents")
+    return dd.contamination_fraction(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=4,
+    )
+
+
+@register(
+    "text_ngram_topk_global",
+    """
+    WITH w AS (
+      SELECT string_split(trim(text), ' ') AS w FROM documents
+      WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT array_to_string(w[i.i:i.i+1], ' ') AS gram
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) i
+      WHERE len(w) >= 2
+    )
+    SELECT gram, count(*) AS occurrences
+    FROM g WHERE len(gram) > 0
+    GROUP BY gram
+    ORDER BY occurrences DESC, gram ASC
+    LIMIT 25
+    """,
+)
+def _q_ngram_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-25 bigrams by occurrence (`tx.ngram_topk_global`):
+    corpus-statistics boilerplate/stop-phrase discovery. Grams build
+    scan-side from shifted array views (no per-position lambda); the
+    shuffle carries (gram, partial count) — bounded by vocabulary; the
+    top-k is a TakeOrdered with a gram-text tie-break."""
+    return tx.ngram_topk_global(_table(spark, sf_dir, "documents"), n=2, k=25)
+
+
+from time_series_data_trimmer_spark.operators import sketches as sk  # noqa: E402
+
+_KMV_TOKENS_TABLE = """(
+      SELECT d.source AS source, t.token AS token
+      FROM documents d,
+           LATERAL (SELECT unnest(string_split(trim(d.text), ' ')) AS token) t
+      WHERE d.text IS NOT NULL AND len(t.token) > 0
+    ) toks"""
+
+
+@register(
+    "sketch_kmv_distinct_tokens",
+    sk.sql_kmv_distinct(_KMV_TOKENS_TABLE, "source", "token", k=64),
+)
+def _q_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary size via the KMV (bottom-k) distinct
+    sketch (`sk.kmv_distinct`, k=64), exact count alongside for audit.
+    Unlike approx_count_distinct's engine-private HLL registers, every
+    KMV register is the portable md5 hash, so the sketch (and its
+    merge) is bit-identical across engines — shuffles <= k longs per
+    group instead of every distinct token."""
+    docs = _table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+    return sk.kmv_distinct(toks, "source", "token", k=64)
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS w
+      FROM events
+    ),
+    f AS (SELECT u, min(w) AS cw FROM uw GROUP BY u),
+    sizes AS (SELECT cw, count(*) AS cohort_size FROM f GROUP BY cw),
+    cells AS (
+      SELECT f.cw, uw.w, count(*) AS n_active
+      FROM uw JOIN f USING (u) GROUP BY f.cw, uw.w
+    )
+    SELECT cells.cw AS cohort_week,
+           cells.w - cells.cw AS week_offset,
+           n_active, cohort_size,
+           CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retained_frac
+    FROM cells JOIN sizes ON cells.cw = sizes.cw
+    """,
+)
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle (`ag.cohort_retention`): users
+    bucketed by first-seen epoch-week; per (cohort, offset) the active
+    count and retained fraction. Integer epoch-week math, narrow
+    distinct (user, week) pairs, bounded cohort-size broadcast."""
+    return ag.cohort_retention(_table(spark, sf_dir, "events"))
