@@ -85,6 +85,11 @@ HEADLINE = [
     "sessionize_events",         # one-exchange gaps-and-islands sessionization
     "text_quality_percentile_by_lang",  # per-group percent_rank + deciles
     "cube_revenue_by_flag_status",  # CUBE via one Expand+agg pass
+    "decontam_overlap_frac",     # graded contamination fraction (digest joins)
+    "text_ngram_topk_global",    # corpus top-k n-grams (vocab-bounded shuffle)
+    "sketch_kmv_distinct_tokens",  # KMV bottom-k distinct sketch
+    "cohort_retention",          # weekly retention triangle
+    "overlap_join_user_sessions",  # bucket-blocked interval-overlap join
 ]
 
 
@@ -141,7 +146,7 @@ def main() -> None:
         # r4 extended the headline from 20 to 26 queries (the six
         # heavy dedup/join hitters) — compare totals to r3 only
         # over the shared 20; per-query keys are stable
-        "headline_set": "r6-extended-47",
+        "headline_set": "r6-extended-52",
     }
     if errors:
         payload["errors"] = errors

@@ -258,3 +258,74 @@ def test_cohort_retention_invariants(events):
     # cohort sizes partition the user base
     sizes = {r.cohort_week: r.cohort_size for r in rows}
     assert sum(sizes.values()) == events.select("user_id").distinct().count()
+
+
+# --- interval overlap join ------------------------------------------------
+
+
+def test_overlap_join_lossless_vs_naive(spark):
+    """Bucket blocking finds EXACTLY the naive-join pairs, including
+    intervals spanning many buckets and touching endpoints."""
+    from time_series_data_trimmer_spark.operators import intervals as iv
+
+    H = 3_600_000_000
+    rows = [
+        (1, 0, H // 2),            # inside bucket 0
+        (2, H // 4, 10 * H),       # spans 10 buckets
+        (3, 3 * H, 3 * H + 1),     # tiny, inside bucket 3 (overlaps 2)
+        (4, 20 * H, 21 * H),       # isolated
+        (5, H // 2, H // 2),       # point interval touching 1's end
+    ]
+    df = spark.createDataFrame(rows, "iid long, start_us long, end_us long")
+    got = {
+        (r.iid_a, r.iid_b)
+        for r in iv.overlap_join(df, df).collect()
+        if r.iid_a < r.iid_b
+    }
+    want = {
+        (a[0], b[0])
+        for a in rows
+        for b in rows
+        if a[0] < b[0] and a[1] <= b[2] and b[1] <= a[2]
+    }
+    assert got == want == {(1, 2), (2, 3), (1, 5), (2, 5)}
+    ov = {
+        (r.iid_a, r.iid_b): r.overlap_us
+        for r in iv.overlap_join(df, df).collect()
+        if r.iid_a < r.iid_b
+    }
+    assert ov[(1, 2)] == H // 2 - H // 4
+    assert ov[(1, 5)] == 0  # touching endpoints: closed-interval overlap 0
+
+
+def test_overlap_join_plan_no_bnlj(spark):
+    from time_series_data_trimmer_spark.operators import intervals as iv
+
+    df = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 150)], "iid long, start_us long, end_us long"
+    )
+    plan = iv.overlap_join(df, df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """The mergeability contract: merge(sketch(A), sketch(B)) gives
+    the SAME registers — hence the same estimate — as sketch(A ∪ B),
+    with no rescan. Split overlaps so dedup across batches matters."""
+    from time_series_data_trimmer_spark.operators import sketches as sk
+
+    rows = [("g", f"value-{i}") for i in range(300)]
+    full = spark.createDataFrame(rows, "grp string, val string")
+    a = spark.createDataFrame(rows[:200], "grp string, val string")
+    b = spark.createDataFrame(rows[150:], "grp string, val string")
+    merged = sk.kmv_merge(
+        sk.kmv_registers(a, "grp", "val", k=64),
+        sk.kmv_registers(b, "grp", "val", k=64),
+        k=64,
+    )
+    direct = sk.kmv_registers(full, "grp", "val", k=64)
+    assert {r.u for r in merged.collect()} == {r.u for r in direct.collect()}
+    em = sk.kmv_estimate(merged, k=64).collect()[0]
+    ed = sk.kmv_estimate(direct, k=64).collect()[0]
+    assert em.est_distinct == ed.est_distinct

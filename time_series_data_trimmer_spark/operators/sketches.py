@@ -113,3 +113,58 @@ def sql_kmv_distinct(
            exact.exact_distinct
     FROM kept JOIN exact ON kept.g = exact.g
     """
+
+
+def kmv_registers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    seed: str = "tsdt|kmv",
+) -> DataFrame:
+    """The sketch STATE: per-group bottom-``k`` distinct hashes as
+    (g, u) rows — ≤ k longs per group, the thing you persist per
+    corpus snapshot / daily batch and merge later."""
+    hashed = df.select(
+        F.col(group_col).alias("g"),
+        hash_u32(F.col(value_col), seed).alias("u"),
+    ).distinct()
+    w = Window.partitionBy("g").orderBy(F.col("u").asc())
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .select("g", "u")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Merge two register sets (same seed/k): union the hash sets,
+    dedup, keep the bottom-k per group. The union of two corpora's
+    sketches IS the sketch of the union — no rescan of either corpus —
+    because the bottom-k of a union is a function of the two bottom-k
+    sets alone."""
+    u = a.unionByName(b).distinct()
+    w = Window.partitionBy("g").orderBy(F.col("u").asc())
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .select("g", "u")
+    )
+
+
+def kmv_estimate(registers: DataFrame, k: int = 64, group_col: str = "g") -> DataFrame:
+    """Distinct-count estimate from a register set (same estimator as
+    `kmv_distinct`, without the exact-count audit join)."""
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    kept = registers.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("u").alias("kth")
+    )
+    est = F.when(
+        F.col("n_kept") < int(k), F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_HASH_SPACE_F) / F.col("kth").cast("double")
+    )
+    return kept.select(
+        F.col("g").alias(group_col), "n_kept", rd(est, 6).alias("est_distinct")
+    )

@@ -4606,3 +4606,73 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and retained fraction. Integer epoch-week math, narrow
     distinct (user, week) pairs, bounded cohort-size broadcast."""
     return ag.cohort_retention(_table(spark, sf_dir, "events"))
+
+
+from time_series_data_trimmer_spark.operators import intervals as iv  # noqa: E402
+
+
+@register(
+    "overlap_join_user_sessions",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS newf
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *,
+             sum(newf) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, sess, min(us) AS start_us, max(us) AS end_us
+      FROM s GROUP BY user_id, sess
+    ),
+    p AS (
+      SELECT a.user_id AS ua, b.user_id AS ub,
+             least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us) AS ov
+      FROM sess a JOIN sess b
+        ON a.start_us <= b.end_us AND b.start_us <= a.end_us
+       AND a.user_id < b.user_id
+    )
+    SELECT ua AS user_a, ub AS user_b,
+           count(*) AS n_overlapping_sessions,
+           CAST(sum(ov) AS BIGINT) AS total_overlap_us
+    FROM p GROUP BY ua, ub
+    """,
+)
+def _q_overlap_join_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user session concurrency matrix via the bucket-blocked
+    interval-overlap join (`iv.overlap_join`): sessionize each user's
+    events (30-min gap), then find every overlapping session pair
+    between DIFFERENT users and aggregate per user pair. The naive
+    form of this join is a BroadcastNestedLoopJoin (no equi-key);
+    the operator's hour-bucket explode turns it into ONE shuffle-hash
+    equi-join with an exact-predicate filter — the production
+    range-join shape. Output is bounded by |user pairs| at any scale.
+    The oracle runs the naive quadratic join (DuckDB plans it as an
+    IEJoin) — same pairs, proving the bucket blocking lossless."""
+    sess = ag.sessionize_user_events(_table(spark, sf_dir, "events"), gap_minutes=30)
+    ivl = sess.select(
+        "user_id",
+        "session_idx",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+    )
+    pairs = iv.overlap_join(ivl, ivl).filter(
+        F.col("user_id_a") < F.col("user_id_b")
+    )
+    return pairs.groupBy(
+        F.col("user_id_a").alias("user_a"), F.col("user_id_b").alias("user_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_overlapping_sessions"),
+        F.sum("overlap_us").alias("total_overlap_us"),
+    )
