@@ -90,6 +90,7 @@ HEADLINE = [
     "sketch_kmv_distinct_tokens",  # KMV bottom-k distinct sketch
     "cohort_retention",          # weekly retention triangle
     "overlap_join_user_sessions",  # bucket-blocked interval-overlap join
+    "pipeline_cluster_topics",   # IVF cells + cluster-TF-IDF topic labels
 ]
 
 
@@ -146,7 +147,7 @@ def main() -> None:
         # r4 extended the headline from 20 to 26 queries (the six
         # heavy dedup/join hitters) — compare totals to r3 only
         # over the shared 20; per-query keys are stable
-        "headline_set": "r6-extended-52",
+        "headline_set": "r6-extended-53",
     }
     if errors:
         payload["errors"] = errors

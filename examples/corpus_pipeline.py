@@ -74,17 +74,36 @@ def main() -> None:
     survivors = dd.dedup_cluster_survivors(exact, pairs)
     print(f"near-dup pairs: {pairs.count()}; survivors: {survivors.count()}")
 
-    # 4b. decontamination (r5): drop training docs sharing word
-    # 4-grams with the held-out benchmark slice (here: source src0
-    # stands in for the eval set) — digest equi-join, nothing broadcast
+    # 4b. decontamination (r5/r6): GRADED per-doc contamination
+    # fraction vs the held-out benchmark slice (source src0 stands in
+    # for the eval set) — digest equi-join, nothing broadcast. The
+    # fraction (r6) is the tunable knob the binary flag lacks: drop
+    # hard leaks, keep docs with trivial incidental overlap.
     heldout = docs.filter(F.col("source") == "src0")
-    flagged = dd.decontaminate(
+    scored_leak = dd.contamination_fraction(
         survivors.filter(F.col("source") != "src0"), heldout, n=4
     )
-    survivors = survivors.join(
-        flagged.select("doc_id"), "doc_id", "left_anti"
+    leaked = scored_leak.filter(F.col("contamination_frac") >= 0.2)
+    survivors = survivors.join(leaked.select("doc_id"), "doc_id", "left_anti")
+    print(
+        "decontamination dropped:", leaked.count(),
+        "docs at frac>=0.2; docs with ANY overlap:",
+        scored_leak.filter(F.col("n_shared") > 0).count(),
     )
-    print(f"decontamination dropped: {flagged.count()} leaked docs")
+
+    # 4b-2. SEMANTIC dedup (r6, SemDeDup): drop docs whose EMBEDDINGS
+    # are near-dups within an IVF cell — catches paraphrase-level
+    # duplication that every lexical digest above misses. The cell
+    # structure is the same index the ANN queries probe.
+    from time_series_data_trimmer_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    sem_surv = sim.semdedup_survivors(emb, tau=0.4, n_centroids=16)
+    before = survivors.count()
+    survivors = survivors.join(
+        sem_surv.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    print(f"semantic dedup dropped: {before - survivors.count()} paraphrase-dups")
 
     # 4c. split labels (r5): hash-bucket train/val/test — membership a
     # pure function of doc_id, immune to re-runs and appends
@@ -96,11 +115,34 @@ def main() -> None:
     dup = tx.dup_rate_by_source(docs).orderBy(F.col("dup_rate").desc()).limit(5)
     dup.show(truncate=False)
 
+    # 5b. vocabulary audit (r6): per-source distinct-token KMV sketch —
+    # <= 64 longs per source at every stage, mergeable across daily
+    # batches (persist kmv_registers, kmv_merge tomorrow's)
+    from time_series_data_trimmer_spark.operators import sketches as sk
+
+    toks = (
+        survivors.select(
+            "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+        ).filter(F.length("token") > 0)
+    )
+    vocab = sk.kmv_distinct(toks, "source", "token", k=64)
+    vocab.orderBy(F.col("est_distinct").desc()).limit(3).show(truncate=False)
+
     # 6. mix: per-source token budgets, then a deterministic Bernoulli
     # thin — both are pure hash membership (repartition/retry/engine
     # stable), so the mix is reproducible forever
     budgeted = sp.token_budget_per_stratum(survivors, budget_tokens=20_000)
     mixed = sp.hash_sample(budgeted, rate=0.9)
+    # 6a (r6): the UP-sampling complement — integer multi-epoch
+    # replication for small domains (epochs = min(4, ceil(sqrt ratio)));
+    # accounting only here, the packer below runs on the single-epoch mix
+    up = sp.epoch_upsample(mixed, max_epochs=4)
+    print(
+        "epoch upsample accounting:",
+        up.groupBy("source").agg(F.max("epoch").alias("epochs"))
+        .filter(F.col("epochs") > 1).count(),
+        "domains would replicate; rows", mixed.count(), "->", up.count(),
+    )
     # domain accounting for the final mix: α=0.5 temperature rates show
     # what a rebalanced draw WOULD keep per source (small domains up)
     rates = (

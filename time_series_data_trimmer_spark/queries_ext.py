@@ -4676,3 +4676,108 @@ def _q_overlap_join_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_overlapping_sessions"),
         F.sum("overlap_us").alias("total_overlap_us"),
     )
+
+
+_TOPIC_K = 8  # IVF cells == topic clusters
+
+
+@register(
+    "pipeline_cluster_topics",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    ord AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
+      FROM embeddings
+      QUALIFY cid <= {_TOPIC_K - 1}
+    ),
+    cex AS (SELECT o.cid, e.i, e.x FROM ord o JOIN ex e ON e.vec_id = o.vec_id),
+    dists AS (
+      SELECT e.vec_id, c.cid,
+             sum(CAST({sql_rd("(e.x - c.x) * (e.x - c.x)", 9)} AS DECIMAL(38,9))) AS d
+      FROM ex e JOIN cex c ON c.i = e.i
+      GROUP BY e.vec_id, c.cid
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    sizes AS (SELECT cid, count(*) AS n_docs FROM assigned GROUP BY cid),
+    toks AS (
+      SELECT a.cid, d.doc_id, t.token
+      FROM documents d
+      JOIN assigned a ON a.vec_id = d.doc_id,
+           LATERAL (SELECT unnest(string_split(trim(d.text), ' ')) AS token) t
+      WHERE d.text IS NOT NULL AND len(t.token) > 0
+    ),
+    tf AS (SELECT cid, token, count(*) AS tf FROM toks GROUP BY cid, token),
+    dfreq AS (SELECT token, count(*) AS cell_df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.cid, tf.token, tf.tf, d.cell_df,
+             CAST(tf.tf AS DOUBLE) * {float(_TOPIC_K + 1)}
+               / (CAST(d.cell_df AS DOUBLE) + 1.0) AS s
+      FROM tf JOIN dfreq d ON d.token = tf.token
+    ),
+    ranked AS (
+      SELECT cid, token, tf, cell_df, s,
+             row_number() OVER (
+               PARTITION BY cid ORDER BY s DESC, token ASC
+             ) AS rank
+      FROM scored
+    )
+    SELECT CAST(r.cid AS INT) AS centroid_id, z.n_docs,
+           CAST(r.rank AS INT) AS rank, r.token, {R("r.s", 6)} AS score
+    FROM ranked r JOIN sizes z ON z.cid = r.cid
+    WHERE r.rank <= 3
+    """,
+)
+def _q_pipeline_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-describe: IVF cells over the embeddings (the same
+    decimal-exact assignment the ANN and SemDeDup paths use) joined to
+    the documents, with each cell labeled by its top-3
+    cluster-TF-IDF terms (tf in cell × (C+1)/(cells-with-term+1),
+    un-logged per the determinism policy) — the corpus-cartography
+    view: what IS each region of embedding space, in words. Cross-modal
+    join keys on doc_id == vec_id; token counts shuffle narrow
+    (cell, token) rows; per-cell top-3 is a keyed window."""
+    emb = _table(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(emb, _TOPIC_K)
+    assigned = sim.ivf_assign_dec(emb, cents)
+    docs = _table(spark, sf_dir, "documents")
+    d = docs.filter(F.col("text").isNotNull()).join(
+        assigned.withColumnRenamed("vec_id", "doc_id").hint("shuffle_hash"),
+        "doc_id",
+    )
+    sizes = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = d.select(
+        "centroid_id",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+    ).filter(F.length("token") > 0)
+    tf = toks.groupBy("centroid_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("cell_df"))
+    scored = tf.join(dfreq.hint("shuffle_hash"), "token").select(
+        "centroid_id",
+        "token",
+        "tf",
+        "cell_df",
+        (
+            F.col("tf").cast("double")
+            * F.lit(float(_TOPIC_K + 1))
+            / (F.col("cell_df").cast("double") + F.lit(1.0))
+        ).alias("s"),
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("s").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .join(sizes.hint("shuffle_hash"), "centroid_id")
+        .select(
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            "n_docs",
+            "rank",
+            "token",
+            rd(F.col("s"), 6).alias("score"),
+        )
+    )
