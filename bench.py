@@ -91,6 +91,9 @@ HEADLINE = [
     "cohort_retention",          # weekly retention triangle
     "overlap_join_user_sessions",  # bucket-blocked interval-overlap join
     "pipeline_cluster_topics",   # IVF cells + cluster-TF-IDF topic labels
+    "graph_pagerank_user_concurrency",  # weighted PageRank, 3 decimal iterations
+    "mix_dsir_importance",       # DSIR hashed-bigram importance (bounded ratio broadcast)
+    "autocorr_peak_lag_by_user",  # one-window-pass multi-lag autocovariance
 ]
 
 
@@ -147,7 +150,7 @@ def main() -> None:
         # r4 extended the headline from 20 to 26 queries (the six
         # heavy dedup/join hitters) — compare totals to r3 only
         # over the shared 20; per-query keys are stable
-        "headline_set": "r6-extended-53",
+        "headline_set": "r6-extended-56",
     }
     if errors:
         payload["errors"] = errors

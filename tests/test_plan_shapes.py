@@ -99,6 +99,8 @@ _SCALAR_BNLJ_OK = {
     "pipeline_pretraining_corpus",  # (a) — temperature_sample's (T, N) scalars
     "text_bm25_topk",  # (a) — the 1-row (N, avgdl) corpus-stats scalar
     "mix_epoch_upsample",  # (a) — the 1-row c_max scalar
+    "graph_pagerank_user_concurrency",  # (a) — the 1-row vertex-count scalar, per iteration
+    "mix_dsir_importance",  # (a) — the 1-row corpus-total scalars (T, R)
     "j1_annotation_containment_join",  # (b)
     "j2_deletion_anti_join",  # (b)
 }

@@ -329,3 +329,103 @@ def test_kmv_merge_equals_sketch_of_union(spark):
     em = sk.kmv_estimate(merged, k=64).collect()[0]
     ed = sk.kmv_estimate(direct, k=64).collect()[0]
     assert em.est_distinct == ed.est_distinct
+
+
+# --- PageRank -------------------------------------------------------------
+
+
+def test_pagerank_matches_reference_loop(spark):
+    """3-iteration decimal PageRank vs a plain-Python replica on a
+    small weighted digraph (star + chain), including a rank sink."""
+    from time_series_data_trimmer_spark.operators import graph as gr
+
+    edges = [(1, 2, 1.0), (2, 1, 1.0), (1, 3, 2.0), (3, 1, 1.0), (3, 2, 3.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    got = {r.node: r.pagerank for r in gr.pagerank(df, 0.85, 3).collect()}
+
+    def rd9(x):
+        import math
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    nodes = sorted({s for s, _d, _w in edges})
+    n = float(len(nodes))
+    wdeg = {s: sum(w for s2, _d, w in edges if s2 == s) for s in nodes}
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        inc = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            inc[d] = inc[d] + rd9(r[s] * w / wdeg[s])  # decimal sum == exact here
+        r = {v: rd9((1.0 - 0.85) / n + 0.85 * inc[v]) for v in nodes}
+    assert got == pytest.approx(r, abs=1e-9)
+    # conservation sanity: no dangling nodes -> total mass stays ~1
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_uniform_on_symmetric_clique(spark):
+    from time_series_data_trimmer_spark.operators import graph as gr
+
+    edges = [(a, b, 1.0) for a in range(4) for b in range(4) if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    got = [r.pagerank for r in gr.pagerank(df, 0.85, 3).collect()]
+    assert all(v == pytest.approx(0.25, abs=1e-9) for v in got)
+
+
+# --- DSIR importance ------------------------------------------------------
+
+
+def test_dsir_importance_discriminates(spark):
+    """Docs written in the target's vocabulary score higher than docs
+    written in a disjoint vocabulary."""
+    from time_series_data_trimmer_spark.operators import sampling as sp2
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta alpha beta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),   # in-domain
+            (2, "zig zag zoom zip zap"),     # out-of-domain
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.importance for r in sp2.dsir_importance(raw, target).collect()}
+    assert out[1] > out[2]
+    assert out[2] > 0  # smoothing keeps every score positive
+
+
+def test_dsir_importance_total_over_bigram_docs(docs):
+    from time_series_data_trimmer_spark.operators import sampling as sp2
+
+    train = docs.filter(F.col("source") != "src0")
+    target = docs.filter(F.col("source") == "src0")
+    out = sp2.dsir_importance(train, target)
+    # every raw doc with >= 1 bigram is scored
+    with_bigram = train.filter(
+        F.size(F.split(F.trim(F.col("text")), " ")) >= 2
+    ).count()
+    assert out.count() == with_bigram
+    assert out.filter(F.col("importance") <= 0).count() == 0
+
+
+# --- autocorrelation peak -------------------------------------------------
+
+
+def test_autocorr_peak_finds_planted_period(spark):
+    """A strict period-3 signal peaks at lag 3 (lags 1-10)."""
+    import datetime
+
+    from time_series_data_trimmer_spark.operators import aggregates as ag2
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i), 7, [5.0, 0.0, -5.0][i % 3])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = ag2.autocorr_peak_lag(df, max_lag=10).collect()
+    assert len(out) == 1
+    assert out[0].peak_lag == 3
+    assert out[0].peak_score > 0

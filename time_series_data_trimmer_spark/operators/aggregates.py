@@ -391,3 +391,70 @@ def cohort_retention(
             ).alias("retained_frac"),
         )
     )
+
+
+def autocorr_peak_lag(
+    df: DataFrame,
+    max_lag: int = 10,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key autocorrelation peak: the sample lag ℓ ∈ [1, max_lag]
+    maximizing the demeaned autocovariance ``Σ (v_t − m)(v_{t+ℓ} − m)``
+    — periodicity detection over an event stream (the statistical twin
+    of the calendar-bucket `e11_seasonal_fold`; a cross-channel
+    variant is the same plan with a second value column).
+
+    Determinism: the per-key mean is a decimal sum of 6-dp-rounded
+    values over an exact count; each lag product is 6-dp-rounded and
+    decimal-summed; the argmax tie-breaks on the smaller lag. All
+    engine-portable.
+
+    Plan shape: ONE key-partitioned window pass computes all
+    ``max_lag`` leads AND the mean (shared Exchange); ``stack``
+    unpivots scan-side (an Expand, no shuffle); one map-side-combined
+    aggregation per (key, lag); the argmax is a keyed row_number over
+    the BOUNDED (key × max_lag) table.
+    """
+    from time_series_data_trimmer_spark.sources.events import event_micros
+
+    w = Window.partitionBy(key_col).orderBy(
+        event_micros(df, ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    wfull = Window.partitionBy(key_col)
+    v = F.col(value_col).cast("double")
+    m = (
+        F.sum(rd(v, 6).cast("decimal(38,6)")).over(wfull).cast("double")
+        / F.count(F.lit(1)).over(wfull).cast("double")
+    )
+    leads = [F.lead(v, l).over(w).alias(f"__v{l}") for l in range(1, max_lag + 1)]
+    base = df.select(F.col(key_col), v.alias("__v"), m.alias("__m"), *leads)
+    stack_args = ", ".join(f"{l}, __v{l}" for l in range(1, max_lag + 1))
+    unpivoted = base.select(
+        key_col,
+        "__v",
+        "__m",
+        F.expr(f"stack({max_lag}, {stack_args}) AS (lag, __vl)"),
+    ).filter(F.col("__vl").isNotNull())
+    scored = unpivoted.groupBy(key_col, "lag").agg(
+        F.sum(
+            rd((F.col("__v") - F.col("__m")) * (F.col("__vl") - F.col("__m")), 6)
+            .cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("__score")
+    )
+    pick = Window.partitionBy(key_col).orderBy(
+        F.col("__score").desc(), F.col("lag").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            key_col,
+            F.col("lag").alias("peak_lag"),
+            rd(F.col("__score"), 4).alias("peak_score"),
+        )
+    )

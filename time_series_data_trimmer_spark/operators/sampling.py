@@ -492,3 +492,121 @@ def epoch_upsample(
         .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__epochs"))))
         .drop("__g", "__epochs")
     )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "tsdt|dsir",
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance scoring (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score each RAW doc by how much its hashed-bigram distribution looks
+    like the TARGET corpus — the data-selection signal that upweights
+    in-domain-looking web text.
+
+    Variant note (determinism-over-convention, as with the un-logged
+    idf): the paper scores with the log-PRODUCT of per-gram probability
+    ratios; ``log`` is not bit-reproducible across engines, so this
+    variant scores with the decimal-summed MEAN of 9-dp-rounded ratios
+    ``p_target(b)/p_raw(b)`` — same monotone in-domain signal, exactly
+    reproducible. Ratios use add-one smoothing and are computed as a
+    quotient of two correctly-rounded double divisions (never a
+    products-of-counts form, which overflows 2^53 at corpus scale).
+
+    Plan shape: bigrams build scan-side (shifted array views) and
+    collapse IMMEDIATELY to ``hash % n_buckets`` ints; both corpus
+    count tables aggregate to ≤ n_buckets rows and fold — with their
+    total scalars — into ONE bounded ratio table that broadcasts; the
+    per-doc score is a broadcast-join + one map-side-combined decimal
+    mean keyed on the doc. Text bytes never shuffle; the only wide
+    exchange is (doc, partial-sum).
+
+    Output: (id, n_grams, importance) for every raw doc with ≥ 1
+    bigram. Compose with `hash_sample`-style coins for the resampling
+    step (keep rate ∝ importance).
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    B = int(n_buckets)
+
+    def buckets(df: DataFrame, with_id: bool) -> DataFrame:
+        words = F.split(F.trim(F.col(text_col)), " ")
+        shifted = F.slice(
+            words, 2, F.greatest(F.size(words) - 1, F.lit(0))
+        )
+        z = F.arrays_zip(words, shifted)
+        gram = F.concat_ws(
+            " ", F.col("z").getField("0"), F.col("z").getField("1")
+        )
+        base = (
+            df.filter(F.col(text_col).isNotNull())
+            .select(
+                *([F.col(id_col)] if with_id else []),
+                F.explode(z).alias("z"),
+            )
+            .filter(F.col("z").getField("1").isNotNull())
+        )
+        cols = [F.col(id_col)] if with_id else []
+        return base.select(
+            *cols, F.pmod(hash_u32(gram, seed), F.lit(B)).alias("b")
+        )
+
+    t_counts = buckets(target, False).groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    r_counts = buckets(raw, False).groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    t_tot = t_counts.agg(F.sum("ct").alias("__t"))
+    r_tot = r_counts.agg(F.sum("cr").alias("__r"))
+    # the bounded (<= n_buckets rows) ratio table. A full-outer join
+    # would keep one-side-only buckets but plans as SortMergeJoin
+    # (no broadcast/hash support for full outer) — the union+groupBy
+    # form computes the same outer-combined counts with one map-side
+    # aggregation and no join at all.
+    combined = (
+        t_counts.select("b", F.col("ct"), F.lit(0).cast("long").alias("cr"))
+        .unionByName(
+            r_counts.select("b", F.lit(0).cast("long").alias("ct"), F.col("cr"))
+        )
+        .groupBy("b")
+        .agg(F.sum("ct").alias("ct"), F.sum("cr").alias("cr"))
+    )
+    ratios = (
+        combined.crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "b",
+            rd(
+                (
+                    (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + F.lit(1.0))
+                    / (F.col("__t").cast("double") + F.lit(float(B)))
+                )
+                / (
+                    (F.coalesce(F.col("cr"), F.lit(0)).cast("double") + F.lit(1.0))
+                    / (F.col("__r").cast("double") + F.lit(float(B)))
+                ),
+                9,
+            ).alias("ratio"),
+        )
+    )
+    per_doc = (
+        buckets(raw, True)
+        .join(F.broadcast(ratios), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("ratio").cast("decimal(38,9)")).alias("__s"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_grams",
+        rd(
+            F.col("__s").cast("double") / F.col("n_grams").cast("double"), 9
+        ).alias("importance"),
+    )

@@ -4781,3 +4781,261 @@ def _q_pipeline_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
             rd(F.col("s"), 6).alias("score"),
         )
     )
+
+
+from time_series_data_trimmer_spark.operators import graph as gr  # noqa: E402
+
+
+_PR_BASE, _PR_D = 0.15000000000000002, 0.85
+
+
+@register(
+    "graph_pagerank_user_concurrency",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS newf
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *,
+             sum(newf) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, sess, min(us) AS start_us, max(us) AS end_us
+      FROM s GROUP BY user_id, sess
+    ),
+    p AS (
+      SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS w
+      FROM sess a JOIN sess b
+        ON a.start_us <= b.end_us AND b.start_us <= a.end_us
+       AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+    ),
+    edges AS (
+      SELECT ua AS src, ub AS dst, CAST(w AS DOUBLE) AS w FROM p
+      UNION ALL
+      SELECT ub AS src, ua AS dst, CAST(w AS DOUBLE) AS w FROM p
+    ),
+    deg AS (SELECT src, sum(w) AS wdeg FROM edges GROUP BY src),
+    nodes AS (SELECT src FROM deg),
+    scalar AS (SELECT CAST(count(*) AS DOUBLE) AS __n FROM nodes),
+    r0 AS (
+      SELECT src, 1.0 / sc.__n AS rank FROM nodes CROSS JOIN scalar sc
+    ),
+    c1 AS (
+      SELECT e.dst AS src,
+             CAST(sum(CAST({R("r.rank * e.w / d.wdeg", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS s
+      FROM edges e
+      JOIN r0 r ON r.src = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT n.src,
+             {R(f"((0.15000000000000002) / sc.__n) + 0.85 * coalesce(c.s, 0.0)", 9)} AS rank
+      FROM nodes n
+      LEFT JOIN c1 c ON c.src = n.src
+      CROSS JOIN scalar sc
+    ),
+    c2 AS (
+      SELECT e.dst AS src,
+             CAST(sum(CAST({R("r.rank * e.w / d.wdeg", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS s
+      FROM edges e
+      JOIN r1 r ON r.src = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT n.src,
+             {R(f"((0.15000000000000002) / sc.__n) + 0.85 * coalesce(c.s, 0.0)", 9)} AS rank
+      FROM nodes n
+      LEFT JOIN c2 c ON c.src = n.src
+      CROSS JOIN scalar sc
+    ),
+    c3 AS (
+      SELECT e.dst AS src,
+             CAST(sum(CAST({R("r.rank * e.w / d.wdeg", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS s
+      FROM edges e
+      JOIN r2 r ON r.src = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT n.src,
+             {R(f"((0.15000000000000002) / sc.__n) + 0.85 * coalesce(c.s, 0.0)", 9)} AS rank
+      FROM nodes n
+      LEFT JOIN c3 c ON c.src = n.src
+      CROSS JOIN scalar sc
+    )
+    SELECT src AS node, rank AS pagerank FROM r3
+    """,
+)
+def _q_pagerank_user_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (`gr.pagerank`, d=0.85, 3 decimal-exact
+    iterations) over the cross-user session-CONCURRENCY graph: edges =
+    the `overlap_join_user_sessions` matrix symmetrized, weight = the
+    overlapping-session count. The centrality complement of
+    `dedup_clusters`'s connected components — who sits at the center
+    of the co-activity graph. Each iteration is two shuffle-hash
+    vertex-keyed joins + one map-side-combined sum; the recurrence is
+    unrolled bit-for-bit in the oracle (same discipline as
+    `emb_pca_power_iteration`)."""
+    sessd = ag.sessionize_user_events(_table(spark, sf_dir, "events"), gap_minutes=30)
+    ivl = sessd.select(
+        "user_id",
+        "session_idx",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+    )
+    prs = iv.overlap_join(ivl, ivl).filter(F.col("user_id_a") < F.col("user_id_b"))
+    mat = prs.groupBy(
+        F.col("user_id_a").alias("ua"), F.col("user_id_b").alias("ub")
+    ).agg(F.count(F.lit(1)).alias("w"))
+    edges = mat.select(
+        F.col("ua").alias("src"), F.col("ub").alias("dst"), F.col("w").alias("weight")
+    ).unionByName(
+        mat.select(
+            F.col("ub").alias("src"), F.col("ua").alias("dst"), F.col("w").alias("weight")
+        )
+    )
+    return gr.pagerank(edges, damping=_PR_D, iterations=3).select(
+        F.col("node"), F.col("pagerank")
+    )
+
+
+_DSIR_B = 4096
+_DSIR_H = sp.sql_hash_u32("gram", "tsdt|dsir")
+
+
+@register(
+    "mix_dsir_importance",
+    f"""
+    WITH wt AS (
+      SELECT string_split(trim(text), ' ') AS w FROM documents
+      WHERE source = 'src0' AND text IS NOT NULL
+    ),
+    tg AS (
+      SELECT ({_DSIR_H}) % {_DSIR_B} AS b FROM (
+        SELECT array_to_string(w[i.i:i.i+1], ' ') AS gram
+        FROM wt, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) i
+        WHERE len(w) >= 2)
+    ),
+    wr AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      WHERE source <> 'src0' AND text IS NOT NULL
+    ),
+    rg AS (
+      SELECT doc_id, ({_DSIR_H}) % {_DSIR_B} AS b FROM (
+        SELECT doc_id, array_to_string(w[i.i:i.i+1], ' ') AS gram
+        FROM wr, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) i
+        WHERE len(w) >= 2)
+    ),
+    ct AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
+    cr AS (SELECT b, count(*) AS cr FROM rg GROUP BY b),
+    tt AS (SELECT CAST(sum(ct) AS DOUBLE) AS t FROM ct),
+    rt AS (SELECT CAST(sum(cr) AS DOUBLE) AS r FROM cr),
+    ratios AS (
+      SELECT coalesce(ct.b, cr.b) AS b,
+             {R(f"((CAST(coalesce(ct.ct, 0) AS DOUBLE) + 1.0) / (tt.t + {float(_DSIR_B)}))"
+                f" / ((CAST(coalesce(cr.cr, 0) AS DOUBLE) + 1.0) / (rt.r + {float(_DSIR_B)}))", 9)} AS ratio
+      FROM ct FULL OUTER JOIN cr ON ct.b = cr.b CROSS JOIN tt CROSS JOIN rt
+    )
+    SELECT rg.doc_id, count(*) AS n_grams,
+           {R("CAST(sum(CAST(ratio AS DECIMAL(38,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 9)} AS importance
+    FROM rg JOIN ratios ON ratios.b = rg.b
+    GROUP BY rg.doc_id
+    """,
+)
+def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-bigram importance scoring
+    (`sp.dsir_importance`, Xie et al. 2023): raw docs (source != src0)
+    scored by the decimal-mean of per-bucket probability ratios vs the
+    target slice (source == src0) — the in-domain data-selection
+    signal. Ratio-MEAN variant (the paper's log-product is not
+    bit-reproducible; same determinism policy as the un-logged idf).
+    Grams collapse to hash%4096 ints on the scan; both count tables
+    and their totals fold into one <= 4096-row broadcast ratio table;
+    the only wide exchange is the per-doc decimal mean."""
+    docs = _table(spark, sf_dir, "documents")
+    return sp.dsir_importance(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n_buckets=_DSIR_B,
+    )
+
+
+@register(
+    "autocorr_peak_lag_by_user",
+    f"""
+    WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events),
+    base AS (
+      SELECT user_id, CAST(value AS DOUBLE) AS __v,
+             CAST(sum(CAST({R("CAST(value AS DOUBLE)", 6)} AS DECIMAL(38,6)))
+                    OVER (PARTITION BY user_id) AS DOUBLE)
+               / CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE) AS __m,
+             lead(CAST(value AS DOUBLE), 1) OVER w AS __v1,
+             lead(CAST(value AS DOUBLE), 2) OVER w AS __v2,
+             lead(CAST(value AS DOUBLE), 3) OVER w AS __v3,
+             lead(CAST(value AS DOUBLE), 4) OVER w AS __v4,
+             lead(CAST(value AS DOUBLE), 5) OVER w AS __v5,
+             lead(CAST(value AS DOUBLE), 6) OVER w AS __v6,
+             lead(CAST(value AS DOUBLE), 7) OVER w AS __v7,
+             lead(CAST(value AS DOUBLE), 8) OVER w AS __v8,
+             lead(CAST(value AS DOUBLE), 9) OVER w AS __v9,
+             lead(CAST(value AS DOUBLE), 10) OVER w AS __v10
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    lags AS (
+      SELECT user_id, 1 AS lag,
+             CAST(sum(CAST({R(f"(__v - __m) * (__v1 - __m)", 6)} AS DECIMAL(38,6))) AS DOUBLE) AS score
+         FROM base WHERE __v1 IS NOT NULL GROUP BY user_id UNION ALL SELECT user_id, 2 AS lag,
+             CAST(sum(CAST({R(f"(__v - __m) * (__v2 - __m)", 6)} AS DECIMAL(38,6))) AS DOUBLE) AS score
+         FROM base WHERE __v2 IS NOT NULL GROUP BY user_id UNION ALL SELECT user_id, 3 AS lag,
+             CAST(sum(CAST({R(f"(__v - __m) * (__v3 - __m)", 6)} AS DECIMAL(38,6))) AS DOUBLE) AS score
+         FROM base WHERE __v3 IS NOT NULL GROUP BY user_id UNION ALL SELECT user_id, 4 AS lag,
+             CAST(sum(CAST({R(f"(__v - __m) * (__v4 - __m)", 6)} AS DECIMAL(38,6))) AS DOUBLE) AS score
+         FROM base WHERE __v4 IS NOT NULL GROUP BY user_id UNION ALL SELECT user_id, 5 AS lag,
+             CAST(sum(CAST({R(f"(__v - __m) * (__v5 - __m)", 6)} AS DECIMAL(38,6))) AS DOUBLE) AS score
+         FROM base WHERE __v5 IS NOT NULL GROUP BY user_id UNION ALL SELECT user_id, 6 AS lag,
+             CAST(sum(CAST({R(f"(__v - __m) * (__v6 - __m)", 6)} AS DECIMAL(38,6))) AS DOUBLE) AS score
+         FROM base WHERE __v6 IS NOT NULL GROUP BY user_id UNION ALL SELECT user_id, 7 AS lag,
+             CAST(sum(CAST({R(f"(__v - __m) * (__v7 - __m)", 6)} AS DECIMAL(38,6))) AS DOUBLE) AS score
+         FROM base WHERE __v7 IS NOT NULL GROUP BY user_id UNION ALL SELECT user_id, 8 AS lag,
+             CAST(sum(CAST({R(f"(__v - __m) * (__v8 - __m)", 6)} AS DECIMAL(38,6))) AS DOUBLE) AS score
+         FROM base WHERE __v8 IS NOT NULL GROUP BY user_id UNION ALL SELECT user_id, 9 AS lag,
+             CAST(sum(CAST({R(f"(__v - __m) * (__v9 - __m)", 6)} AS DECIMAL(38,6))) AS DOUBLE) AS score
+         FROM base WHERE __v9 IS NOT NULL GROUP BY user_id UNION ALL SELECT user_id, 10 AS lag,
+             CAST(sum(CAST({R(f"(__v - __m) * (__v10 - __m)", 6)} AS DECIMAL(38,6))) AS DOUBLE) AS score
+         FROM base WHERE __v10 IS NOT NULL GROUP BY user_id
+    ),
+    picked AS (
+      SELECT user_id, lag, score,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY score DESC, lag ASC
+             ) AS rn
+      FROM lags
+    )
+    SELECT user_id, CAST(lag AS INT) AS peak_lag, {R("score", 4)} AS peak_score
+    FROM picked WHERE rn = 1
+    """,
+)
+def _q_autocorr_peak_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user autocorrelation peak lag (`ag.autocorr_peak_lag`,
+    lags 1-10): the sample periodicity of each user's value stream —
+    demeaned decimal-exact autocovariance, one key-partitioned window
+    pass for all lags + mean, scan-side stack unpivot, bounded
+    (key x lag) argmax. The statistical twin of e11_seasonal_fold."""
+    out = ag.autocorr_peak_lag(_table(spark, sf_dir, "events"), max_lag=10)
+    return out.select(
+        "user_id", F.col("peak_lag").cast("int").alias("peak_lag"), "peak_score"
+    )
