@@ -94,6 +94,8 @@ HEADLINE = [
     "graph_pagerank_user_concurrency",  # weighted PageRank, 3 decimal iterations
     "mix_dsir_importance",       # DSIR hashed-bigram importance (bounded ratio broadcast)
     "autocorr_peak_lag_by_user",  # one-window-pass multi-lag autocovariance
+    "retrieval_rrf_hybrid",      # BM25 + dense cosine reciprocal-rank fusion
+    "dedup_fuzzy_prefix_pairs",  # blocked Levenshtein prefix pairs
 ]
 
 
@@ -150,7 +152,7 @@ def main() -> None:
         # r4 extended the headline from 20 to 26 queries (the six
         # heavy dedup/join hitters) — compare totals to r3 only
         # over the shared 20; per-query keys are stable
-        "headline_set": "r6-extended-56",
+        "headline_set": "r6-extended-58",
     }
     if errors:
         payload["errors"] = errors

@@ -101,6 +101,7 @@ _SCALAR_BNLJ_OK = {
     "mix_epoch_upsample",  # (a) — the 1-row c_max scalar
     "graph_pagerank_user_concurrency",  # (a) — the 1-row vertex-count scalar, per iteration
     "mix_dsir_importance",  # (a) — the 1-row corpus-total scalars (T, R)
+    "retrieval_rrf_hybrid",  # (a) — BM25's 1-row (N, avgdl) scalar, per query branch
     "j1_annotation_containment_join",  # (b)
     "j2_deletion_anti_join",  # (b)
 }

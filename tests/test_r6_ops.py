@@ -429,3 +429,63 @@ def test_autocorr_peak_finds_planted_period(spark):
     assert len(out) == 1
     assert out[0].peak_lag == 3
     assert out[0].peak_score > 0
+
+
+# --- RRF fusion -----------------------------------------------------------
+
+
+def test_rrf_fuse_matches_manual(spark):
+    from time_series_data_trimmer_spark.operators import text as tx2
+
+    lex = spark.createDataFrame(
+        [("q", 1, 9.0), ("q", 2, 5.0), ("q", 3, 1.0)],
+        "query_id string, doc_id long, score double",
+    )
+    dense = spark.createDataFrame(
+        [("q", 2, 0.9), ("q", 4, 0.8)],
+        "query_id string, doc_id long, score double",
+    )
+    got = {r.doc_id: (r.n_lists, r.rrf_score)
+           for r in tx2.rrf_fuse([lex, dense], k=60).collect()}
+    import math
+    rd9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9
+    assert got[2] == (2, pytest.approx(rd9(rd9(1 / 62.0) + rd9(1 / 61.0)), abs=1e-9))
+    assert got[1] == (1, pytest.approx(rd9(1 / 61.0), abs=1e-9))
+    assert got[4] == (1, pytest.approx(rd9(1 / 62.0), abs=1e-9))  # dense rank 2
+    # doc in both lists outranks single-list docs at comparable ranks
+    assert got[2][1] > got[1][1]
+
+
+def test_rrf_fuse_multi_query_independence(spark):
+    """Ranks are per query — a dominant doc in q1 cannot leak into q2."""
+    from time_series_data_trimmer_spark.operators import text as tx2
+
+    lst = spark.createDataFrame(
+        [("q1", 1, 9.0), ("q1", 2, 5.0), ("q2", 2, 9.0), ("q2", 1, 5.0)],
+        "query_id string, doc_id long, score double",
+    )
+    got = {(r.query_id, r.doc_id): r.rrf_score
+           for r in tx2.rrf_fuse([lst], k=60).collect()}
+    assert got[("q1", 1)] == got[("q2", 2)]  # both rank 1
+    assert got[("q1", 2)] == got[("q2", 1)]  # both rank 2
+
+
+# --- fuzzy prefix pairs ---------------------------------------------------
+
+
+def test_fuzzy_prefix_pairs_finds_typos_not_rewrites(spark):
+    from time_series_data_trimmer_spark.operators import dedup as dd2
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over it"),
+            (2, "the quikc brown fax jumps over it"),   # 3 edits
+            (3, "the entirely different text body here"),
+            (4, "quick brown fox"),                     # different first token
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.edit_dist
+             for r in dd2.fuzzy_prefix_pairs(df, prefix_len=32, max_dist=5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 5
+    assert all(p == (1, 2) for p in pairs)  # 3 too far, 4 blocked away

@@ -1071,3 +1071,55 @@ def ngram_topk_global(
         .orderBy(F.col("occurrences").desc(), F.col("gram").asc())
         .limit(int(k))
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of per-query
+    ranked lists — the hybrid-retrieval combiner (BM25 ⊕ dense cosine)
+    every RAG stack runs: ``fused(d) = Σ_lists 1/(k + rank_list(d))``.
+
+    Each input carries (query, doc, score); ranks derive per QUERY
+    (row_number partitioned by the query key, ordered score desc then
+    id — a KEYED window over top-k-bounded lists, never a global
+    sort), so a million-query batch fuses in one pass. The reciprocal
+    terms are 9-dp-rounded and decimal-summed — order-independent,
+    engine-portable (1/(k+rank) is one correctly-rounded division).
+
+    Output: (query, doc, n_lists it appeared in, fused score).
+    """
+    from pyspark.sql import Window
+
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    parts = []
+    for df in rankings:
+        w = Window.partitionBy(query_col).orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        parts.append(
+            df.select(query_col, id_col, score_col)
+            .withColumn("__rank", F.row_number().over(w))
+            .select(
+                query_col,
+                id_col,
+                rd(
+                    F.lit(1.0) / (F.lit(float(k)) + F.col("__rank").cast("double")),
+                    9,
+                )
+                .cast("decimal(38,9)")
+                .alias("__rr"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(query_col, id_col).agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        rd(F.sum("__rr").cast("double"), 9).alias("rrf_score"),
+    )

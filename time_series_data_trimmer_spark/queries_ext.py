@@ -5039,3 +5039,197 @@ def _q_autocorr_peak_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", F.col("peak_lag").cast("int").alias("peak_lag"), "peak_score"
     )
+
+
+@register(
+    "dedup_fuzzy_prefix_pairs",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             substr(norm, 1, 32) AS p,
+             string_split(norm, ' ')[1] AS blk
+      FROM (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        FROM documents WHERE text IS NOT NULL
+      )
+      WHERE len(string_split(norm, ' ')[1]) > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.p, b.p) AS INT) AS edit_dist
+    FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.p, b.p) <= 5
+    """,
+)
+def _q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (`dd.fuzzy_prefix_pairs`): docs
+    sharing their first normalized token whose 32-char normalized
+    prefixes are within Levenshtein 5 — the typo/OCR-noise dup class
+    that digest equality and shingle Jaccard both miss (one character
+    edit changes every containing shingle). The DP runs only on
+    blocked candidates over bounded prefixes; Spark and DuckDB
+    implement the identical integer DP, so pairs are oracle-exact."""
+    out = dd.fuzzy_prefix_pairs(
+        _table(spark, sf_dir, "documents"), prefix_len=32, max_dist=5
+    )
+    return out.select(
+        "id_a", "id_b", F.col("edit_dist").cast("int").alias("edit_dist")
+    )
+
+
+_RRF_QUERIES = {
+    "q0": {"terms": ("spark", "window", "join"), "vec": 0},
+    "q1": {"terms": ("hash", "merge", "sort"), "vec": 1},
+}
+
+
+def _rrf_bm25_cte(qid: str, terms: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    tf_{qid} AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM toks WHERE token IN ({in_list})
+      GROUP BY doc_id, token
+    ),
+    dfreq_{qid} AS (SELECT token, count(*) AS doc_freq FROM tf_{qid} GROUP BY token),
+    bscored_{qid} AS (
+      SELECT t.doc_id,
+             CAST({sql_rd(
+                 "((CAST(s.n_docs AS DOUBLE) - CAST(d.doc_freq AS DOUBLE) + 0.5)"
+                 " / (CAST(d.doc_freq AS DOUBLE) + 0.5))"
+                 " * (CAST(t.tf AS DOUBLE) * 2.2)"
+                 " / (CAST(t.tf AS DOUBLE)"
+                 "    + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl))",
+                 9,
+             )} AS DECIMAL(38,9)) AS s
+      FROM tf_{qid} t
+      JOIN dfreq_{qid} d ON d.token = t.token
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ),
+    bm_{qid} AS (
+      SELECT '{qid}' AS query_id, doc_id, {R("CAST(sum(s) AS DOUBLE)", 6)} AS score
+      FROM bscored_{qid} GROUP BY doc_id
+      ORDER BY score DESC, doc_id ASC LIMIT 20
+    )"""
+
+
+def _rrf_dense_cte(qid: str, vec: int) -> str:
+    return f"""
+    q_{qid} AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {vec}),
+    dots_{qid} AS (
+      SELECT e.vec_id,
+             sum(CAST({sql_rd("e.x * CAST(q.qv[e.i] AS DOUBLE)", 9)} AS DECIMAL(38,9))) AS dxy,
+             sum(CAST({sql_rd("e.x * e.x", 9)} AS DECIMAL(38,9))) AS dxx,
+             sum(CAST({sql_rd("CAST(q.qv[e.i] AS DOUBLE) * CAST(q.qv[e.i] AS DOUBLE)", 9)} AS DECIMAL(38,9))) AS dyy
+      FROM ex e CROSS JOIN q_{qid} q
+      GROUP BY e.vec_id
+    ),
+    dn_{qid} AS (
+      SELECT '{qid}' AS query_id, vec_id AS doc_id,
+             {R("CAST(dxy AS DOUBLE) / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))", 6)} AS score
+      FROM dots_{qid}
+      ORDER BY score DESC, doc_id ASC LIMIT 20
+    )"""
+
+
+@register(
+    "retrieval_rrf_hybrid",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.token
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(trim(text), ' ')) AS token) t
+      WHERE len(t.token) > 0
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    ex AS ({_EX_SQL}),
+    {",".join(_rrf_bm25_cte(q, c["terms"]) for q, c in _RRF_QUERIES.items())},
+    {",".join(_rrf_dense_cte(q, c["vec"]) for q, c in _RRF_QUERIES.items())},
+    lex AS (SELECT * FROM bm_q0 UNION ALL SELECT * FROM bm_q1),
+    dns AS (SELECT * FROM dn_q0 UNION ALL SELECT * FROM dn_q1),
+    lexr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+             ) AS rnk
+      FROM lex
+    ),
+    dnsr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+             ) AS rnk
+      FROM dns
+    ),
+    rr AS (
+      SELECT query_id, doc_id,
+             CAST({sql_rd("1.0 / (60.0 + CAST(rnk AS DOUBLE))", 9)} AS DECIMAL(38,9)) AS t
+      FROM lexr
+      UNION ALL
+      SELECT query_id, doc_id,
+             CAST({sql_rd("1.0 / (60.0 + CAST(rnk AS DOUBLE))", 9)} AS DECIMAL(38,9)) AS t
+      FROM dnsr
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             count(*) AS n_lists,
+             {R("CAST(sum(t) AS DOUBLE)", 9)} AS rrf_score
+      FROM rr GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, n_lists, rrf_score FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
+      ) AS rn FROM fused
+    ) WHERE rn <= 10
+    """,
+)
+def _q_retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (`tx.rrf_fuse`,
+    Cormack et al. 2009) for a BATCH of two queries: each query's BM25
+    top-20 fused with its decimal-cosine dense top-20, fused score =
+    sum of 9-dp-rounded 1/(60+rank) terms, top-10 PER QUERY. The
+    query id is a real data column (per-branch tags surviving a
+    union), so every rank window is KEYED — the same plan fuses a
+    million-query batch; a single-literal-query form would
+    constant-fold the key away into a keyless window, which the plan
+    sweep (rightly) rejects."""
+    docs = _table(spark, sf_dir, "documents")
+    emb = _table(spark, sf_dir, "embeddings")
+    lex_parts, dense_parts = [], []
+    for qid, cfg in _RRF_QUERIES.items():
+        lex_parts.append(
+            tx.bm25_topk(docs, list(cfg["terms"]), k=20).select(
+                F.lit(qid).alias("query_id"), "doc_id", F.col("score")
+            )
+        )
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == cfg["vec"]).first()["embedding"]
+        ]
+        dense_parts.append(
+            sim.decimal_cosine_vs_query(emb, qvec)
+            .select(
+                F.lit(qid).alias("query_id"),
+                F.col("vec_id").alias("doc_id"),
+                rd(F.col("cosine"), 6).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(20)
+        )
+    lex = lex_parts[0].unionByName(lex_parts[1])
+    dense = dense_parts[0].unionByName(dense_parts[1])
+    fused = tx.rrf_fuse([lex, dense], k=60)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .select("query_id", "doc_id", "n_lists", "rrf_score")
+    )
