@@ -96,6 +96,8 @@ HEADLINE = [
     "autocorr_peak_lag_by_user",  # one-window-pass multi-lag autocovariance
     "retrieval_rrf_hybrid",      # BM25 + dense cosine reciprocal-rank fusion
     "dedup_fuzzy_prefix_pairs",  # blocked Levenshtein prefix pairs
+    "text_token_gini",           # portable lexical-diversity score
+    "histogram_equidepth_value",  # per-key equal-frequency histogram
 ]
 
 
@@ -152,7 +154,7 @@ def main() -> None:
         # r4 extended the headline from 20 to 26 queries (the six
         # heavy dedup/join hitters) — compare totals to r3 only
         # over the shared 20; per-query keys are stable
-        "headline_set": "r6-extended-58",
+        "headline_set": "r6-extended-60",
     }
     if errors:
         payload["errors"] = errors

@@ -489,3 +489,45 @@ def test_fuzzy_prefix_pairs_finds_typos_not_rewrites(spark):
              for r in dd2.fuzzy_prefix_pairs(df, prefix_len=32, max_dist=5).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 5
     assert all(p == (1, 2) for p in pairs)  # 3 too far, 4 blocked away
+
+
+# --- token Gini -----------------------------------------------------------
+
+
+def test_token_gini_extremes(spark):
+    from time_series_data_trimmer_spark.operators import text as tx2
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in tx2.token_gini(df).collect()}
+    assert got[1].gini == 0.0                      # one repeated token
+    assert got[2].gini == pytest.approx(0.75, abs=1e-9)   # all distinct: 1 - 4/16
+    assert got[3].gini == pytest.approx(0.5, abs=1e-9)    # two even tokens
+    assert got[2].n_distinct == 4 and got[1].n_tokens == 4
+
+
+# --- equi-depth histogram -------------------------------------------------
+
+
+def test_equidepth_histogram_depth_and_coverage(events):
+    from time_series_data_trimmer_spark.operators import aggregates as ag2
+
+    rows = ag2.equidepth_histogram(events).collect()
+    by_key: dict[str, list] = {}
+    for r in rows:
+        by_key.setdefault(r.event_type, []).append(r)
+    total = 0
+    for _k, bs in by_key.items():
+        bs.sort(key=lambda r: r.bucket)
+        n_rows = sum(r.n for r in bs)
+        total += n_rows
+        # equi-depth: every bucket within 2x of the ideal depth (ties
+        # can pile into one bucket, but not explode it arbitrarily)
+        ideal = n_rows / len(bs)
+        assert all(r.n <= 2 * ideal + 1 for r in bs)
+        # buckets tile the value range in order without overlap
+        for a, b in zip(bs, bs[1:]):
+            assert a.hi <= b.lo
+    assert total == events.count()

@@ -458,3 +458,42 @@ def autocorr_peak_lag(
             rd(F.col("__score"), 4).alias("peak_score"),
         )
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Per-key equi-depth (equal-frequency) histogram: bucket
+    boundaries chosen so each holds ~1/n of the rows — the statistics
+    object query optimizers and data-quality monitors build per
+    column, and the right histogram for skewed values (equi-WIDTH
+    buckets collapse under heavy tails).
+
+    Determinism: bucket = min(n−1, floor(percent_rank·n)) over the
+    6-dp-ROUNDED value (value-ties share a rank in every engine —
+    the `quality_percentile_by_group` convention; ntile would split
+    ties by arbitrary row order). Plan: one keyed rank window + one
+    map-side-combined aggregation on the same key Exchange; output is
+    the bounded (key × buckets) table.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    v6 = rd(F.col(value_col).cast("double"), 6)
+    w = Window.partitionBy(key_col).orderBy(F.col("__v").asc())
+    bucket = F.least(
+        F.lit(n_buckets - 1).cast("long"),
+        F.floor(F.percent_rank().over(w) * F.lit(float(n_buckets))),
+    )
+    return (
+        df.select(F.col(key_col), v6.alias("__v"))
+        .withColumn("bucket", bucket)
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+        )
+    )

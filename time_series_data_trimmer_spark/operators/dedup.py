@@ -1530,6 +1530,7 @@ def fuzzy_prefix_pairs(
     df: DataFrame,
     prefix_len: int = 32,
     max_dist: int = 5,
+    max_block: int = 200,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -1546,11 +1547,20 @@ def fuzzy_prefix_pairs(
     oracle-exact.
 
     Plan: normalization + prefix + block key are scan-side; the pair
-    generator is a shuffle-hash self-join on the block key (first
-    token ∧ prefix-length band would tighten it further); the DP runs
-    only on candidate pairs, on ``prefix_len``-bounded strings — cost
-    O(prefix_len²) per pair, never O(full text).
+    generator is a shuffle-hash self-join on the block key; the DP
+    runs only on candidate pairs, on ``prefix_len``-bounded strings —
+    cost O(prefix_len²) per pair, never O(full text).
+
+    Bounded BY DEFAULT (PLANS.md invariant 6, the standing dedup-family
+    rule): each block pairs only its ``max_block`` smallest-id members
+    (deterministic prefix, like `ngram_jaccard`'s cap) — without it a
+    hot first token (small vocabularies, boilerplate openers) makes
+    the self-join block-quadratic (measured: the uncapped form ran
+    >10 min at 10×, where docs share ~36 first tokens). Pass
+    ``max_block=None`` to opt into the unbounded audit form.
     """
+    from pyspark.sql import Window
+
     normalized = F.trim(
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
     )
@@ -1559,6 +1569,13 @@ def fuzzy_prefix_pairs(
         F.substring(normalized, 1, int(prefix_len)).alias("__p"),
         F.split(normalized, " ").getItem(0).alias("__blk"),
     ).filter(F.length("__blk") > 0)
+    if max_block is not None:
+        wb = Window.partitionBy("__blk").orderBy(F.col(id_col).asc())
+        base = (
+            base.withColumn("__rn", F.row_number().over(wb))
+            .filter(F.col("__rn") <= int(max_block))
+            .drop("__rn")
+        )
     a = base.select(
         F.col("__blk"), F.col(id_col).alias("id_a"), F.col("__p").alias("pa")
     )

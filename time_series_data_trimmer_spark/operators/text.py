@@ -1123,3 +1123,55 @@ def rrf_fuse(
         F.count(F.lit(1)).alias("n_lists"),
         rd(F.sum("__rr").cast("double"), 9).alias("rrf_score"),
     )
+
+
+def token_gini(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token-distribution Gini impurity
+    ``1 − Σ_t (c_t/n)²`` — the lexical-diversity score (0 = one token
+    repeated, → 1 = all tokens distinct). The portable stand-in for
+    token entropy: entropy needs ``log`` (not bit-reproducible across
+    engines) while Gini is squares and exact-integer ratios —
+    correctly-rounded IEEE everywhere. Ranks documents the same way
+    for the repetitive-junk filtering this feeds (both are Schur-
+    concave in the count vector); the Gopher repetition rules
+    (`gopher_repetition_filter`) are the hard-threshold complement.
+
+    Determinism: each squared ratio is 12-dp-rounded and the sum is
+    DECIMAL — order-independent. Plan: one (doc, token) count, the
+    per-doc total via a window on the SAME doc-key Exchange, one
+    map-side-combined decimal sum.
+    """
+    from pyspark.sql import Window
+
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.length("token") > 0)
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c").over(Window.partitionBy(id_col))
+    ratio2 = rd(
+        (F.col("c").cast("double") / F.col("__n").cast("double"))
+        * (F.col("c").cast("double") / F.col("__n").cast("double")),
+        12,
+    )
+    return (
+        tf.withColumn("__n", n)
+        .groupBy(id_col)
+        .agg(
+            F.max("__n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(ratio2.cast("decimal(38,12)")).alias("__s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("n_distinct"),
+            rd(F.lit(1.0) - F.col("__s").cast("double"), 9).alias("gini"),
+        )
+    )

@@ -5044,7 +5044,7 @@ def _q_autocorr_peak_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_fuzzy_prefix_pairs",
     """
-    WITH base AS (
+    WITH raw AS (
       SELECT doc_id,
              substr(norm, 1, 32) AS p,
              string_split(norm, ' ')[1] AS blk
@@ -5054,6 +5054,12 @@ def _q_autocorr_peak_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents WHERE text IS NOT NULL
       )
       WHERE len(string_split(norm, ' ')[1]) > 0
+    ),
+    base AS (
+      SELECT doc_id, p, blk FROM (
+        SELECT *, row_number() OVER (PARTITION BY blk ORDER BY doc_id ASC) AS rn
+        FROM raw
+      ) WHERE rn <= 200
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.p, b.p) AS INT) AS edit_dist
@@ -5233,3 +5239,63 @@ def _q_retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 10)
         .select("query_id", "doc_id", "n_lists", "rrf_score")
     )
+
+
+@register(
+    "text_token_gini",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.token
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(trim(text), ' ')) AS token) t
+      WHERE text IS NOT NULL AND len(t.token) > 0
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY doc_id, token),
+    wn AS (SELECT *, sum(c) OVER (PARTITION BY doc_id) AS n FROM tf)
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           {R("1.0 - CAST(sum(CAST(" + sql_rd(
+               "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+               " * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))", 12
+           ) + " AS DECIMAL(38,12))) AS DOUBLE)", 9)} AS gini
+    FROM wn GROUP BY doc_id
+    """,
+)
+def _q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-distribution Gini impurity (`tx.token_gini`) —
+    the portable lexical-diversity score (entropy needs log; Gini is
+    squares of exact ratios, bit-identical everywhere, and ranks docs
+    the same way for repetitive-junk filtering). One (doc, token)
+    count; per-doc total on the same doc-key Exchange."""
+    out = tx.token_gini(_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_distinct", "gini",
+    )
+
+
+@register(
+    "histogram_equidepth_value",
+    f"""
+    WITH v AS (
+      SELECT event_type, {R("CAST(value AS DOUBLE)", 6)} AS v FROM events
+    ),
+    b AS (
+      SELECT event_type, v,
+             least(9, CAST(floor(
+               percent_rank() OVER (PARTITION BY event_type ORDER BY v ASC) * 10.0
+             ) AS BIGINT)) AS bucket
+      FROM v
+    )
+    SELECT event_type, bucket, count(*) AS n, min(v) AS lo, max(v) AS hi
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def _q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type equi-depth value histogram
+    (`ag.equidepth_histogram`, 10 buckets): the optimizer-statistics /
+    data-quality object, deterministic via percent_rank over the
+    rounded value (value-ties share a bucket in every engine). One
+    keyed window + one aggregation on the same Exchange."""
+    return ag.equidepth_histogram(_table(spark, sf_dir, "events"))
