@@ -98,6 +98,9 @@ HEADLINE = [
     "dedup_fuzzy_prefix_pairs",  # blocked Levenshtein prefix pairs
     "text_token_gini",           # portable lexical-diversity score
     "histogram_equidepth_value",  # per-key equal-frequency histogram
+    "events_json_props_stats",   # schema-declared JSON payload parse + agg
+    "text_chunks_udtf",          # Python UDTF lateral chunker (Arrow)
+    "dedup_sorted_neighborhood_pairs",  # linear N*w compare volume, no self-join
 ]
 
 
@@ -154,7 +157,7 @@ def main() -> None:
         # r4 extended the headline from 20 to 26 queries (the six
         # heavy dedup/join hitters) — compare totals to r3 only
         # over the shared 20; per-query keys are stable
-        "headline_set": "r6-extended-60",
+        "headline_set": "r6-extended-63",
     }
     if errors:
         payload["errors"] = errors

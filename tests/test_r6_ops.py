@@ -531,3 +531,37 @@ def test_equidepth_histogram_depth_and_coverage(events):
         for a, b in zip(bs, bs[1:]):
             assert a.hi <= b.lo
     assert total == events.count()
+
+
+# --- sorted-neighborhood pairs --------------------------------------------
+
+
+def test_sorted_neighborhood_no_selfjoin_and_linear_pairs(spark, docs):
+    from time_series_data_trimmer_spark.operators import dedup as dd2
+
+    out = dd2.sorted_neighborhood_pairs(docs, window=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # the whole point: no self-join anywhere
+    rows = out.collect()
+    assert all(r.id_a < r.id_b for r in rows)
+    assert all(r.edit_dist <= 5 for r in rows)
+    # compare volume is bounded by N*w even before the distance filter
+    n = docs.filter(F.col("text").isNotNull()).count()
+    assert len(rows) <= n * 3
+
+
+def test_sorted_neighborhood_finds_adjacent_typos(spark):
+    from time_series_data_trimmer_spark.operators import dedup as dd2
+
+    df = spark.createDataFrame(
+        [
+            (1, "abcd the quick brown fox"),
+            (2, "abcd the quikc brown fox"),   # sorts adjacent to 1
+            (3, "abcd zzz totally different"),
+            (4, "wxyz other block entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in dd2.sorted_neighborhood_pairs(df, window=3).collect()}
+    assert (1, 2) in pairs
+    assert all(4 not in p for p in pairs)  # different block

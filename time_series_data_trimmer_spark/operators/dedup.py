@@ -1589,3 +1589,73 @@ def fuzzy_prefix_pairs(
         .filter(F.col("edit_dist") <= int(max_dist))
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    window: int = 3,
+    prefix_len: int = 32,
+    max_dist: int = 5,
+    block_chars: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (Hernández & Stolfo 1995):
+    sort records by a key, compare each only to its ``window``
+    predecessors in sort order — LINEAR compare volume (N·w), the
+    classic alternative to block self-joins when blocks run hot
+    (`fuzzy_prefix_pairs` needs a cap for exactly that; this method
+    never goes quadratic by construction).
+
+    Distributed form: the sort is per BLOCK (first ``block_chars``
+    normalized chars — a keyed window, never a global keyless sort);
+    neighbors then come from ``lag`` columns in one window pass and a
+    scan-side ``stack`` unpivot — no self-join at all. Pairs within
+    Levenshtein ``max_dist`` over ``prefix_len``-char prefixes, ids
+    ordered. Declared semantics: neighbors within ``window`` positions
+    of the (block, prefix, id) sort; near-dups more than ``window``
+    apart in a block are missed — the standard SNM recall trade,
+    bought back in practice with multi-pass different-key runs.
+    """
+    from pyspark.sql import Window
+
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.substring(normalized, 1, int(prefix_len)).alias("__p"),
+            F.substring(normalized, 1, int(block_chars)).alias("__blk"),
+        )
+        .filter(F.length("__blk") > 0)
+    )
+    w = Window.partitionBy("__blk").orderBy(F.col("__p").asc(), F.col(id_col).asc())
+    lags = []
+    for j in range(1, int(window) + 1):
+        lags.append(F.lag(F.col(id_col), j).over(w).alias(f"__id{j}"))
+        lags.append(F.lag(F.col("__p"), j).over(w).alias(f"__pp{j}"))
+    with_lags = base.select(F.col(id_col), F.col("__p"), *lags)
+    stack_args = ", ".join(f"__id{j}, __pp{j}" for j in range(1, int(window) + 1))
+    pairs = with_lags.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__p").alias("pb"),
+        F.expr(f"stack({int(window)}, {stack_args}) AS (id_a, pa)"),
+    ).filter(F.col("id_a").isNotNull())
+    d = F.levenshtein(F.col("pa"), F.col("pb"))
+    # __lo/__hi before aliasing to id_a/id_b: putting least(...).alias("id_a")
+    # next to greatest(id_a, ...) in ONE select would let Spark's lateral
+    # column alias resolution bind the SECOND id_a to the first alias
+    # (the emb_quantization_report r5 bug class)
+    return (
+        pairs.withColumn("edit_dist", d)
+        .filter(F.col("edit_dist") <= int(max_dist))
+        .withColumn("__lo", F.least(F.col("id_a"), F.col("id_b")))
+        .withColumn("__hi", F.greatest(F.col("id_a"), F.col("id_b")))
+        .select(
+            F.col("__lo").alias("id_a"),
+            F.col("__hi").alias("id_b"),
+            "edit_dist",
+        )
+    )

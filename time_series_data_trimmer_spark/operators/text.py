@@ -1175,3 +1175,36 @@ def token_gini(
             rd(F.lit(1.0) - F.col("__s").cast("double"), 9).alias("gini"),
         )
     )
+
+
+def chunks_udtf_frame(df: DataFrame, chunk_tokens: int = 8) -> DataFrame:
+    """Document chunking through a Python UDTF (Spark 4 user-defined
+    TABLE function, Arrow-optimized) — the §2.11 surface-completeness
+    twin of `chunk_documents`: that one is the PRODUCTION path (pure
+    codegen array slicing); this one demonstrates the lateral
+    table-function API for logic that genuinely can't be expressed as
+    expressions (external tokenizers, stateful parsers). Semantics are
+    the deterministic fixed-stride token chunking, so the exact oracle
+    still applies — proving the UDTF boundary doesn't perturb values.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seg_idx int, segment string", useArrow=True)
+    class _ChunkTokens:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            if text is None:
+                return
+            toks = [t for t in text.strip().split(" ") if t]
+            for i in range(0, len(toks), chunk_tokens):
+                yield i // chunk_tokens, " ".join(toks[i : i + chunk_tokens])
+
+    spark = df.sparkSession
+    spark.udtf.register("tsdt_chunk_tokens", _ChunkTokens)
+    df.createOrReplaceTempView("__tsdt_chunk_in")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.seg_idx, s.segment
+        FROM __tsdt_chunk_in d,
+             LATERAL tsdt_chunk_tokens(d.doc_id, d.text) s
+        """
+    )

@@ -5299,3 +5299,121 @@ def _q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded value (value-ties share a bucket in every engine). One
     keyed window + one aggregation on the same Exchange."""
     return ag.equidepth_histogram(_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_json_props_stats",
+    f"""
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           {_sql_dsum("value", 2)} AS total_value
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type, CAST(json_extract(props, '$.k') AS BIGINT) % 10
+    """,
+)
+def _q_events_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload aggregation: parse the `props` JSON
+    column with a DECLARED schema (`from_json` — vectorized Jackson
+    parse inside codegen, not a per-row Python json.loads), bucket the
+    extracted key, aggregate. The schema-on-read pattern every event
+    pipeline needs; at scale the parse cost is why you declare the
+    schema once instead of schema-inferring per batch. Oracle uses
+    DuckDB's json_extract on the identical path expression."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    e = _table(spark, sf_dir, "events")
+    schema = StructType([StructField("k", LongType())])
+    return (
+        e.filter(F.col("props").isNotNull())
+        .select(
+            "event_type",
+            F.pmod(F.from_json(F.col("props"), schema).getField("k"), F.lit(10)).alias("k_bucket"),
+            F.col("value"),
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "text_chunks_udtf",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), t -> len(t) > 0) AS toks
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(i.i AS INT) AS seg_idx,
+           array_to_string(toks[i.i * 8 + 1 : i.i * 8 + 8], ' ') AS segment
+    FROM w,
+         LATERAL (SELECT unnest(generate_series(0,
+                    CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1)) AS i) i
+    WHERE len(toks) > 0
+    """,
+)
+def _q_text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride token chunking through a Python UDTF
+    (`tx.chunks_udtf_frame` — Spark 4 lateral table function,
+    Arrow-optimized): the §2.11 API-surface demo for logic that can't
+    be an expression (external tokenizers, stateful parsers), held to
+    the SAME exact oracle as the codegen chunker. Production chunking
+    stays on `text_chunk_documents`; this proves the UDTF boundary is
+    value-transparent."""
+    return tx.chunks_udtf_frame(_table(spark, sf_dir, "documents"), chunk_tokens=8)
+
+
+@register(
+    "dedup_sorted_neighborhood_pairs",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             substr(norm, 1, 32) AS p,
+             substr(norm, 1, 4) AS blk
+      FROM (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        FROM documents WHERE text IS NOT NULL
+      )
+      WHERE len(substr(norm, 1, 4)) > 0
+    ),
+    lagged AS (
+      SELECT doc_id AS id_b, p AS pb,
+             lag(doc_id, 1) OVER w AS id1, lag(p, 1) OVER w AS pp1,
+             lag(doc_id, 2) OVER w AS id2, lag(p, 2) OVER w AS pp2,
+             lag(doc_id, 3) OVER w AS id3, lag(p, 3) OVER w AS pp3
+      FROM base WINDOW w AS (PARTITION BY blk ORDER BY p ASC, doc_id ASC)
+    ),
+    pairs AS (
+      SELECT id_b, pb, id1 AS id_a, pp1 AS pa FROM lagged WHERE id1 IS NOT NULL
+      UNION ALL
+      SELECT id_b, pb, id2 AS id_a, pp2 AS pa FROM lagged WHERE id2 IS NOT NULL
+      UNION ALL
+      SELECT id_b, pb, id3 AS id_a, pp3 AS pa FROM lagged WHERE id3 IS NOT NULL
+    )
+    SELECT least(id_a, id_b) AS id_a,
+           greatest(id_a, id_b) AS id_b,
+           CAST(levenshtein(pa, pb) AS INT) AS edit_dist
+    FROM pairs
+    WHERE levenshtein(pa, pb) <= 5
+    """,
+)
+def _q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs
+    (`dd.sorted_neighborhood_pairs`, Hernandez & Stolfo 1995):
+    per-block sort by normalized prefix, compare each record only to
+    its 3 predecessors — LINEAR N*w compare volume, never quadratic by
+    construction (the structural alternative to `dedup_fuzzy_prefix_pairs`'
+    capped block self-join). One keyed window pass + scan-side stack;
+    no self-join anywhere in the plan."""
+    out = dd.sorted_neighborhood_pairs(
+        _table(spark, sf_dir, "documents"), window=3, prefix_len=32, max_dist=5
+    )
+    return out.select(
+        "id_a", "id_b", F.col("edit_dist").cast("int").alias("edit_dist")
+    )
