@@ -101,6 +101,12 @@ HEADLINE = [
     "events_json_props_stats",   # schema-declared JSON payload parse + agg
     "text_chunks_udtf",          # Python UDTF lateral chunker (Arrow)
     "dedup_sorted_neighborhood_pairs",  # linear N*w compare volume, no self-join
+    # r6 fourth wave (time-series at scale), on-headline from day one:
+    "ts_m4_downsample",          # M4 viz downsampling: one map-side-combinable agg
+    "ts_gap_report",             # dropout intervals: lag + windowed exact median
+    "ts_mad_outliers",           # robust median/MAD outlier summary
+    "ts_cusum_changepoint",      # integer-exact argmax |CUSUM| level-shift locator
+    "ts_ewma_halflife",          # 16-lag half-life EWMA, one window pass
 ]
 
 

@@ -1,0 +1,238 @@
+"""Scale-grade time-series operators over the trial axis: M4 viz
+downsampling, gap detection, robust (MAD) outlier flags, CUSUM
+changepoint location, and a truncated half-life EWMA.
+
+These extend the reference's trim/clean surface (spike suggestions at
+`main.py` suggest_bad_segments; decimation for plotting) with the
+canonical large-scale forms:
+
+* **M4** (Jugel et al., VLDB 2014 "M4: A Visualization-Oriented Time
+  Series Data Aggregation") — the error-free line-chart downsampler:
+  per pixel-bucket keep min/max/first/last. One groupBy, no window, no
+  join; at 100 TB this is the only operator a dashboard ever needs to
+  scan the raw table with.
+* **Gap report** — irregular-sampling dropout detection: a gap is a
+  lag-delta exceeding ``factor ×`` the trial's median delta. All
+  integer-microsecond math on one trial-keyed exchange.
+* **MAD outliers** — the robust twin of the reference's ±k·σ spike
+  rule (`main.py` suggest_bad_segments uses mean/std): median /
+  median-absolute-deviation flags survive the very outliers σ-rules
+  are blinded by.
+* **CUSUM changepoint** — argmax |S_k|, S_k = Σ_{i≤k}(x_i − x̄), the
+  classic level-shift locator (Page 1954). Scale-free trick: compare
+  ``n·cumsum_k − k·total`` on integers scaled 10⁴ — no division until
+  the final score, so the argmax is bit-exact in any engine.
+* **EWMA (half-life form)** — α=1/2 truncated to the last ``depth``
+  samples: weights 2⁻ʲ are exact binary fractions, so numerator /
+  denominator are exact integers and the single final IEEE division is
+  bit-identical across engines. The untruncated recurrence is
+  inherently sequential; the 2⁻¹⁶ tail (≤1.6e-5 relative) is the price
+  of a one-window-pass distributed plan.
+
+Every operator: exactly ONE exchange on the trial key; values scaled
+to integers (4 dp) before any accumulation so unordered partial
+aggregation cannot reorder float error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from time_series_data_trimmer_spark.functions.rounding import rd
+
+#: value → exact integer at 4 dp (the repo's cross-engine rounding
+#: grid): floor(v·10⁴ + 0.5). Bigint-safe to |v| ~ 9e14.
+def _scaled_int(c: Column, scale: int = 4) -> Column:
+    return F.floor(c * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
+
+
+def m4_downsample(
+    df: DataFrame,
+    bucket_us: int,
+    key_col: str = "user_id",
+    micros_col: str = "t_us",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("t_us", "event_id"),
+) -> DataFrame:
+    """M4 per (key, time-bucket): n, min, max, first, last of value.
+
+    first/last ride a struct-ordered min/max over the total order
+    ``order_cols`` — a pure aggregation (map-side combinable), never a
+    window, so the plan is one partial-agg + one exchange on
+    (key, bucket) and holds at any scale. Values pass through
+    untouched (no arithmetic ⇒ bit-exact).
+    """
+    # integer-exact bucketing: t − (t mod B). A double-division form
+    # would round within ~2e-10 of the true quotient — the same order
+    # as one-microsecond fractions of an hour bucket — and could
+    # disagree with an engine that floors in integers.
+    bucket = F.col(micros_col) - F.pmod(F.col(micros_col), F.lit(int(bucket_us)))
+    ordered = F.struct(*[F.col(c) for c in order_cols], F.col(value_col))
+    return (
+        df.groupBy(F.col(key_col), bucket.alias("bucket_us"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(value_col).alias("v_min"),
+            F.max(value_col).alias("v_max"),
+            F.min(ordered).getField(value_col).alias("v_first"),
+            F.max(ordered).getField(value_col).alias("v_last"),
+        )
+    )
+
+
+def gap_report(
+    df: DataFrame,
+    key_col: str = "user_id",
+    micros_col: str = "t_us",
+    order_cols: tuple[str, ...] = ("t_us", "event_id"),
+    factor: int = 5,
+) -> DataFrame:
+    """Per-trial sampling-dropout intervals: rows where the delta to
+    the previous sample exceeds ``factor ×`` the trial's median delta.
+
+    Integer micros end-to-end; the median delta is an exact
+    interpolated percentile over the SAME trial-keyed window partition
+    the lag uses, so the whole operator is one exchange, two Window
+    ops, zero joins. Median of integers interpolates on .5 — exact in
+    double in both engines.
+    """
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    wp = Window.partitionBy(key_col)
+    dt = (F.col(micros_col) - F.lag(micros_col, 1).over(w)).alias("dt_us")
+    with_dt = df.select(
+        F.col(key_col), *[F.col(c) for c in dict.fromkeys(order_cols)], dt
+    )
+    med = F.percentile(F.col("dt_us"), F.lit(0.5)).over(wp)
+    flagged = with_dt.withColumn("med_dt_us", med).filter(
+        F.col("dt_us").cast("double") > F.lit(float(factor)) * F.col("med_dt_us")
+    )
+    return flagged.select(
+        F.col(key_col),
+        (F.col(micros_col) - F.col("dt_us")).alias("gap_start_us"),
+        F.col(micros_col).alias("gap_end_us"),
+        F.col("dt_us").alias("gap_us"),
+        rd(F.col("med_dt_us"), 4).alias("med_dt_us"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-trial robust outlier summary: median, MAD, and the count of
+    samples with |x − median| > k·MAD.
+
+    The robust complement of the reference's mean/std spike rule
+    (`main.py` suggest_bad_segments): a single wild sample inflates σ
+    and hides its neighbors; the breakdown point of median/MAD is 50%.
+    Exact percentiles over the trial partition; deviations are IEEE
+    double |x − med| — identical literal op sequence in the oracle, so
+    comparisons are bit-stable. One exchange (window partition and the
+    final groupBy share the trial key).
+    """
+    wp = Window.partitionBy(key_col)
+    med = F.percentile(F.col(value_col), F.lit(0.5)).over(wp)
+    with_med = df.select(F.col(key_col), F.col(value_col), med.alias("med"))
+    dev = F.abs(F.col(value_col) - F.col("med"))
+    with_mad = with_med.withColumn("dev", dev).withColumn(
+        "mad", F.percentile(F.col("dev"), F.lit(0.5)).over(wp)
+    )
+    is_out = (F.col("dev") > F.lit(k) * F.col("mad")).cast("long")
+    return (
+        with_mad.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(is_out).alias("n_outliers"),
+            rd(F.first("med"), 6).alias("med"),
+            rd(F.first("mad"), 6).alias("mad"),
+        )
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("t_us", "event_id"),
+) -> DataFrame:
+    """Per-trial CUSUM level-shift locator: the sample index k that
+    maximizes |Σ_{i≤k}(x_i − x̄)| (earliest on ties).
+
+    Integer-exact inside: with V = round(x·10⁴) and
+    D_k = n·Σ_{i≤k}V_i − k·ΣV (all bigint), argmax|D_k| ≡
+    argmax|S_k| — the mean never gets divided, so no engine-specific
+    decimal-division scale rules apply. The surfaced score divides once
+    in IEEE double. One exchange; cumsum + totals + rank share the
+    trial-key partition.
+    """
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    wp = Window.partitionBy(key_col)
+    v = _scaled_int(F.col(value_col))
+    base = df.select(
+        F.col(key_col), *[F.col(c) for c in dict.fromkeys(order_cols)], v.alias("v")
+    )
+    cum = F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    kidx = F.row_number().over(w)
+    scored = base.select(
+        F.col(key_col),
+        *[F.col(c) for c in dict.fromkeys(order_cols)],
+        cum.alias("cum"),
+        kidx.cast("long").alias("k"),
+        F.sum("v").over(wp).alias("total"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    ).withColumn("d", F.col("n") * F.col("cum") - F.col("k") * F.col("total"))
+    rank = F.row_number().over(
+        Window.partitionBy(key_col).orderBy(
+            F.abs(F.col("d")).desc(), *[F.col(c).asc() for c in order_cols]
+        )
+    )
+    top = scored.withColumn("__rn", rank).filter(F.col("__rn") == 1)
+    score = F.abs(F.col("d")).cast("double") / (
+        F.col("n").cast("double") * F.lit(1e4)
+    )
+    return top.select(
+        F.col(key_col),
+        *[F.col(c).alias(f"cp_{c}") for c in dict.fromkeys(order_cols)],
+        F.col("k").alias("cp_index"),
+        rd(score, 6).alias("max_dev"),
+    )
+
+
+def ewma_halflife(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("t_us", "event_id"),
+    depth: int = 16,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Truncated half-life EWMA: ŷ_i = Σ_{j<depth} 2⁻ʲ·x_{i−j} / Σ 2⁻ʲ
+    over the lags that exist (head rows renormalize over fewer terms).
+
+    Bit-exact construction: x scaled to int(4 dp); weight for lag j is
+    the INTEGER 2^(depth−1−j); numerator and weight-sum stay integer;
+    ONE double division at the end (exact integers ≤ 2⁵³) then the
+    shared rounding grid. All ``depth`` lags live in one Window
+    partition pass — one exchange, one sort, no self-joins.
+    """
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    v = _scaled_int(F.col(value_col))
+    base = df.select(
+        F.col(key_col), *[F.col(c) for c in dict.fromkeys(order_cols)], v.alias("v")
+    )
+    num: Column = F.lit(0).cast("long")
+    den: Column = F.lit(0).cast("long")
+    for j in range(depth):
+        wgt = 1 << (depth - 1 - j)
+        lagged = F.col("v") if j == 0 else F.lag("v", j).over(w)
+        num = num + F.coalesce(lagged * F.lit(wgt), F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(wgt)).otherwise(F.lit(0))
+    ew = num.cast("double") / den.cast("double") / F.lit(1e4)
+    return base.select(
+        F.col(key_col),
+        *[F.col(c) for c in dict.fromkeys(order_cols)],
+        rd(ew, 6).alias(out_col),
+    )

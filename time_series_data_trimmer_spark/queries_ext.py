@@ -5417,3 +5417,215 @@ def _q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.col("edit_dist").cast("int").alias("edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# r6 fourth wave: scale-grade time-series operators (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+from time_series_data_trimmer_spark.operators import timeseries as ts
+from time_series_data_trimmer_spark.sources.events import event_micros
+
+_M4_BUCKET_US = 3_600_000_000  # 1 hour
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + integer epoch-micros axis ``t_us`` (layout-adaptive)."""
+    df = _table(spark, sf_dir, "events")
+    return df.withColumn("t_us", event_micros(df))
+
+
+@register(
+    "ts_m4_downsample",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id, value FROM events
+    ),
+    b AS (
+      SELECT user_id, t_us - (t_us % {_M4_BUCKET_US}) AS bucket_us,
+             t_us, event_id, value
+      FROM e
+    ),
+    o AS (
+      SELECT user_id, bucket_us, value,
+             row_number() OVER (PARTITION BY user_id, bucket_us
+                                ORDER BY t_us ASC, event_id ASC) AS rf,
+             row_number() OVER (PARTITION BY user_id, bucket_us
+                                ORDER BY t_us DESC, event_id DESC) AS rl
+      FROM b
+    )
+    SELECT user_id, bucket_us, count(*) AS n,
+           min(value) AS v_min, max(value) AS v_max,
+           max(CASE WHEN rf = 1 THEN value END) AS v_first,
+           max(CASE WHEN rl = 1 THEN value END) AS v_last
+    FROM o GROUP BY user_id, bucket_us
+    """,
+)
+def _q_ts_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsampling (`ts.m4_downsample`, Jugel et al.
+    VLDB 2014): per (trial, 1-hour pixel bucket) keep n/min/max/first/
+    last — the error-free line-chart reduction. The reference decimates
+    for plotting by slicing (`plot_manager.py` renders raw arrays);
+    at 100 TB M4 is the only thing a dashboard can afford to scan with.
+    Plan: ONE map-side-combinable aggregation on (trial, bucket) —
+    first/last ride struct-ordered min/max over the (t_us, event_id)
+    total order, so there is no window, no join, no second exchange.
+    Values are never touched arithmetically (bit-exact passthrough)."""
+    e = _events_us(spark, sf_dir)
+    return ts.m4_downsample(e, bucket_us=_M4_BUCKET_US)
+
+
+@register(
+    "ts_gap_report",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events
+    ),
+    d AS (
+      SELECT user_id, t_us, event_id,
+             t_us - lag(t_us) OVER w AS dt_us
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us ASC, event_id ASC)
+    ),
+    m AS (
+      SELECT *, quantile_cont(dt_us, 0.5) OVER (PARTITION BY user_id) AS med
+      FROM d
+    )
+    SELECT user_id,
+           t_us - dt_us AS gap_start_us,
+           t_us AS gap_end_us,
+           dt_us AS gap_us,
+           {R("med", 4)} AS med_dt_us
+    FROM m
+    WHERE CAST(dt_us AS DOUBLE) > 5.0 * med
+    """,
+)
+def _q_ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-dropout report (`ts.gap_report`): intervals where the
+    lag-delta exceeds 5x the trial's median delta — the irregular-axis
+    complement of the reference's NaN-island suggestions
+    (`main.py` suggest_bad_segments flags values; this flags TIME).
+    Integer micros end-to-end; the exact median rides the same
+    trial-key partition as the lag, so the whole operator is one
+    Exchange + two Window ops, zero joins."""
+    e = _events_us(spark, sf_dir)
+    return ts.gap_report(e, factor=5)
+
+
+@register(
+    "ts_mad_outliers",
+    f"""
+    WITH m AS (
+      SELECT user_id, value,
+             quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS med
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, value, med, abs(value - med) AS dev FROM m
+    ),
+    md AS (
+      SELECT *, quantile_cont(dev, 0.5) OVER (PARTITION BY user_id) AS mad
+      FROM d
+    )
+    SELECT user_id, count(*) AS n,
+           CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           {R("any_value(med)", 6)} AS med,
+           {R("any_value(mad)", 6)} AS mad
+    FROM md GROUP BY user_id
+    """,
+)
+def _q_ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier summary per trial
+    (`ts.mad_outliers`): the breakdown-resistant twin of the
+    reference's mean±k*std spike rule (`main.py` suggest_bad_segments)
+    — one wild sample inflates sigma and masks its neighbors; MAD's
+    breakdown point is 50%. Exact interpolated percentiles in both
+    engines; deviations are the identical IEEE |x − med| sequence, so
+    the 3*MAD comparison is bit-stable. Window partitions and the
+    final groupBy share the trial key: one Exchange total."""
+    e = _table(spark, sf_dir, "events")
+    return ts.mad_outliers(e, k=3.0)
+
+
+@register(
+    "ts_cusum_changepoint",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, t_us, event_id,
+             sum(v) OVER (PARTITION BY user_id ORDER BY t_us ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY t_us ASC, event_id ASC) AS BIGINT) AS k,
+             sum(v) OVER (PARTITION BY user_id) AS total,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM e
+    ),
+    d AS (SELECT *, n * cum - k * total AS d FROM s),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY abs(d) DESC, t_us ASC, event_id ASC) AS rn
+      FROM d
+    )
+    SELECT user_id, t_us AS cp_t_us, event_id AS cp_event_id, k AS cp_index,
+           {R("CAST(abs(d) AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)", 6)} AS max_dev
+    FROM r WHERE rn = 1
+    """,
+)
+def _q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift locator per trial (`ts.cusum_changepoint`,
+    Page 1954): the sample maximizing |sum_(i<=k)(x_i − mean)|,
+    earliest on ties — where the signal's level broke, the question a
+    trim tool answers by eye on a plot. Integer-exact inside: with
+    values scaled to 4-dp ints, n*cumsum_k − k*total needs NO division
+    until the surfaced score, so the argmax is bit-identical in any
+    engine (the PCA/PageRank unroll policy applied to a window op).
+    One trial-key Exchange; cumsum, totals, and the argmax rank all
+    share it."""
+    e = _events_us(spark, sf_dir)
+    return ts.cusum_changepoint(e)
+
+
+def _ewma_oracle(depth: int = 16) -> str:
+    num = " + ".join(
+        f"coalesce(lag(v, {j}) OVER w * {1 << (depth - 1 - j)}, 0)"
+        for j in range(depth)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(v, {j}) OVER w IS NOT NULL THEN {1 << (depth - 1 - j)} ELSE 0 END"
+        for j in range(depth)
+    )
+    return f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, t_us, event_id,
+             {num} AS num, {den} AS den
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us ASC, event_id ASC)
+    )
+    SELECT user_id, t_us, event_id,
+           {R("CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 10000.0", 6)} AS ewma
+    FROM s
+    """
+
+
+@register("ts_ewma_halflife", _ewma_oracle(16))
+def _q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life EWMA smoother (`ts.ewma_halflife`, alpha=1/2
+    truncated at 16 lags): the exponential cousin of the reference's
+    moving-average filter (`filter_engine.py` moving_average). The
+    untruncated recurrence is inherently sequential; truncating at
+    2^-16 (<=1.6e-5 relative tail) turns it into a 16-lag weighted
+    window — distributed, one sort, one Exchange. Bit-exact because
+    half-life weights are exact binary INTEGERS (2^(15-j)) over 4-dp
+    scaled values: numerator and weight-sum stay integer, and the one
+    IEEE division at the end is the same op in every engine. Head rows
+    renormalize over the lags that exist."""
+    e = _events_us(spark, sf_dir)
+    return ts.ewma_halflife(e, depth=16)
