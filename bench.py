@@ -107,6 +107,9 @@ HEADLINE = [
     "ts_mad_outliers",           # robust median/MAD outlier summary
     "ts_cusum_changepoint",      # integer-exact argmax |CUSUM| level-shift locator
     "ts_ewma_halflife",          # 16-lag half-life EWMA, one window pass
+    "sketch_kmv_jaccard_sources",  # all-pairs domain vocab overlap from registers
+    "text_vocab_growth",         # Heaps curve: digest-collapsed first occurrences
+    "pipeline_ccnet_buckets",    # per-lang LM-score terciles (CCNet split)
 ]
 
 

@@ -565,3 +565,100 @@ def test_sorted_neighborhood_finds_adjacent_typos(spark):
     pairs = {(r.id_a, r.id_b) for r in dd2.sorted_neighborhood_pairs(df, window=3).collect()}
     assert (1, 2) in pairs
     assert all(4 not in p for p in pairs)  # different block
+
+
+# --- KMV pairwise Jaccard ---------------------------------------------------
+
+
+def _tok_frame(spark, rows):
+    return spark.createDataFrame(rows, "source string, token string")
+
+
+def test_kmv_jaccard_identical_and_disjoint_groups(spark):
+    from time_series_data_trimmer_spark.operators import sketches as sk
+
+    vocab_a = [f"w{i}" for i in range(40)]
+    vocab_c = [f"z{i}" for i in range(40)]
+    rows = (
+        [("a", w) for w in vocab_a]
+        + [("b", w) for w in vocab_a]  # b == a exactly
+        + [("c", w) for w in vocab_c]  # c disjoint from both
+    )
+    regs = sk.kmv_registers(_tok_frame(spark, rows), "source", "token", k=64)
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in sk.kmv_pairwise_jaccard(regs, k=64).collect()
+    }
+    assert out[("a", "b")]["jaccard_est"] == 1.0
+    assert out[("a", "c")]["jaccard_est"] == 0.0
+    assert out[("b", "c")]["jaccard_est"] == 0.0
+    # union register counts: |a ∪ b| = 40 hashes, |a ∪ c| = 64 kept of 80
+    assert out[("a", "b")]["n_union_kept"] == 40
+    assert out[("a", "c")]["n_union_kept"] == 64
+
+
+def test_kmv_jaccard_estimates_known_overlap(spark):
+    from time_series_data_trimmer_spark.operators import sketches as sk
+
+    # 50% true overlap: J = 50/150 = 1/3; k=64 of 150-hash union → ~13% rel err
+    shared = [f"s{i}" for i in range(50)]
+    rows = [("a", w) for w in shared + [f"a{i}" for i in range(50)]] + [
+        ("b", w) for w in shared + [f"b{i}" for i in range(50)]
+    ]
+    regs = sk.kmv_registers(_tok_frame(spark, rows), "source", "token", k=64)
+    r = sk.kmv_pairwise_jaccard(regs, k=64).first()
+    assert 0.15 < r["jaccard_est"] < 0.55  # centered on 1/3
+
+
+# --- vocabulary growth --------------------------------------------------------
+
+
+def test_vocab_growth_monotone_and_exact_totals(spark, docs):
+    out = sorted(
+        tx.vocab_growth(docs, n_buckets=10).collect(), key=lambda r: r["bucket"]
+    )
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    assert out[-1]["vocab_cum"] == toks.select("tok").distinct().count()
+    assert out[-1]["instances_cum"] == toks.count()
+    assert out[-1]["docs_cum"] == docs.filter(F.col("text").isNotNull()).count()
+    for a, b in zip(out, out[1:]):
+        assert a["docs_cum"] <= b["docs_cum"]
+        assert a["instances_cum"] <= b["instances_cum"]
+        assert a["vocab_cum"] <= b["vocab_cum"]
+    # Heaps: vocabulary grows sub-linearly vs instances in the tail —
+    # the last tenth adds proportionally fewer NEW tokens than the first
+    first_rate = out[0]["vocab_cum"] / max(out[0]["instances_cum"], 1)
+    last_rate = (out[-1]["vocab_cum"] - out[-2]["vocab_cum"]) / max(
+        out[-1]["instances_cum"] - out[-2]["instances_cum"], 1
+    )
+    assert last_rate <= first_rate
+
+
+# --- CCNet buckets -------------------------------------------------------------
+
+
+def test_ccnet_buckets_cover_and_order(spark):
+    import __spark_entry__ as entry
+
+    q = entry.queries()["pipeline_ccnet_buckets"]
+    rows = q(spark, SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    scored_total = sum(r["n_docs"] for r in rows)
+    assert scored_total > 0
+    for lang, buckets in by_lang.items():
+        n = sum(r["n_docs"] for r in buckets.values())
+        # terciles within tie slack: each present bucket holds >= 1 doc,
+        # and head gets at least its floor share when n >= 3
+        if n >= 3 and "head" in buckets:
+            assert buckets["head"]["n_docs"] >= n // 3 - 1
+        # fluency ordering: head (lowest nll) <= middle <= tail
+        means = [
+            buckets[b]["mean_nll"]
+            for b in ("head", "middle", "tail")
+            if b in buckets
+        ]
+        assert means == sorted(means), (lang, means)

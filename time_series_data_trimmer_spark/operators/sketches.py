@@ -168,3 +168,52 @@ def kmv_estimate(registers: DataFrame, k: int = 64, group_col: str = "g") -> Dat
     return kept.select(
         F.col("g").alias(group_col), "n_kept", rd(est, 6).alias("est_distinct")
     )
+
+
+def kmv_pairwise_jaccard(regs: DataFrame, k: int = 64) -> DataFrame:
+    """All-pairs vocabulary Jaccard between groups, from register sets
+    alone (Beyer et al., SIGMOD 2007 §5: the bottom-k of A∪B is
+    computable from bottom-k(A) ∪ bottom-k(B), and the fraction of it
+    lying in BOTH sets estimates J(A,B)).
+
+    The 100 TB story: raw cross-source token intersection is a
+    vocabulary×vocabulary shuffle; this never touches the corpus again
+    — it runs on ≤ k longs per group, so comparing every pair of 100
+    domains costs ~100²·k tiny rows. Deterministic md5 registers ⇒ the
+    estimate is bit-identical in any engine.
+
+    Plan: the group list is a BOUNDED collect (domains are O(10²) at
+    any scale — same policy as the IVF centroid collects); each
+    register row explodes to the pairs containing its group on the
+    scan (literal array, no join), then one (pair)-keyed window keeps
+    the union's bottom-k and counts two-sided members.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    groups = sorted(r["g"] for r in regs.select("g").distinct().collect())
+    other = F.explode(F.array(*[F.lit(g) for g in groups])).alias("other")
+    pr = (
+        regs.select("g", "u", other)
+        .filter(F.col("g") != F.col("other"))
+        .select(
+            F.least("g", "other").alias("src_a"),
+            F.greatest("g", "other").alias("src_b"),
+            "u",
+            "g",
+        )
+    )
+    per_u = pr.groupBy("src_a", "src_b", "u").agg(
+        F.count(F.lit(1)).alias("n_sides")
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy(F.col("u").asc())
+    kept = per_u.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= int(k)
+    )
+    agg = kept.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_union_kept"),
+        F.sum((F.col("n_sides") == 2).cast("long")).alias("n_common"),
+    )
+    est = F.col("n_common").cast("double") / F.col("n_union_kept").cast("double")
+    return agg.select(
+        "src_a", "src_b", "n_union_kept", "n_common", rd(est, 6).alias("jaccard_est")
+    )

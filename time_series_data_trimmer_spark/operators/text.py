@@ -1208,3 +1208,79 @@ def chunks_udtf_frame(df: DataFrame, chunk_tokens: int = 8) -> DataFrame:
              LATERAL tsdt_chunk_tokens(d.doc_id, d.text) s
         """
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "tsdt|vocab",
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative distinct tokens
+    (and docs / token instances) after each tenth of the corpus, in a
+    deterministic hash-ingestion order.
+
+    The planning signal behind dedup/diversity budgets: a corpus whose
+    vocabulary curve has flattened yields little new signal per added
+    shard (Heaps 1978, V ∝ nᵝ). "Ingestion order" is the md5
+    permutation of doc ids (the same order `mix_shuffle_shards`
+    exports), so the curve is append-stable and engine-portable.
+
+    Plan: tokens collapse to (md5-token, min bucket) — one narrow
+    digest shuffle; cumulative sums come from an explode(sequence)
+    over the ≤ n_buckets aggregate rows, never a keyless window.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd  # noqa: F401
+    from time_series_data_trimmer_spark.operators.sampling import hash_u32
+
+    bucket = F.floor(
+        hash_u32(F.col(id_col), seed) * F.lit(n_buckets) / F.lit(float(1 << 32))
+    ).cast("int")
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            bucket.alias("bucket"),
+            F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+        .select("bucket", F.md5("token").alias("td"))
+    )
+    # per-token first bucket -> vocab contribution at that bucket
+    firsts = toks.groupBy("td").agg(F.min("bucket").alias("fb"))
+    vocab_at = firsts.groupBy("fb").agg(F.count(F.lit(1)).alias("new_vocab"))
+    # instances + docs per bucket (docs from the id frame, not the explode)
+    inst_at = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("new_inst"))
+    docs_at = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_docs"))
+    )
+    last = int(n_buckets) - 1
+
+    def _cum(at: DataFrame, bcol: str, vcol: str, out: str) -> DataFrame:
+        # explode each bucket's contribution to every bucket >= it:
+        # O(n_buckets^2) tiny rows, no keyless window anywhere
+        return (
+            at.select(
+                F.explode(F.sequence(F.col(bcol), F.lit(last))).alias("bucket"),
+                F.col(vcol),
+            )
+            .groupBy("bucket")
+            .agg(F.sum(vcol).alias(out))
+        )
+
+    v = _cum(vocab_at, "fb", "new_vocab", "vocab_cum")
+    i = _cum(inst_at, "bucket", "new_inst", "instances_cum")
+    d = _cum(docs_at, "bucket", "new_docs", "docs_cum")
+    return (
+        d.join(i.hint("shuffle_hash"), "bucket")
+        .join(v.hint("shuffle_hash"), "bucket")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "docs_cum",
+            "instances_cum",
+            "vocab_cum",
+        )
+    )

@@ -5629,3 +5629,209 @@ def _q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     renormalize over the lags that exist."""
     e = _events_us(spark, sf_dir)
     return ts.ewma_halflife(e, depth=16)
+
+
+# ---------------------------------------------------------------------------
+# r6 fifth wave: corpus-scale sketch comparison, vocabulary growth, CCNet
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_kmv_jaccard_sources",
+    f"""
+    WITH hashed AS (
+      SELECT DISTINCT source AS g, {sp.sql_hash_u32('token', 'tsdt|kmv')} AS u
+      FROM {_KMV_TOKENS_TABLE}
+    ),
+    regs AS (
+      SELECT g, u FROM (
+        SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u ASC) AS rn
+        FROM hashed
+      ) WHERE rn <= 64
+    ),
+    srcs AS (SELECT DISTINCT g FROM regs),
+    pairs AS (SELECT a.g AS src_a, b.g AS src_b FROM srcs a JOIN srcs b ON a.g < b.g),
+    pr AS (
+      SELECT p.src_a, p.src_b, r.u, r.g
+      FROM pairs p JOIN regs r ON r.g = p.src_a OR r.g = p.src_b
+    ),
+    per_u AS (
+      SELECT src_a, src_b, u, count(*) AS n_sides
+      FROM pr GROUP BY src_a, src_b, u
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY u ASC) AS rn
+        FROM per_u
+      ) WHERE rn <= 64
+    )
+    SELECT src_a, src_b, count(*) AS n_union_kept,
+           CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           {R("CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS DOUBLE)"
+              " / CAST(count(*) AS DOUBLE)", 6)} AS jaccard_est
+    FROM kept GROUP BY src_a, src_b
+    """,
+)
+def _q_kmv_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cross-source vocabulary Jaccard from KMV registers
+    alone (`sk.kmv_pairwise_jaccard`, Beyer et al. SIGMOD 2007): the
+    domain-overlap audit behind mixing decisions, computed WITHOUT ever
+    intersecting raw token sets — every pair costs <= 2k register longs
+    (the bottom-k of a union is a function of the two bottom-k sets).
+    The group list is a bounded collect (domains are O(10^2) at any
+    corpus scale); pair expansion is a scan-side literal-array explode,
+    so the plan has no inequality join anywhere."""
+    docs = _table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+    regs = sk.kmv_registers(toks, "source", "token", k=64)
+    return sk.kmv_pairwise_jaccard(regs, k=64)
+
+
+@register(
+    "text_vocab_growth",
+    f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(floor({sp.sql_hash_u32('doc_id', 'tsdt|vocab')} * 10
+                        / 4294967296.0) AS INT) AS bucket
+      FROM documents WHERE text IS NOT NULL
+    ),
+    toks AS (
+      SELECT b.bucket, md5(t.token) AS td
+      FROM b, LATERAL (SELECT unnest(string_split(trim(b.text), ' ')) AS token) t
+      WHERE len(t.token) > 0
+    ),
+    firsts AS (SELECT td, min(bucket) AS fb FROM toks GROUP BY td),
+    vocab_at AS (SELECT fb, count(*) AS nv FROM firsts GROUP BY fb),
+    inst_at AS (SELECT bucket, count(*) AS ni FROM toks GROUP BY bucket),
+    docs_at AS (SELECT bucket, count(*) AS nd FROM b GROUP BY bucket),
+    v_cum AS (
+      SELECT u.b AS bucket, CAST(sum(nv) AS BIGINT) AS vocab_cum
+      FROM vocab_at, unnest(generate_series(vocab_at.fb, 9)) u(b) GROUP BY u.b
+    ),
+    i_cum AS (
+      SELECT u.b AS bucket, CAST(sum(ni) AS BIGINT) AS instances_cum
+      FROM inst_at, unnest(generate_series(inst_at.bucket, 9)) u(b) GROUP BY u.b
+    ),
+    d_cum AS (
+      SELECT u.b AS bucket, CAST(sum(nd) AS BIGINT) AS docs_cum
+      FROM docs_at, unnest(generate_series(docs_at.bucket, 9)) u(b) GROUP BY u.b
+    )
+    SELECT d.bucket, d.docs_cum, i.instances_cum, v.vocab_cum
+    FROM d_cum d JOIN i_cum i ON i.bucket = d.bucket
+                 JOIN v_cum v ON v.bucket = d.bucket
+    """,
+)
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve (`tx.vocab_growth`, V ~ n^beta):
+    cumulative distinct tokens / instances / docs after each tenth of
+    the corpus in the deterministic md5 ingestion order — the
+    diminishing-returns signal behind data-budget decisions (a
+    flattened curve means new shards add little vocabulary). Tokens
+    collapse to (digest, min bucket) — one narrow shuffle; the
+    cumulative sums are explode(sequence) over <= 10 aggregate rows,
+    never a keyless window."""
+    return tx.vocab_growth(_table(spark, sf_dir, "documents"), n_buckets=10)
+
+
+_CCNET_LM_SQL = f"""
+    toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    posns AS (
+      SELECT doc_id, w, generate_subscripts(w, 1) AS pos
+      FROM toks WHERE len(w) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(w, pos, pos+1), ' ')) AS bd,
+             md5(w[pos]) AS cd
+      FROM posns WHERE pos <= len(w) - 1
+    ),
+    bgc AS (SELECT bd, count(*) AS c2 FROM bg GROUP BY bd),
+    ctx AS (SELECT cd, count(*) AS c1 FROM bg GROUP BY cd),
+    vocab AS (
+      SELECT count(distinct md5(u.tok)) AS v
+      FROM toks, unnest(toks.w) AS u(tok)
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             {R("-log2(CAST(c.c2 + 1 AS DOUBLE) / CAST(x.c1 + vocab.v AS DOUBLE))", 6)} AS nll
+      FROM bg b
+      JOIN bgc c ON c.bd = b.bd
+      JOIN ctx x ON x.cd = b.cd
+      CROSS JOIN vocab
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             {R("CAST(sum(CAST(nll AS DECIMAL(38,6))) AS DOUBLE) / count(*)", 6)} AS avg_nll
+      FROM scored GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "pipeline_ccnet_buckets",
+    f"""
+    WITH {_CCNET_LM_SQL},
+    withlang AS (
+      SELECT p.doc_id, p.avg_nll, d.lang
+      FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+    ),
+    ranked AS (
+      SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY avg_nll ASC) AS pr
+      FROM withlang
+    ),
+    bucketed AS (
+      SELECT lang, avg_nll,
+             CASE WHEN pr < 1.0 / 3.0 THEN 'head'
+                  WHEN pr < 2.0 / 3.0 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM ranked
+    )
+    SELECT lang, bucket, count(*) AS n_docs,
+           {R("CAST(sum(CAST(avg_nll AS DECIMAL(38,6))) AS DOUBLE) / count(*)", 6)} AS mean_nll
+    FROM bucketed GROUP BY lang, bucket
+    """,
+)
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    per-language head/middle/tail terciles of the corpus-trained
+    bigram-LM score — the standard quality split that keeps a
+    same-size slice of EVERY language instead of letting an
+    English-trained threshold eat the low-resource tail. percent_rank
+    keys on the operator's ROUNDED avg_nll, so rank ties are value
+    ties in every engine; the per-bucket mean decimal-accumulates.
+    Composes `tx.bigram_lm_score` (digest-keyed counts) + one
+    lang-keyed window + one aggregation."""
+    docs = _table(spark, sf_dir, "documents")
+    scored = tx.bigram_lm_score(docs)
+    withlang = scored.join(
+        docs.select("doc_id", "lang").hint("shuffle_hash"), "doc_id"
+    )
+    pr = F.percent_rank().over(
+        Window.partitionBy("lang").orderBy(F.col("avg_nll").asc())
+    )
+    bucketed = withlang.withColumn("pr", pr).withColumn(
+        "bucket",
+        F.when(F.col("pr") < F.lit(1.0 / 3.0), F.lit("head"))
+        .when(F.col("pr") < F.lit(2.0 / 3.0), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("avg_nll").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__mean_raw"),
+    ).select(
+        "lang", "bucket", "n_docs", rd(F.col("__mean_raw"), 6).alias("mean_nll")
+    )
