@@ -43,11 +43,56 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+#: The driver's correctness gate samples the FIRST 50 registered
+#: queries. Registration order had been frozen since r1, so the
+#: extension operators (dedup/similarity/text/time-series/graph) were
+#: never externally verified. This explicit order interleaves the
+#: marquee extension queries into the first 50 alongside a
+#: representative reference-parity core; everything else follows in
+#: module registration order.
+_FIRST_50 = [
+    # reference-parity core (SURVEY §2): filters, edits, aggregates,
+    # expressions, relational
+    "f1_moving_average", "f2_rolling_median",
+    "f11_moving_rms", "f7_derivative", "f8_integrate", "f9_normalize_zscore",
+    "f6_detrend", "f13_interpolate_linear", "f14_resample",
+    "p1_time_slice", "p4_delete_segment_collapse", "p5_mark_bad",
+    "p7_asof_lookup", "a1_sample_rate", "a4_episode_overlay",
+    "a5_suggest_segments", "e1_frame_transform", "e8_quat_to_yaw",
+    "asof_join_click_purchase", "recipe_compiled_chain",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q21_waiting_supplier", "topk_orders_by_price",
+    # LLM-pipeline marquee (r3-r7): dedup / similarity / text /
+    # time-series / graph / sketches / composition
+    "dedup_exact_groups", "dedup_minhash_lsh_pairs", "dedup_semantic",
+    "dedup_duplicate_spans", "dedup_span_removal",
+    "dedup_sorted_neighborhood_pairs", "overlap_join_user_sessions",
+    "graph_pagerank_user_concurrency", "sketch_kmv_distinct_tokens",
+    "sketch_kmv_jaccard_sources", "sketch_quantile_value_by_user",
+    "ts_m4_downsample", "ts_gap_report",
+    "ts_mad_outliers", "ts_cusum_changepoint", "ts_ewma_halflife",
+    "text_bm25_topk", "retrieval_rrf_hybrid", "mix_dsir_importance",
+    "sessionize_events", "cohort_retention", "events_json_props_stats",
+    "text_vocab_growth", "histogram_equidepth_value",
+    "pipeline_ccnet_buckets", "pipeline_pretraining_corpus",
+]
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in _FIRST_50 if n in REGISTRY]
+    seen = set(head)
+    return head + [n for n in REGISTRY if n not in seen]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: REGISTRY[name][1]
+        for name in _ordered_names()
+        if REGISTRY[name][1] is not None
+    }

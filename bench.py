@@ -155,7 +155,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     total = round(sum(timings.values()), 3)
-    payload = {
+    detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
@@ -163,14 +163,45 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         # min-of-two steady runs since r02 (r01/BASELINE: single run)
         "timing_rule": "min_of_2_steady",
-        # r4 extended the headline from 20 to 26 queries (the six
-        # heavy dedup/join hitters) — compare totals to r3 only
-        # over the shared 20; per-query keys are stable
-        "headline_set": "r6-extended-63",
+        "headline_set": f"headline-{len(names)}q",
     }
     if errors:
-        payload["errors"] = errors
-    print(json.dumps(payload))
+        detail["errors"] = errors
+    # Full per-query detail: printed FIRST (earlier stdout line) and
+    # written to BENCH_DETAIL.json next to this script. The driver's
+    # stdout tail-capture window is ~2-3 KB; r5/r6 lost their parsed
+    # bench because the 60+-query timing dict pushed the final line's
+    # HEAD outside that window. The FINAL line below is guaranteed
+    # compact (<1 KB): totals, counts, the slowest-10 queries, and the
+    # error map — everything the round-over-round comparison needs.
+    print(json.dumps(detail))
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: the stdout line above still has it
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,  # slowest-10; full dict in BENCH_DETAIL.json
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "sf": detail["sf"],
+        "timing_rule": "min_of_2_steady",
+        "headline_set": detail["headline_set"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    if errors:
+        payload["errors"] = {k: v[:80] for k, v in errors.items()}
+    line = json.dumps(payload)
+    if len(line) > 2000:  # never overflow the tail capture again
+        payload.pop("errors", None)
+        payload["queries"] = dict(list(slowest.items())[:5])
+        line = json.dumps(payload)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -300,14 +300,41 @@ def run_recall(spark):
         for r in sim.ivf_pq_topk(df, qvec, k=21, shortlist=60).collect()
     }
     seed_cells = ivf_candidates(df, seeds)
+    seed_frac = round(seed_cells.count() / (n_total + 20), 4)
     out.append(
         {
             "probe": "ivf_pq(16 cells, nprobe=4, int8, shortlist=40/60)",
             "n_total": n_total + 20,
-            "scanned_frac": round(seed_cells.count() / (n_total + 20), 4),
+            "scanned_frac": seed_frac,
             "recall@10_natural": round(len(exact10 & pq_natural) / 10.0, 2),
             "recall_planted@20": round(
                 len(pq_planted & planted_ids) / 20.0, 2
+            ),
+        }
+    )
+    # r7: second PQ operating point (VERDICT r6 #7) — 4-bit codes
+    # (levels=16, 8× less candidate I/O than float32) at the same
+    # shortlist: the accuracy-vs-scan tradeoff now has two measured
+    # points like IVF/LSH got in r5.
+    pq4_natural = {
+        r["vec_id"]
+        for r in sim.ivf_pq_topk(
+            df.filter(F.col("vec_id") < 900_000_000), qvec, k=10,
+            shortlist=40, levels=16,
+        ).collect()
+    }
+    pq4_planted = {
+        r["vec_id"]
+        for r in sim.ivf_pq_topk(df, qvec, k=21, shortlist=60, levels=16).collect()
+    }
+    out.append(
+        {
+            "probe": "ivf_pq(16 cells, nprobe=4, 4-bit, shortlist=40/60)",
+            "n_total": n_total + 20,
+            "scanned_frac": seed_frac,
+            "recall@10_natural": round(len(exact10 & pq4_natural) / 10.0, 2),
+            "recall_planted@20": round(
+                len(pq4_planted & planted_ids) / 20.0, 2
             ),
         }
     )

@@ -83,28 +83,56 @@ def _keyless_windows(df) -> list[str]:
 # the sanctioned BroadcastNestedLoopJoin shapes — both have build sides
 # that do NOT scale with the fact table:
 #   (a) a 1-row scalar aggregate broadcast-cross-joined back
-#       (PLANS.md invariant 7)
+#       (PLANS.md invariant 7) — detected STRUCTURALLY below via
+#       `_scalar_side_join_count` (a join side whose optimized logical
+#       plan is statically bounded to <= 1 row), so composed queries
+#       inherit sanction automatically instead of via a name list that
+#       rots on every composition (the r5/r6 snapshot-commit failure
+#       mode: pipeline_* queries reusing bigram_lm_score's sanctioned
+#       vocabulary scalar broke the sweep twice).
 #   (b) an interval/annotation table broadcast range join (KB build
 #       side: the reference's annotation and deletion lists, SURVEY
-#       §1.1 — bounded by human labeling, not data volume)
-_SCALAR_BNLJ_OK = {
-    "tpch_q11_important_parts",  # (a)
-    "tpch_q15_top_supplier",  # (a)
-    "tpch_q17_small_quantity_revenue",  # (a)
-    "tpch_q22_global_sales_opportunity",  # (a)
-    "text_tfidf_top_terms",  # (a) — the 1-row corpus-size scalar N
-    "text_bigram_lm_score",  # (a) — the 1-row vocabulary-size scalar V
-    "mix_temperature_sample",  # (a) — the 1-row (T, N) rate scalars
-    "emb_pca_power_iteration",  # (a) — the 1-row norm scalar, once per iteration
-    "pipeline_pretraining_corpus",  # (a) — temperature_sample's (T, N) scalars
-    "text_bm25_topk",  # (a) — the 1-row (N, avgdl) corpus-stats scalar
-    "mix_epoch_upsample",  # (a) — the 1-row c_max scalar
-    "graph_pagerank_user_concurrency",  # (a) — the 1-row vertex-count scalar, per iteration
-    "mix_dsir_importance",  # (a) — the 1-row corpus-total scalars (T, R)
-    "retrieval_rrf_hybrid",  # (a) — BM25's 1-row (N, avgdl) scalar, per query branch
+#       §1.1 — bounded by human labeling, not data volume). These
+#       build sides are small TABLES, not 1-row aggregates, so they
+#       stay on an explicit name list.
+_INTERVAL_BNLJ_OK = {
     "j1_annotation_containment_join",  # (b)
     "j2_deletion_anti_join",  # (b)
 }
+
+
+def _scalar_side_join_count(df) -> int:
+    """Joins in the optimized logical plan with a statically-1-row side.
+
+    `LogicalPlan.maxRows()` is defined (Some(n)) exactly when the
+    planner can bound the output statically — a global Aggregate (no
+    grouping keys) reports Some(1). A BroadcastNestedLoopJoin whose
+    build side is such a node is the sanctioned class-(a) scalar
+    broadcast: its build side can never scale with the fact table."""
+    n = 0
+
+    def walk(node):
+        nonlocal n
+        if node.nodeName() == "Join":
+            for i in (0, 1):
+                mr = node.children().apply(i).maxRows()
+                if mr.isDefined() and mr.get() <= 1:
+                    n += 1
+                    break
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return n
+
+
+def _bnlj_node_count(plan: str) -> int:
+    """Count physical BNLJ NODES in a formatted explain (each node
+    appears once in the tree and once in the details section)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M))
 
 
 def test_registry_sweep_global_invariants(spark):
@@ -138,8 +166,11 @@ def test_registry_sweep_global_invariants(spark):
             problems.append(f"{name}: SortMergeJoin")
         if "CartesianProduct" in plan:
             problems.append(f"{name}: CartesianProduct")
-        if "BroadcastNestedLoopJoin" in plan and name not in _SCALAR_BNLJ_OK:
-            problems.append(f"{name}: unsanctioned BroadcastNestedLoopJoin")
+        if "BroadcastNestedLoopJoin" in plan and name not in _INTERVAL_BNLJ_OK:
+            # class (a): every BNLJ node must be accounted for by a
+            # join with a statically-1-row (scalar aggregate) side
+            if _bnlj_node_count(plan) > _scalar_side_join_count(df):
+                problems.append(f"{name}: unsanctioned BroadcastNestedLoopJoin")
     assert audited >= 85, f"sweep only saw {audited} queries — registry shrank?"
     assert not problems, "scale invariant violations:\n" + "\n".join(problems)
 

@@ -298,6 +298,40 @@ def test_overlap_join_lossless_vs_naive(spark):
     assert ov[(1, 5)] == 0  # touching endpoints: closed-interval overlap 0
 
 
+def test_overlap_join_bucket_invariant_and_auto(spark):
+    """Results are bucket-invariant (losslessness at two more bucket
+    sizes) and bucket_us='auto' derives the exact median duration."""
+    from time_series_data_trimmer_spark.operators import intervals as iv
+
+    H = 3_600_000_000
+    rows = [
+        (1, 0, H // 2),
+        (2, H // 4, 10 * H),
+        (3, 3 * H, 3 * H + 1),
+        (4, 20 * H, 21 * H),
+        (5, H // 2, H // 2),
+    ]
+    df = spark.createDataFrame(rows, "iid long, start_us long, end_us long")
+    want = {(1, 2), (2, 3), (1, 5), (2, 5)}
+
+    def pairs(bucket):
+        return {
+            (r.iid_a, r.iid_b)
+            for r in iv.overlap_join(df, df, bucket_us=bucket).collect()
+            if r.iid_a < r.iid_b
+        }
+
+    assert pairs(H // 7) == want          # small bucket: more fan-out
+    assert pairs(50 * H) == want          # one bucket holds everything
+    assert pairs("auto") == want          # derived bucket, same answer
+    # auto = exact median of the 10 durations (both sides of the self
+    # join): sorted [0, 1, 1, 1800s, 1800s, 3510s, 3510s, 3600s, 3600s,
+    # 35100s]·2 → median interpolates between the two middle values
+    durs = sorted(e - s for _i, s, e in rows) * 2
+    med = sorted(durs)[len(durs) // 2 - 1 : len(durs) // 2 + 1]
+    assert iv.auto_bucket_us(df, df) == int(sum(med) / 2)
+
+
 def test_overlap_join_plan_no_bnlj(spark):
     from time_series_data_trimmer_spark.operators import intervals as iv
 

@@ -1,0 +1,103 @@
+"""Mergeable bottom-k quantile sketch: lifecycle proofs.
+
+The properties that make the sketch shippable at 100 TB:
+merge(sketch(A), sketch(B)) == sketch(A ∪ B) register-for-register for
+disjoint row populations, merge is associative, estimates are EXACT
+below k rows per group, and the registers→estimate chain plans exactly
+one exchange on the group key.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from time_series_data_trimmer_spark.operators import sketches as sk
+
+
+def _regs_set(df):
+    return {(r["g"], r["u"], r["v"]) for r in df.collect()}
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "grp string, rid long, val double")
+
+
+def test_quantile_merge_equals_sketch_of_union(spark):
+    # A and B partition the row ids (disjoint populations — two daily
+    # batches of the same corpus); the merged registers must equal the
+    # one-shot sketch of the union REGISTER-FOR-REGISTER
+    rows = [("g1", i, float((i * 37) % 101)) for i in range(200)] + [
+        ("g2", 1000 + i, float(i % 13)) for i in range(50)
+    ]
+    a = _mk(spark, [r for r in rows if r[1] % 2 == 0])
+    b = _mk(spark, [r for r in rows if r[1] % 2 == 1])
+    u = _mk(spark, rows)
+    k = 32
+    one_shot = sk.quantile_sketch_registers(u, "grp", "val", "rid", k=k)
+    merged = sk.quantile_sketch_merge(
+        sk.quantile_sketch_registers(a, "grp", "val", "rid", k=k),
+        sk.quantile_sketch_registers(b, "grp", "val", "rid", k=k),
+        k=k,
+    )
+    assert _regs_set(merged) == _regs_set(one_shot)
+
+
+def test_quantile_merge_associative(spark):
+    rows = [("g1", i, float((i * 17) % 97)) for i in range(300)]
+    parts = [
+        _mk(spark, [r for r in rows if r[1] % 3 == m]) for m in range(3)
+    ]
+    k = 16
+    regs = [sk.quantile_sketch_registers(p, "grp", "val", "rid", k=k) for p in parts]
+    left = sk.quantile_sketch_merge(sk.quantile_sketch_merge(regs[0], regs[1], k), regs[2], k)
+    right = sk.quantile_sketch_merge(regs[0], sk.quantile_sketch_merge(regs[1], regs[2], k), k)
+    assert _regs_set(left) == _regs_set(right)
+    assert _regs_set(left) == _regs_set(
+        sk.quantile_sketch_registers(_mk(spark, rows), "grp", "val", "rid", k=k)
+    )
+
+
+def test_quantile_exact_below_k(spark):
+    # fewer than k rows → the sketch holds the whole group, and the
+    # estimate IS the nearest-rank quantile
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.0]
+    df = _mk(spark, [("g1", i, v) for i, v in enumerate(vals)])
+    regs = sk.quantile_sketch_registers(df, "grp", "val", "rid", k=64)
+    est = {
+        (r["q"]): r["q_est"]
+        for r in sk.quantile_sketch_estimate(regs, [0.5, 1.0]).collect()
+    }
+    s = sorted(vals)
+    assert est[0.5] == s[max(1, -(-len(s) * 5 // 10)) - 1]  # ceil(0.5·7)=4 → 2.6
+    assert est[1.0] == s[-1]
+
+
+def test_quantile_estimate_close_to_truth(spark):
+    # k=64 over 2000 rows: median estimate within the O(1/sqrt(k))
+    # band of the true median (deterministic — fixed seed/hash)
+    rows = [("g1", i, float(i)) for i in range(2000)]
+    regs = sk.quantile_sketch_registers(_mk(spark, rows), "grp", "val", "rid", k=64)
+    (r,) = sk.quantile_sketch_estimate(regs, [0.5]).collect()
+    assert r["n_kept"] == 64
+    assert abs(r["q_est"] - 999.5) / 2000.0 < 0.15
+
+
+def test_quantile_chain_plans_one_exchange(spark):
+    # registers (one keyed window) → estimate (two windows + filter on
+    # the SAME key): exactly one Exchange end-to-end
+    rows = [("g1", i, float(i % 7)) for i in range(100)]
+    regs = sk.quantile_sketch_registers(_mk(spark, rows), "grp", "val", "rid", k=16)
+    est = sk.quantile_sketch_estimate(regs, [0.5, 0.9])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        est.explain("formatted")
+    body = buf.getvalue().split("===== Subqueries")[0]
+    n_ex = sum(
+        1
+        for ln in body.splitlines()
+        if ln.strip().startswith(("Exchange", "+- Exchange"))
+    )
+    assert n_ex <= 1, body
+    for node in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in body

@@ -189,5 +189,9 @@ def test_single_exchange_plans(events_us, build):
     n_ex = sum(
         1 for ln in body.splitlines() if ln.strip().startswith(("Exchange", "+- Exchange"))
     )
+    # exactly one exchange of ANY kind (a rangepartitioning or
+    # SinglePartition exchange sneaking in would be a plan regression
+    # the hashpartitioning-only count below can't see)
+    assert n_ex <= 1, body
     assert body.count("Exchange hashpartitioning") <= 1, body
     assert "SortMergeJoin" not in body and "CartesianProduct" not in body

@@ -29,10 +29,34 @@ from pyspark.sql import functions as F
 DEFAULT_BUCKET_US = 3_600_000_000
 
 
+def auto_bucket_us(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> int:
+    """Derive the bucket from the data: the exact median interval
+    length across both sides (one global aggregate over the interval
+    tables — which are session/annotation-sized, orders of magnitude
+    smaller than the fact tables they were built from).
+
+    Median ≈ the sweet spot PLANS.md's cost note names: explode
+    fan-out per interval is ``duration/bucket`` (≈2 at the median) and
+    bucket-local candidate count stays near-linear because a typical
+    interval spans O(1) buckets. Exact integer-median (interpolates on
+    .5, exact in double) → deterministic and oracle-reproducible: the
+    same ``median(end-start)`` expression in SQL yields the identical
+    bucket. Returns ≥ 1 µs."""
+    dur = F.col(end_col).cast("long") - F.col(start_col).cast("long")
+    u = left.select(dur.alias("d")).unionByName(right.select(dur.alias("d")))
+    med = u.agg(F.percentile(F.col("d"), F.lit(0.5)).alias("m")).collect()[0]["m"]
+    return max(1, int(med)) if med is not None else DEFAULT_BUCKET_US
+
+
 def overlap_join(
     left: DataFrame,
     right: DataFrame,
-    bucket_us: int = DEFAULT_BUCKET_US,
+    bucket_us: int | str = DEFAULT_BUCKET_US,
     start_col: str = "start_us",
     end_col: str = "end_us",
     suffixes: tuple[str, str] = ("_a", "_b"),
@@ -53,7 +77,14 @@ def overlap_join(
     one distinct on the (already exact) pair rows to collapse
     multi-bucket duplicates. No BNLJ, no cartesian product, no range
     condition left for the planner to mis-plan.
+
+    ``bucket_us="auto"`` derives the bucket from the exact median
+    interval length (`auto_bucket_us`); results are bucket-invariant
+    (losslessness pytest-pinned at multiple bucket sizes), only the
+    candidate volume moves.
     """
+    if bucket_us == "auto":
+        bucket_us = auto_bucket_us(left, right, start_col, end_col)
     sa, sb = suffixes
 
     def fan(df: DataFrame, suffix: str) -> DataFrame:

@@ -217,3 +217,107 @@ def kmv_pairwise_jaccard(regs: DataFrame, k: int = 64) -> DataFrame:
     return agg.select(
         "src_a", "src_b", "n_union_kept", "n_common", rd(est, 6).alias("jaccard_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable QUANTILE sketch: bottom-k row sample on the md5 coin
+# ---------------------------------------------------------------------------
+#
+# The 100 TB problem this solves: the exact windowed percentiles the
+# per-trial operators use (`ts_gap_report`, `ts_mad_outliers`,
+# `histogram_equidepth_value`, the reference's own median-based
+# sample-rate inference at data_model.py:116-126) sort every group's
+# full row set — fine per-trial, impossible corpus-wide. A quantile
+# sketch shuffles a BOUNDED register set per group instead and merges
+# across partitions / days / corpus snapshots without rescanning.
+#
+# Design choice vs KLL (Karnin-Lang-Liberty 2016): KLL reaches
+# O(1/k) rank error but its compactions flip random coins, so two
+# runs (or two engines) produce different registers — unusable for
+# the exact-oracle gate and for cross-system register diffing. The
+# sketch here is a bottom-k-by-md5 uniform row sample (the KMV
+# construction applied to ROW IDENTITY rather than value identity):
+# rank error O(sqrt(q(1-q)/k)), registers bit-identical in Spark,
+# DuckDB, and Python, EXACT below k rows per group, and merge of two
+# disjoint corpora's registers provably equals the one-shot sketch of
+# their union (bottom-k of a union is a function of the two bottom-k
+# sets alone). Same lifecycle as KMV above: registers / merge /
+# estimate.
+
+
+def quantile_sketch_registers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 64,
+    seed: str = "tsdt|qsk",
+) -> DataFrame:
+    """Per-group quantile-sketch STATE: the ``k`` rows whose md5 row-
+    identity hashes are smallest, as (g, u, v) rows — ≤ k (long,
+    double) pairs per group. ``id_col`` must be row-unique within the
+    group (duplicates of ``value_col`` keep their multiplicity — this
+    hashes row identity, NOT the value, unlike KMV).
+
+    Plan: hash evaluates on the scan (values and ids never shuffle
+    beyond the narrow (g, u, v) triple), one keyed row_number window
+    keeps the bottom-k."""
+    hashed = df.select(
+        F.col(group_col).alias("g"),
+        hash_u32(F.col(id_col), seed).alias("u"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    w = Window.partitionBy("g").orderBy(F.col("u").asc(), F.col("v").asc())
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .select("g", "u", "v")
+    )
+
+
+def quantile_sketch_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Merge register sets from DISJOINT row populations (same seed/k):
+    union, keep bottom-k by hash per group. Because every row of the
+    union's true bottom-k has a hash small enough to survive its own
+    side's bottom-k, merge(sketch(A), sketch(B)) == sketch(A ∪ B)
+    register-for-register — proven in tests/test_sketches_quantile.py."""
+    u = a.unionByName(b)
+    w = Window.partitionBy("g").orderBy(F.col("u").asc(), F.col("v").asc())
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .select("g", "u", "v")
+    )
+
+
+def quantile_sketch_estimate(
+    registers: DataFrame,
+    qs: list[float],
+    group_col: str = "g",
+) -> DataFrame:
+    """Quantile estimates from a register set: for each q, the sample
+    value at nearest-rank ``max(1, ceil(q·n_kept))`` under the total
+    order (v asc, u asc). IEEE ``q·n`` then ceil — identical literal
+    op sequence in the oracle SQL, so estimates are bit-portable.
+
+    One exchange when chained after `quantile_sketch_registers` (both
+    windows and the filter share the g partition)."""
+    w_rank = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("u").asc())
+    wp = Window.partitionBy("g")
+    ranked = registers.select(
+        "g", "v",
+        F.row_number().over(w_rank).alias("__vr"),
+        F.count(F.lit(1)).over(wp).alias("n_kept"),
+    )
+    q = F.explode(F.array(*[F.lit(float(x)) for x in qs])).alias("q")
+    tgt = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("q") * F.col("n_kept").cast("double")),
+    )
+    return (
+        ranked.select("g", "v", "__vr", "n_kept", q)
+        .filter(F.col("__vr") == tgt)
+        .select(
+            F.col("g").alias(group_col), "q", "n_kept", F.col("v").alias("q_est")
+        )
+    )

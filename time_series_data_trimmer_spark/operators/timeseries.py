@@ -63,11 +63,13 @@ def m4_downsample(
     (key, bucket) and holds at any scale. Values pass through
     untouched (no arithmetic ⇒ bit-exact).
     """
-    # integer-exact bucketing: t − (t mod B). A double-division form
-    # would round within ~2e-10 of the true quotient — the same order
-    # as one-microsecond fractions of an hour bucket — and could
-    # disagree with an engine that floors in integers.
-    bucket = F.col(micros_col) - F.pmod(F.col(micros_col), F.lit(int(bucket_us)))
+    # integer-exact bucketing: t − (t % B), TRUNCATION semantics (the
+    # Column % operator = Remainder), matching the oracle's `%` so the
+    # engines agree for negative t too (pre-1970 timestamps: pmod's
+    # floor semantics would shift those one bucket). A double-division
+    # form would round within ~2e-10 of the true quotient — the same
+    # order as one-microsecond fractions of an hour bucket.
+    bucket = F.col(micros_col) - F.col(micros_col) % F.lit(int(bucket_us))
     ordered = F.struct(*[F.col(c) for c in order_cols], F.col(value_col))
     return (
         df.groupBy(F.col(key_col), bucket.alias("bucket_us"))
@@ -100,8 +102,12 @@ def gap_report(
     w = Window.partitionBy(key_col).orderBy(*[F.col(c).asc() for c in order_cols])
     wp = Window.partitionBy(key_col)
     dt = (F.col(micros_col) - F.lag(micros_col, 1).over(w)).alias("dt_us")
+    # micros_col carried explicitly (deduped against order_cols) so the
+    # parameters are independent — callers may order by other columns
     with_dt = df.select(
-        F.col(key_col), *[F.col(c) for c in dict.fromkeys(order_cols)], dt
+        F.col(key_col),
+        *[F.col(c) for c in dict.fromkeys([*order_cols, micros_col])],
+        dt,
     )
     med = F.percentile(F.col("dt_us"), F.lit(0.5)).over(wp)
     flagged = with_dt.withColumn("med_dt_us", med).filter(
@@ -162,11 +168,16 @@ def cusum_changepoint(
     maximizes |Σ_{i≤k}(x_i − x̄)| (earliest on ties).
 
     Integer-exact inside: with V = round(x·10⁴) and
-    D_k = n·Σ_{i≤k}V_i − k·ΣV (all bigint), argmax|D_k| ≡
-    argmax|S_k| — the mean never gets divided, so no engine-specific
-    decimal-division scale rules apply. The surfaced score divides once
-    in IEEE double. One exchange; cumsum + totals + rank share the
-    trial-key partition.
+    D_k = n·Σ_{i≤k}V_i − k·ΣV, argmax|D_k| ≡ argmax|S_k| — the mean
+    never gets divided, so no engine-specific decimal-division scale
+    rules apply. The surfaced score divides once in IEEE double. One
+    exchange; cumsum + totals + rank share the trial-key partition.
+
+    D_k grows ~n²·|v|·10⁴, so the n·cum − k·total products accumulate
+    in DECIMAL(38,0) (exact to 10³⁸): a trial of 10⁹ rows with
+    |value|≈10³ reaches ~10²⁵ — far past bigint (Spark non-ANSI would
+    WRAP silently; DuckDB raises), comfortably inside decimal38. The
+    cumsum itself stays bigint (≤ n·|v|·10⁴ ≈ 10¹⁶ at that scale).
     """
     w = Window.partitionBy(key_col).orderBy(*[F.col(c).asc() for c in order_cols])
     wp = Window.partitionBy(key_col)
@@ -183,7 +194,11 @@ def cusum_changepoint(
         kidx.cast("long").alias("k"),
         F.sum("v").over(wp).alias("total"),
         F.count(F.lit(1)).over(wp).alias("n"),
-    ).withColumn("d", F.col("n") * F.col("cum") - F.col("k") * F.col("total"))
+    ).withColumn(
+        "d",
+        F.col("n").cast("decimal(38,0)") * F.col("cum").cast("decimal(38,0)")
+        - F.col("k").cast("decimal(38,0)") * F.col("total").cast("decimal(38,0)"),
+    )
     rank = F.row_number().over(
         Window.partitionBy(key_col).orderBy(
             F.abs(F.col("d")).desc(), *[F.col(c).asc() for c in order_cols]
@@ -214,9 +229,16 @@ def ewma_halflife(
 
     Bit-exact construction: x scaled to int(4 dp); weight for lag j is
     the INTEGER 2^(depth−1−j); numerator and weight-sum stay integer;
-    ONE double division at the end (exact integers ≤ 2⁵³) then the
-    shared rounding grid. All ``depth`` lags live in one Window
-    partition pass — one exchange, one sort, no self-joins.
+    ONE double division at the end, then the shared rounding grid. All
+    ``depth`` lags live in one Window partition pass — one exchange,
+    one sort, no self-joins.
+
+    Magnitude bound: num ≤ |x|·10⁴·(2^depth − 1), so the "exact
+    integer ≤ 2⁵³" claim (bit-identical division in both engines)
+    holds for |x| ≤ ~1.37e7 at depth=16; beyond that the division
+    rounds identically-specified IEEE either way, and int64 itself
+    holds to |x| ≤ ~1.4e10 (Spark non-ANSI wraps past it, DuckDB
+    raises — pick a smaller depth/scale for wider-range channels).
     """
     w = Window.partitionBy(key_col).orderBy(*[F.col(c).asc() for c in order_cols])
     v = _scaled_int(F.col(value_col))

@@ -4180,15 +4180,33 @@ def _q_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAU, _SEMDEDUP_K = 0.4, 16
 
 
+def _semdedup_k(n: int) -> int:
+    """N-adaptive cell count: k = max(16, ceil(sqrt(N))).
+
+    Cells ∝ √N bounds BOTH the assignment work (N·k = N^1.5) and the
+    expected within-cell pair volume (Σ|C|² ≈ N²/k = N^1.5) — the
+    FAISS/SemDeDup sizing rule. A FIXED k makes pair volume quadratic
+    (cell size ∝ N), measured 28.8× at 10× data in SCALING.md; the
+    adaptive form is the scale path and is what this registry benches.
+    """
+    import math
+
+    return max(16, int(math.ceil(math.sqrt(max(n, 1)))))
+
+
 @register(
     "dedup_semantic",
     f"""
     WITH ex AS ({_EX_SQL}),
+    kk AS (
+      SELECT greatest(16, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k
+      FROM embeddings
+    ),
     ord AS (
       SELECT vec_id,
              row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
       FROM embeddings
-      QUALIFY cid <= {_SEMDEDUP_K - 1}
+      QUALIFY cid <= (SELECT k FROM kk) - 1
     ),
     cex AS (SELECT o.cid, e.i, e.x FROM ord o JOIN ex e ON e.vec_id = o.vec_id),
     dists AS (
@@ -4236,10 +4254,17 @@ def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     one clustering pays for dedup AND retrieval. The oracle replays
     the identical deterministic centroid pick (md5-order sample),
     decimal-exact assignment argmin, within-cell pair dots, and the
-    NOT-IN drop rule."""
+    NOT-IN drop rule.
+
+    The cell count is N-ADAPTIVE (k = max(16, ceil(sqrt(N))), derived
+    from a deterministic parquet-metadata count and replayed by the
+    oracle's `kk` CTE) — the registered/benched form IS the scale
+    path. r6's fixed k=16 form measured 28.8x at 10x data (quadratic
+    pair volume); see `_semdedup_k` and SCALING.md §r7."""
     emb = _table(spark, sf_dir, "embeddings")
+    k = _semdedup_k(emb.count())
     return sim.semdedup_survivors(
-        emb, tau=_SEMDEDUP_TAU, n_centroids=_SEMDEDUP_K
+        emb, tau=_SEMDEDUP_TAU, n_centroids=k
     ).select("vec_id", F.col("centroid_id").cast("int").alias("centroid_id"))
 
 
@@ -4577,6 +4602,105 @@ def _q_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("token") > 0)
     )
     return sk.kmv_distinct(toks, "source", "token", k=64)
+
+
+_QSK_K, _QSK_QS, _QSK_SEED = 32, [0.25, 0.5, 0.9, 0.99], "tsdt|qsk"
+_QSK_U = sp.sql_hash_u32("event_id", _QSK_SEED)
+
+
+@register(
+    "sketch_quantile_value_by_user",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    h AS (
+      SELECT user_id AS g, {_QSK_U} AS u, CAST(value AS DOUBLE) AS v FROM ev
+    ),
+    regs AS (
+      SELECT g, u, v FROM h
+      QUALIFY row_number() OVER (PARTITION BY g ORDER BY u ASC, v ASC) <= {_QSK_K}
+    ),
+    ranked AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v ASC, u ASC) AS vr,
+             count(*) OVER (PARTITION BY g) AS n_kept
+      FROM regs
+    ),
+    qs AS (
+      SELECT unnest([{", ".join(f"CAST({q} AS DOUBLE)" for q in _QSK_QS)}]) AS q
+    ),
+    est AS (
+      SELECT g, q, n_kept, v AS q_est
+      FROM ranked CROSS JOIN qs
+      WHERE vr = greatest(1, CAST(ceil(q * CAST(n_kept AS DOUBLE)) AS BIGINT))
+    ),
+    frank AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v ASC, u ASC) AS vr,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM h
+    ),
+    exact AS (
+      SELECT g, q, v AS q_exact
+      FROM frank CROSS JOIN qs
+      WHERE vr = greatest(1, CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT))
+    )
+    SELECT e.g AS user_id, e.q, e.n_kept, e.q_est, x.q_exact,
+           {sql_rd("abs(e.q_est - x.q_exact)", 6)} AS abs_err
+    FROM est e JOIN exact x ON e.g = x.g AND e.q = x.q
+    """,
+)
+def _q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trial quantile estimates from the mergeable bottom-k-by-md5
+    quantile sketch (`sk.quantile_sketch_registers` / `_estimate`,
+    k=32), exact nearest-rank quantiles alongside for audit.
+
+    This is the 100 TB answer to the exact windowed percentiles that
+    `ts_gap_report` / `ts_mad_outliers` / `histogram_equidepth_value`
+    (and the reference's median sample-rate inference,
+    data_model.py:116-126) rely on: fine per-trial, impossible
+    corpus-wide. The sketch shuffles ≤ k (hash, value) registers per
+    group, merges across corpus snapshots without rescanning
+    (merge == one-shot proven register-for-register in
+    tests/test_sketches_quantile.py), and every register and estimate
+    is the portable md5 coin — bit-identical in Spark, DuckDB, Python.
+    The oracle replays registers, ranks, and both estimators exactly.
+    """
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    regs = sk.quantile_sketch_registers(
+        ev, "user_id", "value", "event_id", k=_QSK_K, seed=_QSK_SEED
+    )
+    est = sk.quantile_sketch_estimate(regs, _QSK_QS, group_col="g")
+    # exact audit branch: same rank rule over the FULL per-trial data
+    hashed = ev.select(
+        F.col("user_id").alias("g"),
+        sp.hash_u32(F.col("event_id"), _QSK_SEED).alias("u"),
+        F.col("value").cast("double").alias("v"),
+    )
+    w_rank = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("u").asc())
+    wp = Window.partitionBy("g")
+    frank = hashed.select(
+        "g", "v",
+        F.row_number().over(w_rank).alias("__vr"),
+        F.count(F.lit(1)).over(wp).alias("__n"),
+    )
+    q = F.explode(F.array(*[F.lit(float(x)) for x in _QSK_QS])).alias("q")
+    tgt = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("__n").cast("double"))
+    )
+    exact = (
+        frank.select("g", "v", "__vr", "__n", q)
+        .filter(F.col("__vr") == tgt)
+        .select("g", "q", F.col("v").alias("q_exact"))
+    )
+    return (
+        est.join(exact.hint("shuffle_hash"), ["g", "q"])
+        .select(
+            F.col("g").alias("user_id"), "q", "n_kept", "q_est", "q_exact",
+            rd(F.abs(F.col("q_est") - F.col("q_exact")), 6).alias("abs_err"),
+        )
+    )
 
 
 @register(
