@@ -324,12 +324,28 @@ def test_overlap_join_bucket_invariant_and_auto(spark):
     assert pairs(H // 7) == want          # small bucket: more fan-out
     assert pairs(50 * H) == want          # one bucket holds everything
     assert pairs("auto") == want          # derived bucket, same answer
-    # auto = exact median of the 10 durations (both sides of the self
-    # join): sorted [0, 1, 1, 1800s, 1800s, 3510s, 3510s, 3600s, 3600s,
-    # 35100s]·2 → median interpolates between the two middle values
-    durs = sorted(e - s for _i, s, e in rows) * 2
+    # no-duplicate guarantee WITHOUT a distinct: at the smallest
+    # bucket, multi-bucket pairs would surface once per shared bucket
+    # if the first-overlap-bucket guard regressed (sets above would
+    # hide that) — row count must equal unique-tuple count
+    small = iv.overlap_join(df, df, bucket_us=H // 7).collect()
+    assert len(small) == len({tuple(r) for r in small})
+    # auto = exact median of the POSITIVE durations (point intervals
+    # excluded — gap-sessionized data is full of them and they would
+    # drag the median to 0), both sides of the self join
+    durs = sorted(e - s for _i, s, e in rows if e > s) * 2
     med = sorted(durs)[len(durs) // 2 - 1 : len(durs) // 2 + 1]
-    assert iv.auto_bucket_us(df, df) == int(sum(med) / 2)
+    assert iv.auto_bucket_us(df, df) == max(1_000_000, int(sum(med) / 2))
+    # all-point-interval degenerate input falls back to the default
+    pts = spark.createDataFrame(
+        [(1, 10, 10), (2, 20, 20)], "iid long, start_us long, end_us long"
+    )
+    assert iv.auto_bucket_us(pts, pts) == iv.DEFAULT_BUCKET_US
+    # the 1-second floor: sub-second medians cannot explode the fan-out
+    tiny = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 12)], "iid long, start_us long, end_us long"
+    )
+    assert iv.auto_bucket_us(tiny, tiny) == 1_000_000
 
 
 def test_overlap_join_plan_no_bnlj(spark):

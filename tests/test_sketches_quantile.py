@@ -101,3 +101,61 @@ def test_quantile_chain_plans_one_exchange(spark):
     assert n_ex <= 1, body
     for node in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in body
+
+
+# --- Count-Min frequency sketch ---------------------------------------------
+
+
+def _cm_set(df):
+    return {(r["g"], r["r"], r["c"], r["cnt"]) for r in df.collect()}
+
+
+def test_cm_merge_equals_sketch_of_union_any_split(spark):
+    # counters are sums: merge == one-shot for ANY split of the rows,
+    # including overlapping value multisets (stronger than bottom-k's
+    # disjoint-population requirement)
+    rows = [("g1", f"tok{i % 17}") for i in range(500)] + [
+        ("g2", f"tok{i % 5}") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    a = spark.createDataFrame(rows[:173], "grp string, item string")
+    b = spark.createDataFrame(rows[173:], "grp string, item string")
+    one_shot = sk.cm_registers(df, "grp", "item", d=4, w=64)
+    merged = sk.cm_merge(
+        sk.cm_registers(a, "grp", "item", d=4, w=64),
+        sk.cm_registers(b, "grp", "item", d=4, w=64),
+    )
+    assert _cm_set(merged) == _cm_set(one_shot)
+
+
+def test_cm_never_underestimates_and_bounded(spark):
+    import collections
+
+    rows = [("g1", f"tok{(i * 7) % 40}") for i in range(1000)]
+    truth = collections.Counter(t for _g, t in rows)
+    df = spark.createDataFrame(rows, "grp string, item string")
+    regs = sk.cm_registers(df, "grp", "item", d=4, w=64)
+    # register volume bound: <= d*w cells per group
+    assert regs.count() <= 4 * 64
+    items = [f"tok{i}" for i in range(40)] + ["absent-item"]
+    est = {
+        r["item"]: r["est_count"]
+        for r in sk.cm_estimate(regs, items, d=4, w=64, item_col="item").collect()
+    }
+    n = len(rows)
+    for it in items:
+        e = est.get(it, 0)
+        assert e >= truth.get(it, 0)  # CM never underestimates
+        assert e <= truth.get(it, 0) + 2 * n / 64 + 1  # epsilon bound (loose)
+
+
+def test_cm_estimate_exact_when_no_collisions(spark):
+    # few items, wide sketch: no collisions -> estimates are exact
+    rows = [("g1", "a")] * 3 + [("g1", "b")] * 7
+    df = spark.createDataFrame(rows, "grp string, item string")
+    regs = sk.cm_registers(df, "grp", "item", d=4, w=1024)
+    est = {
+        r["item"]: r["est_count"]
+        for r in sk.cm_estimate(regs, ["a", "b"], w=1024, item_col="item").collect()
+    }
+    assert est == {"a": 3, "b": 7}

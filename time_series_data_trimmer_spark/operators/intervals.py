@@ -9,8 +9,9 @@ e.g. the Databricks range-join optimization and DuckDB's IEJoin
 complement): COARSE BUCKETS as the equi-key. Each interval explodes to
 the integer buckets it spans; two overlapping intervals necessarily
 share the bucket containing any overlap point, so a bucket equi-join is
-a lossless candidate generator; the exact predicate then filters, and a
-``distinct`` collapses multi-bucket duplicates.
+a lossless candidate generator; the exact predicate then filters, and
+the first-overlap-bucket guard emits each pair exactly once (no dedup
+shuffle).
 
 Cost: |candidates| = Σ_buckets |A_b|·|B_b| — linear for time-localized
 data with bucket ≈ median interval length; explode fan-out is
@@ -45,12 +46,26 @@ def auto_bucket_us(
     bucket-local candidate count stays near-linear because a typical
     interval spans O(1) buckets. Exact integer-median (interpolates on
     .5, exact in double) → deterministic and oracle-reproducible: the
-    same ``median(end-start)`` expression in SQL yields the identical
-    bucket. Returns ≥ 1 µs."""
+    same guarded ``median`` expression in SQL yields the identical
+    bucket.
+
+    Two degeneracy guards, both learned from real session data
+    (SCALING.md §r7): the median is over POSITIVE durations only
+    (gap-sessionized streams are full of single-event point intervals
+    — an unguarded median can be 0), and the result floors at 1
+    second (a micro-second bucket turns ``explode(sequence(...))``
+    into a per-interval fan-out of ``duration`` MICROSECONDS —
+    measured as a stalled job, not a slow one)."""
     dur = F.col(end_col).cast("long") - F.col(start_col).cast("long")
     u = left.select(dur.alias("d")).unionByName(right.select(dur.alias("d")))
-    med = u.agg(F.percentile(F.col("d"), F.lit(0.5)).alias("m")).collect()[0]["m"]
-    return max(1, int(med)) if med is not None else DEFAULT_BUCKET_US
+    med = (
+        u.filter(F.col("d") > 0)
+        .agg(F.percentile(F.col("d"), F.lit(0.5)).alias("m"))
+        .collect()[0]["m"]
+    )
+    if med is None:
+        return DEFAULT_BUCKET_US
+    return max(1_000_000, int(med))
 
 
 def overlap_join(
@@ -73,15 +88,26 @@ def overlap_join(
 
     Plan shape: two scan-side ``explode(sequence(floor(start/bucket),
     floor(end/bucket)))`` fan-outs, ONE shuffle-hash equi-join on the
-    bucket id, the exact overlap predicate as a join-time filter, and
-    one distinct on the (already exact) pair rows to collapse
-    multi-bucket duplicates. No BNLJ, no cartesian product, no range
-    condition left for the planner to mis-plan.
+    bucket id, and the exact overlap predicate + FIRST-OVERLAP-BUCKET
+    guard as join-time filters. No BNLJ, no cartesian product, no
+    range condition left for the planner to mis-plan.
 
-    ``bucket_us="auto"`` derives the bucket from the exact median
+    The first-overlap-bucket guard (``__bucket ==
+    floor(greatest(start_a, start_b)/bucket)``) makes each overlapping
+    pair survive in exactly ONE bucket — the one containing the
+    overlap's left edge (overlap implies ``max(starts) <=
+    min(ends)``, so that bucket is always probed by both sides). This
+    replaces the r6 ``distinct()``: with a small bucket, a pair of
+    long co-running intervals used to surface once per SHARED bucket
+    (~overlap/bucket duplicate rows), and the distinct's full-width
+    Exchange dominated end-to-end cost (measured on the session
+    matrix, SCALING.md §r7). The guard is a free predicate; no dedup
+    shuffle exists at any bucket size.
+
+    ``bucket_us="auto"`` derives the bucket from the guarded median
     interval length (`auto_bucket_us`); results are bucket-invariant
     (losslessness pytest-pinned at multiple bucket sizes), only the
-    candidate volume moves.
+    candidate-join volume moves.
     """
     if bucket_us == "auto":
         bucket_us = auto_bucket_us(left, right, start_col, end_col)
@@ -101,13 +127,16 @@ def overlap_join(
     exact = (F.col(f"{start_col}{sa}") <= F.col(f"{end_col}{sb}")) & (
         F.col(f"{start_col}{sb}") <= F.col(f"{end_col}{sa}")
     )
+    first_bucket = F.col("__bucket") == F.floor(
+        F.greatest(F.col(f"{start_col}{sa}"), F.col(f"{start_col}{sb}"))
+        / F.lit(int(bucket_us))
+    )
     overlap = F.least(
         F.col(f"{end_col}{sa}"), F.col(f"{end_col}{sb}")
     ) - F.greatest(F.col(f"{start_col}{sa}"), F.col(f"{start_col}{sb}"))
     return (
         la.join(rb.hint("shuffle_hash"), "__bucket")
-        .filter(exact)
+        .filter(exact & first_bucket)
         .drop("__bucket")
-        .distinct()
         .withColumn("overlap_us", overlap)
     )

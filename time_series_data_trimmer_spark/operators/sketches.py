@@ -321,3 +321,105 @@ def quantile_sketch_estimate(
             F.col("g").alias(group_col), "q", "n_kept", F.col("v").alias("q_est")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable FREQUENCY sketch: Count-Min on the portable md5 coin
+# ---------------------------------------------------------------------------
+#
+# Completes the portable sketch family — distinct counts (KMV),
+# quantiles (bottom-k sample), and now per-item FREQUENCIES — for the
+# queries "how often does token/url/ngram X appear per source" at
+# 100 TB, where an exact (group, item) count table IS the vocabulary
+# shuffle the sketches exist to avoid. Count-Min (Cormode &
+# Muthukrishnan 2005): d hash rows × w counters; add = increment one
+# counter per row; estimate(x) = min over rows of counter[h_r(x)].
+# Registers are SUMS, so unlike Misra-Gries the state is independent
+# of stream/partition order — deterministic, engine-portable, and
+# merge is elementwise addition (merge == one-shot by construction,
+# still pytest-pinned). Guarantee: est ≥ exact always (never
+# underestimates); est ≤ exact + 2N/w with probability 1 − 2⁻ᵈ.
+
+
+def cm_registers(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    d: int = 4,
+    w: int = 256,
+    seed: str = "tsdt|cm",
+) -> DataFrame:
+    """Per-group Count-Min STATE as (g, r, c, cnt) rows — ≤ d·w longs
+    per group (zero cells are simply absent). Coordinates are the
+    portable coin: ``c = hash_u32(item, seed|r) % w`` for each hash
+    row r, evaluated on the scan (items never shuffle; only the
+    bounded (g, r, c) triple does, pre-aggregated map-side)."""
+    coords = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(r).alias("r"),
+                (hash_u32(F.col(item_col), f"{seed}|{r}") % F.lit(int(w))).alias("c"),
+            )
+            for r in range(int(d))
+        ])
+    ).alias("rc")
+    return (
+        df.select(F.col(group_col).alias("g"), coords)
+        .select("g", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .groupBy("g", "r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge register sets (same seed/d/w): elementwise counter
+    addition. Counters are order-independent sums, so
+    merge(sketch(A), sketch(B)) == sketch(A ⊎ B) exactly, for ANY
+    split of the rows (not just disjoint populations)."""
+    return (
+        a.unionByName(b).groupBy("g", "r", "c").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    registers: DataFrame,
+    items: list[str],
+    d: int = 4,
+    w: int = 256,
+    seed: str = "tsdt|cm",
+    group_col: str = "g",
+    item_col: str = "item",
+) -> DataFrame:
+    """Frequency estimates for a literal item list, per group:
+    ``min`` over the d counters each item hashes to; any ABSENT
+    counter means a zero cell, hence estimate 0 (implemented as
+    "fewer than d matched rows → 0" — no group×item universe build,
+    no cross join).
+
+    The item coordinate table is d·|items| literal rows broadcast
+    into one hash join against the registers — nothing scales with
+    the corpus."""
+    import hashlib
+
+    def _coord(item: str, r: int) -> int:
+        digest = hashlib.md5(f"{seed}|{r}|{item}".encode()).hexdigest()
+        return int(digest[:8], 16) % int(w)
+
+    spark = registers.sparkSession
+    rows = [(it, r, _coord(it, r)) for it in items for r in range(int(d))]
+    coords = spark.createDataFrame(rows, f"{item_col} string, r int, c int")
+    hit = registers.join(
+        F.broadcast(coords), ["r", "c"]
+    )
+    return (
+        hit.groupBy("g", item_col)
+        .agg(F.count(F.lit(1)).alias("__nr"), F.min("cnt").alias("__mn"))
+        .select(
+            F.col("g").alias(group_col),
+            item_col,
+            F.when(F.col("__nr") >= int(d), F.col("__mn"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("est_count"),
+        )
+    )

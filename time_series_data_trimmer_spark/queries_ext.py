@@ -4604,6 +4604,108 @@ def _q_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.kmv_distinct(toks, "source", "token", k=64)
 
 
+_CM_D, _CM_W, _CM_SEED = 4, 256, "tsdt|cm"
+_CM_ITEMS = ["spark", "window", "join", "data", "the", "zzz-missing"]
+
+
+def _cm_coord_sql() -> str:
+    """The estimate-side (item, r, c) coordinate VALUES literal —
+    computed once with the same md5 arithmetic `sk.cm_estimate` uses."""
+    import hashlib
+
+    vals = []
+    for it in _CM_ITEMS:
+        for r in range(_CM_D):
+            c = int(hashlib.md5(f"{_CM_SEED}|{r}|{it}".encode()).hexdigest()[:8], 16) % _CM_W
+            vals.append(f"('{it}', {r}, {c})")
+    return ", ".join(vals)
+
+
+_CM_CELL_UNION = "\n      UNION ALL ".join(
+    f"SELECT source, {r} AS r, "
+    f"{sp.sql_hash_u32('token', f'{_CM_SEED}|{r}')} % {_CM_W} AS c FROM toks"
+    for r in range(_CM_D)
+)
+
+
+@register(
+    "sketch_cm_token_freq_by_source",
+    f"""
+    WITH toks AS (
+      SELECT d.source AS source, t.token AS token
+      FROM documents d,
+           LATERAL (SELECT unnest(string_split(trim(d.text), ' ')) AS token) t
+      WHERE d.text IS NOT NULL AND len(t.token) > 0
+    ),
+    cells AS (
+      SELECT source AS g, r, c, count(*) AS cnt
+      FROM ({_CM_CELL_UNION})
+      GROUP BY source, r, c
+    ),
+    coords AS (SELECT * FROM (VALUES {_cm_coord_sql()}) t(item, r, c)),
+    est AS (
+      SELECT g, item,
+             CASE WHEN count(*) >= {_CM_D} THEN min(cnt) ELSE 0 END AS est_count
+      FROM cells JOIN coords USING (r, c)
+      GROUP BY g, item
+    ),
+    exact AS (
+      SELECT source AS g, token AS item, count(*) AS exact_count
+      FROM toks WHERE token IN ({", ".join(f"'{it}'" for it in _CM_ITEMS)})
+      GROUP BY source, token
+    )
+    SELECT e.g AS source, e.item AS token,
+           CAST(e.est_count AS BIGINT) AS est_count,
+           CAST(coalesce(x.exact_count, 0) AS BIGINT) AS exact_count,
+           CAST(e.est_count - coalesce(x.exact_count, 0) AS BIGINT) AS overest
+    FROM est e LEFT JOIN exact x ON e.g = x.g AND e.item = x.item
+    """,
+)
+def _q_cm_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-frequency estimates from the mergeable
+    Count-Min sketch (`sk.cm_registers` / `_estimate`, d=4, w=256),
+    exact counts alongside for audit plus the signed overestimate
+    (CM never underestimates — ``overest >= 0`` always, asserted in
+    tests/test_sketches_quantile.py and visible in the output).
+
+    Completes the portable sketch family: KMV (distinct), bottom-k
+    (quantiles), Count-Min (frequencies). At 100 TB the registers are
+    ≤ d·w longs per source — the per-(source, token) exact count
+    table they replace IS the vocabulary shuffle. Counters are sums,
+    so the state is independent of partition order and merge is
+    elementwise addition (merge == one-shot for ANY row split, unlike
+    the bottom-k sketches' disjoint-population requirement)."""
+    docs = _table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+    regs = sk.cm_registers(toks, "source", "token", d=_CM_D, w=_CM_W, seed=_CM_SEED)
+    est = sk.cm_estimate(
+        regs, _CM_ITEMS, d=_CM_D, w=_CM_W, seed=_CM_SEED,
+        group_col="source", item_col="token",
+    )
+    exact = (
+        toks.filter(F.col("token").isin(_CM_ITEMS))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("__exact"))
+    )
+    return (
+        est.join(exact.hint("shuffle_hash"), ["source", "token"], "left")
+        .select(
+            "source", "token", "est_count",
+            F.coalesce(F.col("__exact"), F.lit(0)).cast("long").alias("exact_count"),
+            (F.col("est_count") - F.coalesce(F.col("__exact"), F.lit(0)))
+            .cast("long")
+            .alias("overest"),
+        )
+    )
+
+
 _QSK_K, _QSK_QS, _QSK_SEED = 32, [0.25, 0.5, 0.9, 0.99], "tsdt|qsk"
 _QSK_U = sp.sql_hash_u32("event_id", _QSK_SEED)
 
@@ -4779,11 +4881,16 @@ def _q_overlap_join_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     events (30-min gap), then find every overlapping session pair
     between DIFFERENT users and aggregate per user pair. The naive
     form of this join is a BroadcastNestedLoopJoin (no equi-key);
-    the operator's hour-bucket explode turns it into ONE shuffle-hash
+    the operator's bucket explode turns it into ONE shuffle-hash
     equi-join with an exact-predicate filter — the production
     range-join shape. Output is bounded by |user pairs| at any scale.
     The oracle runs the naive quadratic join (DuckDB plans it as an
-    IEJoin) — same pairs, proving the bucket blocking lossless."""
+    IEJoin) — same pairs, proving the bucket blocking lossless.
+
+    r7: the bucket is DERIVED (`iv.auto_bucket_us` = guarded median
+    interval length): candidate volume 3.77M vs 13.05M with the fixed
+    1-hour bucket at sf0.1 (3.5× fewer; 0.38B vs 1.31B at 10×) —
+    results bucket-invariant, pytest-pinned (SCALING.md §r7)."""
     sess = ag.sessionize_user_events(_table(spark, sf_dir, "events"), gap_minutes=30)
     ivl = sess.select(
         "user_id",
@@ -4791,7 +4898,7 @@ def _q_overlap_join_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
         F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
         F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
     )
-    pairs = iv.overlap_join(ivl, ivl).filter(
+    pairs = iv.overlap_join(ivl, ivl, bucket_us="auto").filter(
         F.col("user_id_a") < F.col("user_id_b")
     )
     return pairs.groupBy(
@@ -5021,6 +5128,11 @@ def _q_pagerank_user_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
         F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
     )
+    # default (1h) bucket, not "auto": the edge build happens once and
+    # the iterations dominate, so the auto pass's extra sessionize job
+    # costs more than the candidate reduction saves (measured ±1 s
+    # both scales, SCALING.md §r7); the first-overlap-bucket guard
+    # applies either way
     prs = iv.overlap_join(ivl, ivl).filter(F.col("user_id_a") < F.col("user_id_b"))
     mat = prs.groupBy(
         F.col("user_id_a").alias("ua"), F.col("user_id_b").alias("ub")
