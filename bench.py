@@ -110,6 +110,10 @@ HEADLINE = [
     "sketch_kmv_jaccard_sources",  # all-pairs domain vocab overlap from registers
     "text_vocab_growth",         # Heaps curve: digest-collapsed first occurrences
     "pipeline_ccnet_buckets",    # per-lang LM-score terciles (CCNet split)
+    # r7, on-headline from day one:
+    "sketch_quantile_value_by_user",  # mergeable bottom-k quantile sketch + exact audit
+    "sketch_cm_token_freq_by_source",  # Count-Min frequencies (d*w bounded registers)
+    "stream_kmv_distinct_users",  # KMV registers in GroupState, batch-equal estimate
 ]
 
 

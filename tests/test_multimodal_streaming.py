@@ -211,3 +211,66 @@ def test_stream_dedup_file_sink_matches_batch_distinct(spark, tmp_path):
 
     rerun = stream_dedup_to_files(spark, path, sink, ckpt).toPandas()
     assert len(rerun) == len(got), "restart from checkpoint re-emitted rows"
+
+
+def test_stream_kmv_batch_schedule_invariant(spark, tmp_path):
+    """The streaming KMV estimate is identical under a 3-batch schedule
+    and a single batch, and equals the batch sketch — bottom-k's
+    closure under union makes emissions re-mergeable regardless of
+    micro-batch boundaries."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from time_series_data_trimmer_spark.operators import sketches as sk
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        stream_kmv_distinct,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    t0 = _time.time()
+    rows = [(i, i % 97, "a" if i % 3 else "b", float(i)) for i in range(300)]
+    for fi in range(3):
+        df = pd.DataFrame(
+            [
+                {
+                    "event_id": eid,
+                    "ts": (base + pd.Timedelta(minutes=eid)).to_datetime64(),
+                    "user_id": uid,
+                    "event_type": et,
+                    "value": v,
+                }
+                for eid, uid, et, v in rows[fi::3]
+            ]
+        )
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        path = os.path.join(src, f"f{fi}.parquet")
+        df.to_parquet(path, index=False)
+        os.utime(path, (t0 + fi * 100, t0 + fi * 100))
+
+    def run(mfpt):
+        out = stream_kmv_distinct(
+            spark, src, group_col="event_type", key_col="user_id", k=32,
+            max_files_per_trigger=mfpt,
+        )
+        return {
+            (r["event_type"], r["n_kept"], r["est_distinct"])
+            for r in out.collect()
+        }
+
+    multi = run(1)      # three micro-batches
+    single = run(None)  # one batch
+    assert multi == single
+    batch_df = spark.createDataFrame(
+        [(et, uid) for _e, uid, et, _v in rows], "event_type string, user_id long"
+    )
+    batch = {
+        (r["event_type"], r["n_kept"], r["est_distinct"])
+        for r in sk.kmv_distinct(batch_df, "event_type", "user_id", k=32)
+        .select("event_type", "n_kept", "est_distinct")
+        .collect()
+    }
+    assert multi == batch

@@ -997,6 +997,51 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_hour_agg(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+@register(
+    "stream_kmv_distinct_users",
+    f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type AS g,
+             {sp.sql_hash_u32("user_id", "tsdt|kmv")} AS u
+      FROM events
+    ),
+    ranked AS (
+      SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u ASC) AS rn
+      FROM hashed
+    ),
+    kept AS (
+      SELECT g, count(*) AS n_kept, max(u) AS kth
+      FROM ranked WHERE rn <= 64 GROUP BY g
+    )
+    SELECT g AS event_type, n_kept,
+           {sql_rd(
+               "CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)"
+               " ELSE 63.0 * 4294967296.0 / CAST(kth AS DOUBLE) END",
+               6,
+           )} AS est_distinct
+    FROM kept
+    """,
+)
+def _q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV distinct-users-per-event-type
+    (`stream_ops.stream_kmv_distinct`): bottom-k md5 registers held in
+    GroupState (`applyInPandasWithState`, ≤ k longs per group), every
+    emission re-merged after the run — bottom-k's closure under union
+    makes the estimate independent of micro-batch boundaries, so the
+    streaming answer is BIT-EQUAL to the batch sketch and the same
+    exact DuckDB oracle applies. The sketch family's streaming face:
+    the register lifecycle (registers/merge/estimate) is untouched;
+    only the accumulation site moved into the stream."""
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        stream_kmv_distinct,
+    )
+
+    return stream_kmv_distinct(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        group_col="event_type", key_col="user_id", k=64,
+    )
+
+
 _MM_FEATS = ", ".join(
     f"('0x' || substr(h{d + 1}, {(k % 4) * 8 + 1}, 8))::BIGINT / 2147483648.0 - 1.0 AS f{k}"
     for k, d in [(k, k // 4) for k in range(16)]

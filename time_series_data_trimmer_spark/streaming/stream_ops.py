@@ -383,6 +383,83 @@ def running_counts_with_state(spark: SparkSession, path: str, threshold: float =
     return _run_to_memory(result, mode="update")
 
 
+def stream_kmv_distinct(
+    spark: SparkSession,
+    path: str,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    k: int = 64,
+    seed: str = "tsdt|kmv",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming KMV distinct-count sketch: per-group bottom-k md5
+    registers maintained in GroupState across micro-batches, final
+    estimate BIT-EQUAL to the batch `sketches.kmv_distinct` over the
+    same data — the sketch family's streaming face.
+
+    Why this is micro-batch-schedule-proof (and therefore exactly
+    oracle-checkable even though the file-source's batch boundaries
+    are an implementation detail): the state update is
+    ``bottom_k(state ∪ batch_hashes)`` and every per-batch emission is
+    the current register list; bottom-k is CLOSED under union
+    (bottom-k(A ∪ B) is a function of bottom-k(A) ∪ bottom-k(B)), so
+    re-merging ALL emissions — stale ones included — still yields
+    exactly bottom-k(everything). The post-pass is therefore the
+    ordinary `kmv_merge`-shaped re-rank + `kmv_estimate`, and no
+    emission ordering or batch count can change the answer.
+
+    State per group is ≤ k longs (the RocksDB story from
+    `stream_dedup` applies unchanged); hashes are computed scan-side
+    before the grouped-map, so raw keys never enter Python."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+    import pandas as pd
+
+    from time_series_data_trimmer_spark.operators.sampling import hash_u32
+    from time_series_data_trimmer_spark.operators import sketches as sk
+
+    stream = _events_stream(spark, path, max_files_per_trigger)
+    hashed = stream.select(
+        F.col(group_col).cast("string").alias("g"),
+        hash_u32(F.col(key_col), seed).alias("u"),
+    )
+    out_schema = StructType(
+        [StructField("g", StringType()), StructField("u", LongType())]
+    )
+    state_schema = StructType([StructField("us", ArrayType(LongType()))])
+
+    def update(key, pdfs, state: GroupState):
+        regs = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            regs.update(int(u) for u in pdf["u"])
+        kept = sorted(regs)[: int(k)]
+        state.update((kept,))
+        yield pd.DataFrame({"g": [key[0]] * len(kept), "u": kept})
+
+    emitted = hashed.groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emissions = _run_to_memory(emitted, mode="update")
+    # merge ALL emissions (union → dedup → re-rank to bottom-k) and
+    # estimate — correct regardless of which emission was "final"
+    regs = emissions.distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.col("u").asc())
+    merged = (
+        regs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .select("g", "u")
+    )
+    return sk.kmv_estimate(merged, k=k, group_col=group_col)
+
+
 def stream_static_enriched_counts(
     spark: SparkSession, path: str, n_cohorts: int = 10
 ) -> DataFrame:
