@@ -114,6 +114,7 @@ HEADLINE = [
     "sketch_quantile_value_by_user",  # mergeable bottom-k quantile sketch + exact audit
     "sketch_cm_token_freq_by_source",  # Count-Min frequencies (d*w bounded registers)
     "stream_kmv_distinct_users",  # KMV registers in GroupState, batch-equal estimate
+    "text_heavy_hitters_by_source",  # CM-gated exact heavy hitters, candidate-bounded shuffle
 ]
 
 

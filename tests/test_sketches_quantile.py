@@ -159,3 +159,52 @@ def test_cm_estimate_exact_when_no_collisions(spark):
         for r in sk.cm_estimate(regs, ["a", "b"], w=1024, item_col="item").collect()
     }
     assert est == {"a": 3, "b": 7}
+
+
+def test_cm_heavy_hitters_exact_vs_naive(spark):
+    # skewed vocabulary: few heavy items + long tail; TINY registers
+    # (w=16) force CM false positives — the exact verify must remove
+    # them and the result must equal the naive GROUP BY/HAVING
+    rows = []
+    for g in ("g1", "g2"):
+        for h in range(3):
+            rows += [(g, f"heavy{h}")] * (50 + 10 * h)
+        rows += [(g, f"tail{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    got = {
+        (r["grp"], r["item"], r["exact_count"])
+        for r in sk.cm_heavy_hitters(df, "grp", "item", min_count=50, d=4, w=16).collect()
+    }
+    import collections
+
+    truth = collections.Counter(rows)
+    want = {(g, it, c) for (g, it), c in truth.items() if c >= 50}
+    assert got == want
+    assert len(want) == 6
+
+
+def test_cm_heavy_hitters_gate_prunes_tail(spark):
+    # with sane registers (w=256) the candidate set after the gate is
+    # a small superset of the true heavy set, nowhere near the vocab
+    rows = [("g1", "heavy")] * 100 + [("g1", f"tail{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    regs = sk.cm_registers(df, "grp", "item", d=4, w=256)
+    from pyspark.sql import functions as F
+    from time_series_data_trimmer_spark.operators.sampling import hash_u32
+
+    gated = df.select(
+        F.col("grp").alias("g"), F.col("item"),
+        *[(hash_u32(F.col("item"), f"tsdt|cm|{r}") % F.lit(256)).alias(f"__c{r}") for r in range(4)],
+    )
+    for r in range(4):
+        side = regs.filter(F.col("r") == r).select(
+            "g", F.col("c").alias(f"__c{r}"), F.col("cnt").alias(f"__cnt{r}")
+        )
+        gated = gated.join(F.broadcast(side), ["g", f"__c{r}"], "left")
+    est = F.least(*[F.coalesce(F.col(f"__cnt{r}"), F.lit(0)) for r in range(4)])
+    n_cand = gated.filter(est >= 50).select("item").distinct().count()
+    # true heavies = 1; tail items would each need all 4 cells inflated
+    # past 50 — with 2100 occurrences over 256 cells that is rare
+    assert 1 <= n_cand <= 40
+    out = sk.cm_heavy_hitters(df, "grp", "item", min_count=50).collect()
+    assert {(r["grp"], r["item"], r["exact_count"]) for r in out} == {("g1", "heavy", 100)}

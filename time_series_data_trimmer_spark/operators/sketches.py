@@ -423,3 +423,56 @@ def cm_estimate(
             .alias("est_count"),
         )
     )
+
+
+def cm_heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_count: int,
+    d: int = 4,
+    w: int = 256,
+    seed: str = "tsdt|cm",
+) -> DataFrame:
+    """EXACT per-group heavy hitters (items with count ≥ ``min_count``)
+    with the (group, item) shuffle bounded to CANDIDATE occurrences.
+
+    The 100 TB shape: a naive ``GROUP BY (group, item) HAVING count >=
+    T`` shuffles the full vocabulary to find the handful of heavy
+    items. Here the Count-Min registers (≤ d·w longs per group) are
+    built once, then BROADCAST back as d map-side hash joins — every
+    scanned occurrence reads its d counters without leaving its
+    partition, and ``least(counters) >= min_count`` gates it. CM never
+    underestimates, so the gate is a SUPERSET filter: no heavy item
+    can be pruned. Only surviving occurrences enter the exact
+    (group, item) count, which removes CM's false positives. Result:
+    provably exact; the only vocabulary-keyed shuffle carries the
+    heavy tail, and register size (d·w) is the volume/selectivity knob.
+    """
+    regs = cm_registers(df, group_col, item_col, d=d, w=w, seed=seed)
+    gated = df.select(
+        F.col(group_col).alias("g"),
+        F.col(item_col).alias("item"),
+        *[
+            (hash_u32(F.col(item_col), f"{seed}|{r}") % F.lit(int(w))).alias(f"__c{r}")
+            for r in range(int(d))
+        ],
+    )
+    for r in range(int(d)):
+        side = (
+            regs.filter(F.col("r") == r)
+            .select("g", F.col("c").alias(f"__c{r}"), F.col("cnt").alias(f"__cnt{r}"))
+        )
+        gated = gated.join(F.broadcast(side), ["g", f"__c{r}"], "left")
+    est = F.least(*[F.coalesce(F.col(f"__cnt{r}"), F.lit(0)) for r in range(int(d))])
+    cand = gated.filter(est >= int(min_count)).select("g", "item")
+    return (
+        cand.groupBy("g", "item")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .filter(F.col("exact_count") >= int(min_count))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("item").alias(item_col),
+            "exact_count",
+        )
+    )

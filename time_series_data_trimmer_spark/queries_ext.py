@@ -4751,6 +4751,43 @@ def _q_cm_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_heavy_hitters_by_source",
+    """
+    WITH toks AS (
+      SELECT d.source AS source, t.token AS token
+      FROM documents d,
+           LATERAL (SELECT unnest(string_split(trim(d.text), ' ')) AS token) t
+      WHERE d.text IS NOT NULL AND len(t.token) > 0
+    )
+    SELECT source, token, count(*) AS exact_count
+    FROM toks GROUP BY source, token HAVING count(*) >= 50
+    """,
+)
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source heavy-hitter tokens (count ≥ 50) via the Count-Min
+    prefilter (`sk.cm_heavy_hitters`): registers built once
+    ((g,r,c) shuffle bounded at d·w per source), broadcast back as d
+    map-side counter lookups, `least(counters) >= T` gating
+    occurrences scan-side — CM never underestimates, so no heavy item
+    can be pruned — and only the surviving heavy tail enters the
+    exact (source, token) count. The oracle is the NAIVE full-shuffle
+    GROUP BY/HAVING: matching it exactly IS the operator's claim
+    (provably exact result, candidate-bounded shuffle)."""
+    docs = _table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+    return sk.cm_heavy_hitters(
+        toks, "source", "token", min_count=50, d=_CM_D, w=_CM_W, seed=_CM_SEED
+    )
+
+
 _QSK_K, _QSK_QS, _QSK_SEED = 32, [0.25, 0.5, 0.9, 0.99], "tsdt|qsk"
 _QSK_U = sp.sql_hash_u32("event_id", _QSK_SEED)
 
