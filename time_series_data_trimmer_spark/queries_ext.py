@@ -5741,6 +5741,45 @@ def _q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r6 fourth wave: scale-grade time-series operators (operators/timeseries.py)
 # ---------------------------------------------------------------------------
 
+from time_series_data_trimmer_spark.operators import layout as ly  # noqa: E402
+
+
+@register(
+    "layout_zorder_keys",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id,
+             (user_id & 65535) AS ub,
+             (CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) & 65535) AS tb
+      FROM events
+    )
+    SELECT event_id, user_id, tb,
+           {ly.sql_morton_z("ub", "tb", 16)} AS z
+    FROM e
+    """,
+)
+def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering keys for the events table
+    (`ly.morton_z`): user and epoch-hour coordinates bit-interleaved
+    into one Morton key — the sort key under which parquet row groups
+    become axis-aligned (user, time) rectangles, so min/max pruning
+    fires for predicates on EITHER dimension (today's time-ordered
+    layout prunes only time). Pure bit arithmetic, scan-side codegen,
+    byte-identical formula in the oracle. The write path
+    (`ly.zorder_write`, repartitionByRange + sortWithinPartitions)
+    and the measured row-group pruning win live in
+    `scripts/zorder_prune.py` + SCALING.md §r7."""
+    ev = _table(spark, sf_dir, "events")
+    us = event_micros(ev)
+    ub = F.col("user_id").bitwiseAND(F.lit(65535))
+    tb = F.floor(us / F.lit(3_600_000_000.0)).cast("long").bitwiseAND(F.lit(65535))
+    d = ev.select("event_id", "user_id", tb.alias("tb"), ub.alias("__ub"))
+    return d.select(
+        "event_id", "user_id", "tb",
+        ly.morton_z(F.col("__ub"), F.col("tb"), 16).alias("z"),
+    )
+
+
 from time_series_data_trimmer_spark.operators import timeseries as ts
 from time_series_data_trimmer_spark.sources.events import event_micros
 
