@@ -115,6 +115,8 @@ HEADLINE = [
     "sketch_cm_token_freq_by_source",  # Count-Min frequencies (d*w bounded registers)
     "stream_kmv_distinct_users",  # KMV registers in GroupState, batch-equal estimate
     "text_heavy_hitters_by_source",  # CM-gated exact heavy hitters, candidate-bounded shuffle
+    "decontam_bloom_prefilter",  # bloom-gated decontamination (flat-growth train side)
+    "layout_zorder_keys",        # Morton clustering key derivation (scan + bit codegen)
 ]
 
 

@@ -208,3 +208,56 @@ def test_cm_heavy_hitters_gate_prunes_tail(spark):
     assert 1 <= n_cand <= 40
     out = sk.cm_heavy_hitters(df, "grp", "item", min_count=50).collect()
     assert {(r["grp"], r["item"], r["exact_count"]) for r in out} == {("g1", "heavy", 100)}
+
+
+# --- Bloom membership prefilter ---------------------------------------------
+
+
+def test_bloom_bits_match_python_model(spark):
+    import hashlib
+
+    from time_series_data_trimmer_spark.operators import dedup as dd
+
+    keys = [f"key{i}" for i in range(50)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {r["word"]: r["bits"] for r in dd.bloom_bits(df, "k", m_bits=1 << 10, k=3).collect()}
+    want: dict[int, int] = {}
+    for key in keys:
+        for i in range(3):
+            h = int(hashlib.md5(f"tsdt|bloom|{i}|{key}".encode()).hexdigest()[:8], 16)
+            pos = h % (1 << 10)
+            w, b = pos >> 6, pos & 63
+            # python ints are unbounded; bit 63 wraps to the sign bit in
+            # a long — model it
+            mask = 1 << b
+            if mask >= 1 << 63:
+                mask -= 1 << 64
+            want[w] = want.get(w, 0) | mask
+    # normalize negative longs on both sides
+    norm = lambda d: {w: b & ((1 << 64) - 1) for w, b in d.items()}
+    assert norm(got) == norm(want)
+
+
+def test_decontaminate_bloom_equals_plain_even_with_tiny_filter(spark):
+    from time_series_data_trimmer_spark.operators import dedup as dd
+
+    train = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i} delta epsilon zeta") for i in range(40)]
+        + [(100, "the quick brown fox jumps over dogs")],
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over dogs")], "doc_id long, text string"
+    )
+    plain = {
+        (r["doc_id"], r["n_shared_grams"])
+        for r in dd.decontaminate(train, heldout, n=3).collect()
+    }
+    # m=64 bits: heavy false positives guaranteed — the exact join must
+    # still reduce the result to the plain answer
+    bloom = {
+        (r["doc_id"], r["n_shared_grams"])
+        for r in dd.decontaminate_bloom(train, heldout, n=3, m_bits=64, k=2).collect()
+    }
+    assert bloom == plain
+    assert plain  # doc 100 is flagged

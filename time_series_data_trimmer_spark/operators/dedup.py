@@ -1659,3 +1659,111 @@ def sorted_neighborhood_pairs(
             "edit_dist",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership prefilter — the broadcast-prefilter pattern
+# (Count-Min gates COUNTS in sketches.cm_heavy_hitters; Bloom gates
+# MEMBERSHIP here). At 100 TB the decontamination join's cost is the
+# TRAIN side: every train gram digest shuffles to meet the held-out
+# set, though almost none of them hit. A Bloom filter of the held-out
+# digests (m bits as <= m/64 longs, broadcast) lets every train gram
+# test membership map-side; only the (tiny) candidate set enters the
+# exact join. No false negatives by construction, false positives
+# removed by the exact join — the result is IDENTICAL to the plain
+# digest join, which is what the oracle asserts.
+# ---------------------------------------------------------------------------
+
+
+def bloom_bits(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: str = "tsdt|bloom",
+) -> DataFrame:
+    """Build a Bloom filter over ``df[key_col]`` as (word, bits) rows —
+    at most ``m_bits/64`` longs, usually far fewer (all-zero words are
+    absent). Positions are the portable md5 coin
+    (``hash_u32(key, seed|i) % m``), so the SAME filter bytes can be
+    rebuilt in any engine. One (word)-keyed aggregation; keys never
+    shuffle (positions evaluate on the scan)."""
+    from time_series_data_trimmer_spark.operators.sampling import hash_u32
+
+    pos = F.explode(
+        F.array(*[
+            (hash_u32(F.col(key_col), f"{seed}|{i}") % F.lit(int(m_bits))).alias(f"p{i}")
+            for i in range(int(k))
+        ])
+    ).alias("pos")
+    words = df.select(pos).select(
+        F.shiftright(F.col("pos"), 6).alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("m"),
+    )
+    return words.groupBy("word").agg(F.bit_or("m").alias("bits"))
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    heldout: DataFrame,
+    n: int = 5,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: str = "tsdt|bloom",
+) -> DataFrame:
+    """`decontaminate` with a Bloom prefilter on the train side:
+    bit-for-bit the SAME output (flagged doc_id, n_shared_grams), but
+    the exact digest join only receives train grams whose k Bloom
+    probes all hit — map-side broadcast lookups, so the heavy train
+    gram stream never shuffles unless it is a (rare) candidate.
+
+    False-positive rate ≈ (1 − e^(−k·n/m))^k; at the default m=2^20,
+    k=4 a held-out set of ~50k distinct grams gives ~1e-5 — candidate
+    volume ≈ true hit volume. Size ``m_bits`` ∝ held-out grams at
+    scale (the filter is ≤ m/64 longs broadcast once)."""
+    t_grams = (
+        train.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+        )
+        .select(id_col, F.md5("g").alias("gd"))
+    )
+    h_grams = (
+        heldout.filter(F.col(text_col).isNotNull())
+        .select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+        .select(F.md5("g").alias("gd"))
+        .distinct()
+    )
+    bloom = bloom_bits(h_grams, "gd", m_bits=m_bits, k=k, seed=seed)
+    from time_series_data_trimmer_spark.operators.sampling import hash_u32
+
+    probed = t_grams.select(
+        id_col, "gd",
+        *[
+            (hash_u32(F.col("gd"), f"{seed}|{i}") % F.lit(int(m_bits))).alias(f"__p{i}")
+            for i in range(int(k))
+        ],
+    )
+    gate = F.lit(True)
+    for i in range(int(k)):
+        side = bloom.select(
+            F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
+        )
+        probed = probed.withColumn(f"__w{i}", F.shiftright(F.col(f"__p{i}"), 6)).join(
+            F.broadcast(side), f"__w{i}", "left"
+        )
+        bit_set = F.expr(
+            f"coalesce((shiftright(__b{i}, CAST(__p{i} % 64 AS INT)) & 1) = 1, false)"
+        )
+        gate = gate & bit_set
+    cand = probed.filter(gate).select(id_col, "gd")
+    hits = cand.join(h_grams.hint("shuffle_hash"), "gd")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= int(min_shared))
+    )

@@ -2894,9 +2894,7 @@ def _q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "split")
 
 
-@register(
-    "dedup_decontaminate_vs_heldout",
-    """
+_DECONTAM_SQL = """
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
       WHERE source <> 'src0' AND text IS NOT NULL
@@ -2922,8 +2920,10 @@ def _q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tg JOIN h USING (gd)
     GROUP BY tg.doc_id
     HAVING count(*) >= 1
-    """,
-)
+    """
+
+
+@register("dedup_decontaminate_vs_heldout", _DECONTAM_SQL)
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-leakage scan (`dd.decontaminate`): train docs (source
     != src0) sharing any distinct word 4-gram with the held-out set
@@ -2933,6 +2933,27 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, linear in gram volume)."""
     docs = _table(spark, sf_dir, "documents")
     return dd.decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=4,
+        min_shared=1,
+    )
+
+
+@register("decontam_bloom_prefilter", _DECONTAM_SQL)
+def _q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_decontaminate_vs_heldout` behind a Bloom membership
+    prefilter (`dd.decontaminate_bloom`): the held-out gram digests
+    fold into an m=2^20-bit filter (<= m/64 longs, broadcast once);
+    every train gram tests its k=4 md5 probe bits MAP-SIDE and only
+    candidates enter the exact digest join — the train gram stream,
+    the expensive side at 100 TB, stops shuffling. Zero false
+    negatives by construction; false positives die in the exact join.
+    The oracle is IDENTICAL to the plain decontamination query —
+    result equality is the operator's claim (same pattern as
+    `text_heavy_hitters_by_source`)."""
+    docs = _table(spark, sf_dir, "documents")
+    return dd.decontaminate_bloom(
         docs.filter(F.col("source") != "src0"),
         docs.filter(F.col("source") == "src0"),
         n=4,
