@@ -117,6 +117,7 @@ HEADLINE = [
     "text_heavy_hitters_by_source",  # CM-gated exact heavy hitters, candidate-bounded shuffle
     "decontam_bloom_prefilter",  # bloom-gated decontamination (flat-growth train side)
     "layout_zorder_keys",        # Morton clustering key derivation (scan + bit codegen)
+    "a1_sample_rate_sketch",     # A1 sample-rate inference on sketch registers
 ]
 
 

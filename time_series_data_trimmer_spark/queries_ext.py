@@ -4909,6 +4909,85 @@ def _q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a1_sample_rate_sketch",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
+    ),
+    d AS (
+      SELECT user_id, event_id,
+             t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS dt
+      FROM e
+    ),
+    pos AS (SELECT user_id, event_id, CAST(dt AS DOUBLE) AS dt FROM d WHERE dt > 0),
+    h AS (
+      SELECT user_id AS g, {sp.sql_hash_u32("event_id", _QSK_SEED)} AS u, dt AS v
+      FROM pos
+    ),
+    regs AS (
+      SELECT g, u, v FROM h
+      QUALIFY row_number() OVER (PARTITION BY g ORDER BY u ASC, v ASC) <= 32
+    ),
+    ranked AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v ASC, u ASC) AS vr,
+             count(*) OVER (PARTITION BY g) AS n_kept
+      FROM regs
+    ),
+    est AS (
+      SELECT g, n_kept, v AS dt_med_est
+      FROM ranked
+      WHERE vr = greatest(1, CAST(ceil(0.5 * CAST(n_kept AS DOUBLE)) AS BIGINT))
+    ),
+    exact AS (SELECT user_id AS g, median(dt) AS dt_med FROM pos GROUP BY user_id)
+    SELECT e.g AS user_id, e.n_kept,
+           {sql_rd("1000000.0 / e.dt_med_est", 2)} AS rate_sketch,
+           {sql_rd("1000000.0 / x.dt_med", 2)} AS rate_exact,
+           {sql_rd("abs(e.dt_med_est - x.dt_med) / x.dt_med", 6)} AS dt_rel_err
+    FROM est e JOIN exact x ON e.g = x.g
+    """,
+)
+def _q_a1_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's sample-rate inference (A1, data_model.py:116-126
+    — the VERDICT r6 anchor for "the operation that stops scaling
+    first") re-based on the mergeable quantile sketch: per-trial
+    median inter-sample gap from ≤ k bottom-k registers instead of an
+    exact full-sort percentile, exact rate alongside for audit. At
+    100 TB the registers come from per-day sketch merges, never a
+    corpus rescan; at test scale the relative error column shows what
+    k=32 buys. Same one-Exchange register chain as
+    `sketch_quantile_value_by_user`."""
+    ev = _table(spark, sf_dir, "events")
+    us = event_micros(ev)
+    w = Window.partitionBy("user_id").orderBy(F.col("t_us").asc(), F.col("event_id").asc())
+    d = ev.select("user_id", "event_id", us.alias("t_us")).withColumn(
+        "dt", F.col("t_us") - F.lag("t_us").over(w)
+    )
+    pos = d.filter(F.col("dt") > 0).select(
+        "user_id", "event_id", F.col("dt").cast("double").alias("dt")
+    )
+    regs = sk.quantile_sketch_registers(
+        pos, "user_id", "dt", "event_id", k=_QSK_K, seed=_QSK_SEED
+    )
+    est = sk.quantile_sketch_estimate(regs, [0.5], group_col="g").select(
+        "g", "n_kept", F.col("q_est").alias("dt_med_est")
+    )
+    exact = pos.groupBy(F.col("user_id").alias("g")).agg(
+        F.median("dt").alias("dt_med")
+    )
+    out = est.join(exact.hint("shuffle_hash"), "g")
+    return out.select(
+        F.col("g").alias("user_id"),
+        "n_kept",
+        rd(F.lit(1_000_000.0) / F.col("dt_med_est"), 2).alias("rate_sketch"),
+        rd(F.lit(1_000_000.0) / F.col("dt_med"), 2).alias("rate_exact"),
+        rd(F.abs(F.col("dt_med_est") - F.col("dt_med")) / F.col("dt_med"), 6).alias(
+            "dt_rel_err"
+        ),
+    )
+
+
+@register(
     "cohort_retention",
     """
     WITH uw AS (
