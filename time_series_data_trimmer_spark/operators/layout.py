@@ -23,24 +23,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def morton_z(a: Column, b: Column, bits: int = 16) -> Column:
-    """Interleave the low ``bits`` bits of two non-negative integer
-    coordinates into a Z-value (a in odd positions, b in even):
-    ``z = Σ_i ((a>>i)&1) << (2i+1) + ((b>>i)&1) << (2i)``.
-
-    A sum of disjoint powers of two — pure codegen (no UDF), and the
-    identical expression reproduces in any SQL engine. Coordinates
-    beyond ``bits`` bits must be pre-bucketed by the caller (the
-    locality tradeoff lives in the bucketing, not the interleave)."""
+def morton_interleave(cols: list[Column], bits: int) -> Column:
+    """Round-robin bit interleave of N non-negative integer
+    coordinates: column ``i``'s bit ``b`` lands at position
+    ``b·n + i``. A sum of disjoint powers of two — pure codegen (no
+    UDF), and the identical expression reproduces in any SQL engine.
+    Coordinates beyond ``bits`` bits must be pre-bucketed by the
+    caller (the locality tradeoff lives in the bucketing, not the
+    interleave). The SINGLE Morton implementation in the repo:
+    `sources/corpus_io.write_zordered` (N-column min-max-scaled
+    corpus write) and `morton_z` below both delegate here."""
+    n = len(cols)
     acc: Column = F.lit(0).cast("long")
-    for i in range(int(bits)):
-        acc = acc + F.shiftleft(
-            F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1
-        )
-        acc = acc + F.shiftleft(
-            F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i
-        )
+    for b in range(int(bits)):
+        for i, c in enumerate(cols):
+            acc = acc + (
+                F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+                * F.lit(1 << (b * n + i)).cast("long")
+            )
     return acc
+
+
+def morton_z(a: Column, b: Column, bits: int = 16) -> Column:
+    """Two-coordinate Z-value (a in odd positions, b in even):
+    ``z = Σ_i ((a>>i)&1) << (2i+1) + ((b>>i)&1) << (2i)`` —
+    `morton_interleave([b, a], bits)`."""
+    return morton_interleave([b, a], bits)
 
 
 def sql_morton_z(a_expr: str, b_expr: str, bits: int = 16) -> str:

@@ -122,14 +122,9 @@ def write_zordered(
         ).cast("long")
         # clamp: the max value lands exactly on top, rounding slack aside
         bucket_cols.append(F.least(F.greatest(b, F.lit(0)), F.lit(top)))
-    z = F.lit(0).cast("long")
-    n = len(cols)
-    for b in range(bits):
-        for i, bc in enumerate(bucket_cols):
-            z = z + (
-                F.shiftright(bc, b).bitwiseAND(F.lit(1))
-                * F.lit(1 << (b * n + i)).cast("long")
-            )
+    from time_series_data_trimmer_spark.operators.layout import morton_interleave
+
+    z = morton_interleave(bucket_cols, bits)
     out = (
         df.withColumn("__zkey", z)
         .repartitionByRange(int(num_files), F.col("__zkey"))
