@@ -118,6 +118,7 @@ HEADLINE = [
     "decontam_bloom_prefilter",  # bloom-gated decontamination (flat-growth train side)
     "layout_zorder_keys",        # Morton clustering key derivation (scan + bit codegen)
     "a1_sample_rate_sketch",     # A1 sample-rate inference on sketch registers
+    "profile_events_columns",    # one-pass ANALYZE-style column profile on sketches
 ]
 
 

@@ -261,3 +261,63 @@ def test_decontaminate_bloom_equals_plain_even_with_tiny_filter(spark):
     }
     assert bloom == plain
     assert plain  # doc 100 is flagged
+
+
+def test_kmv_registers_cross_engine_roundtrip(spark, tmp_path):
+    """The portability claim, executed: Spark writes KMV registers to
+    parquet; DuckDB reads THAT FILE and computes the estimate with its
+    own SQL; the two estimates agree to the last bit. (HLL state could
+    never do this — its registers are engine-private.)"""
+    import duckdb
+
+    rows = [("g1", f"tok{i}") for i in range(500)] + [
+        ("g2", f"tok{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    regs = sk.kmv_registers(df, "grp", "val", k=64)
+    out = str(tmp_path / "regs")
+    regs.write.mode("overwrite").parquet(out)
+
+    spark_est = {
+        (r["grp"], r["n_kept"], r["est_distinct"])
+        for r in sk.kmv_estimate(spark.read.parquet(out), k=64, group_col="grp").collect()
+    }
+    duck = duckdb.connect().execute(
+        f"""
+        WITH kept AS (
+          SELECT g, count(*) AS n_kept, max(u) AS kth
+          FROM read_parquet('{out}/*.parquet') GROUP BY g
+        )
+        SELECT g, n_kept,
+               floor((CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                           ELSE 63.0 * 4294967296.0 / CAST(kth AS DOUBLE) END)
+                     * 1e6 + 0.5) / 1e6 AS est
+        FROM kept
+        """
+    ).fetchall()
+    duck_est = {(g, n, e) for g, n, e in duck}
+    assert duck_est == spark_est
+    # g2 has 40 < k distinct values -> estimate is exactly 40.0
+    assert ("g2", 40, 40.0) in spark_est
+
+
+def test_profile_columns_against_numpy(spark):
+    import numpy as np
+
+    from time_series_data_trimmer_spark.operators.profiling import profile_columns
+
+    vals = [float(x) for x in range(200)] + [None] * 10
+    rows = [(i, v, (v or 0.0) * 2 + 1) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "rid long, a double, b double")
+    out = {r["col"]: r for r in profile_columns(df, ["a", "b"], id_col="rid").collect()}
+    a = out["a"]
+    assert a["n"] == 210 and a["n_null"] == 10
+    assert a["min_v"] == 0.0 and a["max_v"] == 199.0
+    # 200 distinct > k=64 -> estimated; within KMV's ~1/sqrt(62) band (3 sigma)
+    assert abs(a["ndv_est"] - 200) / 200 < 0.45
+    # quartile estimates within the k=32 sampling band of the truth
+    truth = np.percentile([v for v in vals if v is not None], [25, 50, 75])
+    for q, t in zip(("q25", "q50", "q75"), truth):
+        assert abs(a[q] - t) / 200.0 < 0.25
+    b = out["b"]
+    assert b["n_null"] == 0 and b["max_v"] == 399.0

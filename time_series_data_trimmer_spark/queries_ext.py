@@ -4809,6 +4809,83 @@ def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROF_SEED = "tsdt|prof"
+
+
+@register(
+    "profile_events_columns",
+    f"""
+    WITH base AS (
+      SELECT event_id AS rid,
+             CAST(user_id AS DOUBLE) AS user_id,
+             CAST(value AS DOUBLE) AS value,
+             epoch(ts) AS t
+      FROM events
+    ),
+    stacked AS (
+      SELECT rid, 'user_id' AS col, user_id AS v FROM base
+      UNION ALL SELECT rid, 'value' AS col, value AS v FROM base
+      UNION ALL SELECT rid, 't' AS col, t AS v FROM base
+    ),
+    scalar AS (
+      SELECT col, count(*) AS n,
+             CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             {sql_rd("min(v)", 6)} AS min_v, {sql_rd("max(v)", 6)} AS max_v
+      FROM stacked GROUP BY col
+    ),
+    hashed AS (
+      SELECT DISTINCT col,
+             {sp.sql_hash_u32("CAST(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR)", _PROF_SEED)} AS u
+      FROM stacked WHERE v IS NOT NULL
+    ),
+    kept AS (
+      SELECT col, count(*) AS ndv_kept, max(u) AS kth
+      FROM (SELECT col, u, row_number() OVER (PARTITION BY col ORDER BY u ASC) AS rn FROM hashed)
+      WHERE rn <= 64 GROUP BY col
+    ),
+    ndv AS (
+      SELECT col, {sql_rd("CASE WHEN ndv_kept < 64 THEN CAST(ndv_kept AS DOUBLE) ELSE 63.0 * 4294967296.0 / CAST(kth AS DOUBLE) END", 6)} AS ndv_est
+      FROM kept
+    ),
+    regs AS (
+      SELECT col, u, v FROM (
+        SELECT col, {sp.sql_hash_u32("rid", _PROF_SEED + "|q")} AS u, v
+        FROM stacked WHERE v IS NOT NULL
+      ) QUALIFY row_number() OVER (PARTITION BY col ORDER BY u ASC, v ASC) <= 32
+    ),
+    ranked AS (
+      SELECT col, v,
+             row_number() OVER (PARTITION BY col ORDER BY v ASC, u ASC) AS vr,
+             count(*) OVER (PARTITION BY col) AS nk
+      FROM regs
+    ),
+    q25 AS (SELECT col, {sql_rd("v", 6)} AS q25 FROM ranked WHERE vr = greatest(1, CAST(ceil(0.25 * CAST(nk AS DOUBLE)) AS BIGINT))),
+    q50 AS (SELECT col, {sql_rd("v", 6)} AS q50 FROM ranked WHERE vr = greatest(1, CAST(ceil(0.5 * CAST(nk AS DOUBLE)) AS BIGINT))),
+    q75 AS (SELECT col, {sql_rd("v", 6)} AS q75 FROM ranked WHERE vr = greatest(1, CAST(ceil(0.75 * CAST(nk AS DOUBLE)) AS BIGINT)))
+    SELECT scalar.col, n, n_null, min_v, max_v, ndv_est, q25, q50, q75
+    FROM scalar JOIN ndv ON scalar.col = ndv.col
+    JOIN q25 ON scalar.col = q25.col
+    JOIN q50 ON scalar.col = q50.col
+    JOIN q75 ON scalar.col = q75.col
+    """,
+)
+def _q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of events (user_id, value, t) —
+    `profiling.profile_columns`: the ANALYZE-TABLE primitive built
+    from the sketch family (scalar stats as one aggregate, NDV from
+    KMV registers, quartiles from the bottom-k quantile sketch), all
+    on the portable md5 coin so the whole profile exact-oracles. At
+    100 TB these are the optimizer/data-quality statistics you refresh
+    per partition and MERGE (every register here is mergeable) instead
+    of rescanning the table per statistic per column."""
+    from time_series_data_trimmer_spark.operators.profiling import profile_columns
+
+    ev = _events(spark, sf_dir)
+    return profile_columns(
+        ev, ["user_id", "value", "t"], id_col="event_id", seed=_PROF_SEED
+    )
+
+
 _QSK_K, _QSK_QS, _QSK_SEED = 32, [0.25, 0.5, 0.9, 0.99], "tsdt|qsk"
 _QSK_U = sp.sql_hash_u32("event_id", _QSK_SEED)
 
