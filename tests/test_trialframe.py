@@ -280,3 +280,14 @@ def test_ensure_time_axis_raises_on_keyless_multipartition(spark):
     )
     out2 = ensure_time_axis(keyed, trial_key="trial_id")
     assert out2.count() == 100
+
+
+def test_profile_signal_channels(spark, trial_csvs):
+    tf = TrialFrame(spark).load_csv(trial_csvs)
+    prof = {r["col"]: r for r in tf.profile().collect()}
+    assert set(prof) == set(tf.signal_columns)
+    g = prof["gaze_heading_deg"]
+    assert g["n"] == tf.df.count()
+    assert g["n_null"] == 4  # the NaN sentinels both trials carry
+    assert g["min_v"] <= g["q25"] <= g["q50"] <= g["q75"] <= g["max_v"]
+    assert g["ndv_est"] >= 1

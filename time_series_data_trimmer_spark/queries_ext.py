@@ -4648,6 +4648,45 @@ _KMV_TOKENS_TABLE = """(
 
 
 @register(
+    "sketch_kmv_incremental_merge",
+    sk.sql_kmv_distinct(_KMV_TOKENS_TABLE, "source", "token", k=64),
+)
+def _q_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The register MERGE lifecycle through the correctness gate (it
+    was pytest-only until r7): history (doc_id % 5 < 4) and today's
+    batch (doc_id % 5 == 4) are sketched INDEPENDENTLY, their register
+    sets merged (`sk.kmv_merge`), and the estimate must equal the
+    one-shot sketch of the whole corpus — which is exactly what the
+    oracle computes (the same SQL as `sketch_kmv_distinct_tokens`).
+    This is the daily-batch path at 100 TB: yesterday's registers are
+    ≤ k longs per group on disk; today's scan never revisits history.
+    """
+    docs = _table(spark, sf_dir, "documents")
+
+    def toks(part):
+        return (
+            part.filter(F.col("text").isNotNull())
+            .select(
+                "source",
+                F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+            )
+            .filter(F.length("token") > 0)
+        )
+
+    hist = sk.kmv_registers(toks(docs.filter(F.col("doc_id") % 5 < 4)), "source", "token", k=64)
+    batch = sk.kmv_registers(toks(docs.filter(F.col("doc_id") % 5 == 4)), "source", "token", k=64)
+    merged = sk.kmv_merge(hist, batch, k=64)
+    est = sk.kmv_estimate(merged, k=64, group_col="source")
+    exact = (
+        toks(docs).select("source", "token").distinct()
+        .groupBy("source").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    return est.join(exact.hint("shuffle_hash"), "source").select(
+        "source", "n_kept", "est_distinct", "exact_distinct"
+    )
+
+
+@register(
     "sketch_kmv_distinct_tokens",
     sk.sql_kmv_distinct(_KMV_TOKENS_TABLE, "source", "token", k=64),
 )

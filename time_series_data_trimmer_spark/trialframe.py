@@ -254,6 +254,26 @@ class TrialFrame:
             self.df, ch, trial_key=self.trial_key, time_col=self.time_col
         )
 
+    def profile(self, channels: Sequence[str] | None = None) -> DataFrame:
+        """ANALYZE-style per-channel statistics (count, nulls, min,
+        max, KMV distinct estimate, sketch quartiles) in one pass —
+        `operators.profiling.profile_columns` over the signal columns.
+        The summary the reference computes ad hoc per trial
+        (data_model.py median/mean passes), here register-bounded and
+        mergeable across trials/days."""
+        from time_series_data_trimmer_spark.operators.profiling import (
+            profile_columns,
+        )
+
+        cols = list(channels or self.signal_columns)
+        parts = ([F.col(self.trial_key)] if self.trial_key else []) + [
+            F.col(self.time_col).cast("string")
+        ]
+        rid = F.concat_ws("|", *parts)
+        return profile_columns(
+            self.df.withColumn("__pid", rid), cols, id_col="__pid"
+        )
+
     def preview(
         self,
         channels: Sequence[str],
