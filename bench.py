@@ -119,6 +119,8 @@ HEADLINE = [
     "layout_zorder_keys",        # Morton clustering key derivation (scan + bit codegen)
     "a1_sample_rate_sketch",     # A1 sample-rate inference on sketch registers
     "profile_events_columns",    # one-pass ANALYZE-style column profile on sketches
+    "stream_quantile_value_by_type",  # bottom-k quantile registers in GroupState
+    "sketch_kmv_incremental_merge",   # history+batch register merge == one-shot
 ]
 
 

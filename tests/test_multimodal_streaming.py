@@ -274,3 +274,61 @@ def test_stream_kmv_batch_schedule_invariant(spark, tmp_path):
         .collect()
     }
     assert multi == batch
+
+
+def test_stream_quantile_batch_schedule_invariant(spark, tmp_path):
+    """Streaming quantile sketch: 3-batch == 1-batch == batch-mode
+    registers (bottom-k closure, as for the KMV twin)."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from time_series_data_trimmer_spark.operators import sketches as sk
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        stream_quantile_sketch,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    t0 = _time.time()
+    rows = [(i, i % 11, "a" if i % 2 else "b", float((i * 13) % 101)) for i in range(240)]
+    for fi in range(3):
+        df = pd.DataFrame(
+            [
+                {
+                    "event_id": eid,
+                    "ts": (base + pd.Timedelta(minutes=eid)).to_datetime64(),
+                    "user_id": uid,
+                    "event_type": et,
+                    "value": v,
+                }
+                for eid, uid, et, v in rows[fi::3]
+            ]
+        )
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        path = os.path.join(src, f"f{fi}.parquet")
+        df.to_parquet(path, index=False)
+        os.utime(path, (t0 + fi * 100, t0 + fi * 100))
+
+    def run(mfpt):
+        out = stream_quantile_sketch(
+            spark, src, qs=(0.5, 0.9), k=16, max_files_per_trigger=mfpt
+        )
+        return {
+            (r["event_type"], r["q"], r["n_kept"], r["q_est"]) for r in out.collect()
+        }
+
+    multi, single = run(1), run(None)
+    assert multi == single
+    batch = spark.createDataFrame(
+        [(et, eid, v) for eid, _u, et, v in rows],
+        "event_type string, event_id long, value double",
+    )
+    regs = sk.quantile_sketch_registers(batch, "event_type", "value", "event_id", k=16)
+    want = {
+        (r["event_type"], r["q"], r["n_kept"], r["q_est"])
+        for r in sk.quantile_sketch_estimate(regs, [0.5, 0.9], group_col="event_type").collect()
+    }
+    assert multi == want

@@ -998,6 +998,54 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_quantile_value_by_type",
+    f"""
+    WITH ev AS (
+      SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    h AS (
+      SELECT event_type AS g, {sp.sql_hash_u32("event_id", "tsdt|qsk")} AS u,
+             CAST(value AS DOUBLE) AS v
+      FROM ev
+    ),
+    regs AS (
+      SELECT g, u, v FROM h
+      QUALIFY row_number() OVER (PARTITION BY g ORDER BY u ASC, v ASC) <= 32
+    ),
+    ranked AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v ASC, u ASC) AS vr,
+             count(*) OVER (PARTITION BY g) AS n_kept
+      FROM regs
+    ),
+    qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q)
+    SELECT g AS event_type, q, n_kept, v AS q_est
+    FROM ranked CROSS JOIN qs
+    WHERE vr = greatest(1, CAST(ceil(q * CAST(n_kept AS DOUBLE)) AS BIGINT))
+    """,
+)
+def _q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-event-type value percentiles
+    (`stream_ops.stream_quantile_sketch`): the bottom-k quantile
+    registers live in GroupState (≤ k (hash, value) pairs per group),
+    every emission re-merges after the run, and bottom-k's closure
+    under union makes the estimates independent of micro-batch
+    boundaries — BIT-EQUAL to the batch sketch, same exact oracle.
+    The streaming-monitoring shape (latency/size percentiles over an
+    unbounded stream) without a watermark, because the sketch is a
+    pure function of the set of rows seen."""
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        stream_quantile_sketch,
+    )
+
+    return stream_quantile_sketch(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        group_col="event_type", value_col="value", id_col="event_id",
+        qs=(0.5, 0.9), k=32,
+    )
+
+
+@register(
     "stream_kmv_distinct_users",
     f"""
     WITH hashed AS (

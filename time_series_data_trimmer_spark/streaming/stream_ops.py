@@ -460,6 +460,83 @@ def stream_kmv_distinct(
     return sk.kmv_estimate(merged, k=k, group_col=group_col)
 
 
+def stream_quantile_sketch(
+    spark: SparkSession,
+    path: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    qs: tuple[float, ...] = (0.5, 0.9),
+    k: int = 32,
+    seed: str = "tsdt|qsk",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming QUANTILES from the bottom-k row-sample sketch held in
+    GroupState — latency/size percentile monitoring over an unbounded
+    stream with ≤ k (hash, value) pairs of state per group, final
+    estimates BIT-EQUAL to the batch sketch.
+
+    Same correctness argument as `stream_kmv_distinct`: the state
+    update is bottom-k(state ∪ batch), every emission is the current
+    register list, and bottom-k is closed under union, so re-merging
+    ALL emissions yields exactly bottom-k(everything) no matter how
+    the file source batched the data. The post-pass is the batch
+    `quantile_sketch_estimate` on the re-merged registers."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StringType, StructField, StructType,
+    )
+    import pandas as pd
+
+    from time_series_data_trimmer_spark.operators.sampling import hash_u32
+    from time_series_data_trimmer_spark.operators import sketches as sk
+
+    stream = _events_stream(spark, path, max_files_per_trigger)
+    hashed = stream.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("g"),
+        hash_u32(F.col(id_col), seed).alias("u"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    out_schema = StructType(
+        [
+            StructField("g", StringType()),
+            StructField("u", LongType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("us", ArrayType(LongType())),
+            StructField("vs", ArrayType(DoubleType())),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            us, vs = state.get
+            regs = set(zip((int(u) for u in us), (float(v) for v in vs)))
+        else:
+            regs = set()
+        for pdf in pdfs:
+            regs.update(zip((int(u) for u in pdf["u"]), (float(v) for v in pdf["v"])))
+        kept = sorted(regs)[: int(k)]  # (u, v) lexicographic == the batch window order
+        state.update(([u for u, _ in kept], [v for _, v in kept]))
+        yield pd.DataFrame(
+            {"g": [key[0]] * len(kept), "u": [u for u, _ in kept], "v": [v for _, v in kept]}
+        )
+
+    emitted = hashed.groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emissions = _run_to_memory(emitted, mode="update").distinct()
+    merged = sk.quantile_sketch_merge(emissions, emissions.limit(0), k=k)
+    return sk.quantile_sketch_estimate(merged, list(qs), group_col=group_col)
+
+
 def stream_static_enriched_counts(
     spark: SparkSession, path: str, n_cohorts: int = 10
 ) -> DataFrame:
