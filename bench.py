@@ -121,6 +121,7 @@ HEADLINE = [
     "profile_events_columns",    # one-pass ANALYZE-style column profile on sketches
     "stream_quantile_value_by_type",  # bottom-k quantile registers in GroupState
     "sketch_kmv_incremental_merge",   # history+batch register merge == one-shot
+    "dedup_linkage_scores",      # FS-weight record linkage over SNM candidates
 ]
 
 

@@ -1767,3 +1767,71 @@ def decontaminate_bloom(
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .filter(F.col("n_shared_grams") >= int(min_shared))
     )
+
+
+#: Fellegi-Sunter-style field weights (FIXED integer surrogates for
+#: log2(m/u) — the EM-fitted weights of the classic model are not
+#: deterministic across runs/engines; production rule-based linkage
+#: configures them, exactly as here). (agreement_weight, disagreement_penalty)
+LINKAGE_WEIGHTS = {
+    "lang": (2, -3),
+    "source": (3, -2),
+    "size": (2, -3),   # |n_chars difference| <= 16
+    "prefix": (6, -5),  # normalized-prefix edit distance <= 2
+}
+LINKAGE_MATCH, LINKAGE_POSSIBLE = 8, 0
+
+
+def linkage_scores(
+    df: DataFrame,
+    window: int = 3,
+    prefix_len: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Record-linkage scoring (Fellegi & Sunter 1969, fixed-weight
+    form) over sorted-neighborhood candidate pairs: per-field
+    agreement (lang, source, size band, normalized-prefix edit
+    distance) sums configured integer weights into a match score and
+    a three-way decision (match / possible / nonmatch).
+
+    Plan: the linear-compare SNM generator (no self-join), then two
+    narrow shuffle-hash joins pulling each side's comparison fields —
+    the pair list is the SNM output, so the scoring pass is linear in
+    candidates at any scale. Integer weights make the score and class
+    bit-portable; thresholds are the standard FS upper/lower cut."""
+    pairs = sorted_neighborhood_pairs(
+        df, window=window, prefix_len=prefix_len, max_dist=5,
+        id_col=id_col, text_col=text_col,
+    )
+    fields = df.select(
+        F.col(id_col), F.col("lang"), F.col("source"), F.col("n_chars")
+    )
+    a = fields.select(*[F.col(c).alias(f"{c}_a") for c in fields.columns])
+    b = fields.select(*[F.col(c).alias(f"{c}_b") for c in fields.columns])
+    joined = (
+        pairs.join(a.hint("shuffle_hash"), pairs["id_a"] == a[f"{id_col}_a"])
+        .join(b.hint("shuffle_hash"), pairs["id_b"] == b[f"{id_col}_b"])
+    )
+
+    def w(name, agree):
+        yes, no = LINKAGE_WEIGHTS[name]
+        return F.when(agree, F.lit(yes)).otherwise(F.lit(no))
+
+    score = (
+        w("lang", F.col("lang_a") == F.col("lang_b"))
+        + w("source", F.col("source_a") == F.col("source_b"))
+        + w("size", F.abs(F.col("n_chars_a") - F.col("n_chars_b")) <= 16)
+        + w("prefix", F.col("edit_dist") <= 2)
+    )
+    cls = (
+        F.when(score >= LINKAGE_MATCH, F.lit("match"))
+        .when(score >= LINKAGE_POSSIBLE, F.lit("possible"))
+        .otherwise(F.lit("nonmatch"))
+    )
+    return joined.select(
+        "id_a", "id_b",
+        F.col("edit_dist").cast("int").alias("edit_dist"),
+        score.cast("int").alias("score"),
+        cls.alias("link_class"),
+    )

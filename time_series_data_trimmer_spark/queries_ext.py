@@ -6001,6 +6001,71 @@ def _q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_linkage_scores",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             substr(norm, 1, 32) AS p,
+             substr(norm, 1, 4) AS blk
+      FROM (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        FROM documents WHERE text IS NOT NULL
+      )
+      WHERE len(substr(norm, 1, 4)) > 0
+    ),
+    lagged AS (
+      SELECT doc_id AS id_b, p AS pb,
+             lag(doc_id, 1) OVER w AS id1, lag(p, 1) OVER w AS pp1,
+             lag(doc_id, 2) OVER w AS id2, lag(p, 2) OVER w AS pp2,
+             lag(doc_id, 3) OVER w AS id3, lag(p, 3) OVER w AS pp3
+      FROM base WINDOW w AS (PARTITION BY blk ORDER BY p ASC, doc_id ASC)
+    ),
+    raw_pairs AS (
+      SELECT id_b, pb, id1 AS id_a, pp1 AS pa FROM lagged WHERE id1 IS NOT NULL
+      UNION ALL
+      SELECT id_b, pb, id2 AS id_a, pp2 AS pa FROM lagged WHERE id2 IS NOT NULL
+      UNION ALL
+      SELECT id_b, pb, id3 AS id_a, pp3 AS pa FROM lagged WHERE id3 IS NOT NULL
+    ),
+    pairs AS (
+      SELECT least(id_a, id_b) AS id_a,
+             greatest(id_a, id_b) AS id_b,
+             CAST(levenshtein(pa, pb) AS INT) AS edit_dist
+      FROM raw_pairs
+      WHERE levenshtein(pa, pb) <= 5
+    ),
+    scored AS (
+      SELECT p.id_a, p.id_b, p.edit_dist,
+             (CASE WHEN da.lang = db.lang THEN 2 ELSE -3 END
+              + CASE WHEN da.source = db.source THEN 3 ELSE -2 END
+              + CASE WHEN abs(da.n_chars - db.n_chars) <= 16 THEN 2 ELSE -3 END
+              + CASE WHEN p.edit_dist <= 2 THEN 6 ELSE -5 END) AS score
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, edit_dist, CAST(score AS INT) AS score,
+           CASE WHEN score >= 8 THEN 'match'
+                WHEN score >= 0 THEN 'possible'
+                ELSE 'nonmatch' END AS link_class
+    FROM scored
+    """,
+)
+def _q_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter-style record-linkage scoring
+    (`dd.linkage_scores`): sorted-neighborhood candidates (linear N·w,
+    no self-join) scored by fixed integer field weights (lang, source,
+    size band, prefix edit distance) into match / possible / nonmatch
+    — the three-way decision rule of the classic model with
+    engine-portable arithmetic (EM-fitted weights are not
+    deterministic; production linkage configures them, as here). Two
+    narrow shuffle-hash joins pull the comparison fields; cost is
+    linear in candidates at any scale."""
+    return dd.linkage_scores(_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # r6 fourth wave: scale-grade time-series operators (operators/timeseries.py)
 # ---------------------------------------------------------------------------
