@@ -122,6 +122,7 @@ HEADLINE = [
     "stream_quantile_value_by_type",  # bottom-k quantile registers in GroupState
     "sketch_kmv_incremental_merge",   # history+batch register merge == one-shot
     "dedup_linkage_scores",      # FS-weight record linkage over SNM candidates
+    "pipeline_corpus_health",    # one-query (metric, value) corpus dashboard on sketches
 ]
 
 

@@ -6002,6 +6002,130 @@ def _q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_corpus_health",
+    f"""
+    WITH tok AS (
+      SELECT t.token FROM documents d,
+           LATERAL (SELECT unnest(string_split(trim(d.text), ' ')) AS token) t
+      WHERE d.text IS NOT NULL AND len(t.token) > 0
+    ),
+    tc AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(trim(text), ' ')) END AS n_tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    vh AS (
+      SELECT DISTINCT {sp.sql_hash_u32("token", "tsdt|kmv")} AS u FROM tok
+    ),
+    vkept AS (
+      SELECT count(*) AS n_kept, max(u) AS kth
+      FROM (SELECT u, row_number() OVER (ORDER BY u ASC) AS rn FROM vh)
+      WHERE rn <= 64
+    ),
+    treg AS (
+      SELECT u, v FROM (
+        SELECT {sp.sql_hash_u32("doc_id", "tsdt|qsk")} AS u, CAST(n_tok AS DOUBLE) AS v
+        FROM tc
+      ) QUALIFY row_number() OVER (ORDER BY u ASC, v ASC) <= 64
+    ),
+    tr AS (
+      SELECT v, row_number() OVER (ORDER BY v ASC, u ASC) AS vr, count(*) OVER () AS nk
+      FROM treg
+    ),
+    creg AS (
+      SELECT u, v FROM (
+        SELECT {sp.sql_hash_u32("doc_id", "tsdt|qsk")} AS u, CAST(n_chars AS DOUBLE) AS v
+        FROM documents
+      ) QUALIFY row_number() OVER (ORDER BY u ASC, v ASC) <= 64
+    ),
+    cr AS (
+      SELECT v, row_number() OVER (ORDER BY v ASC, u ASC) AS vr, count(*) OVER () AS nk
+      FROM creg
+    )
+    SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents
+    UNION ALL
+    SELECT 'null_text_frac',
+           {sql_rd("CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)}
+    FROM documents
+    UNION ALL
+    SELECT 'exact_dup_rate',
+           {sql_rd("CAST(count(text) - count(DISTINCT md5(text)) AS DOUBLE) / count(text)", 6)}
+    FROM documents
+    UNION ALL
+    SELECT 'vocab_ndv_est',
+           {sql_rd("CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE) ELSE 63.0 * 4294967296.0 / CAST(kth AS DOUBLE) END", 6)}
+    FROM vkept
+    UNION ALL
+    SELECT 'tokens_per_doc_p50_est', {sql_rd("v", 6)} FROM tr
+    WHERE vr = greatest(1, CAST(ceil(0.5 * CAST(nk AS DOUBLE)) AS BIGINT))
+    UNION ALL
+    SELECT 'n_chars_p90_est', {sql_rd("v", 6)} FROM cr
+    WHERE vr = greatest(1, CAST(ceil(0.9 * CAST(nk AS DOUBLE)) AS BIGINT))
+    UNION ALL
+    SELECT 'n_langs', CAST(count(DISTINCT lang) AS DOUBLE) FROM documents
+    """,
+)
+def _q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-query corpus health report — the (metric, value) table a
+    data-quality dashboard polls, composed from the round's sketch
+    primitives: doc counts and null fraction (plain aggregates),
+    exact duplicate rate (digest distinct), vocabulary NDV (KMV
+    registers), tokens-per-doc median and n_chars p90 (bottom-k
+    quantile registers), language count. Every sketch term is
+    register-bounded and mergeable, so at 100 TB this report REFRESHES
+    by merging per-partition registers rather than rescanning the
+    corpus; the whole table is exact-oracled."""
+    docs = _table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.trim("text"), " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .select(F.lit("corpus").alias("g"), F.col("token"))
+    )
+    tc = docs.filter(F.col("text").isNotNull()).select(
+        F.lit("corpus").alias("g"),
+        F.col("doc_id"),
+        tx.token_count(F.col("text")).cast("double").alias("n_tok"),
+    )
+    ch = docs.select(
+        F.lit("corpus").alias("g"), F.col("doc_id"),
+        F.col("n_chars").cast("double").alias("v"),
+    )
+
+    def one(metric, col):
+        return docs.agg(rd(col, 6).alias("value")).select(
+            F.lit(metric).alias("metric"), "value"
+        )
+
+    n_docs = one("n_docs", F.count(F.lit(1)).cast("double"))
+    nullf = one(
+        "null_text_frac",
+        F.sum(F.col("text").isNull().cast("long")).cast("double")
+        / F.count(F.lit(1)),
+    )
+    dup = one(
+        "exact_dup_rate",
+        (F.count("text") - F.countDistinct(F.md5("text"))).cast("double")
+        / F.count("text"),
+    )
+    vocab = sk.kmv_estimate(
+        sk.kmv_registers(toks, "g", "token", k=64), k=64, group_col="g"
+    ).select(F.lit("vocab_ndv_est").alias("metric"), rd(F.col("est_distinct"), 6).alias("value"))
+    tq = sk.quantile_sketch_estimate(
+        sk.quantile_sketch_registers(tc, "g", "n_tok", "doc_id", k=64), [0.5]
+    ).select(F.lit("tokens_per_doc_p50_est").alias("metric"), rd(F.col("q_est"), 6).alias("value"))
+    cq = sk.quantile_sketch_estimate(
+        sk.quantile_sketch_registers(ch, "g", "v", "doc_id", k=64), [0.9]
+    ).select(F.lit("n_chars_p90_est").alias("metric"), rd(F.col("q_est"), 6).alias("value"))
+    langs = one("n_langs", F.countDistinct("lang").cast("double"))
+    out = n_docs
+    for piece in (nullf, dup, vocab, tq, cq, langs):
+        out = out.unionByName(piece)
+    return out
+
+
+@register(
     "dedup_linkage_scores",
     """
     WITH base AS (
