@@ -321,3 +321,49 @@ def test_profile_columns_against_numpy(spark):
         assert abs(a[q] - t) / 200.0 < 0.25
     b = out["b"]
     assert b["n_null"] == 0 and b["max_v"] == 399.0
+
+
+def test_bottom_k_salted_equals_plain_window_form(spark):
+    # the salted two-stage register set must equal the one-stage
+    # keyed-window form (bottom-k closure under union)
+    rows = [("g1", (i * 2654435761) % (1 << 32), float(i % 50)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, u long, v double")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("g").orderBy(F.col("u").asc(), F.col("v").asc())
+    plain = {
+        (r["g"], r["u"], r["v"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .select("g", "u", "v")
+        .collect()
+    }
+    salted = {
+        (r["g"], r["u"], r["v"])
+        for r in sk.bottom_k_salted(df, 64, ["u", "v"], n_salt=16).collect()
+    }
+    assert salted == plain
+    # and no keyless window in the salted plan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sk.bottom_k_salted(df, 64, ["u", "v"]).explain("formatted")
+    assert "windowspecdefinition()" not in buf.getvalue()
+
+
+def test_quantile_estimate_agg_matches_window_estimator(spark):
+    rows = [("g1", i * 7919 % 100003, float((i * 13) % 997)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, u long, v double")
+    regs = sk.bottom_k_salted(df, 32, ["u", "v"], n_salt=8)
+    agg_est = {
+        (r["q"], r["n_kept"], r["q_est"])
+        for r in sk.quantile_estimate_agg(regs, [0.25, 0.5, 0.9]).collect()
+    }
+    win_est = {
+        (r["q"], r["n_kept"], r["q_est"])
+        for r in sk.quantile_sketch_estimate(regs, [0.25, 0.5, 0.9]).collect()
+    }
+    assert agg_est == win_est

@@ -476,3 +476,67 @@ def cm_heavy_hitters(
             "exact_count",
         )
     )
+
+
+def bottom_k_salted(
+    rows: DataFrame,
+    k: int,
+    cols: list[str],
+    n_salt: int = 256,
+) -> DataFrame:
+    """Per-group bottom-k under the lexicographic ``cols`` order, for
+    LOW-CARDINALITY groups (including a single constant group): the
+    plain keyed-window form degenerates to a keyless Window — a
+    single-partition sort — when the optimizer folds a constant group
+    key (caught by the repo's own plan sweep on
+    `pipeline_corpus_health`, r7). Here stage 1 keeps k per
+    (g, hash-salt) with a KEYED window (``n_salt`` parallel partial
+    sorts — size it ∝ cluster parallelism); stage 2 combines the
+    ≤ n_salt·k survivors per group with a bounded
+    collect_list → array_sort → slice aggregation. The register SET
+    is identical to the one-stage form (bottom-k closure under
+    union, the same theorem the merge lifecycle rests on)."""
+    g_salt = (F.col(cols[0]) % F.lit(int(n_salt))).alias("__salt")
+    w = Window.partitionBy("g", "__salt").orderBy(
+        *[F.col(c).asc() for c in cols]
+    )
+    part = (
+        rows.withColumn("__salt", g_salt)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+    )
+    reg = F.struct(*[F.col(c) for c in cols])
+    comb = part.groupBy("g").agg(
+        F.slice(F.array_sort(F.collect_list(reg)), 1, int(k)).alias("__regs")
+    )
+    return comb.select("g", F.explode("__regs").alias("__r")).select(
+        "g", *[F.col(f"__r.{c}").alias(c) for c in cols]
+    )
+
+
+def quantile_estimate_agg(
+    registers: DataFrame,
+    qs: list[float],
+    group_col: str = "g",
+) -> DataFrame:
+    """`quantile_sketch_estimate` as a pure AGGREGATION (no window):
+    the registers are ≤ k rows per group, so one
+    collect_list → array_sort((v, u)) per group is bounded, and each
+    quantile reads ``element_at(arr, max(1, ceil(q·n)))``. Identical
+    estimates; the window-free form for low-cardinality groups."""
+    arr = F.array_sort(F.collect_list(F.struct(F.col("v"), F.col("u"))))
+    agg = registers.groupBy("g").agg(arr.alias("__arr"))
+    q = F.explode(F.array(*[F.lit(float(x)) for x in qs])).alias("q")
+    n = F.size(F.col("__arr"))
+    tgt = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.col("q") * n.cast("double"))
+    ).cast("int")
+    return (
+        agg.select("g", "__arr", q)
+        .select(
+            F.col("g").alias(group_col),
+            "q",
+            F.size(F.col("__arr")).alias("n_kept"),
+            F.element_at(F.col("__arr"), tgt).getField("v").alias("q_est"),
+        )
+    )

@@ -6109,14 +6109,28 @@ def _q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("text") - F.countDistinct(F.md5("text"))).cast("double")
         / F.count("text"),
     )
+    # CONSTANT group ⇒ the keyed-window register form degenerates to a
+    # keyless Window (the repo's own plan sweep caught it here) — the
+    # corpus-wide sketches use the salted two-stage bottom-k and the
+    # window-free aggregation estimator instead
+    vhash = toks.select(
+        "g", sp.hash_u32(F.col("token"), "tsdt|kmv").alias("u")
+    ).distinct()
     vocab = sk.kmv_estimate(
-        sk.kmv_registers(toks, "g", "token", k=64), k=64, group_col="g"
+        sk.bottom_k_salted(vhash, 64, ["u"]), k=64, group_col="g"
     ).select(F.lit("vocab_ndv_est").alias("metric"), rd(F.col("est_distinct"), 6).alias("value"))
-    tq = sk.quantile_sketch_estimate(
-        sk.quantile_sketch_registers(tc, "g", "n_tok", "doc_id", k=64), [0.5]
+    trows = tc.select(
+        "g", sp.hash_u32(F.col("doc_id"), "tsdt|qsk").alias("u"),
+        F.col("n_tok").alias("v"),
+    )
+    tq = sk.quantile_estimate_agg(
+        sk.bottom_k_salted(trows, 64, ["u", "v"]), [0.5]
     ).select(F.lit("tokens_per_doc_p50_est").alias("metric"), rd(F.col("q_est"), 6).alias("value"))
-    cq = sk.quantile_sketch_estimate(
-        sk.quantile_sketch_registers(ch, "g", "v", "doc_id", k=64), [0.9]
+    crows = ch.select(
+        "g", sp.hash_u32(F.col("doc_id"), "tsdt|qsk").alias("u"), "v"
+    )
+    cq = sk.quantile_estimate_agg(
+        sk.bottom_k_salted(crows, 64, ["u", "v"]), [0.9]
     ).select(F.lit("n_chars_p90_est").alias("metric"), rd(F.col("q_est"), 6).alias("value"))
     langs = one("n_langs", F.countDistinct("lang").cast("double"))
     out = n_docs
