@@ -123,6 +123,8 @@ HEADLINE = [
     "sketch_kmv_incremental_merge",   # history+batch register merge == one-shot
     "dedup_linkage_scores",      # FS-weight record linkage over SNM candidates
     "pipeline_corpus_health",    # one-query (metric, value) corpus dashboard on sketches
+    "sketch_selfjoin_size_by_type",  # AMS/CM F2 self-join-size estimate + exact audit
+    "sketch_join_size_clicks_purchases",  # CM inner-product join-size forecast
 ]
 
 

@@ -367,3 +367,58 @@ def test_quantile_estimate_agg_matches_window_estimator(spark):
         for r in sk.quantile_sketch_estimate(regs, [0.25, 0.5, 0.9]).collect()
     }
     assert agg_est == win_est
+
+
+def test_cm_inner_product_never_underestimates_selfjoin(spark):
+    # est F2 >= exact F2 per group: every true pair collides with
+    # itself in every row; hash collisions only add.
+    import collections
+
+    rows = [("g1", f"u{i % 23}") for i in range(400)] + [
+        ("g2", f"u{i % 7}") for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    regs = sk.cm_registers(df, "grp", "item", d=4, w=64)
+    est = {
+        r["g"]: int(r["est"])
+        for r in sk.cm_inner_product(regs, regs, d=4).collect()
+    }
+    freq = collections.Counter(rows)
+    exact = collections.defaultdict(int)
+    for (g, _it), f in freq.items():
+        exact[g] += f * f
+    for g, x in exact.items():
+        assert est[g] >= x
+        # w=64 over <=23 items: collisions are possible but bounded
+        assert est[g] <= 4 * x
+
+
+def test_cm_inner_product_merge_equals_one_shot(spark):
+    rows = [("g1", f"u{i % 13}") for i in range(300)]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    a = spark.createDataFrame(rows[:111], "grp string, item string")
+    b = spark.createDataFrame(rows[111:], "grp string, item string")
+    one = sk.cm_registers(df, "grp", "item", d=4, w=64)
+    merged = sk.cm_merge(
+        sk.cm_registers(a, "grp", "item", d=4, w=64),
+        sk.cm_registers(b, "grp", "item", d=4, w=64),
+    )
+    got_one = {(r["g"], int(r["est"])) for r in sk.cm_inner_product(one, one).collect()}
+    got_m = {
+        (r["g"], int(r["est"]))
+        for r in sk.cm_inner_product(merged, merged).collect()
+    }
+    assert got_one == got_m
+
+
+def test_cm_inner_product_disjoint_streams_estimate_zero(spark):
+    # A row with zero overlapping cells proves join size 0 — the
+    # "fewer than d matched rows -> 0" path. With w=4096 and two
+    # single-item streams, at least one of the 4 rows separates them
+    # (verified deterministic for these literals).
+    a = spark.createDataFrame([("g", "alpha")] * 5, "grp string, item string")
+    b = spark.createDataFrame([("g", "omega")] * 3, "grp string, item string")
+    ra = sk.cm_registers(a, "grp", "item", d=4, w=4096)
+    rb = sk.cm_registers(b, "grp", "item", d=4, w=4096)
+    out = sk.cm_inner_product(ra, rb, d=4).collect()
+    assert len(out) == 0 or int(out[0]["est"]) == 0

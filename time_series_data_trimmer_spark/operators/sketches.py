@@ -540,3 +540,54 @@ def quantile_estimate_agg(
             F.element_at(F.col("__arr"), tgt).getField("v").alias("q_est"),
         )
     )
+
+
+def cm_inner_product(
+    a: DataFrame,
+    b: DataFrame,
+    d: int = 4,
+    out_col: str = "est",
+) -> DataFrame:
+    """Join-size estimate per group from two Count-Min register sets
+    (same seed/d/w): ``min`` over the d hash rows of the row-wise
+    counter inner product Σ_c cntA(r,c)·cntB(r,c) (AMS/CM join-size
+    estimation, Alon-Matias-Szegedy 1996 / Cormode-Muthukrishnan 2005).
+
+    Properties, both pytest-pinned:
+    - **Never underestimates**: every true joining pair (x∈A, x∈B)
+      lands in the same cell of both sketches on every row, so each
+      row sum ≥ |A ⋈ B|; collisions only ADD. A row with ZERO
+      overlapping cells proves the true join size is 0 (fewer than d
+      matched rows → 0).
+    - **Merge-compatible**: counters are sums, so estimating from
+      merged registers == estimating from one-shot registers for any
+      row split.
+
+    The 100 TB shape: this is join-output-cardinality PLANNING without
+    shuffling either fact table on the join key — registers are ≤ d·w
+    longs per group per side, and the inner product runs on registers
+    only. Products accumulate in DECIMAL(38,0): a cell pair of two
+    10¹²-row streams reaches ~10²⁴, far past bigint (Spark non-ANSI
+    would wrap silently; DuckDB widens to hugeint)."""
+    prod = (
+        a.select("g", "r", "c", F.col("cnt").alias("__ca"))
+        .join(b.select("g", "r", "c", F.col("cnt").alias("__cb")), ["g", "r", "c"])
+        .groupBy("g", "r")
+        .agg(
+            F.sum(
+                F.col("__ca").cast("decimal(19,0)")
+                * F.col("__cb").cast("decimal(19,0)")
+            ).alias("__s")
+        )
+    )
+    return (
+        prod.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__nr"), F.min("__s").alias("__mn"))
+        .select(
+            "g",
+            F.when(F.col("__nr") >= int(d), F.col("__mn"))
+            .otherwise(F.lit(0))
+            .cast("decimal(38,0)")
+            .alias(out_col),
+        )
+    )

@@ -6659,3 +6659,148 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "lang", "bucket", "n_docs", rd(F.col("__mean_raw"), 6).alias("mean_nll")
     )
+
+
+# ---------------------------------------------------------------------------
+# CM-sketch join-size estimation (AMS/CM inner product)
+# ---------------------------------------------------------------------------
+
+_CMJS_D, _CMJS_W, _CMJS_SEED = 4, 1024, "tsdt|cmjs"
+
+
+def _cmjs_cells_sql(src: str, group_expr: str) -> str:
+    union = "\n      UNION ALL ".join(
+        f"SELECT {group_expr} AS g, {r} AS r, "
+        f"{sp.sql_hash_u32('user_id', f'{_CMJS_SEED}|{r}')} % {_CMJS_W} AS c "
+        f"FROM {src}"
+        for r in range(_CMJS_D)
+    )
+    return f"SELECT g, r, c, count(*) AS cnt FROM ({union}) GROUP BY g, r, c"
+
+
+@register(
+    "sketch_selfjoin_size_by_type",
+    f"""
+    WITH cells AS ({_cmjs_cells_sql("events", "event_type")}),
+    prod AS (
+      SELECT a.g, a.r, sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS s
+      FROM cells a JOIN cells b ON a.g = b.g AND a.r = b.r AND a.c = b.c
+      GROUP BY a.g, a.r
+    ),
+    est AS (
+      SELECT g,
+             CASE WHEN count(*) >= {_CMJS_D} THEN min(s) ELSE 0 END AS est_f2
+      FROM prod GROUP BY g
+    ),
+    exact AS (
+      SELECT g, sum(CAST(cnt AS HUGEINT) * cnt) AS exact_f2
+      FROM (SELECT event_type AS g, user_id, count(*) AS cnt
+            FROM events GROUP BY 1, 2)
+      GROUP BY g
+    )
+    SELECT e.g AS event_type,
+           CAST(e.est_f2 AS BIGINT) AS est_f2,
+           CAST(x.exact_f2 AS BIGINT) AS exact_f2,
+           CAST(e.est_f2 - x.exact_f2 AS BIGINT) AS overest
+    FROM est e JOIN exact x ON e.g = x.g
+    """,
+)
+def _q_selfjoin_size_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join size (second frequency moment F2 = Σ_u f_u²) per
+    event_type on the user_id key, estimated from Count-Min registers
+    via the AMS/CM inner product (`sk.cm_inner_product`), exact value
+    alongside for audit plus the signed overestimate (provably ≥ 0 —
+    collisions only add; asserted in tests).
+
+    This is the cardinality-planning primitive: self-join size IS the
+    skew diagnostic (F2 ≫ N²/NDV means a hot key) and the inner
+    product of two different sketches is the join-output-size
+    forecast — both read ≤ d·w registers per group instead of
+    shuffling the fact table on the join key. At 100 TB the registers
+    come from per-day merges (counters are sums) and the planner never
+    rescans the corpus to cost a join."""
+    ev = _table(spark, sf_dir, "events")
+    regs = sk.cm_registers(
+        ev, "event_type", "user_id", d=_CMJS_D, w=_CMJS_W, seed=_CMJS_SEED
+    )
+    est = sk.cm_inner_product(regs, regs, d=_CMJS_D, out_col="__est")
+    counts = ev.groupBy(F.col("event_type").alias("g"), "user_id").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    exact = counts.groupBy("g").agg(
+        F.sum(
+            F.col("__cnt").cast("decimal(19,0)") * F.col("__cnt").cast("decimal(19,0)")
+        ).alias("__exact")
+    )
+    return est.join(exact.hint("shuffle_hash"), "g").select(
+        F.col("g").alias("event_type"),
+        F.col("__est").cast("long").alias("est_f2"),
+        F.col("__exact").cast("long").alias("exact_f2"),
+        (F.col("__est") - F.col("__exact")).cast("long").alias("overest"),
+    )
+
+
+@register(
+    "sketch_join_size_clicks_purchases",
+    f"""
+    WITH clicks AS (SELECT user_id FROM events WHERE event_type = 'click'),
+    purchases AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+    ca AS ({_cmjs_cells_sql("clicks", "'all'")}),
+    cb AS ({_cmjs_cells_sql("purchases", "'all'")}),
+    prod AS (
+      SELECT a.r, sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS s
+      FROM ca a JOIN cb b ON a.g = b.g AND a.r = b.r AND a.c = b.c
+      GROUP BY a.r
+    ),
+    est AS (
+      SELECT CASE WHEN count(*) >= {_CMJS_D} THEN min(s) ELSE 0 END AS est_rows
+      FROM prod
+    ),
+    exact AS (
+      SELECT coalesce(sum(CAST(a.cnt AS HUGEINT) * b.cnt), 0) AS exact_rows
+      FROM (SELECT user_id, count(*) AS cnt FROM clicks GROUP BY 1) a
+      JOIN (SELECT user_id, count(*) AS cnt FROM purchases GROUP BY 1) b
+        ON a.user_id = b.user_id
+    )
+    SELECT CAST(e.est_rows AS BIGINT) AS est_rows,
+           CAST(x.exact_rows AS BIGINT) AS exact_rows,
+           CAST(e.est_rows - x.exact_rows AS BIGINT) AS overest
+    FROM est e CROSS JOIN exact x
+    """,
+)
+def _q_join_size_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast |clicks ⋈ purchases ON user_id| from two Count-Min
+    register sets (one per stream) via the CM inner product — the
+    join never runs on the sketch path; only ≤ d·w counters per side
+    meet. The exact audit side computes Σ_u f_click(u)·f_purchase(u)
+    from the two per-user count frames (already reduced — the
+    user-keyed shuffle carries NDV rows, not occurrences).
+
+    The 1-row register-vs-register meeting is a (g,r,c)-keyed join of
+    two ≤ d·w-row frames — KB-scale regardless of stream volume."""
+    ev = _table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").withColumn("__g", F.lit("all"))
+    b = ev.filter(F.col("event_type") == "purchase").withColumn("__g", F.lit("all"))
+    ra = sk.cm_registers(a, "__g", "user_id", d=_CMJS_D, w=_CMJS_W, seed=_CMJS_SEED)
+    rb = sk.cm_registers(b, "__g", "user_id", d=_CMJS_D, w=_CMJS_W, seed=_CMJS_SEED)
+    est = sk.cm_inner_product(ra, rb, d=_CMJS_D, out_col="__est")
+    fa = a.groupBy("user_id").agg(F.count(F.lit(1)).alias("__fa"))
+    fb = b.groupBy("user_id").agg(F.count(F.lit(1)).alias("__fb"))
+    exact = (
+        fa.join(fb.hint("shuffle_hash"), "user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__fa").cast("decimal(19,0)")
+                    * F.col("__fb").cast("decimal(19,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__exact")
+        )
+        .withColumn("g", F.lit("all"))
+    )
+    return est.join(F.broadcast(exact), "g").select(
+        F.col("__est").cast("long").alias("est_rows"),
+        F.col("__exact").cast("long").alias("exact_rows"),
+        (F.col("__est") - F.col("__exact")).cast("long").alias("overest"),
+    )
