@@ -125,6 +125,7 @@ HEADLINE = [
     "pipeline_corpus_health",    # one-query (metric, value) corpus dashboard on sketches
     "sketch_selfjoin_size_by_type",  # AMS/CM F2 self-join-size estimate + exact audit
     "sketch_join_size_clicks_purchases",  # CM inner-product join-size forecast
+    "sample_pps_by_chars",       # integer-exact systematic PPS weighted sample
 ]
 
 

@@ -173,3 +173,36 @@ def test_hash_top_n_per_group_append_stability(spark):
     newcomers = pick2 - pick1
     assert newcomers <= set(range(40, 60))
     assert len(pick1 - pick2) == len(newcomers)
+
+
+def test_pps_systematic_total_hits_exactly_k(spark):
+    from time_series_data_trimmer_spark.operators import sampling as sp
+
+    rows = [(i, (i * 37) % 500 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    for k in (1, 7, 50, 299):
+        out = sp.pps_systematic_sample(df, k=k, weight_col="n_chars")
+        assert sum(r["n_hits"] for r in out.collect()) == k
+
+
+def test_pps_systematic_oversized_row_always_hit(spark):
+    from time_series_data_trimmer_spark.operators import sampling as sp
+
+    # one row owns >half the total weight: with k=10 its span covers
+    # >5 grid points, so it MUST appear with n_hits >= 5
+    rows = [(i, 10) for i in range(100)] + [(999, 1200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = {r["doc_id"]: r["n_hits"] for r in sp.pps_systematic_sample(
+        df, k=10, weight_col="n_chars").collect()}
+    assert out.get(999, 0) >= 5
+    assert sum(out.values()) == 10
+
+
+def test_pps_systematic_zero_weight_rows_excluded(spark):
+    from time_series_data_trimmer_spark.operators import sampling as sp
+
+    rows = [(1, 100), (2, 0), (3, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = {r["doc_id"] for r in sp.pps_systematic_sample(
+        df, k=2, weight_col="n_chars").collect()}
+    assert 2 not in out

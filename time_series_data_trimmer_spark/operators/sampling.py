@@ -610,3 +610,78 @@ def dsir_importance(
             F.col("__s").cast("double") / F.col("n_grams").cast("double"), 9
         ).alias("importance"),
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    n_shards: int = 32,
+    seed: str = "tsdt|pps",
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sample: exactly
+    ``k`` draws (counting multiplicity) with inclusion count
+    proportional to ``weight_col`` — the survey-sampling answer to
+    "sample documents ∝ token count" that needs NO random-number
+    transcendentals (the A-ES exponential-key trick orders by
+    ``u^(1/w)``, whose pow/log last-ulp behavior is libm-private and
+    can't cross the exact-oracle boundary).
+
+    Construction, all integer-exact: rows take the deterministic
+    md5-shuffled order (shard = h mod S, then h, then key); ``cum`` is
+    the distributed prefix sum of weights in that order (per-shard
+    window cumsum + driver-side cumsum of the S bounded shard totals —
+    the `sequence_pack_offsets_sharded` shape, no global sort, no
+    keyless window); a row is hit once per multiple of W/k inside its
+    (cum−w, cum] span:
+
+        n_hits = (k·cum) div W − (k·(cum−w)) div W
+
+    The products ride DECIMAL(38,0) (k·W at 100 TB ≈ 10⁶·10¹⁴ = 10²⁰,
+    past bigint) and ``div`` keeps the arithmetic in exact integer
+    land — a true division would round at some engine-chosen scale and
+    can carry a floor across an integer boundary. Telescoping gives
+    Σ n_hits = k EXACTLY (pytest-pinned); rows with w ≥ W/k are hit
+    deterministically (≥ 1 times) — the oversized-row behavior classic
+    systematic PPS defines."""
+    h = hash_u32(F.col(key_col), seed)
+    t = df.select(
+        F.col(key_col),
+        F.col(weight_col).cast("long").alias("__w"),
+        h.alias("__h"),
+    ).filter(F.col("__w") > 0)
+    t = t.withColumn("__shard", (F.col("__h") % F.lit(int(n_shards))).cast("int"))
+    t = t.localCheckpoint(eager=False)
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(F.col("__h").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("__loc_end", F.sum("__w").over(w))
+    totals = t.groupBy("__shard").agg(F.sum("__w").alias("__tot"))
+    rows = sorted(((r[0], int(r[1] or 0)) for r in totals.collect()), key=lambda x: x[0])
+    bases, acc = [], 0
+    for shard_val, tot in rows:
+        bases.append((shard_val, acc))
+        acc += tot
+    total_w = acc
+    spark = df.sparkSession
+    base_df = spark.createDataFrame(bases, "__shard int, __base long")
+    cum = (F.col("__loc_end") + F.col("__base")).alias("__cum")
+    out = (
+        local.join(F.broadcast(base_df), "__shard")
+        .select(F.col(key_col), F.col("__w"), cum)
+        .withColumn(
+            "n_hits",
+            (
+                F.expr(f"(CAST({int(k)} AS DECIMAL(38,0)) * CAST(__cum AS DECIMAL(38,0))) div CAST({int(total_w)} AS DECIMAL(38,0))")
+                - F.expr(f"(CAST({int(k)} AS DECIMAL(38,0)) * CAST(__cum - __w AS DECIMAL(38,0))) div CAST({int(total_w)} AS DECIMAL(38,0))")
+            ).cast("long"),
+        )
+    )
+    return out.filter(F.col("n_hits") >= 1).select(
+        F.col(key_col),
+        F.col("__w").alias("weight"),
+        "n_hits",
+    )

@@ -6804,3 +6804,54 @@ def _q_join_size_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("__exact").cast("long").alias("exact_rows"),
         (F.col("__est") - F.col("__exact")).cast("long").alias("overest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Systematic PPS weighted sampling
+# ---------------------------------------------------------------------------
+
+_PPS_K, _PPS_S, _PPS_SEED = 100, 32, "tsdt|pps"
+
+
+@register(
+    "sample_pps_by_chars",
+    f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             {sp.sql_hash_u32('doc_id', _PPS_SEED)} AS h
+      FROM documents WHERE n_chars > 0
+    ),
+    o AS (
+      SELECT doc_id, n_chars,
+             sum(n_chars) OVER (
+               ORDER BY h % {_PPS_S}, h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    ),
+    w AS (SELECT sum(n_chars) AS tw FROM t)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           CAST(({_PPS_K} * CAST(cum AS HUGEINT)) // tw
+              - ({_PPS_K} * CAST(cum - n_chars AS HUGEINT)) // tw AS BIGINT)
+             AS n_hits
+    FROM o CROSS JOIN w
+    WHERE ({_PPS_K} * CAST(cum AS HUGEINT)) // tw
+        - ({_PPS_K} * CAST(cum - n_chars AS HUGEINT)) // tw >= 1
+    """,
+)
+def _q_pps_by_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample exactly {k}=100 draws from documents with inclusion
+    count ∝ n_chars via systematic PPS (`sp.pps_systematic_sample`) —
+    the "sample documents proportional to token count" primitive a
+    training-data mix needs, with zero transcendental functions: the
+    md5-shuffled order, a distributed integer prefix sum (per-shard
+    window + S bounded shard totals, no global sort), and two exact
+    integer divisions per row. Σ n_hits telescopes to exactly k
+    (pytest-pinned); every arithmetic step is reproduced verbatim in
+    the oracle, so the SAMPLE ITSELF is cross-engine identical —
+    a property no rand()-based sampler has."""
+    docs = _table(spark, sf_dir, "documents")
+    return sp.pps_systematic_sample(
+        docs, k=_PPS_K, weight_col="n_chars", key_col="doc_id",
+        n_shards=_PPS_S, seed=_PPS_SEED,
+    )
