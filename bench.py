@@ -126,6 +126,7 @@ HEADLINE = [
     "sketch_selfjoin_size_by_type",  # AMS/CM F2 self-join-size estimate + exact audit
     "sketch_join_size_clicks_purchases",  # CM inner-product join-size forecast
     "sample_pps_by_chars",       # integer-exact systematic PPS weighted sample
+    "interval_coverage_daily",   # day-keyed sweep-line union coverage + peak concurrency
 ]
 
 

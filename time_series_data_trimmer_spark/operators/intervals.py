@@ -21,7 +21,7 @@ Everything is integer microsecond math, engine-portable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: one hour, in microseconds — the default bucket. Tune toward the
@@ -139,4 +139,96 @@ def overlap_join(
         .filter(exact & first_bucket)
         .drop("__bucket")
         .withColumn("overlap_us", overlap)
+    )
+
+
+#: one UTC day, in microseconds — the default coverage bucket.
+DAY_US = 86_400_000_000
+
+
+def coverage_sweep(
+    intervals: DataFrame,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_us: int = DAY_US,
+) -> DataFrame:
+    """Interval-union coverage and peak concurrency per time bucket —
+    the sweep-line over an interval table (Allen-algebra "how much
+    wall-clock is covered by ≥1 interval, and how many run at once"),
+    distributed by bucketing instead of the textbook global sort.
+
+    Shape: each interval splits at bucket boundaries (explode over the
+    O(duration/bucket) buckets it spans), so the sweep becomes a
+    BUCKET-KEYED window — no keyless Window, no single-partition sort;
+    skew follows the busiest bucket, not the corpus. Within a bucket,
+    (+1 at start, −1 at end) deltas are GROUPED per timestamp before
+    the running sum, which makes tie order irrelevant (sum is
+    commutative) and the result engine-exact: concurrency after time t
+    is the cumulative net, covered time is Σ (next_t − t) where the
+    net is positive. Zero-length pieces (a split exactly on a
+    boundary, or point intervals) contribute +1−1 at one timestamp —
+    invisible to both coverage and peak, in every engine.
+
+    Output per bucket: ``bucket`` (integer bucket index, e.g. epoch
+    day for the default), ``n_intervals`` (pieces with positive
+    length), ``covered_us`` (union length), ``max_concurrency``."""
+    b = int(bucket_us)
+    s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+    pieces = (
+        intervals.select(
+            s.alias("__s"),
+            e.alias("__e"),
+            F.explode(
+                F.sequence(F.floor(s / F.lit(b)), F.floor(e / F.lit(b)))
+            ).alias("bucket"),
+        )
+        .select(
+            "bucket",
+            F.greatest(F.col("__s"), F.col("bucket") * b).alias("ps"),
+            F.least(F.col("__e"), (F.col("bucket") + 1) * b).alias("pe"),
+        )
+    )
+    deltas = pieces.select(
+        "bucket",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ps").alias("us"),
+                    F.lit(1).alias("d"),
+                    (F.col("pe") > F.col("ps")).cast("int").alias("pos"),
+                ),
+                F.struct(
+                    F.col("pe").alias("us"),
+                    F.lit(-1).alias("d"),
+                    F.lit(0).alias("pos"),
+                ),
+            )
+        ).alias("__ev"),
+    ).select(
+        "bucket",
+        F.col("__ev.us").alias("us"),
+        F.col("__ev.d").alias("d"),
+        F.col("__ev.pos").alias("pos"),
+    )
+    grouped = deltas.groupBy("bucket", "us").agg(
+        F.sum("d").alias("net"),
+        F.sum("pos").alias("plus"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("us").asc())
+    conc = F.sum("net").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    nxt = F.lead("us", 1).over(w)
+    swept = grouped.select(
+        "bucket",
+        "plus",
+        conc.alias("__conc"),
+        (nxt - F.col("us")).alias("__span"),
+    )
+    return swept.groupBy("bucket").agg(
+        F.sum("plus").cast("long").alias("n_intervals"),
+        F.coalesce(
+            F.sum(F.when(F.col("__conc") > 0, F.col("__span"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("covered_us"),
+        F.max("__conc").cast("long").alias("max_concurrency"),
     )

@@ -6855,3 +6855,94 @@ def _q_pps_by_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, k=_PPS_K, weight_col="n_chars", key_col="doc_id",
         n_shards=_PPS_S, seed=_PPS_SEED,
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage + peak concurrency (distributed sweep-line)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_coverage_daily",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS newf
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *,
+             sum(newf) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, sess, min(us) AS start_us, max(us) AS end_us
+      FROM s GROUP BY user_id, sess
+    ),
+    pieces AS (
+      SELECT b.bucket,
+             greatest(start_us, b.bucket * {iv.DAY_US}) AS ps,
+             least(end_us, (b.bucket + 1) * {iv.DAY_US}) AS pe
+      FROM sess,
+           LATERAL (
+             SELECT unnest(generate_series(
+               CAST(floor(start_us / {float(iv.DAY_US)}) AS BIGINT),
+               CAST(floor(end_us / {float(iv.DAY_US)}) AS BIGINT)
+             )) AS bucket
+           ) b
+    ),
+    deltas AS (
+      SELECT bucket, ps AS us, 1 AS d,
+             CASE WHEN pe > ps THEN 1 ELSE 0 END AS pos FROM pieces
+      UNION ALL
+      SELECT bucket, pe AS us, -1 AS d, 0 AS pos FROM pieces
+    ),
+    grouped AS (
+      SELECT bucket, us, sum(d) AS net, sum(pos) AS plus
+      FROM deltas GROUP BY bucket, us
+    ),
+    swept AS (
+      SELECT bucket, plus,
+             sum(net) OVER (
+               PARTITION BY bucket ORDER BY us
+               ROWS UNBOUNDED PRECEDING
+             ) AS conc,
+             lead(us) OVER (PARTITION BY bucket ORDER BY us) - us AS span
+      FROM grouped
+    )
+    SELECT bucket,
+           CAST(sum(plus) AS BIGINT) AS n_intervals,
+           CAST(coalesce(sum(CASE WHEN conc > 0 THEN span END), 0) AS BIGINT)
+             AS covered_us,
+           CAST(max(conc) AS BIGINT) AS max_concurrency
+    FROM swept GROUP BY bucket
+    """,
+)
+def _q_interval_coverage_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-UTC-day union coverage and peak concurrency of ALL user
+    sessions (`iv.coverage_sweep`): how much wall-clock each day had
+    ≥1 active session anywhere in the system, and the day's maximum
+    number of simultaneously-active sessions — the sweep-line
+    interval-union classic, distributed by day-bucketing the
+    intervals instead of the textbook single global sort.
+
+    Scale shape: sessions split at day boundaries (explode fan-out =
+    days spanned, ~1 for session-length intervals), so every window is
+    DAY-KEYED — skew rides the busiest day, never a keyless sort.
+    Tie order at equal timestamps is irrelevant by construction
+    (deltas are net-summed per timestamp before the running sum), so
+    the result is engine-exact with no ordering caveats."""
+    sess = ag.sessionize_user_events(_table(spark, sf_dir, "events"), gap_minutes=30)
+    ivl = sess.select(
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+    )
+    return iv.coverage_sweep(ivl, bucket_us=iv.DAY_US)
