@@ -127,6 +127,8 @@ HEADLINE = [
     "sketch_join_size_clicks_purchases",  # CM inner-product join-size forecast
     "sample_pps_by_chars",       # integer-exact systematic PPS weighted sample
     "interval_coverage_daily",   # day-keyed sweep-line union coverage + peak concurrency
+    "scd2_user_state_history",   # SCD2 validity-interval history build
+    "twap_value_by_user_hour",   # integer-exact time-weighted average
 ]
 
 

@@ -6946,3 +6946,168 @@ def _q_interval_coverage_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
     )
     return iv.coverage_sweep(ivl, bucket_us=iv.DAY_US)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 state history + time-weighted average (window classics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_state_history",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type FROM events
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    ),
+    v AS (
+      SELECT *, sum(chg) OVER (
+        PARTITION BY user_id ORDER BY t_us, event_id
+        ROWS UNBOUNDED PRECEDING
+      ) AS version
+      FROM m
+    ),
+    g AS (
+      SELECT user_id, version,
+             min(event_type) AS event_type,
+             min(t_us) AS valid_from_us,
+             count(*) AS n_events
+      FROM v GROUP BY user_id, version
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           valid_from_us,
+           lead(valid_from_us) OVER wv AS valid_to_us,
+           lead(valid_from_us) OVER wv IS NULL AS is_current,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM g WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+    """,
+)
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: compress each
+    user's event stream into state-change runs (consecutive same
+    event_type collapse) and emit validity intervals — valid_from /
+    valid_to (null = current) / is_current — the batch upsert-history
+    complement to `cdc_latest_event_per_user_type`'s keep-latest
+    compaction.
+
+    Plan: lag + running sum share ONE (user, t, id) window pass, the
+    run-collapse is a map-side-combinable agg on the same key, and the
+    valid_to lead runs over the already-collapsed version table (rows
+    = state changes, not events). Everything is user-keyed — no global
+    sort; the history table this builds is exactly the as-of-joinable
+    dimension shape (`p7_asof_lookup` consumes such intervals)."""
+    e = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").asc(), F.col("event_id").asc()
+    )
+    chg = F.when(
+        F.lag("event_type", 1).over(w).isNull()
+        | (F.lag("event_type", 1).over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    v = e.select(
+        "user_id", "t_us", "event_id", "event_type", chg.alias("__chg")
+    ).withColumn(
+        "version",
+        F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    g = v.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("t_us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy(F.col("version").asc())
+    nxt = F.lead("valid_from_us", 1).over(wv)
+    return g.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "event_type",
+        "valid_from_us",
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+_TWAP_HOUR_US = 3_600_000_000
+
+
+@register(
+    "twap_value_by_user_hour",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, t_us, v4,
+             lead(t_us) OVER (
+               PARTITION BY user_id ORDER BY t_us, event_id
+             ) - t_us AS dur
+      FROM e
+    )
+    SELECT user_id,
+           t_us - (t_us % {_TWAP_HOUR_US}) AS hour_us,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(dur) AS BIGINT) AS held_us,
+           {R("CAST(sum(CAST(v4 AS DECIMAL(38,0)) * dur) AS DOUBLE) / (CAST(sum(dur) AS DOUBLE) * 10000.0)", 6)} AS twap
+    FROM d
+    WHERE dur IS NOT NULL AND dur > 0
+    GROUP BY user_id, hour_us
+    """,
+)
+def _q_twap_by_user_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (user, hour): each sample is
+    weighted by how long it was the CURRENT value (duration to the
+    next sample — the held interval), the standard TWAP/position-
+    weighting that plain AVG gets wrong on irregular sampling.
+
+    Integer-exact inside: value scaled to int(4 dp), the held
+    duration is integer micros, and Σ v4·dur accumulates in
+    DECIMAL(38,0) (a year-held 10³-magnitude value is ~10²¹ — past
+    bigint, Spark non-ANSI would wrap silently); ONE double division
+    at the end, then the shared rounding grid. Plan: one user-keyed
+    window for the lead, one (user, hour) aggregation — attribution
+    is to the hour the sample STARTED in (no interval splitting;
+    the split variant is `iv.coverage_sweep`'s job)."""
+    e = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").asc(), F.col("event_id").asc()
+    )
+    from time_series_data_trimmer_spark.operators.timeseries import _scaled_int
+
+    d = e.select(
+        "user_id",
+        "t_us",
+        _scaled_int(F.col("value")).alias("__v4"),
+        (F.lead("t_us", 1).over(w) - F.col("t_us")).alias("__dur"),
+    ).filter(F.col("__dur").isNotNull() & (F.col("__dur") > 0))
+    return (
+        d.groupBy(
+            "user_id",
+            (F.col("t_us") - F.col("t_us") % F.lit(_TWAP_HOUR_US)).alias("hour_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("__dur").alias("__held"),
+            F.sum(F.col("__v4").cast("decimal(38,0)") * F.col("__dur")).alias("__num"),
+        )
+        .select(
+            "user_id",
+            "hour_us",
+            F.col("n_samples").cast("long").alias("n_samples"),
+            F.col("__held").cast("long").alias("held_us"),
+            rd(
+                F.col("__num").cast("double")
+                / (F.col("__held").cast("double") * F.lit(1e4)),
+                6,
+            ).alias("twap"),
+        )
+    )
