@@ -129,6 +129,7 @@ HEADLINE = [
     "interval_coverage_daily",   # day-keyed sweep-line union coverage + peak concurrency
     "scd2_user_state_history",   # SCD2 validity-interval history build
     "twap_value_by_user_hour",   # integer-exact time-weighted average
+    "text_cooc_lift_pairs",      # df-gated co-occurrence lift (PMI core)
 ]
 
 

@@ -7111,3 +7111,112 @@ def _q_twap_by_user_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Document-level co-occurrence lift (PMI's exact-rational core)
+# ---------------------------------------------------------------------------
+
+_COOC_MIN_DF, _COOC_MIN_XY = 25, 10
+
+
+@register(
+    "text_cooc_lift_pairs",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT d.doc_id, t.token
+      FROM documents d,
+           LATERAL (SELECT unnest(string_split(trim(d.text), ' ')) AS token) t
+      WHERE d.text IS NOT NULL AND len(t.token) > 0
+    ),
+    dfreq AS (
+      SELECT token, count(*) AS df FROM toks GROUP BY token
+      HAVING count(*) >= {_COOC_MIN_DF}
+    ),
+    gated AS (
+      SELECT t.doc_id, t.token, f.df
+      FROM toks t JOIN dfreq f USING (token)
+    ),
+    pairs AS (
+      SELECT a.token AS tok_a, b.token AS tok_b,
+             min(a.df) AS c_x, min(b.df) AS c_y,
+             count(*) AS c_xy
+      FROM gated a JOIN gated b
+        ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY a.token, b.token
+      HAVING count(*) >= {_COOC_MIN_XY}
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks)
+    SELECT tok_a, tok_b,
+           CAST(c_xy AS BIGINT) AS c_xy,
+           CAST(c_x AS BIGINT) AS c_x,
+           CAST(c_y AS BIGINT) AS c_y,
+           {R("CAST(n_docs * c_xy AS DOUBLE) / (CAST(c_x AS DOUBLE) * c_y)", 6)} AS lift
+    FROM pairs CROSS JOIN n
+    """,
+)
+def _q_cooc_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence lift at document level — the collocation /
+    phrase-mining primitive: lift = N·c_xy / (c_x·c_y) (> 1 means the
+    pair co-occurs more than independence predicts; PMI is its log,
+    monotone, so ranking by lift IS ranking by PMI). The un-logged
+    exact-rational form keeps the score a single IEEE division of
+    exact integers — engine-identical, the `tfidf_top_terms`
+    discipline (ln() is last-ulp ambiguous across engines).
+
+    Scale bounds, both explicit knobs: the document-frequency gate
+    (df ≥ {_COOC_MIN_DF}) bounds the vocabulary entering the pair join
+    — df is computed on the already-distinct (doc, token) stream and
+    joined back shuffle-hash on token (vocabulary-keyed, not
+    occurrence-keyed); the per-doc pair fan is then |gated ∩ doc|²,
+    quadratic only in the GATED per-doc vocabulary, and the support
+    floor (c_xy ≥ {_COOC_MIN_XY}) bounds the output. N rides the
+    sanctioned 1-row scalar broadcast."""
+    docs = _table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+    dfreq = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= _COOC_MIN_DF)
+    )
+    gated = toks.join(dfreq.hint("shuffle_hash"), "token").select(
+        "doc_id", "token", "df"
+    )
+    a = gated.select(
+        "doc_id", F.col("token").alias("tok_a"), F.col("df").alias("__dfa")
+    )
+    b = gated.select(
+        "doc_id", F.col("token").alias("tok_b"), F.col("df").alias("__dfb")
+    )
+    pairs = (
+        a.join(b.hint("shuffle_hash"), "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.min("__dfa").alias("c_x"),
+            F.min("__dfb").alias("c_y"),
+            F.count(F.lit(1)).alias("c_xy"),
+        )
+        .filter(F.col("c_xy") >= _COOC_MIN_XY)
+    )
+    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return pairs.crossJoin(F.broadcast(n)).select(
+        "tok_a",
+        "tok_b",
+        F.col("c_xy").cast("long").alias("c_xy"),
+        F.col("c_x").cast("long").alias("c_x"),
+        F.col("c_y").cast("long").alias("c_y"),
+        rd(
+            (F.col("n_docs") * F.col("c_xy")).cast("double")
+            / (F.col("c_x").cast("double") * F.col("c_y")),
+            6,
+        ).alias("lift"),
+    )
