@@ -1,0 +1,54 @@
+"""Triangle counting: known closed forms + orientation bound.
+
+K4 has C(4,3)=4 triangles, K5 has 10, the 4-cycle has none, and
+duplicate / reversed / self-loop edges must not change any answer.
+K5 also pins the orientation arithmetic: ranked vertex i gets
+out-degree n-1-i, so wedges = sum C(out_deg, 2) = 10.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from time_series_data_trimmer_spark.operators.graph import triangle_count
+
+
+def _run(spark, pairs):
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    )
+    return triangle_count(df).first().asDict()
+
+
+def test_k4_has_four_triangles(spark):
+    r = _run(spark, itertools.combinations(range(4), 2))
+    assert r["n_vertices"] == 4
+    assert r["n_edges"] == 6
+    assert r["n_triangles"] == 4
+    # orientation bound: in K4 every vertex's out-degree <= 3, and the
+    # total-order orientation makes the max out-degree exactly n-1=3
+    # only for the minimum vertex; wedge count must be >= triangles
+    assert r["n_wedges"] >= r["n_triangles"]
+
+
+def test_square_has_no_triangles(spark):
+    r = _run(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    assert r["n_edges"] == 4
+    assert r["n_triangles"] == 0
+
+
+def test_duplicates_loops_and_direction_are_canonicalized(spark):
+    tri = [(0, 1), (1, 2), (2, 0)]
+    noisy = tri + [(1, 0), (2, 1), (0, 0), (1, 1), (0, 1)]
+    assert _run(spark, noisy)["n_triangles"] == 1
+    assert _run(spark, tri)["n_triangles"] == 1
+
+
+def test_k5_matches_binomial(spark):
+    r = _run(spark, itertools.combinations(range(5), 2))
+    assert r["n_triangles"] == 10  # C(5,3)
+    # degree orientation: out-degree of vertex ranked i in the total
+    # order is (n-1-i), so max out-degree is n-1=4 and the wedge count
+    # is sum C(out_deg, 2) = C(4,2)+C(3,2)+C(2,2)+C(1,2) = 6+3+1+0
+    assert r["max_out_degree"] == 4
+    assert r["n_wedges"] == 10

@@ -87,3 +87,81 @@ def pagerank(
             )
         )
     return r.select(F.col("src").alias("node"), F.col("rank").alias("pagerank"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Global triangle count via degree orientation (Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11) — the MapReduce-era trick that is still the
+    right Spark plan at 100 TB.
+
+    Naive wedge enumeration fans out quadratically in the max degree:
+    one celebrity vertex with 10⁷ followers contributes 10¹⁴ wedges.
+    Orienting every edge from the lower-(degree, id) endpoint to the
+    higher one caps every vertex's OUT-degree at O(√m) on any graph,
+    so the self-join's per-key fan is bounded by the graph's total
+    edge count, not its worst hub. Each triangle then has exactly one
+    vertex with out-edges to the other two, so it is counted once.
+
+    Plan: distinct-canonicalize (one exchange), degree agg (map-side
+    combined), two keyed joins to attach endpoint degrees, a
+    shuffle-hash self-join on the wedge apex, and a shuffle-hash
+    membership join of closing pairs against the canonical edge set.
+    No broadcast that scales with V, no BNLJ, nothing driver-side.
+
+    Returns ONE row: n_vertices, n_edges, max_out_degree (the
+    orientation bound — the number to watch at scale), n_wedges
+    (candidate volume actually joined), n_triangles.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .unionAll(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("degb"))
+    with_deg = canon.join(da.hint("shuffle_hash"), "a").join(
+        db.hint("shuffle_hash"), "b"
+    )
+    # orient from the lower (deg, id) endpoint to the higher one
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    out_deg = oriented.groupBy("u").agg(F.count(F.lit(1)).alias("odeg"))
+    left = oriented.select("u", F.col("w").alias("v1"))
+    right = oriented.select("u", F.col("w").alias("v2"))
+    wedges = (
+        left.join(right.hint("shuffle_hash"), "u")
+        .filter(F.col("v1") < F.col("v2"))
+        .select(F.col("v1").alias("a"), F.col("v2").alias("b"))
+    )
+    closed = wedges.join(canon.hint("shuffle_hash"), ["a", "b"])
+    stats = canon.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+    return (
+        stats.crossJoin(
+            F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_vertices")))
+        )
+        .crossJoin(F.broadcast(out_deg.agg(F.max("odeg").alias("max_out_degree"))))
+        .crossJoin(F.broadcast(wedges.agg(F.count(F.lit(1)).alias("n_wedges"))))
+        .crossJoin(F.broadcast(closed.agg(F.count(F.lit(1)).alias("n_triangles"))))
+        .select("n_vertices", "n_edges", "max_out_degree", "n_wedges", "n_triangles")
+    )

@@ -7220,3 +7220,97 @@ def _q_cooc_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the co-occurrence graph (degree orientation)
+# ---------------------------------------------------------------------------
+
+_TRI_BLK_US = 600_000_000  # 10-minute co-occurrence block
+_TRI_CAP = 12  # deterministic per-block cap (sorted-neighborhood rule)
+
+
+@register(
+    "graph_triangle_count_cooc",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT user_id, event_type,
+             epoch_us(ts) // {_TRI_BLK_US} AS blk
+      FROM events
+    ),
+    capped AS (
+      SELECT user_id, event_type, blk
+      FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY event_type, blk ORDER BY user_id
+               ) AS rn
+        FROM d
+      ) WHERE rn <= {_TRI_CAP}
+    ),
+    canon AS (
+      SELECT DISTINCT x.user_id AS a, y.user_id AS b
+      FROM capped x JOIN capped y
+        ON x.event_type = y.event_type AND x.blk = y.blk
+       AND x.user_id < y.user_id
+    ),
+    deg AS (
+      SELECT v, count(*) AS deg FROM (
+        SELECT a AS v FROM canon UNION ALL SELECT b AS v FROM canon
+      ) GROUP BY v
+    ),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+                  THEN c.a ELSE c.b END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+                  THEN c.b ELSE c.a END AS w
+      FROM canon c
+      JOIN deg da ON da.v = c.a
+      JOIN deg db ON db.v = c.b
+    ),
+    wedges AS (
+      SELECT l.w AS a, r.w AS b
+      FROM o l JOIN o r ON l.u = r.u AND l.w < r.w
+    ),
+    closed AS (
+      SELECT w.a FROM wedges w JOIN canon c ON c.a = w.a AND c.b = w.b
+    )
+    SELECT (SELECT count(*) FROM deg) AS n_vertices,
+           (SELECT count(*) FROM canon) AS n_edges,
+           (SELECT max(n) FROM (SELECT u, count(*) AS n FROM o GROUP BY u)) AS max_out_degree,
+           (SELECT count(*) FROM wedges) AS n_wedges,
+           (SELECT count(*) FROM closed) AS n_triangles
+    """,
+)
+def _q_triangle_count_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Triangles in the user co-occurrence graph: users are adjacent
+    iff they produced the same event_type inside the same 10-minute
+    block (distinct-collapsed first, so a chatty user adds no fan),
+    with the per-block sorted-neighborhood cap ({_TRI_CAP} lowest
+    user_ids) bounding candidate pairs at block² — the same
+    bounded-blocks rule every dedup blocker in this repo follows.
+    Counting itself is `graph.triangle_count`: degree orientation
+    caps the wedge fan at O(sqrt(m)) per vertex, so no celebrity hub
+    can recreate the curse of the last reducer at 100 TB."""
+    from time_series_data_trimmer_spark.operators import graph as _gr
+
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        "user_id",
+        "event_type",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_TRI_BLK_US}").alias("blk"),
+    ).distinct()
+    wcap = Window.partitionBy("event_type", "blk").orderBy("user_id")
+    capped = (
+        d.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _TRI_CAP)
+        .drop("rn")
+    )
+    rhs = capped.select(
+        F.col("user_id").alias("ub"), "event_type", "blk"
+    )
+    edges = (
+        capped.join(rhs.hint("shuffle_hash"), ["event_type", "blk"])
+        .filter(F.col("user_id") < F.col("ub"))
+        .select(F.col("user_id").alias("src"), F.col("ub").alias("dst"))
+    )
+    return _gr.triangle_count(edges)
