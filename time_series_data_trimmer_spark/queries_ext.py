@@ -7314,3 +7314,125 @@ def _q_triangle_count_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").alias("src"), F.col("ub").alias("dst"))
     )
     return _gr.triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix + staged funnel over the event stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "markov_event_transitions",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS src, nxt AS dst, count(*) AS n
+      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT src, sum(n) AS tot FROM c GROUP BY src)
+    SELECT c.src, c.dst, c.n,
+           {R("CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE)", 6)} AS p
+    FROM c JOIN t ON t.src = c.src
+    """,
+)
+def _q_markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event-type chain
+    per user: one keyed window (user, time order) for the successor,
+    then a vocabulary-bounded aggregation — the output is |types|²
+    rows no matter how many events flow through, so the shuffle after
+    the map-side combine is O(types² · partitions), not O(N). The
+    row-normalizing total joins back on the |types|-row side. The
+    probability is a single IEEE division of two exact counts —
+    engine-identical before the 6-dp round."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    c = o.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("src").agg(F.sum("n").alias("tot"))
+    return c.join(t.hint("shuffle_hash"), "src").select(
+        "src",
+        "dst",
+        "n",
+        rd(F.col("n").cast("double") / F.col("tot").cast("double"), 6).alias("p"),
+    )
+
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "funnel_view_click_purchase",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    s1 AS (
+      SELECT user_id, min(us) AS t1 FROM e
+      WHERE event_type = '{_FUNNEL_STAGES[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.us) AS t2
+      FROM e JOIN s1 ON s1.user_id = e.user_id AND e.us > s1.t1
+      WHERE e.event_type = '{_FUNNEL_STAGES[1]}' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.us) AS t3
+      FROM e JOIN s2 ON s2.user_id = e.user_id AND e.us > s2.t2
+      WHERE e.event_type = '{_FUNNEL_STAGES[2]}' GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, '{_FUNNEL_STAGES[0]}' AS event_type,
+           (SELECT count(*) FROM s1) AS users
+    UNION ALL
+    SELECT 2, '{_FUNNEL_STAGES[1]}', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, '{_FUNNEL_STAGES[2]}', (SELECT count(*) FROM s3)
+    """,
+)
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): a user
+    converts at stage k iff a stage-k event exists STRICTLY after
+    their earliest stage-(k-1) conversion time. Each stage is one
+    filter + keyed min-aggregation + one user-keyed shuffle-hash join
+    onto the previous stage's (user, t) pairs — every exchange keys on
+    user_id so the chain reuses one partitioning, and no window or
+    per-user event array ever materializes. Stage sizes are
+    monotonically shrinking, so later joins get cheaper, not costlier."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    cur = (
+        ev.filter(F.col("event_type") == _FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t"))
+    )
+    counts = [cur.agg(F.count(F.lit(1)).alias("users"))]
+    for stage in _FUNNEL_STAGES[1:]:
+        cur = (
+            ev.filter(F.col("event_type") == stage)
+            .join(cur.hint("shuffle_hash"), "user_id")
+            .filter(F.col("us") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("us").alias("t"))
+        )
+        counts.append(cur.agg(F.count(F.lit(1)).alias("users")))
+    rows = None
+    for i, (stage, cnt) in enumerate(zip(_FUNNEL_STAGES, counts), start=1):
+        row = cnt.select(
+            F.lit(i).alias("stage"),
+            F.lit(stage).alias("event_type"),
+            F.col("users"),
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows
