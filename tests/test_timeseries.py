@@ -195,3 +195,28 @@ def test_single_exchange_plans(events_us, build):
     assert n_ex <= 1, body
     assert body.count("Exchange hashpartitioning") <= 1, body
     assert "SortMergeJoin" not in body and "CartesianProduct" not in body
+
+
+def test_sax_symbols_known_series(spark):
+    from time_series_data_trimmer_spark.operators.timeseries import sax_symbols
+
+    # 8 rows, segment=2 -> 4 segments; low-low-high-high halves give a
+    # symmetric z pattern: segments (1,1),(1,1),(5,5),(5,5) -> PAA
+    # 1,1,5,5; mu=3, var=4, std=2 -> z=-1,-1,+1,+1 -> a,a,d,d
+    rows = [(1, i, 1.0 if i < 4 else 5.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "user_id long, t_us long, value double")
+    out = sax_symbols(
+        df, segment_rows=2, order_cols=("t_us",)
+    ).orderBy("seg").collect()
+    assert [r["symbol"] for r in out] == ["a", "a", "d", "d"]
+    assert [r["z"] for r in out] == [-1.0, -1.0, 1.0, 1.0]
+
+
+def test_sax_symbols_constant_series_is_all_c(spark):
+    from time_series_data_trimmer_spark.operators.timeseries import sax_symbols
+
+    df = spark.createDataFrame(
+        [(1, i, 7.5) for i in range(6)], "user_id long, t_us long, value double"
+    )
+    out = sax_symbols(df, segment_rows=3, order_cols=("t_us",)).collect()
+    assert all(r["symbol"] == "c" and r["z"] == 0.0 for r in out)

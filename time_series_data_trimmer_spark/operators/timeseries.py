@@ -258,3 +258,79 @@ def ewma_halflife(
         *[F.col(c) for c in dict.fromkeys(order_cols)],
         rd(ew, 6).alias(out_col),
     )
+
+
+#: N(0,1) quartile breakpoints for the 4-letter SAX alphabet
+#: (Lin et al. 2003) — hardcoded constants, no erf() at query time.
+SAX_BREAKPOINTS_4 = (-0.6744897501960817, 0.0, 0.6744897501960817)
+
+
+def sax_symbols(
+    df: DataFrame,
+    segment_rows: int = 16,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("t_us", "event_id"),
+) -> DataFrame:
+    """PAA + SAX symbolization (Lin, Keogh, Lonardi, Chiu 2003,
+    "A Symbolic Representation of Time Series"): split each trial's
+    ordered series into fixed-size row segments, average each segment
+    (Piecewise Aggregate Approximation), z-normalize against the
+    trial's own mean/std, and map to a 4-letter alphabet at the
+    standard-normal quartiles. The workhorse representation for
+    motif discovery / similarity indexing over raw series 10⁶× too
+    big to compare pointwise.
+
+    Determinism: segment means and trial mean/std all derive from the
+    4-dp scaled-integer sums (exact under any partial-agg order);
+    z and the breakpoint comparisons are then single IEEE double
+    expressions over exact inputs — bit-identical in any engine.
+    A constant trial (std = 0) maps to z = 0 → symbol 'c'.
+
+    Plan: ONE exchange on the trial key — the row-number window
+    partitions by key, and both downstream aggregations
+    ((key, segment) PAA and per-key moments) reuse that partitioning
+    (hashpartitioning(key) satisfies the (key, seg) clustering), as
+    does the final key-equi join.
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    seg = df.select(
+        F.col(key_col),
+        _scaled_int(F.col(value_col)).alias("__sv"),
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(segment_rows))
+        .cast("long")
+        .alias("seg"),
+    )
+    paa = seg.groupBy(key_col, "seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__sv").alias("__ssum"),
+    )
+    stats = seg.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("__tn"),
+        F.sum("__sv").alias("__s1"),
+        F.sum(F.col("__sv").cast("decimal(38,0)") * F.col("__sv")).alias("__s2"),
+    )
+    j = paa.join(stats.hint("shuffle_hash"), key_col)
+    mu = F.col("__s1").cast("double") / F.col("__tn")
+    var = (
+        F.col("__s2").cast("double")
+        - F.col("__s1").cast("double") * F.col("__s1") / F.col("__tn")
+    ) / F.col("__tn")
+    m = F.col("__ssum").cast("double") / F.col("n")
+    z = F.when(var <= 0.0, F.lit(0.0)).otherwise(
+        (m - mu) / F.sqrt(var)
+    )
+    b = SAX_BREAKPOINTS_4
+    sym = (
+        F.when(z < F.lit(b[0]), F.lit("a"))
+        .when(z < F.lit(b[1]), F.lit("b"))
+        .when(z < F.lit(b[2]), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return j.select(
+        F.col(key_col),
+        "seg",
+        "n",
+        rd(z, 6).alias("z"),
+        sym.alias("symbol"),
+    )

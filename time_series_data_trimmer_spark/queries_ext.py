@@ -7436,3 +7436,64 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = row if rows is None else rows.unionAll(row)
     return rows
+
+
+# ---------------------------------------------------------------------------
+# PAA + SAX symbolization (ts.sax_symbols)
+# ---------------------------------------------------------------------------
+
+_SAX_W = 16  # rows per PAA segment
+_SAX_B = ts.SAX_BREAKPOINTS_4
+
+
+@register(
+    "ts_sax_symbols",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS sv
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, sv,
+             (row_number() OVER (
+                PARTITION BY user_id ORDER BY t_us, event_id
+              ) - 1) // {_SAX_W} AS seg
+      FROM e
+    ),
+    paa AS (
+      SELECT user_id, seg, count(*) AS n, sum(sv) AS ssum
+      FROM seg GROUP BY user_id, seg
+    ),
+    st AS (
+      SELECT user_id, count(*) AS tn, sum(sv) AS s1,
+             sum(CAST(sv AS DECIMAL(38,0)) * sv) AS s2
+      FROM seg GROUP BY user_id
+    ),
+    z AS (
+      SELECT p.user_id, p.seg, p.n,
+             CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / tn) / tn <= 0.0
+                  THEN 0.0
+                  ELSE (CAST(ssum AS DOUBLE) / n - CAST(s1 AS DOUBLE) / tn)
+                       / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / tn) / tn)
+             END AS zv
+      FROM paa p JOIN st ON st.user_id = p.user_id
+    )
+    SELECT user_id, seg, n, {R("zv", 6)} AS z,
+           CASE WHEN zv < {_SAX_B[0]!r} THEN 'a'
+                WHEN zv < {_SAX_B[1]!r} THEN 'b'
+                WHEN zv < {_SAX_B[2]!r} THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM z
+    """,
+)
+def _q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""SAX symbolic representation (`ts.sax_symbols`, Lin/Keogh 2003):
+    {_SAX_W}-row PAA segments z-normalized per trial and mapped to the
+    4-letter standard-normal-quartile alphabet — the representation
+    that turns petabyte series into strings motif/discord mining can
+    index. One exchange on the trial key; every moment derives from
+    exact scaled-integer sums, so z and the breakpoint comparisons are
+    engine-identical IEEE expressions over exact inputs."""
+    e = _events_us(spark, sf_dir)
+    return ts.sax_symbols(e, segment_rows=_SAX_W)
