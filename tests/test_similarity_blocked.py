@@ -174,3 +174,36 @@ def test_ivf_index_append_equals_rebuild(spark, tmp_path):
     assert "PartitionFilters" in plan and "centroid_id" in plan.split(
         "PartitionFilters"
     )[1][:200]
+
+
+def test_matryoshka_shortlist_recall(spark):
+    """Matryoshka rerank returns exact full-dim cosines, and its
+    top-10 overlaps the exact brute-force top-10 well (the prefix is
+    informative on the synthetic embeddings); with shortlist == N it
+    must equal the exact ranking."""
+    from time_series_data_trimmer_spark.operators import similarity as sim
+    from time_series_data_trimmer_spark.functions.rounding import rd
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    exact = {
+        r["vec_id"]
+        for r in sim.decimal_cosine_vs_query(emb, qvec)
+        .select("vec_id", rd(F.col("cosine"), 6).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    }
+    got = sim.matryoshka_topk(emb, qvec, k=10, prefix_dims=8, shortlist=40)
+    ids = {r["vec_id"] for r in got.collect()}
+    assert len(ids) == 10
+    recall = len(ids & exact) / 10.0
+    assert recall >= 0.5, f"prefix-8 recall@10 collapsed: {recall}"
+
+    # full shortlist == exact ranking (the shortlist is the only
+    # approximation; the rerank itself is exact)
+    full = sim.matryoshka_topk(emb, qvec, k=10, prefix_dims=8, shortlist=n)
+    assert {r["vec_id"] for r in full.collect()} == exact

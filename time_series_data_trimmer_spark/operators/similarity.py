@@ -1332,3 +1332,55 @@ def semdedup_survivors(
     pairs = semdedup_pairs(df, tau, n_centroids, id_col, vec_col, assigned=assigned)
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return assigned.join(dropped.hint("shuffle_hash"), id_col, "left_anti")
+
+
+def matryoshka_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    prefix_dims: int = 8,
+    shortlist: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-tier ANN over Matryoshka-style embeddings (Kusupati et al.
+    2022, "Matryoshka Representation Learning"): score EVERY vector on
+    only its first ``prefix_dims`` coordinates (MRL trains prefixes to
+    be usable embeddings), keep a deterministic ``shortlist`` of the
+    best prefix cosines, then re-rank just the shortlist with the
+    exact full-dimension cosine.
+
+    The 100 TB shape: the coarse pass touches prefix_dims/dim of the
+    vector bytes (with the prefix stored as its own column the scan
+    prunes the full vector entirely), and the full vectors are read
+    only for the shortlist via a broadcast semi-join — the same
+    two-tier float-prune/exact-verify discipline as SemDeDup. Both
+    tiers use decimal-exact dots, ties break on the id, so the
+    shortlist membership and final ranking are engine-reproducible.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    qp = [float(x) for x in query_vec[:prefix_dims]]
+    pref = df.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, prefix_dims).alias("__pv")
+    )
+    coarse = decimal_cosine_vs_query(
+        pref, qp, id_col=id_col, vec_col="__pv"
+    ).select(F.col(id_col), rd(F.col("cosine"), 6).alias("coarse_cosine"))
+    short = coarse.orderBy(
+        F.col("coarse_cosine").desc(), F.col(id_col).asc()
+    ).limit(int(shortlist))
+    full = decimal_cosine_vs_query(
+        df.join(F.broadcast(short), id_col).select(
+            F.col(id_col), F.col(vec_col)
+        ),
+        [float(x) for x in query_vec],
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(F.col(id_col), rd(F.col("cosine"), 6).alias("cosine"))
+    return (
+        short.join(full.hint("shuffle_hash"), id_col)
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(int(k))
+        .select(id_col, "coarse_cosine", "cosine")
+    )

@@ -7497,3 +7497,70 @@ def _q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical IEEE expressions over exact inputs."""
     e = _events_us(spark, sf_dir)
     return ts.sax_symbols(e, segment_rows=_SAX_W)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka two-tier ANN (prefix-dim prune -> exact full-dim rerank)
+# ---------------------------------------------------------------------------
+
+_MAT_PREFIX = 8
+_MAT_SHORT = 40
+_MAT_K = 10
+
+
+@register(
+    "sim_matryoshka_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ex AS ({_EX_SQL}),
+    qx AS (
+      SELECT u['i'] AS i, CAST(u['v'] AS DOUBLE) AS y
+      FROM (SELECT unnest(list_transform(qv, (x, i) -> {{'v': x, 'i': i}})) AS u
+            FROM q)
+    ),
+    cdots AS (
+      SELECT e.vec_id,
+             sum(CAST({sql_rd("e.x * qx.y", 9)} AS DECIMAL(38,9))) AS dxy,
+             sum(CAST({sql_rd("e.x * e.x", 9)} AS DECIMAL(38,9))) AS dxx,
+             sum(CAST({sql_rd("qx.y * qx.y", 9)} AS DECIMAL(38,9))) AS dyy
+      FROM ex e JOIN qx ON e.i = qx.i
+      WHERE e.i <= {_MAT_PREFIX}
+      GROUP BY e.vec_id
+    ),
+    short AS (
+      SELECT vec_id,
+             {R("CAST(dxy AS DOUBLE) / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))", 6)} AS coarse_cosine
+      FROM cdots
+      ORDER BY coarse_cosine DESC, vec_id ASC
+      LIMIT {_MAT_SHORT}
+    ),
+    fdots AS (
+      SELECT e.vec_id,
+             sum(CAST({sql_rd("e.x * qx.y", 9)} AS DECIMAL(38,9))) AS dxy,
+             sum(CAST({sql_rd("e.x * e.x", 9)} AS DECIMAL(38,9))) AS dxx,
+             sum(CAST({sql_rd("qx.y * qx.y", 9)} AS DECIMAL(38,9))) AS dyy
+      FROM ex e
+      JOIN short s ON s.vec_id = e.vec_id
+      JOIN qx ON e.i = qx.i
+      GROUP BY e.vec_id
+    )
+    SELECT s.vec_id, s.coarse_cosine,
+           {R("CAST(f.dxy AS DOUBLE) / (sqrt(CAST(f.dxx AS DOUBLE)) * sqrt(CAST(f.dyy AS DOUBLE)))", 6)} AS cosine
+    FROM short s JOIN fdots f ON f.vec_id = s.vec_id
+    ORDER BY cosine DESC, s.vec_id ASC
+    LIMIT {_MAT_K}
+    """,
+)
+def _q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Matryoshka two-tier ANN (`sim.matryoshka_topk`): coarse cosine
+    on the first {_MAT_PREFIX} of 64 dims over ALL vectors (an 8×
+    byte-read reduction that becomes full-column pruning when the
+    prefix is stored as its own column), deterministic
+    top-{_MAT_SHORT} shortlist, exact decimal full-dim rerank of the
+    shortlist only — SemDeDup's float-prune/exact-verify discipline
+    applied to retrieval."""
+    emb = _table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.matryoshka_topk(
+        emb, qvec, k=_MAT_K, prefix_dims=_MAT_PREFIX, shortlist=_MAT_SHORT
+    )
