@@ -1284,3 +1284,66 @@ def vocab_growth(
             "vocab_cum",
         )
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shannon entropy (bits) of the token distribution per corpus
+    slice — the mixing/diversity health metric reported per source or
+    per language when assembling a pretraining blend (a collapsing
+    source shows up as an entropy drop long before dedup flags it).
+
+    `token_gini` stays the per-DOCUMENT diversity score precisely
+    because it avoids log; here the group count is small (sources,
+    languages — not documents), so we accept log2 with the bigram-LM
+    discipline: each term −p·log₂p is 6-dp-rounded and accumulated in
+    DECIMAL, making the sum order-independent and the per-term values
+    engine-comparable at the rounded grid. `norm_entropy` divides by
+    log₂(vocab) (exact ints in, one IEEE division out) for a 0-1
+    evenness score comparable across slices of different vocabulary.
+
+    Plan: one (group, token) count — vocabulary-bounded shuffle after
+    the map-side combine — then a group-keyed total join and one
+    decimal sum; nothing scales with corpus rows past the first
+    aggregation.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+    tf = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("c"))
+    tot = tf.groupBy("grp").agg(
+        F.sum("c").alias("__n"), F.count(F.lit(1)).alias("vocab")
+    )
+    p = F.col("c").cast("double") / F.col("__n").cast("double")
+    term = rd(-p * F.log2(p), 6)
+    ent = (
+        tf.join(tot.hint("shuffle_hash"), "grp")
+        .groupBy("grp")
+        .agg(
+            F.max("__n").alias("n_tokens"),
+            F.max("vocab").alias("vocab"),
+            F.sum(term.cast("decimal(38,6)")).cast("double").alias("__h"),
+        )
+    )
+    return ent.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "vocab",
+        rd(F.col("__h"), 6).alias("entropy_bits"),
+        rd(
+            F.when(F.col("vocab") <= 1, F.lit(0.0)).otherwise(
+                F.col("__h") / F.log2(F.col("vocab").cast("double"))
+            ),
+            6,
+        ).alias("norm_entropy"),
+    )

@@ -7564,3 +7564,43 @@ def _q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.matryoshka_topk(
         emb, qvec, k=_MAT_K, prefix_dims=_MAT_PREFIX, shortlist=_MAT_SHORT
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source token entropy (tx.token_entropy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_entropy_by_source",
+    f"""
+    WITH toks AS (
+      SELECT source AS grp, t.token
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(trim(text), ' ')) AS token) t
+      WHERE text IS NOT NULL AND len(t.token) > 0
+    ),
+    tf AS (SELECT grp, token, count(*) AS c FROM toks GROUP BY grp, token),
+    tot AS (SELECT grp, sum(c) AS n, count(*) AS vocab FROM tf GROUP BY grp),
+    e AS (
+      SELECT tf.grp, max(tot.n) AS n_tokens, max(tot.vocab) AS vocab,
+             CAST(sum(CAST({sql_rd(
+                 "-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+                 " * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))", 6
+             )} AS DECIMAL(38,6))) AS DOUBLE) AS h
+      FROM tf JOIN tot ON tot.grp = tf.grp
+      GROUP BY tf.grp
+    )
+    SELECT grp AS source, CAST(n_tokens AS BIGINT) AS n_tokens, vocab,
+           {R("h", 6)} AS entropy_bits,
+           {R("CASE WHEN vocab <= 1 THEN 0.0 ELSE h / log2(CAST(vocab AS DOUBLE)) END", 6)} AS norm_entropy
+    FROM e
+    """,
+)
+def _q_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-slice diversity: Shannon token entropy + log2(vocab)-
+    normalized evenness per document source (`tx.token_entropy`) —
+    the blend-health metric a 100 TB pretraining mix is monitored by.
+    Vocabulary-bounded shuffles only; see the operator docstring for
+    the log2 determinism discipline (6-dp terms, decimal sum)."""
+    return tx.token_entropy(_table(spark, sf_dir, "documents"), group_col="source")
