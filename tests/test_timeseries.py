@@ -176,8 +176,10 @@ def test_ewma_head_renormalizes(spark):
         lambda df: ts.mad_outliers(df),
         lambda df: ts.cusum_changepoint(df),
         lambda df: ts.ewma_halflife(df),
+        lambda df: ts.sax_symbols(df),
+        lambda df: ts.seasonal_decompose_hourly(df),
     ],
-    ids=["m4", "gap", "mad", "cusum", "ewma"],
+    ids=["m4", "gap", "mad", "cusum", "ewma", "sax", "seasonal"],
 )
 def test_single_exchange_plans(events_us, build):
     # every operator promises exactly ONE shuffle on the trial key

@@ -334,3 +334,83 @@ def sax_symbols(
         rd(z, 6).alias("z"),
         sym.alias("symbol"),
     )
+
+
+def seasonal_decompose_hourly(
+    df: DataFrame,
+    key_col: str = "user_id",
+    micros_col: str = "t_us",
+    value_col: str = "value",
+    trend_buckets: int = 24,
+) -> DataFrame:
+    """Additive seasonal decomposition of an irregular event stream
+    aggregated to hourly buckets: value = trend + seasonal(hour-of-day)
+    + residual — the classical-decomposition skeleton of STL, with
+    every averaging step made engine-exact.
+
+    * hourly level  h = Σsv / n       (exact int sums, one division)
+    * trend         T = ΣΣsv / Σn     over a centered ``trend_buckets``
+      ROW frame (even split: extra row left, the repo's W6 convention)
+      — RATIO-OF-SUMS, not mean-of-means, so the window accumulates
+      only integers and stays order-independent; frames clip at series
+      edges identically in any engine.
+    * detrended     d = rd(h − T, 6)
+    * seasonal      s = rd(Σ d₆ / cnt, 6) per (trial, hour-of-day),
+      decimal-accumulated over the 6-dp grid
+    * residual      r = rd(d − s, 6)
+
+    Buckets are the NON-EMPTY hours in sequence (row frame, the
+    gap-report convention): dropouts don't smear the trend window.
+
+    Plan: one explicit exchange on the trial key; the (key, bucket)
+    aggregation, both windows, and the (key, hour-of-day) window all
+    reuse it (hashpartitioning(key) satisfies every wider clustering).
+    """
+    hour_us = 3_600_000_000
+    left = trend_buckets // 2
+    right = trend_buckets - left - 1
+    b = (
+        df.repartition(F.col(key_col))
+        .select(
+            F.col(key_col),
+            F.expr(f"{micros_col} div {hour_us}").alias("bucket"),
+            _scaled_int(F.col(value_col)).alias("__sv"),
+        )
+        .groupBy(key_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__sv").alias("__ssum"))
+    )
+    wt = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(-left, right)
+    )
+    h = F.col("__ssum").cast("double") / F.col("n") / F.lit(1e4)
+    trend = (
+        F.sum("__ssum").over(wt).cast("double")
+        / F.sum("n").over(wt)
+        / F.lit(1e4)
+    )
+    d = rd(h - trend, 6)
+    with_d = b.select(
+        F.col(key_col),
+        "bucket",
+        (F.col("bucket") % 24).alias("hour_of_day"),
+        rd(h, 6).alias("hourly"),
+        rd(trend, 6).alias("trend"),
+        d.alias("__d"),
+    )
+    ws = Window.partitionBy(key_col, "hour_of_day")
+    seasonal = rd(
+        F.sum(F.col("__d").cast("decimal(38,6)")).over(ws).cast("double")
+        / F.count(F.lit(1)).over(ws),
+        6,
+    )
+    return with_d.select(
+        F.col(key_col),
+        "bucket",
+        "hour_of_day",
+        "hourly",
+        "trend",
+        seasonal.alias("seasonal"),
+        rd(F.col("__d") - seasonal, 6).alias("residual"),
+    )

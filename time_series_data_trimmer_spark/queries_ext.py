@@ -7604,3 +7604,58 @@ def _q_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vocabulary-bounded shuffles only; see the operator docstring for
     the log2 determinism discipline (6-dp terms, decimal sum)."""
     return tx.token_entropy(_table(spark, sf_dir, "documents"), group_col="source")
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (ts.seasonal_decompose_hourly)
+# ---------------------------------------------------------------------------
+
+_SD_HOUR_US = 3_600_000_000
+
+
+@register(
+    "ts_seasonal_decompose",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // {_SD_HOUR_US} AS bucket,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS sv
+      FROM events
+    ),
+    b AS (
+      SELECT user_id, bucket, count(*) AS n, sum(sv) AS ssum
+      FROM e GROUP BY user_id, bucket
+    ),
+    t AS (
+      SELECT *, sum(ssum) OVER w AS tsum, sum(n) OVER w AS tn
+      FROM b WINDOW w AS (
+        PARTITION BY user_id ORDER BY bucket
+        ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING
+      )
+    ),
+    d AS (
+      SELECT user_id, bucket, bucket % 24 AS hour_of_day,
+             {R("CAST(ssum AS DOUBLE) / n / 10000.0", 6)} AS hourly,
+             {R("CAST(tsum AS DOUBLE) / tn / 10000.0", 6)} AS trend,
+             {R("CAST(ssum AS DOUBLE) / n / 10000.0 - CAST(tsum AS DOUBLE) / tn / 10000.0", 6)} AS dd
+      FROM t
+    ),
+    s AS (
+      SELECT *,
+             {R("CAST(sum(CAST(dd AS DECIMAL(38,6))) OVER ws AS DOUBLE) / count(*) OVER ws", 6)} AS seasonal
+      FROM d WINDOW ws AS (PARTITION BY user_id, hour_of_day)
+    )
+    SELECT user_id, bucket, hour_of_day, hourly, trend, seasonal,
+           {R("dd - seasonal", 6)} AS residual
+    FROM s
+    """,
+)
+def _q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of each trial's hourly series
+    (`ts.seasonal_decompose_hourly`): ratio-of-integer-sums trend over
+    a centered 24-bucket row frame, hour-of-day seasonal means on the
+    6-dp decimal grid, residual — STL's skeleton with every averaging
+    step order-independent. One exchange on the trial key; the bucket
+    aggregation, both row-frame windows, and the (trial, hour-of-day)
+    seasonal window all reuse it."""
+    e = _events_us(spark, sf_dir)
+    return ts.seasonal_decompose_hourly(e)
