@@ -130,6 +130,14 @@ HEADLINE = [
     "scd2_user_state_history",   # SCD2 validity-interval history build
     "twap_value_by_user_hour",   # integer-exact time-weighted average
     "text_cooc_lift_pairs",      # df-gated co-occurrence lift (PMI core)
+    # r7 fourth wave, on-headline from day one:
+    "graph_triangle_count_cooc",  # degree-oriented triangle counting
+    "markov_event_transitions",  # vocab²-bounded transition matrix
+    "funnel_view_click_purchase",  # staged min-time conversion funnel
+    "ts_sax_symbols",            # PAA + SAX symbolization, one exchange
+    "sim_matryoshka_topk",       # prefix-dim prune + exact full-dim rerank
+    "text_token_entropy_by_source",  # per-slice Shannon entropy (6-dp grid)
+    "ts_seasonal_decompose",     # classical decomposition, ratio-of-sums trend
 ]
 
 
