@@ -138,6 +138,7 @@ HEADLINE = [
     "sim_matryoshka_topk",       # prefix-dim prune + exact full-dim rerank
     "text_token_entropy_by_source",  # per-slice Shannon entropy (6-dp grid)
     "ts_seasonal_decompose",     # classical decomposition, ratio-of-sums trend
+    "emb_label_knn_agreement",   # 1-NN label-noise audit on blocked candidates
 ]
 
 

@@ -1384,3 +1384,101 @@ def matryoshka_topk(
         .limit(int(k))
         .select(id_col, "coarse_cosine", "cosine")
     )
+
+
+def knn_label_agreement(
+    df: DataFrame,
+    label_col: str = "label",
+    bits: int = 8,
+    tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "tsdt",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-space label-noise audit: for every vector, find its
+    nearest LSH-blocked neighbor (exact decimal cosine re-rank, 6-dp
+    rounded before ranking so the winner is engine-reproducible) and
+    report, per label, how often that neighbor carries the SAME label
+    — the 1-NN consistency score. Labels whose vectors' neighbors
+    disagree are mislabeled, duplicated across classes, or living in
+    another class's embedding region; this is the standard cheap audit
+    before training on weak labels.
+
+    Plan: the same Σ|B|² candidate generation as the blocked dedup
+    path (no join, bounded buckets), two id-keyed shuffle-hash joins
+    for the exact re-rank, one keyed window for the per-vector top-1,
+    one label join, one label-keyed aggregation. Nothing quadratic in
+    N, nothing broadcast that scales with N.
+    """
+    from pyspark.sql import Window
+
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    if dim is None:
+        row = df.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "cannot infer embedding dim from an empty table; pass dim="
+            )
+        dim = len(row[0])
+    cand = lsh_candidate_pairs(df, dim, bits, tables, id_col, vec_col, seed)
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.sqrt(decimal_dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("va"), F.col("__nrm").alias("na")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), F.col("__nrm").alias("nb")
+    )
+    scored = (
+        cand.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            rd(
+                decimal_dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    sym = scored.select(
+        F.col("id_a").alias("vid"), F.col("id_b").alias("nbr"), "cos"
+    ).unionAll(
+        scored.select(
+            F.col("id_b").alias("vid"), F.col("id_a").alias("nbr"), "cos"
+        )
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("nbr").asc())
+    top1 = sym.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
+    labels = df.select(F.col(id_col), F.col(label_col).alias("__lbl"))
+    own = labels.select(F.col(id_col).alias("vid"), F.col("__lbl").alias("lbl"))
+    nb = labels.select(F.col(id_col).alias("nbr"), F.col("__lbl").alias("nbr_lbl"))
+    j = (
+        own.join(top1.hint("shuffle_hash"), "vid", "left")
+        .join(nb.hint("shuffle_hash"), "nbr", "left")
+    )
+    agg = j.groupBy("lbl").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("nbr").isNotNull(), 1).otherwise(0)).alias("n_scored"),
+        F.sum(
+            F.when(F.col("nbr_lbl") == F.col("lbl"), 1).otherwise(0)
+        ).alias("n_agree"),
+    )
+    return agg.select(
+        F.col("lbl").alias(label_col),
+        "n_vecs",
+        "n_scored",
+        "n_agree",
+        rd(
+            F.when(F.col("n_scored") == 0, F.lit(0.0)).otherwise(
+                F.col("n_agree").cast("double") / F.col("n_scored")
+            ),
+            6,
+        ).alias("agreement"),
+    )

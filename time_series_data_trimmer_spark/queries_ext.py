@@ -7659,3 +7659,90 @@ def _q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     seasonal window all reuse it."""
     e = _events_us(spark, sf_dir)
     return ts.seasonal_decompose_hourly(e)
+
+
+# ---------------------------------------------------------------------------
+# 1-NN label-agreement audit (sim.knn_label_agreement)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_label_knn_agreement",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    planes AS (
+      SELECT t.t, b.b, i.i,
+             ('0x' || substr(md5('tsdt|t' || t.t || '|' || b.b || '|' || i.i), 1, 8))::BIGINT
+               / 2147483648.0 - 1.0 AS w
+      FROM generate_series(0, {_EMB_TABLES - 1}) t(t),
+           generate_series(0, {_EMB_BITS - 1}) b(b),
+           generate_series(0, {_EMB_DIM - 1}) i(i)
+    ),
+    pdots AS (
+      SELECT e.vec_id, p.t, p.b,
+             CAST(sum(CAST({sql_rd("e.x * p.w", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS d
+      FROM ex e JOIN planes p ON p.i = e.i - 1
+      GROUP BY e.vec_id, p.t, p.b
+    ),
+    sigs AS (
+      SELECT vec_id, t,
+             sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sig
+      FROM pdots GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(sum(CAST({sql_rd("x * x", 9)} AS DECIMAL(38,9))) AS DOUBLE)) AS nrm
+      FROM ex GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             {R("CAST(sum(CAST(" + sql_rd("ea.x * eb.x", 9) + " AS DECIMAL(38,9))) AS DOUBLE) / (max(na.nrm) * max(nb.nrm))", 6)} AS cos
+      FROM cand c
+      JOIN ex ea ON ea.vec_id = c.id_a
+      JOIN ex eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+      JOIN norms na ON na.vec_id = c.id_a
+      JOIN norms nb ON nb.vec_id = c.id_b
+      GROUP BY c.id_a, c.id_b
+    ),
+    sym AS (
+      SELECT id_a AS vid, id_b AS nbr, cos FROM scored
+      UNION ALL
+      SELECT id_b AS vid, id_a AS nbr, cos FROM scored
+    ),
+    top1 AS (
+      SELECT vid, nbr FROM sym
+      QUALIFY row_number() OVER (
+        PARTITION BY vid ORDER BY cos DESC, nbr ASC
+      ) = 1
+    ),
+    j AS (
+      SELECT e.label AS lbl, t.nbr, n.label AS nbr_lbl
+      FROM embeddings e
+      LEFT JOIN top1 t ON t.vid = e.vec_id
+      LEFT JOIN embeddings n ON n.vec_id = t.nbr
+    )
+    SELECT lbl AS label,
+           count(*) AS n_vecs,
+           count(*) FILTER (WHERE nbr IS NOT NULL) AS n_scored,
+           count(*) FILTER (WHERE nbr_lbl = lbl) AS n_agree,
+           {R("CASE WHEN count(*) FILTER (WHERE nbr IS NOT NULL) = 0 THEN 0.0"
+              " ELSE CAST(count(*) FILTER (WHERE nbr_lbl = lbl) AS DOUBLE)"
+              " / count(*) FILTER (WHERE nbr IS NOT NULL) END", 6)} AS agreement
+    FROM j GROUP BY lbl
+    """,
+)
+def _q_emb_label_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN label-consistency audit (`sim.knn_label_agreement`): each
+    vector's nearest LSH-blocked neighbor (exact decimal cosine,
+    rounded before ranking) votes on its label; per-label agreement
+    below the corpus norm flags label noise / cross-class duplication
+    before anyone trains on it. Same bounded candidate generation as
+    the blocked dedup path; the oracle replays the full blocked
+    algorithm, planes and all."""
+    emb = _table(spark, sf_dir, "embeddings")
+    return sim.knn_label_agreement(
+        emb, bits=_EMB_BITS, tables=_EMB_TABLES, dim=_EMB_DIM
+    )
