@@ -7746,3 +7746,98 @@ def _q_emb_label_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_label_agreement(
         emb, bits=_EMB_BITS, tables=_EMB_TABLES, dim=_EMB_DIM
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf exponent per source (closed-form OLS in log-log space)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 64  # ranks fitted (vocabulary-bounded; full vocab here)
+
+
+@register(
+    "text_zipf_slope_by_source",
+    f"""
+    WITH toks AS (
+      SELECT source, t.token
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(trim(text), ' ')) AS token) t
+      WHERE text IS NOT NULL AND len(t.token) > 0
+    ),
+    tf AS (SELECT source, token, count(*) AS c FROM toks GROUP BY source, token),
+    ranked AS (
+      SELECT source, c,
+             row_number() OVER (
+               PARTITION BY source ORDER BY c DESC, token ASC
+             ) AS rnk
+      FROM tf
+    ),
+    pts AS (
+      SELECT source,
+             {sql_rd("log2(CAST(rnk AS DOUBLE))", 9)} AS x,
+             {sql_rd("log2(CAST(c AS DOUBLE))", 9)} AS y
+      FROM ranked WHERE rnk <= {_ZIPF_TOP}
+    ),
+    s AS (
+      SELECT source, count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+             CAST(sum(CAST({sql_rd("x * y", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST({sql_rd("x * x", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS sxx
+      FROM pts GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_ranks,
+           {R("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS zipf_slope
+    FROM s WHERE n > 1
+    """,
+)
+def _q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Zipf exponent per corpus slice: OLS slope of log2(freq) on
+    log2(rank) over the top {_ZIPF_TOP} ranks — natural language sits
+    near −1; a slice drifting toward 0 is template/boilerplate spam
+    and a slice plunging below −1.5 is a collapsed vocabulary. The
+    closed-form detrend discipline (F6) in log-log space: 9-dp-rounded
+    terms, decimal sums, one final IEEE division — and the fit is
+    rank-bounded, so corpus size only touches the first aggregation."""
+    docs = _table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+    tf = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("token").asc()
+    )
+    pts = (
+        tf.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _ZIPF_TOP)
+        .select(
+            "source",
+            rd(F.log2(F.col("rnk").cast("double")), 9).alias("x"),
+            rd(F.log2(F.col("c").cast("double")), 9).alias("y"),
+        )
+    )
+    s = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,9)")).cast("double").alias("sy"),
+        F.sum(rd(F.col("x") * F.col("y"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(rd(F.col("x") * F.col("x"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    return s.filter(F.col("n") > 1).select(
+        "source",
+        F.col("n").cast("long").alias("n_ranks"),
+        rd(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
