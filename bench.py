@@ -139,6 +139,8 @@ HEADLINE = [
     "text_token_entropy_by_source",  # per-slice Shannon entropy (6-dp grid)
     "ts_seasonal_decompose",     # classical decomposition, ratio-of-sums trend
     "emb_label_knn_agreement",   # 1-NN label-noise audit on blocked candidates
+    "text_zipf_slope_by_source",  # log-log OLS Zipf exponent per slice
+    "stream_funnel_users",       # constant-state streaming funnel machine
 ]
 
 

@@ -265,3 +265,56 @@ def test_rocksdb_state_store_is_default_with_metrics(spark):
     dedup = m[0]
     assert dedup["state_rows"] and dedup["state_rows"] > 0
     assert dedup["memory_used_bytes"] and dedup["memory_used_bytes"] > 0
+
+
+def test_stream_funnel_state_carries_across_batches(spark, tmp_path):
+    """The funnel latches stages across micro-batches: view in batch 0,
+    click in batch 1, purchase in batch 2 must produce stage 3 with the
+    exact strictly-after timestamps; a click BEFORE the first view and
+    a purchase arriving before its click must not latch; and the
+    multi-batch result equals the single-batch run (time-ordered
+    arrival => batch answer)."""
+    from time_series_data_trimmer_spark.streaming.stream_ops import stream_funnel
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 1000
+    # user 1: clean view->click->purchase across three batches
+    # user 2: click first (never latches without a view), then view;
+    #         purchase at the SAME micro as the view (strict > fails)
+    _write_events(
+        src,
+        "f1.parquet",
+        [(1, 10, 1, "view", 1.0), (2, 5, 2, "click", 1.0)],
+        t0,
+    )
+    _write_events(
+        src,
+        "f2.parquet",
+        [(3, 20, 1, "click", 1.0), (4, 30, 2, "view", 1.0)],
+        t0 + 100,
+    )
+    _write_events(
+        src,
+        "f3.parquet",
+        [(5, 40, 1, "purchase", 1.0), (6, 30, 2, "purchase", 1.0)],
+        t0 + 200,
+    )
+
+    multi = {
+        r["user_id"]: r.asDict()
+        for r in stream_funnel(spark, src, max_files_per_trigger=1).collect()
+    }
+    single = {
+        r["user_id"]: r.asDict()
+        for r in stream_funnel(spark, src).collect()
+    }
+    assert multi == single
+    u1 = multi[1]
+    assert u1["stage_reached"] == 3
+    assert u1["t1_us"] < u1["t2_us"] < u1["t3_us"]
+    u2 = multi[2]
+    # view latched, but click came before it and purchase isn't
+    # strictly after a latched click -> stage 1
+    assert u2["stage_reached"] == 1
+    assert u2["t2_us"] is None and u2["t3_us"] is None

@@ -7841,3 +7841,56 @@ def _q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ordered funnel (stream_ops.stream_funnel)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_funnel_users",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (
+      SELECT user_id, min(us) AS t1 FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.us) AS t2
+      FROM e JOIN s1 ON s1.user_id = e.user_id AND e.us > s1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.us) AS t3
+      FROM e JOIN s2 ON s2.user_id = e.user_id AND e.us > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    u AS (SELECT DISTINCT user_id FROM e)
+    SELECT u.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS stage_reached,
+           s1.t1 AS t1_us, s2.t2 AS t2_us, s3.t3 AS t3_us
+    FROM u
+    LEFT JOIN s1 ON s1.user_id = u.user_id
+    LEFT JOIN s2 ON s2.user_id = u.user_id
+    LEFT JOIN s3 ON s3.user_id = u.user_id
+    """,
+)
+def _q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ordered funnel (`stream_ops.stream_funnel`): a
+    constant-size per-user state machine in GroupState latches the
+    earliest strictly-after timestamp of each stage across
+    micro-batches; with event-time-ordered arrival the final emission
+    equals the batch staged-min-join answer row for row, which is what
+    the oracle checks. The batch funnel reports the aggregate
+    (stage, users) counts; this one keeps per-user conversion times —
+    the row-level feed a real-time attribution sink consumes."""
+    from time_series_data_trimmer_spark.streaming.stream_ops import stream_funnel
+
+    return stream_funnel(spark, os.path.join(sf_dir, "events.parquet"))

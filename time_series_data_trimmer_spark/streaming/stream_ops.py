@@ -725,3 +725,91 @@ def stream_upsert_to_keyed_parquet(
     if not os.path.exists(out_dir):
         return spark.createDataFrame([], "user_id long")
     return spark.read.parquet(out_dir).drop("__bucket")
+
+
+def stream_funnel(
+    spark: SparkSession,
+    path: str,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming ordered-funnel state machine via
+    applyInPandasWithState: per user, track the earliest time each
+    funnel stage was reached STRICTLY after the previous stage — the
+    real-time twin of the batch `funnel_view_click_purchase` query.
+
+    State per user is ``len(stages)`` nullable longs (stage timestamps
+    in micros) — constant, RocksDB-friendly. Each micro-batch's rows
+    are processed in (t_us, event_id) order against the carried state,
+    so with event-time-ordered arrival (the file source's normal
+    append layout) the final emission per user is EXACTLY the batch
+    answer, and the oracle can check it. Late/out-of-order arrivals
+    degrade exactly like the batch query would if it ran before the
+    late rows landed: a stage already latched never un-latches
+    (timestamps only matter through the strict-after chain).
+
+    Emission is the user's current (stage_reached, t₁..tₙ) each
+    trigger, update mode; the post-pass keeps the max-stage emission
+    per user (monotone, so schedule-independent for ordered arrival).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    import pandas as pd
+
+    n_stages = len(stages)
+    stage_of = {s: i for i, s in enumerate(stages)}
+    stream = _events_stream(spark, path, max_files_per_trigger)
+    ev = stream.select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("event_id"),
+        F.unix_micros(F.col("event_time")).alias("t_us"),
+    ).filter(F.col("event_type").isin(*stages))
+
+    fields = [StructField(f"t{i + 1}_us", LongType()) for i in range(n_stages)]
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("stage_reached", IntegerType()),
+            *fields,
+        ]
+    )
+    state_schema = StructType(fields)
+
+    def update(key, pdfs, state: GroupState):
+        ts = list(state.get) if state.exists else [None] * n_stages
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["t_us", "event_id"])
+        for typ, t in zip(rows["event_type"], rows["t_us"]):
+            i = stage_of[typ]
+            t = int(t)
+            if ts[i] is not None:
+                continue
+            if i == 0 or (ts[i - 1] is not None and t > ts[i - 1]):
+                ts[i] = t
+        state.update(tuple(ts))
+        reached = sum(1 for t in ts if t is not None)
+        out = {"user_id": [key[0]], "stage_reached": [reached]}
+        for i in range(n_stages):
+            out[f"t{i + 1}_us"] = [ts[i]]
+        yield pd.DataFrame(out)
+
+    emitted = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emissions = _run_to_memory(emitted, mode="update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("stage_reached").desc(),
+        *[F.col(f.name).asc_nulls_last() for f in fields],
+    )
+    return (
+        emissions.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
