@@ -141,6 +141,8 @@ HEADLINE = [
     "emb_label_knn_agreement",   # 1-NN label-noise audit on blocked candidates
     "text_zipf_slope_by_source",  # log-log OLS Zipf exponent per slice
     "stream_funnel_users",       # constant-state streaming funnel machine
+    "seq_topk_event_trigrams",   # session path mining, |types|^3-bounded agg
+    "layout_encoding_advisor",   # RLE/dict encodability audit, one window pass
 ]
 
 

@@ -85,3 +85,66 @@ def zorder_write(
         .option("parquet.block.size", int(row_group_bytes))
         .parquet(out_dir)
     )
+
+
+def encoding_advisor(
+    df: DataFrame,
+    columns: list[str],
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("t_us", "event_id"),
+) -> DataFrame:
+    """Storage-encoding audit for a trial-clustered layout: for each
+    column, how well would parquet's RLE and dictionary encodings do
+    if the table is written clustered by ``key_col`` and sorted by
+    ``order_cols`` inside each file (exactly what `zorder_write` /
+    the bucketed writer produce)?
+
+    Per column: row count, exact NDV (dictionary size), run count
+    under the clustered sort (adjacent-equal collapse = RLE runs),
+    ``rle_ratio`` = runs/n (1.0 = incompressible by RLE), and
+    ``dict_bits`` = ceil(log2 NDV) (per-value width after dictionary
+    encoding). The numbers that decide whether re-clustering a 100 TB
+    table pays for itself — the measurement twin of the
+    `scripts/zorder_prune.py` row-group-pruning study.
+
+    Plan: one window pass on the trial key computes the run flags for
+    ALL audited columns at once; each column then contributes one
+    count/NDV/sum aggregation row, unioned into a (column, metrics)
+    report — aggregation output is len(columns) rows, so everything
+    after the scan is negligible.
+    """
+    from pyspark.sql import Window
+
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    flagged = df.select(
+        *[F.col(c) for c in dict.fromkeys([key_col, *order_cols, *columns])],
+        *[
+            F.when(
+                F.lag(F.col(c)).over(w).isNull()
+                | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w)),
+                1,
+            )
+            .otherwise(0)
+            .alias(f"__run_{c}")
+            for c in columns
+        ],
+    )
+    out = None
+    for c in columns:
+        row = flagged.agg(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(c)).alias("ndv"),
+            F.sum(f"__run_{c}").alias("n_runs"),
+        ).select(
+            "column",
+            "n",
+            "ndv",
+            "n_runs",
+            rd(F.col("n_runs").cast("double") / F.col("n"), 6).alias("rle_ratio"),
+            F.ceil(F.log2(F.col("ndv").cast("double"))).cast("long").alias("dict_bits"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -7894,3 +7894,153 @@ def _q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_data_trimmer_spark.streaming.stream_ops import stream_funnel
 
     return stream_funnel(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Sequential patterns: top session event-type trigrams
+# ---------------------------------------------------------------------------
+
+_SEQ_GAP_US = 1_800_000_000  # the repo's standing 30-min session rule
+_SEQ_TOPK = 20
+
+
+@register(
+    "seq_topk_event_trigrams",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > {_SEQ_GAP_US}
+                  THEN 1 ELSE 0 END AS newf
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT *,
+             sum(newf) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess
+      FROM m
+    ),
+    g AS (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER ws AS t2,
+             lead(event_type, 2) OVER ws AS t3
+      FROM s WINDOW ws AS (PARTITION BY user_id, sess ORDER BY us, event_id)
+    )
+    SELECT t1, t2, t3, count(*) AS n
+    FROM g WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC
+    LIMIT {_SEQ_TOPK}
+    """,
+)
+def _q_seq_topk_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Sequential-pattern mining, the bounded-alphabet case: the
+    corpus's most common within-session event-type TRIGRAM paths
+    (30-min-gap sessions, the repo's standing rule). The n-gram stream
+    comes from two lead() calls on the SAME (user, session) window the
+    sessionizer already sorted — no explode, no self-join — and the
+    aggregation output is |types|³-bounded regardless of corpus size,
+    so the final top-{_SEQ_TOPK} is a TakeOrdered over at most 125
+    rows. One exchange on the user key end to end."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    m = ev.withColumn(
+        "newf",
+        F.when(
+            F.lag("us").over(wo).isNull()
+            | ((F.col("us") - F.lag("us").over(wo)) > _SEQ_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    s = m.withColumn(
+        "sess",
+        F.sum("newf").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "sess").orderBy("us", "event_id")
+    g = s.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(ws).alias("t2"),
+        F.lead("event_type", 2).over(ws).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        g.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("n").desc(),
+            F.col("t1").asc(),
+            F.col("t2").asc(),
+            F.col("t3").asc(),
+        )
+        .limit(_SEQ_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Storage-encoding advisor (layout.encoding_advisor)
+# ---------------------------------------------------------------------------
+
+_ENC_COLS = ("user_id", "event_type", "value")
+
+
+def _enc_sql_one(col: str) -> str:
+    return f"""
+      SELECT '{col}' AS "column", count(*) AS n,
+             count(DISTINCT {col}) AS ndv, sum(run) AS n_runs
+      FROM (
+        SELECT {col},
+               CASE WHEN lag({col}) OVER w_{col} IS NULL
+                         OR NOT ({col} IS NOT DISTINCT FROM lag({col}) OVER w_{col})
+                    THEN 1 ELSE 0 END AS run
+        FROM e WINDOW w_{col} AS (PARTITION BY user_id ORDER BY us, event_id)
+      )
+    """
+
+
+@register(
+    "layout_encoding_advisor",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+      FROM events
+    ),
+    per AS (
+      {" UNION ALL ".join(_enc_sql_one(c) for c in _ENC_COLS)}
+    )
+    SELECT "column", n, CAST(ndv AS BIGINT) AS ndv,
+           CAST(n_runs AS BIGINT) AS n_runs,
+           {R('CAST(n_runs AS DOUBLE) / n', 6)} AS rle_ratio,
+           CAST(ceil(log2(CAST(ndv AS DOUBLE))) AS BIGINT) AS dict_bits
+    FROM per
+    """,
+)
+def _q_layout_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Would re-clustering pay for itself? Exact RLE run counts and
+    dictionary widths for the audited columns under the trial-
+    clustered (user, time) sort (`layout.encoding_advisor`) — the
+    byte-level complement of `scripts/zorder_prune.py`'s row-group
+    study: user_id collapses to one run per trial, event_type to
+    ~NDV-bounded runs, value stays incompressible; those three numbers
+    ARE the re-layout cost/benefit at 100 TB. One window pass flags
+    runs for all columns; output is len(columns) rows."""
+    from time_series_data_trimmer_spark.operators import layout as ly
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    return ly.encoding_advisor(
+        ev, list(_ENC_COLS), key_col="user_id", order_cols=("us", "event_id")
+    )
