@@ -143,6 +143,8 @@ HEADLINE = [
     "stream_funnel_users",       # constant-state streaming funnel machine
     "seq_topk_event_trigrams",   # session path mining, |types|^3-bounded agg
     "layout_encoding_advisor",   # RLE/dict encodability audit, one window pass
+    "stats_spearman_value_vs_hour",  # exact tie-averaged Spearman (doubled ranks)
+    "stats_chi2_type_vs_hour",   # chi-square drift stat, cells-bounded
 ]
 
 

@@ -8044,3 +8044,170 @@ def _q_layout_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ly.encoding_advisor(
         ev, list(_ENC_COLS), key_col="user_id", order_cols=("us", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution statistics: Spearman rank correlation + chi-square drift
+# ---------------------------------------------------------------------------
+
+
+_SPEARMAN_RHO_SQL = (
+    "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)"
+    " / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)"
+    " * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))"
+)
+
+
+@register(
+    "stats_spearman_value_vs_hour",
+    f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS xv,
+             (epoch_us(ts) // 3600000000) % 24 AS yv
+      FROM events
+    ),
+    rx AS (
+      SELECT event_type, xv, yv,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY xv)
+               + count(*) OVER (PARTITION BY event_type, xv) - 1 AS rx2,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY yv)
+               + count(*) OVER (PARTITION BY event_type, yv) - 1 AS ry2
+      FROM e
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             sum(rx2) AS sx, sum(ry2) AS sy,
+             sum(CAST(rx2 AS DECIMAL(38,0)) * ry2) AS sxy,
+             sum(CAST(rx2 AS DECIMAL(38,0)) * rx2) AS sxx,
+             sum(CAST(ry2 AS DECIMAL(38,0)) * ry2) AS syy
+      FROM rx GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           {R(_SPEARMAN_RHO_SQL, 6)} AS spearman_rho
+    FROM s
+    """,
+)
+def _q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between value and hour-of-day per
+    event type — the robust monotone-association screen (is this
+    signal diurnal?). EXACT with no special functions: tie-averaged
+    ranks are half-integers, so DOUBLED ranks are integers
+    (2·avg_rank = 2·min_rank + ties − 1), every moment accumulates as
+    an exact decimal, and rho is one IEEE expression over exact sums —
+    the doubling cancels in the correlation. Two rank windows + one
+    tie-count window on the same event_type-keyed exchange, then a
+    |types|-row aggregate."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("xv"),
+        (
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 24
+        ).alias("yv"),
+    )
+    wp = Window.partitionBy("event_type")
+    rx2 = (
+        2 * F.rank().over(wp.orderBy("xv"))
+        + F.count(F.lit(1)).over(Window.partitionBy("event_type", "xv"))
+        - 1
+    )
+    ry2 = (
+        2 * F.rank().over(wp.orderBy("yv"))
+        + F.count(F.lit(1)).over(Window.partitionBy("event_type", "yv"))
+        - 1
+    )
+    r = ev.select("event_type", rx2.alias("rx2"), ry2.alias("ry2"))
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2").cast("decimal(38,0)") * F.col("ry2")).alias("sxy"),
+        F.sum(F.col("rx2").cast("decimal(38,0)") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2").cast("decimal(38,0)") * F.col("ry2")).alias("syy"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        rd(
+            (F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "stats_chi2_type_vs_hour",
+    f"""
+    WITH o AS (
+      SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod,
+             count(*) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, sum(obs) AS rtot FROM o GROUP BY event_type),
+    ct AS (SELECT hod, sum(obs) AS ctot FROM o GROUP BY hod),
+    g AS (SELECT sum(obs) AS total FROM o),
+    cells AS (
+      SELECT o.event_type, o.hod, o.obs,
+             CAST(rt.rtot AS DOUBLE) * ct.ctot / g.total AS expected
+      FROM o JOIN rt USING (event_type) JOIN ct USING (hod) CROSS JOIN g
+    )
+    SELECT CAST(sum(CAST({sql_rd(
+               "(obs - expected) * (obs - expected) / expected", 6
+           )} AS DECIMAL(38,6))) AS DOUBLE) AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT hod) - 1) AS BIGINT) AS dof,
+           CAST(sum(obs) AS BIGINT) AS n
+    FROM cells
+    """,
+)
+def _q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence statistic for event_type ×
+    hour-of-day — the categorical drift / association test a pipeline
+    monitor runs on every ingest slice. Expected counts are one IEEE
+    expression over exact integer margins; per-cell terms are
+    6-dp-rounded and decimal-summed (order-independent). The
+    contingency table is |types|·24 cells no matter how many rows
+    scanned — margins and cells all ride map-side combines."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 24
+        ).alias("hod"),
+    )
+    o = ev.groupBy("event_type", "hod").agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("rtot"))
+    ct = o.groupBy("hod").agg(F.sum("obs").alias("ctot"))
+    g = o.agg(F.sum("obs").alias("total"))
+    cells = (
+        o.join(rt.hint("shuffle_hash"), "event_type")
+        .join(ct.hint("shuffle_hash"), "hod")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "hod",
+            "obs",
+            (
+                F.col("rtot").cast("double") * F.col("ctot") / F.col("total")
+            ).alias("expected"),
+        )
+    )
+    return cells.agg(
+        F.sum(
+            rd(
+                (F.col("obs") - F.col("expected"))
+                * (F.col("obs") - F.col("expected"))
+                / F.col("expected"),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("chi2"),
+        ((F.count_distinct(F.col("event_type")) - 1) * (F.count_distinct(F.col("hod")) - 1))
+        .cast("long")
+        .alias("dof"),
+        F.sum("obs").cast("long").alias("n"),
+    )
