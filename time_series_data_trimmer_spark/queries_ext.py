@@ -7666,17 +7666,41 @@ def _q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_KNN_MAX_BITS = 24  # plane pool upper bound for the adaptive rule
+
+
+def _knn_bits(n: int) -> int:
+    """N-adaptive hyperplane count: bits = max(base, ceil(log2 N) - 4)
+    -> expected bucket occupancy ~2^4 stays CONSTANT as the corpus
+    grows, so candidate volume per table is O(N), not O(N^2 / 2^bits).
+    The same derived-from-a-count rule as SemDeDup's k (reproduced in
+    the oracle via log2 of the exact count; ceil is ulp-safe because
+    log2 of an exact power of two is exact and anything else is far
+    from an integer)."""
+    import math
+
+    return max(_EMB_BITS, int(math.ceil(math.log2(max(n, 2)))) - 4)
+
+
 @register(
     "emb_label_knn_agreement",
     f"""
     WITH ex AS ({_EX_SQL}),
+    bitsv AS (
+      SELECT greatest({_EMB_BITS},
+                      CAST(ceil(log2(CAST(count(*) AS DOUBLE))) AS INTEGER) - 4)
+             AS bits
+      FROM embeddings
+    ),
     planes AS (
       SELECT t.t, b.b, i.i,
              ('0x' || substr(md5('tsdt|t' || t.t || '|' || b.b || '|' || i.i), 1, 8))::BIGINT
                / 2147483648.0 - 1.0 AS w
-      FROM generate_series(0, {_EMB_TABLES - 1}) t(t),
-           generate_series(0, {_EMB_BITS - 1}) b(b),
-           generate_series(0, {_EMB_DIM - 1}) i(i)
+      FROM generate_series(0, {_KNN_MAX_BITS - 1}) b(b)
+      CROSS JOIN bitsv
+      JOIN generate_series(0, {_EMB_TABLES - 1}) t(t) ON TRUE
+      JOIN generate_series(0, {_EMB_DIM - 1}) i(i) ON TRUE
+      WHERE b.b < bitsv.bits
     ),
     pdots AS (
       SELECT e.vec_id, p.t, p.b,
@@ -7743,8 +7767,9 @@ def _q_emb_label_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     the blocked dedup path; the oracle replays the full blocked
     algorithm, planes and all."""
     emb = _table(spark, sf_dir, "embeddings")
+    bits = _knn_bits(emb.count())
     return sim.knn_label_agreement(
-        emb, bits=_EMB_BITS, tables=_EMB_TABLES, dim=_EMB_DIM
+        emb, bits=bits, tables=_EMB_TABLES, dim=_EMB_DIM
     )
 
 
