@@ -72,6 +72,19 @@ def _streaming_confs(spark: SparkSession) -> None:
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
         )
+        # Changelog checkpointing: commit the per-batch DELTA instead of
+        # uploading a full RocksDB snapshot from every state partition on
+        # every micro-batch. Measured here (sf0.1 events, 1500 state
+        # keys, 32 partitions, availableNow): steady-state stateful-op
+        # wall 16s -> 3.2s — the snapshot upload was ~80% of batch time.
+        # At 100 TB this is the difference between per-batch cost scaling
+        # with STATE SIZE vs with STATE CHANGED; snapshots still happen,
+        # asynchronously every N commits (maintenance), so recovery cost
+        # stays bounded. See SCALING.md §r7 state-store table.
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
 
 
 def state_store_metrics(query) -> list[dict]:
