@@ -60,8 +60,8 @@ _FIRST_50 = [
     "p7_asof_lookup", "a1_sample_rate", "a4_episode_overlay",
     "a5_suggest_segments", "e1_frame_transform", "e8_quat_to_yaw",
     "asof_join_click_purchase", "recipe_compiled_chain",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q21_waiting_supplier", "topk_orders_by_price",
+    "tpch_q1_pricing_summary", "tpch_q21_waiting_supplier",
+    "graph_triangle_count_cooc", "sim_matryoshka_topk",
     # LLM-pipeline marquee (r3-r7): dedup / similarity / text /
     # time-series / graph / sketches / composition
     "dedup_exact_groups", "dedup_minhash_lsh_pairs", "dedup_semantic",

@@ -133,7 +133,7 @@ HEADLINE = [
     # r7 fourth wave, on-headline from day one:
     "graph_triangle_count_cooc",  # degree-oriented triangle counting
     "markov_event_transitions",  # vocab²-bounded transition matrix
-    "funnel_view_click_purchase",  # staged min-time conversion funnel
+    "funnel_staged_conversions",  # staged min-time conversion funnel
     "ts_sax_symbols",            # PAA + SAX symbolization, one exchange
     "sim_matryoshka_topk",       # prefix-dim prune + exact full-dim rerank
     "text_token_entropy_by_source",  # per-slice Shannon entropy (6-dp grid)

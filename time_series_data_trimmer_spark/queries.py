@@ -43,6 +43,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 
 def register(name: str, sql: str | None):
     def deco(fn):
+        if name in REGISTRY:
+            # a dict assignment would silently REPLACE the earlier
+            # query (and its oracle) — a coverage regression the gate
+            # can't see because the new pair is self-consistent.
+            raise ValueError(f"query {name!r} is already registered")
         REGISTRY[name] = (fn, sql)
         return fn
 

@@ -7371,7 +7371,7 @@ _FUNNEL_STAGES = ("view", "click", "purchase")
 
 
 @register(
-    "funnel_view_click_purchase",
+    "funnel_staged_conversions",
     f"""
     WITH e AS (
       SELECT user_id, event_type, epoch_us(ts) AS us FROM events
