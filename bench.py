@@ -145,6 +145,8 @@ HEADLINE = [
     "layout_encoding_advisor",   # RLE/dict encodability audit, one window pass
     "stats_spearman_value_vs_hour",  # exact tie-averaged Spearman (doubled ranks)
     "stats_chi2_type_vs_hour",   # chi-square drift stat, cells-bounded
+    "stats_w1_value_drift_by_type",  # decile-matched Wasserstein numeric drift
+    "stats_markov_entropy_rate", # chain predictability, |types|^2-bounded
 ]
 
 

@@ -8236,3 +8236,167 @@ def _q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dof"),
         F.sum("obs").cast("long").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Numeric drift: decile-matched 1-D Wasserstein between month halves
+# ---------------------------------------------------------------------------
+
+_W1_SPLIT_US = 1_705_276_800_000_000  # 2024-01-15 00:00:00 UTC
+
+
+@register(
+    "stats_w1_value_drift_by_type",
+    f"""
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) < {_W1_SPLIT_US} THEN 0 ELSE 1 END AS half,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS sv,
+             event_id
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, half, sv,
+             row_number() OVER (
+               PARTITION BY event_type, half ORDER BY sv, event_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY event_type, half) AS n
+      FROM e
+    ),
+    q AS (
+      SELECT event_type, half, d.d AS decile, min(sv) AS qv, min(n) AS n
+      FROM r JOIN generate_series(1, 9) d(d)
+        ON r.rn = CAST(ceil(d.d * r.n / 10.0) AS BIGINT)
+      GROUP BY event_type, half, d.d
+    )
+    SELECT a.event_type,
+           CAST(max(a.n) AS BIGINT) AS n_first_half,
+           CAST(max(b.n) AS BIGINT) AS n_second_half,
+           {R("CAST(sum(abs(a.qv - b.qv)) AS DOUBLE) / 9.0 / 10000.0", 6)} AS w1_decile_drift
+    FROM q a JOIN q b
+      ON a.event_type = b.event_type AND a.decile = b.decile
+     AND a.half = 0 AND b.half = 1
+    GROUP BY a.event_type
+    """,
+)
+def _q_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric distribution drift per event type: decile-matched 1-D
+    Wasserstein distance between the month's two halves — chi-square
+    (`stats_chi2_type_vs_hour`) covers the categorical axis, this one
+    covers numeric columns, the pair every ingest monitor needs.
+    Nearest-rank deciles over 4-dp scaled INTEGERS (rank windows on
+    the (type, half) key, ties broken by event_id), so the nine
+    quantile gaps are exact integer differences and the final score is
+    one IEEE division. Output is |types| rows; quantile extraction is
+    a rank filter, not a sort-collect."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.when(
+            F.expr("unix_micros(cast(ts as timestamp))") < _W1_SPLIT_US, 0
+        )
+        .otherwise(1)
+        .alias("half"),
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("sv"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "half").orderBy("sv", "event_id")
+    wc = Window.partitionBy("event_type", "half")
+    r = ev.select(
+        "event_type",
+        "half",
+        "sv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    d = spark.range(1, 10).select(F.col("id").alias("decile"))
+    q = (
+        r.join(
+            F.broadcast(d),
+            F.col("rn")
+            == F.ceil(F.col("decile") * F.col("n") / F.lit(10.0)).cast("long"),
+        )
+        .groupBy("event_type", "half", "decile")
+        .agg(F.min("sv").alias("qv"), F.min("n").alias("n"))
+    )
+    a = q.filter(F.col("half") == 0).select(
+        "event_type", "decile", F.col("qv").alias("qa"), F.col("n").alias("na")
+    )
+    b = q.filter(F.col("half") == 1).select(
+        "event_type", "decile", F.col("qv").alias("qb"), F.col("n").alias("nb")
+    )
+    return (
+        a.join(b.hint("shuffle_hash"), ["event_type", "decile"])
+        .groupBy("event_type")
+        .agg(
+            F.max("na").cast("long").alias("n_first_half"),
+            F.max("nb").cast("long").alias("n_second_half"),
+            rd(
+                F.sum(F.abs(F.col("qa") - F.col("qb"))).cast("double")
+                / 9.0
+                / 10000.0,
+                6,
+            ).alias("w1_decile_drift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate (predictability of the event chain)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_markov_entropy_rate",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS src, nxt AS dst, count(*) AS n
+      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT src, sum(n) AS tot FROM c GROUP BY src),
+    g AS (SELECT sum(n) AS total FROM c)
+    SELECT CAST(sum(CAST({sql_rd(
+               "-(CAST(c.n AS DOUBLE) / g.total)"
+               " * log2(CAST(c.n AS DOUBLE) / t.tot)", 6
+           )} AS DECIMAL(38,6))) AS DOUBLE) AS entropy_rate_bits,
+           CAST(max(g.total) AS BIGINT) AS n_transitions
+    FROM c JOIN t ON t.src = c.src CROSS JOIN g
+    """,
+)
+def _q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical entropy rate of the event-type Markov chain:
+    H = −Σ p(i,j)·log2 p(j|i) — how predictable the next event is
+    given the current one (0 = deterministic flows, log2|types| =
+    uniform noise). Composes the `markov_event_transitions` counts;
+    everything after the transition aggregation is |types|² rows, with
+    the bigram-LM log2 discipline (6-dp terms, decimal sum) and the
+    corpus total riding the sanctioned 1-row broadcast."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    c = o.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("src").agg(F.sum("n").alias("tot"))
+    g = c.agg(F.sum("n").alias("total"))
+    term = rd(
+        -(F.col("n").cast("double") / F.col("total"))
+        * F.log2(F.col("n").cast("double") / F.col("tot")),
+        6,
+    )
+    return (
+        c.join(t.hint("shuffle_hash"), "src")
+        .crossJoin(F.broadcast(g))
+        .agg(
+            F.sum(term.cast("decimal(38,6)")).cast("double").alias("entropy_rate_bits"),
+            F.max("total").cast("long").alias("n_transitions"),
+        )
+    )
