@@ -147,6 +147,7 @@ HEADLINE = [
     "stats_chi2_type_vs_hour",   # chi-square drift stat, cells-bounded
     "stats_w1_value_drift_by_type",  # decile-matched Wasserstein numeric drift
     "stats_markov_entropy_rate", # chain predictability, |types|^2-bounded
+    "graph_label_propagation_emb",  # majority-vote label denoise, 2 rounds
 ]
 
 

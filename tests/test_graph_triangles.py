@@ -52,3 +52,36 @@ def test_k5_matches_binomial(spark):
     # is sum C(out_deg, 2) = C(4,2)+C(3,2)+C(2,2)+C(1,2) = 6+3+1+0
     assert r["max_out_degree"] == 4
     assert r["n_wedges"] == 10
+
+
+def test_label_propagation_denoises_and_breaks_ties(spark):
+    from time_series_data_trimmer_spark.operators.graph import label_propagation
+
+    # two 4-cliques bridged by one edge; node 3 is mislabeled into
+    # class 9 -> its three clique-neighbors outvote the seed in round 1
+    clique_a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    clique_b = [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+    edges = spark.createDataFrame(
+        clique_a + clique_b + [(3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        [(i, 9 if i == 3 else (0 if i < 4 else 1)) for i in range(8)],
+        "node long, label int",
+    )
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, seeds, iterations=2).collect()
+    }
+    assert all(out[i] == 0 for i in range(4)), out
+    assert all(out[i] == 1 for i in range(4, 8)), out
+
+    # pure tie (one neighbor of each label) -> smallest label wins
+    edges2 = spark.createDataFrame([(0, 1), (2, 1)], "src long, dst long")
+    seeds2 = spark.createDataFrame(
+        [(0, 5), (1, 7), (2, 3)], "node long, label int"
+    )
+    out2 = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges2, seeds2, iterations=1).collect()
+    }
+    assert out2[1] == 3  # min(5, 3)

@@ -165,3 +165,54 @@ def triangle_count(
         .crossJoin(F.broadcast(closed.agg(F.count(F.lit(1)).alias("n_triangles"))))
         .select("n_vertices", "n_edges", "max_out_degree", "n_wedges", "n_triangles")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Synchronous majority-vote label propagation (Raghavan et al.
+    2007, the community-detection / label-denoising workhorse) with
+    every nondeterminism pinned: at each of ``iterations`` rounds,
+    every node adopts the label held by the MOST neighbors at the
+    PREVIOUS round (synchronous update), ties broken by the smallest
+    label, isolated nodes keep their label. Fixed iteration count, so
+    the whole run is one static DAG any engine can replay.
+
+    Per round: one edge⋈label shuffle-hash join keyed on the vertex,
+    one (node, label) count, one keyed max-struct vote — the PageRank
+    plan shape with the sum swapped for a mode. Nothing O(V) leaves
+    the executors.
+    """
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    e = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    cur = seeds.select(
+        F.col(id_col).alias("node"), F.col(label_col).alias("lbl")
+    )
+    for _ in range(int(iterations)):
+        votes = (
+            e.join(
+                cur.withColumnRenamed("node", "s").hint("shuffle_hash"), "s"
+            )
+            .groupBy(F.col("d").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # majority with smallest-label tie-break: max over (n, -lbl)
+        winner = votes.groupBy("node").agg(
+            F.max(F.struct(F.col("n"), (-F.col("lbl")).alias("neg"))).alias(
+                "__w"
+            )
+        ).select("node", (-F.col("__w.neg")).alias("new_lbl"))
+        cur = (
+            cur.join(winner.hint("shuffle_hash"), "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),
+            )
+        )
+    return cur.select(F.col("node").alias(id_col), F.col("lbl").alias(label_col))

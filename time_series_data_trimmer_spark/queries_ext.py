@@ -8400,3 +8400,110 @@ def _q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total").cast("long").alias("n_transitions"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation over the semantic-similarity graph
+# ---------------------------------------------------------------------------
+
+_LP_ITERS = 2
+
+
+@register(
+    "graph_label_propagation_emb",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    planes AS (
+      SELECT t.t, b.b, i.i,
+             ('0x' || substr(md5('tsdt|t' || t.t || '|' || b.b || '|' || i.i), 1, 8))::BIGINT
+               / 2147483648.0 - 1.0 AS w
+      FROM generate_series(0, {_EMB_TABLES - 1}) t(t),
+           generate_series(0, {_EMB_BITS - 1}) b(b),
+           generate_series(0, {_EMB_DIM - 1}) i(i)
+    ),
+    pdots AS (
+      SELECT e.vec_id, p.t, p.b,
+             CAST(sum(CAST({sql_rd("e.x * p.w", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS d
+      FROM ex e JOIN planes p ON p.i = e.i - 1
+      GROUP BY e.vec_id, p.t, p.b
+    ),
+    sigs AS (
+      SELECT vec_id, t,
+             sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sig
+      FROM pdots GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    pairdots AS (
+      SELECT c.id_a, c.id_b,
+             sum(CAST({sql_rd("ea.x * eb.x", 9)} AS DECIMAL(38,9))) AS dxy
+      FROM cand c
+      JOIN ex ea ON ea.vec_id = c.id_a
+      JOIN ex eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+      GROUP BY c.id_a, c.id_b
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(sum(CAST({sql_rd("x * x", 9)} AS DECIMAL(38,9))) AS DOUBLE)) AS nrm
+      FROM ex GROUP BY vec_id
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM pairdots
+      JOIN norms na ON na.vec_id = id_a
+      JOIN norms nb ON nb.vec_id = id_b
+      WHERE CAST(dxy AS DOUBLE) / (na.nrm * nb.nrm) >= {_EMB_CLUSTER_TAU}
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM edges
+    ),
+    l0 AS (SELECT vec_id AS node, label AS lbl FROM embeddings),
+    v1 AS (
+      SELECT e.d AS node, l.lbl, count(*) AS n
+      FROM sym e JOIN l0 l ON l.node = e.s GROUP BY e.d, l.lbl
+    ),
+    w1 AS (
+      SELECT node, lbl FROM v1
+      QUALIFY row_number() OVER (PARTITION BY node ORDER BY n DESC, lbl ASC) = 1
+    ),
+    l1 AS (
+      SELECT l0.node, coalesce(w1.lbl, l0.lbl) AS lbl
+      FROM l0 LEFT JOIN w1 ON w1.node = l0.node
+    ),
+    v2 AS (
+      SELECT e.d AS node, l.lbl, count(*) AS n
+      FROM sym e JOIN l1 l ON l.node = e.s GROUP BY e.d, l.lbl
+    ),
+    w2 AS (
+      SELECT node, lbl FROM v2
+      QUALIFY row_number() OVER (PARTITION BY node ORDER BY n DESC, lbl ASC) = 1
+    ),
+    l2 AS (
+      SELECT l1.node, coalesce(w2.lbl, l1.lbl) AS lbl
+      FROM l1 LEFT JOIN w2 ON w2.node = l1.node
+    )
+    SELECT node AS vec_id, lbl AS label FROM l2
+    """,
+)
+def _q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Majority-vote label propagation (`graph.label_propagation`,
+    Raghavan et al. 2007) over the SAME thresholded semantic-similarity
+    graph the embedding-cluster dedup uses (exact cosine >= τ on
+    LSH-blocked candidates): {_LP_ITERS} synchronous rounds, smallest-
+    label tie-break, isolated nodes keep their seed. The label-denoise
+    step after `emb_label_knn_agreement` flags noise: neighbors vote
+    the label smooth. Per round it is the PageRank plan with the sum
+    swapped for a keyed mode — nothing O(V) leaves the executors."""
+    emb = _table(spark, sf_dir, "embeddings")
+    pairs = sim.threshold_similar_pairs_blocked(
+        emb, tau=_EMB_CLUSTER_TAU, bits=_EMB_BITS, tables=_EMB_TABLES, dim=_EMB_DIM
+    )
+    return gr.label_propagation(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        emb.select("vec_id", "label"),
+        iterations=_LP_ITERS,
+        id_col="vec_id",
+        label_col="label",
+    )
