@@ -148,6 +148,7 @@ HEADLINE = [
     "stats_w1_value_drift_by_type",  # decile-matched Wasserstein numeric drift
     "stats_markov_entropy_rate", # chain predictability, |types|^2-bounded
     "graph_label_propagation_emb",  # majority-vote label denoise, 2 rounds
+    "pipeline_drift_report",     # chi2 + W1 + entropy-rate dashboard, one plan
 ]
 
 

@@ -8507,3 +8507,112 @@ def _q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         label_col="label",
     )
+
+
+# ---------------------------------------------------------------------------
+# One-query drift dashboard (composes the r7 stats family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_drift_report",
+    f"""
+    WITH o AS (
+      SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod,
+             count(*) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, sum(obs) AS rtot FROM o GROUP BY event_type),
+    ct AS (SELECT hod, sum(obs) AS ctot FROM o GROUP BY hod),
+    gg AS (SELECT sum(obs) AS total FROM o),
+    cells AS (
+      SELECT o.obs,
+             CAST(rt.rtot AS DOUBLE) * ct.ctot / gg.total AS expected
+      FROM o JOIN rt USING (event_type) JOIN ct USING (hod) CROSS JOIN gg
+    ),
+    chi2 AS (
+      SELECT 'chi2_type_x_hour' AS metric, 'events' AS scope,
+             {R("CAST(sum(CAST(" + sql_rd(
+                 "(obs - expected) * (obs - expected) / expected", 6
+             ) + " AS DECIMAL(38,6))) AS DOUBLE)", 6)} AS value
+      FROM cells
+    ),
+    e2 AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) < {_W1_SPLIT_US} THEN 0 ELSE 1 END AS half,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS sv,
+             event_id
+      FROM events
+    ),
+    r2 AS (
+      SELECT event_type, half, sv,
+             row_number() OVER (
+               PARTITION BY event_type, half ORDER BY sv, event_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY event_type, half) AS n
+      FROM e2
+    ),
+    q2 AS (
+      SELECT event_type, half, d.d AS decile, min(sv) AS qv
+      FROM r2 JOIN generate_series(1, 9) d(d)
+        ON r2.rn = CAST(ceil(d.d * r2.n / 10.0) AS BIGINT)
+      GROUP BY event_type, half, d.d
+    ),
+    w1 AS (
+      SELECT 'w1_decile_drift' AS metric, a.event_type AS scope,
+             {R("CAST(sum(abs(a.qv - b.qv)) AS DOUBLE) / 9.0 / 10000.0", 6)} AS value
+      FROM q2 a JOIN q2 b
+        ON a.event_type = b.event_type AND a.decile = b.decile
+       AND a.half = 0 AND b.half = 1
+      GROUP BY a.event_type
+    ),
+    tr AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    ),
+    tc AS (
+      SELECT event_type AS src, nxt AS dst, count(*) AS n
+      FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    tt AS (SELECT src, sum(n) AS tot FROM tc GROUP BY src),
+    tg AS (SELECT sum(n) AS total FROM tc),
+    hrate AS (
+      SELECT 'markov_entropy_rate_bits' AS metric, 'events' AS scope,
+             {R("CAST(sum(CAST(" + sql_rd(
+                 "-(CAST(tc.n AS DOUBLE) / tg.total)"
+                 " * log2(CAST(tc.n AS DOUBLE) / tt.tot)", 6
+             ) + " AS DECIMAL(38,6))) AS DOUBLE)", 6)} AS value
+      FROM tc JOIN tt ON tt.src = tc.src CROSS JOIN tg
+    )
+    SELECT * FROM chi2
+    UNION ALL SELECT * FROM w1
+    UNION ALL SELECT * FROM hrate
+    """,
+)
+def _q_pipeline_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-monitor page as ONE lazy plan: chi-square
+    (categorical mix), per-type decile-Wasserstein (numeric
+    distributions), and the Markov entropy rate (behavioral
+    predictability), unioned into (metric, scope, value) rows — the
+    `pipeline_corpus_health` pattern applied to DRIFT. Each branch is
+    the registered operator's exact shape; Spark shares the events
+    scan across branches and every branch's output is types-bounded."""
+    chi2 = REGISTRY["stats_chi2_type_vs_hour"][0](spark, sf_dir).select(
+        F.lit("chi2_type_x_hour").alias("metric"),
+        F.lit("events").alias("scope"),
+        rd(F.col("chi2"), 6).alias("value"),
+    )
+    w1 = REGISTRY["stats_w1_value_drift_by_type"][0](spark, sf_dir).select(
+        F.lit("w1_decile_drift").alias("metric"),
+        F.col("event_type").alias("scope"),
+        F.col("w1_decile_drift").alias("value"),
+    )
+    hr = REGISTRY["stats_markov_entropy_rate"][0](spark, sf_dir).select(
+        F.lit("markov_entropy_rate_bits").alias("metric"),
+        F.lit("events").alias("scope"),
+        rd(F.col("entropy_rate_bits"), 6).alias("value"),
+    )
+    return chi2.unionAll(w1).unionAll(hr)
