@@ -149,6 +149,7 @@ HEADLINE = [
     "stats_markov_entropy_rate", # chain predictability, |types|^2-bounded
     "graph_label_propagation_emb",  # majority-vote label denoise, 2 rounds
     "pipeline_drift_report",     # chi2 + W1 + entropy-rate dashboard, one plan
+    "emb_hard_negatives",        # top-k different-label negatives, blocked
 ]
 
 

@@ -8616,3 +8616,154 @@ def _q_pipeline_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         rd(F.col("entropy_rate_bits"), 6).alias("value"),
     )
     return chi2.unionAll(w1).unionAll(hr)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+
+_HN_K = 2
+
+
+@register(
+    "emb_hard_negatives",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    bitsv AS (
+      SELECT greatest({_EMB_BITS},
+                      CAST(ceil(log2(CAST(count(*) AS DOUBLE))) AS INTEGER) - 4)
+             AS bits
+      FROM embeddings
+    ),
+    planes AS (
+      SELECT t.t, b.b, i.i,
+             ('0x' || substr(md5('tsdt|t' || t.t || '|' || b.b || '|' || i.i), 1, 8))::BIGINT
+               / 2147483648.0 - 1.0 AS w
+      FROM generate_series(0, {_KNN_MAX_BITS - 1}) b(b)
+      CROSS JOIN bitsv
+      JOIN generate_series(0, {_EMB_TABLES - 1}) t(t) ON TRUE
+      JOIN generate_series(0, {_EMB_DIM - 1}) i(i) ON TRUE
+      WHERE b.b < bitsv.bits
+    ),
+    pdots AS (
+      SELECT e.vec_id, p.t, p.b,
+             CAST(sum(CAST({sql_rd("e.x * p.w", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS d
+      FROM ex e JOIN planes p ON p.i = e.i - 1
+      GROUP BY e.vec_id, p.t, p.b
+    ),
+    sigs AS (
+      SELECT vec_id, t,
+             sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sig
+      FROM pdots GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(sum(CAST({sql_rd("x * x", 9)} AS DECIMAL(38,9))) AS DOUBLE)) AS nrm
+      FROM ex GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             {R("CAST(sum(CAST(" + sql_rd("ea.x * eb.x", 9) + " AS DECIMAL(38,9))) AS DOUBLE) / (max(na.nrm) * max(nb.nrm))", 6)} AS cos
+      FROM cand c
+      JOIN ex ea ON ea.vec_id = c.id_a
+      JOIN ex eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+      JOIN norms na ON na.vec_id = c.id_a
+      JOIN norms nb ON nb.vec_id = c.id_b
+      GROUP BY c.id_a, c.id_b
+    ),
+    sym AS (
+      SELECT id_a AS vid, id_b AS nbr, cos FROM scored
+      UNION ALL
+      SELECT id_b AS vid, id_a AS nbr, cos FROM scored
+    ),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    hard AS (
+      SELECT s.vid AS vec_id, la.label, s.nbr AS neg_id,
+             lb.label AS neg_label, s.cos AS cosine,
+             row_number() OVER (
+               PARTITION BY s.vid ORDER BY s.cos DESC, s.nbr ASC
+             ) AS rank
+      FROM sym s
+      JOIN lbl la ON la.vec_id = s.vid
+      JOIN lbl lb ON lb.vec_id = s.nbr
+      WHERE la.label <> lb.label
+    )
+    SELECT vec_id, label, CAST(rank AS INT) AS rank, neg_id, neg_label, cosine
+    FROM hard WHERE rank <= {_HN_K}
+    """,
+)
+def _q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Hard-negative mining for contrastive training: each vector's
+    top-{_HN_K} highest-cosine DIFFERENT-label neighbors from the
+    LSH-blocked candidate set (N-adaptive bits, the `_knn_bits` rule) —
+    the negatives that actually move an embedding model, mined without
+    an all-pairs pass. Exact decimal cosines rounded before ranking,
+    per-anchor keyed window, label joins on the id key. Same bounded
+    candidate volume as the blocked dedup/audit paths."""
+    emb = _table(spark, sf_dir, "embeddings")
+    bits = _knn_bits(emb.count())
+    cand = sim.lsh_candidate_pairs(
+        emb, _EMB_DIM, bits, _EMB_TABLES, "vec_id", "embedding"
+    )
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").alias("__v"),
+        F.sqrt(sim.decimal_dot(F.col("embedding"), F.col("embedding"))).alias(
+            "__nrm"
+        ),
+    )
+    a = base.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("__v").alias("va"),
+        F.col("__nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("__v").alias("vb"),
+        F.col("__nrm").alias("nb"),
+    )
+    scored = (
+        cand.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            rd(
+                sim.decimal_dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    sym = scored.select(
+        F.col("id_a").alias("vec_id"), F.col("id_b").alias("nbr"), "cos"
+    ).unionAll(
+        scored.select(
+            F.col("id_b").alias("vec_id"), F.col("id_a").alias("nbr"), "cos"
+        )
+    )
+    la = emb.select("vec_id", "label")
+    lb = emb.select(
+        F.col("vec_id").alias("nbr"), F.col("label").alias("neg_label")
+    )
+    hard = (
+        sym.join(la.hint("shuffle_hash"), "vec_id")
+        .join(lb.hint("shuffle_hash"), "nbr")
+        .filter(F.col("label") != F.col("neg_label"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nbr").asc())
+    return (
+        hard.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .select(
+            "vec_id",
+            "label",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("nbr").alias("neg_id"),
+            "neg_label",
+            F.col("cos").alias("cosine"),
+        )
+    )
