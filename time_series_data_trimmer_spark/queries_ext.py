@@ -8413,13 +8413,21 @@ _LP_ITERS = 2
     "graph_label_propagation_emb",
     f"""
     WITH ex AS ({_EX_SQL}),
+    bitsv AS (
+      SELECT greatest({_EMB_BITS},
+                      CAST(ceil(log2(CAST(count(*) AS DOUBLE))) AS INTEGER) - 4)
+             AS bits
+      FROM embeddings
+    ),
     planes AS (
       SELECT t.t, b.b, i.i,
              ('0x' || substr(md5('tsdt|t' || t.t || '|' || b.b || '|' || i.i), 1, 8))::BIGINT
                / 2147483648.0 - 1.0 AS w
-      FROM generate_series(0, {_EMB_TABLES - 1}) t(t),
-           generate_series(0, {_EMB_BITS - 1}) b(b),
-           generate_series(0, {_EMB_DIM - 1}) i(i)
+      FROM generate_series(0, {_KNN_MAX_BITS - 1}) b(b)
+      CROSS JOIN bitsv
+      JOIN generate_series(0, {_EMB_TABLES - 1}) t(t) ON TRUE
+      JOIN generate_series(0, {_EMB_DIM - 1}) i(i) ON TRUE
+      WHERE b.b < bitsv.bits
     ),
     pdots AS (
       SELECT e.vec_id, p.t, p.b,
@@ -8498,7 +8506,8 @@ def _q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     swapped for a keyed mode — nothing O(V) leaves the executors."""
     emb = _table(spark, sf_dir, "embeddings")
     pairs = sim.threshold_similar_pairs_blocked(
-        emb, tau=_EMB_CLUSTER_TAU, bits=_EMB_BITS, tables=_EMB_TABLES, dim=_EMB_DIM
+        emb, tau=_EMB_CLUSTER_TAU, bits=_knn_bits(emb.count()),
+        tables=_EMB_TABLES, dim=_EMB_DIM,
     )
     return gr.label_propagation(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
