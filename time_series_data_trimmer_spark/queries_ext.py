@@ -8308,12 +8308,23 @@ def _q_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(wc).alias("n"),
     )
-    d = spark.range(1, 10).select(F.col("id").alias("decile"))
+    # decile membership scan-side via explode(sequence) — a 9-row
+    # dimension joined on a mixed-side expression would plan as an
+    # unsanctioned BNLJ (caught by the plan sweep); exploding the 9
+    # candidate deciles onto each narrow rank row keeps it join-free
+    # (the text_vocab_growth idiom)
     q = (
-        r.join(
-            F.broadcast(d),
+        r.select(
+            "event_type",
+            "half",
+            "sv",
+            "rn",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("decile"),
+        )
+        .filter(
             F.col("rn")
-            == F.ceil(F.col("decile") * F.col("n") / F.lit(10.0)).cast("long"),
+            == F.ceil(F.col("decile") * F.col("n") / F.lit(10.0)).cast("long")
         )
         .groupBy("event_type", "half", "decile")
         .agg(F.min("sv").alias("qv"), F.min("n").alias("n"))
