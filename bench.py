@@ -150,6 +150,7 @@ HEADLINE = [
     "graph_label_propagation_emb",  # majority-vote label denoise, 2 rounds
     "pipeline_drift_report",     # chi2 + W1 + entropy-rate dashboard, one plan
     "emb_hard_negatives",        # top-k different-label negatives, blocked
+    "ts_seasonal_naive_mase",    # calendar-aligned forecastability audit
 ]
 
 

@@ -8787,3 +8787,104 @@ def _q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cos").alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast baseline + MASE (forecastability audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_seasonal_naive_mase",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS b,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS sv
+      FROM events
+    ),
+    h AS (
+      SELECT user_id, b, sum(sv) AS s, count(*) AS n FROM e GROUP BY user_id, b
+    ),
+    season AS (
+      SELECT a.user_id,
+             abs(CAST(a.s AS DOUBLE) / a.n - CAST(p.s AS DOUBLE) / p.n) AS err
+      FROM h a JOIN h p ON p.user_id = a.user_id AND p.b = a.b - 24
+    ),
+    naive AS (
+      SELECT a.user_id,
+             abs(CAST(a.s AS DOUBLE) / a.n - CAST(p.s AS DOUBLE) / p.n) AS err
+      FROM h a JOIN h p ON p.user_id = a.user_id AND p.b = a.b - 1
+    ),
+    sa AS (
+      SELECT user_id, count(*) AS n_forecasts,
+             CAST(sum(CAST({sql_rd("err", 6)} AS DECIMAL(38,6))) AS DOUBLE)
+               / count(*) AS mae_seasonal
+      FROM season GROUP BY user_id
+    ),
+    na AS (
+      SELECT user_id, count(*) AS n_naive,
+             CAST(sum(CAST({sql_rd("err", 6)} AS DECIMAL(38,6))) AS DOUBLE)
+               / count(*) AS mae_naive1
+      FROM naive GROUP BY user_id
+    )
+    SELECT sa.user_id, CAST(sa.n_forecasts AS BIGINT) AS n_forecasts,
+           {R("sa.mae_seasonal / 10000.0", 6)} AS mae_seasonal,
+           {R("na.mae_naive1 / 10000.0", 6)} AS mae_naive1,
+           {R("CASE WHEN na.mae_naive1 = 0.0 THEN 0.0"
+              " ELSE sa.mae_seasonal / na.mae_naive1 END", 6)} AS mase
+    FROM sa JOIN na ON na.user_id = sa.user_id
+    """,
+)
+def _q_ts_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecastability audit: seasonal-naive (same hour yesterday)
+    hourly forecast per trial, scored as MASE against the calendar
+    1-hour naive (Hyndman & Koehler 2006) — MASE < 1 means the daily
+    cycle genuinely predicts the signal, the go/no-go number before
+    anyone trains a forecaster on 100 TB of telemetry. Calendar
+    alignment is two EQUI self-joins on (trial, bucket−k) — no row
+    frames, so sampling gaps can't smear the season — and every error
+    is an IEEE expression over exact integer bucket sums, 6-dp rounded
+    and decimal-accumulated."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("b"),
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("sv"),
+    )
+    h = ev.groupBy("user_id", "b").agg(
+        F.sum("sv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+
+    def _mae(lag: int, out: str):
+        p = h.select(
+            "user_id",
+            (F.col("b") + lag).alias("b"),
+            F.col("s").alias("ps"),
+            F.col("n").alias("pn"),
+        )
+        j = h.join(p.hint("shuffle_hash"), ["user_id", "b"])
+        err = F.abs(
+            F.col("s").cast("double") / F.col("n")
+            - F.col("ps").cast("double") / F.col("pn")
+        )
+        return j.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias(f"n_{out}"),
+            (
+                F.sum(rd(err, 6).cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias(out),
+        )
+
+    sa = _mae(24, "mae_seasonal")
+    na = _mae(1, "mae_naive1")
+    return sa.join(na.hint("shuffle_hash"), "user_id").select(
+        "user_id",
+        F.col("n_mae_seasonal").cast("long").alias("n_forecasts"),
+        rd(F.col("mae_seasonal") / 10000.0, 6).alias("mae_seasonal"),
+        rd(F.col("mae_naive1") / 10000.0, 6).alias("mae_naive1"),
+        rd(
+            F.when(F.col("mae_naive1") == 0.0, F.lit(0.0)).otherwise(
+                F.col("mae_seasonal") / F.col("mae_naive1")
+            ),
+            6,
+        ).alias("mase"),
+    )
