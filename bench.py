@@ -151,6 +151,7 @@ HEADLINE = [
     "pipeline_drift_report",     # chi2 + W1 + entropy-rate dashboard, one plan
     "emb_hard_negatives",        # top-k different-label negatives, blocked
     "ts_seasonal_naive_mase",    # calendar-aligned forecastability audit
+    "sketch_kmv_sliding_distinct_users",  # sliding distinct from registers, no rescan
 ]
 
 

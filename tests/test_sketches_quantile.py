@@ -422,3 +422,49 @@ def test_cm_inner_product_disjoint_streams_estimate_zero(spark):
     rb = sk.cm_registers(b, "grp", "item", d=4, w=4096)
     out = sk.cm_inner_product(ra, rb, d=4).collect()
     assert len(out) == 0 or int(out[0]["est"]) == 0
+
+
+def test_sliding_kmv_window_equals_direct_sketch(spark):
+    """Closure under union, sliding form: the re-ranked register set
+    for a window must equal kmv_registers computed directly on that
+    window's raw rows (same seed/k)."""
+    from pyspark.sql import functions as F
+    from time_series_data_trimmer_spark.operators import sketches as sk
+    from time_series_data_trimmer_spark.sources.events import event_micros
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = df.select(
+        "event_type",
+        (event_micros(df) / F.lit(3_600_000_000)).cast("long").alias("b"),
+        "user_id",
+    )
+    k, w = 16, 6
+    slid = sk.kmv_sliding_registers(
+        ev, "event_type", "b", "user_id", window_buckets=w, k=k
+    )
+    # pick the fullest (group, window_end) register set (the sf0.001
+    # corpus may not fill k for any window; the closure claim holds
+    # either way)
+    target = (
+        slid.groupBy("g", "window_end")
+        .count()
+        .orderBy(F.col("count").desc(), "g", "window_end")
+        .first()
+    )
+    g, we = target["g"], target["window_end"]
+    got = sorted(
+        r["u"]
+        for r in slid.filter(
+            (F.col("g") == g) & (F.col("window_end") == we)
+        ).collect()
+    )
+    raw = ev.filter(
+        (F.col("event_type") == g)
+        & (F.col("b") > we - w)
+        & (F.col("b") <= we)
+    )
+    direct = sorted(
+        r["u"]
+        for r in sk.kmv_registers(raw, "event_type", "user_id", k=k).collect()
+    )
+    assert got == direct

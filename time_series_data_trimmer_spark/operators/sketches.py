@@ -591,3 +591,57 @@ def cm_inner_product(
             .alias(out_col),
         )
     )
+
+
+def kmv_sliding_registers(
+    df: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+    window_buckets: int = 24,
+    k: int = 64,
+    seed: str = "tsdt|kmv",
+) -> DataFrame:
+    """Sliding-window distinct via mergeable registers: per
+    (group, bucket) bottom-k hash registers, each contributed to the
+    ``window_buckets`` windows that contain its bucket (a scan-side
+    explode of at most ``window_buckets`` small longs per register
+    row), then re-ranked to bottom-k per (group, window_end).
+
+    This is THE reason the register form exists: exact sliding
+    distinct re-scans ``window_buckets`` hours of raw data per window
+    (O(W·N) total), while the register path touches each raw row once
+    and thereafter moves only ≤ k longs per (group, bucket) —
+    bottom-k's closure under union makes the per-window merge exact
+    over the register state, so the estimate for every window is
+    BIT-EQUAL to sketching that window's raw rows directly.
+
+    Output: (g, window_end, u) register rows, ready for
+    `kmv_estimate` keyed on (g, window_end).
+    """
+    per_bucket = df.select(
+        F.col(group_col).alias("g"),
+        F.col(bucket_col).alias("b"),
+        hash_u32(F.col(value_col), seed).alias("u"),
+    ).distinct()
+    w = Window.partitionBy("g", "b").orderBy(F.col("u").asc())
+    regs = (
+        per_bucket.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .select("g", "b", "u")
+    )
+    spread = regs.select(
+        "g",
+        "u",
+        "b",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(window_buckets) - 1))
+        ).alias("__o"),
+    ).select("g", "u", (F.col("b") + F.col("__o")).alias("window_end"))
+    ww = Window.partitionBy("g", "window_end").orderBy(F.col("u").asc())
+    return (
+        spread.distinct()
+        .withColumn("__rn", F.row_number().over(ww))
+        .filter(F.col("__rn") <= int(k))
+        .select("g", "window_end", "u")
+    )

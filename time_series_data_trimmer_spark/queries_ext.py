@@ -8888,3 +8888,92 @@ def _q_ts_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct users from KMV registers
+# ---------------------------------------------------------------------------
+
+_SLIDE_W = 24  # 24-hour sliding window
+_SLIDE_K = 64
+
+
+@register(
+    "sketch_kmv_sliding_distinct_users",
+    f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type AS g,
+             epoch_us(ts) // 3600000000 AS b,
+             {sp.sql_hash_u32("user_id", "tsdt|kmv")} AS u
+      FROM events
+    ),
+    regs AS (
+      SELECT g, b, u FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY g, b ORDER BY u ASC
+               ) AS rn
+        FROM hashed
+      ) WHERE rn <= {_SLIDE_K}
+    ),
+    spread AS (
+      SELECT DISTINCT g, u, b + o.o AS window_end
+      FROM regs CROSS JOIN generate_series(0, {_SLIDE_W - 1}) o(o)
+    ),
+    win AS (
+      SELECT g, window_end, u FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY g, window_end ORDER BY u ASC
+               ) AS rn
+        FROM spread
+      ) WHERE rn <= {_SLIDE_K}
+    ),
+    kept AS (
+      SELECT g, window_end, count(*) AS n_kept, max(u) AS kth
+      FROM win GROUP BY g, window_end
+    )
+    SELECT g AS event_type, window_end, CAST(n_kept AS BIGINT) AS n_kept,
+           {sql_rd(
+               f"CASE WHEN n_kept < {_SLIDE_K} THEN CAST(n_kept AS DOUBLE)"
+               f" ELSE {float(_SLIDE_K - 1)} * 4294967296.0 / CAST(kth AS DOUBLE) END",
+               6,
+           )} AS est_distinct
+    FROM kept
+    """,
+)
+def _q_kmv_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Distinct users per event type over a SLIDING {_SLIDE_W}-hour
+    window, from KMV registers alone (`sketches.kmv_sliding_registers`)
+    — exact sliding distinct rescans W hours of raw rows per window
+    (O(W·N) total work); the register path reads each raw row ONCE and
+    every window is a bottom-k merge of ≤ {_SLIDE_K} longs per bucket,
+    bit-equal to sketching the window's raw rows directly (closure
+    under union). The hourly-register explode is {_SLIDE_W} small longs
+    per register row, scan-side. This is the capacity-planning curve
+    ("active users, trailing day") a 100 TB event store can't afford
+    exactly."""
+    from time_series_data_trimmer_spark.operators import sketches as sk
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("b"),
+        "user_id",
+    )
+    regs = sk.kmv_sliding_registers(
+        ev, "event_type", "b", "user_id", window_buckets=_SLIDE_W, k=_SLIDE_K
+    )
+    kept = regs.groupBy("g", "window_end").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("u").alias("kth")
+    )
+    est = F.when(
+        F.col("n_kept") < _SLIDE_K, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(_SLIDE_K - 1))
+        * F.lit(4294967296.0)
+        / F.col("kth").cast("double")
+    )
+    return kept.select(
+        F.col("g").alias("event_type"),
+        "window_end",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        rd(est, 6).alias("est_distinct"),
+    )
