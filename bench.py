@@ -152,6 +152,7 @@ HEADLINE = [
     "emb_hard_negatives",        # top-k different-label negatives, blocked
     "ts_seasonal_naive_mase",    # calendar-aligned forecastability audit
     "sketch_kmv_sliding_distinct_users",  # sliding distinct from registers, no rescan
+    "coengagement_type_pairs",   # exact audience-overlap matrix, |types|^2 out
 ]
 
 

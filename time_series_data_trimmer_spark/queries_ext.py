@@ -8977,3 +8977,67 @@ def _q_kmv_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").cast("long").alias("n_kept"),
         rd(est, 6).alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact co-engagement matrix between event types
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "coengagement_type_pairs",
+    f"""
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+    c AS (SELECT event_type, count(*) AS n FROM d GROUP BY event_type),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM d a JOIN d b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ca.n AS n_a, cb.n AS n_b,
+           {R("CAST(p.n_both AS DOUBLE) / (ca.n + cb.n - p.n_both)", 6)} AS jaccard
+    FROM p
+    JOIN c ca ON ca.event_type = p.type_a
+    JOIN c cb ON cb.event_type = p.type_b
+    """,
+)
+def _q_coengagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap matrix between event types: distinct
+    (user, type) pairs self-joined on the user key — per-user fan is
+    |types| (bounded alphabet), so the join is O(N·|types|), never
+    user-quadratic — with exact Jaccard from the inclusion-exclusion
+    margins. The exact small-domain complement of
+    `sketch_kmv_jaccard_sources` (which handles unbounded domains from
+    registers alone). Output is |types|² rows."""
+    ev = _events(spark, sf_dir)
+    d = ev.select("user_id", "event_type").distinct()
+    c = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    b = d.select("user_id", F.col("event_type").alias("type_b"))
+    p = (
+        d.select("user_id", F.col("event_type").alias("type_a"))
+        .join(b.hint("shuffle_hash"), "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = c.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    cb = c.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        p.join(ca.hint("shuffle_hash"), "type_a")
+        .join(cb.hint("shuffle_hash"), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            rd(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
