@@ -153,6 +153,7 @@ HEADLINE = [
     "ts_seasonal_naive_mase",    # calendar-aligned forecastability audit
     "sketch_kmv_sliding_distinct_users",  # sliding distinct from registers, no rescan
     "coengagement_type_pairs",   # exact audience-overlap matrix, |types|^2 out
+    "asof_join_tolerance",       # merge_asof tolerance= parity, same one-exchange plan
 ]
 
 

@@ -409,3 +409,45 @@ def test_incremental_dedup_resume_continues_history(spark):
     keep = {r["keep_id"] for r in out2.collect()}
     assert keep == {3, 4}
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_asof_tolerance_matches_pandas_merge_asof(spark):
+    """tolerance= must reproduce pandas.merge_asof(tolerance=...) row
+    for row, including the all-NULL payload for too-stale matches and
+    the inclusive zero-gap match."""
+    import pandas as pd
+    from time_series_data_trimmer_spark.operators.edits import asof_join
+
+    left = pd.DataFrame(
+        {"k": [1, 1, 1, 2, 2], "t": [5.0, 10.0, 30.0, 1.0, 8.0]}
+    )
+    right = pd.DataFrame(
+        {"k": [1, 1, 2], "t": [4.0, 10.0, 7.0], "v": [40.0, 100.0, 70.0]}
+    )
+    expected = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("t"),
+        on="t",
+        by="k",
+        tolerance=3.0,
+        direction="backward",
+        suffixes=("", "_r"),
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            key_cols=["k"],
+            time_col="t",
+            value_cols=["v"],
+            tolerance=3.0,
+        )
+        .orderBy("t")
+        .toPandas()
+    )
+    exp = expected.sort_values("t").reset_index(drop=True)
+    assert list(got["v"].fillna(-1)) == list(exp["v"].fillna(-1)), (got, exp)
+    # zero-gap inclusive: left t=10 matches right t=10 exactly
+    assert got.loc[got["t"] == 10.0, "v"].iloc[0] == 100.0
+    # stale: left t=30 has nearest right at 10 (gap 20 > 3) -> NULL
+    assert pd.isna(got.loc[got["t"] == 30.0, "v"].iloc[0])

@@ -220,6 +220,7 @@ def asof_join(
     value_cols: list[str],
     right_time_alias: str = "asof_t",
     direction: str = "backward",
+    tolerance: float | int | None = None,
 ) -> DataFrame:
     """General scalable AS-OF JOIN: every left row gains the right row
     with the greatest right time ≤ left time (``backward``; ties
@@ -237,6 +238,13 @@ def asof_join(
     side 1), making the match inclusive, which is DuckDB/pandas
     ``ASOF JOIN`` semantics exactly — so the operator is
     oracle-checkable against a native ASOF engine.
+
+    ``tolerance`` (same units as ``time_col``) mirrors
+    ``pandas.merge_asof(tolerance=...)``: a match farther than the
+    tolerance from the left time is DROPPED (payload and matched time
+    go NULL) — calibration older than its validity window must not
+    leak forward. Implemented as a post-filter on the matched struct,
+    so the plan is unchanged: still one exchange, one sort.
 
     ``right`` must be unique per (keys, time) — pre-aggregate if not
     (multiple right rows at the exact matched time make every as-of
@@ -285,6 +293,15 @@ def asof_join(
     # (NaN has no total-order position either; filter upstream).
     match = F.when(F.col(time_col).isNotNull(), match)
     out = merged.withColumn("__match", match)
+    if tolerance is not None:
+        gap = (
+            F.col(time_col) - F.col("__match")[right_time_alias]
+            if direction == "backward"
+            else F.col("__match")[right_time_alias] - F.col(time_col)
+        )
+        out = out.withColumn(
+            "__match", F.when(gap <= F.lit(tolerance), F.col("__match"))
+        )
     for c in carried:
         out = out.withColumn(c, F.col("__match")[c])
     return out.filter(F.col("__side") == 1).drop("__side", "__match")

@@ -9041,3 +9041,64 @@ def _q_coengagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with tolerance (pandas merge_asof parity)
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_S = 86_400.0  # 1-day staleness bound
+
+
+@register(
+    "asof_join_tolerance",
+    f"""
+    WITH l AS (
+      SELECT user_id, event_id, epoch(ts) AS t
+      FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+      SELECT user_id, epoch(ts) AS rt,
+             max({sql_rd("value", 2)}) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, epoch(ts)
+    ),
+    m AS (
+      SELECT l.user_id, l.event_id, l.t,
+             r.rt AS asof_t, r.purchase_value
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.t >= r.rt
+    )
+    SELECT user_id, event_id, t,
+           CASE WHEN t - asof_t <= {_ASOF_TOL_S} THEN asof_t END AS asof_t,
+           CASE WHEN t - asof_t <= {_ASOF_TOL_S} THEN purchase_value END
+             AS purchase_value
+    FROM m
+    """,
+)
+def _q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""`asof_join_click_purchase` with a {_ASOF_TOL_S:.0f}-second
+    staleness bound (`asof_join(tolerance=...)`, the
+    `pandas.merge_asof(tolerance=...)` contract the reference's users
+    already rely on): a purchase older than a day must NOT enrich a
+    click — stale calibration is worse than none. Same one-exchange
+    union-trick plan; the tolerance is a null-out post-filter on the
+    matched struct, and the oracle applies the identical CASE over
+    DuckDB's native ASOF."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "t"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "t")
+        .agg(F.max(rd(F.col("value"), 2)).alias("purchase_value"))
+    )
+    return edits.asof_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        time_col="t",
+        value_cols=["purchase_value"],
+        tolerance=_ASOF_TOL_S,
+    ).select("user_id", "event_id", "t", "asof_t", "purchase_value")
