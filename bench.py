@@ -154,6 +154,8 @@ HEADLINE = [
     "sketch_kmv_sliding_distinct_users",  # sliding distinct from registers, no rescan
     "coengagement_type_pairs",   # exact audience-overlap matrix, |types|^2 out
     "asof_join_tolerance",       # merge_asof tolerance= parity, same one-exchange plan
+    "feature_loo_target_encoding",  # leakage-safe categorical encoding, window-free
+    "feature_quantile_transform",  # tie-averaged rank/(n+1) normalization
 ]
 
 

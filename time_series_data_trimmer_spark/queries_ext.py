@@ -9102,3 +9102,117 @@ def _q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["purchase_value"],
         tolerance=_ASOF_TOL_S,
     ).select("user_id", "event_id", "t", "asof_t", "purchase_value")
+
+
+# ---------------------------------------------------------------------------
+# Feature engineering: leave-one-out target encoding + quantile transform
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feature_loo_target_encoding",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS sv
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, sum(sv) AS s, count(*) AS n FROM e GROUP BY event_type
+    ),
+    gstat AS (SELECT sum(sv) AS gs, count(*) AS gn FROM e)
+    SELECT e.event_id, e.event_type,
+           {R("CASE WHEN g.n <= 1"
+              " THEN CAST(gstat.gs AS DOUBLE) / gstat.gn / 10000.0"
+              " ELSE (CAST(g.s AS DOUBLE) - e.sv) / (g.n - 1) / 10000.0 END", 6)}
+             AS loo_value_mean
+    FROM e JOIN g ON g.event_type = e.event_type CROSS JOIN gstat
+    """,
+)
+def _q_feature_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type against value —
+    the leakage-safe categorical encoding (each row's own target is
+    subtracted from its category mean; singleton categories fall back
+    to the global mean). Exact: integer sums per category, one IEEE
+    expression per row; the category table joins back |types|-keyed
+    and the global mean rides the sanctioned 1-row broadcast. The
+    shape a feature pipeline runs over billions of rows without a
+    window."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("sv"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.sum("sv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    glob = ev.agg(F.sum("sv").alias("gs"), F.count(F.lit(1)).alias("gn"))
+    return (
+        ev.join(g.hint("shuffle_hash"), "event_type")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "event_id",
+            "event_type",
+            rd(
+                F.when(
+                    F.col("n") <= 1,
+                    F.col("gs").cast("double") / F.col("gn") / 10000.0,
+                ).otherwise(
+                    (F.col("s").cast("double") - F.col("sv"))
+                    / (F.col("n") - 1)
+                    / 10000.0
+                ),
+                6,
+            ).alias("loo_value_mean"),
+        )
+    )
+
+
+@register(
+    "feature_quantile_transform",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS sv
+      FROM events
+    ),
+    r AS (
+      SELECT event_id, event_type,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY sv)
+               + count(*) OVER (PARTITION BY event_type, sv) - 1 AS r2,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    )
+    SELECT event_id, event_type,
+           {R("CAST(r2 AS DOUBLE) / (2.0 * (n + 1))", 6)} AS q
+    FROM r
+    """,
+)
+def _q_feature_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category uniform quantile transform: tie-averaged rank /
+    (n+1) in (0, 1) — the monotone, outlier-proof normalization that
+    needs no distribution assumption. Same doubled-rank exactness as
+    the Spearman operator (half-integer average ranks become
+    integers), so every emitted quantile is one IEEE division of
+    exact integers. Two rank windows on one event_type-keyed
+    exchange."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("sv"),
+    )
+    wp = Window.partitionBy("event_type")
+    r2 = (
+        2 * F.rank().over(wp.orderBy("sv"))
+        + F.count(F.lit(1)).over(Window.partitionBy("event_type", "sv"))
+        - 1
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        rd(
+            r2.cast("double")
+            / (2.0 * (F.count(F.lit(1)).over(wp) + 1)),
+            6,
+        ).alias("q"),
+    )
