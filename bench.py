@@ -156,6 +156,7 @@ HEADLINE = [
     "asof_join_tolerance",       # merge_asof tolerance= parity, same one-exchange plan
     "feature_loo_target_encoding",  # leakage-safe categorical encoding, window-free
     "feature_quantile_transform",  # tie-averaged rank/(n+1) normalization
+    "text_ngram_novelty",        # distinct-trigram rarity per doc, digest-keyed
 ]
 
 

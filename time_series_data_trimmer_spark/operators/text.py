@@ -1347,3 +1347,66 @@ def token_entropy(
             6,
         ).alias("norm_entropy"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    rare_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word n-grams that appear in at most ``rare_df`` documents
+    corpus-wide — high novelty marks unique content worth keeping,
+    near-zero novelty marks boilerplate assembled from corpus-common
+    phrases, and (inverted) it is the memorization-risk screen: a doc
+    whose grams are all corpus-frequent teaches nothing new.
+
+    Grams build scan-side (shifted array views, the `ngram_topk_global`
+    trick) and collapse to md5 digests immediately — text never
+    shuffles. Plan: one (doc, digest) distinct, one digest-keyed
+    document-frequency count joined back digest-keyed, one per-doc
+    aggregation.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    words = F.split(F.trim(F.col(text_col)), " ")
+    views = [words] + [
+        F.slice(words, i + 1, F.greatest(F.size(words) - i, F.lit(0)))
+        for i in range(1, n)
+    ]
+    zipped = F.arrays_zip(*views)
+    gram = F.concat_ws(" ", *[F.col("z").getField(str(i)) for i in range(n)])
+    grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .filter(F.size(words) >= n)
+        .select(F.col(id_col), F.explode(zipped).alias("z"))
+        .select(
+            F.col(id_col),
+            F.md5(gram).alias("gd"),
+            F.size(F.split(gram, " ")).alias("__w"),
+        )
+        .filter(F.col("__w") == n)  # drop the ragged tail views
+        .select(id_col, "gd")
+        .distinct()
+    )
+    dfreq = grams.groupBy("gd").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(dfreq.hint("shuffle_hash"), "gd")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("df") <= rare_df, 1).otherwise(0)
+            ).alias("n_rare"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.col("n_rare").cast("long").alias("n_rare"),
+            rd(
+                F.col("n_rare").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+    )

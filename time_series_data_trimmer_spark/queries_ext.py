@@ -9216,3 +9216,41 @@ def _q_feature_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-doc n-gram novelty (memorization-risk screen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ngram_novelty",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(w[i.i:i.i+2], ' ')) AS gd
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) i
+      WHERE len(w) >= 3
+    ),
+    dfreq AS (SELECT gd, count(*) AS df FROM g GROUP BY gd)
+    SELECT g.doc_id, count(*) AS n_grams,
+           CAST(count(*) FILTER (WHERE dfreq.df <= 1) AS BIGINT) AS n_rare,
+           CAST(floor(CAST(count(*) FILTER (WHERE dfreq.df <= 1) AS DOUBLE)
+                      / count(*) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             AS novelty
+    FROM g JOIN dfreq ON dfreq.gd = g.gd
+    GROUP BY g.doc_id
+    """,
+)
+def _q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc trigram novelty (`tx.ngram_novelty`): the fraction of a
+    doc's distinct trigrams appearing in exactly one document —
+    keep-or-cut signal (high = unique content, ~0 = assembled
+    boilerplate) and, inverted, the memorization-risk screen. Digests
+    shuffle, text never does; document frequency is one digest-keyed
+    count joined back on the same key."""
+    return tx.ngram_novelty(_table(spark, sf_dir, "documents"), n=3, rare_df=1)
