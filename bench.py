@@ -157,6 +157,7 @@ HEADLINE = [
     "feature_loo_target_encoding",  # leakage-safe categorical encoding, window-free
     "feature_quantile_transform",  # tie-averaged rank/(n+1) normalization
     "text_ngram_novelty",        # distinct-trigram rarity per doc, digest-keyed
+    "emb_isotropy_report",       # per-label collapse audit, d-bounded sums
 ]
 
 

@@ -9254,3 +9254,107 @@ def _q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, text never does; document frequency is one digest-keyed
     count joined back on the same key."""
     return tx.ngram_novelty(_table(spark, sf_dir, "documents"), n=3, rare_df=1)
+
+
+# ---------------------------------------------------------------------------
+# Embedding isotropy / collapse report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_isotropy_report",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    dimsum AS (
+      SELECT l.label, e.i,
+             CAST(sum(CAST({sql_rd("e.x", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS s
+      FROM ex e JOIN lbl l ON l.vec_id = e.vec_id
+      GROUP BY l.label, e.i
+    ),
+    cnt AS (SELECT label, count(*) AS n FROM lbl GROUP BY label),
+    mu AS (
+      SELECT d.label,
+             CAST(sum(CAST({sql_rd("(d.s / c.n) * (d.s / c.n)", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS m2
+      FROM dimsum d JOIN cnt c ON c.label = d.label
+      GROUP BY d.label
+    ),
+    nrm AS (
+      SELECT l.label,
+             CAST(sum(CAST({sql_rd(
+                 "sqrt(CAST(nd.d2 AS DOUBLE))", 6
+             )} AS DECIMAL(38,6))) AS DOUBLE) AS nsum
+      FROM (
+        SELECT vec_id,
+               sum(CAST({sql_rd("x * x", 9)} AS DECIMAL(38,9))) AS d2
+        FROM ex GROUP BY vec_id
+      ) nd JOIN lbl l ON l.vec_id = nd.vec_id
+      GROUP BY l.label
+    )
+    SELECT c.label, CAST(c.n AS BIGINT) AS n,
+           {R("nrm.nsum / c.n", 6)} AS mean_norm,
+           {R("sqrt(mu.m2)", 6)} AS centroid_norm,
+           {R("sqrt(mu.m2) / (nrm.nsum / c.n)", 6)} AS anisotropy
+    FROM cnt c
+    JOIN mu ON mu.label = c.label
+    JOIN nrm ON nrm.label = c.label
+    """,
+)
+def _q_emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space collapse audit per label: mean vector norm,
+    centroid norm, and their ratio (anisotropy: ~0 = directions
+    cancel, healthy spread; ->1 = the class has collapsed onto one
+    ray — the classic failure of a contrastive encoder, and exactly
+    the audit run before trusting `dedup_semantic` at scale). Per-dim
+    decimal sums are d-bounded (the `emb_covariance` discipline);
+    per-row norms never explode — one `decimal_dot` per vector."""
+    emb = _table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("i", "x"),
+    )
+    dimsum = exploded.groupBy("label", "i").agg(
+        F.sum(rd(F.col("x").cast("double"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("s")
+    )
+    cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    mu = (
+        dimsum.join(cnt.hint("shuffle_hash"), "label")
+        .groupBy("label")
+        .agg(
+            F.sum(
+                rd(
+                    (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")), 9
+                ).cast("decimal(38,9)")
+            )
+            .cast("double")
+            .alias("m2")
+        )
+    )
+    nrm = (
+        emb.select(
+            "label",
+            rd(
+                F.sqrt(sim.decimal_dot(F.col("embedding"), F.col("embedding"))),
+                6,
+            ).alias("nv"),
+        )
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("nv").cast("decimal(38,6)")).cast("double").alias("nsum")
+        )
+    )
+    return (
+        cnt.join(mu.hint("shuffle_hash"), "label")
+        .join(nrm.hint("shuffle_hash"), "label")
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n"),
+            rd(F.col("nsum") / F.col("n"), 6).alias("mean_norm"),
+            rd(F.sqrt(F.col("m2")), 6).alias("centroid_norm"),
+            rd(F.sqrt(F.col("m2")) / (F.col("nsum") / F.col("n")), 6).alias(
+                "anisotropy"
+            ),
+        )
+    )
