@@ -468,3 +468,60 @@ def test_collapse_repeat_tokens_semantics(spark):
     assert out[2] == ("a b a b", 0)
     assert out[3] == ("x", 0)
     assert out[4] == (None, None)
+
+
+def test_spearman_matches_pure_python(spark):
+    """The doubled-rank Spearman must equal a straightforward
+    tie-averaged-rank Pearson computed in pure Python on the same
+    sf0.001 slice."""
+    from collections import defaultdict
+    import math
+
+    from pyspark.sql import functions as F
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r["spearman_rho"]
+        for r in REGISTRY["stats_spearman_value_vs_hour"][0](spark, sf).collect()
+    }
+
+    df = spark.read.parquet(f"{sf}/events.parquet")
+    rows = df.select(
+        "event_type",
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("xv"),
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) div 3600000000) % 24"
+        ).alias("yv"),
+    ).collect()
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["event_type"]].append((r["xv"], r["yv"]))
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            r = (i + 1 + j) / 2.0  # average of ranks i+1..j
+            for t in range(i, j):
+                ranks[order[t]] = r
+            i = j
+        return ranks
+
+    for et, pairs in groups.items():
+        xs, ys = zip(*pairs)
+        rx, ry = avg_ranks(list(xs)), avg_ranks(list(ys))
+        n = len(rx)
+        sx, sy = sum(rx), sum(ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        sxx = sum(a * a for a in rx)
+        syy = sum(b * b for b in ry)
+        rho = (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        assert abs(got[et] - rho) < 1e-5, (et, got[et], rho)

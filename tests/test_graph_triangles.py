@@ -85,3 +85,31 @@ def test_label_propagation_denoises_and_breaks_ties(spark):
         for r in label_propagation(edges2, seeds2, iterations=1).collect()
     }
     assert out2[1] == 3  # min(5, 3)
+
+
+def test_triangle_count_matches_bruteforce_random_graphs(spark):
+    """Deterministic pseudo-random graphs (md5-seeded, no RNG state):
+    degree-oriented count == brute-force C(n,3) scan."""
+    import hashlib
+    import itertools
+
+    for seed in ("g1", "g2", "g3"):
+        nodes = 18
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(range(nodes), 2)
+            if int(hashlib.md5(f"{seed}|{a}|{b}".encode()).hexdigest()[:4], 16)
+            % 100
+            < 30  # ~30% density
+        ]
+        adj = {n: set() for n in range(nodes)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        brute = sum(
+            1
+            for a, b, c in itertools.combinations(range(nodes), 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        got = _run(spark, edges)
+        assert got["n_triangles"] == brute, (seed, brute, got)
