@@ -158,6 +158,7 @@ HEADLINE = [
     "feature_quantile_transform",  # tie-averaged rank/(n+1) normalization
     "text_ngram_novelty",        # distinct-trigram rarity per doc, digest-keyed
     "emb_isotropy_report",       # per-label collapse audit, d-bounded sums
+    "ts_conformal_interval",     # distribution-free forecast uncertainty
 ]
 
 

@@ -9358,3 +9358,97 @@ def _q_emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal interval width from seasonal-naive residuals
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 1, 10  # alpha = 0.1 as an exact rational
+
+
+@register(
+    "ts_conformal_interval",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS b,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS sv
+      FROM events
+    ),
+    h AS (
+      SELECT user_id, b, sum(sv) AS s, count(*) AS n FROM e GROUP BY user_id, b
+    ),
+    res AS (
+      SELECT a.user_id,
+             abs(CAST(a.s AS DOUBLE) / a.n - CAST(p.s AS DOUBLE) / p.n) AS r
+      FROM h a JOIN h p ON p.user_id = a.user_id AND p.b = a.b - 24
+    ),
+    ranked AS (
+      SELECT user_id, r,
+             row_number() OVER (PARTITION BY user_id ORDER BY r, user_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM res
+    )
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_residuals,
+           {R("max(CASE WHEN rn = CAST(ceil((n + 1) * (1.0 - 1.0 * "
+              f"{_CONF_ALPHA_NUM} / {_CONF_ALPHA_DEN}) "
+              ") AS BIGINT) THEN r END) / 10000.0", 6)} AS q_hat
+    FROM ranked
+    WHERE n + 1 >= CAST(ceil((n + 1) * (1.0 - 1.0 * {_CONF_ALPHA_NUM} / {_CONF_ALPHA_DEN})) AS BIGINT)
+    GROUP BY user_id
+    HAVING max(CASE WHEN rn = CAST(ceil((n + 1) * (1.0 - 1.0 * {_CONF_ALPHA_NUM} / {_CONF_ALPHA_DEN})) AS BIGINT) THEN r END) IS NOT NULL
+    """,
+)
+def _q_ts_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval half-width per trial (Vovk et al.;
+    the distribution-free uncertainty wrapper): q̂ = the
+    ⌈(n+1)(1−α)⌉-th smallest absolute seasonal-naive residual, α=0.1 —
+    forecast ± q̂ then covers ≥ 90% of future points with NO
+    distributional assumption. Composes the MASE machinery's
+    calendar-aligned residuals; the calibration quantile is a
+    nearest-rank filter on one trial-keyed rank window (no
+    sort-collect), trials with too few residuals for the rank drop
+    out. Residuals are IEEE expressions over exact integer bucket
+    sums, so the selected rank is engine-identical."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("b"),
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("sv"),
+    )
+    h = ev.groupBy("user_id", "b").agg(
+        F.sum("sv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    p = h.select(
+        "user_id",
+        (F.col("b") + 24).alias("b"),
+        F.col("s").alias("ps"),
+        F.col("n").alias("pn"),
+    )
+    res = (
+        h.join(p.hint("shuffle_hash"), ["user_id", "b"])
+        .select(
+            "user_id",
+            F.abs(
+                F.col("s").cast("double") / F.col("n")
+                - F.col("ps").cast("double") / F.col("pn")
+            ).alias("r"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("r", "user_id")
+    wc = Window.partitionBy("user_id")
+    alpha = float(_CONF_ALPHA_NUM) / float(_CONF_ALPHA_DEN)
+    ranked = res.select(
+        "user_id",
+        "r",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    target = F.ceil((F.col("n") + 1) * (1.0 - F.lit(alpha))).cast("long")
+    return (
+        ranked.filter(F.col("rn") == target)
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_residuals"),
+            rd(F.col("r") / 10000.0, 6).alias("q_hat"),
+        )
+    )
