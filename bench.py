@@ -159,6 +159,8 @@ HEADLINE = [
     "text_ngram_novelty",        # distinct-trigram rarity per doc, digest-keyed
     "emb_isotropy_report",       # per-label collapse audit, d-bounded sums
     "ts_conformal_interval",     # distribution-free forecast uncertainty
+    "stats_trimmed_mean_by_type",  # rank-boundary exact-integer robust mean
+    "stats_iqr_fences_by_type",  # Tukey fences + exact outlier counts
 ]
 
 

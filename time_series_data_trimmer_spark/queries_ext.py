@@ -9452,3 +9452,165 @@ def _q_ts_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
             rd(F.col("r") / 10000.0, 6).alias("q_hat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust aggregation: trimmed mean + Tukey IQR fences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_trimmed_mean_by_type",
+    f"""
+    WITH e AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS sv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, sv,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY sv, event_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           CAST(max(n) - 2 * (max(n) // 10) AS BIGINT) AS n_kept,
+           {R("CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10"
+              " THEN sv END) AS DOUBLE)"
+              " / (max(n) - 2 * (max(n) // 10)) / 10000.0", 6)} AS trimmed_mean,
+           {R("CAST(sum(sv) AS DOUBLE) / max(n) / 10000.0", 6)} AS raw_mean
+    FROM r GROUP BY event_type
+    """,
+)
+def _q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-each-tail trimmed mean per event type — the robust location
+    estimate that survives the fat tails a raw mean is wrecked by,
+    next to the raw mean so the gap itself is the contamination
+    signal. One rank window on the type key, then a conditional
+    EXACT-integer sum — no second pass, no percentile interpolation
+    (the trim boundary is a rank, so integer sums stay exact)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("sv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("sv", "event_id")
+    wc = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "sv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    t = F.expr("n div 10")
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        (F.max("n") - 2 * F.expr("max(n) div 10")).cast("long").alias("n_kept"),
+        rd(
+            F.sum(
+                F.when((F.col("rn") > t) & (F.col("rn") <= F.col("n") - t), F.col("sv"))
+            ).cast("double")
+            / (F.max("n") - 2 * F.expr("max(n) div 10"))
+            / 10000.0,
+            6,
+        ).alias("trimmed_mean"),
+        rd(F.sum("sv").cast("double") / F.max("n") / 10000.0, 6).alias("raw_mean"),
+    )
+
+
+@register(
+    "stats_iqr_fences_by_type",
+    f"""
+    WITH e AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS sv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, sv,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY sv, event_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ),
+    q AS (
+      SELECT event_type, max(n) AS n,
+             max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN sv END) AS q1,
+             max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN sv END) AS q3
+      FROM r GROUP BY event_type
+    ),
+    f AS (
+      SELECT event_type, n, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+      FROM q
+    )
+    SELECT f.event_type, CAST(f.n AS BIGINT) AS n,
+           {R("max(f.q1) / 10000.0", 6)} AS q1,
+           {R("max(f.q3) / 10000.0", 6)} AS q3,
+           CAST(count(*) FILTER (WHERE r.sv < f.lo OR r.sv > f.hi) AS BIGINT)
+             AS n_outliers
+    FROM f JOIN r ON r.event_type = f.event_type
+    GROUP BY f.event_type, f.n
+    """,
+)
+def _q_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey box-plot fences per event type: nearest-rank Q1/Q3 on
+    4-dp scaled integers, fences at ±1.5·IQR, and the exact count
+    outside them — the third member of the robust-outlier family
+    (σ-rule in A5, median/MAD in ts_mad_outliers). The fence compare
+    is one IEEE expression over exact integers; the quartiles are rank
+    filters on the same type-keyed window the trimmed mean uses."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("sv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("sv", "event_id")
+    wc = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "sv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    q = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.25 * F.col("n")).cast("long"), F.col("sv")
+            )
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.75 * F.col("n")).cast("long"), F.col("sv")
+            )
+        ).alias("q3"),
+    )
+    f = q.select(
+        "event_type",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        r.select("event_type", "sv")
+        .join(f.hint("shuffle_hash"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.col("n")).cast("long").alias("n"),
+            rd(F.max("q1").cast("double") / 10000.0, 6).alias("q1"),
+            rd(F.max("q3").cast("double") / 10000.0, 6).alias("q3"),
+            F.sum(
+                F.when(
+                    (F.col("sv") < F.col("lo")) | (F.col("sv") > F.col("hi")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
