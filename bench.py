@@ -161,6 +161,7 @@ HEADLINE = [
     "ts_conformal_interval",     # distribution-free forecast uncertainty
     "stats_trimmed_mean_by_type",  # rank-boundary exact-integer robust mean
     "stats_iqr_fences_by_type",  # Tukey fences + exact outlier counts
+    "ts_seasonal_strength",      # FPP3 decomposition-strength scores per trial
 ]
 
 

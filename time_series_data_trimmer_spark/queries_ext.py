@@ -9614,3 +9614,78 @@ def _q_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal / trend strength (Hyndman STL-strength on the decomposition)
+# ---------------------------------------------------------------------------
+
+_SD_SQL = REGISTRY["ts_seasonal_decompose"][1]
+
+
+def _sql_var(col: str) -> str:
+    """Order-independent variance of a 6-dp column: decimal sums of the
+    values and their 12-dp squared terms, one IEEE expression out."""
+    s1 = f"CAST(sum(CAST(({col}) AS DECIMAL(38,6))) AS DOUBLE)"
+    s2 = f"CAST(sum(CAST({sql_rd(f'({col}) * ({col})', 12)} AS DECIMAL(38,12))) AS DOUBLE)"
+    return f"(({s2}) - ({s1}) * ({s1}) / count(*)) / count(*)"
+
+
+@register(
+    "ts_seasonal_strength",
+    f"""
+    WITH base AS ({_SD_SQL})
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_buckets,
+           {R("CASE WHEN " + _sql_var("seasonal + residual") + " <= 0.0 THEN 0.0"
+              " ELSE greatest(0.0, 1.0 - (" + _sql_var("residual") + ")"
+              " / (" + _sql_var("seasonal + residual") + ")) END", 6)}
+             AS seasonal_strength,
+           {R("CASE WHEN " + _sql_var("hourly - seasonal") + " <= 0.0 THEN 0.0"
+              " ELSE greatest(0.0, 1.0 - (" + _sql_var("residual") + ")"
+              " / (" + _sql_var("hourly - seasonal") + ")) END", 6)}
+             AS trend_strength
+    FROM base GROUP BY user_id
+    """,
+)
+def _q_ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman's decomposition-strength scores per trial (FPP3 §4.5):
+    seasonal strength = 1 − var(R)/var(S+R), trend strength =
+    1 − var(R)/var(T+R written as hourly−seasonal) — the two numbers
+    that say whether `ts_seasonal_decompose`'s components are signal
+    or noise, per trial, fleet-wide. Composes the registered
+    decomposition (the oracle literally embeds its SQL); variances are
+    decimal-accumulated over the decomposition's own 6-dp grid, so
+    partial-agg order cannot move them."""
+    base = REGISTRY["ts_seasonal_decompose"][0](spark, sf_dir)
+
+    def var_of(col):
+        s1 = F.sum(col.cast("decimal(38,6)")).cast("double")
+        s2 = F.sum(rd(col * col, 12).cast("decimal(38,12)")).cast("double")
+        n = F.count(F.lit(1))
+        return (s2 - s1 * s1 / n) / n
+
+    sr = F.col("seasonal") + F.col("residual")
+    tr = F.col("hourly") - F.col("seasonal")
+    res = F.col("residual")
+    agg = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        var_of(res).alias("__vr"),
+        var_of(sr).alias("__vsr"),
+        var_of(tr).alias("__vtr"),
+    )
+    return agg.select(
+        "user_id",
+        "n_buckets",
+        rd(
+            F.when(F.col("__vsr") <= 0.0, F.lit(0.0)).otherwise(
+                F.greatest(F.lit(0.0), 1.0 - F.col("__vr") / F.col("__vsr"))
+            ),
+            6,
+        ).alias("seasonal_strength"),
+        rd(
+            F.when(F.col("__vtr") <= 0.0, F.lit(0.0)).otherwise(
+                F.greatest(F.lit(0.0), 1.0 - F.col("__vr") / F.col("__vtr"))
+            ),
+            6,
+        ).alias("trend_strength"),
+    )
