@@ -162,6 +162,10 @@ HEADLINE = [
     "stats_trimmed_mean_by_type",  # rank-boundary exact-integer robust mean
     "stats_iqr_fences_by_type",  # Tukey fences + exact outlier counts
     "ts_seasonal_strength",      # FPP3 decomposition-strength scores per trial
+    "dq_expectations_report",    # one-pass declarative DQ gate + FK anti-join
+    "sketch_kmv_intersection_sources",  # join-size card from registers alone
+    "sketch_quantile_value_global",  # corpus-wide percentile, window-free rollup
+    "layout_compaction_plan",    # file-sizing plan, one scan of one column
 ]
 
 

@@ -148,3 +148,63 @@ def encoding_advisor(
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+def compaction_plan(
+    df: DataFrame,
+    part_col: str,
+    bytes_col: Column,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """File-sizing plan for a partitioned write: per partition value,
+    the exact row count, estimated on-disk bytes, and the file count
+    that lands each partition's files at ``target_file_bytes``
+    (parquet's sweet spot — too-small files drown the driver/listing
+    in metadata, too-large files cap scan parallelism and inflate
+    row-group memory).
+
+    ``bytes_col`` is the caller's per-row byte estimate evaluated on
+    the scan (e.g. ``octet_length(text) + overhead``); the plan is
+    ONE map-side-combined aggregation over (part, bytes), then pure
+    arithmetic — the 1-row corpus total joins back as a sanctioned
+    scalar broadcast so each partition also reports its share (the
+    skew signal: one partition owning 40% of bytes wants salting or
+    sub-partitioning, not more files).
+
+    Feeds ``df.repartition(n_files, part_col, salt)`` or AQE's
+    rebalance; at 100 TB this query IS the compaction job's planning
+    step, and it costs one scan.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    per = (
+        df.select(F.col(part_col).alias("part"), bytes_col.alias("__b"))
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__b").cast("long").alias("est_bytes"),
+        )
+    )
+    total = per.agg(F.sum("est_bytes").alias("__total"))
+    n_files = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(
+            F.col("est_bytes").cast("double") / F.lit(float(target_file_bytes))
+        ).cast("long"),
+    )
+    return per.crossJoin(total).select(
+        "part",
+        "n_rows",
+        "est_bytes",
+        n_files.alias("n_files"),
+        rd(
+            F.col("est_bytes").cast("double")
+            / n_files.cast("double")
+            / F.lit(1024.0 * 1024.0),
+            6,
+        ).alias("avg_file_mb"),
+        rd(
+            F.col("est_bytes").cast("double") / F.col("__total").cast("double"),
+            6,
+        ).alias("pct_of_total"),
+    )

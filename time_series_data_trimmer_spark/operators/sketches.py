@@ -645,3 +645,104 @@ def kmv_sliding_registers(
         .filter(F.col("__rn") <= int(k))
         .select("g", "window_end", "u")
     )
+
+
+def kmv_pairwise_intersection(regs: DataFrame, k: int = 64) -> DataFrame:
+    """All-pairs JOIN-CARDINALITY card from KMV registers alone: for
+    every group pair, estimates of |A|, |B|, |A∪B|, |A∩B| and J(A,B).
+
+    This is the sketch-side answer to "how big is this join / overlap
+    before I run it": |A∪B| comes from the KMV estimator applied to
+    the union's own bottom-k (which is computable from the two
+    register sets alone — Beyer et al. SIGMOD 2007 §5), J from the
+    two-sided fraction of that bottom-k, and |A∩B| = Ĵ·|Â∪B| — the
+    standard KMV intersection estimator. At 100 TB the alternative is
+    a distinct-pair self-join per candidate pair; this never rescans
+    the corpus and moves ≤ 2k longs per pair.
+
+    Plan: same shape as `kmv_pairwise_jaccard` (bounded group-list
+    collect, scan-side literal-array pair explode, one pair-keyed
+    window) plus two G²-row joins against the per-group estimates —
+    both sides bounded by the domain count, hash-joined.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    groups = sorted(r["g"] for r in regs.select("g").distinct().collect())
+    other = F.explode(F.array(*[F.lit(g) for g in groups])).alias("other")
+    pr = (
+        regs.select("g", "u", other)
+        .filter(F.col("g") != F.col("other"))
+        .select(
+            F.least("g", "other").alias("src_a"),
+            F.greatest("g", "other").alias("src_b"),
+            "u",
+            "g",
+        )
+    )
+    per_u = pr.groupBy("src_a", "src_b", "u").agg(
+        F.count(F.lit(1)).alias("n_sides")
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy(F.col("u").asc())
+    kept = per_u.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= int(k)
+    )
+    agg = kept.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_union_kept"),
+        F.max("u").alias("kth"),
+        F.sum((F.col("n_sides") == 2).cast("long")).alias("n_common"),
+    )
+    est_union = F.when(
+        F.col("n_union_kept") < int(k), F.col("n_union_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_HASH_SPACE_F) / F.col("kth").cast("double")
+    )
+    jac = F.col("n_common").cast("double") / F.col("n_union_kept").cast("double")
+    sides = kmv_estimate(regs, k=k)
+    ea = sides.select(
+        F.col("g").alias("src_a"), F.col("est_distinct").alias("est_a")
+    )
+    eb = sides.select(
+        F.col("g").alias("src_b"), F.col("est_distinct").alias("est_b")
+    )
+    return (
+        agg.join(ea.hint("shuffle_hash"), "src_a")
+        .join(eb.hint("shuffle_hash"), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "est_a",
+            "est_b",
+            rd(est_union, 6).alias("est_union"),
+            rd(jac, 6).alias("jaccard_est"),
+            rd(jac * est_union, 6).alias("est_intersection"),
+        )
+    )
+
+
+def quantile_sketch_global(registers: DataFrame, k: int = 64) -> DataFrame:
+    """Roll per-GROUP quantile registers up to ONE corpus-wide register
+    set (g = '_all_'), without touching raw data again.
+
+    Correctness: every row of the global bottom-k (by the shared md5
+    row-identity hash) also survives its own group's bottom-k, so the
+    global bottom-k of the unioned register sets EQUALS the bottom-k
+    of sketching all raw rows directly — pytest-proven register-for-
+    register in tests/test_sketches_quantile.py. This is the corpus-
+    wide percentile path: per-group sketches are computed/persisted
+    once (the parallel part), and the global quantile costs a re-rank
+    of ≤ k·G register rows.
+
+    Plan: NO window — a constant group key folds to a keyless Window
+    (the single-partition sort the sweep bans), so the rollup is the
+    bounded collect_list → array_sort → slice aggregation
+    (`bottom_k_salted` stage-2 shape): partial aggregation combines
+    register arrays map-side, and the input volume is fixed by the
+    sketch (≤ k·G rows), independent of corpus size."""
+    comb = registers.agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("u", "v"))), 1, int(k)
+        ).alias("__regs")
+    )
+    return comb.select(
+        F.lit("_all_").alias("g"), F.explode("__regs").alias("__r")
+    ).select("g", F.col("__r.u").alias("u"), F.col("__r.v").alias("v"))

@@ -9689,3 +9689,269 @@ def _q_ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("trend_strength"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations, sketch roll-ups, compaction planning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_expectations_report",
+    f"""
+    WITH rr AS (
+      SELECT 'not_null(o_custkey)' AS rule,
+             count(*) AS n_checked,
+             count(*) FILTER (WHERE o_custkey IS NULL) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'in_range(o_totalprice,0.0,100000.0)',
+             count(*) FILTER (WHERE o_totalprice IS NOT NULL),
+             count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0.0 OR o_totalprice > 100000.0))
+      FROM orders
+      UNION ALL
+      SELECT 'in_set(o_orderstatus)',
+             count(*) FILTER (WHERE o_orderstatus IS NOT NULL),
+             count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('F', 'O'))
+      FROM orders
+      UNION ALL
+      SELECT 'priority_format',
+             count(*) FILTER (WHERE o_orderpriority IS NOT NULL),
+             count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                              AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))
+      FROM orders
+    ),
+    uq AS (
+      SELECT 'unique(o_orderkey)' AS rule,
+             count(o_orderkey) AS n_checked,
+             count(o_orderkey) - count(DISTINCT o_orderkey) AS n_violations
+      FROM orders
+    ),
+    fk AS (
+      SELECT 'fk(o_custkey)' AS rule,
+             (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL) AS n_checked,
+             (SELECT count(*) FROM orders o
+              WHERE o.o_custkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)) AS n_violations
+    ),
+    allr AS (
+      SELECT * FROM rr UNION ALL SELECT * FROM uq UNION ALL SELECT * FROM fk
+    )
+    SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           {R("CASE WHEN n_checked > 0 THEN CAST(n_violations AS DOUBLE)"
+              " / CAST(n_checked AS DOUBLE) ELSE 0.0 END", 6)} AS violation_rate
+    FROM allr
+    """,
+)
+def _q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over the orders drop
+    (`quality.expectations_report`): null / range / set / format rules
+    answered by ONE scan (the whole row-rule suite folds into a single
+    map-side-combined aggregation, unpivoted via explode on the 1-row
+    result — no per-rule re-scan, the thing Great-Expectations-style
+    suites get wrong at 100 TB), plus the exact PK-uniqueness
+    aggregation and the o_custkey → customer referential-integrity
+    LEFT ANTI join (narrow key columns only). Range/set/format bounds
+    are deliberately tight so the violation counters are exercised
+    non-trivially on clean TPC-H data.
+
+    Reference anchor: the reference's CSV bad-cell coercion + mask
+    (data_model.py bad-mask path) generalized to declarative rule
+    suites with per-rule accounting."""
+    from time_series_data_trimmer_spark.operators import quality as dq
+
+    orders = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer")
+    return dq.expectations_report(
+        orders,
+        row_rules=[
+            dq.not_null("o_custkey"),
+            dq.in_range("o_totalprice", 0.0, 100000.0),
+            dq.in_set("o_orderstatus", ["F", "O"]),
+            dq.matches("o_orderpriority", "^[1-3]-", label="priority_format"),
+        ],
+        unique_cols=["o_orderkey"],
+        fks=[("o_custkey", cust, "c_custkey")],
+    )
+
+
+@register(
+    "sketch_kmv_intersection_sources",
+    f"""
+    WITH hashed AS (
+      SELECT DISTINCT source AS g, {sp.sql_hash_u32('token', 'tsdt|kmv')} AS u
+      FROM {_KMV_TOKENS_TABLE}
+    ),
+    regs AS (
+      SELECT g, u FROM (
+        SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u ASC) AS rn
+        FROM hashed
+      ) WHERE rn <= 64
+    ),
+    sides AS (
+      SELECT g, count(*) AS n_kept, max(u) AS kth FROM regs GROUP BY g
+    ),
+    sest AS (
+      SELECT g,
+             CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                  ELSE 63.0 * 4294967296.0 / CAST(kth AS DOUBLE) END AS est
+      FROM sides
+    ),
+    srcs AS (SELECT DISTINCT g FROM regs),
+    pairs AS (SELECT a.g AS src_a, b.g AS src_b FROM srcs a JOIN srcs b ON a.g < b.g),
+    pr AS (
+      SELECT p.src_a, p.src_b, r.u, r.g
+      FROM pairs p JOIN regs r ON r.g = p.src_a OR r.g = p.src_b
+    ),
+    per_u AS (
+      SELECT src_a, src_b, u, count(*) AS n_sides
+      FROM pr GROUP BY src_a, src_b, u
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY u ASC) AS rn
+        FROM per_u
+      ) WHERE rn <= 64
+    ),
+    agg AS (
+      SELECT src_a, src_b, count(*) AS n_union_kept, max(u) AS kth,
+             sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS n_common
+      FROM kept GROUP BY src_a, src_b
+    )
+    SELECT agg.src_a, agg.src_b,
+           {R("ea.est", 6)} AS est_a,
+           {R("eb.est", 6)} AS est_b,
+           {R("CASE WHEN agg.n_union_kept < 64 THEN CAST(agg.n_union_kept AS DOUBLE)"
+              " ELSE 63.0 * 4294967296.0 / CAST(agg.kth AS DOUBLE) END", 6)} AS est_union,
+           {R("CAST(agg.n_common AS DOUBLE) / CAST(agg.n_union_kept AS DOUBLE)", 6)}
+             AS jaccard_est,
+           {R("(CAST(agg.n_common AS DOUBLE) / CAST(agg.n_union_kept AS DOUBLE))"
+              " * (CASE WHEN agg.n_union_kept < 64 THEN CAST(agg.n_union_kept AS DOUBLE)"
+              " ELSE 63.0 * 4294967296.0 / CAST(agg.kth AS DOUBLE) END)", 6)}
+             AS est_intersection
+    FROM agg
+    JOIN sest ea ON ea.g = agg.src_a
+    JOIN sest eb ON eb.g = agg.src_b
+    """,
+)
+def _q_kmv_intersection_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cross-source JOIN-CARDINALITY card from KMV registers
+    alone (`sk.kmv_pairwise_intersection`): |Â|, |B̂|, |Â∪B|, Ĵ and the
+    standard KMV intersection estimator |Â∩B| = Ĵ·|Â∪B| (Beyer et al.
+    SIGMOD 2007) — the "how big is this overlap before I run the join"
+    planning primitive. Never rescans the corpus: every pair costs
+    ≤ 2k register longs, the per-side size estimates join back over
+    the G²-bounded pair table."""
+    docs = _table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+    regs = sk.kmv_registers(toks, "source", "token", k=64)
+    return sk.kmv_pairwise_intersection(regs, k=64)
+
+
+@register(
+    "sketch_quantile_value_global",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    h AS (
+      SELECT {_QSK_U} AS u, CAST(value AS DOUBLE) AS v FROM ev
+    ),
+    regs AS (
+      SELECT '_all_' AS g, u, v FROM h
+      QUALIFY row_number() OVER (ORDER BY u ASC, v ASC) <= {_QSK_K}
+    ),
+    ranked AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v ASC, u ASC) AS vr,
+             count(*) OVER (PARTITION BY g) AS n_kept
+      FROM regs
+    ),
+    qs AS (
+      SELECT unnest([{", ".join(f"CAST({q} AS DOUBLE)" for q in _QSK_QS)}]) AS q
+    )
+    SELECT g, q, CAST(n_kept AS BIGINT) AS n_kept, v AS q_est
+    FROM ranked CROSS JOIN qs
+    WHERE vr = greatest(1, CAST(ceil(q * CAST(n_kept AS DOUBLE)) AS BIGINT))
+    """,
+)
+def _q_sketch_quantile_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-WIDE quantiles from the per-group quantile registers
+    alone (`sk.quantile_sketch_global` over
+    `sk.quantile_sketch_registers`): per-trial sketches are computed
+    once in parallel (the only pass over raw data), then the global
+    bottom-k re-rank runs on ≤ k·G bounded register rows — the global
+    percentile WITHOUT the global sort that is impossible at 100 TB.
+
+    Correctness hinge (pytest-proven register-for-register in
+    tests/test_sketches_quantile.py): every member of the global
+    bottom-k by the shared md5 row hash also survives its own group's
+    bottom-k, so rolling up per-group registers EQUALS sketching all
+    raw rows directly — which is exactly what the oracle does (one
+    global QUALIFY over the raw table). Window-free after the
+    per-group stage: rollup and estimate are bounded
+    collect_list → array_sort aggregations (`quantile_estimate_agg`),
+    since a constant group key would fold to the banned keyless
+    Window."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    regs = sk.quantile_sketch_registers(
+        ev, "user_id", "value", "event_id", k=_QSK_K, seed=_QSK_SEED
+    )
+    glob = sk.quantile_sketch_global(regs, k=_QSK_K)
+    return sk.quantile_estimate_agg(glob, _QSK_QS, group_col="g").select(
+        "g", "q", F.col("n_kept").cast("long").alias("n_kept"), "q_est"
+    )
+
+
+@register(
+    "layout_compaction_plan",
+    f"""
+    WITH per AS (
+      SELECT source AS part, count(*) AS n_rows,
+             CAST(sum(strlen(coalesce(text, '')) + 64) AS BIGINT) AS est_bytes
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(est_bytes) AS total FROM per)
+    SELECT part, CAST(n_rows AS BIGINT) AS n_rows, est_bytes,
+           greatest(1, CAST(ceil(CAST(est_bytes AS DOUBLE) / 1048576.0) AS BIGINT))
+             AS n_files,
+           {R("CAST(est_bytes AS DOUBLE)"
+              " / CAST(greatest(1, CAST(ceil(CAST(est_bytes AS DOUBLE) / 1048576.0)"
+              " AS BIGINT)) AS DOUBLE) / 1048576.0", 6)} AS avg_file_mb,
+           {R("CAST(est_bytes AS DOUBLE) / CAST(tot.total AS DOUBLE)", 6)}
+             AS pct_of_total
+    FROM per CROSS JOIN tot
+    """,
+)
+def _q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compaction/file-sizing plan (`layout.compaction_plan`,
+    target 1 MiB at test scale standing in for the production 128 MiB):
+    exact row counts, scan-side byte estimates
+    (octet_length(text) + 64 B row overhead), the file count landing
+    each partition at the target size, and each partition's share of
+    corpus bytes (the skew signal — a 40% partition wants salting, not
+    more files). ONE map-side-combined aggregation + a sanctioned
+    1-row-total scalar broadcast; at 100 TB this IS the compaction
+    job's planning step and it costs one scan of one column."""
+    from time_series_data_trimmer_spark.operators import layout as ly
+
+    docs = _table(spark, sf_dir, "documents")
+    return ly.compaction_plan(
+        docs,
+        "source",
+        (F.octet_length(F.coalesce(F.col("text"), F.lit(""))) + F.lit(64)).cast(
+            "long"
+        ),
+        target_file_bytes=1024 * 1024,
+    )
