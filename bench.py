@@ -166,6 +166,10 @@ HEADLINE = [
     "sketch_kmv_intersection_sources",  # join-size card from registers alone
     "sketch_quantile_value_global",  # corpus-wide percentile, window-free rollup
     "layout_compaction_plan",    # file-sizing plan, one scan of one column
+    "dq_content_fingerprint",    # order-insensitive reconciliation checksum
+    "dq_benford_first_digit",    # first-digit forensics, 9-row aggregate
+    "stats_moments_by_type",     # exact skewness/kurtosis, decimal power sums
+    "ts_theilsen_lag_slope",     # robust trend slope, one-exchange windows
 ]
 
 

@@ -9955,3 +9955,338 @@ def _q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         target_file_bytes=1024 * 1024,
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 9: data forensics + reconciliation + robust trend
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_content_fingerprint",
+    f"""
+    WITH h AS (
+      SELECT source,
+             {sp.sql_hash_u32(
+                 "concat_ws('|', CAST(doc_id AS VARCHAR), coalesce(text, ''),"
+                 " coalesce(lang, ''), CAST(n_chars AS VARCHAR))",
+                 'tsdt|fp')} AS u
+      FROM documents
+    )
+    SELECT source, count(*) AS n_rows,
+           CAST(sum(CAST(u AS DECIMAL(38,0))) % 1000000000000000000 AS BIGINT)
+             AS content_sum_mod,
+           min(u) AS content_min, max(u) AS content_max
+    FROM h GROUP BY source
+    """,
+)
+def _q_dq_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-source CONTENT FINGERPRINT for cross-
+    engine / cross-store reconciliation: the decimal sum (+ min/max +
+    count) of a portable md5 row hash over the full row payload. Sum
+    is commutative-associative, so the fingerprint is independent of
+    partitioning, file order, and engine — copy a 100 TB corpus
+    between stores, run this on both sides, diff G rows. A dropped,
+    duplicated, or bit-flipped row moves the sum with probability
+    ~1-2⁻³². ONE scan, map-side-combined aggregation; the hash
+    evaluates scan-side so only (source, u) shuffles."""
+    docs = _table(spark, sf_dir, "documents")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.col("n_chars").cast("string"),
+    )
+    return (
+        docs.select(
+            "source", sp.hash_u32(row_repr, "tsdt|fp").alias("__u")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.pmod(
+                F.sum(F.col("__u").cast("decimal(38,0)")),
+                F.lit(1000000000000000000).cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("content_sum_mod"),
+            F.min("__u").alias("content_min"),
+            F.max("__u").alias("content_max"),
+        )
+    )
+
+
+@register(
+    "dq_benford_first_digit",
+    f"""
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice > 0
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c
+    ),
+    g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n) AS total FROM g)
+    SELECT g.digit, CAST(g.n AS BIGINT) AS n,
+           {R("CAST(g.n AS DOUBLE) / CAST(t.total AS DOUBLE)", 6)} AS pct,
+           {R("log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE))", 6)} AS benford_pct,
+           {R("CAST(g.n AS DOUBLE) / CAST(t.total AS DOUBLE)"
+              " - log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE))", 6)} AS deviation
+    FROM g CROSS JOIN t
+    """,
+)
+def _q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over order totals —
+    the classic fabricated-/truncated-data forensic (synthetic or
+    clipped value distributions drift hard from log10(1+1/d)). Digit
+    extraction goes through EXACT integer cents and integer→string
+    (both engines render integers identically — no float→string, no
+    floor(log10()) edge cases at powers of ten). One 9-row aggregation
+    + the sanctioned 1-row total broadcast."""
+    orders = _table(spark, sf_dir, "orders")
+    cents = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("__cents")
+        )
+    )
+    g = (
+        cents.select(
+            F.substring(F.col("__cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = g.agg(F.sum("n").alias("__total"))
+    pct = F.col("n").cast("double") / F.col("__total").cast("double")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return g.crossJoin(t).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        rd(pct, 6).alias("pct"),
+        rd(benford, 6).alias("benford_pct"),
+        rd(pct - benford, 6).alias("deviation"),
+    )
+
+
+@register(
+    "stats_moments_by_type",
+    f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(12,0)) AS sv
+      FROM events WHERE value IS NOT NULL
+    ),
+    p AS (
+      SELECT event_type, sv,
+             CAST(sv * sv AS DECIMAL(19,0)) AS p2
+      FROM e
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(sv AS DECIMAL(38,0))) AS s1,
+             sum(CAST(p2 AS DECIMAL(38,0))) AS s2,
+             sum(CAST(p2 * sv AS DECIMAL(38,0))) AS s3,
+             sum(CAST(p2 * p2 AS DECIMAL(38,0))) AS s4
+      FROM p GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM s
+    ),
+    cm AS (
+      SELECT event_type, n, mu,
+             r2 - mu * mu AS m2,
+             r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+             r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu AS m4
+      FROM m
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           {R("mu / 10000.0", 6)} AS mean,
+           {R("sqrt(m2) / 10000.0", 6)} AS std_pop,
+           {R("m3 / power(m2, 1.5)", 6)} AS skewness,
+           {R("m4 / (m2 * m2) - 3.0", 6)} AS excess_kurtosis
+    FROM cm
+    """,
+)
+def _q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact higher moments per event type — skewness and excess
+    kurtosis, the tail-shape numbers that decide between the mean±kσ
+    spike rule (A5) and the robust MAD/IQR family. Raw power sums
+    S1..S4 accumulate 4-dp scaled INTEGERS in decimal(38,0) (sv⁴ ≤
+    ~10²⁸ per term, ~10³⁴ summed — exact, partial-agg-order-proof);
+    the central-moment combination is one identical IEEE expression in
+    both engines, and skew/kurtosis are scale-invariant so the 1e4
+    scaling cancels. ONE map-side-combined aggregation."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    sv = (
+        F.floor(F.col("value") * 10000.0 + 0.5)
+        .cast("long")
+        .cast("decimal(12,0)")
+    )
+    e = ev.select("event_type", sv.alias("__sv")).withColumn(
+        "__p2", (F.col("__sv") * F.col("__sv")).cast("decimal(19,0)")
+    )
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__sv").cast("decimal(38,0)")).alias("__s1"),
+        F.sum(F.col("__p2").cast("decimal(38,0)")).alias("__s2"),
+        F.sum((F.col("__p2") * F.col("__sv")).cast("decimal(38,0)")).alias("__s3"),
+        F.sum((F.col("__p2") * F.col("__p2")).cast("decimal(38,0)")).alias("__s4"),
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("__s1").cast("double") / F.col("n")).alias("__mu"),
+        (F.col("__s2").cast("double") / F.col("n")).alias("__r2"),
+        (F.col("__s3").cast("double") / F.col("n")).alias("__r3"),
+        (F.col("__s4").cast("double") / F.col("n")).alias("__r4"),
+    )
+    cm = m.select(
+        "event_type",
+        "n",
+        "__mu",
+        (F.col("__r2") - F.col("__mu") * F.col("__mu")).alias("__m2"),
+        (
+            F.col("__r3")
+            - F.lit(3.0) * F.col("__mu") * F.col("__r2")
+            + F.lit(2.0) * F.col("__mu") * F.col("__mu") * F.col("__mu")
+        ).alias("__m3"),
+        (
+            F.col("__r4")
+            - F.lit(4.0) * F.col("__mu") * F.col("__r3")
+            + F.lit(6.0) * F.col("__mu") * F.col("__mu") * F.col("__r2")
+            - F.lit(3.0)
+            * F.col("__mu")
+            * F.col("__mu")
+            * F.col("__mu")
+            * F.col("__mu")
+        ).alias("__m4"),
+    )
+    return cm.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        rd(F.col("__mu") / 10000.0, 6).alias("mean"),
+        rd(F.sqrt(F.col("__m2")) / 10000.0, 6).alias("std_pop"),
+        rd(F.col("__m3") / F.pow(F.col("__m2"), 1.5), 6).alias("skewness"),
+        rd(
+            F.col("__m4") / (F.col("__m2") * F.col("__m2")) - F.lit(3.0), 6
+        ).alias("excess_kurtosis"),
+    )
+
+
+@register(
+    "ts_theilsen_lag_slope",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS sv
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT user_id,
+             lead(sv) OVER w - sv AS dv,
+             lead(t_us) OVER w - t_us AS dt_us,
+             lead(event_id) OVER w AS nid
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    ),
+    sl AS (
+      SELECT user_id,
+             CAST(dv AS DOUBLE) / 10000.0 / (CAST(dt_us AS DOUBLE) / 1000000.0)
+               AS slope,
+             nid
+      FROM d WHERE dt_us IS NOT NULL AND dt_us > 0
+    ),
+    r AS (
+      SELECT user_id, slope,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY slope, nid
+             ) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM sl
+    )
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_slopes,
+           {R("max(CASE WHEN rn = (n + 1) // 2 THEN slope END)", 6)}
+             AS slope_median_per_s,
+           {R("CAST(sum(CAST(CAST(floor(slope * 1000000.0 + 0.5) AS BIGINT)"
+              " AS DECIMAL(38,0))) AS DOUBLE) / max(n) / 1000000.0", 6)}
+             AS slope_mean_per_s
+    FROM r GROUP BY user_id
+    """,
+)
+def _q_ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-trial trend slope: the MEDIAN of consecutive-sample
+    difference slopes (the lag-1 member of the Theil-Sen family — the
+    full estimator medians all O(n²) pairs, which is exactly the
+    quadratic a 100 TB trial can't afford; consecutive differences
+    keep the 29% breakdown point against spike outliers that wreck
+    the OLS slope in F6/detrend). Slopes are IEEE divisions of exact
+    scaled integers — bit-identical both engines. The mean slope
+    alongside (µ-scaled decimal accumulation) is the fragile
+    contrast: on an even grid lag-1 slope sums TELESCOPE, so it
+    collapses to the endpoint-to-endpoint slope — immune to interior
+    spikes but wrecked by endpoint corruption (pytest-pinned), while
+    the median holds either way. Two windows + the rank share ONE
+    user_id exchange."""
+    e = _events_us(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        "user_id",
+        "t_us",
+        "event_id",
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("__sv"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    d = e.select(
+        "user_id",
+        (F.lead("__sv").over(w) - F.col("__sv")).alias("__dv"),
+        (F.lead("t_us").over(w) - F.col("t_us")).alias("__dt"),
+        F.lead("event_id").over(w).alias("__nid"),
+    )
+    sl = d.filter(F.col("__dt").isNotNull() & (F.col("__dt") > 0)).select(
+        "user_id",
+        (
+            F.col("__dv").cast("double")
+            / 10000.0
+            / (F.col("__dt").cast("double") / 1000000.0)
+        ).alias("__slope"),
+        "__nid",
+    )
+    wr = Window.partitionBy("user_id").orderBy("__slope", "__nid")
+    wn = Window.partitionBy("user_id")
+    r = sl.select(
+        "user_id",
+        "__slope",
+        F.row_number().over(wr).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    return r.groupBy("user_id").agg(
+        F.max("__n").cast("long").alias("n_slopes"),
+        rd(
+            F.max(
+                F.when(
+                    F.col("__rn") == F.expr("(__n + 1) div 2"), F.col("__slope")
+                )
+            ),
+            6,
+        ).alias("slope_median_per_s"),
+        rd(
+            F.sum(
+                F.floor(F.col("__slope") * 1000000.0 + 0.5)
+                .cast("long")
+                .cast("decimal(38,0)")
+            ).cast("double")
+            / F.max("__n")
+            / 1000000.0,
+            6,
+        ).alias("slope_mean_per_s"),
+    )
