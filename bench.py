@@ -170,6 +170,7 @@ HEADLINE = [
     "dq_benford_first_digit",    # first-digit forensics, 9-row aggregate
     "stats_moments_by_type",     # exact skewness/kurtosis, decimal power sums
     "ts_theilsen_lag_slope",     # robust trend slope, one-exchange windows
+    "stream_dq_violations",      # continuous ingest-quality monitor
 ]
 
 

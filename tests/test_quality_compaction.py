@@ -111,3 +111,63 @@ def test_compaction_plan_arithmetic(spark):
     assert m["b"]["est_bytes"] == 20 and m["b"]["n_files"] == 1  # floor at 1 file
     assert m["a"]["pct_of_total"] == pytest.approx(3000 / 3020, abs=1e-6)
     assert m["a"]["avg_file_mb"] == pytest.approx(1000 / 1048576, abs=1e-6)
+
+
+def test_stream_dq_batch_schedule_invariant(spark, tmp_path):
+    """The streaming DQ gate's final state is identical under a
+    3-batch schedule and a single batch (window-pure counter fold),
+    and violation counts match a hand computation."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        stream_dq_violations,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    t0 = _time.time()
+    # 90 rows over 2 hours; every 9th value out of range, every 10th
+    # type is 'error', every 15th value null
+    rows = []
+    for i in range(90):
+        v = 500.0 if i % 9 == 0 else 10.0
+        if i % 15 == 0:
+            v = None
+        et = "error" if i % 10 == 0 else "view"
+        rows.append((i, base + pd.Timedelta(minutes=2 * i), 1, et, v))
+    for fi in range(3):
+        df = pd.DataFrame(
+            [
+                {"event_id": eid, "ts": ts.to_datetime64(), "user_id": uid,
+                 "event_type": et, "value": v}
+                for eid, ts, uid, et, v in rows[fi::3]
+            ]
+        )
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        p = os.path.join(src, f"f{fi}.parquet")
+        df.to_parquet(p, index=False)
+        os.utime(p, (t0 + fi * 100, t0 + fi * 100))
+
+    def run(mfpt):
+        out = stream_dq_violations(spark, src, max_files_per_trigger=mfpt)
+        return {
+            (str(r["window_start"]), r["rule"], r["n_checked"], r["n_violations"])
+            for r in out.collect()
+        }
+
+    multi = run(1)
+    single = run(None)
+    assert multi == single
+    # hand check: hour 0 holds minutes 0..58 -> i in 0..29
+    h0 = {r[1]: r for r in multi if r[0].endswith("00:00:00")}
+    i0 = list(range(30))
+    nulls = sum(1 for i in i0 if i % 15 == 0)
+    assert h0["not_null(value)"][2:] == (30, nulls)
+    oor = sum(1 for i in i0 if i % 9 == 0 and i % 15 != 0)
+    assert h0["in_range(value,0.0,300.0)"][2:] == (30 - nulls, oor)
+    errs = sum(1 for i in i0 if i % 10 == 0)
+    assert h0["in_set(event_type)"][2:] == (30, errs)

@@ -10290,3 +10290,53 @@ def _q_ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("slope_mean_per_s"),
     )
+
+
+@register(
+    "stream_dq_violations",
+    f"""
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS window_start, value, event_type
+      FROM events
+    ),
+    g AS (
+      SELECT window_start,
+             count(*) AS c0,
+             count(*) FILTER (WHERE value IS NULL) AS v0,
+             count(*) FILTER (WHERE value IS NOT NULL) AS c1,
+             count(*) FILTER (WHERE value IS NOT NULL
+                              AND (value < 0.0 OR value > 300.0)) AS v1,
+             count(*) FILTER (WHERE event_type IS NOT NULL) AS c2,
+             count(*) FILTER (WHERE event_type IS NOT NULL AND event_type
+                              NOT IN ('view','click','purchase','signup')) AS v2
+      FROM w GROUP BY window_start
+    ),
+    u AS (
+      SELECT window_start, 'not_null(value)' AS rule, c0 AS n_checked, v0 AS n_violations FROM g
+      UNION ALL
+      SELECT window_start, 'in_range(value,0.0,300.0)', c1, v1 FROM g
+      UNION ALL
+      SELECT window_start, 'in_set(event_type)', c2, v2 FROM g
+    )
+    SELECT window_start, rule, CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           {R("CASE WHEN n_checked > 0 THEN CAST(n_violations AS DOUBLE)"
+              " / CAST(n_checked AS DOUBLE) ELSE 0.0 END", 6)} AS violation_rate
+    FROM u
+    """,
+)
+def _q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingest-quality monitor
+    (`stream_ops.stream_dq_violations`): the wave-8 declarative RowRule
+    suite compiled into one stateless tumbling-hour streaming
+    aggregation — per-window per-rule violation counts and rates as
+    data lands (here the 'error' event type and the >300 value tail
+    trip the set/range rules non-trivially). Watermarked like every
+    tumbling query; state per open window is one counter row. The
+    fold is window-pure, so complete-mode final state equals the
+    batch GROUP BY oracle exactly."""
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        stream_dq_violations,
+    )
+
+    return stream_dq_violations(spark, os.path.join(sf_dir, "events.parquet"))

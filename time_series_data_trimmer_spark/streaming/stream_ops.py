@@ -826,3 +826,68 @@ def stream_funnel(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def stream_dq_violations(
+    spark: SparkSession,
+    path: str,
+    rules=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming face of the wave-8 data-quality gate
+    (`operators/quality.py`): the declarative RowRule suite compiled
+    into ONE stateless tumbling-1-hour aggregation — per window, each
+    rule's (checked, violated) counters ride the same map-side-combined
+    agg, then unpivot to (window_start, rule, ...) rows via an explode
+    over the bounded per-window result. This is the continuous
+    ingest-quality monitor: violation rates per rule per hour as data
+    lands, with watermark semantics identical to the other tumbling
+    queries (state is one row of counters per open window — bytes, not
+    data).
+
+    Batch==stream: the aggregation is a pure per-window fold, so the
+    complete-mode final state equals the batch GROUP BY — same exact
+    DuckDB oracle as every streaming query here."""
+    from time_series_data_trimmer_spark.operators import quality as dq
+
+    if rules is None:
+        rules = [
+            dq.not_null("value"),
+            dq.in_range("value", 0.0, 300.0),
+            dq.in_set("event_type", ["view", "click", "purchase", "signup"]),
+        ]
+    stream = _events_stream(spark, path, max_files_per_trigger)
+    aggs = []
+    for i, r in enumerate(rules):
+        aggs.append(F.sum(r.checked.cast("long")).alias(f"__c{i}"))
+        aggs.append(F.sum(r.violated.cast("long")).alias(f"__v{i}"))
+    windowed = (
+        stream.withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "1 hour").alias("w"))
+        .agg(*aggs)
+    )
+    out = _run_to_memory(windowed, mode="complete")
+    rows = out.select(
+        F.col("w.start").alias("window_start"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r.name).alias("rule"),
+                    F.col(f"__c{i}").alias("n_checked"),
+                    F.col(f"__v{i}").alias("n_violations"),
+                )
+                for i, r in enumerate(rules)
+            ])
+        ).alias("s"),
+    )
+    rate = F.when(
+        F.col("s.n_checked") > 0,
+        F.col("s.n_violations").cast("double") / F.col("s.n_checked").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return rows.select(
+        "window_start",
+        F.col("s.rule").alias("rule"),
+        F.col("s.n_checked").cast("long").alias("n_checked"),
+        F.col("s.n_violations").cast("long").alias("n_violations"),
+        rd(rate, 6).alias("violation_rate"),
+    )
