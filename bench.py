@@ -171,6 +171,8 @@ HEADLINE = [
     "stats_moments_by_type",     # exact skewness/kurtosis, decimal power sums
     "ts_theilsen_lag_slope",     # robust trend slope, one-exchange windows
     "stream_dq_violations",      # continuous ingest-quality monitor
+    "ts_changepoint_binary_seg",  # unrolled 2-level CUSUM segmentation
+    "pipeline_ingest_gate",      # composed DQ+layout+Benford gate, one plan
 ]
 
 

@@ -222,3 +222,25 @@ def test_sax_symbols_constant_series_is_all_c(spark):
     )
     out = sax_symbols(df, segment_rows=3, order_cols=("t_us",)).collect()
     assert all(r["symbol"] == "c" and r["z"] == 0.0 for r in out)
+
+
+def test_binary_segmentation_recovers_two_planted_shifts(spark):
+    """Level 1 finds the dominant break; level 2 finds the secondary
+    break inside the left regime."""
+    from time_series_data_trimmer_spark.operators import timeseries as ts
+
+    rows = []
+    for i in range(90):
+        # regimes: [0,30) = 0.0, [30,60) = 5.0, [60,90) = 100.0
+        v = 0.0 if i < 30 else (5.0 if i < 60 else 100.0)
+        rows.append((7, 1_000_000 * i, i, v))
+    df = spark.createDataFrame(rows, "user_id long, t_us long, event_id long, value double")
+    out = {r["seg"]: r for r in ts.binary_segmentation(df).collect()}
+    assert set(out) == {"all", "L", "R"}
+    # dominant break at the 100-jump (after index 60 -> cp_index 60)
+    assert out["all"]["cp_index"] == 60
+    # left half = first 60 samples; its break is the 0->5 shift at 30
+    assert out["L"]["cp_index"] == 30
+    assert out["L"]["cp_t_us"] == 1_000_000 * 29
+    # right half is flat: max_dev ~ 0
+    assert out["R"]["max_dev"] == 0.0

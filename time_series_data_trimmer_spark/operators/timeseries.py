@@ -414,3 +414,68 @@ def seasonal_decompose_hourly(
         seasonal.alias("seasonal"),
         rd(F.col("__d") - seasonal, 6).alias("residual"),
     )
+
+
+def binary_segmentation(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("t_us", "event_id"),
+) -> DataFrame:
+    """Depth-2 binary-segmentation changepoints (Scott-Knott-style
+    recursion over the CUSUM locator): level 1 finds each trial's
+    strongest level shift (`cusum_changepoint`); the split then
+    partitions the trial into L/R halves and level 2 re-runs the SAME
+    integer-exact locator inside each half — the two-changepoint
+    answer ("when did it break, and when within each regime") without
+    any O(n^2) segmentation DP.
+
+    Scale shape: level 1 is the one-exchange CUSUM; the split point
+    joins back as a narrow per-trial row (hash join on the trial key);
+    level 2 re-keys on (trial, segment) — one more exchange. The
+    recursion is UNROLLED (fixed depth), so the whole thing is one
+    lazy plan and the oracle replays it bit-for-bit (decimal-exact
+    argmax at every level, earliest-tie pinned).
+
+    Output: (key, seg in {'all','L','R'}, cp_<order cols>, cp_index,
+    max_dev) — cp_index is the 1-based rank WITHIN the segment.
+    """
+    oc = list(dict.fromkeys(order_cols))
+    lvl1 = cusum_changepoint(df, key_col, value_col, tuple(oc))
+    split = lvl1.select(
+        key_col, *[F.col(f"cp_{c}").alias(f"__s_{c}") for c in oc]
+    )
+    base = df.select(key_col, *oc, value_col)
+    joined = base.join(split.hint("shuffle_hash"), key_col)
+    # lexicographic (order_cols) <= split point -> left segment,
+    # built innermost-first
+    left = F.col(oc[-1]) <= F.col(f"__s_{oc[-1]}")
+    for c in reversed(oc[:-1]):
+        left = (
+            F.when(F.col(c) < F.col(f"__s_{c}"), F.lit(True))
+            .when(F.col(c) > F.col(f"__s_{c}"), F.lit(False))
+            .otherwise(left)
+        )
+    seg = F.when(left, F.lit("L")).otherwise(F.lit("R"))
+    df2 = joined.select(
+        F.concat_ws("|", F.col(key_col).cast("string"), seg).alias("__k2"),
+        *oc,
+        value_col,
+    )
+    lvl2 = cusum_changepoint(df2, "__k2", value_col, tuple(oc))
+    parts = F.split(F.col("__k2"), "\\|")
+    l2 = lvl2.select(
+        parts.getItem(0).cast("long").alias(key_col),
+        parts.getItem(1).alias("seg"),
+        *[F.col(f"cp_{c}") for c in oc],
+        "cp_index",
+        "max_dev",
+    )
+    l1 = lvl1.select(
+        F.col(key_col),
+        F.lit("all").alias("seg"),
+        *[F.col(f"cp_{c}") for c in oc],
+        "cp_index",
+        "max_dev",
+    )
+    return l1.unionByName(l2)

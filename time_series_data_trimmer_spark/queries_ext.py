@@ -10340,3 +10340,225 @@ def _q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stream_dq_violations(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register(
+    "ts_changepoint_binary_seg",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    s1 AS (
+      SELECT user_id, t_us, event_id,
+             sum(v) OVER (PARTITION BY user_id ORDER BY t_us ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY t_us ASC, event_id ASC) AS BIGINT) AS k,
+             sum(v) OVER (PARTITION BY user_id) AS total,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM e
+    ),
+    d1 AS (SELECT *, n * cum - k * total AS d FROM s1),
+    r1 AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY abs(d) DESC, t_us ASC, event_id ASC) AS rn
+      FROM d1
+    ),
+    cp1 AS (SELECT user_id, t_us, event_id, k, d, n FROM r1 WHERE rn = 1),
+    seg AS (
+      SELECT e.user_id,
+             CASE WHEN e.t_us < c.t_us
+                    OR (e.t_us = c.t_us AND e.event_id <= c.event_id)
+                  THEN 'L' ELSE 'R' END AS seg,
+             e.t_us, e.event_id, e.v
+      FROM e JOIN cp1 c ON c.user_id = e.user_id
+    ),
+    s2 AS (
+      SELECT user_id, seg, t_us, event_id,
+             sum(v) OVER (PARTITION BY user_id, seg
+                          ORDER BY t_us ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             CAST(row_number() OVER (PARTITION BY user_id, seg
+                                     ORDER BY t_us ASC, event_id ASC) AS BIGINT) AS k,
+             sum(v) OVER (PARTITION BY user_id, seg) AS total,
+             count(*) OVER (PARTITION BY user_id, seg) AS n
+      FROM seg
+    ),
+    d2 AS (SELECT *, n * cum - k * total AS d FROM s2),
+    r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, seg
+                                   ORDER BY abs(d) DESC, t_us ASC, event_id ASC) AS rn
+      FROM d2
+    )
+    SELECT user_id, 'all' AS seg, t_us AS cp_t_us, event_id AS cp_event_id,
+           k AS cp_index,
+           {R("CAST(abs(d) AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)", 6)} AS max_dev
+    FROM cp1
+    UNION ALL
+    SELECT user_id, seg, t_us, event_id, k,
+           {R("CAST(abs(d) AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)", 6)}
+    FROM r2 WHERE rn = 1
+    """,
+)
+def _q_ts_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 binary-segmentation changepoints per trial
+    (`ts.binary_segmentation`): the CUSUM level-shift locator applied
+    recursively — strongest break over the whole trial, then the
+    strongest break inside each resulting half — giving the
+    three-regime story a trim tool wants ("where it broke, and where
+    each regime wobbles") with the recursion UNROLLED into one lazy
+    plan (no O(n^2) segmentation DP, no driver loop). Decimal-exact
+    argmax at both levels (n*cumsum_k − k*total on scaled integers),
+    earliest-tie pinned, split membership by the same (t_us, event_id)
+    total order both engines. Level 1 rides one trial exchange; the
+    split row joins back narrow; level 2 re-keys on (trial, half)."""
+    e = _events_us(spark, sf_dir)
+    return ts.binary_segmentation(e)
+
+
+@register(
+    "pipeline_ingest_gate",
+    f"""
+    WITH rr AS (
+      SELECT 'not_null(o_custkey)' AS rule,
+             count(*) AS n_checked,
+             count(*) FILTER (WHERE o_custkey IS NULL) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'in_range(o_totalprice,0.0,100000.0)',
+             count(*) FILTER (WHERE o_totalprice IS NOT NULL),
+             count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0.0 OR o_totalprice > 100000.0))
+      FROM orders
+      UNION ALL
+      SELECT 'in_set(o_orderstatus)',
+             count(*) FILTER (WHERE o_orderstatus IS NOT NULL),
+             count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('F', 'O'))
+      FROM orders
+    ),
+    dqrows AS (
+      SELECT 'dq' AS section, rule AS key, 'violation_rate' AS metric,
+             {R("CASE WHEN n_checked > 0 THEN CAST(n_violations AS DOUBLE)"
+                " / CAST(n_checked AS DOUBLE) ELSE 0.0 END", 6)} AS value
+      FROM rr
+    ),
+    per AS (
+      SELECT source AS part, count(*) AS n_rows,
+             CAST(sum(strlen(coalesce(text, '')) + 64) AS BIGINT) AS est_bytes
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(est_bytes) AS total FROM per),
+    lrows AS (
+      SELECT 'layout' AS section, part AS key, 'pct_of_total' AS metric,
+             {R("CAST(est_bytes AS DOUBLE) / CAST(tot.total AS DOUBLE)", 6)} AS value
+      FROM per CROSS JOIN tot
+      UNION ALL
+      SELECT 'layout', part, 'n_files',
+             CAST(greatest(1, CAST(ceil(CAST(est_bytes AS DOUBLE) / 1048576.0)
+                  AS BIGINT)) AS DOUBLE)
+      FROM per
+    ),
+    c AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice > 0
+    ),
+    dg AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             count(*) AS n
+      FROM c GROUP BY 1
+    ),
+    dt AS (SELECT sum(n) AS total FROM dg),
+    brows AS (
+      SELECT 'benford' AS section, CAST(digit AS VARCHAR) AS key,
+             'deviation' AS metric,
+             {R("CAST(dg.n AS DOUBLE) / CAST(dt.total AS DOUBLE)"
+                " - log10(1.0 + 1.0 / CAST(dg.digit AS DOUBLE))", 6)} AS value
+      FROM dg CROSS JOIN dt
+    )
+    SELECT * FROM dqrows
+    UNION ALL SELECT * FROM lrows
+    UNION ALL SELECT * FROM brows
+    """,
+)
+def _q_pipeline_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily INGEST-GATE decision in one lazy plan: wave-8/9's
+    quality suite (rule violation rates over the orders drop), the
+    compaction planner's layout card (per-source byte share + target
+    file counts), and the Benford first-digit deviations — composed
+    into a single (section, key, metric, value) frame, the shape a
+    monitoring sink or alert rule consumes (same composition policy as
+    `pipeline_drift_report`). Three bounded branches, each one
+    map-side-combined aggregation over its own scan; the unioned
+    output is O(rules + sources + 9) rows."""
+    from time_series_data_trimmer_spark.operators import layout as ly
+    from time_series_data_trimmer_spark.operators import quality as dq
+
+    orders = _table(spark, sf_dir, "orders")
+    docs = _table(spark, sf_dir, "documents")
+    rep = dq.expectations_report(
+        orders,
+        row_rules=[
+            dq.not_null("o_custkey"),
+            dq.in_range("o_totalprice", 0.0, 100000.0),
+            dq.in_set("o_orderstatus", ["F", "O"]),
+        ],
+    )
+    dqrows = rep.select(
+        F.lit("dq").alias("section"),
+        F.col("rule").alias("key"),
+        F.lit("violation_rate").alias("metric"),
+        F.col("violation_rate").alias("value"),
+    )
+    plan = ly.compaction_plan(
+        docs,
+        "source",
+        (F.octet_length(F.coalesce(F.col("text"), F.lit(""))) + F.lit(64)).cast(
+            "long"
+        ),
+        target_file_bytes=1024 * 1024,
+    )
+    lrows = plan.select(
+        F.lit("layout").alias("section"),
+        F.col("part").alias("key"),
+        F.lit("pct_of_total").alias("metric"),
+        F.col("pct_of_total").alias("value"),
+    ).unionByName(
+        plan.select(
+            F.lit("layout").alias("section"),
+            F.col("part").alias("key"),
+            F.lit("n_files").alias("metric"),
+            F.col("n_files").cast("double").alias("value"),
+        )
+    )
+    cents = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("__cents")
+        )
+    )
+    g = (
+        cents.select(
+            F.substring(F.col("__cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("__digit")
+        )
+        .groupBy("__digit")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    t = g.agg(F.sum("__n").alias("__total"))
+    brows = g.crossJoin(t).select(
+        F.lit("benford").alias("section"),
+        F.col("__digit").cast("string").alias("key"),
+        F.lit("deviation").alias("metric"),
+        rd(
+            F.col("__n").cast("double") / F.col("__total").cast("double")
+            - F.log10(F.lit(1.0) + F.lit(1.0) / F.col("__digit").cast("double")),
+            6,
+        ).alias("value"),
+    )
+    return dqrows.unionByName(lrows).unionByName(brows)
