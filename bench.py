@@ -173,6 +173,8 @@ HEADLINE = [
     "stream_dq_violations",      # continuous ingest-quality monitor
     "ts_changepoint_binary_seg",  # unrolled 2-level CUSUM segmentation
     "pipeline_ingest_gate",      # composed DQ+layout+Benford gate, one plan
+    "emb_retrieval_mrr",         # labeled retrieval depth eval, blocked
+    "sketch_kmv_rollup_day",     # hour registers -> day estimates, no rescan
 ]
 
 

@@ -225,3 +225,42 @@ def test_hard_negatives_match_allpairs_on_small_corpus(spark):
     for r in got:
         by_anchor.setdefault(r["vec_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_anchor.values())
+
+
+def test_retrieval_mrr_perfect_twins(spark):
+    """Pairs of near-identical vectors per label, all in one LSH
+    bucket (identical directions => identical signatures): each
+    query's top candidate is its twin, so every label's MRR is 1.0."""
+    from time_series_data_trimmer_spark.operators import similarity as sim
+
+    rows = []
+    vid = 0
+    for lbl in ["a", "b", "c"]:
+        for j in range(2):
+            base = [1.0] * 8
+            base[hash(lbl) % 8] += 0.5       # label direction
+            base[0] += 0.001 * j             # twin jitter
+            rows.append((vid, base, lbl))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = {r["label"]: r for r in sim.retrieval_mrr(df, bits=4, tables=3, dim=8).collect()}
+    assert set(out) == {"a", "b", "c"}
+    for lbl, r in out.items():
+        assert r["n_queries"] == 2 and r["n_hit"] == 2
+        assert r["mrr"] == 1.0
+
+
+def test_retrieval_mrr_zero_when_no_same_label_candidate(spark):
+    """A label with a single vector can never hit: rr = 0 counts in
+    the denominator."""
+    from time_series_data_trimmer_spark.operators import similarity as sim
+
+    rows = [
+        (0, [1.0] * 8, "solo"),
+        (1, [1.0] * 7 + [1.1], "pair"),
+        (2, [1.0] * 7 + [1.2], "pair"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = {r["label"]: r for r in sim.retrieval_mrr(df, bits=2, tables=3, dim=8).collect()}
+    assert out["solo"]["mrr"] == 0.0 and out["solo"]["n_hit"] == 0
+    assert out["pair"]["mrr"] == 1.0

@@ -468,3 +468,53 @@ def test_sliding_kmv_window_equals_direct_sketch(spark):
         for r in sk.kmv_registers(raw, "event_type", "user_id", k=k).collect()
     )
     assert got == direct
+
+
+def test_kmv_day_rollup_equals_direct_day_sketch(spark):
+    """Granularity closure: per-(g, hour) bottom-k registers re-ranked
+    per (g, day) EQUAL the bottom-k of sketching the day's distinct
+    values directly — register for register."""
+    from pyspark.sql import Window, functions as F
+
+    from time_series_data_trimmer_spark.operators.sampling import hash_u32
+
+    HOUR, DAY, K = 3_600, 86_400, 16
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 977) % (3 * DAY)).alias("t"),
+        ((F.col("id") * 31) % 400).alias("user"),
+    )
+    hashed = df.select(
+        "g",
+        (F.col("t") - F.col("t") % HOUR).alias("hb"),
+        hash_u32(F.col("user"), "tsdt|kmv").alias("u"),
+    ).distinct()
+    w_h = Window.partitionBy("g", "hb").orderBy("u")
+    regs_h = (
+        hashed.withColumn("rn", F.row_number().over(w_h))
+        .filter(F.col("rn") <= K)
+        .select("g", "hb", "u")
+    )
+    rolled = regs_h.select(
+        "g", (F.col("hb") - F.col("hb") % DAY).alias("day"), "u"
+    ).distinct()
+    w_d = Window.partitionBy("g", "day").orderBy("u")
+    from_hours = (
+        rolled.withColumn("rn", F.row_number().over(w_d))
+        .filter(F.col("rn") <= K)
+        .select("g", "day", "u")
+    )
+    direct = (
+        df.select(
+            "g",
+            (F.col("t") - F.col("t") % DAY).alias("day"),
+            hash_u32(F.col("user"), "tsdt|kmv").alias("u"),
+        )
+        .distinct()
+        .withColumn("rn", F.row_number().over(w_d))
+        .filter(F.col("rn") <= K)
+        .select("g", "day", "u")
+    )
+    a = sorted(map(tuple, from_hours.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b and len(a) > 0

@@ -1482,3 +1482,112 @@ def knn_label_agreement(
             6,
         ).alias("agreement"),
     )
+
+
+def retrieval_mrr(
+    df: DataFrame,
+    label_col: str = "label",
+    bits: int = 8,
+    tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "tsdt",
+    dim: int | None = None,
+) -> DataFrame:
+    """Label-as-relevance retrieval evaluation over the LSH-blocked
+    candidate set: for every vector ("query"), rank its candidates by
+    exact decimal cosine and take the RECIPROCAL RANK of the first
+    SAME-label neighbor; per label, MRR = mean reciprocal rank with
+    rr = 0 for queries whose candidate list contains no same-label
+    vector (the honest denominator — a retrieval system is judged on
+    every query, not just the ones it happened to block well).
+
+    This is the standard cheap eval for an embedding space destined
+    for retrieval / hard-negative mining: agreement (1-NN audit) says
+    whether the top hit is right; MRR says how far down the right
+    answer lives. Same bounded Σ|B|² candidate generation and
+    id-keyed re-rank joins as `knn_label_agreement`; the per-query
+    rank is one keyed window; reciprocal ranks are 6-dp rounded then
+    DECIMAL-summed so the label mean is partial-agg-order-proof.
+    """
+    from pyspark.sql import Window
+
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    if dim is None:
+        row = df.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "cannot infer embedding dim from an empty table; pass dim="
+            )
+        dim = len(row[0])
+    cand = lsh_candidate_pairs(df, dim, bits, tables, id_col, vec_col, seed)
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.sqrt(decimal_dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("va"), F.col("__nrm").alias("na")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), F.col("__nrm").alias("nb")
+    )
+    scored = (
+        cand.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            rd(
+                decimal_dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    sym = scored.select(
+        F.col("id_a").alias("vid"), F.col("id_b").alias("nbr"), "cos"
+    ).unionAll(
+        scored.select(
+            F.col("id_b").alias("vid"), F.col("id_a").alias("nbr"), "cos"
+        )
+    )
+    labels = df.select(F.col(id_col), F.col(label_col).alias("__lbl"))
+    own = labels.select(F.col(id_col).alias("vid"), F.col("__lbl").alias("q_lbl"))
+    nb = labels.select(F.col(id_col).alias("nbr"), F.col("__lbl").alias("n_lbl"))
+    w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("nbr").asc())
+    ranked = (
+        sym.withColumn("__rk", F.row_number().over(w))
+        .join(own.hint("shuffle_hash"), "vid")
+        .join(nb.hint("shuffle_hash"), "nbr")
+    )
+    first_hit = (
+        ranked.filter(F.col("n_lbl") == F.col("q_lbl"))
+        .groupBy("vid")
+        .agg(F.min("__rk").alias("__r1"))
+    )
+    per_q = own.join(first_hit.hint("shuffle_hash"), "vid", "left").select(
+        "vid",
+        "q_lbl",
+        rd(
+            F.when(F.col("__r1").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / F.col("__r1").cast("double")
+            ),
+            6,
+        ).alias("__rr"),
+    )
+    agg = per_q.groupBy("q_lbl").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum((F.col("__rr") > 0).cast("long")).alias("n_hit"),
+        F.sum(F.col("__rr").cast("decimal(38,6)")).alias("__sum_rr"),
+    )
+    return agg.select(
+        F.col("q_lbl").alias(label_col),
+        "n_queries",
+        "n_hit",
+        rd(
+            F.col("__sum_rr").cast("double") / F.col("n_queries").cast("double"),
+            6,
+        ).alias("mrr"),
+    )

@@ -10562,3 +10562,204 @@ def _q_pipeline_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
     )
     return dqrows.unionByName(lrows).unionByName(brows)
+
+
+@register(
+    "emb_retrieval_mrr",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    bitsv AS (
+      SELECT greatest({_EMB_BITS},
+                      CAST(ceil(log2(CAST(count(*) AS DOUBLE))) AS INTEGER) - 4)
+             AS bits
+      FROM embeddings
+    ),
+    planes AS (
+      SELECT t.t, b.b, i.i,
+             ('0x' || substr(md5('tsdt|t' || t.t || '|' || b.b || '|' || i.i), 1, 8))::BIGINT
+               / 2147483648.0 - 1.0 AS w
+      FROM generate_series(0, {_KNN_MAX_BITS - 1}) b(b)
+      CROSS JOIN bitsv
+      JOIN generate_series(0, {_EMB_TABLES - 1}) t(t) ON TRUE
+      JOIN generate_series(0, {_EMB_DIM - 1}) i(i) ON TRUE
+      WHERE b.b < bitsv.bits
+    ),
+    pdots AS (
+      SELECT e.vec_id, p.t, p.b,
+             CAST(sum(CAST({sql_rd("e.x * p.w", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS d
+      FROM ex e JOIN planes p ON p.i = e.i - 1
+      GROUP BY e.vec_id, p.t, p.b
+    ),
+    sigs AS (
+      SELECT vec_id, t,
+             sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sig
+      FROM pdots GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(sum(CAST({sql_rd("x * x", 9)} AS DECIMAL(38,9))) AS DOUBLE)) AS nrm
+      FROM ex GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             {R("CAST(sum(CAST(" + sql_rd("ea.x * eb.x", 9) + " AS DECIMAL(38,9))) AS DOUBLE) / (max(na.nrm) * max(nb.nrm))", 6)} AS cos
+      FROM cand c
+      JOIN ex ea ON ea.vec_id = c.id_a
+      JOIN ex eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+      JOIN norms na ON na.vec_id = c.id_a
+      JOIN norms nb ON nb.vec_id = c.id_b
+      GROUP BY c.id_a, c.id_b
+    ),
+    sym AS (
+      SELECT id_a AS vid, id_b AS nbr, cos FROM scored
+      UNION ALL
+      SELECT id_b AS vid, id_a AS nbr, cos FROM scored
+    ),
+    ranked AS (
+      SELECT vid, nbr, cos,
+             row_number() OVER (
+               PARTITION BY vid ORDER BY cos DESC, nbr ASC
+             ) AS rk
+      FROM sym
+    ),
+    hit AS (
+      SELECT r.vid, min(r.rk) AS r1
+      FROM ranked r
+      JOIN embeddings q ON q.vec_id = r.vid
+      JOIN embeddings n ON n.vec_id = r.nbr
+      WHERE n.label = q.label
+      GROUP BY r.vid
+    ),
+    per_q AS (
+      SELECT q.vec_id AS vid, q.label AS q_lbl,
+             {sql_rd("CASE WHEN h.r1 IS NULL THEN 0.0"
+                     " ELSE 1.0 / CAST(h.r1 AS DOUBLE) END", 6)} AS rr
+      FROM embeddings q LEFT JOIN hit h ON h.vid = q.vec_id
+    )
+    SELECT q_lbl AS label,
+           count(*) AS n_queries,
+           CAST(count(*) FILTER (WHERE rr > 0) AS BIGINT) AS n_hit,
+           {R("CAST(sum(CAST(rr AS DECIMAL(38,6))) AS DOUBLE)"
+              " / CAST(count(*) AS DOUBLE)", 6)} AS mrr
+    FROM per_q GROUP BY q_lbl
+    """,
+)
+def _q_emb_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval MRR with labels as relevance (`sim.retrieval_mrr`):
+    per label, the mean reciprocal rank of the first same-label
+    neighbor in each vector's LSH-blocked exact-cosine candidate
+    ranking (rr = 0 for queries with no same-label candidate — every
+    query counts). The depth complement of the 1-NN audit: agreement
+    says whether the top hit is right, MRR says how far down the
+    right answer lives. Adaptive `_knn_bits` blocking, decimal-summed
+    reciprocal ranks; the oracle replays the full blocked ranking,
+    planes and all."""
+    emb = _table(spark, sf_dir, "embeddings")
+    bits = _knn_bits(emb.count())
+    return sim.retrieval_mrr(emb, bits=bits, tables=_EMB_TABLES, dim=_EMB_DIM)
+
+
+_KMV_HOUR_US = 3_600_000_000
+_KMV_DAY_US = 86_400_000_000
+
+
+@register(
+    "sketch_kmv_rollup_day",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type AS g,
+             epoch_us(ts) - (epoch_us(ts) % {_KMV_HOUR_US}) AS hb,
+             {sp.sql_hash_u32("user_id", "tsdt|kmv")} AS u
+      FROM events
+    ),
+    regs_h AS (
+      SELECT g, hb, u FROM h
+      QUALIFY row_number() OVER (PARTITION BY g, hb ORDER BY u ASC) <= 64
+    ),
+    d AS (
+      SELECT DISTINCT g, hb - (hb % {_KMV_DAY_US}) AS day_us, u FROM regs_h
+    ),
+    regs_d AS (
+      SELECT g, day_us, u FROM d
+      QUALIFY row_number() OVER (PARTITION BY g, day_us ORDER BY u ASC) <= 64
+    ),
+    kept AS (
+      SELECT g, day_us, count(*) AS n_kept, max(u) AS kth
+      FROM regs_d GROUP BY g, day_us
+    ),
+    exact AS (
+      SELECT event_type AS g,
+             epoch_us(ts) - (epoch_us(ts) % {_KMV_DAY_US}) AS day_us,
+             count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1, 2
+    )
+    SELECT kept.g AS event_type, kept.day_us, kept.n_kept,
+           {R("CASE WHEN kept.n_kept < 64 THEN CAST(kept.n_kept AS DOUBLE)"
+              " ELSE 63.0 * 4294967296.0 / CAST(kept.kth AS DOUBLE) END", 6)}
+             AS est_distinct,
+           CAST(exact.exact_distinct AS BIGINT) AS exact_distinct
+    FROM kept JOIN exact ON exact.g = kept.g AND exact.day_us = kept.day_us
+    """,
+)
+def _q_kmv_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ROLLUP across time granularities — the OLAP-cube story
+    for sketches: per-(type, hour) KMV registers (the thing you
+    materialize once as data lands) re-ranked per (type, day) answer
+    the daily distinct-users question WITHOUT rescanning raw rows,
+    because any hash in the day's true bottom-k also survives its
+    hour's bottom-k (closure under union, per-granularity). The same
+    registers roll to weeks/months; raw data is touched once at the
+    finest grain. Exact per-day distinct joins alongside as the audit
+    (the estimator is exact below k=64 anyway). All windows on real
+    composite keys; one narrow audit join."""
+    ev = _events_us(spark, sf_dir)
+    hashed = (
+        ev.select(
+            F.col("event_type").alias("g"),
+            (
+                F.col("t_us") - F.col("t_us") % F.lit(_KMV_HOUR_US)
+            ).alias("hb"),
+            sp.hash_u32(F.col("user_id"), "tsdt|kmv").alias("u"),
+        )
+        .distinct()
+    )
+    w_h = Window.partitionBy("g", "hb").orderBy(F.col("u").asc())
+    regs_h = (
+        hashed.withColumn("__rn", F.row_number().over(w_h))
+        .filter(F.col("__rn") <= 64)
+        .select("g", "hb", "u")
+    )
+    d = regs_h.select(
+        "g",
+        (F.col("hb") - F.col("hb") % F.lit(_KMV_DAY_US)).alias("day_us"),
+        "u",
+    ).distinct()
+    w_d = Window.partitionBy("g", "day_us").orderBy(F.col("u").asc())
+    kept = (
+        d.withColumn("__rn", F.row_number().over(w_d))
+        .filter(F.col("__rn") <= 64)
+        .groupBy("g", "day_us")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("u").alias("kth"))
+    )
+    est = F.when(
+        F.col("n_kept") < 64, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(63.0) * F.lit(4294967296.0) / F.col("kth").cast("double")
+    )
+    exact = ev.groupBy(
+        F.col("event_type").alias("g"),
+        (F.col("t_us") - F.col("t_us") % F.lit(_KMV_DAY_US)).alias("day_us"),
+    ).agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return (
+        kept.join(exact.hint("shuffle_hash"), ["g", "day_us"])
+        .select(
+            F.col("g").alias("event_type"),
+            "day_us",
+            "n_kept",
+            rd(est, 6).alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        )
+    )
