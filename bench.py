@@ -175,6 +175,7 @@ HEADLINE = [
     "pipeline_ingest_gate",      # composed DQ+layout+Benford gate, one plan
     "emb_retrieval_mrr",         # labeled retrieval depth eval, blocked
     "sketch_kmv_rollup_day",     # hour registers -> day estimates, no rescan
+    "graph_degree_stats",        # hub-risk audit, exact log2 buckets
 ]
 
 

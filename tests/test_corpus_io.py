@@ -260,3 +260,27 @@ def test_zorder_gives_both_columns_locality(spark, tmp_path):
         ev.agg(F.max("user_id") - F.min("user_id")).first()[0]
     )
     assert total_span(zord, "user_id") < 0.5 * full_span
+
+
+def test_read_documents_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC ingestion: exact round-trip through Spark's native ORC
+    writer/reader, and a doc_id predicate reaches the ORC scan as a
+    pushed filter (same planning-time story as parquet)."""
+    import io
+    import contextlib
+
+    from time_series_data_trimmer_spark.sources.corpus_io import read_documents
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "docs_orc")
+    src.write.orc(p)
+    back = read_documents(spark, p, fmt="orc")
+    assert back.count() == src.count()
+    a = sorted(map(tuple, src.select("doc_id", "text").collect()))
+    b = sorted(map(tuple, back.select("doc_id", "text").collect()))
+    assert a == b
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(back.doc_id < 10).explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "doc_id" in plan

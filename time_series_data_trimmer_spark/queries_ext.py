@@ -10763,3 +10763,124 @@ def _q_kmv_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_distinct").cast("long").alias("exact_distinct"),
         )
     )
+
+
+@register(
+    "graph_degree_stats",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS newf
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *,
+             sum(newf) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, sess, min(us) AS start_us, max(us) AS end_us
+      FROM s GROUP BY user_id, sess
+    ),
+    p AS (
+      SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS w
+      FROM sess a JOIN sess b
+        ON a.start_us <= b.end_us AND b.start_us <= a.end_us
+       AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+    ),
+    edges AS (
+      SELECT ua AS src, w FROM p UNION ALL SELECT ub AS src, w FROM p
+    ),
+    deg AS (
+      SELECT src, CAST(sum(w) AS BIGINT) AS wdeg, count(*) AS ndeg
+      FROM edges GROUP BY src
+    ),
+    b AS (
+      SELECT src, wdeg, ndeg,
+             CAST(length(bin(wdeg)) - 1 AS BIGINT) AS bucket
+      FROM deg
+    ),
+    t AS (SELECT count(*) AS n_nodes, sum(wdeg) AS tot_wdeg FROM b)
+    SELECT bucket, count(*) AS n_nodes,
+           CAST(min(wdeg) AS BIGINT) AS min_wdeg,
+           CAST(max(wdeg) AS BIGINT) AS max_wdeg,
+           CAST(max(ndeg) AS BIGINT) AS max_ndeg,
+           {R("CAST(count(*) AS DOUBLE) / CAST(max(t.n_nodes) AS DOUBLE)", 6)}
+             AS node_frac,
+           {R("CAST(sum(wdeg) AS DOUBLE) / CAST(max(t.tot_wdeg) AS DOUBLE)", 6)}
+             AS weight_frac
+    FROM b CROSS JOIN t
+    GROUP BY bucket
+    """,
+)
+def _q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the session-concurrency graph in
+    exact-integer log2 buckets (bucket = bit_length(wdeg) − 1, via
+    length(bin(x)) so there is NO floor(log2) float edge at powers of
+    two): per bucket, node count/fraction, weighted-degree range, and
+    the bucket's share of total edge weight. This is the HUB-RISK
+    audit behind the repo's bounded-block rules — a top bucket owning
+    most of the weight is the celebrity-hub regime where unbounded
+    neighborhood joins go quadratic (the reason sorted-neighborhood
+    caps and degree-oriented triangle counting exist). Same edge
+    build as PageRank (bucketed overlap join) — at 100 TB the matrix
+    is materialized ONCE and shared with pagerank/triangles; cost
+    rides its true pair volume (SCALING.md wave 12). If only degree
+    counts were needed, interval-stabbing boundary ranks (N − ends
+    before my start − starts after my end) would avoid pair
+    enumeration entirely. Then one degree aggregation + a log-bucket
+    rollup with the sanctioned 1-row total broadcast."""
+    sessd = ag.sessionize_user_events(_table(spark, sf_dir, "events"), gap_minutes=30)
+    ivl = sessd.select(
+        "user_id",
+        "session_idx",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+    )
+    prs = iv.overlap_join(ivl, ivl).filter(F.col("user_id_a") < F.col("user_id_b"))
+    mat = prs.groupBy(
+        F.col("user_id_a").alias("ua"), F.col("user_id_b").alias("ub")
+    ).agg(F.count(F.lit(1)).alias("w"))
+    edges = mat.select(F.col("ua").alias("src"), "w").unionByName(
+        mat.select(F.col("ub").alias("src"), "w")
+    )
+    deg = edges.groupBy("src").agg(
+        F.sum("w").cast("long").alias("wdeg"), F.count(F.lit(1)).alias("ndeg")
+    )
+    b = deg.select(
+        "src",
+        "wdeg",
+        "ndeg",
+        (F.length(F.bin(F.col("wdeg"))) - 1).cast("long").alias("bucket"),
+    )
+    t = b.agg(
+        F.count(F.lit(1)).alias("__n_nodes"), F.sum("wdeg").alias("__tot_wdeg")
+    )
+    return (
+        b.crossJoin(t)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("wdeg").cast("long").alias("min_wdeg"),
+            F.max("wdeg").cast("long").alias("max_wdeg"),
+            F.max("ndeg").cast("long").alias("max_ndeg"),
+            rd(
+                F.count(F.lit(1)).cast("double")
+                / F.max("__n_nodes").cast("double"),
+                6,
+            ).alias("node_frac"),
+            rd(
+                F.sum("wdeg").cast("double") / F.max("__tot_wdeg").cast("double"),
+                6,
+            ).alias("weight_frac"),
+        )
+    )

@@ -281,7 +281,10 @@ def read_documents(
     """Corpus ingestion across the formats LLM pipelines actually ship:
     ``parquet`` (the fast path), ``jsonl`` (the interchange format —
     one JSON object per line, .gz transparently decompressed by
-    Spark's text source), ``csv`` (header + quoted text).
+    Spark's text source), ``csv`` (header + quoted text), ``orc``
+    (the other columnar lake format — same predicate-pushdown /
+    column-pruning story as parquet via Spark's native vectorized ORC
+    reader, common when the upstream warehouse is Hive/Trino-managed).
 
     Normalizes to the engine's documents contract: ``doc_id`` long,
     ``text`` string (missing/null text kept as NULL — the dedup/
@@ -292,6 +295,8 @@ def read_documents(
     """
     if fmt == "parquet":
         df = spark.read.parquet(path)
+    elif fmt == "orc":
+        df = spark.read.orc(path)
     elif fmt == "jsonl":
         df = spark.read.json(path)
     elif fmt == "csv":
