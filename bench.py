@@ -176,6 +176,7 @@ HEADLINE = [
     "emb_retrieval_mrr",         # labeled retrieval depth eval, blocked
     "sketch_kmv_rollup_day",     # hour registers -> day estimates, no rescan
     "graph_degree_stats",        # hub-risk audit, exact log2 buckets
+    "stats_mutual_info_type_hour",  # split-leakage dependence audit
 ]
 
 

@@ -235,10 +235,10 @@ def test_retrieval_mrr_perfect_twins(spark):
 
     rows = []
     vid = 0
-    for lbl in ["a", "b", "c"]:
+    for lbl, bump in [("a", 1), ("b", 3), ("c", 6)]:  # fixed distinct directions
         for j in range(2):
             base = [1.0] * 8
-            base[hash(lbl) % 8] += 0.5       # label direction
+            base[bump] += 0.5                # label direction
             base[0] += 0.001 * j             # twin jitter
             rows.append((vid, base, lbl))
             vid += 1

@@ -10884,3 +10884,112 @@ def _q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weight_frac"),
         )
     )
+
+
+@register(
+    "stats_mutual_info_type_hour",
+    f"""
+    WITH e AS (
+      SELECT event_type AS t, CAST(hour(ts) AS BIGINT) AS h FROM events
+    ),
+    cells AS (SELECT t, h, count(*) AS c FROM e GROUP BY t, h),
+    mt AS (SELECT t, sum(c) AS ct FROM cells GROUP BY t),
+    mh AS (SELECT h, sum(c) AS ch FROM cells GROUP BY h),
+    n AS (SELECT sum(c) AS nn FROM cells),
+    mi AS (
+      SELECT CAST(max(n.nn) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(CAST(
+               {sql_rd("(CAST(cells.c AS DOUBLE) / CAST(n.nn AS DOUBLE))"
+                       " * log2((CAST(cells.c AS DOUBLE) * CAST(n.nn AS DOUBLE))"
+                       " / (CAST(mt.ct AS DOUBLE) * CAST(mh.ch AS DOUBLE)))", 6)}
+               AS DECIMAL(38,6))) AS DOUBLE) AS mi_bits
+      FROM cells
+      JOIN mt ON mt.t = cells.t
+      JOIN mh ON mh.h = cells.h
+      CROSS JOIN n
+    ),
+    ht AS (
+      SELECT CAST(sum(CAST(
+               {sql_rd("-(CAST(mt.ct AS DOUBLE) / CAST(n.nn AS DOUBLE))"
+                       " * log2(CAST(mt.ct AS DOUBLE) / CAST(n.nn AS DOUBLE))", 6)}
+               AS DECIMAL(38,6))) AS DOUBLE) AS h_type_bits
+      FROM mt CROSS JOIN n
+    ),
+    hh AS (
+      SELECT CAST(sum(CAST(
+               {sql_rd("-(CAST(mh.ch AS DOUBLE) / CAST(n.nn AS DOUBLE))"
+                       " * log2(CAST(mh.ch AS DOUBLE) / CAST(n.nn AS DOUBLE))", 6)}
+               AS DECIMAL(38,6))) AS DOUBLE) AS h_hour_bits
+      FROM mh CROSS JOIN n
+    )
+    SELECT mi.n, mi.n_cells,
+           {R("mi.mi_bits", 6)} AS mi_bits,
+           {R("ht.h_type_bits", 6)} AS h_type_bits,
+           {R("hh.h_hour_bits", 6)} AS h_hour_bits
+    FROM mi CROSS JOIN ht CROSS JOIN hh
+    """,
+)
+def _q_stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (bits) between event type and hour-of-day —
+    the behavioral-dependence audit: MI ≈ 0 says the type mix is
+    stationary across the day (time-based train/val splits are safe);
+    high MI says temporal splits leak the type distribution. Exact
+    counts into |types|·24 bounded cells; every −p·log₂p and
+    p·log₂(pN/(p_t·p_h)) term is 6-dp rounded then DECIMAL-summed
+    (the token-entropy discipline) so the sums are
+    partial-agg-order-proof. The marginal entropies come from their
+    OWN tiny aggregations (|types| and 24 rows) — no shared-scan
+    trickery that would divide rounded terms and re-round. Everything
+    after the first aggregation is O(cells); the three 1-row results
+    cross-join (sanctioned scalars)."""
+    ev = _events(spark, sf_dir)
+    e = ev.select(
+        F.col("event_type").alias("t"),
+        F.hour(F.col("ts")).cast("long").alias("h"),
+    )
+    cells = e.groupBy("t", "h").agg(F.count(F.lit(1)).alias("c"))
+    mt = cells.groupBy("t").agg(F.sum("c").alias("ct"))
+    mh = cells.groupBy("h").agg(F.sum("c").alias("ch"))
+    n = cells.agg(F.sum("c").alias("nn"))
+    cd = F.col("c").cast("double")
+    nd = F.col("nn").cast("double")
+    ctd = F.col("ct").cast("double")
+    chd = F.col("ch").cast("double")
+    mi = (
+        cells.join(mt.hint("shuffle_hash"), "t")
+        .join(mh.hint("shuffle_hash"), "h")
+        .crossJoin(n)
+        .select(
+            "nn",
+            rd((cd / nd) * F.log2((cd * nd) / (ctd * chd)), 6).alias("__mi"),
+        )
+        .agg(
+            F.max("nn").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum(F.col("__mi").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("__mi_bits"),
+        )
+    )
+    ht = (
+        mt.crossJoin(n)
+        .select(rd(-(ctd / nd) * F.log2(ctd / nd), 6).alias("__t"))
+        .agg(F.sum(F.col("__t").cast("decimal(38,6)")).cast("double").alias("__ht"))
+    )
+    hh = (
+        mh.crossJoin(n)
+        .select(rd(-(chd / nd) * F.log2(chd / nd), 6).alias("__t"))
+        .agg(F.sum(F.col("__t").cast("decimal(38,6)")).cast("double").alias("__hh"))
+    )
+    return (
+        mi.crossJoin(ht)
+        .crossJoin(hh)
+        .select(
+            "n",
+            "n_cells",
+            rd(F.col("__mi_bits"), 6).alias("mi_bits"),
+            rd(F.col("__ht"), 6).alias("h_type_bits"),
+            rd(F.col("__hh"), 6).alias("h_hour_bits"),
+        )
+    )
