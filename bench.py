@@ -177,6 +177,11 @@ HEADLINE = [
     "sketch_kmv_rollup_day",     # hour registers -> day estimates, no rescan
     "graph_degree_stats",        # hub-risk audit, exact log2 buckets
     "stats_mutual_info_type_hour",  # split-leakage dependence audit
+    "dedup_lsh_eval_report",     # LSH precision/recall vs exact truth
+    "text_lang_confusion",       # language-ID heuristic confusion matrix
+    "dedup_simhash_eval_report",  # SimHash vs the same exact truth
+    "mix_pack_efficiency_report",  # packing layout audit, one agg row
+    "text_score_calibration",    # cheap-scorer vs C4-gate reliability
 ]
 
 

@@ -10993,3 +10993,410 @@ def _q_stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             rd(F.col("__hh"), 6).alias("h_hour_bits"),
         )
     )
+
+
+_EVAL_TAUS = (0.2, 0.5)
+
+#: Shared oracle TAIL for candidate-generator evals. Expects the
+#: caller's WITH-chain to have already defined ``sub`` (doc_id, text —
+#: the parity-half corpus) and ``pred`` (id_a < id_b candidate pairs);
+#: appends the exact τ-Jaccard brute-force truth over ``sub`` and the
+#: per-τ TP/FP/FN/precision/recall report.
+_EVAL_TRUTH_TAIL_SQL = f"""truth_sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(generate_series(1, len(w) - 2),
+                                   i -> array_to_string(list_slice(w, i, i + 2), ' '))
+               ELSE [array_to_string(w, ' ')] END) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM sub)
+    ),
+    jac AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)
+               AS j
+      FROM truth_sh a JOIN truth_sh b ON a.doc_id < b.doc_id
+    ),
+    taus AS (SELECT unnest([{", ".join(f"CAST({t} AS DOUBLE)" for t in _EVAL_TAUS)}]) AS tau),
+    truth AS (
+      SELECT t.tau, j.id_a, j.id_b FROM jac j JOIN taus t ON j.j >= t.tau
+    ),
+    tp AS (
+      SELECT t.tau, count(*) AS tp
+      FROM truth t JOIN pred p ON p.id_a = t.id_a AND p.id_b = t.id_b
+      GROUP BY t.tau
+    ),
+    nt AS (SELECT tau, count(*) AS n_truth FROM truth GROUP BY tau),
+    np AS (SELECT count(*) AS n_pred FROM pred)
+    SELECT taus.tau,
+           CAST(coalesce(nt.n_truth, 0) AS BIGINT) AS n_truth,
+           CAST(np.n_pred AS BIGINT) AS n_pred,
+           CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+           CAST(np.n_pred - coalesce(tp.tp, 0) AS BIGINT) AS fp,
+           CAST(coalesce(nt.n_truth, 0) - coalesce(tp.tp, 0) AS BIGINT) AS fn,
+           {R("CASE WHEN np.n_pred > 0 THEN CAST(coalesce(tp.tp, 0) AS DOUBLE)"
+              " / CAST(np.n_pred AS DOUBLE) ELSE 0.0 END", 6)} AS precision_at_tau,
+           {R("CASE WHEN coalesce(nt.n_truth, 0) > 0"
+              " THEN CAST(coalesce(tp.tp, 0) AS DOUBLE)"
+              " / CAST(nt.n_truth AS DOUBLE) ELSE 0.0 END", 6)} AS recall_at_tau
+    FROM taus
+    LEFT JOIN nt ON nt.tau = taus.tau
+    LEFT JOIN tp ON tp.tau = taus.tau
+    CROSS JOIN np"""
+
+
+def _candidate_eval_frame(sub: DataFrame, pred: DataFrame) -> DataFrame:
+    """Per-τ TP/FP/FN + precision/recall of a candidate-pair generator
+    against exact τ-Jaccard ground truth (`dd.ngram_jaccard_prefix_pairs`
+    — zero false negatives by the prefix-filter guarantee) — the shared
+    engine behind the LSH and SimHash eval reports. Truth and candidate
+    sets live on the same subcorpus; every eval join is (id, id)-keyed
+    over bounded pair sets; the only scalar is the 1-row n_pred count
+    (sanctioned 1-row-aggregate cross join)."""
+    taus = list(_EVAL_TAUS)
+    truth_min = dd.ngram_jaccard_prefix_pairs(sub, min_jaccard=min(taus))
+    tau_rows = F.explode(
+        F.array(*[F.lit(float(t)) for t in taus])
+    ).alias("tau")
+    truth = (
+        truth_min.select("id_a", "id_b", "jaccard", tau_rows)
+        .filter(F.col("jaccard") >= F.col("tau"))
+        .select("tau", "id_a", "id_b")
+    )
+    tp = (
+        truth.join(pred.hint("shuffle_hash"), ["id_a", "id_b"])
+        .groupBy("tau")
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    nt = truth.groupBy("tau").agg(F.count(F.lit(1)).alias("n_truth"))
+    np_ = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+    taus_df = sub.sparkSession.range(1).select(tau_rows)
+    out = (
+        taus_df.join(nt.hint("shuffle_hash"), "tau", "left")
+        .join(tp.hint("shuffle_hash"), "tau", "left")
+        .crossJoin(np_)
+    )
+    ntc = F.coalesce(F.col("n_truth"), F.lit(0))
+    tpc = F.coalesce(F.col("tp"), F.lit(0))
+    return out.select(
+        "tau",
+        ntc.cast("long").alias("n_truth"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        tpc.cast("long").alias("tp"),
+        (F.col("n_pred") - tpc).cast("long").alias("fp"),
+        (ntc - tpc).cast("long").alias("fn"),
+        rd(
+            F.when(F.col("n_pred") > 0, tpc.cast("double") / F.col("n_pred"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("precision_at_tau"),
+        rd(
+            F.when(ntc > 0, tpc.cast("double") / ntc.cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("recall_at_tau"),
+    )
+
+
+@register(
+    "dedup_lsh_eval_report",
+    f"""
+    WITH sub AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    shingled AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(generate_series(1, len(w) - 2),
+                                   i -> array_to_string(list_slice(w, i, i + 2), ' '))
+               ELSE [array_to_string(w, ' ')] END) AS grams
+      FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM sub)
+    ),
+    sig AS ({_SIG_SQL}),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS key
+      FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    pred AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    {_EVAL_TRUTH_TAIL_SQL}
+    """,
+)
+def _q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED quality of the MinHash-LSH candidate generator against
+    exact τ-Jaccard ground truth (the PPJoin exact path), at two
+    relevance bars straddling the banding S-curve threshold
+    ((1/b)^(1/r) ≈ 0.5 for 4 bands × 2 rows): per τ, exact
+    TP/FP/FN counts, precision, recall. This is the eval that decides
+    band geometry before anyone trusts LSH output at 100 TB — recall
+    at τ=0.5 should be high (pairs at the S-curve knee), recall at
+    τ=0.2 quantifies what the curve's tail forfeits. Truth comes from
+    the zero-false-negative prefix join; both pair sets live on the
+    doc-parity half corpus (the prefix query's own cost policy); the
+    eval joins are (id, id)-keyed over bounded pair sets. The oracle
+    replays BOTH generators brute-force."""
+    sub = _table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    pred = dd.minhash_lsh_pairs(sub).select("id_a", "id_b")
+    return _candidate_eval_frame(sub, pred)
+
+
+@register(
+    "text_lang_confusion",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{_lang_score_sql(lang)} AS s_{lang}" for lang in tx.LANG_MARKERS)}
+      FROM documents
+    ),
+    pred AS (SELECT doc_id, lang, {_LANG_CASE} AS lang_pred FROM scored),
+    cm AS (SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY lang, lang_pred),
+    marg AS (SELECT lang, sum(n) AS n_label FROM cm GROUP BY lang)
+    SELECT cm.lang, cm.lang_pred, CAST(cm.n AS BIGINT) AS n,
+           CAST(marg.n_label AS BIGINT) AS n_label,
+           {R("CAST(cm.n AS DOUBLE) / CAST(marg.n_label AS DOUBLE)", 6)}
+             AS frac_of_label
+    FROM cm JOIN marg ON marg.lang = cm.lang
+    """,
+)
+def _q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX — the n-gram marker heuristic
+    (`tx.language_id`) evaluated against the corpus's stored lang
+    labels: per (label, prediction) cell, count and share of the
+    label's documents. The diagonal is per-language recall; off-
+    diagonal mass says which marker sets collide (the eval a
+    heuristic classifier needs before it gates a 100 TB mix — same
+    measured-quality policy as `dedup_lsh_eval_report` and
+    `emb_retrieval_mrr`). Scan-side scoring (regexp_count codegen),
+    one |langs|²-bounded aggregation, one tiny margin join."""
+    docs = _table(spark, sf_dir, "documents")
+    pred = tx.language_id(docs).select("lang", "lang_pred")
+    cm = pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    marg = cm.groupBy("lang").agg(F.sum("n").alias("n_label"))
+    return cm.join(marg.hint("shuffle_hash"), "lang").select(
+        "lang",
+        "lang_pred",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_label").cast("long").alias("n_label"),
+        rd(
+            F.col("n").cast("double") / F.col("n_label").cast("double"), 6
+        ).alias("frac_of_label"),
+    )
+
+
+@register(
+    "dedup_simhash_eval_report",
+    f"""
+    WITH sub AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM sub
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    bits AS (SELECT doc_id, {_SIMHASH_BITS_SQL} FROM hashed GROUP BY doc_id),
+    fp AS (SELECT doc_id, {_SIMHASH_FP_SQL} AS simhash FROM bits),
+    ck AS (
+      SELECT doc_id, simhash, cb.combo_id, {_SIMHASH_KEY_SQL} AS cv
+      FROM fp, (VALUES {_SIMHASH_COMBO_VALUES}) cb(combo_id, {_SIMHASH_COMBO_COLS})
+    ),
+    pred AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ck a JOIN ck b
+        ON a.combo_id = b.combo_id AND a.cv = b.cv AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    {_EVAL_TRUTH_TAIL_SQL}
+    """,
+)
+def _q_dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED quality of the SimHash hamming<=3 candidate generator
+    against the SAME exact tau-Jaccard ground truth and SAME parity-half
+    corpus as `dedup_lsh_eval_report` — together the two reports are the
+    generator-selection matrix (precision/recall per tau, directly
+    comparable cell-for-cell): SimHash targets cosine-of-token-counts,
+    so its recall at Jaccard tau quantifies exactly what switching
+    generators trades away. Shared `_candidate_eval_frame` engine;
+    the oracle replays fingerprint + combinatorial blocking + hamming
+    filter brute-force."""
+    sub = _table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    fp = dd.simhash(sub)
+    pred = dd.simhash_pairs(fp, max_hamming=3, n_chunks=_SIMHASH_M).select(
+        "id_a", "id_b"
+    )
+    return _candidate_eval_frame(sub, pred)
+
+
+@register(
+    "mix_pack_efficiency_report",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             {_SQL_H} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS tok_end
+      FROM toks
+    ),
+    o AS (
+      SELECT n_tokens, tok_end,
+             CAST(floor((tok_end - n_tokens) / 512.0) AS BIGINT) AS first_seq,
+             CAST(floor((tok_end - 1) / 512.0) AS BIGINT) AS last_seq
+      FROM c WHERE n_tokens > 0
+    ),
+    a AS (
+      SELECT count(*) AS n_docs,
+             sum(n_tokens) AS n_tokens,
+             sum(CASE WHEN first_seq < last_seq THEN 1 ELSE 0 END) AS split_docs,
+             sum(last_seq - first_seq + 1) AS fragments
+      FROM o
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((n_tokens + 511) // 512 AS BIGINT) AS n_sequences,
+           CAST(split_docs AS BIGINT) AS split_docs,
+           {R("CAST(split_docs AS DOUBLE) / n_docs", 6)} AS split_frac,
+           CAST(fragments AS BIGINT) AS fragments,
+           {R("CAST(fragments AS DOUBLE) / ((n_tokens + 511) // 512)", 6)}
+             AS docs_per_seq,
+           CAST(((n_tokens + 511) // 512) * 512 - n_tokens AS BIGINT)
+             AS tail_pad_tokens,
+           {R("CAST(n_tokens AS DOUBLE) / (((n_tokens + 511) // 512) * 512)", 6)}
+             AS utilization
+    FROM a
+    """,
+)
+def _q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit of the concat-and-chop layout
+    (seq_len=512) — the report a training-data build reads before
+    committing a mix to sequence files: how many docs straddle a
+    sequence boundary (attention-mask fragmentation), mean docs per
+    training sequence (fragments / n_sequences), and the layout's
+    token utilization (concat-and-chop pads ONLY the final partial
+    sequence, so utilization ~1 by construction — the row PROVES it,
+    and the same report run on a pad-per-doc layout is the comparison
+    that justifies packing). One aggregate row over the pack-offsets
+    frame (`sp.sequence_pack_offsets`, scale-safe sharded prefix-sum);
+    sequence count and tail pad in exact integer arithmetic (DIV), no
+    scalar joins — a single-row select over one aggregation."""
+    packed = sp.sequence_pack_offsets(
+        _table(spark, sf_dir, "documents"), seq_len=512
+    )
+    agg = packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("first_seq") < F.col("last_seq"), 1).otherwise(0)
+        ).alias("split_docs"),
+        F.sum(F.col("last_seq") - F.col("first_seq") + 1).alias("fragments"),
+    )
+    nseq = F.expr("(n_tokens + 511) DIV 512")
+    return agg.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        nseq.cast("long").alias("n_sequences"),
+        F.col("split_docs").cast("long").alias("split_docs"),
+        rd(F.col("split_docs").cast("double") / F.col("n_docs"), 6).alias(
+            "split_frac"
+        ),
+        F.col("fragments").cast("long").alias("fragments"),
+        rd(F.col("fragments").cast("double") / nseq, 6).alias("docs_per_seq"),
+        (nseq * 512 - F.col("n_tokens")).cast("long").alias("tail_pad_tokens"),
+        rd(F.col("n_tokens").cast("double") / (nseq * 512), 6).alias(
+            "utilization"
+        ),
+    )
+
+
+@register(
+    "text_score_calibration",
+    f"""
+    WITH {_C4_FEATS_SQL},
+    surv AS (SELECT doc_id FROM ratios WHERE {_C4_CUM[-1]}),
+    w AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> length(x) > 0) AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT doc_id, len(ws) AS n,
+             list_aggregate(list_transform(ws, t ->
+               CAST({R("(('0x' || substr(md5('tsdt|hls' || '|' || t), 1, 8))::BIGINT) / 4294967296.0 - 0.5", 6)} AS DECIMAL(20,6))
+             ), 'sum') AS tot
+      FROM w WHERE len(ws) > 0
+    ),
+    sc AS (SELECT doc_id, {R("CAST(tot AS DOUBLE) / n", 6)} AS logit FROM s),
+    b AS (
+      SELECT sc.logit,
+             CASE WHEN surv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS pass,
+             least(CAST(floor((round(sc.logit * 1000000, 0) + 500000)
+                              / 100000) AS INT), 9) AS bin
+      FROM sc LEFT JOIN surv ON surv.doc_id = sc.doc_id
+    )
+    SELECT CAST(bin AS INTEGER) AS bin,
+           {R("bin / 10.0 - 0.5", 6)} AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {R(f"{_sql_dsum('logit', 6)} / count(*)", 6)} AS mean_logit,
+           CAST(sum(pass) AS BIGINT) AS n_pass,
+           {R("CAST(sum(pass) AS DOUBLE) / count(*)", 6)} AS pass_rate
+    FROM b GROUP BY bin
+    """,
+)
+def _q_text_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELIABILITY DIAGRAM for the cheap model-based quality scorer:
+    `tx.hashed_linear_score` logits binned into ten fixed-width bins
+    over the score's closed range [-0.5, 0.5], each bin scored by the
+    fraction of its documents that survive the EXPENSIVE rule-based
+    C4 gate. This is the calibration eval that decides whether the
+    one-scan linear scorer can pre-prune a 100 TB crawl before the
+    48-string-pass C4 filter runs (monotone pass_rate across bins =
+    yes, and the bin edges give the threshold): same measured-quality
+    family as the LSH/SimHash eval matrix. Bin ids come from the
+    ROUNDED 6-dp logit via exact integer micro-units (round to the
+    integer grid first, divide on the grid — both engines floor the
+    same rational), so no float bin-edge ambiguity exists. One scan
+    per side, one doc_id-keyed left join, 10-row output."""
+    docs = _table(spark, sf_dir, "documents")
+    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
+    surv = tx.c4_filter_survivors(docs).select(
+        "doc_id", F.lit(1).alias("__pass")
+    )
+    j = scores.join(surv.hint("shuffle_hash"), "doc_id", "left")
+    bin_col = F.least(
+        F.floor(
+            (F.round(F.col("logit") * 1000000, 0) + F.lit(500000))
+            / F.lit(100000)
+        ).cast("int"),
+        F.lit(9),
+    )
+    binned = j.select(
+        bin_col.alias("bin"),
+        F.col("logit"),
+        F.coalesce(F.col("__pass"), F.lit(0)).alias("pass"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        rd(_dsum(F.col("logit"), 6) / F.count(F.lit(1)), 6).alias("mean_logit"),
+        F.sum("pass").cast("long").alias("n_pass"),
+        rd(F.sum("pass").cast("double") / F.count(F.lit(1)), 6).alias(
+            "pass_rate"
+        ),
+    )
+    return agg.select(
+        "bin",
+        rd(F.col("bin") / F.lit(10.0) - F.lit(0.5), 6).alias("bin_lo"),
+        "n_docs",
+        "mean_logit",
+        "n_pass",
+        "pass_rate",
+    )
