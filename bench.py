@@ -182,6 +182,8 @@ HEADLINE = [
     "dedup_simhash_eval_report",  # SimHash vs the same exact truth
     "mix_pack_efficiency_report",  # packing layout audit, one agg row
     "text_score_calibration",    # cheap-scorer vs C4-gate reliability
+    "stats_ks_halves_by_type",   # exact-integer KS temporal drift test
+    "stats_anova_value_by_type",  # one-way ANOVA across types, 1 row
 ]
 
 

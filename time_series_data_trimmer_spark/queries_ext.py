@@ -11400,3 +11400,256 @@ def _q_text_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pass",
         "pass_rate",
     )
+
+
+@register(
+    "stats_ks_halves_by_type",
+    f"""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) AS us, value AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    rng AS (SELECT min(us) AS u0, max(us) AS u1 FROM ev),
+    f AS (
+      SELECT event_type, v,
+             CASE WHEN us <= (u0 + u1) // 2 THEN 1 ELSE 0 END AS isa
+      FROM ev CROSS JOIN rng
+    ),
+    r AS (
+      SELECT event_type, v,
+             sum(isa) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(1 - isa) OVER (PARTITION BY event_type ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cb,
+             sum(isa) OVER (PARTITION BY event_type) AS na,
+             sum(1 - isa) OVER (PARTITION BY event_type) AS nb,
+             lead(v) OVER (PARTITION BY event_type ORDER BY v) AS nv
+      FROM f
+    ),
+    l AS (SELECT * FROM r WHERE nv IS NULL OR nv <> v),
+    m AS (
+      SELECT event_type,
+             max(abs(CAST(ca AS DECIMAL(38,0)) * nb
+                     - CAST(cb AS DECIMAL(38,0)) * na)) AS dnum,
+             max(na) AS n_a, max(nb) AS n_b
+      FROM l GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           {R("CAST(dnum AS DOUBLE)"
+              " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))", 6)} AS ks_stat,
+           {R("1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+              " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))", 6)}
+             AS c_alpha_05,
+           CAST(CASE WHEN {R("CAST(dnum AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))", 6)}
+                   > {R("1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))", 6)}
+              THEN 1 ELSE 0 END AS INTEGER) AS drift_flag
+    FROM m WHERE n_a > 0 AND n_b > 0
+    """,
+)
+def _q_stats_ks_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test per event type:
+    the value distribution of the first time-half of the corpus vs the
+    second (split at the integer midpoint of the event-time range) —
+    the NONPARAMETRIC member of the drift family (chi2 = categorical,
+    W1 = decile-matched magnitude, KS = max CDF gap, sensitive to
+    shape changes W1's decile matching smooths over). The statistic is
+    computed in EXACT INTEGER arithmetic end-to-end: the max CDF gap
+    is max |ca·nb − cb·na| over decimal(38,0) cross-products (no float
+    until the single final division), evaluated only at the last tie
+    row of each distinct value (lead(v) ≠ v), which makes intra-tie
+    window order irrelevant in both engines. One Exchange on
+    event_type carries the two running sums, the partition totals, the
+    lead, and the final max; the time-range midpoint is the sanctioned
+    1-row scalar cross join. Output is |types| rows with the KS stat,
+    the α=0.05 critical value (1.358·√((na+nb)/(na·nb)), IEEE sqrt is
+    correctly rounded so both engines agree bit-for-bit), and the
+    drift flag."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    us = event_micros(ev)
+    base = ev.select("event_type", us.alias("__us"), F.col("value").alias("__v"))
+    rng = base.agg(F.min("__us").alias("__u0"), F.max("__us").alias("__u1"))
+    flagged = base.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "__v",
+        F.when(
+            F.col("__us") <= F.expr("(__u0 + __u1) DIV 2"), 1
+        ).otherwise(0).alias("__isa"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("__v").asc())
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("event_type")
+    r = flagged.select(
+        "event_type",
+        "__v",
+        F.sum("__isa").over(wcum).alias("__ca"),
+        F.sum(F.lit(1) - F.col("__isa")).over(wcum).alias("__cb"),
+        F.sum("__isa").over(wall).alias("__na"),
+        F.sum(F.lit(1) - F.col("__isa")).over(wall).alias("__nb"),
+        F.lead("__v").over(w).alias("__nv"),
+    )
+    last = r.filter(F.col("__nv").isNull() | (F.col("__nv") != F.col("__v")))
+    num = F.abs(
+        F.col("__ca").cast("decimal(38,0)") * F.col("__nb")
+        - F.col("__cb").cast("decimal(38,0)") * F.col("__na")
+    )
+    m = last.groupBy("event_type").agg(
+        F.max(num).alias("__dnum"),
+        F.max("__na").alias("__fna"),
+        F.max("__nb").alias("__fnb"),
+    ).filter((F.col("__fna") > 0) & (F.col("__fnb") > 0))
+    ks = rd(
+        F.col("__dnum").cast("double")
+        / (F.col("__fna").cast("double") * F.col("__fnb").cast("double")),
+        6,
+    )
+    c05 = rd(
+        F.lit(1.358)
+        * F.sqrt(
+            (F.col("__fna").cast("double") + F.col("__fnb").cast("double"))
+            / (F.col("__fna").cast("double") * F.col("__fnb").cast("double"))
+        ),
+        6,
+    )
+    return m.select(
+        "event_type",
+        F.col("__fna").cast("long").alias("n_a"),
+        F.col("__fnb").cast("long").alias("n_b"),
+        ks.alias("ks_stat"),
+        c05.alias("c_alpha_05"),
+        F.when(ks > c05, 1).otherwise(0).cast("int").alias("drift_flag"),
+    )
+
+
+@register(
+    "stats_anova_value_by_type",
+    f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)
+                  AS DECIMAL(12,0)) AS sv
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(sv AS DECIMAL(38,0))) AS s1,
+             sum(CAST(CAST(sv * sv AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS s2
+      FROM e GROUP BY event_type
+    ),
+    t AS (
+      SELECT event_type, n, s1, s2,
+             CAST({R("CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n"
+                     " / 100000000.0", 6)}
+                  AS DECIMAL(38,6)) AS tg
+      FROM g
+    ),
+    a AS (
+      SELECT count(*) AS k, sum(n) AS nn,
+             sum(s1) AS s1t, sum(s2) AS s2t, sum(tg) AS t1
+      FROM t
+    ),
+    d AS (
+      SELECT k, nn,
+             {R("CAST(t1 AS DOUBLE) - " + R("CAST(s1t AS DOUBLE) * CAST(s1t AS DOUBLE) / nn / 100000000.0", 6), 6)} AS ssb,
+             {R(R("CAST(s2t AS DOUBLE) / 100000000.0", 6) + " - CAST(t1 AS DOUBLE)", 6)} AS ssw
+      FROM a
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(nn AS BIGINT) AS n,
+           ssb AS ss_between, ssw AS ss_within,
+           {R("(ssb / (k - 1)) / (ssw / (nn - k))", 6)} AS f_stat,
+           {R("ssb / (ssb + ssw)", 6)} AS eta_squared
+    FROM d
+    """,
+)
+def _q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of value across event types — the parametric
+    complement of the drift family (chi2/W1/KS ask "did it move over
+    time"; ANOVA asks "do the type populations differ at all", the
+    gate before type-conditioned normalization). Exact-arithmetic
+    discipline throughout (the moments-query pattern): 4-dp scaled
+    integer power sums in decimal(38,0) (partial-agg-order-proof), the
+    per-group S²/n term computed once in IEEE double, DESCALED by the
+    1e8 squared-scale factor BEFORE its 6-dp rounding (rd's floor
+    lands in a long, which overflows for magnitudes past ~9.2e12 —
+    descale-then-round keeps every rounded value inside the exact-long
+    window; caught by the oracle gate), then decimal-summed across
+    groups (order-independent). Two aggregations — one
+    keyed by type (map-side combined), one over the |types|-row frame —
+    no joins at all. Output: one row (k, N, SSB, SSW, F, η²)."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    sv = (
+        F.floor(F.col("value") * 10000.0 + 0.5)
+        .cast("long")
+        .cast("decimal(12,0)")
+    )
+    e = ev.select("event_type", sv.alias("__sv"))
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__sv").cast("decimal(38,0)")).alias("__s1"),
+        F.sum(
+            (F.col("__sv") * F.col("__sv"))
+            .cast("decimal(19,0)")
+            .cast("decimal(38,0)")
+        ).alias("__s2"),
+    )
+    t = g.select(
+        "n",
+        "__s1",
+        "__s2",
+        rd(
+            F.col("__s1").cast("double")
+            * F.col("__s1").cast("double")
+            / F.col("n")
+            / F.lit(100000000.0),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("__tg"),
+    )
+    a = t.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("__s1").alias("__s1t"),
+        F.sum("__s2").alias("__s2t"),
+        F.sum("__tg").alias("__t1"),
+    )
+    ssb = rd(
+        F.col("__t1").cast("double")
+        - rd(
+            F.col("__s1t").cast("double")
+            * F.col("__s1t").cast("double")
+            / F.col("nn")
+            / F.lit(100000000.0),
+            6,
+        ),
+        6,
+    )
+    ssw = rd(
+        rd(F.col("__s2t").cast("double") / F.lit(100000000.0), 6)
+        - F.col("__t1").cast("double"),
+        6,
+    )
+    d = a.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+    )
+    return d.select(
+        "k_groups",
+        "n",
+        "ss_between",
+        "ss_within",
+        rd(
+            (F.col("ss_between") / (F.col("k_groups") - 1))
+            / (F.col("ss_within") / (F.col("n") - F.col("k_groups"))),
+            6,
+        ).alias("f_stat"),
+        rd(
+            F.col("ss_between")
+            / (F.col("ss_between") + F.col("ss_within")),
+            6,
+        ).alias("eta_squared"),
+    )
