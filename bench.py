@@ -184,6 +184,9 @@ HEADLINE = [
     "text_score_calibration",    # cheap-scorer vs C4-gate reliability
     "stats_ks_halves_by_type",   # exact-integer KS temporal drift test
     "stats_anova_value_by_type",  # one-way ANOVA across types, 1 row
+    "dedup_lsh_band_sweep",      # banding operating points, one sig pass
+    "dedup_containment_pairs",   # excerpt class Jaccard misses
+    "mix_grouped_kfold",         # leakage-safe source-level folds
 ]
 
 

@@ -1835,3 +1835,86 @@ def linkage_scores(
         score.cast("int").alias("score"),
         cls.alias("link_class"),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_containment: float = 0.6,
+    shingle: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT over the MinHash-LSH candidate
+    set — the excerpt/quote near-dup class that symmetric Jaccard
+    misses. A short document embedded verbatim in a long one has
+    containment(small→big) = |A∩B|/|A| ≈ 1 while Jaccard =
+    |A∩B|/|A∪B| stays far below every dedup threshold (the union is
+    dominated by the long doc), so Jaccard-gated dedup keeps BOTH
+    copies of the excerpt — a systematic leak in any corpus built
+    from quoting sources (reference parity: the reference's overlay
+    comparison of trials, SURVEY §2.1-S9, is the same
+    subset-vs-symmetric distinction for time ranges).
+
+    Output per surviving pair: exact gram counts, Jaccard, containment
+    (of the smaller gram set in the larger), and ``excerpt_flag`` —
+    containment above the bar while Jaccard is below 0.5, i.e. pairs
+    ONLY this operator catches.
+
+    Scale shape: candidates come from the banded-LSH generator (its
+    bucketed, bounded-block properties inherited unchanged); the gram
+    sets then join back by id — two shuffle-hash equi-joins on the id
+    key over the BOUNDED pair set, intersection/size arithmetic inline
+    per row, nothing quadratic and nothing collected. Caveat inherited
+    from LSH: the generator is tuned for Jaccard, so recall on extreme
+    small-in-huge embeddings decays with the size ratio (the min-hash
+    of the union is increasingly the big doc's); the report is exact
+    ON the candidate set, and `dedup_lsh_eval_report` measures that
+    generator's recall explicitly.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    cand = minhash_lsh_pairs(df, id_col, text_col, shingle=shingle).select(
+        "id_a", "id_b"
+    )
+    grams = df.select(
+        F.col(id_col).alias("__gid"),
+        word_shingles(F.col(text_col), shingle).alias("__g"),
+    )
+    j = (
+        cand.join(
+            grams.select(
+                F.col("__gid").alias("id_a"), F.col("__g").alias("__ga")
+            ).hint("shuffle_hash"),
+            "id_a",
+        ).join(
+            grams.select(
+                F.col("__gid").alias("id_b"), F.col("__g").alias("__gb")
+            ).hint("shuffle_hash"),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb")))
+    na, nb = F.size("__ga"), F.size("__gb")
+    jac = rd(
+        inter.cast("double") / (na + nb - inter).cast("double"), 6
+    )
+    cont = rd(inter.cast("double") / F.least(na, nb).cast("double"), 6)
+    out = j.select(
+        "id_a",
+        "id_b",
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        inter.cast("long").alias("n_common"),
+        jac.alias("jaccard"),
+        cont.alias("containment"),
+    ).filter(F.col("containment") >= F.lit(float(min_containment)))
+    return out.withColumn(
+        "excerpt_flag",
+        F.when(
+            (F.col("containment") >= F.lit(float(min_containment)))
+            & (F.col("jaccard") < F.lit(0.5)),
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
