@@ -187,6 +187,16 @@ HEADLINE = [
     "dedup_lsh_band_sweep",      # banding operating points, one sig pass
     "dedup_containment_pairs",   # excerpt class Jaccard misses
     "mix_grouped_kfold",         # leakage-safe source-level folds
+    "feature_pointintime_state",  # SCD2 as-of state join, no future leak
+    "feature_rolling_past_window",  # strictly-past RANGE-frame features
+    "dedup_impact_by_source",    # raw vs exact vs near-dedup accounting
+    "emb_ood_zscore_by_label",   # mislabel/outlier audit vs label centroid
+    "emb_lsh_bits_sweep",        # hyperplane blocking operating points
+    "sample_neyman_allocation",  # variance-minimizing stratified budget
+    "ts_anomaly_seasonal_residual",  # MAD on de-seasonalized residuals
+    "mix_budget_after_dedup",    # budget spent on survivors only
+    "stats_cuped_halves",        # covariate variance reduction, 1 row
+    "dq_freshness_by_type",      # stalled-upstream audit
 ]
 
 

@@ -1591,3 +1591,92 @@ def retrieval_mrr(
             6,
         ).alias("mrr"),
     )
+
+
+def centroid_ood_zscores(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    z_bar: float = 2.0,
+) -> DataFrame:
+    """Per-vector OUT-OF-DISTRIBUTION score against the vector's own
+    label centroid: cosine to the (decimal-exact) label mean, z-scored
+    within the label — |z| ≥ ``z_bar`` flags probable mislabels and
+    outliers BEFORE they poison contrastive training or centroid-based
+    dedup (SemDeDup's cells assume labels cluster; this is the audit
+    of that assumption — completes the embedding-quality family next
+    to `knn_label_agreement` (neighbor votes), `retrieval_mrr`
+    (ranking depth) and `isotropy_report` (collapse)).
+
+    Scale shape: centroids via `mean_pool` (narrow (label, i) decimal
+    partials — vectors never shuffle); per-vector cosine is ONE
+    map-side-combined aggregation over the posexploded join against
+    the broadcast-size centroid table; label statistics ride a
+    label-keyed window over N narrow rows. Every mean/variance is
+    decimal-summed on a fixed rounding grid, so z-scores reproduce
+    bit-for-bit in any engine.
+    """
+    from pyspark.sql import Window
+
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    cents = mean_pool(df, group_col=label_col, vec_col=vec_col)
+    ex = df.select(
+        F.col(label_col),
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    j = ex.join(
+        F.broadcast(cents.select(label_col, "i", "m")), [label_col, "i"]
+    )
+    pv = j.groupBy(label_col, id_col).agg(
+        F.sum(rd(F.col("x") * F.col("m"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("__dxy"),
+        F.sum(rd(F.col("x") * F.col("x"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("__dxx"),
+        F.sum(rd(F.col("m") * F.col("m"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("__dyy"),
+    )
+    c = rd(
+        F.col("__dxy") / (F.sqrt(F.col("__dxx")) * F.sqrt(F.col("__dyy"))),
+        6,
+    )
+    cs = pv.select(label_col, id_col, c.alias("__c"))
+    wl = Window.partitionBy(label_col)
+    mu = rd(
+        F.sum(rd(F.col("__c"), 6).cast("decimal(38,6)")).over(wl).cast("double")
+        / F.count(F.lit(1)).over(wl),
+        6,
+    )
+    msq = rd(
+        F.sum(rd(F.col("__c") * F.col("__c"), 12).cast("decimal(38,12)"))
+        .over(wl)
+        .cast("double")
+        / F.count(F.lit(1)).over(wl),
+        12,
+    )
+    st = cs.select(
+        label_col,
+        id_col,
+        "__c",
+        mu.alias("__mu"),
+        F.sqrt(F.greatest(msq - mu * mu, F.lit(0.0))).alias("__sig"),
+    )
+    z = F.when(
+        F.col("__sig") > 0,
+        rd((F.col("__c") - F.col("__mu")) / F.col("__sig"), 6),
+    ).otherwise(F.lit(0.0))
+    return st.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col("__c").alias("cos_centroid"),
+        z.alias("z_score"),
+        F.when(F.abs(z) >= F.lit(float(z_bar)), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("ood_flag"),
+    )

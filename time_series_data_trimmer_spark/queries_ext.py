@@ -11653,3 +11653,1038 @@ def _q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("eta_squared"),
     )
+
+
+#: exact S-curve thresholds (1/b)^(1/r) for the three band geometries
+#: of an 8-hash signature, computed ONCE in Python and injected as the
+#: same literal into both engines (libm pow is 1-ulp engine-specific;
+#: a shared literal is not).
+_LSH_GEOMETRIES = [
+    (8, 1, round((1.0 / 8.0) ** (1.0 / 1.0), 6)),
+    (4, 2, round((1.0 / 4.0) ** (1.0 / 2.0), 6)),
+    (2, 4, round((1.0 / 2.0) ** (1.0 / 4.0), 6)),
+]
+
+
+def _sql_band_pairs(b: int, r: int) -> str:
+    key = " || '|' || ".join(f"sig[b.band * {r} + {k + 1}]" for k in range(r))
+    bands = ", ".join(f"({i})" for i in range(b))
+    return f"""
+      SELECT count(*) AS n FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        FROM (SELECT doc_id, b.band, md5({key}) AS key
+              FROM sig, (VALUES {bands}) AS b(band)) a
+        JOIN (SELECT doc_id, b.band, md5({key}) AS key
+              FROM sig, (VALUES {bands}) AS b(band)) b2
+          ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+      )"""
+
+
+@register(
+    "dedup_lsh_band_sweep",
+    f"""
+    WITH shingled AS ({_SH_SQL}),
+    sig AS ({_SIG_SQL})
+    {" UNION ALL ".join(
+        f"SELECT {b} AS n_bands, {r} AS rows_per_band, "
+        f"CAST({t} AS DOUBLE) AS s_curve_tau, "
+        f"CAST(({_sql_band_pairs(b, r)}) AS BIGINT) AS n_candidate_pairs"
+        for b, r, t in _LSH_GEOMETRIES
+    )}
+    """,
+)
+def _q_dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-geometry OPERATING POINTS for the MinHash-LSH generator:
+    from ONE 8-hash signature pass, the distinct candidate-pair volume
+    of (8 bands × 1 row), (4 × 2) and (2 × 4) — the capacity-planning
+    sweep run before committing a banding to a 100 TB dedup (more
+    bands/shorter rows = lower S-curve threshold = more candidates;
+    the S-curve knee (1/b)^(1/r) is printed beside each count, as a
+    shared Python literal because libm pow is 1-ulp engine-specific).
+    `dedup_lsh_eval_report` measures precision/recall AT the chosen
+    point; this sweep prices the alternatives WITHOUT paying three
+    exact-truth evaluations. Signatures compute once (lazy
+    localCheckpoint — the pack-offsets pattern); each geometry is a
+    bucketed (band, key) equi-join over bounded buckets."""
+    sigs = dd.minhash_signatures(
+        _table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
+    rows = []
+    for b, r, t in _LSH_GEOMETRIES:
+        keys = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    *[
+                                        F.col("sig")[band * r + k]
+                                        for k in range(r)
+                                    ],
+                                )
+                            ).alias("key"),
+                        )
+                        for band in range(b)
+                    ]
+                )
+            ).alias("__bk"),
+        ).select(
+            "doc_id",
+            F.col("__bk.band").alias("band"),
+            F.col("__bk.key").alias("key"),
+        )
+        a = keys.select(
+            F.col("doc_id").alias("id_a"), "band", "key"
+        )
+        bb = keys.select(
+            F.col("doc_id").alias("id_b"), "band", "key"
+        )
+        pairs = (
+            a.join(bb.hint("shuffle_hash"), ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        rows.append(
+            pairs.agg(
+                F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+            ).select(
+                F.lit(b).cast("int").alias("n_bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.lit(float(t)).alias("s_curve_tau"),
+                "n_candidate_pairs",
+            )
+        )
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH shingled AS ({_SH_SQL}),
+    sig AS ({_SIG_SQL}),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS key
+      FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    m AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(a.grams, b.grams)) AS inter,
+             len(a.grams) AS n_a, len(b.grams) AS n_b
+      FROM cand c
+      JOIN shingled a ON a.doc_id = c.id_a
+      JOIN shingled b ON b.doc_id = c.id_b
+    ),
+    s AS (
+      SELECT id_a, id_b,
+             CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(inter AS BIGINT) AS n_common,
+             {R("CAST(inter AS DOUBLE) / (n_a + n_b - inter)", 6)} AS jaccard,
+             {R("CAST(inter AS DOUBLE) / least(n_a, n_b)", 6)} AS containment
+      FROM m
+    )
+    SELECT *,
+           CAST(CASE WHEN containment >= 0.6 AND jaccard < 0.5
+                THEN 1 ELSE 0 END AS INTEGER) AS excerpt_flag
+    FROM s WHERE containment >= 0.6
+    """,
+)
+def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment over the LSH candidate set
+    (`dd.ngram_containment_pairs`): the excerpt/quote near-dup class
+    symmetric Jaccard misses — a short doc embedded in a long one has
+    containment ≈ 1 while Jaccard stays under every dedup threshold.
+    `excerpt_flag` marks pairs ONLY this operator catches. The oracle
+    replays candidates and exact set arithmetic brute-force."""
+    return dd.ngram_containment_pairs(
+        _table(spark, sf_dir, "documents"), min_containment=0.6
+    )
+
+
+@register(
+    "mix_grouped_kfold",
+    f"""
+    WITH d AS (
+      SELECT source, CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             ({sp.sql_hash_u32("source", "tsdt|fold")}) % 5 AS fold
+      FROM documents
+    ),
+    f AS (
+      SELECT fold, count(DISTINCT source) AS n_sources, count(*) AS n_docs,
+             sum(n_tokens) AS n_tokens
+      FROM d GROUP BY fold
+    ),
+    t AS (SELECT sum(n_tokens) AS tot FROM f)
+    SELECT CAST(fold AS INTEGER) AS fold,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           {R("CAST(n_tokens AS DOUBLE) / tot", 6)} AS token_share
+    FROM f CROSS JOIN t
+    """,
+)
+def _q_mix_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE 5-fold assignment: every document of a source lands
+    in the same fold (fold = md5-hash of the SOURCE, not the doc), so
+    cross-validation and held-out splits can't leak near-duplicates
+    that cluster within a source — the leakage-safe split a dedup'd
+    corpus still needs (doc-level `mix_train_val_test_split` splits
+    finer but lets one source straddle train/val). Report per fold:
+    source count, doc count, token count, token share (the balance
+    check hash-folding is supposed to deliver). One scan + one fold
+    aggregation; the total is the sanctioned 1-row scalar."""
+    docs = _table(spark, sf_dir, "documents")
+    fold = (sp.hash_u32(F.col("source"), "tsdt|fold") % 5).cast("int")
+    d = docs.select(
+        "source",
+        tx.token_count(F.col("text")).cast("long").alias("__ntok"),
+        fold.alias("fold"),
+    )
+    f = d.groupBy("fold").agg(
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__ntok").alias("__nt"),
+    )
+    t = f.agg(F.sum("__nt").alias("__tot"))
+    return f.crossJoin(F.broadcast(t)).select(
+        "fold",
+        "n_sources",
+        "n_docs",
+        F.col("__nt").cast("long").alias("n_tokens"),
+        rd(F.col("__nt").cast("double") / F.col("__tot"), 6).alias(
+            "token_share"
+        ),
+    )
+
+
+@register(
+    "feature_pointintime_state",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    ),
+    v AS (
+      SELECT *, sum(chg) OVER (
+        PARTITION BY user_id ORDER BY t_us, event_id
+        ROWS UNBOUNDED PRECEDING
+      ) AS version
+      FROM m
+    ),
+    g AS (
+      SELECT user_id, version, min(event_type) AS event_type,
+             min(t_us) AS valid_from_us
+      FROM v GROUP BY user_id, version
+    ),
+    dim AS (
+      SELECT user_id, version, event_type, valid_from_us,
+             lead(valid_from_us) OVER (
+               PARTITION BY user_id ORDER BY version
+             ) AS valid_to_us
+      FROM g
+    ),
+    fact AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.t_us,
+           d.event_type AS state_type,
+           CAST(d.version AS BIGINT) AS state_version,
+           CAST(f.t_us - d.valid_from_us AS BIGINT) AS state_age_us
+    FROM fact f
+    LEFT JOIN dim d
+      ON d.user_id = f.user_id
+     AND d.valid_from_us <= f.t_us
+     AND (d.valid_to_us IS NULL OR f.t_us < d.valid_to_us)
+    """,
+)
+def _q_feature_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature join — the feature-store operation that
+    prevents training-serving skew: each purchase event is joined to
+    the user's browsing-state SCD2 interval (built from the NON-purchase
+    stream, the scd2_user_state_history machinery) that was valid AT
+    the purchase instant, never to a later state (no feature leakage
+    from the future). Because SCD2 intervals partition each user's
+    timeline, the interval predicate matches at most one dimension row
+    — no post-join dedup. Plan: the dim build is one user-keyed window
+    pass; the join is a user_id-keyed shuffle-hash LEFT join with the
+    interval bounds as residual filter (equi-key present — this is NOT
+    the no-equi-key BNLJ class); purchases before any state keep a
+    NULL state row, proving the as-of semantics honest."""
+    e = _events_us(spark, sf_dir)
+    browse = e.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").asc(), F.col("event_id").asc()
+    )
+    chg = F.when(
+        F.lag("event_type", 1).over(w).isNull()
+        | (F.lag("event_type", 1).over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    v = browse.select(
+        "user_id", "t_us", "event_id", "event_type", chg.alias("__chg")
+    ).withColumn(
+        "version",
+        F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    g = v.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("__stype"),
+        F.min("t_us").alias("__from"),
+    )
+    wv = Window.partitionBy("user_id").orderBy(F.col("version").asc())
+    dim = g.select(
+        F.col("user_id").alias("__du"),
+        "version",
+        "__stype",
+        "__from",
+        F.lead("__from", 1).over(wv).alias("__to"),
+    )
+    fact = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t_us"
+    )
+    cond = (
+        (F.col("__du") == F.col("user_id"))
+        & (F.col("__from") <= F.col("t_us"))
+        & (F.col("__to").isNull() | (F.col("t_us") < F.col("__to")))
+    )
+    j = fact.join(dim.hint("shuffle_hash"), cond, "left")
+    return j.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        F.col("__stype").alias("state_type"),
+        F.col("version").cast("long").alias("state_version"),
+        (F.col("t_us") - F.col("__from")).cast("long").alias("state_age_us"),
+    )
+
+
+_W7D_US = 7 * 24 * 3_600_000_000
+
+
+@register(
+    "feature_rolling_past_window",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t_us, value
+      FROM events
+    )
+    SELECT event_id, user_id, t_us,
+           CAST(coalesce(count(*) OVER w, 0) AS BIGINT) AS n_past_7d,
+           CAST(coalesce(sum(CAST({sql_rd("value", 4)} AS DECIMAL(38,6)))
+                         OVER w, 0) AS DOUBLE) AS sum_value_past_7d
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+                 RANGE BETWEEN {_W7D_US} PRECEDING AND 1 PRECEDING)
+    """,
+)
+def _q_feature_rolling_past(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE rolling features at event time: for every event,
+    the count and value-sum of the same user's events in the STRICTLY
+    PAST 7 days (RANGE frame [t−7d, t−1] — simultaneous events are
+    excluded by the value-based frame, so tie order can never leak the
+    current row into its own feature). This is the at-training-time
+    twin of the point-in-time join: features computed only from what
+    was knowable before t. The float sum accumulates 4-dp decimals
+    inside the frame (frame CONTENT is t-range-defined and therefore
+    engine-identical even when tie ORDER differs — a ROWS frame here
+    would be nondeterministic, a RANGE frame is provably not). ONE
+    user-keyed Exchange; the window is a single pass."""
+    e = _events_us(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_us").asc())
+        .rangeBetween(-_W7D_US, -1)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0))
+        .cast("long")
+        .alias("n_past_7d"),
+        F.coalesce(
+            F.sum(rd(F.col("value"), 4).cast("decimal(38,6)")).over(w),
+            F.lit(0).cast("decimal(38,6)"),
+        )
+        .cast("double")
+        .alias("sum_value_past_7d"),
+    )
+
+
+@register(
+    "dedup_impact_by_source",
+    f"""
+    WITH RECURSIVE shingled AS ({_SH_SQL}),
+    sig AS ({_SIG_SQL}),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS key
+      FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst
+    ),
+    cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+    tok AS (
+      SELECT doc_id, source, CAST({_SQL_NTOK} AS BIGINT) AS t FROM documents
+    ),
+    ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    base AS (
+      SELECT source, count(*) AS n_docs, sum(t) AS n_tokens
+      FROM tok GROUP BY source
+    ),
+    e AS (
+      SELECT source, count(*) AS n_docs_exact, sum(t) AS n_tokens_exact
+      FROM tok JOIN ex USING (doc_id) GROUP BY source
+    ),
+    nr AS (
+      SELECT source, count(*) AS n_docs_near, sum(t) AS n_tokens_near
+      FROM tok JOIN cl ON cl.doc_id = tok.doc_id
+                      AND cl.doc_id = cl.cluster_id
+      GROUP BY source
+    )
+    SELECT b.source,
+           CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(e.n_docs_exact, 0) AS BIGINT) AS n_docs_exact,
+           CAST(coalesce(e.n_tokens_exact, 0) AS BIGINT) AS n_tokens_exact,
+           CAST(coalesce(nr.n_docs_near, 0) AS BIGINT) AS n_docs_near,
+           CAST(coalesce(nr.n_tokens_near, 0) AS BIGINT) AS n_tokens_near,
+           {R("1.0 - CAST(coalesce(nr.n_tokens_near, 0) AS DOUBLE)"
+              " / b.n_tokens", 6)} AS pct_tokens_removed_near
+    FROM base b
+    LEFT JOIN e USING (source)
+    LEFT JOIN nr USING (source)
+    """,
+)
+def _q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHAT DEDUP COSTS EACH SOURCE — the before/after report a mix
+    owner reads before re-weighting: per source, doc and token counts
+    raw, after exact dedup (min-id per md5 digest), and after near-dup
+    clustering (connected components over the LSH candidate graph,
+    survivors = cluster representatives). A source whose token mass
+    halves under near-dedup was padding the mix with near-copies; the
+    mix weights must be recomputed AFTER this table, not before
+    (`mix_token_budget_per_source` consumes exactly these counts).
+    Composition of proven pieces: exact groups (digest shuffle), LSH
+    pairs (bucketed), min-label CC (bounded rounds, localCheckpoint),
+    three per-source aggregations joined on the tiny source key. The
+    oracle replays CC with a recursive CTE (the dedup_clusters
+    precedent)."""
+    docs = _table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", tx.token_count(F.col("text")).cast("long").alias("__t")
+    )
+    base = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("__t").alias("n_tokens")
+    )
+    keep_exact = dd.exact_dedup_groups(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    e = (
+        tok.join(keep_exact.hint("shuffle_hash"), "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_exact"),
+            F.sum("__t").alias("n_tokens_exact"),
+        )
+    )
+    pairs = dd.minhash_lsh_pairs(docs).select("id_a", "id_b")
+    comp = dd.connected_components(
+        pairs, all_ids=docs.select("doc_id"), id_col="doc_id"
+    )
+    keep_near = comp.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id"
+    )
+    nr = (
+        tok.join(keep_near.hint("shuffle_hash"), "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_near"),
+            F.sum("__t").alias("n_tokens_near"),
+        )
+    )
+    out = (
+        base.join(e.hint("shuffle_hash"), "source", "left")
+        .join(nr.hint("shuffle_hash"), "source", "left")
+    )
+    ntn = F.coalesce(F.col("n_tokens_near"), F.lit(0))
+    return out.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_docs_exact"), F.lit(0))
+        .cast("long")
+        .alias("n_docs_exact"),
+        F.coalesce(F.col("n_tokens_exact"), F.lit(0))
+        .cast("long")
+        .alias("n_tokens_exact"),
+        F.coalesce(F.col("n_docs_near"), F.lit(0))
+        .cast("long")
+        .alias("n_docs_near"),
+        ntn.cast("long").alias("n_tokens_near"),
+        rd(
+            F.lit(1.0) - ntn.cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("pct_tokens_removed_near"),
+    )
+
+
+@register(
+    "emb_ood_zscore_by_label",
+    f"""
+    WITH m AS (
+      SELECT label, u['i'] - 1 AS i,
+             {sql_rd("CAST(sum(CAST(" + sql_rd("x", 9) + " AS DECIMAL(38,9))) AS DOUBLE) / count(*)", 6)} AS m
+      FROM (SELECT label, u FROM (SELECT label,
+                   unnest(list_transform(embedding, (x, i) -> {{'v': x, 'i': i}})) AS u
+            FROM embeddings)),
+           LATERAL (SELECT CAST(u['v'] AS DOUBLE) AS x)
+      GROUP BY label, u['i'] - 1
+    ),
+    ex AS (
+      SELECT vec_id, label, u['i'] - 1 AS i, CAST(u['v'] AS DOUBLE) AS x
+      FROM (SELECT vec_id, label,
+                   unnest(list_transform(embedding, (x, i) -> {{'v': x, 'i': i}})) AS u
+            FROM embeddings)
+    ),
+    pv AS (
+      SELECT e.label, e.vec_id,
+             CAST(sum(CAST({sql_rd("e.x * c.m", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS dxy,
+             CAST(sum(CAST({sql_rd("e.x * e.x", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS dxx,
+             CAST(sum(CAST({sql_rd("c.m * c.m", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS dyy
+      FROM ex e JOIN m c ON c.label = e.label AND c.i = e.i
+      GROUP BY e.label, e.vec_id
+    ),
+    cs AS (
+      SELECT label, vec_id,
+             {R("dxy / (sqrt(dxx) * sqrt(dyy))", 6)} AS c
+      FROM pv
+    ),
+    st AS (
+      SELECT *,
+             {R(f"CAST(sum(CAST({sql_rd('c', 6)} AS DECIMAL(38,6))) OVER wl AS DOUBLE) / count(*) OVER wl", 6)} AS mu,
+             {R(f"CAST(sum(CAST({sql_rd('c * c', 12)} AS DECIMAL(38,12))) OVER wl AS DOUBLE) / count(*) OVER wl", 12)} AS msq
+      FROM cs WINDOW wl AS (PARTITION BY label)
+    ),
+    zz AS (
+      SELECT vec_id, label, c,
+             sqrt(greatest(msq - mu * mu, 0.0)) AS sig, mu
+      FROM st
+    )
+    SELECT vec_id, label, c AS cos_centroid,
+           CASE WHEN sig > 0 THEN {R("(c - mu) / sig", 6)} ELSE 0.0 END
+             AS z_score,
+           CAST(CASE WHEN abs(CASE WHEN sig > 0 THEN {R("(c - mu) / sig", 6)}
+                              ELSE 0.0 END) >= 2.0
+                THEN 1 ELSE 0 END AS INTEGER) AS ood_flag
+    FROM zz
+    """,
+)
+def _q_emb_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector OOD audit (`sim.centroid_ood_zscores`): cosine to the
+    vector's own label centroid, z-scored within the label — |z| ≥ 2
+    flags probable mislabels/outliers before they poison contrastive
+    training or centroid-assuming dedup. Decimal-exact centroids, one
+    map-side-combined cosine aggregation, label-keyed stats window."""
+    return sim.centroid_ood_zscores(_table(spark, sf_dir, "embeddings"))
+
+
+_BITS_SWEEP = (6, 8, 10)
+
+
+@register(
+    "emb_lsh_bits_sweep",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    planes AS (
+      SELECT b.b, i.i,
+             ('0x' || substr(md5('tsdt|t0|' || b.b || '|' || i.i), 1, 8))::BIGINT
+               / 2147483648.0 - 1.0 AS w
+      FROM generate_series(0, {max(_BITS_SWEEP) - 1}) b(b),
+           generate_series(0, 63) i(i)
+    ),
+    pdots AS (
+      SELECT e.vec_id, p.b,
+             CAST(sum(CAST({sql_rd("e.x * p.w", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS d
+      FROM ex e JOIN planes p ON p.i = e.i - 1
+      GROUP BY e.vec_id, p.b
+    ),
+    sigs AS (
+      SELECT vec_id,
+             sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sig
+      FROM pdots GROUP BY vec_id
+    )
+    {" UNION ALL ".join(
+        f'''SELECT {b} AS n_bits, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(m) AS BIGINT) AS max_bucket,
+           CAST(sum(m * (m - 1) / 2) AS BIGINT) AS n_candidate_pairs
+        FROM (SELECT sig % {1 << b} AS bucket, count(*) AS m
+              FROM sigs GROUP BY sig % {1 << b})'''
+        for b in _BITS_SWEEP
+    )}
+    """,
+)
+def _q_emb_lsh_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH OPERATING POINTS for the embedding blocker: from
+    ONE 10-bit signature pass (decimal-exact dot signs), the bucket
+    count, largest bucket, and within-bucket candidate volume at 6, 8
+    and 10 bits — bits b uses the LOWER b bits of the same plane pool,
+    so bucket structure NESTS (more bits strictly refine) and candidate
+    volume is monotone non-increasing, the embedding twin of
+    `dedup_lsh_band_sweep`'s banding theorem. This is the sweep that
+    picks `_knn_bits`'s operating point with numbers instead of the
+    log2 rule alone. Signature cost is paid once (lazy localCheckpoint);
+    each operating point is a bucket groupBy over (id, sig) longs."""
+    emb = _table(spark, sf_dir, "embeddings")
+    sigs = (
+        sim.lsh_signatures(emb, dim=64, bits=max(_BITS_SWEEP), tables=1)
+        .select("vec_id", "sig")
+        .localCheckpoint(eager=False)
+    )
+    rows = []
+    for b in _BITS_SWEEP:
+        buckets = sigs.groupBy(
+            F.pmod(F.col("sig"), F.lit(1 << b)).alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("m"))
+        rows.append(
+            buckets.agg(
+                F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                F.max("m").cast("long").alias("max_bucket"),
+                F.sum(
+                    (F.col("m") * (F.col("m") - 1) / 2).cast("long")
+                ).cast("long").alias("n_candidate_pairs"),
+            ).select(
+                F.lit(b).cast("int").alias("n_bits"),
+                "n_buckets",
+                "max_bucket",
+                "n_candidate_pairs",
+            )
+        )
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+@register(
+    "sample_neyman_allocation",
+    f"""
+    WITH d AS (
+      SELECT source, CAST({_SQL_NTOK} AS BIGINT) AS t FROM documents
+    ),
+    g AS (
+      SELECT source, count(*) AS n,
+             sum(CAST(t AS DECIMAL(38,0))) AS s1,
+             sum(CAST(t * t AS DECIMAL(38,0))) AS s2
+      FROM d GROUP BY source
+    ),
+    v AS (
+      SELECT source, n,
+             {R("sqrt(greatest(CAST(s2 AS DOUBLE) / n"
+                " - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),"
+                " 0.0))", 6)} AS sigma
+      FROM g
+    ),
+    w AS (SELECT *, CAST({R("n * sigma", 6)} AS DECIMAL(38,6)) AS wgt FROM v),
+    tot AS (SELECT sum(wgt) AS tw FROM w)
+    SELECT source, CAST(n AS BIGINT) AS n_docs, sigma AS sigma_tokens,
+           {R("CAST(wgt AS DOUBLE) / CAST(tw AS DOUBLE)", 6)} AS share,
+           CAST(floor(1000.0 * (CAST(wgt AS DOUBLE) / CAST(tw AS DOUBLE)) + 0.5)
+                AS BIGINT) AS n_alloc
+    FROM w CROSS JOIN tot
+    """,
+)
+def _q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN ALLOCATION for a stratified sample (budget 1000 docs):
+    each source's share ∝ N_h·σ_h (stratum size × token-count
+    std-dev), the variance-minimizing allocation for estimating corpus
+    token statistics from a sample — the statistics-literate upgrade
+    of proportional stratified sampling (`sample_stratified_by_source`
+    samples at a flat rate; Neyman oversamples high-variance strata).
+    Integer-exact power sums per stratum (token counts are ints —
+    decimal(38,0), no scaling needed), one IEEE sqrt per stratum, the
+    σ·N weights 6-dp-rounded into decimal before the share division;
+    the total is the sanctioned 1-row scalar."""
+    docs = _table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", tx.token_count(F.col("text")).cast("long").alias("__t")
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__t").cast("decimal(38,0)")).alias("__s1"),
+        F.sum((F.col("__t") * F.col("__t")).cast("decimal(38,0)")).alias(
+            "__s2"
+        ),
+    )
+    sigma = rd(
+        F.sqrt(
+            F.greatest(
+                F.col("__s2").cast("double") / F.col("n")
+                - (F.col("__s1").cast("double") / F.col("n"))
+                * (F.col("__s1").cast("double") / F.col("n")),
+                F.lit(0.0),
+            )
+        ),
+        6,
+    )
+    w = g.select(
+        "source",
+        F.col("n"),
+        sigma.alias("sigma"),
+        rd(F.col("n") * sigma, 6).cast("decimal(38,6)").alias("__wgt"),
+    )
+    tot = w.agg(F.sum("__wgt").alias("__tw"))
+    share = F.col("__wgt").cast("double") / F.col("__tw").cast("double")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("sigma").alias("sigma_tokens"),
+        rd(share, 6).alias("share"),
+        F.floor(F.lit(1000.0) * share + F.lit(0.5))
+        .cast("long")
+        .alias("n_alloc"),
+    )
+
+
+@register(
+    "ts_anomaly_seasonal_residual",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // {_SD_HOUR_US} AS bucket,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS sv
+      FROM events
+    ),
+    b AS (
+      SELECT user_id, bucket, count(*) AS n, sum(sv) AS ssum
+      FROM e GROUP BY user_id, bucket
+    ),
+    t AS (
+      SELECT *, sum(ssum) OVER w AS tsum, sum(n) OVER w AS tn
+      FROM b WINDOW w AS (
+        PARTITION BY user_id ORDER BY bucket
+        ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING
+      )
+    ),
+    d AS (
+      SELECT user_id, bucket, bucket % 24 AS hour_of_day,
+             {R("CAST(ssum AS DOUBLE) / n / 10000.0 - CAST(tsum AS DOUBLE) / tn / 10000.0", 6)} AS dd
+      FROM t
+    ),
+    s AS (
+      SELECT user_id, bucket,
+             {R("dd - " + R("CAST(sum(CAST(dd AS DECIMAL(38,6))) OVER ws AS DOUBLE) / count(*) OVER ws", 6), 6)} AS residual
+      FROM d WINDOW ws AS (PARTITION BY user_id, hour_of_day)
+    ),
+    m AS (
+      SELECT user_id, residual,
+             quantile_cont(residual, 0.5) OVER (PARTITION BY user_id) AS med
+      FROM s
+    ),
+    dv AS (
+      SELECT user_id, residual, med, abs(residual - med) AS dev FROM m
+    ),
+    md AS (
+      SELECT *, quantile_cont(dev, 0.5) OVER (PARTITION BY user_id) AS mad
+      FROM dv
+    )
+    SELECT user_id, count(*) AS n,
+           CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           {R("any_value(med)", 6)} AS med,
+           {R("any_value(mad)", 6)} AS mad
+    FROM md GROUP BY user_id
+    """,
+)
+def _q_ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous hours AFTER de-seasonalizing: the classical
+    decomposition's residual stream fed to the median/MAD outlier rule
+    — the composition that separates "weird hour" from "busy time of
+    day" (raw MAD on hourly levels flags every rush hour; residual MAD
+    flags only departures from trend + seasonal pattern — the right
+    anomaly gate for metrics with daily rhythm). Pure composition of
+    two proven single-Exchange operators on the same trial key
+    (`ts.seasonal_decompose_hourly` → `ts.mad_outliers` on residual):
+    the exchange is shared end-to-end."""
+    dec = ts.seasonal_decompose_hourly(_events_us(spark, sf_dir))
+    return ts.mad_outliers(dec, key_col="user_id", value_col="residual", k=3.0)
+
+
+@register(
+    "mix_budget_after_dedup",
+    f"""
+    WITH RECURSIVE shingled AS ({_SH_SQL}),
+    sig AS ({_SIG_SQL}),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS key
+      FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst
+    ),
+    cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+    toks AS (
+      SELECT doc_id, source,
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             {_SQL_H} AS h
+      FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM cl WHERE doc_id = cluster_id)
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {_MIX_BUDGET}
+    """,
+)
+def _q_mix_budget_after_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE ORDER THAT MATTERS, MADE EXPLICIT: the per-source token
+    budget applied AFTER near-dedup (survivors of the LSH + connected
+    components pipeline), not before. Budgeting first and deduping
+    second under-fills every dup-heavy source (its budget was spent on
+    copies that dedup then removes); this composition spends the
+    budget entirely on surviving documents — the pipeline
+    `dedup_impact_by_source` tells you to run. Same proven pieces:
+    bucketed LSH pairs, min-label CC, one stratum-keyed budget window
+    over the deduped stream."""
+    docs = _table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs).select("id_a", "id_b")
+    comp = dd.connected_components(
+        pairs, all_ids=docs.select("doc_id"), id_col="doc_id"
+    )
+    keep = comp.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    surv = docs.join(keep.hint("shuffle_hash"), "doc_id", "left_semi")
+    out = sp.token_budget_per_stratum(surv, _MIX_BUDGET)
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+@register(
+    "stats_cuped_halves",
+    f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS sv
+      FROM events WHERE value IS NOT NULL
+    ),
+    rng AS (SELECT min(us) AS u0, max(us) AS u1 FROM ev),
+    f AS (
+      SELECT user_id, sv,
+             CASE WHEN us <= (u0 + u1) // 2 THEN 1 ELSE 0 END AS isa
+      FROM ev CROSS JOIN rng
+    ),
+    u AS (
+      SELECT user_id,
+             sum(CASE WHEN isa = 1 THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN isa = 1 THEN sv ELSE 0 END) AS sa,
+             sum(CASE WHEN isa = 0 THEN 1 ELSE 0 END) AS nb,
+             sum(CASE WHEN isa = 0 THEN sv ELSE 0 END) AS sb
+      FROM f GROUP BY user_id
+    ),
+    xy AS (
+      SELECT user_id,
+             {R("CAST(sa AS DOUBLE) / na / 10000.0", 6)} AS x,
+             {R("CAST(sb AS DOUBLE) / nb / 10000.0", 6)} AS y
+      FROM u WHERE na > 0 AND nb > 0
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST({sql_rd("x", 6)} AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST({sql_rd("y", 6)} AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST({sql_rd("x * x", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST({sql_rd("y * y", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+             CAST(sum(CAST({sql_rd("x * y", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      FROM xy
+    ),
+    m AS (
+      SELECT n,
+             sxx / n - (sx / n) * (sx / n) AS vx,
+             syy / n - (sy / n) * (sy / n) AS vy,
+             sxy / n - (sx / n) * (sy / n) AS cxy
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           {R("cxy / vx", 6)} AS theta,
+           {R("vy", 6)} AS var_y,
+           {R("vy - cxy * cxy / vx", 6)} AS var_y_adjusted,
+           {R("(cxy * cxy / vx) / vy", 6)} AS variance_reduction
+    FROM m
+    """,
+)
+def _q_stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013 — the experimentation
+    workhorse): per user, the FIRST time-half mean value is the
+    pre-experiment covariate x, the second-half mean the metric y;
+    θ = cov/var(x) and var(y − θ(x − x̄)) = var(y) − cov²/var(x) (the
+    closed form — no second pass). `variance_reduction` is the
+    fraction of metric variance the covariate removes, i.e. how much
+    smaller an A/B test this corpus could run. Exactness: per-user
+    sums are 4-dp scaled integers; user means are 6-dp rounded; the
+    cross-user moment sums accumulate on fixed decimal grids
+    (x·y exact at 12 dp), so θ reproduces bit-for-bit. One user-keyed
+    aggregation + one 1-row combine; the midpoint is the sanctioned
+    scalar."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    us = event_micros(ev)
+    sv = F.floor(F.col("value") * 10000.0 + 0.5).cast("long")
+    base = ev.select("user_id", us.alias("__us"), sv.alias("__sv"))
+    rng = base.agg(F.min("__us").alias("__u0"), F.max("__us").alias("__u1"))
+    f = base.crossJoin(F.broadcast(rng)).select(
+        "user_id",
+        "__sv",
+        F.when(F.col("__us") <= F.expr("(__u0 + __u1) DIV 2"), 1)
+        .otherwise(0)
+        .alias("__isa"),
+    )
+    u = f.groupBy("user_id").agg(
+        F.sum(F.when(F.col("__isa") == 1, 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(F.col("__isa") == 1, F.col("__sv")).otherwise(0)).alias(
+            "__sa"
+        ),
+        F.sum(F.when(F.col("__isa") == 0, 1).otherwise(0)).alias("__nb"),
+        F.sum(F.when(F.col("__isa") == 0, F.col("__sv")).otherwise(0)).alias(
+            "__sb"
+        ),
+    )
+    xy = u.filter((F.col("__na") > 0) & (F.col("__nb") > 0)).select(
+        rd(F.col("__sa").cast("double") / F.col("__na") / 10000.0, 6).alias(
+            "__x"
+        ),
+        rd(F.col("__sb").cast("double") / F.col("__nb") / 10000.0, 6).alias(
+            "__y"
+        ),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rd(F.col("__x"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(rd(F.col("__y"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(rd(F.col("__x") * F.col("__x"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(rd(F.col("__y") * F.col("__y"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(rd(F.col("__x") * F.col("__y"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    m = s.select(
+        "n",
+        (
+            F.col("sxx") / F.col("n")
+            - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
+        ).alias("vx"),
+        (
+            F.col("syy") / F.col("n")
+            - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))
+        ).alias("vy"),
+        (
+            F.col("sxy") / F.col("n")
+            - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+        ).alias("cxy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        rd(F.col("cxy") / F.col("vx"), 6).alias("theta"),
+        rd(F.col("vy"), 6).alias("var_y"),
+        rd(
+            F.col("vy") - F.col("cxy") * F.col("cxy") / F.col("vx"), 6
+        ).alias("var_y_adjusted"),
+        rd(
+            (F.col("cxy") * F.col("cxy") / F.col("vx")) / F.col("vy"), 6
+        ).alias("variance_reduction"),
+    )
+
+
+@register(
+    "dq_freshness_by_type",
+    """
+    WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+    g AS (
+      SELECT event_type, count(*) AS n, max(us) AS max_us
+      FROM e GROUP BY event_type
+    ),
+    t AS (SELECT max(max_us) AS global_max FROM g)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(max_us AS BIGINT) AS max_us,
+           CAST(global_max - max_us AS BIGINT) AS lag_us,
+           CAST(CASE WHEN global_max - max_us > 21600000000
+                THEN 1 ELSE 0 END AS INTEGER) AS stale_flag
+    FROM g CROSS JOIN t
+    """,
+)
+def _q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest FRESHNESS audit per event type: each type's newest event
+    vs the newest event anywhere; a type lagging > 6 h is a stalled
+    upstream (the standard DQ freshness check next to the nulls/FK
+    gate `dq_expectations_report` and the continuous
+    `stream_dq_violations`). One map-side-combined aggregation; the
+    global max is the sanctioned 1-row scalar."""
+    ev = _events(spark, sf_dir)
+    us = event_micros(ev)
+    g = ev.select("event_type", us.alias("__us")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.max("__us").alias("__max_us")
+    )
+    t = g.agg(F.max("__max_us").alias("__gmax"))
+    lag = F.col("__gmax") - F.col("__max_us")
+    return g.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("__max_us").cast("long").alias("max_us"),
+        lag.cast("long").alias("lag_us"),
+        F.when(lag > 21_600_000_000, 1).otherwise(0).cast("int").alias(
+            "stale_flag"
+        ),
+    )
