@@ -197,6 +197,11 @@ HEADLINE = [
     "mix_budget_after_dedup",    # budget spent on survivors only
     "stats_cuped_halves",        # covariate variance reduction, 1 row
     "dq_freshness_by_type",      # stalled-upstream audit
+    "text_jsd_source_divergence",  # lexical distance from the mix
+    "graph_adamic_adar_links",   # capped two-hop link prediction
+    "layout_partition_advisor",  # partitionBy key audit, 3 rows
+    "stats_ab_power",            # CUPED sample-size calculator
+    "ts_sax_motifs",             # recurring shapes from SAX strings
 ]
 
 

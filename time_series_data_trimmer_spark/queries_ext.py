@@ -12688,3 +12688,463 @@ def _q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stale_flag"
         ),
     )
+
+
+@register(
+    "text_jsd_source_divergence",
+    f"""
+    WITH toks AS (
+      SELECT source AS grp, t.token
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(trim(text), ' ')) AS token) t
+      WHERE text IS NOT NULL AND len(t.token) > 0
+    ),
+    tf AS (SELECT grp, token, count(*) AS c FROM toks GROUP BY grp, token),
+    gt AS (SELECT token, sum(c) AS cg FROM tf GROUP BY token),
+    ns AS (SELECT grp, sum(c) AS n FROM tf GROUP BY grp),
+    nt AS (SELECT sum(cg) AS ntot FROM gt),
+    terms AS (
+      SELECT tf.grp,
+             CAST(tf.c AS DOUBLE) / ns.n AS p,
+             CAST(gt.cg AS DOUBLE) / nt.ntot AS q
+      FROM tf
+      JOIN ns ON ns.grp = tf.grp
+      JOIN gt ON gt.token = tf.token
+      CROSS JOIN nt
+    ),
+    e AS (
+      SELECT grp,
+             CAST(sum(CAST({sql_rd("0.5 * p * log2(2.0 * p / (p + q))", 6)}
+                  AS DECIMAL(38,6))) AS DOUBLE) AS pterm,
+             CAST(sum(CAST({sql_rd("0.5 * q * log2(2.0 * q / (p + q))", 6)}
+                  AS DECIMAL(38,6))) AS DOUBLE) AS qterm_in,
+             CAST(sum(CAST({sql_rd("q", 6)} AS DECIMAL(38,6))) AS DOUBLE) AS qmass
+      FROM terms GROUP BY grp
+    )
+    SELECT grp AS source,
+           {R("pterm + qterm_in + 0.5 * (1.0 - qmass)", 6)} AS jsd_bits
+    FROM e
+    """,
+)
+def _q_text_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (bits) between each source's unigram
+    distribution and the WHOLE-CORPUS distribution — the mix-balance
+    audit that ranks sources by lexical distance from the blend
+    (entropy says how diverse a source is; JSD says how FAR it sits
+    from the mix; MI covered dependence — this completes the repo's
+    information-theoretic family). Tokens ABSENT from a source
+    contribute q·log2(2q/(0+q)) = q exactly, so the out-of-support
+    tail collapses to the closed form ½(1 − Σ_{{t∈s}} q_t) and the
+    computation never materializes the |V|×|sources| zero grid — only
+    (source, token) cells that EXIST shuffle (the vocabulary-bounded
+    discipline). Per-term 6-dp rounding + decimal sums (the
+    entropy-query determinism rule; log2 terms rounded before any
+    accumulation)."""
+    docs = _table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select(
+        F.col("source").alias("grp"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col("text")), " "),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("token"),
+    )
+    tf = tok.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("c"))
+    gt = tf.groupBy("token").agg(F.sum("c").alias("cg"))
+    ns = tf.groupBy("grp").agg(F.sum("c").alias("n"))
+    nt = gt.agg(F.sum("cg").alias("ntot"))
+    terms = (
+        tf.join(ns.hint("shuffle_hash"), "grp")
+        .join(gt.hint("shuffle_hash"), "token")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "grp",
+            (F.col("c").cast("double") / F.col("n")).alias("__p"),
+            (F.col("cg").cast("double") / F.col("ntot")).alias("__q"),
+        )
+    )
+    p, q = F.col("__p"), F.col("__q")
+    e = terms.groupBy("grp").agg(
+        F.sum(
+            rd(F.lit(0.5) * p * F.log2(F.lit(2.0) * p / (p + q)), 6).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("__pterm"),
+        F.sum(
+            rd(F.lit(0.5) * q * F.log2(F.lit(2.0) * q / (p + q)), 6).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("__qterm"),
+        F.sum(rd(q, 6).cast("decimal(38,6)")).cast("double").alias("__qmass"),
+    )
+    return e.select(
+        F.col("grp").alias("source"),
+        rd(
+            F.col("__pterm")
+            + F.col("__qterm")
+            + F.lit(0.5) * (F.lit(1.0) - F.col("__qmass")),
+            6,
+        ).alias("jsd_bits"),
+    )
+
+
+_AA_CAP = 50  # per-node neighbor cap for the two-hop expansion
+
+
+@register(
+    "graph_adamic_adar_links",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS newf
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *,
+             sum(newf) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, sess, min(us) AS start_us, max(us) AS end_us
+      FROM s GROUP BY user_id, sess
+    ),
+    ed AS (
+      SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+      FROM sess a JOIN sess b
+        ON a.start_us <= b.end_us AND b.start_us <= a.end_us
+       AND a.user_id < b.user_id
+    ),
+    sym AS (
+      SELECT ua AS u, ub AS v FROM ed
+      UNION ALL
+      SELECT ub AS u, ua AS v FROM ed
+    ),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    nbr AS (
+      SELECT u, v FROM (
+        SELECT u, v,
+               row_number() OVER (
+                 PARTITION BY u
+                 ORDER BY {sp.sql_hash_u32("v", "tsdt|aa")} ASC, v ASC
+               ) AS rn
+        FROM sym
+      ) WHERE rn <= {_AA_CAP}
+    ),
+    hop2 AS (
+      SELECT a.v AS x, b.v AS y, a.u AS via
+      FROM nbr a JOIN nbr b ON a.u = b.u AND a.v < b.v
+    ),
+    sc AS (
+      SELECT h.x, h.y,
+             CAST(sum(CAST({sql_rd("1.0 / log2(CAST(d.d AS DOUBLE))", 6)}
+                  AS DECIMAL(38,6))) AS DOUBLE) AS aa
+      FROM hop2 h JOIN deg d ON d.u = h.via
+      GROUP BY h.x, h.y
+    ),
+    new_links AS (
+      SELECT sc.x, sc.y, sc.aa
+      FROM sc LEFT JOIN ed ON ed.ua = sc.x AND ed.ub = sc.y
+      WHERE ed.ua IS NULL
+    )
+    SELECT x AS user_a, y AS user_b, {R("aa", 6)} AS aa_score
+    FROM new_links
+    ORDER BY aa DESC, x ASC, y ASC
+    LIMIT 20
+    """,
+)
+def _q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAMIC-ADAR link prediction over the session-concurrency graph:
+    for every non-adjacent user pair, Σ 1/log2(deg(b)) across shared
+    neighbors b — the classic "who will overlap next" score (rare
+    shared contacts count more than hubs), completing the graph family
+    (pagerank = importance, triangles = cohesion, label-prop =
+    denoise, degree stats = hub risk, AA = prediction). Two-hop
+    expansion is the textbook scale hazard (Σ deg² explodes at hubs):
+    neighbor lists are CAPPED at {_AA_CAP} per node by the portable
+    md5 hash order (the bounded-block rule — deterministic, oracle-
+    reproducible, bounds every bucket at C({_AA_CAP},2) pairs), while
+    degrees for the weight stay TRUE degrees. Per-term 6-dp rounding +
+    decimal sums; anti-join removes already-linked pairs; top-20 with
+    full tie-break."""
+    ev = _table(spark, sf_dir, "events")
+    sess = ag.sessionize_user_events(ev, gap_minutes=30)
+    ivl = sess.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+            "start_us"
+        ),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+    )
+    pairs = iv.overlap_join(ivl, ivl, bucket_us="auto").filter(
+        F.col("user_id_a") < F.col("user_id_b")
+    )
+    ed = pairs.select(
+        F.col("user_id_a").alias("ua"), F.col("user_id_b").alias("ub")
+    ).distinct()
+    sym = ed.select(F.col("ua").alias("u"), F.col("ub").alias("v")).unionAll(
+        ed.select(F.col("ub").alias("u"), F.col("ua").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    wn = Window.partitionBy("u").orderBy(
+        sp.hash_u32(F.col("v"), "tsdt|aa").asc(), F.col("v").asc()
+    )
+    nbr = (
+        sym.withColumn("__rn", F.row_number().over(wn))
+        .filter(F.col("__rn") <= _AA_CAP)
+        .select("u", "v")
+    )
+    a = nbr.select(F.col("u").alias("__via"), F.col("v").alias("x"))
+    b = nbr.select(F.col("u").alias("__via"), F.col("v").alias("y"))
+    hop2 = a.join(b.hint("shuffle_hash"), "__via").filter(
+        F.col("x") < F.col("y")
+    )
+    term = rd(F.lit(1.0) / F.log2(F.col("d").cast("double")), 6)
+    sc = (
+        hop2.join(
+            deg.select(F.col("u").alias("__via"), "d").hint("shuffle_hash"),
+            "__via",
+        )
+        .groupBy("x", "y")
+        .agg(F.sum(term.cast("decimal(38,6)")).cast("double").alias("__aa"))
+    )
+    new_links = sc.join(
+        ed.hint("shuffle_hash"),
+        (F.col("x") == F.col("ua")) & (F.col("y") == F.col("ub")),
+        "left_anti",
+    )
+    return (
+        new_links.select(
+            F.col("x").alias("user_a"),
+            F.col("y").alias("user_b"),
+            rd(F.col("__aa"), 6).alias("aa_score"),
+        )
+        .orderBy(F.col("aa_score").desc(), F.col("user_a").asc(), F.col("user_b").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "layout_partition_advisor",
+    f"""
+    WITH cand AS (
+      SELECT 'event_type' AS part_col, event_type AS k FROM events
+      UNION ALL
+      SELECT 'user_id' AS part_col, CAST(user_id AS VARCHAR) AS k FROM events
+      UNION ALL
+      SELECT 'event_day' AS part_col,
+             CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS k FROM events
+    ),
+    per_key AS (
+      SELECT part_col, k, count(*) AS rows_in_part
+      FROM cand GROUP BY part_col, k
+    ),
+    agg AS (
+      SELECT part_col, count(*) AS n_partitions, sum(rows_in_part) AS total_rows,
+             max(rows_in_part) AS max_part
+      FROM per_key GROUP BY part_col
+    )
+    SELECT part_col,
+           CAST(n_partitions AS BIGINT) AS n_partitions,
+           CAST(total_rows AS BIGINT) AS total_rows,
+           CAST(max_part AS BIGINT) AS max_part_rows,
+           {R("CAST(max_part AS DOUBLE)"
+              " / (CAST(total_rows AS DOUBLE) / n_partitions)", 6)} AS skew_ratio,
+           CAST(CASE WHEN n_partitions BETWEEN 5 AND 100000
+                      AND CAST(max_part AS DOUBLE)
+                          / (CAST(total_rows AS DOUBLE) / n_partitions) < 10.0
+                THEN 1 ELSE 0 END AS INTEGER) AS advisable
+    FROM agg
+    """,
+)
+def _q_layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-KEY advisor for the events table: for each candidate
+    key (event_type, user_id, epoch-day) the partition count, largest
+    partition, and skew ratio (max/mean) — the two failure modes of
+    `partitionBy` at 100 TB are too FEW/too MANY partitions and one
+    giant hot partition, and this row flags both (advisable = 5 ≤
+    parts ≤ 1e5 AND skew < 10). Completes the layout family: encoding
+    advisor (column codecs) → compaction plan (file sizing) → z-order
+    (clustering) → THIS (directory partitioning). One scan exploded to
+    three candidate keyings, two aggregations, |keys|-bounded rows."""
+    ev = _events_us(spark, sf_dir)
+    cand = (
+        ev.select(
+            F.lit("event_type").alias("part_col"),
+            F.col("event_type").cast("string").alias("k"),
+        )
+        .unionAll(
+            ev.select(
+                F.lit("user_id").alias("part_col"),
+                F.col("user_id").cast("string").alias("k"),
+            )
+        )
+        .unionAll(
+            ev.select(
+                F.lit("event_day").alias("part_col"),
+                F.expr("CAST(t_us DIV 86400000000 AS STRING)").alias("k"),
+            )
+        )
+    )
+    per_key = cand.groupBy("part_col", "k").agg(
+        F.count(F.lit(1)).alias("rows_in_part")
+    )
+    agg = per_key.groupBy("part_col").agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("rows_in_part").alias("total_rows"),
+        F.max("rows_in_part").alias("max_part"),
+    )
+    skew = F.col("max_part").cast("double") / (
+        F.col("total_rows").cast("double") / F.col("n_partitions")
+    )
+    return agg.select(
+        "part_col",
+        F.col("n_partitions").cast("long").alias("n_partitions"),
+        F.col("total_rows").cast("long").alias("total_rows"),
+        F.col("max_part").cast("long").alias("max_part_rows"),
+        rd(skew, 6).alias("skew_ratio"),
+        F.when(
+            (F.col("n_partitions").between(5, 100000)) & (skew < 10.0), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("advisable"),
+    )
+
+
+#: (z_{α/2} + z_β)² for α=0.05 two-sided, power 0.8 — a shared Python
+#: literal (normal quantiles are not SQL builtins in either engine).
+_Z2_80_05 = round((1.959963985 + 0.841621234) ** 2, 9)
+_AB_MDE_ABS = 0.5  # absolute minimum detectable effect, value units
+
+
+@register(
+    "stats_ab_power",
+    f"""
+    WITH cuped AS ({REGISTRY["stats_cuped_halves"][1]})
+    SELECT n_users,
+           var_y, var_y_adjusted,
+           CAST({_AB_MDE_ABS} AS DOUBLE) AS mde_abs,
+           CAST(ceil(2.0 * {_Z2_80_05} * var_y
+                     / ({_AB_MDE_ABS} * {_AB_MDE_ABS})) AS BIGINT)
+             AS n_required_raw,
+           CAST(ceil(2.0 * {_Z2_80_05} * var_y_adjusted
+                     / ({_AB_MDE_ABS} * {_AB_MDE_ABS})) AS BIGINT)
+             AS n_required_cuped,
+           {R(f"1.0 - ceil(2.0 * {_Z2_80_05} * var_y_adjusted / ({_AB_MDE_ABS} * {_AB_MDE_ABS}))"
+              f" / ceil(2.0 * {_Z2_80_05} * var_y / ({_AB_MDE_ABS} * {_AB_MDE_ABS}))", 6)}
+             AS sample_saving
+    FROM cuped
+    """,
+)
+def _q_stats_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B SAMPLE-SIZE calculator fed by the CUPED row: users per arm
+    to detect an absolute {_AB_MDE_ABS}-unit shift of the second-half
+    metric at α=0.05 / power 0.8, with and without the covariate
+    adjustment — `sample_saving` is CUPED's headline number (the
+    experiment you DIDN'T have to run). n = 2(z_α/2+z_β)²σ²/δ², the
+    z-quantile constant injected as one shared Python literal (normal
+    quantiles are not builtins in either engine). Pure 1-row
+    composition over `stats_cuped_halves` — its SQL is reused verbatim
+    as a CTE, so the two can never drift."""
+    c = REGISTRY["stats_cuped_halves"][0](spark, sf_dir)
+    n_raw = F.ceil(
+        F.lit(2.0) * F.lit(_Z2_80_05) * F.col("var_y")
+        / F.lit(_AB_MDE_ABS * _AB_MDE_ABS)
+    )
+    n_cuped = F.ceil(
+        F.lit(2.0) * F.lit(_Z2_80_05) * F.col("var_y_adjusted")
+        / F.lit(_AB_MDE_ABS * _AB_MDE_ABS)
+    )
+    return c.select(
+        "n_users",
+        "var_y",
+        "var_y_adjusted",
+        F.lit(float(_AB_MDE_ABS)).alias("mde_abs"),
+        n_raw.cast("long").alias("n_required_raw"),
+        n_cuped.cast("long").alias("n_required_cuped"),
+        rd(
+            F.lit(1.0) - n_cuped.cast("double") / n_raw.cast("double"), 6
+        ).alias("sample_saving"),
+    )
+
+
+_MOTIF_WORD = 4  # symbols per motif word
+
+
+@register(
+    "ts_sax_motifs",
+    f"""
+    WITH sax AS ({REGISTRY["ts_sax_symbols"][1]}),
+    words AS (
+      SELECT user_id, symbol
+             || lead(symbol, 1) OVER w || lead(symbol, 2) OVER w
+             || lead(symbol, 3) OVER w AS word
+      FROM sax WINDOW w AS (PARTITION BY user_id ORDER BY seg)
+    ),
+    wc AS (
+      SELECT user_id, word, count(*) AS cnt
+      FROM words WHERE word IS NOT NULL
+      GROUP BY user_id, word
+    ),
+    rk AS (
+      SELECT user_id, word, cnt,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY cnt DESC, word ASC
+             ) AS rank
+      FROM wc
+    )
+    SELECT user_id, word, CAST(cnt AS BIGINT) AS cnt,
+           CAST(rank AS INTEGER) AS rank
+    FROM rk WHERE rank <= 3
+    """,
+)
+def _q_ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOTIF mining over the SAX strings (the payoff of
+    `ts_sax_symbols`): each trial's top-3 recurring {_MOTIF_WORD}-symbol
+    words — the recurring shapes (daily ramps, sawtooths, flat spells)
+    a petabyte of raw floats hides but a 4-letter alphabet surfaces as
+    simple string counts (Lin/Keogh's motif-discovery application).
+    The SAX SQL is reused verbatim as a CTE so symbolization can never
+    drift from the registered query. Sliding words via 3 leads on the
+    trial-keyed window; (trial, word) counts and the top-3 window all
+    reuse the same single Exchange (hash(user) satisfies every wider
+    clustering)."""
+    sax = REGISTRY["ts_sax_symbols"][0](spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("seg").asc())
+    word = F.concat(
+        F.col("symbol"),
+        F.lead("symbol", 1).over(w),
+        F.lead("symbol", 2).over(w),
+        F.lead("symbol", 3).over(w),
+    )
+    words = sax.select("user_id", word.alias("word")).filter(
+        F.col("word").isNotNull()
+    )
+    wc = words.groupBy("user_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    rk = wc.select(
+        "user_id",
+        "word",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("cnt").desc(), F.col("word").asc()
+            )
+        )
+        .cast("int")
+        .alias("rank"),
+    )
+    return rk.filter(F.col("rank") <= 3)
