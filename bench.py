@@ -202,6 +202,8 @@ HEADLINE = [
     "layout_partition_advisor",  # partitionBy key audit, 3 rows
     "stats_ab_power",            # CUPED sample-size calculator
     "ts_sax_motifs",             # recurring shapes from SAX strings
+    "emb_separability_by_label",  # closed-form intra/inter cosine, no pairs
+    "dq_quarantine_rows",        # violation rows with reasons
 ]
 
 

@@ -13148,3 +13148,255 @@ def _q_ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank"),
     )
     return rk.filter(F.col("rank") <= 3)
+
+
+@register(
+    "emb_separability_by_label",
+    f"""
+    WITH ex AS (
+      SELECT vec_id, label, u['i'] - 1 AS i, CAST(u['v'] AS DOUBLE) AS x
+      FROM (SELECT vec_id, label,
+                   unnest(list_transform(embedding, (x, i) -> {{'v': x, 'i': i}})) AS u
+            FROM embeddings)
+    ),
+    nv AS (
+      SELECT vec_id,
+             sqrt(CAST(sum(CAST({sql_rd("x * x", 9)} AS DECIMAL(38,9)))
+                  AS DOUBLE)) AS nrm
+      FROM ex GROUP BY vec_id
+    ),
+    un AS (
+      SELECT e.label, e.vec_id, e.i, {sql_rd("e.x / n.nrm", 9)} AS u
+      FROM ex e JOIN nv n ON n.vec_id = e.vec_id WHERE n.nrm > 0
+    ),
+    li AS (
+      SELECT label, i,
+             CAST(sum(CAST({sql_rd("u", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS s,
+             CAST(sum(CAST({sql_rd("u * u", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS q
+      FROM un GROUP BY label, i
+    ),
+    ti AS (
+      SELECT i, CAST(sum(CAST({sql_rd("s", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS st
+      FROM li GROUP BY i
+    ),
+    nl AS (SELECT label, count(DISTINCT vec_id) AS n FROM un GROUP BY label),
+    nt AS (SELECT count(*) AS ntot FROM nv WHERE nrm > 0),
+    lg AS (
+      SELECT li.label,
+             CAST(sum(CAST({sql_rd("li.s * li.s", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS ss,
+             CAST(sum(CAST({sql_rd("li.q", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS qq,
+             CAST(sum(CAST({sql_rd("li.s * (ti.st - li.s)", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS cross_dot
+      FROM li JOIN ti ON ti.i = li.i
+      GROUP BY li.label
+    )
+    SELECT lg.label, CAST(nl.n AS BIGINT) AS n_vecs,
+           {R("(ss - qq) / (nl.n * (nl.n - 1))", 6)} AS intra_mean_cos,
+           {R("cross_dot / (CAST(nl.n AS DOUBLE) * (nt.ntot - nl.n))", 6)}
+             AS inter_mean_cos,
+           {R("(ss - qq) / (nl.n * (nl.n - 1))"
+              " - cross_dot / (CAST(nl.n AS DOUBLE) * (nt.ntot - nl.n))", 6)}
+             AS separability_gap
+    FROM lg JOIN nl ON nl.label = lg.label CROSS JOIN nt
+    WHERE nl.n > 1
+    """,
+)
+def _q_emb_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label SEPARABILITY without a single pair: mean intra-label and
+    mean inter-label cosine from CLOSED FORMS over per-label unit-sum
+    vectors — Σ_{{i≠j}} uᵢ·uⱼ = ‖S_a‖² − Σ‖uᵢ‖² and the inter term is
+    S_a·(S_tot − S_a), so the contrastive-quality headline (do labels
+    cohere, and do they separate?) costs three d-bounded aggregations
+    instead of N² pair dots — at 100 TB this is the difference between
+    an audit and an impossibility. `separability_gap` ≤ 0 means labels
+    are indistinguishable to cosine (retrain the encoder before
+    trusting SemDeDup cells or kNN votes). Unit vectors on the 9-dp
+    grid; every sum decimal-accumulated; the only joins are on the
+    64-row dimension key and the |labels|-row label key."""
+    emb = _table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    nv = ex.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum(rd(F.col("x") * F.col("x"), 9).cast("decimal(38,9)")).cast(
+                "double"
+            )
+        ).alias("__nrm")
+    )
+    un = (
+        ex.join(nv.hint("shuffle_hash"), "vec_id")
+        .filter(F.col("__nrm") > 0)
+        .select(
+            "label",
+            "vec_id",
+            "i",
+            rd(F.col("x") / F.col("__nrm"), 9).alias("__u"),
+        )
+    )
+    li = un.groupBy("label", "i").agg(
+        F.sum(rd(F.col("__u"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("__s"),
+        F.sum(rd(F.col("__u") * F.col("__u"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("__q"),
+    )
+    ti = li.groupBy("i").agg(
+        F.sum(rd(F.col("__s"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("__st")
+    )
+    nl = un.groupBy("label").agg(F.countDistinct("vec_id").alias("__n"))
+    nt = nv.filter(F.col("__nrm") > 0).agg(
+        F.count(F.lit(1)).alias("__ntot")
+    )
+    lg = (
+        li.join(F.broadcast(ti), "i")
+        .groupBy("label")
+        .agg(
+            F.sum(rd(F.col("__s") * F.col("__s"), 9).cast("decimal(38,9)"))
+            .cast("double")
+            .alias("__ss"),
+            F.sum(rd(F.col("__q"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("__qq"),
+            F.sum(
+                rd(
+                    F.col("__s") * (F.col("__st") - F.col("__s")), 9
+                ).cast("decimal(38,9)")
+            )
+            .cast("double")
+            .alias("__cross"),
+        )
+    )
+    j = (
+        lg.join(nl.hint("shuffle_hash"), "label")
+        .crossJoin(F.broadcast(nt))
+        .filter(F.col("__n") > 1)
+    )
+    intra = rd(
+        (F.col("__ss") - F.col("__qq"))
+        / (F.col("__n") * (F.col("__n") - 1)),
+        6,
+    )
+    inter = rd(
+        F.col("__cross")
+        / (F.col("__n").cast("double") * (F.col("__ntot") - F.col("__n"))),
+        6,
+    )
+    gap = rd(
+        (F.col("__ss") - F.col("__qq"))
+        / (F.col("__n") * (F.col("__n") - 1))
+        - F.col("__cross")
+        / (F.col("__n").cast("double") * (F.col("__ntot") - F.col("__n"))),
+        6,
+    )
+    return j.select(
+        "label",
+        F.col("__n").cast("long").alias("n_vecs"),
+        intra.alias("intra_mean_cos"),
+        inter.alias("inter_mean_cos"),
+        gap.alias("separability_gap"),
+    )
+
+
+@register(
+    "dq_quarantine_rows",
+    f"""
+    WITH f AS (
+      SELECT o.o_orderkey,
+             CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END AS r_null,
+             CASE WHEN o.o_totalprice IS NOT NULL
+                       AND (o.o_totalprice < 0.0 OR o.o_totalprice > 100000.0)
+                  THEN 1 ELSE 0 END AS r_range,
+             CASE WHEN o.o_orderstatus IS NOT NULL
+                       AND o.o_orderstatus NOT IN ('F', 'O')
+                  THEN 1 ELSE 0 END AS r_set,
+             CASE WHEN o.o_orderpriority IS NOT NULL
+                       AND NOT regexp_matches(o.o_orderpriority, '^[1-3]-')
+                  THEN 1 ELSE 0 END AS r_fmt,
+             CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+                  THEN 1 ELSE 0 END AS r_fk
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT o_orderkey,
+           array_to_string(list_sort(
+             [x FOR x IN [
+               CASE WHEN r_null = 1 THEN 'not_null(o_custkey)' END,
+               CASE WHEN r_range = 1 THEN 'in_range(o_totalprice)' END,
+               CASE WHEN r_set = 1 THEN 'in_set(o_orderstatus)' END,
+               CASE WHEN r_fmt = 1 THEN 'priority_format' END,
+               CASE WHEN r_fk = 1 THEN 'fk(o_custkey)' END
+             ] IF x IS NOT NULL]), ',') AS reasons,
+           CAST(r_null + r_range + r_set + r_fmt + r_fk AS INTEGER) AS n_reasons
+    FROM f
+    WHERE r_null + r_range + r_set + r_fmt + r_fk > 0
+    """,
+)
+def _q_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL quarantine: the failing rows behind
+    `dq_expectations_report`'s counts, each labeled with every rule it
+    violates (sorted, comma-joined) — the quarantine TABLE a production
+    ingest writes next to the clean drop so violations are debuggable
+    and replayable, not just counted. Same five rules as the report
+    (null / range / set / format / FK); the FK check is one
+    broadcast-size LEFT join; everything else is scan-side codegen.
+    Output is violation-bounded."""
+    orders = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("__ck")
+    )
+    j = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == F.col("__ck"), "left"
+    )
+    r_null = F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+    r_range = F.when(
+        F.col("o_totalprice").isNotNull()
+        & ((F.col("o_totalprice") < 0.0) | (F.col("o_totalprice") > 100000.0)),
+        1,
+    ).otherwise(0)
+    r_set = F.when(
+        F.col("o_orderstatus").isNotNull()
+        & ~F.col("o_orderstatus").isin("F", "O"),
+        1,
+    ).otherwise(0)
+    r_fmt = F.when(
+        F.col("o_orderpriority").isNotNull()
+        & ~F.col("o_orderpriority").rlike("^[1-3]-"),
+        1,
+    ).otherwise(0)
+    r_fk = F.when(
+        F.col("o_custkey").isNotNull() & F.col("__ck").isNull(), 1
+    ).otherwise(0)
+    flagged = j.select(
+        "o_orderkey",
+        r_null.alias("__rn"),
+        r_range.alias("__rr"),
+        r_set.alias("__rs"),
+        r_fmt.alias("__rf"),
+        r_fk.alias("__rk"),
+    )
+    total = (
+        F.col("__rn") + F.col("__rr") + F.col("__rs")
+        + F.col("__rf") + F.col("__rk")
+    )
+    reasons = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.array(
+                    F.when(F.col("__rn") == 1, F.lit("not_null(o_custkey)")),
+                    F.when(F.col("__rr") == 1, F.lit("in_range(o_totalprice)")),
+                    F.when(F.col("__rs") == 1, F.lit("in_set(o_orderstatus)")),
+                    F.when(F.col("__rf") == 1, F.lit("priority_format")),
+                    F.when(F.col("__rk") == 1, F.lit("fk(o_custkey)")),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        ",",
+    )
+    return flagged.filter(total > 0).select(
+        "o_orderkey",
+        reasons.alias("reasons"),
+        total.cast("int").alias("n_reasons"),
+    )
