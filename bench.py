@@ -204,6 +204,8 @@ HEADLINE = [
     "ts_sax_motifs",             # recurring shapes from SAX strings
     "emb_separability_by_label",  # closed-form intra/inter cosine, no pairs
     "dq_quarantine_rows",        # violation rows with reasons
+    "export_manifest_shards",    # shard-local integrity contract
+    "events_rfm_segments",       # boundary-broadcast quintile scoring
 ]
 
 

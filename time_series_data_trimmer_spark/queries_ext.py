@@ -13400,3 +13400,188 @@ def _q_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         reasons.alias("reasons"),
         total.cast("int").alias("n_reasons"),
     )
+
+
+_EXPORT_SHARDS = 8
+
+
+@register(
+    "export_manifest_shards",
+    f"""
+    WITH h AS (
+      SELECT ({sp.sql_hash_u32("doc_id", "tsdt|shard")}) % {_EXPORT_SHARDS}
+               AS shard,
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             {sp.sql_hash_u32(
+                 "concat_ws('|', CAST(doc_id AS VARCHAR), coalesce(text, ''),"
+                 " coalesce(lang, ''), CAST(n_chars AS VARCHAR))",
+                 'tsdt|fp')} AS u
+      FROM documents
+    )
+    SELECT CAST(shard AS INTEGER) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(u AS DECIMAL(38,0))) % 1000000000000000000 AS BIGINT)
+             AS content_sum_mod,
+           min(u) AS content_min, max(u) AS content_max
+    FROM h GROUP BY shard
+    """,
+)
+def _q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPORT MANIFEST for a sharded corpus handoff: per hash shard
+    (the deterministic md5 shard every doc would be written to), the
+    doc count, token count, and the order-insensitive content
+    fingerprint — the receiving side recomputes this table on what
+    arrived and diffs {_EXPORT_SHARDS} rows to localize any dropped /
+    duplicated / corrupted shard WITHOUT re-reading the healthy ones
+    (the `dq_content_fingerprint` reconciliation made shard-local, the
+    integrity contract a 100 TB handoff signs). One scan, map-side-
+    combined aggregation."""
+    docs = _table(spark, sf_dir, "documents")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.col("n_chars").cast("string"),
+    )
+    h = docs.select(
+        (sp.hash_u32(F.col("doc_id"), "tsdt|shard") % _EXPORT_SHARDS)
+        .cast("int")
+        .alias("shard"),
+        tx.token_count(F.col("text")).cast("long").alias("__nt"),
+        sp.hash_u32(row_repr, "tsdt|fp").alias("__u"),
+    )
+    return h.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+        (
+            F.sum(F.col("__u").cast("decimal(38,0)"))
+            % F.lit(1000000000000000000).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("content_sum_mod"),
+        F.min("__u").alias("content_min"),
+        F.max("__u").alias("content_max"),
+    )
+
+
+@register(
+    "events_rfm_segments",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, value FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             max(us) AS last_us,
+             count(*) AS frequency,
+             CAST(sum(CAST({sql_rd("coalesce(value, 0.0)", 4)}
+                  AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+      FROM e GROUP BY user_id
+    ),
+    g AS (SELECT max(last_us) AS gmax FROM u),
+    rfm AS (
+      SELECT user_id,
+             CAST((gmax - last_us) // 86400000000 AS BIGINT) AS recency_days,
+             frequency, {R("monetary", 2)} AS monetary
+      FROM u CROSS JOIN g
+    ),
+    b AS (
+      SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+             quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
+             quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+      FROM rfm
+    ),
+    sc AS (
+      SELECT user_id, recency_days, frequency, monetary,
+             5 - (CASE WHEN recency_days > rb[1] THEN 1 ELSE 0 END
+                + CASE WHEN recency_days > rb[2] THEN 1 ELSE 0 END
+                + CASE WHEN recency_days > rb[3] THEN 1 ELSE 0 END
+                + CASE WHEN recency_days > rb[4] THEN 1 ELSE 0 END) AS r_score,
+             1 + CASE WHEN frequency > fb[1] THEN 1 ELSE 0 END
+               + CASE WHEN frequency > fb[2] THEN 1 ELSE 0 END
+               + CASE WHEN frequency > fb[3] THEN 1 ELSE 0 END
+               + CASE WHEN frequency > fb[4] THEN 1 ELSE 0 END AS f_score,
+             1 + CASE WHEN monetary > mb[1] THEN 1 ELSE 0 END
+               + CASE WHEN monetary > mb[2] THEN 1 ELSE 0 END
+               + CASE WHEN monetary > mb[3] THEN 1 ELSE 0 END
+               + CASE WHEN monetary > mb[4] THEN 1 ELSE 0 END AS m_score
+      FROM rfm CROSS JOIN b
+    )
+    SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency,
+           monetary,
+           CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM sc
+    """,
+)
+def _q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION (recency / frequency / monetary) — the classic
+    OLAP customer-scoring shape, built scale-safe: quintile BOUNDARIES
+    come from ONE interpolated-percentile AGGREGATE row (the sanctioned
+    1-row scalar, broadcast back), NOT from a global rank window — an
+    ntile() over all users is a keyless-window single-partition sort
+    that both violates the repo's plan rule and dies at 10⁹ users,
+    while boundary-broadcast scoring is one user-keyed aggregation +
+    one scan. Ties score identically by construction (strict >
+    against interpolated boundaries), so no engine-varying tie order
+    exists; monetary sums accumulate 4-dp decimals."""
+    ev = _events(spark, sf_dir)
+    us = event_micros(ev)
+    u = ev.select("user_id", us.alias("__us"), "value").groupBy("user_id").agg(
+        F.max("__us").alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(rd(F.coalesce(F.col("value"), F.lit(0.0)), 4).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("__mon"),
+    )
+    g = u.agg(F.max("__last").alias("__gmax"))
+    rfm = u.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        F.expr("(__gmax - __last) DIV 86400000000").cast("long").alias(
+            "recency_days"
+        ),
+        "frequency",
+        rd(F.col("__mon"), 2).alias("monetary"),
+    )
+    b = rfm.agg(
+        F.percentile(F.col("recency_days"), F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])).alias("__rb"),
+        F.percentile(F.col("frequency"), F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])).alias("__fb"),
+        F.percentile(F.col("monetary"), F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])).alias("__mb"),
+    )
+
+    def bucket(col, arr, invert=False):
+        s = None
+        for k in range(4):
+            t = F.when(col > F.col(arr)[k], 1).otherwise(0)
+            s = t if s is None else s + t
+        return (F.lit(5) - s) if invert else (F.lit(1) + s)
+
+    sc = rfm.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        "recency_days",
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+        bucket(F.col("recency_days"), "__rb", invert=True)
+        .cast("int")
+        .alias("r_score"),
+        bucket(F.col("frequency"), "__fb").cast("int").alias("f_score"),
+        bucket(F.col("monetary"), "__mb").cast("int").alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            F.lit("champion"),
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), F.lit("at_risk"))
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), F.lit("hibernating"))
+        .otherwise(F.lit("regular"))
+    )
+    return sc.withColumn("segment", seg)
