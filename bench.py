@@ -206,6 +206,8 @@ HEADLINE = [
     "dq_quarantine_rows",        # violation rows with reasons
     "export_manifest_shards",    # shard-local integrity contract
     "events_rfm_segments",       # boundary-broadcast quintile scoring
+    "dedup_semantic_tau_sweep",  # threshold curve from one blocking pass
+    "emb_lsh_recall_by_bits",    # what each operating point forfeits
 ]
 
 

@@ -4308,10 +4308,11 @@ def _semdedup_k(n: int) -> int:
     return max(16, int(math.ceil(math.sqrt(max(n, 1)))))
 
 
-@register(
-    "dedup_semantic",
-    f"""
-    WITH ex AS ({_EX_SQL}),
+#: shared SemDeDup CTE chain (cells → assignment → norms → within-cell
+#: pair dots); callers append their own decision CTEs on top of
+#: ``pdots``/``norms``/``assigned``. Factored so the registered
+#: survivor query and the τ-sensitivity sweep can never drift.
+_SEMDEDUP_CTE_SQL = f"""ex AS ({_EX_SQL}),
     kk AS (
       SELECT greatest(16, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k
       FROM embeddings
@@ -4345,7 +4346,13 @@ def _semdedup_k(n: int) -> int:
       JOIN ex ea ON ea.vec_id = aa.vec_id
       JOIN ex eb ON eb.vec_id = bb.vec_id AND eb.i = ea.i
       GROUP BY aa.vec_id, bb.vec_id
-    ),
+    )"""
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    WITH {_SEMDEDUP_CTE_SQL},
     dropped AS (
       SELECT DISTINCT p.id_b AS vec_id
       FROM pdots p
@@ -13585,3 +13592,260 @@ def _q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("regular"))
     )
     return sc.withColumn("segment", seg)
+
+
+_SEMDEDUP_SWEEP_TAUS = (0.5, 0.7, 0.9)
+
+
+@register(
+    "dedup_semantic_tau_sweep",
+    f"""
+    WITH {_SEMDEDUP_CTE_SQL},
+    cos AS (
+      SELECT p.id_a, p.id_b,
+             CAST(p.dxy AS DOUBLE) / (na.nrm * nb.nrm) AS c
+      FROM pdots p
+      JOIN norms na ON na.vec_id = p.id_a
+      JOIN norms nb ON nb.vec_id = p.id_b
+    ),
+    taus AS (SELECT unnest([{", ".join(f"CAST({t} AS DOUBLE)" for t in _SEMDEDUP_SWEEP_TAUS)}]) AS tau),
+    nt AS (SELECT count(*) AS n FROM embeddings),
+    per AS (
+      SELECT t.tau,
+             count(c2.id_a) AS n_pairs,
+             count(DISTINCT c2.id_b) AS n_dropped
+      FROM taus t LEFT JOIN cos c2 ON c2.c >= t.tau
+      GROUP BY t.tau
+    )
+    SELECT per.tau,
+           CAST(per.n_pairs AS BIGINT) AS n_pairs,
+           CAST(per.n_dropped AS BIGINT) AS n_dropped,
+           {R("CAST(per.n_dropped AS DOUBLE) / nt.n", 6)} AS drop_frac
+    FROM per CROSS JOIN nt
+    """,
+)
+def _q_dedup_semantic_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup τ-SENSITIVITY from ONE within-cell pair pass: the pair
+    count, dropped-doc count, and corpus drop fraction at τ ∈
+    {_SEMDEDUP_SWEEP_TAUS} — the curve a mix owner reads before
+    committing a threshold (drop 2% or 20%?), priced at one blocking
+    pass instead of three dedup runs. Pairs come from
+    `sim.semdedup_pairs` at the LOWEST τ (every higher-τ answer is a
+    filter of that set); the SQL reuses `_SEMDEDUP_CTE_SQL` verbatim,
+    so the sweep can never drift from the registered survivor query.
+    N-adaptive cells as always; the τ explode is a 3-literal array."""
+    emb = _table(spark, sf_dir, "embeddings")
+    k = _semdedup_k(emb.count())
+    pairs = sim.semdedup_pairs(
+        emb, tau=min(_SEMDEDUP_SWEEP_TAUS), n_centroids=k
+    ).select("id_a", "id_b", "cosine")
+    tau_rows = F.explode(
+        F.array(*[F.lit(float(t)) for t in _SEMDEDUP_SWEEP_TAUS])
+    ).alias("tau")
+    taus_df = emb.sparkSession.range(1).select(tau_rows)
+    nt = emb.agg(F.count(F.lit(1)).alias("__n"))
+    # explode τ INTO the pair rows and filter (the wave-14 eval shape:
+    # an inequality JOIN here would be an unsanctioned 3-row BNLJ); the
+    # tiny taus frame equi-joins back so zero-pair τ rows survive
+    hits = (
+        pairs.select("id_a", "id_b", "cosine", tau_rows)
+        .filter(F.col("cosine") >= F.col("tau"))
+        .groupBy("tau")
+        .agg(
+            F.count("id_a").alias("n_pairs"),
+            F.countDistinct("id_b").alias("n_dropped"),
+        )
+    )
+    per = taus_df.join(hits.hint("shuffle_hash"), "tau", "left").select(
+        "tau",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+        F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+    )
+    return per.crossJoin(F.broadcast(nt)).select(
+        "tau",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        rd(F.col("n_dropped").cast("double") / F.col("__n"), 6).alias(
+            "drop_frac"
+        ),
+    )
+
+
+_RECALL_Q = 8  # probe vectors: vec_id 0..7 (deterministic sample)
+
+
+@register(
+    "emb_lsh_recall_by_bits",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    planes AS (
+      SELECT b.b, i.i,
+             ('0x' || substr(md5('tsdt|t0|' || b.b || '|' || i.i), 1, 8))::BIGINT
+               / 2147483648.0 - 1.0 AS w
+      FROM generate_series(0, {max(_BITS_SWEEP) - 1}) b(b),
+           generate_series(0, 63) i(i)
+    ),
+    pdots AS (
+      SELECT e.vec_id, p.b,
+             CAST(sum(CAST({sql_rd("e.x * p.w", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS d
+      FROM ex e JOIN planes p ON p.i = e.i - 1
+      GROUP BY e.vec_id, p.b
+    ),
+    sigs AS (
+      SELECT vec_id,
+             sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sig
+      FROM pdots GROUP BY vec_id
+    ),
+    norms AS (
+      SELECT vec_id,
+             sqrt(CAST(sum(CAST({sql_rd("x * x", 9)} AS DECIMAL(38,9))) AS DOUBLE)) AS nrm
+      FROM ex GROUP BY vec_id
+    ),
+    qex AS (SELECT vec_id AS qid, i, x FROM ex WHERE vec_id < {_RECALL_Q}),
+    dots AS (
+      SELECT q.qid, e.vec_id,
+             CAST(sum(CAST({sql_rd("q.x * e.x", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS dxy
+      FROM qex q JOIN ex e ON e.i = q.i AND e.vec_id <> q.qid
+      GROUP BY q.qid, e.vec_id
+    ),
+    cos AS (
+      SELECT d.qid, d.vec_id,
+             {R("d.dxy / (nq.nrm * nv.nrm)", 6)} AS c
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.qid
+      JOIN norms nv ON nv.vec_id = d.vec_id
+    ),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) AS rn
+        FROM cos
+      ) WHERE rn <= 10
+    )
+    {" UNION ALL ".join(
+        f'''SELECT {b} AS n_bits,
+           {R(f"CAST(sum(hit) AS DOUBLE) / ({_RECALL_Q} * 10.0)", 6)} AS recall_at_10,
+           CAST(count(*) AS BIGINT) AS n_candidates
+        FROM (
+          SELECT CASE WHEN t.qid IS NOT NULL AND pr.rn <= 10 THEN 1 ELSE 0 END AS hit
+          FROM (
+            SELECT c.qid, c.vec_id,
+                   row_number() OVER (PARTITION BY c.qid ORDER BY c.c DESC, c.vec_id ASC) AS rn
+            FROM cos c
+            JOIN sigs sq ON sq.vec_id = c.qid
+            JOIN sigs sv ON sv.vec_id = c.vec_id
+            WHERE sq.sig % {1 << b} = sv.sig % {1 << b}
+          ) pr
+          LEFT JOIN truth t ON t.qid = pr.qid AND t.vec_id = pr.vec_id
+        )'''
+        for b in _BITS_SWEEP
+    )}
+    """,
+)
+def _q_emb_lsh_recall_by_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall for the bits sweep: `emb_lsh_bits_sweep` prices
+    candidate volume per operating point; this query prices what each
+    point FORFEITS — recall@10 over {_RECALL_Q} deterministic probe
+    vectors (exact decimal-cosine top-10 as truth, same-bucket
+    candidates ranked by the same cosine as the probe result). The
+    bucket nests (lower b bits of one plane pool), so recall is
+    monotone non-increasing in bits while candidates shrink — the two
+    tables together ARE the bits decision. At 100 TB the probe set is
+    a sample, the per-probe cost is one bucket scan, and truth costs
+    Q·N — the standard sampled-recall audit (the IVF/PQ recall rows'
+    methodology, now for the hyperplane blocker)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    sigs = (
+        sim.lsh_signatures(emb, dim=64, bits=max(_BITS_SWEEP), tables=1)
+        .select("vec_id", "sig")
+        .localCheckpoint(eager=False)
+    )
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    # probe rows join the broadcast 8×64 query-element table on the
+    # DIMENSION key (equi-join — an array-vs-array form here would be
+    # an unsanctioned 8-row BNLJ), the oracle's own shape
+    qex = ex.filter(F.col("vec_id") < _RECALL_Q).select(
+        F.col("vec_id").alias("qid"), "i", F.col("x").alias("__qx")
+    )
+    dots = (
+        ex.join(F.broadcast(qex), "i")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(rd(F.col("__qx") * F.col("x"), 9).cast("decimal(38,9)"))
+            .cast("double")
+            .alias("__dxy")
+        )
+    )
+    norms = ex.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum(rd(F.col("x") * F.col("x"), 9).cast("decimal(38,9)")).cast(
+                "double"
+            )
+        ).alias("__nrm")
+    ).localCheckpoint(eager=False)
+    cos = (
+        dots.join(
+            F.broadcast(
+                norms.select(F.col("vec_id").alias("qid"), F.col("__nrm").alias("__nq")).filter(
+                    F.col("qid") < _RECALL_Q
+                )
+            ),
+            "qid",
+        )
+        .join(norms.hint("shuffle_hash"), "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            rd(F.col("__dxy") / (F.col("__nq") * F.col("__nrm")), 6).alias(
+                "__c"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("__c").desc(), F.col("vec_id").asc()
+    )
+    truth = (
+        cos.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= 10)
+        .select("qid", "vec_id", F.lit(1).alias("__t"))
+    )
+    qsig = sigs.select(F.col("vec_id").alias("qid"), F.col("sig").alias("__qs"))
+    vsig = sigs.select("vec_id", F.col("sig").alias("__vs"))
+    rows = []
+    for b in _BITS_SWEEP:
+        probe = (
+            cos.join(F.broadcast(qsig), "qid")
+            .join(vsig.hint("shuffle_hash"), "vec_id")
+            .filter(
+                F.pmod(F.col("__qs"), F.lit(1 << b))
+                == F.pmod(F.col("__vs"), F.lit(1 << b))
+            )
+            .withColumn("__rn", F.row_number().over(wq))
+        )
+        scored = probe.join(
+            truth.hint("shuffle_hash"), ["qid", "vec_id"], "left"
+        ).select(
+            F.when(
+                (F.col("__t") == 1) & (F.col("__rn") <= 10), 1
+            ).otherwise(0).alias("hit")
+        )
+        rows.append(
+            scored.agg(
+                rd(
+                    F.sum("hit").cast("double") / F.lit(_RECALL_Q * 10.0), 6
+                ).alias("recall_at_10"),
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            ).select(
+                F.lit(b).cast("int").alias("n_bits"),
+                "recall_at_10",
+                "n_candidates",
+            )
+        )
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionByName(x)
+    return out
