@@ -208,6 +208,8 @@ HEADLINE = [
     "events_rfm_segments",       # boundary-broadcast quintile scoring
     "dedup_semantic_tau_sweep",  # threshold curve from one blocking pass
     "emb_lsh_recall_by_bits",    # what each operating point forfeits
+    "dedup_cluster_size_histogram",  # duplication shape, log2 buckets
+    "pipeline_dedup_budget_pack",  # the whole layout pipeline, one plan
 ]
 
 

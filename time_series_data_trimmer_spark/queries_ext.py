@@ -11239,6 +11239,35 @@ def _q_dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _candidate_eval_frame(sub, pred)
 
 
+def _pack_efficiency_agg(packed: DataFrame) -> DataFrame:
+    """One-row packing audit over a pack-offsets frame (shared by the
+    raw-corpus report and the dedup→budget→pack pipeline)."""
+    agg = packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("first_seq") < F.col("last_seq"), 1).otherwise(0)
+        ).alias("split_docs"),
+        F.sum(F.col("last_seq") - F.col("first_seq") + 1).alias("fragments"),
+    )
+    nseq = F.expr("(n_tokens + 511) DIV 512")
+    return agg.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        nseq.cast("long").alias("n_sequences"),
+        F.col("split_docs").cast("long").alias("split_docs"),
+        rd(F.col("split_docs").cast("double") / F.col("n_docs"), 6).alias(
+            "split_frac"
+        ),
+        F.col("fragments").cast("long").alias("fragments"),
+        rd(F.col("fragments").cast("double") / nseq, 6).alias("docs_per_seq"),
+        (nseq * 512 - F.col("n_tokens")).cast("long").alias("tail_pad_tokens"),
+        rd(F.col("n_tokens").cast("double") / (nseq * 512), 6).alias(
+            "utilization"
+        ),
+    )
+
+
 @register(
     "mix_pack_efficiency_report",
     f"""
@@ -11299,30 +11328,7 @@ def _q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = sp.sequence_pack_offsets(
         _table(spark, sf_dir, "documents"), seq_len=512
     )
-    agg = packed.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
-        F.sum(
-            F.when(F.col("first_seq") < F.col("last_seq"), 1).otherwise(0)
-        ).alias("split_docs"),
-        F.sum(F.col("last_seq") - F.col("first_seq") + 1).alias("fragments"),
-    )
-    nseq = F.expr("(n_tokens + 511) DIV 512")
-    return agg.select(
-        F.col("n_docs").cast("long").alias("n_docs"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        nseq.cast("long").alias("n_sequences"),
-        F.col("split_docs").cast("long").alias("split_docs"),
-        rd(F.col("split_docs").cast("double") / F.col("n_docs"), 6).alias(
-            "split_frac"
-        ),
-        F.col("fragments").cast("long").alias("fragments"),
-        rd(F.col("fragments").cast("double") / nseq, 6).alias("docs_per_seq"),
-        (nseq * 512 - F.col("n_tokens")).cast("long").alias("tail_pad_tokens"),
-        rd(F.col("n_tokens").cast("double") / (nseq * 512), 6).alias(
-            "utilization"
-        ),
-    )
+    return _pack_efficiency_agg(packed)
 
 
 @register(
@@ -13849,3 +13855,171 @@ def _q_emb_lsh_recall_by_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in rows[1:]:
         out = out.unionByName(x)
     return out
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    f"""
+    WITH RECURSIVE shingled AS ({_SH_SQL}),
+    sig AS ({_SIG_SQL}),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS key
+      FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst
+    ),
+    cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+    sz AS (SELECT cluster_id, count(*) AS size FROM cl GROUP BY cluster_id),
+    bk AS (
+      SELECT cluster_id, size,
+             CAST(length(bin(size)) - 1 AS BIGINT) AS bucket
+      FROM sz
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(size) AS BIGINT) AS n_docs,
+           CAST(min(size) AS BIGINT) AS min_size,
+           CAST(max(size) AS BIGINT) AS max_size
+    FROM bk GROUP BY bucket
+    """,
+)
+def _q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW DUPLICATED is the corpus, as a shape: near-dup cluster sizes
+    in exact log2 buckets (bucket = bit_length(size)−1, the
+    degree-stats convention — no float log edge at powers of two).
+    Bucket 0 = unique documents; a heavy tail is the OOM/skew hazard
+    every bounded-block rule in this repo guards against, and THIS
+    table is where that tail is measured before it bites (the r3
+    pair-explosion incident would have shown here first). Same CC
+    chain as the survivors pipeline; output is O(log max-size) rows."""
+    docs = _table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs).select("id_a", "id_b")
+    comp = dd.connected_components(
+        pairs, all_ids=docs.select("doc_id"), id_col="doc_id"
+    )
+    sz = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    bk = sz.select(
+        "size", F.expr("CAST(length(bin(size)) - 1 AS BIGINT)").alias("bucket")
+    )
+    return bk.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("size").cast("long").alias("n_docs"),
+        F.min("size").cast("long").alias("min_size"),
+        F.max("size").cast("long").alias("max_size"),
+    )
+
+
+@register(
+    "pipeline_dedup_budget_pack",
+    f"""
+    WITH RECURSIVE shingled AS ({_SH_SQL}),
+    sig AS ({_SIG_SQL}),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS key
+      FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst
+    ),
+    cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+    toks AS (
+      SELECT doc_id, source,
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             {_SQL_H} AS h
+      FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM cl WHERE doc_id = cluster_id)
+    ),
+    budg AS (
+      SELECT doc_id, n_tokens, h,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM toks
+    ),
+    kept AS (SELECT doc_id, n_tokens, h FROM budg WHERE cum_tokens <= {_MIX_BUDGET}),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS tok_end
+      FROM kept
+    ),
+    o AS (
+      SELECT n_tokens, tok_end,
+             CAST(floor((tok_end - n_tokens) / 512.0) AS BIGINT) AS first_seq,
+             CAST(floor((tok_end - 1) / 512.0) AS BIGINT) AS last_seq
+      FROM c WHERE n_tokens > 0
+    ),
+    a AS (
+      SELECT count(*) AS n_docs,
+             sum(n_tokens) AS n_tokens,
+             sum(CASE WHEN first_seq < last_seq THEN 1 ELSE 0 END) AS split_docs,
+             sum(last_seq - first_seq + 1) AS fragments
+      FROM o
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((n_tokens + 511) // 512 AS BIGINT) AS n_sequences,
+           CAST(split_docs AS BIGINT) AS split_docs,
+           {R("CAST(split_docs AS DOUBLE) / n_docs", 6)} AS split_frac,
+           CAST(fragments AS BIGINT) AS fragments,
+           {R("CAST(fragments AS DOUBLE) / ((n_tokens + 511) // 512)", 6)}
+             AS docs_per_seq,
+           CAST(((n_tokens + 511) // 512) * 512 - n_tokens AS BIGINT)
+             AS tail_pad_tokens,
+           {R("CAST(n_tokens AS DOUBLE) / (((n_tokens + 511) // 512) * 512)", 6)}
+             AS utilization
+    FROM a
+    """,
+)
+def _q_pipeline_dedup_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE WHOLE TRAINING-DATA LAYOUT PIPELINE AS ONE LAZY PLAN:
+    near-dedup (LSH + connected components) → per-source token budget
+    over survivors (`mix_budget_after_dedup`'s order-that-matters) →
+    concat-and-chop packing of the budgeted corpus → the one-row
+    packing-efficiency audit. This is the query a user actually ships:
+    every stage is the already-proven registered operator, composed
+    lazily so Catalyst sees ONE plan (the budget window's source
+    partitioning feeds the pack's shard prefix-sum without a
+    materialization boundary). The oracle chains the same five stages
+    in SQL — CC recursion, budget window, global pack cumsum, audit
+    aggregate — so the composition, not just the pieces, is
+    value-checked."""
+    docs = _table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs).select("id_a", "id_b")
+    comp = dd.connected_components(
+        pairs, all_ids=docs.select("doc_id"), id_col="doc_id"
+    )
+    keep = comp.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    surv = docs.join(keep.hint("shuffle_hash"), "doc_id", "left_semi")
+    budgeted = sp.token_budget_per_stratum(surv, _MIX_BUDGET).select("doc_id")
+    final_docs = docs.join(budgeted.hint("shuffle_hash"), "doc_id", "left_semi")
+    packed = sp.sequence_pack_offsets(final_docs, seq_len=512)
+    return _pack_efficiency_agg(packed)
