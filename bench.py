@@ -210,6 +210,7 @@ HEADLINE = [
     "emb_lsh_recall_by_bits",    # what each operating point forfeits
     "dedup_cluster_size_histogram",  # duplication shape, log2 buckets
     "pipeline_dedup_budget_pack",  # the whole layout pipeline, one plan
+    "sim_ivf_nprobe_recall",     # third sweep: the nprobe recall curve
 ]
 
 

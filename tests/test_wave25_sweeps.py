@@ -47,3 +47,22 @@ def test_recall_monotone_and_bounded(spark):
     )
     for r in rows.values():
         assert 0.0 <= r["recall_at_10"] <= 1.0
+
+
+def test_nprobe_recall_monotone(spark):
+    """More probed cells can only help: recall monotone non-decreasing
+    in nprobe; nprobe covering all cells would be exact (recall at the
+    largest swept value is already high on this corpus)."""
+    rows = {
+        r["nprobe"]: r
+        for r in entry.queries()["sim_ivf_nprobe_recall"](spark, SF).collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    assert (
+        rows[1]["recall_at_10"]
+        <= rows[2]["recall_at_10"]
+        <= rows[4]["recall_at_10"]
+    )
+    for r in rows.values():
+        assert 0.0 <= r["recall_at_10"] <= 1.0
+        assert r["n_hits"] == round(r["recall_at_10"] * 50)

@@ -744,10 +744,14 @@ def ivf_batch_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k neighbors for EVERY query row in ONE corpus pass — the
     batch-retrieval shape of production ANN (embedding search over a
     training corpus runs thousands of probes per job, not one).
+    Pass a precomputed ``assigned`` (id, centroid_id) to share one
+    assignment plan across several probe configurations (the nprobe
+    sweep's 4× win).
 
     Plan: the corpus is IVF-assigned once (`ivf_assign_dec`, decimal-
     exact); each query's ``nprobe`` nearest cells are ranked on the
@@ -770,7 +774,8 @@ def ivf_batch_topk(
     from time_series_data_trimmer_spark.functions.rounding import rd
 
     centroids = centroids or ivf_centroids(df, n_centroids, id_col, vec_col)
-    assigned = ivf_assign_dec(df, centroids, id_col, vec_col)
+    if assigned is None:
+        assigned = ivf_assign_dec(df, centroids, id_col, vec_col)
     qrows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     ).collect()

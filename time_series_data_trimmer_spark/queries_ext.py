@@ -14023,3 +14023,122 @@ def _q_pipeline_dedup_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame
     final_docs = docs.join(budgeted.hint("shuffle_hash"), "doc_id", "left_semi")
     packed = sp.sequence_pack_offsets(final_docs, seq_len=512)
     return _pack_efficiency_agg(packed)
+
+
+_NPROBE_SWEEP = (1, 2, 4)
+
+
+def _nprobe_branch_sql(np_: int) -> str:
+    return f"""SELECT {np_} AS nprobe,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           {R("CAST(count(*) AS DOUBLE) / 50.0", 6)} AS recall_at_10
+        FROM (
+          SELECT s.query_id, s.vec_id,
+                 row_number() OVER (
+                   PARTITION BY s.query_id ORDER BY s.cosine DESC, s.vec_id ASC
+                 ) AS rn
+          FROM scored_all s
+          JOIN (SELECT p.query_id, a.vec_id
+                FROM (SELECT query_id, cid FROM qdist
+                      QUALIFY row_number() OVER (
+                        PARTITION BY query_id ORDER BY d, cid) <= {np_}) p
+                JOIN assigned a ON a.cid = p.cid) c
+            ON c.query_id = s.query_id AND c.vec_id = s.vec_id
+        ) pr
+        JOIN truth t ON t.query_id = pr.query_id AND t.vec_id = pr.vec_id
+        WHERE pr.rn <= 10"""
+
+
+@register(
+    "sim_ivf_nprobe_recall",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    ord AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
+      FROM embeddings
+      QUALIFY cid <= 15
+    ),
+    cex AS (SELECT o.cid, e.i, e.x FROM ord o JOIN ex e ON e.vec_id = o.vec_id),
+    dists AS (
+      SELECT e.vec_id, c.cid,
+             sum(CAST({sql_rd("(e.x - c.x) * (e.x - c.x)", 9)} AS DECIMAL(38,9))) AS d
+      FROM ex e JOIN cex c ON c.i = e.i
+      GROUP BY e.vec_id, c.cid
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    qex AS (SELECT vec_id AS query_id, i, x FROM ex WHERE vec_id IN (0, 1, 2, 3, 4)),
+    qdist AS (
+      SELECT q.query_id, c.cid,
+             sum(CAST({sql_rd("(q.x - c.x) * (q.x - c.x)", 9)} AS DECIMAL(38,9))) AS d
+      FROM qex q JOIN cex c ON c.i = q.i
+      GROUP BY q.query_id, c.cid
+    ),
+    terms AS (
+      SELECT q.query_id, e.vec_id,
+             sum(CAST({sql_rd("e.x * q.x", 9)} AS DECIMAL(38,9))) AS dxy,
+             sum(CAST({sql_rd("e.x * e.x", 9)} AS DECIMAL(38,9))) AS dxx,
+             sum(CAST({sql_rd("q.x * q.x", 9)} AS DECIMAL(38,9))) AS dyy
+      FROM ex e JOIN qex q ON q.i = e.i
+      GROUP BY q.query_id, e.vec_id
+    ),
+    scored_all AS (
+      SELECT query_id, vec_id,
+             {R("CAST(dxy AS DOUBLE) / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))", 6)} AS cosine
+      FROM terms
+    ),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+               ) AS rn
+        FROM scored_all
+      ) WHERE rn <= 10
+    )
+    {" UNION ALL ".join(_nprobe_branch_sql(np_) for np_ in _NPROBE_SWEEP)}
+    """,
+)
+def _q_sim_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD operating-point sweep: measured recall@10 per IVF
+    nprobe ∈ {_NPROBE_SWEEP} over the five standard probe vectors —
+    with `dedup_lsh_band_sweep` (banding) and `emb_lsh_recall_by_bits`
+    (hyperplane bits) this completes the blocking-knob trilogy: every
+    approximate structure in the repo now carries a measured
+    cost-vs-recall curve, not a rule of thumb. Truth is the exact
+    decimal-cosine top-10 (= nprobe exhausting all 16 cells); the
+    centroid table is shared across all nprobe branches, so the sweep
+    pays ONE corpus assignment per branch instead of re-deriving
+    centroids. Cell membership, probe ranking, and candidate ranks are
+    all decimal-exact — the oracle replays them cell-for-cell."""
+    emb = _table(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(emb, 16)
+    qset = emb.filter(F.col("vec_id").isin([0, 1, 2, 3, 4]))
+    assigned = sim.ivf_assign_dec(emb, cents).localCheckpoint(eager=False)
+    truth = sim.ivf_batch_topk(
+        emb, qset, k=10, nprobe=16, centroids=cents, assigned=assigned
+    ).select("query_id", "vec_id")
+    rows = []
+    for np_ in _NPROBE_SWEEP:
+        pred = sim.ivf_batch_topk(
+            emb, qset, k=10, nprobe=np_, centroids=cents, assigned=assigned
+        ).select("query_id", "vec_id")
+        hits = pred.join(
+            truth.hint("shuffle_hash"), ["query_id", "vec_id"]
+        ).agg(F.count(F.lit(1)).alias("n_hits"))
+        rows.append(
+            hits.select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                rd(F.col("n_hits").cast("double") / F.lit(50.0), 6).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionByName(x)
+    return out
