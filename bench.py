@@ -211,6 +211,8 @@ HEADLINE = [
     "dedup_cluster_size_histogram",  # duplication shape, log2 buckets
     "pipeline_dedup_budget_pack",  # the whole layout pipeline, one plan
     "sim_ivf_nprobe_recall",     # third sweep: the nprobe recall curve
+    "stream_content_fingerprint",  # stream state == batch fingerprint
+    "ts_lttb_downsample",        # shape-preserving M4 complement
 ]
 
 

@@ -479,3 +479,91 @@ def binary_segmentation(
         "max_dev",
     )
     return l1.unionByName(l2)
+
+
+def lttb_downsample(
+    df: DataFrame,
+    bucket_us: int = 3_600_000_000,
+    key_col: str = "user_id",
+    micros_col: str = "t_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Largest-Triangle one-point-per-bucket downsampling (the
+    parallelizable LTOB member of Steinarsson's LTTB family, 2013):
+    per time bucket keep the point forming the largest triangle with
+    the NEIGHBOR BUCKETS' centroids — the shape-preserving complement
+    of `m4_downsample` (M4 keeps extremes for lossless min/max
+    rendering; LTOB keeps the visually salient point per bucket).
+    True LTTB anchors on the previously SELECTED point (a sequential
+    chain no engine parallelizes); anchoring on bucket centroids is
+    the standard distributed relaxation and keeps every bucket
+    independent.
+
+    Determinism: centroid anchors are ratio-of-exact-sums rounded to
+    the 9-dp grid (x = t/bucket, dimensionless ~1e5 magnitude; y =
+    4-dp scaled-integer mean); each candidate's triangle area is then
+    ONE fixed IEEE expression over identical doubles in both engines,
+    used only for the per-bucket argmax (never rounded — magnitudes
+    here would overflow rd's long floor, PLANS.md invariant 14), with
+    the row's timestamp as total tie-break. Edge buckets (missing a
+    neighbor) keep their earliest point — the series endpoints, which
+    true LTTB also always keeps.
+
+    One hash exchange on the trial key for the bucket-stat window; the
+    candidate scoring joins points to the narrow (key, bucket) stat
+    rows and argmaxes inside the same key partitioning.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    B = int(bucket_us)
+    sv = _scaled_int(F.col(value_col))
+    pts = df.select(
+        F.col(key_col),
+        F.col(micros_col).alias("__t"),
+        F.col(value_col).alias("__v"),
+        sv.alias("__sv"),
+        F.expr(f"{micros_col} DIV {B}").alias("__b"),
+    )
+    stats = pts.groupBy(key_col, "__b").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__t").cast("decimal(38,0)")).alias("__st"),
+        F.sum(F.col("__sv").cast("decimal(38,0)")).alias("__ssv"),
+    )
+    mx = rd(F.col("__st").cast("double") / F.col("__n") / F.lit(float(B)), 9)
+    my = rd(F.col("__ssv").cast("double") / F.col("__n") / F.lit(1e4), 6)
+    w = Window.partitionBy(key_col).orderBy(F.col("__b").asc())
+    anchors = stats.select(
+        F.col(key_col),
+        "__b",
+        "__n",
+        F.lag(mx, 1).over(w).alias("__xp"),
+        F.lag(my, 1).over(w).alias("__yp"),
+        F.lead(mx, 1).over(w).alias("__xn"),
+        F.lead(my, 1).over(w).alias("__yn"),
+    )
+    j = pts.join(anchors.hint("shuffle_hash"), [key_col, "__b"])
+    x = F.col("__t").cast("double") / F.lit(float(B))
+    y = rd(F.col("__sv").cast("double") / F.lit(1e4), 6)
+    area = F.abs(
+        (F.col("__xp") - F.col("__xn")) * (y - F.col("__yp"))
+        - (F.col("__xp") - x) * (F.col("__yn") - F.col("__yp"))
+    )
+    has_both = F.col("__xp").isNotNull() & F.col("__xn").isNotNull()
+    # every row of one (key, bucket) partition shares has_both, so the
+    # -0.0-vs-0.0 sort edge between the two branches can never mix
+    # inside a partition
+    wsel = Window.partitionBy(key_col, "__b").orderBy(
+        F.when(has_both, -area).otherwise(F.lit(0.0)).asc(),
+        F.col("__t").asc(),
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(wsel))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(key_col),
+            F.col("__b").alias("bucket"),
+            F.col("__t").alias("t_us"),
+            F.col("__v").alias("value"),
+            F.col("__n").cast("long").alias("n_in_bucket"),
+        )
+    )

@@ -14142,3 +14142,96 @@ def _q_sim_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in rows[1:]:
         out = out.unionByName(x)
     return out
+
+
+@register(
+    "stream_content_fingerprint",
+    f"""
+    WITH h AS (
+      SELECT source,
+             {sp.sql_hash_u32(
+                 "concat_ws('|', CAST(doc_id AS VARCHAR), coalesce(text, ''),"
+                 " coalesce(lang, ''), CAST(n_chars AS VARCHAR))",
+                 'tsdt|fp')} AS u
+      FROM documents
+    )
+    SELECT source, count(*) AS n_rows,
+           CAST(sum(CAST(u AS DECIMAL(38,0))) % 1000000000000000000 AS BIGINT)
+             AS content_sum_mod,
+           min(u) AS content_min, max(u) AS content_max
+    FROM h GROUP BY source
+    """,
+)
+def _q_stream_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest-integrity fingerprint
+    (`stream_ops.stream_content_fingerprint`): the order-insensitive
+    reconciliation sum maintained as streaming state while document
+    files arrive — because count/sum/min/max are merge-equals-one-shot,
+    the final streaming state must equal the BATCH fingerprint of the
+    same corpus bit-for-bit (the oracle here IS the batch
+    `dq_content_fingerprint` SQL, unchanged — that equality is the
+    entire point: continuous handoffs verify without batch re-reads)."""
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        stream_content_fingerprint,
+    )
+
+    return stream_content_fingerprint(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+
+
+_LTTB_BUCKET_US = 3_600_000_000
+
+
+@register(
+    "ts_lttb_downsample",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, value AS v,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS sv,
+             epoch_us(ts) // {_LTTB_BUCKET_US} AS b
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, b, count(*) AS n,
+             sum(t) AS st, sum(sv) AS ssv
+      FROM e GROUP BY user_id, b
+    ),
+    a AS (
+      SELECT user_id, b, n,
+             lag({R(f"CAST(st AS DOUBLE) / n / {float(_LTTB_BUCKET_US)}", 9)}) OVER w AS xp,
+             lag({R("CAST(ssv AS DOUBLE) / n / 10000.0", 6)}) OVER w AS yp,
+             lead({R(f"CAST(st AS DOUBLE) / n / {float(_LTTB_BUCKET_US)}", 9)}) OVER w AS xn,
+             lead({R("CAST(ssv AS DOUBLE) / n / 10000.0", 6)}) OVER w AS yn
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY b)
+    ),
+    j AS (
+      SELECT e.user_id, e.b, e.t, e.v, a.n,
+             CASE WHEN a.xp IS NOT NULL AND a.xn IS NOT NULL
+                  THEN -abs((a.xp - a.xn)
+                            * ({R("CAST(e.sv AS DOUBLE) / 10000.0", 6)} - a.yp)
+                          - (a.xp - CAST(e.t AS DOUBLE) / {float(_LTTB_BUCKET_US)})
+                            * (a.yn - a.yp))
+                  ELSE 0.0 END AS negscore
+      FROM e JOIN a ON a.user_id = e.user_id AND a.b = e.b
+    )
+    SELECT user_id, b AS bucket, t AS t_us, v AS value,
+           CAST(n AS BIGINT) AS n_in_bucket
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, b ORDER BY negscore ASC, t ASC
+      ) AS rn FROM j
+    ) WHERE rn = 1
+    """,
+)
+def _q_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle one-per-bucket downsampling
+    (`ts.lttb_downsample`, the distributed LTOB relaxation of
+    Steinarsson's LTTB): per hour bucket keep the point forming the
+    largest triangle with neighbor-bucket centroids — the
+    shape-preserving complement of M4's lossless min/max envelope.
+    Centroid anchors on fixed rounding grids; the area itself is never
+    rounded (magnitudes would overflow rd's long floor — invariant 14)
+    and serves only the per-bucket argmax with a timestamp tie-break."""
+    e = _events_us(spark, sf_dir)
+    return ts.lttb_downsample(e, bucket_us=_LTTB_BUCKET_US)

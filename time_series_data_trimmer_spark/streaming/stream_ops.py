@@ -891,3 +891,54 @@ def stream_dq_violations(
         F.col("s.n_violations").cast("long").alias("n_violations"),
         rd(rate, 6).alias("violation_rate"),
     )
+
+
+def stream_content_fingerprint(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of the batch reconciliation fingerprint
+    (`dq_content_fingerprint`): as document files arrive, maintain per
+    source a running count and the order-insensitive md5-row-hash
+    decimal SUM — commutative-associative state, so the running
+    fingerprint after ingesting everything equals the batch fingerprint
+    of the same corpus bit-for-bit (the portable-register rule extended
+    to streaming: a receiver can verify a 100 TB continuous handoff
+    WITHOUT ever running a batch job over the whole corpus). State per
+    source is four scalars; complete-mode memory sink for the oracle
+    harness (production would append per-trigger manifest rows).
+
+    min/max/count/sum are all merge-equals-one-shot aggregations, which
+    is exactly why this is safe as streaming state — a TopK or rank
+    could not make this guarantee across triggers.
+    """
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        stream = reader.parquet(path)
+    else:
+        base, fname = os.path.split(path)
+        stream = reader.option("pathGlobFilter", fname).parquet(base)
+    from time_series_data_trimmer_spark.operators.sampling import hash_u32
+
+    row_repr = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.col("n_chars").cast("string"),
+    )
+    h = stream.select("source", hash_u32(row_repr, "tsdt|fp").alias("u"))
+    agg = h.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("u").cast("decimal(38,0)")).alias("__s"),
+        F.min("u").alias("content_min"),
+        F.max("u").alias("content_max"),
+    )
+    out = _run_to_memory(agg, mode="complete")
+    return out.select(
+        "source",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("__s") % F.lit(1000000000000000000).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("content_sum_mod"),
+        "content_min",
+        "content_max",
+    )
