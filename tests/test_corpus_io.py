@@ -284,3 +284,39 @@ def test_read_documents_orc_roundtrip_with_pushdown(spark, tmp_path):
         back.filter(back.doc_id < 10).explain("formatted")
     plan = buf.getvalue()
     assert "PushedFilters" in plan and "doc_id" in plan
+
+
+def test_sharded_manifest_roundtrip_and_tamper(spark, tmp_path):
+    """Write shards + manifest; the receiver verification is empty on
+    an intact copy and names exactly the damaged shard after tampering."""
+    from pyspark.sql import functions as F
+
+    from time_series_data_trimmer_spark.sources import corpus_io as cio
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "handoff")
+    manifest = cio.write_sharded_with_manifest(docs, out, n_shards=8)
+    rows = manifest.collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+
+    # intact copy: zero discrepancies
+    assert cio.verify_shard_manifest(spark, out).count() == 0
+
+    # tamper with one shard: rewrite shard 3 dropping one row
+    shard_dir = f"{out}/data/shard=3"
+    damaged = spark.read.parquet(shard_dir)
+    n3 = damaged.count()
+    victim = damaged.orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    damaged.filter(F.col("doc_id") != victim).write.mode("overwrite").parquet(
+        str(tmp_path / "shard3_new")
+    )
+    import shutil
+
+    shutil.rmtree(shard_dir)
+    shutil.copytree(str(tmp_path / "shard3_new"), shard_dir)
+
+    bad = cio.verify_shard_manifest(spark, out).collect()
+    assert len(bad) == 1
+    assert bad[0]["shard"] == 3
+    assert bad[0]["arrived_n_docs"] == n3 - 1
+    assert bad[0]["manifest_fingerprint"] != bad[0]["arrived_fingerprint"]
