@@ -73,8 +73,10 @@ _FIRST_50 = [
     "ts_mad_outliers", "ts_cusum_changepoint", "ts_ewma_halflife",
     "text_bm25_topk", "retrieval_rrf_hybrid", "mix_dsir_importance",
     "sessionize_events", "cohort_retention", "events_json_props_stats",
-    "text_vocab_growth", "histogram_equidepth_value",
-    "pipeline_ccnet_buckets", "pipeline_pretraining_corpus",
+    # r7 marquee (rotated in so THIS round's additions get external
+    # verification; the rotated-out r6 names stay in the full local run)
+    "dedup_lsh_eval_report", "feature_pointintime_state",
+    "pipeline_ccnet_buckets", "emb_separability_by_label",
 ]
 
 

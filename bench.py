@@ -213,6 +213,7 @@ HEADLINE = [
     "sim_ivf_nprobe_recall",     # third sweep: the nprobe recall curve
     "stream_content_fingerprint",  # stream state == batch fingerprint
     "ts_lttb_downsample",        # shape-preserving M4 complement
+    "funnel_step_latency",       # per-hop latency percentiles
 ]
 
 

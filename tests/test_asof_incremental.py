@@ -451,3 +451,19 @@ def test_asof_tolerance_matches_pandas_merge_asof(spark):
     assert got.loc[got["t"] == 10.0, "v"].iloc[0] == 100.0
     # stale: left t=30 has nearest right at 10 (gap 20 > 3) -> NULL
     assert pd.isna(got.loc[got["t"] == 30.0, "v"].iloc[0])
+
+
+def test_funnel_step_latency_contract(spark):
+    """Hop rows: within <= matched <= anchors; hop-2 anchors equal
+    hop-1 matches (the chain); p50 <= p90 <= window."""
+    import __spark_entry__ as entry
+
+    rows = {r["hop"]: r for r in entry.queries()["funnel_step_latency"](
+        spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {1, 2}
+    for hop, win in ((1, 600.0), (2, 3600.0)):
+        r = rows[hop]
+        assert r["n_within"] <= r["n_matched"] <= r["n_anchors"]
+        if r["n_within"] > 0:
+            assert 0.0 <= r["p50_latency_s"] <= r["p90_latency_s"] <= win
+    assert rows[2]["n_anchors"] == rows[1]["n_matched"]

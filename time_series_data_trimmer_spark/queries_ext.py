@@ -14235,3 +14235,95 @@ def _q_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     and serves only the per-bucket argmax with a timestamp tie-break."""
     e = _events_us(spark, sf_dir)
     return ts.lttb_downsample(e, bucket_us=_LTTB_BUCKET_US)
+
+
+@register(
+    "funnel_step_latency",
+    f"""
+    WITH v AS (
+      SELECT user_id, event_id, epoch(ts) AS t
+      FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+      SELECT user_id, epoch(ts) AS ct FROM events
+      WHERE event_type = 'click' GROUP BY user_id, epoch(ts)
+    ),
+    p AS (
+      SELECT user_id, epoch(ts) AS pt FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id, epoch(ts)
+    ),
+    vc AS (
+      SELECT v.user_id, v.event_id, v.t, c.ct
+      FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.t <= c.ct
+    ),
+    vcp AS (
+      -- DuckDB ASOF orders a NULL left key FIRST and so matches it to
+      -- the user's earliest purchase; the chained-funnel semantics
+      -- (and Spark's NULL-time guard) say a broken hop matches
+      -- NOTHING — mask pt where the previous hop never happened
+      SELECT vc.user_id, vc.event_id, vc.t, vc.ct,
+             CASE WHEN vc.ct IS NOT NULL THEN p.pt END AS pt
+      FROM vc ASOF LEFT JOIN p ON vc.user_id = p.user_id AND vc.ct <= p.pt
+    )
+    SELECT 1 AS hop, 'view->click' AS step,
+           CAST(count(t) AS BIGINT) AS n_anchors,
+           CAST(count(ct) AS BIGINT) AS n_matched,
+           CAST(count(CASE WHEN ct - t <= 600.0 THEN 1 END) AS BIGINT)
+             AS n_within,
+           {R("quantile_cont(CASE WHEN ct - t <= 600.0 THEN ct - t END, 0.5)", 6)}
+             AS p50_latency_s,
+           {R("quantile_cont(CASE WHEN ct - t <= 600.0 THEN ct - t END, 0.9)", 6)}
+             AS p90_latency_s
+    FROM vcp
+    UNION ALL
+    SELECT 2 AS hop, 'click->purchase' AS step,
+           CAST(count(ct) AS BIGINT) AS n_anchors,
+           CAST(count(pt) AS BIGINT) AS n_matched,
+           CAST(count(CASE WHEN pt - ct <= 3600.0 THEN 1 END) AS BIGINT)
+             AS n_within,
+           {R("quantile_cont(CASE WHEN pt - ct <= 3600.0 THEN pt - ct END, 0.5)", 6)}
+             AS p50_latency_s,
+           {R("quantile_cont(CASE WHEN pt - ct <= 3600.0 THEN pt - ct END, 0.9)", 6)}
+             AS p90_latency_s
+    FROM vcp
+    """,
+)
+def _q_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW LONG each funnel hop takes, not just whether it converts:
+    per hop (view→click, click→purchase), the anchor/match/within
+    counts and the exact interpolated p50/p90 latency of within-window
+    hops — the product-analytics readout that decides which step to
+    fix (a hop with high match rate but p90 at the window edge is a
+    UX latency problem, not a drop-off). Reuses the chained-forward
+    as-of machinery (`edits.funnel`) — each hop is one keyed exchange,
+    latencies are exact second diffs, percentiles interpolated
+    identically in both engines (the MAD precedent). The oracle chains
+    DuckDB's native ASOF twice and filters per hop."""
+    ev = _events(spark, sf_dir)
+    hops = edits.funnel(ev, ["view", "click", "purchase"], [600.0, 3600.0])
+
+    def hop_row(hop_i: int, label: str, prev: str, cur: str, win: float):
+        dt = F.when(
+            F.col(cur).isNotNull()
+            & ((F.col(cur) - F.col(prev)) <= F.lit(win)),
+            F.col(cur) - F.col(prev),
+        )
+        return hops.agg(
+            F.count(F.col(prev)).cast("long").alias("n_anchors"),
+            F.count(F.col(cur)).cast("long").alias("n_matched"),
+            F.count(dt).cast("long").alias("n_within"),
+            rd(F.percentile(dt, F.lit(0.5)), 6).alias("p50_latency_s"),
+            rd(F.percentile(dt, F.lit(0.9)), 6).alias("p90_latency_s"),
+        ).select(
+            F.lit(hop_i).cast("int").alias("hop"),
+            F.lit(label).alias("step"),
+            "n_anchors",
+            "n_matched",
+            "n_within",
+            "p50_latency_s",
+            "p90_latency_s",
+        )
+
+    h1 = hop_row(1, "view->click", "t_0", "t_1", 600.0)
+    h2 = hop_row(2, "click->purchase", "t_1", "t_2", 3600.0)
+    return h1.unionByName(h2)
