@@ -214,6 +214,10 @@ HEADLINE = [
     "stream_content_fingerprint",  # stream state == batch fingerprint
     "ts_lttb_downsample",        # shape-preserving M4 complement
     "funnel_step_latency",       # per-hop latency percentiles
+    "ts_xcorr_lag",              # channel-alignment lag scan
+    "ts_spectral_probe",         # daily/weekly band energy
+    "ts_interp_asof",            # interpolated as-of (union trick)
+    "data_prune_prototypicality",  # SSL-prototypes keep/prune bit
 ]
 
 

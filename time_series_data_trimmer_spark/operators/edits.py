@@ -389,3 +389,89 @@ def funnel_summary(
         F.count(F.lit(1)).alias("n_anchors"),
         F.sum(F.col("converted").cast("long")).alias("n_converted"),
     )
+
+
+def interp_asof_join(
+    queries: DataFrame,
+    series: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "t_us",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    out_col: str = "v_interp",
+) -> DataFrame:
+    """Linearly INTERPOLATED as-of join: for each query row, the series
+    value lerped between the bracketing samples at or around the query
+    time — the resample-against-an-irregular-grid primitive (kdb's
+    ``aj`` + interpolation; sensor fusion onto a master clock). The
+    reference interpolates WITHIN one channel on its own grid
+    (`filter_engine.py` interpolate); this is the two-table form its
+    overlay workflow implies: evaluate channel B at channel A's
+    timestamps. Complements `asof_join` (J3), which snaps to the
+    previous sample only.
+
+    Semantics: prev = series row with the greatest ``t ≤ t_q``
+    (equal-time samples count, ties broken by ``id_col``), next = the
+    least ``t ≥ t_q``; result = v0 + (v1−v0)·(t_q−t0)/(t1−t0), v0 when
+    the bracket is degenerate (t1 = t0), NULL when either side is
+    missing (strict interior interpolation — no extrapolation).
+
+    Plan: single-exchange union trick, NOT a join: tag both tables,
+    union them, and resolve prev/next with two IGNORE-NULLS window
+    passes over the same ``key_col`` partition (one Exchange, two
+    in-partition sorts). The equal-time edge rides the tag's place in
+    each sort order: views sort BEFORE queries for the backward pass
+    (so an equal-time sample is the prev) and AFTER for the forward
+    pass (so it is also the next). All times integer micros; ONE
+    double division per row, identical formula both engines, then the
+    shared rounding grid.
+    """
+    s = series.select(
+        F.col(key_col),
+        F.col(time_col).alias("__t"),
+        F.lit(0).alias("__tag"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    q = queries.select(
+        F.col(key_col),
+        F.col(time_col).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.col(id_col).alias("__id"),
+        F.lit(None).cast("double").alias("__v"),
+    )
+    u = s.unionByName(q)
+    sample = F.when(
+        F.col("__tag") == 0, F.struct(F.col("__t").alias("t"), F.col("__v").alias("v"))
+    )
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("__t").asc(), F.col("__tag").asc(), F.col("__id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("__t").asc(), F.col("__tag").desc(), F.col("__id").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    m = u.select(
+        F.col(key_col),
+        "__t",
+        "__tag",
+        "__id",
+        F.last(sample, ignorenulls=True).over(wb).alias("__prev"),
+        F.first(sample, ignorenulls=True).over(wf).alias("__next"),
+    ).filter(F.col("__tag") == 1)
+    t0, v0 = F.col("__prev.t"), F.col("__prev.v")
+    t1, v1 = F.col("__next.t"), F.col("__next.v")
+    frac = (F.col("__t") - t0).cast("double") / (t1 - t0).cast("double")
+    lerp = F.when(t1 == t0, rd(v0, 6)).otherwise(rd(v0 + (v1 - v0) * frac, 6))
+    return m.select(
+        F.col(key_col),
+        F.col("__id").alias(id_col),
+        F.col("__t").alias(time_col),
+        t0.alias("t_prev_us"),
+        t1.alias("t_next_us"),
+        F.when(F.col("__prev").isNotNull() & F.col("__next").isNotNull(), lerp)
+        .alias(out_col),
+    )

@@ -1685,3 +1685,83 @@ def centroid_ood_zscores(
         .cast("int")
         .alias("ood_flag"),
     )
+
+
+def prototypicality_prune(
+    df: DataFrame,
+    n_centroids: int = 16,
+    prune_pct: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al., NeurIPS 2022
+    "Beyond neural scaling laws"): rank every vector by cosine to its
+    own IVF-cell centroid (its PROTOTYPICALITY) and drop the top
+    ``prune_pct``% most prototypical per cell — in the abundant-data
+    regime, easy/redundant examples near cluster cores contribute the
+    least to training, so pruning them beats random subsampling. The
+    curation DECISION complement of the embedding family: SemDeDup
+    removes near-copies, `centroid_ood_zscores` flags mislabels, this
+    picks which of the REMAINING docs earn a training slot.
+
+    Unsupervised (no labels): cells are the same deterministic IVF
+    structure the `sim_ivf_*` searches and SemDeDup use — one
+    clustering pays for retrieval, dedup AND pruning. Cosine is
+    decimal-exact on the shared 9-dp grid; the keep line is INTEGER
+    arithmetic (rank > (n·pct) div 100), so the cut reproduces
+    bit-for-bit in any engine (no 0.2·n float edge).
+
+    Plan: assignment is the scan-side broadcast argmin
+    (`ivf_assign_dec` — vectors never shuffle for it); the score is
+    ONE map-side-combined aggregation over the posexploded join
+    against the k·dim broadcast centroid table; the rank is one
+    cell-keyed window over N narrow rows. Assignment work is N·k and
+    ranking N — no pair volume anywhere, so a FIXED k stays linear at
+    100 TB (unlike SemDeDup's within-cell pairs, which need k ∝ √N).
+    """
+    from pyspark.sql import Window
+
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    cents = ivf_centroids(df, n_centroids, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign_dec(df, cents, id_col=id_col, vec_col=vec_col)
+    rows = [(cid, i, float(x)) for cid, vec in cents for i, x in enumerate(vec)]
+    cdf = df.sparkSession.createDataFrame(rows, "cid int, i int, w double")
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    j = (
+        ex.join(assigned.withColumnRenamed("centroid_id", "cid"), id_col)
+        .join(F.broadcast(cdf), ["cid", "i"])
+    )
+    pv = j.groupBy(id_col, "cid").agg(
+        F.sum(rd(F.col("x") * F.col("w"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("__dxy"),
+        F.sum(rd(F.col("x") * F.col("x"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("__dxx"),
+        F.sum(rd(F.col("w") * F.col("w"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("__dyy"),
+    )
+    cos = rd(
+        F.col("__dxy") / (F.sqrt(F.col("__dxx")) * F.sqrt(F.col("__dyy"))), 6
+    )
+    scored = pv.select(F.col(id_col), F.col("cid"), cos.alias("proto_cos"))
+    wc = Window.partitionBy("cid").orderBy(
+        F.col("proto_cos").desc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy("cid")
+    # integer cut line: (n_cell · pct) div 100 — the double division of
+    # two exact ints truncates to the same integer in any engine
+    cut = (
+        (F.count(F.lit(1)).over(wn) * F.lit(int(prune_pct))).cast("double")
+        / F.lit(100.0)
+    ).cast("long")
+    return scored.select(
+        F.col(id_col),
+        F.col("cid").cast("int").alias("centroid_id"),
+        F.col("proto_cos"),
+        (F.row_number().over(wc).cast("long") > cut).alias("keep"),
+    )

@@ -567,3 +567,166 @@ def lttb_downsample(
             F.col("__n").cast("long").alias("n_in_bucket"),
         )
     )
+
+
+def xcorr_lag(
+    df: DataFrame,
+    type_x: str,
+    type_y: str,
+    max_lag: int = 12,
+    bucket_us: int = 3_600_000_000,
+    type_col: str = "event_type",
+    micros_col: str = "t_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cross-correlation lag scan between two channels: Pearson r of
+    the bucketed series x (``type_x``) against y (``type_y``) shifted
+    by each lag in ``[-max_lag, +max_lag]`` buckets — the alignment
+    probe run before trimming multi-sensor trials (the reference
+    overlays channels visually, `plot_manager.py`; at scale the argmax
+    lag IS the alignment). A positive best lag means y follows x.
+
+    Exactness: per-bucket series values are SUMS of 4-dp-scaled
+    integers (exact int64); all five Pearson moments (Σx, Σy, Σxy,
+    Σx², Σy²) accumulate in DECIMAL(38,0) — bucket sums reach ~1e10
+    in 1e-4 units, so cross products pass 1e20, far beyond int64 but
+    exact in decimal38 (the CUSUM precedent). ONE final double
+    division per lag, then the shared rounding grid.
+
+    Plan: two partial-agg scans of the event table (bucket series are
+    |time-range/bucket| rows — thousands, independent of N); the lag
+    explode multiplies only the SMALL y series by (2·max_lag+1); the
+    lag join is an equi-join on bucket over bounded tables; per-lag
+    moments are one more map-side-combinable agg. No window, no BNLJ,
+    no driver loop — at 100 TB the event scans dominate and everything
+    downstream is kilobytes.
+    """
+    B = int(bucket_us)
+    bucket = (F.col(micros_col) - F.col(micros_col) % F.lit(B)).alias("__b")
+
+    def series(etype: str, out: str) -> DataFrame:
+        return (
+            df.filter(F.col(type_col) == etype)
+            .groupBy(bucket)
+            .agg(F.sum(_scaled_int(F.col(value_col))).alias(out))
+        )
+
+    xs = series(type_x, "__x")
+    lags = F.explode(
+        F.array(*[F.lit(int(l)) for l in range(-max_lag, max_lag + 1)])
+    ).alias("lag")
+    # pair x[b] with y[b + lag·B]: shift y's bucket back by lag·B
+    ys = (
+        series(type_y, "__y")
+        .select(lags, F.col("__b"), F.col("__y"))
+        .select(
+            F.col("lag"),
+            (F.col("__b") - F.col("lag").cast("long") * F.lit(B)).alias("__b"),
+            F.col("__y"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    per = (
+        xs.join(ys.hint("shuffle_hash"), "__b")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.sum(dec("__x")).alias("__sx"),
+            F.sum(dec("__y")).alias("__sy"),
+            F.sum(dec("__x") * dec("__y")).alias("__sxy"),
+            F.sum(dec("__x") * dec("__x")).alias("__sxx"),
+            F.sum(dec("__y") * dec("__y")).alias("__syy"),
+        )
+    )
+    n = F.col("n_overlap").cast("decimal(38,0)")
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    dx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    r = rd(
+        num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double")), 6
+    )
+    return per.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_overlap"),
+        F.when((dx > 0) & (dy > 0), r).alias("r"),
+    )
+
+
+#: 2π as the explicit literal both engines parse to the same double —
+#: never an engine's pi() (arguable last-ulp differences)
+TWO_PI = 6.283185307179586
+
+
+def spectral_probe(
+    df: DataFrame,
+    periods_us: tuple[int, ...] = (86_400_000_000, 604_800_000_000),
+    type_col: str = "event_type",
+    micros_col: str = "t_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Goertzel-style single-frequency DFT probe: per channel and per
+    candidate period P, the amplitude of the P-periodic component —
+    C = Σ(v−v̄)·cos(2πt/P), S = Σ(v−v̄)·sin(2πt/P), amp = 2√(C²+S²)/n.
+    The frequency-domain complement of `seasonal_decompose_hourly`
+    (which folds one KNOWN period): probe a handful of candidate
+    periods in one scan and read which are real. The reference's
+    filter stack (`filter_engine.py` butter_lowpass/bandpass) implies
+    exactly this inspection — which band carries energy — done here
+    without an FFT, so it distributes as a plain aggregation.
+
+    Cross-engine determinism: the phase argument is built from an
+    INTEGER modulus (t mod P) so both engines evaluate cos/sin on the
+    identical double in [0, 2π) — no large-argument reduction
+    divergence; each product is rounded to the 4-dp grid and
+    accumulated in decimal so partial-agg order cannot move float
+    error. The mean is subtracted to kill DC leakage through a
+    non-integer number of periods; it is derived from exact integer
+    (Σ scaled-v, n) by one double division, identical formula both
+    sides.
+
+    Plan: one stats agg per channel (5 rows, broadcast back), then ONE
+    map-side-combinable agg over the (channel × period)-exploded scan.
+    Two scans total, no window, no driver loop; holds at any N.
+    """
+    stats = df.groupBy(type_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(_scaled_int(F.col(value_col))).alias("__sv"),
+    )
+    mean = F.col("__sv").cast("double") / (
+        F.col("__n").cast("double") * F.lit(1e4)
+    )
+    periods = F.explode(
+        F.array(*[F.lit(int(p)) for p in periods_us])
+    ).alias("period_us")
+    e = (
+        df.join(F.broadcast(stats), type_col)
+        .select(
+            F.col(type_col),
+            periods,
+            F.col(micros_col),
+            (F.col(value_col) - mean).alias("__cv"),
+        )
+    )
+    phase = (
+        (F.col(micros_col) % F.col("period_us")).cast("double")
+        / F.col("period_us").cast("double")
+        * F.lit(TWO_PI)
+    )
+    term = lambda trig: F.sum(  # noqa: E731
+        rd(F.col("__cv") * trig(phase), 4).cast("decimal(38,6)")
+    )
+    agg = e.groupBy(type_col, "period_us").agg(
+        F.count(F.lit(1)).alias("n"),
+        term(F.cos).alias("__c"),
+        term(F.sin).alias("__s"),
+    )
+    c, s = F.col("__c").cast("double"), F.col("__s").cast("double")
+    amp = rd(
+        F.lit(2.0) * F.sqrt(c * c + s * s) / F.col("n").cast("double"), 6
+    )
+    return agg.select(
+        F.col(type_col),
+        (F.col("period_us") / F.lit(3_600_000_000)).cast("int").alias("period_h"),
+        F.col("n"),
+        amp.alias("amp"),
+    )

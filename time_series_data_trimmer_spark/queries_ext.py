@@ -14327,3 +14327,225 @@ def _q_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     h1 = hop_row(1, "view->click", "t_0", "t_1", 600.0)
     h2 = hop_row(2, "click->purchase", "t_1", "t_2", 3600.0)
     return h1.unionByName(h2)
+
+
+# ---------------------------------------------------------------------------
+# r7 wave 30: alignment / spectral / interpolated-asof / prototype pruning
+# ---------------------------------------------------------------------------
+
+_XCORR_BUCKET_US, _XCORR_MAX_LAG = 3_600_000_000, 12
+
+
+@register(
+    "ts_xcorr_lag",
+    f"""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS t_us, value FROM events
+    ),
+    xs AS (
+      SELECT t_us - (t_us % {_XCORR_BUCKET_US}) AS b,
+             sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS x
+      FROM e WHERE event_type = 'click' GROUP BY 1
+    ),
+    ys AS (
+      SELECT t_us - (t_us % {_XCORR_BUCKET_US}) AS b,
+             sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS y
+      FROM e WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    lg AS (SELECT unnest(range(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG + 1})) AS lag),
+    yl AS (
+      SELECT l.lag, y.b - l.lag * {_XCORR_BUCKET_US} AS b, y.y
+      FROM ys y CROSS JOIN lg l
+    ),
+    m AS (
+      SELECT yl.lag, count(*) AS n_overlap,
+             sum(CAST(xs.x AS HUGEINT)) AS sx,
+             sum(CAST(yl.y AS HUGEINT)) AS sy,
+             sum(CAST(xs.x AS HUGEINT) * CAST(yl.y AS HUGEINT)) AS sxy,
+             sum(CAST(xs.x AS HUGEINT) * CAST(xs.x AS HUGEINT)) AS sxx,
+             sum(CAST(yl.y AS HUGEINT) * CAST(yl.y AS HUGEINT)) AS syy
+      FROM xs JOIN yl ON xs.b = yl.b
+      GROUP BY yl.lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n_overlap,
+           CASE WHEN CAST(n_overlap AS HUGEINT) * sxx - sx * sx > 0
+                 AND CAST(n_overlap AS HUGEINT) * syy - sy * sy > 0
+                THEN {R("CAST(CAST(n_overlap AS HUGEINT) * sxy - sx * sy AS DOUBLE)"
+                        " / sqrt(CAST(CAST(n_overlap AS HUGEINT) * sxx - sx * sx AS DOUBLE)"
+                        " * CAST(CAST(n_overlap AS HUGEINT) * syy - sy * sy AS DOUBLE))", 6)}
+           END AS r
+    FROM m
+    """,
+)
+def _q_ts_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation lag scan (`ts.xcorr_lag`): Pearson r of the
+    hourly-bucketed click series against the purchase series at every
+    lag in ±12 h — the channel-alignment probe (which lag best aligns
+    B to A) the reference answers by eye with overlaid plots
+    (`plot_manager.py`). Exact decimal moments over integer bucket
+    sums (HUGEINT on the oracle side), one double division per lag.
+    Plan: two partial-agg event scans; everything after is kilobytes
+    (bounded bucket tables × 25 lags, equi-join on bucket)."""
+    e = _events_us(spark, sf_dir)
+    return ts.xcorr_lag(
+        e, "click", "purchase",
+        max_lag=_XCORR_MAX_LAG, bucket_us=_XCORR_BUCKET_US,
+    )
+
+
+_SPECTRAL_PERIODS_US = (86_400_000_000, 604_800_000_000)
+
+
+@register(
+    "ts_spectral_probe",
+    f"""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS t_us, value FROM events
+    ),
+    st AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS sv
+      FROM e GROUP BY 1
+    ),
+    p AS (SELECT unnest([{", ".join(str(p) for p in _SPECTRAL_PERIODS_US)}]) AS period_us),
+    x AS (
+      SELECT e.event_type, p.period_us, e.t_us,
+             e.value - (CAST(st.sv AS DOUBLE) / (CAST(st.n AS DOUBLE) * 10000.0)) AS cv
+      FROM e JOIN st USING (event_type) CROSS JOIN p
+    ),
+    a AS (
+      SELECT event_type, period_us, count(*) AS n,
+             sum(CAST({R("cv * cos(CAST(t_us % period_us AS DOUBLE) / CAST(period_us AS DOUBLE) * 6.283185307179586)", 4)} AS DECIMAL(38,6))) AS c,
+             sum(CAST({R("cv * sin(CAST(t_us % period_us AS DOUBLE) / CAST(period_us AS DOUBLE) * 6.283185307179586)", 4)} AS DECIMAL(38,6))) AS s
+      FROM x GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(period_us / 3600000000 AS INT) AS period_h, n,
+           {R("2.0 * sqrt(CAST(c AS DOUBLE) * CAST(c AS DOUBLE) + CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)", 6)} AS amp
+    FROM a
+    """,
+)
+def _q_ts_spectral_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-frequency DFT probe (`ts.spectral_probe`): per channel,
+    the amplitude of the daily and weekly components — the band-energy
+    inspection the reference's Butterworth stack implies
+    (`filter_engine.py:94-146` asks for cutoff frequencies; this
+    measures where the energy IS), distributed as one plain
+    aggregation per (channel × period) with integer-modulus phase
+    arguments so cos/sin see identical doubles in both engines."""
+    e = _events_us(spark, sf_dir)
+    return ts.spectral_probe(e, periods_us=_SPECTRAL_PERIODS_US)
+
+
+@register(
+    "ts_interp_asof",
+    f"""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id AS id, value AS v,
+             0 AS tag
+      FROM events WHERE event_type = 'view'
+    ),
+    q AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id AS id,
+             CAST(NULL AS DOUBLE) AS v, 1 AS tag
+      FROM events WHERE event_type = 'click'
+    ),
+    u AS (SELECT * FROM s UNION ALL SELECT * FROM q),
+    m AS (
+      SELECT *,
+        last_value(CASE WHEN tag = 0 THEN {{'t': t, 'v': v}} END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY t ASC, tag ASC, id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+        first_value(CASE WHEN tag = 0 THEN {{'t': t, 'v': v}} END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY t ASC, tag DESC, id ASC
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+      FROM u
+    )
+    SELECT user_id, id AS event_id, t AS t_us,
+           prev['t'] AS t_prev_us, nxt['t'] AS t_next_us,
+           CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL THEN
+             CASE WHEN nxt['t'] = prev['t'] THEN {R("prev['v']", 6)}
+                  ELSE {R("prev['v'] + (nxt['v'] - prev['v'])"
+                          " * (CAST(t - prev['t'] AS DOUBLE)"
+                          " / CAST(nxt['t'] - prev['t'] AS DOUBLE))", 6)}
+             END
+           END AS v_interp
+    FROM m WHERE tag = 1
+    """,
+)
+def _q_ts_interp_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated as-of join (`edits.interp_asof_join`): evaluate
+    each user's view-value series AT their click timestamps by linear
+    interpolation between the bracketing samples — the resample-onto-
+    a-master-clock primitive (the two-table form of the reference's
+    within-channel interpolate, `filter_engine.py`). Single-exchange
+    union trick: both tables share one user-keyed partition pass, two
+    IGNORE-NULLS window sweeps resolve the brackets — no join at all."""
+    e = _events_us(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click")
+    views = e.filter(F.col("event_type") == "view")
+    return edits.interp_asof_join(clicks, views)
+
+
+_PROTO_K, _PROTO_PRUNE_PCT = 16, 20
+
+
+@register(
+    "data_prune_prototypicality",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    ord AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
+      FROM embeddings
+      QUALIFY cid <= {_PROTO_K - 1}
+    ),
+    cex AS (SELECT o.cid, e.i, e.x FROM ord o JOIN ex e ON e.vec_id = o.vec_id),
+    dists AS (
+      SELECT e.vec_id, c.cid,
+             sum(CAST({R("(e.x - c.x) * (e.x - c.x)", 9)} AS DECIMAL(38,9))) AS d
+      FROM ex e JOIN cex c ON c.i = e.i
+      GROUP BY e.vec_id, c.cid
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    sdot AS (
+      SELECT a.vec_id, a.cid,
+             sum(CAST({R("e.x * c.x", 9)} AS DECIMAL(38,9))) AS dxy,
+             sum(CAST({R("e.x * e.x", 9)} AS DECIMAL(38,9))) AS dxx,
+             sum(CAST({R("c.x * c.x", 9)} AS DECIMAL(38,9))) AS dyy
+      FROM assigned a
+      JOIN ex e ON e.vec_id = a.vec_id
+      JOIN cex c ON c.cid = a.cid AND c.i = e.i
+      GROUP BY a.vec_id, a.cid
+    ),
+    scored AS (
+      SELECT vec_id, cid,
+             {R("CAST(dxy AS DOUBLE) / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))", 6)} AS proto_cos
+      FROM sdot
+    ),
+    rk AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY proto_cos DESC, vec_id ASC) AS rn,
+             count(*) OVER (PARTITION BY cid) AS nc
+      FROM scored
+    )
+    SELECT vec_id, CAST(cid AS INT) AS centroid_id, proto_cos,
+           rn > (nc * {_PROTO_PRUNE_PCT}) // 100 AS keep
+    FROM rk
+    """,
+)
+def _q_data_prune_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes pruning decision (`sim.prototypicality_prune`,
+    Sorscher et al. 2022): per IVF cell, rank vectors by cosine to
+    their own centroid and drop the 20% most prototypical — the
+    keep/prune bit a curation pipeline writes after SemDeDup has
+    removed near-copies. Same deterministic IVF structure as
+    `sim_ivf_*`/`dedup_semantic`; FIXED k is the scale path here
+    (assignment N·k, rank one window — no pair volume anywhere)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    return sim.prototypicality_prune(
+        emb, n_centroids=_PROTO_K, prune_pct=_PROTO_PRUNE_PCT
+    )
