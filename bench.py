@@ -218,6 +218,9 @@ HEADLINE = [
     "ts_spectral_probe",         # daily/weekly band energy
     "ts_interp_asof",            # interpolated as-of (union trick)
     "data_prune_prototypicality",  # SSL-prototypes keep/prune bit
+    "eval_auc_binned",           # one-number scorer-vs-gate ranking eval
+    "stats_psi_halves_by_type",  # the PSI drift alarm
+    "linkage_golden_record",     # transitive closure -> master data
 ]
 
 

@@ -6146,10 +6146,10 @@ def _q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register(
-    "dedup_linkage_scores",
-    """
-    WITH base AS (
+#: shared Fellegi-Sunter CTE chain (SNM candidates -> integer-weight
+#: ``scored``) — factored so the pair-score query and the golden-record
+#: entity rollup score the identical candidate set and can never drift.
+_LINKAGE_SCORED_SQL = """base AS (
       SELECT doc_id,
              substr(norm, 1, 32) AS p,
              substr(norm, 1, 4) AS blk
@@ -6191,6 +6191,13 @@ def _q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN documents da ON da.doc_id = p.id_a
       JOIN documents db ON db.doc_id = p.id_b
     )
+"""
+
+
+@register(
+    "dedup_linkage_scores",
+    f"""
+    WITH {_LINKAGE_SCORED_SQL}
     SELECT id_a, id_b, edit_dist, CAST(score AS INT) AS score,
            CASE WHEN score >= 8 THEN 'match'
                 WHEN score >= 0 THEN 'possible'
@@ -11331,10 +11338,11 @@ def _q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_efficiency_agg(packed)
 
 
-@register(
-    "text_score_calibration",
-    f"""
-    WITH {_C4_FEATS_SQL},
+#: shared scorer-vs-C4-gate CTE chain (``sc``: doc_id → 6-dp logit;
+#: ``surv``: C4 survivor ids) — factored so the calibration diagram and
+#: the binned-AUC eval score the identical logit against the identical
+#: label and can never drift.
+_HLS_VS_C4_SQL = f"""{_C4_FEATS_SQL},
     surv AS (SELECT doc_id FROM ratios WHERE {_C4_CUM[-1]}),
     w AS (
       SELECT doc_id,
@@ -11348,7 +11356,13 @@ def _q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
              ), 'sum') AS tot
       FROM w WHERE len(ws) > 0
     ),
-    sc AS (SELECT doc_id, {R("CAST(tot AS DOUBLE) / n", 6)} AS logit FROM s),
+    sc AS (SELECT doc_id, {R("CAST(tot AS DOUBLE) / n", 6)} AS logit FROM s)"""
+
+
+@register(
+    "text_score_calibration",
+    f"""
+    WITH {_HLS_VS_C4_SQL},
     b AS (
       SELECT sc.logit,
              CASE WHEN surv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS pass,
@@ -14548,4 +14562,334 @@ def _q_data_prune_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = _table(spark, sf_dir, "embeddings")
     return sim.prototypicality_prune(
         emb, n_centroids=_PROTO_K, prune_pct=_PROTO_PRUNE_PCT
+    )
+
+
+# ---------------------------------------------------------------------------
+# r7 wave 31: binned AUC eval, PSI drift, linkage golden record
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_auc_binned",
+    f"""
+    WITH {_HLS_VS_C4_SQL},
+    b AS (
+      SELECT least(CAST(floor((round(sc.logit * 1000000, 0) + 500000)
+                               / 10000) AS INT), 99) AS bin,
+             CASE WHEN surv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS pass
+      FROM sc LEFT JOIN surv ON surv.doc_id = sc.doc_id
+    ),
+    bins AS (
+      SELECT bin, CAST(sum(pass) AS HUGEINT) AS np,
+             CAST(count(*) - sum(pass) AS HUGEINT) AS nn
+      FROM b GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, np, nn,
+             COALESCE(sum(nn) OVER (ORDER BY bin ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cneg
+      FROM bins
+    ),
+    tot AS (
+      SELECT sum(np) AS p, sum(nn) AS nneg,
+             sum(np * (2 * cneg + nn)) AS num,
+             count(*) AS n_bins
+      FROM cum
+    )
+    SELECT CAST(p AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+           CAST(n_bins AS BIGINT) AS n_bins,
+           CASE WHEN p > 0 AND nneg > 0 THEN
+             {R("CAST(num AS DOUBLE) / (2.0 * CAST(p AS DOUBLE) * CAST(nneg AS DOUBLE))", 6)}
+           END AS auc
+    FROM tot
+    """,
+)
+def _q_eval_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned ROC AUC of the cheap hashed-linear scorer against the
+    expensive C4 gate — the ONE-NUMBER ranking eval next to
+    `text_score_calibration`'s reliability diagram (same factored
+    logit and label, `_HLS_VS_C4_SQL`, so the two evals can never
+    score different things). AUC is computed the scale-safe way: 100
+    fixed 6-dp-grid logit bins (no global rank, no keyless window),
+    then the Mann-Whitney pair count as EXACT INTEGERS — 2·P·N·AUC =
+    Σ_b np_b·(2·cneg_<b + nn_b), ties-counted-half — accumulated in
+    decimal (HUGEINT oracle-side) and divided ONCE. The Spark plan
+    reduces the 100 bin rows to a single collect_list row and folds
+    the cumulative with `F.aggregate` — all JVM-side, zero windows,
+    zero joins after the bin agg."""
+    docs = _table(spark, sf_dir, "documents")
+    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
+    surv = tx.c4_filter_survivors(docs).select(
+        "doc_id", F.lit(1).alias("__pass")
+    )
+    j = scores.join(surv.hint("shuffle_hash"), "doc_id", "left")
+    bin_col = F.least(
+        F.floor(
+            (F.round(F.col("logit") * 1000000, 0) + F.lit(500000))
+            / F.lit(10000)
+        ).cast("int"),
+        F.lit(99),
+    )
+    bins = (
+        j.select(
+            bin_col.alias("__bin"),
+            F.coalesce(F.col("__pass"), F.lit(0)).alias("__p"),
+        )
+        .groupBy("__bin")
+        .agg(
+            F.sum("__p").cast("decimal(38,0)").alias("__np"),
+            (F.count(F.lit(1)) - F.sum("__p")).cast("decimal(38,0)").alias("__nn"),
+        )
+    )
+    row = bins.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__bin"), F.col("__np"), F.col("__nn")))
+        ).alias("__bs"),
+        F.sum("__np").alias("__p"),
+        F.sum("__nn").alias("__n"),
+        F.count(F.lit(1)).alias("__nbins"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    folded = F.aggregate(
+        F.col("__bs"),
+        F.struct(zero.alias("cneg"), zero.alias("num")),
+        lambda acc, x: F.struct(
+            (acc["cneg"] + x["__nn"]).cast("decimal(38,0)").alias("cneg"),
+            (acc["num"] + x["__np"] * (acc["cneg"] * F.lit(2) + x["__nn"]))
+            .cast("decimal(38,0)")
+            .alias("num"),
+        ),
+    )
+    auc = rd(
+        F.col("__num").cast("double")
+        / (
+            F.lit(2.0)
+            * F.col("__p").cast("double")
+            * F.col("__n").cast("double")
+        ),
+        6,
+    )
+    return row.select(
+        F.col("__p").cast("long").alias("n_pos"),
+        F.col("__n").cast("long").alias("n_neg"),
+        F.col("__nbins").cast("long").alias("n_bins"),
+        folded["num"].alias("__num"),
+        "__p",
+        "__n",
+    ).select(
+        "n_pos",
+        "n_neg",
+        "n_bins",
+        F.when((F.col("__p") > 0) & (F.col("__n") > 0), auc).alias("auc"),
+    )
+
+
+_PSI_DECILES = [i / 10.0 for i in range(1, 10)]
+
+
+@register(
+    "stats_psi_halves_by_type",
+    f"""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) AS us, value AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    rng AS (SELECT min(us) AS u0, max(us) AS u1 FROM ev),
+    f AS (
+      SELECT event_type, v,
+             CASE WHEN us <= (u0 + u1) // 2 THEN 1 ELSE 2 END AS half
+      FROM ev CROSS JOIN rng
+    ),
+    bounds AS (
+      SELECT event_type,
+             quantile_cont(v, [{", ".join(str(q) for q in _PSI_DECILES)}]) AS bs
+      FROM f WHERE half = 1 GROUP BY event_type
+    ),
+    x AS (
+      SELECT f.event_type, f.half,
+             len(list_filter(b.bs, q -> f.v > q)) AS bin
+      FROM f JOIN bounds b USING (event_type)
+    ),
+    c AS (
+      SELECT event_type, bin,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1b,
+             sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS n2b
+      FROM x GROUP BY event_type, bin
+    ),
+    t AS (
+      SELECT event_type, sum(n1b) AS n1, sum(n2b) AS n2
+      FROM c GROUP BY event_type
+    ),
+    terms AS (
+      SELECT c.event_type, t.n1, t.n2,
+             CASE WHEN c.n1b > 0 AND c.n2b > 0 THEN 1 ELSE 0 END AS used,
+             CASE WHEN c.n1b > 0 AND c.n2b > 0 THEN
+               CAST({R("(CAST(c.n2b AS DOUBLE) / CAST(t.n2 AS DOUBLE)"
+                       " - CAST(c.n1b AS DOUBLE) / CAST(t.n1 AS DOUBLE))"
+                       " * ln((CAST(c.n2b AS DOUBLE) / CAST(t.n2 AS DOUBLE))"
+                       " / (CAST(c.n1b AS DOUBLE) / CAST(t.n1 AS DOUBLE)))", 8)}
+                 AS DECIMAL(38,8))
+             END AS term
+      FROM c JOIN t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+           CAST(sum(used) AS BIGINT) AS n_bins_used,
+           CAST(count(*) - sum(used) AS BIGINT) AS n_bins_skipped,
+           {R("CAST(sum(term) AS DOUBLE)", 6)} AS psi
+    FROM terms GROUP BY event_type
+    """,
+)
+def _q_stats_psi_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift per event type: second
+    time-half value proportions against FIRST-half decile bins — the
+    industry drift score (PSI = Σ(p2−p1)·ln(p2/p1); >0.1 = shifting,
+    >0.25 = shifted) completing the drift family next to KS (max CDF
+    gap), chi2 (categorical) and W1: PSI is the one monitoring
+    dashboards alarm on, because per-bin terms say WHERE the mass
+    moved. Same global integer-midpoint time split as
+    `stats_ks_halves_by_type` so the family reads one split. Bins are
+    the reference deciles (exact interpolated percentiles, the MAD
+    precedent); bin membership is one broadcast array fold per row
+    (strict ``v > boundary``, identical in both engines — no explode,
+    no window); terms are 8-dp-rounded and decimal-summed so partial
+    aggregation cannot reorder float error; empty bins (either side)
+    are skipped and REPORTED rather than epsilon-fudged. Plan: two
+    event scans (bounds, then binning) + two bounded aggs — holds at
+    any N; the 1-row range is the sanctioned scalar cross join."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    us = event_micros(ev)
+    base = ev.select("event_type", us.alias("__us"), F.col("value").alias("__v"))
+    rng = base.agg(F.min("__us").alias("__u0"), F.max("__us").alias("__u1"))
+    halved = base.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "__v",
+        F.when(F.col("__us") <= F.expr("(__u0 + __u1) DIV 2"), 1)
+        .otherwise(2)
+        .alias("__half"),
+    )
+    bounds = (
+        halved.filter(F.col("__half") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.percentile(
+                F.col("__v"), F.array(*[F.lit(q) for q in _PSI_DECILES])
+            ).alias("__bs")
+        )
+    )
+    x = halved.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "__half",
+        F.aggregate(
+            F.col("__bs"),
+            F.lit(0),
+            lambda acc, q: acc + F.when(F.col("__v") > q, 1).otherwise(0),
+        ).alias("__bin"),
+    )
+    c = x.groupBy("event_type", "__bin").agg(
+        F.sum(F.when(F.col("__half") == 1, 1).otherwise(0)).alias("__n1b"),
+        F.sum(F.when(F.col("__half") == 2, 1).otherwise(0)).alias("__n2b"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("__n1b").alias("__n1"), F.sum("__n2b").alias("__n2")
+    )
+    ct = c.join(F.broadcast(t), "event_type")
+    p1 = F.col("__n1b").cast("double") / F.col("__n1").cast("double")
+    p2 = F.col("__n2b").cast("double") / F.col("__n2").cast("double")
+    ok = (F.col("__n1b") > 0) & (F.col("__n2b") > 0)
+    term = F.when(ok, rd((p2 - p1) * F.log(p2 / p1), 8).cast("decimal(38,8)"))
+    out = ct.select(
+        "event_type",
+        "__n1",
+        "__n2",
+        F.when(ok, 1).otherwise(0).alias("__used"),
+        term.alias("__term"),
+    ).groupBy("event_type").agg(
+        F.max("__n1").cast("long").alias("n1"),
+        F.max("__n2").cast("long").alias("n2"),
+        F.sum("__used").cast("long").alias("n_bins_used"),
+        (F.count(F.lit(1)) - F.sum("__used")).cast("long").alias("n_bins_skipped"),
+        rd(F.sum("__term").cast("double"), 6).alias("psi"),
+    )
+    return out
+
+
+@register(
+    "linkage_golden_record",
+    f"""
+    WITH RECURSIVE {_LINKAGE_SCORED_SQL},
+    me AS (
+      SELECT id_a, id_b FROM scored WHERE score >= 8
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM me
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM me
+    ),
+    reach(src, dst) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst
+    ),
+    lbl AS (
+      SELECT src AS doc_id, min(dst) AS entity_id FROM reach GROUP BY src
+    ),
+    g AS (
+      SELECT l.entity_id, count(*) AS n_members,
+             min(d.n_chars) AS min_n_chars, max(d.n_chars) AS max_n_chars
+      FROM lbl l JOIN documents d ON d.doc_id = l.doc_id
+      GROUP BY l.entity_id
+    )
+    SELECT g.entity_id, CAST(g.n_members AS BIGINT) AS n_members,
+           dc.lang AS canonical_lang, dc.source AS canonical_source,
+           g.min_n_chars, g.max_n_chars
+    FROM g JOIN documents dc ON dc.doc_id = g.entity_id
+    """,
+)
+def _q_linkage_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END of the linkage pipeline: transitive
+    closure over the Fellegi-Sunter 'match' pairs (same factored
+    candidate chain as `dedup_linkage_scores` — `_LINKAGE_SCORED_SQL`)
+    into entities, then one GOLDEN RECORD per multi-member entity:
+    entity_id = min member id, member count, the canonical (min-id)
+    member's attributes, and the member size span. This is the
+    master-data rollup a dedup decision feeds — pairwise scores alone
+    can't be acted on until transitivity is resolved (A~B, B~C ⇒ one
+    entity even when A,C never paired). Closure via the same
+    min-label propagation + pointer-jumping as `dedup_clusters`
+    (O(log n) rounds, (id,label) longs only); the oracle replays it
+    with a recursive CTE. Canonical attributes come from ONE
+    doc_id-keyed join against the entity id — no per-entity text ever
+    shuffles."""
+    docs = _table(spark, sf_dir, "documents")
+    match_pairs = dd.linkage_scores(docs).filter(
+        F.col("link_class") == "match"
+    ).select("id_a", "id_b")
+    lbl = dd.connected_components(match_pairs)
+    g = (
+        lbl.join(
+            docs.select(F.col("doc_id"), F.col("n_chars")).hint("shuffle_hash"),
+            "doc_id",
+        )
+        .groupBy(F.col("cluster_id").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("n_chars").alias("min_n_chars"),
+            F.max("n_chars").alias("max_n_chars"),
+        )
+    )
+    canon = docs.select(
+        F.col("doc_id").alias("entity_id"),
+        F.col("lang").alias("canonical_lang"),
+        F.col("source").alias("canonical_source"),
+    )
+    return g.join(canon.hint("shuffle_hash"), "entity_id").select(
+        "entity_id",
+        "n_members",
+        "canonical_lang",
+        "canonical_source",
+        "min_n_chars",
+        "max_n_chars",
     )
