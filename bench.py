@@ -221,6 +221,7 @@ HEADLINE = [
     "eval_auc_binned",           # one-number scorer-vs-gate ranking eval
     "stats_psi_halves_by_type",  # the PSI drift alarm
     "linkage_golden_record",     # transitive closure -> master data
+    "ts_dtw_channel_pairs",      # banded DTW as a Catalyst HOF program
 ]
 
 

@@ -730,3 +730,144 @@ def spectral_probe(
         F.col("n"),
         amp.alias("amp"),
     )
+
+
+#: out-of-band DP sentinel: far above any reachable path cost
+#: (L · max-bucket-|Δ| ≲ 1e13 at 100 TB bucket sums) yet two additions
+#: below int64 overflow
+DTW_INF = 1_000_000_000_000_000
+
+
+def dtw_band_distance(
+    df: DataFrame,
+    bucket_us: int = 21_600_000_000,
+    n_buckets: int = 120,
+    band: int = 8,
+    type_col: str = "event_type",
+    micros_col: str = "t_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sakoe-Chiba banded Dynamic Time Warping between every channel
+    pair, as a PURE Catalyst higher-order-function program — the
+    alignment-invariant distance that says which channels move
+    together even when one lags or locally stretches (`xcorr_lag`
+    finds one GLOBAL shift; DTW prices arbitrary monotone warps within
+    ±``band`` buckets). Classic trimming triage: channel pairs with
+    small DTW but large lockstep distance are desynchronized, not
+    different.
+
+    Construction: each channel becomes a DENSE length-``n_buckets``
+    integer series (bucketed 4-dp-scaled value sums from the global
+    min-time origin, missing buckets = 0 — total and deterministic);
+    the DP dp[i][j] = |x_i−y_j| + min(up, diag, left), cells outside
+    |i−j| ≤ band pinned to ``DTW_INF``, runs as a nested
+    ``F.aggregate`` fold (outer over rows carrying the previous DP row
+    as an array<long>, inner over cells appending to the current row)
+    — ALL integer arithmetic end-to-end, executed inside codegen, no
+    Python anywhere. The oracle replays the identical recurrence with
+    a recursive CTE + list_reduce, so the cost is compared EXACTLY
+    (bigint, no rounding at all).
+
+    Scale shape: the event scan aggregates to |channels|·L longs — the
+    only data-sized work; series collect to the driver (the bounded
+    centroid-collect precedent: ~5·120 longs), pair rows are literals,
+    and the O(pairs·L·band) DP runs executor-side. ``lockstep_cost_e4``
+    (the band-0 diagonal) rides along: DTW ≤ lockstep is an identity
+    the tests pin.
+    """
+    B, L, W = int(bucket_us), int(n_buckets), int(band)
+    t0_row = df.agg(F.min(micros_col).alias("__t0"))
+    base = (
+        df.crossJoin(F.broadcast(t0_row))
+        .select(
+            F.col(type_col).alias("__ty"),
+            F.expr(f"({micros_col} - __t0) DIV {B}").alias("__b"),
+            _scaled_int(F.col(value_col)).alias("__v"),
+        )
+        .filter((F.col("__b") >= 0) & (F.col("__b") < L))
+    )
+    sums = base.groupBy("__ty", "__b").agg(F.sum("__v").alias("__s"))
+    types = df.select(F.col(type_col).alias("__ty")).distinct()
+    grid = types.select(
+        "__ty", F.explode(F.sequence(F.lit(0), F.lit(L - 1))).alias("__b")
+    )
+    dense = grid.join(sums.hint("shuffle_hash"), ["__ty", "__b"], "left").select(
+        "__ty",
+        "__b",
+        F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("__s"),
+    )
+    series = dense.groupBy("__ty").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("__b", "__s"))),
+            lambda x: x["__s"],
+        ).alias("__vs")
+    )
+    picked = sorted(series.collect(), key=lambda r: r["__ty"])
+    pair_rows = [
+        (a["__ty"], b["__ty"], list(a["__vs"]), list(b["__vs"]))
+        for ai, a in enumerate(picked)
+        for b in picked[ai + 1:]
+    ]
+    pf = df.sparkSession.createDataFrame(
+        pair_rows, "type_a string, type_b string, xs array<long>, ys array<long>"
+    )
+    xs, ys = F.col("xs"), F.col("ys")
+    inf = F.lit(DTW_INF).cast("long")
+
+    def cost(i, j):
+        return F.abs(F.element_at(xs, i + 1) - F.element_at(ys, j + 1))
+
+    row0 = F.aggregate(
+        F.sequence(F.lit(1), F.lit(L - 1)),
+        F.array(cost(F.lit(0), F.lit(0))),
+        lambda acc, j: F.concat(
+            acc,
+            F.array(
+                F.when(j > W, inf).otherwise(
+                    cost(F.lit(0), j) + F.element_at(acc, -1)
+                )
+            ),
+        ),
+    )
+    full = F.aggregate(
+        F.sequence(F.lit(1), F.lit(L - 1)),
+        row0,
+        lambda prev, i: F.aggregate(
+            F.sequence(F.lit(1), F.lit(L - 1)),
+            F.array(
+                F.when(i > W, inf).otherwise(
+                    cost(i, F.lit(0)) + F.element_at(prev, 1)
+                )
+            ),
+            lambda acc, j: F.concat(
+                acc,
+                F.array(
+                    F.when(F.abs(i - j) > W, inf).otherwise(
+                        cost(i, j)
+                        + F.least(
+                            F.element_at(prev, j + 1),
+                            F.element_at(prev, j),
+                            F.element_at(acc, -1),
+                        )
+                    )
+                ),
+            ),
+        ),
+    )
+    lockstep = F.aggregate(
+        F.zip_with(xs, ys, lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    dtw = F.element_at(full, L)
+    return pf.select(
+        "type_a",
+        "type_b",
+        F.lit(L).alias("n_buckets"),
+        F.lit(W).alias("band"),
+        dtw.alias("dtw_cost_e4"),
+        lockstep.alias("lockstep_cost_e4"),
+        rd(dtw.cast("double") / F.lit(1e4) / F.lit(float(L)), 6).alias(
+            "dtw_per_step"
+        ),
+    )

@@ -14893,3 +14893,95 @@ def _q_linkage_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_n_chars",
         "max_n_chars",
     )
+
+
+# ---------------------------------------------------------------------------
+# r7 wave 32: banded DTW channel distance
+# ---------------------------------------------------------------------------
+
+_DTW_B, _DTW_L, _DTW_W = 21_600_000_000, 120, 8
+_DTW_INF = 1_000_000_000_000_000
+
+
+@register(
+    "ts_dtw_channel_pairs",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT event_type AS ty, epoch_us(ts) AS t, value AS v FROM events
+    ),
+    rng AS (SELECT min(t) AS t0 FROM e),
+    bk AS (
+      SELECT ty, (t - t0) // {_DTW_B} AS b,
+             CAST(floor(v * 10000.0 + 0.5) AS BIGINT) AS sv
+      FROM e CROSS JOIN rng
+      WHERE (t - t0) // {_DTW_B} BETWEEN 0 AND {_DTW_L - 1}
+    ),
+    s AS (SELECT ty, b, CAST(sum(sv) AS BIGINT) AS s FROM bk GROUP BY 1, 2),
+    tys AS (SELECT DISTINCT ty FROM e),
+    grid AS (
+      SELECT tys.ty, g.b
+      FROM tys CROSS JOIN (SELECT unnest(range(0, {_DTW_L})) AS b) g
+    ),
+    dense AS (
+      SELECT grid.ty, grid.b, COALESCE(s.s, 0) AS s
+      FROM grid LEFT JOIN s ON s.ty = grid.ty AND s.b = grid.b
+    ),
+    ser AS (SELECT ty, list(s ORDER BY b) AS vs FROM dense GROUP BY ty),
+    pairs AS (
+      SELECT a.ty AS type_a, b.ty AS type_b, a.vs AS xs, b.vs AS ys
+      FROM ser a JOIN ser b ON a.ty < b.ty
+    ),
+    r0 AS (
+      SELECT type_a, type_b, xs, ys,
+        list_reduce(
+          list_transform(range(0, {_DTW_L}), j ->
+            CASE WHEN j = 0 THEN [abs(xs[1] - ys[1])]
+                 ELSE [CAST(j AS BIGINT)] END),
+          (acc, x) -> list_append(acc,
+            CASE WHEN x[1] > {_DTW_W} THEN {_DTW_INF}
+                 ELSE abs(xs[1] - ys[x[1] + 1]) + acc[len(acc)] END)
+        ) AS row
+      FROM pairs
+    ),
+    dp AS (
+      SELECT type_a, type_b, xs, ys, 0 AS i, row FROM r0
+      UNION ALL
+      SELECT type_a, type_b, xs, ys, i + 1,
+        list_reduce(
+          list_transform(range(0, {_DTW_L}), j ->
+            CASE WHEN j = 0 THEN
+              [CASE WHEN i + 1 > {_DTW_W} THEN {_DTW_INF}
+                    ELSE abs(xs[i + 2] - ys[1]) + row[1] END]
+            ELSE [CAST(j AS BIGINT)] END),
+          (acc, x) -> list_append(acc,
+            CASE WHEN abs((i + 1) - x[1]) > {_DTW_W} THEN {_DTW_INF}
+                 ELSE abs(xs[i + 2] - ys[x[1] + 1])
+                      + least(row[x[1] + 1], row[x[1]], acc[len(acc)]) END)
+        )
+      FROM dp WHERE i < {_DTW_L - 1}
+    )
+    SELECT type_a, type_b,
+           CAST({_DTW_L} AS INTEGER) AS n_buckets,
+           CAST({_DTW_W} AS INTEGER) AS band,
+           row[{_DTW_L}] AS dtw_cost_e4,
+           CAST(list_aggregate(list_transform(range(0, {_DTW_L}),
+                j -> abs(xs[j + 1] - ys[j + 1])), 'sum') AS BIGINT)
+             AS lockstep_cost_e4,
+           {R(f"CAST(row[{_DTW_L}] AS DOUBLE) / 10000.0 / {float(_DTW_L)}", 6)}
+             AS dtw_per_step
+    FROM dp WHERE i = {_DTW_L - 1}
+    """,
+)
+def _q_ts_dtw_channel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sakoe-Chiba banded DTW between every channel pair
+    (`ts.dtw_band_distance`): the alignment-invariant distance — which
+    channels move together modulo a local warp of ±8 six-hour buckets.
+    The DP is a nested `F.aggregate` fold over integer arrays (pure
+    Catalyst higher-order functions, exact bigint end-to-end); the
+    oracle replays the identical recurrence with a recursive CTE +
+    list_reduce, so costs compare EXACTLY. The lockstep (band-0)
+    distance rides along: DTW ≤ lockstep is a pinned identity."""
+    e = _events_us(spark, sf_dir)
+    return ts.dtw_band_distance(
+        e, bucket_us=_DTW_B, n_buckets=_DTW_L, band=_DTW_W
+    )
