@@ -54,7 +54,7 @@ _FIRST_50 = [
     # reference-parity core (SURVEY §2): filters, edits, aggregates,
     # expressions, relational
     "f1_moving_average", "f2_rolling_median",
-    "f11_moving_rms", "f7_derivative", "f8_integrate", "f9_normalize_zscore",
+    "f7_derivative", "f9_normalize_zscore",
     "f6_detrend", "f13_interpolate_linear", "f14_resample",
     "p1_time_slice", "p4_delete_segment_collapse", "p5_mark_bad",
     "p7_asof_lookup", "a1_sample_rate", "a4_episode_overlay",
@@ -77,6 +77,7 @@ _FIRST_50 = [
     # verification; the rotated-out r6 names stay in the full local run)
     "dedup_lsh_eval_report", "feature_pointintime_state",
     "pipeline_ccnet_buckets", "emb_separability_by_label",
+    "ts_dtw_channel_pairs", "text_bpe_merge_rounds",
 ]
 
 

@@ -222,6 +222,8 @@ HEADLINE = [
     "stats_psi_halves_by_type",  # the PSI drift alarm
     "linkage_golden_record",     # transitive closure -> master data
     "ts_dtw_channel_pairs",      # banded DTW as a Catalyst HOF program
+    "emb_retrieval_ndcg",        # graded-position retrieval eval
+    "text_bpe_merge_rounds",     # distributed BPE/phrase-merge trainer
 ]
 
 

@@ -1489,32 +1489,22 @@ def knn_label_agreement(
     )
 
 
-def retrieval_mrr(
+def _lsh_ranked_candidates(
     df: DataFrame,
-    label_col: str = "label",
-    bits: int = 8,
-    tables: int = 6,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: str = "tsdt",
-    dim: int | None = None,
-) -> DataFrame:
-    """Label-as-relevance retrieval evaluation over the LSH-blocked
-    candidate set: for every vector ("query"), rank its candidates by
-    exact decimal cosine and take the RECIPROCAL RANK of the first
-    SAME-label neighbor; per label, MRR = mean reciprocal rank with
-    rr = 0 for queries whose candidate list contains no same-label
-    vector (the honest denominator — a retrieval system is judged on
-    every query, not just the ones it happened to block well).
-
-    This is the standard cheap eval for an embedding space destined
-    for retrieval / hard-negative mining: agreement (1-NN audit) says
-    whether the top hit is right; MRR says how far down the right
-    answer lives. Same bounded Σ|B|² candidate generation and
-    id-keyed re-rank joins as `knn_label_agreement`; the per-query
-    rank is one keyed window; reciprocal ranks are 6-dp rounded then
-    DECIMAL-summed so the label mean is partial-agg-order-proof.
-    """
+    bits: int,
+    tables: int,
+    id_col: str,
+    vec_col: str,
+    seed: str,
+    dim: int | None,
+    label_col: str,
+):
+    """Shared retrieval-eval frame: every vector's LSH-blocked
+    candidates ranked by exact decimal cosine (``__rk``), joined with
+    the query's (``q_lbl``) and neighbor's (``n_lbl``) labels — plus
+    the per-query ``own`` frame (vid, q_lbl) giving the honest all-
+    queries denominator. Factored so `retrieval_mrr` and
+    `retrieval_ndcg` rank the identical candidate set."""
     from pyspark.sql import Window
 
     from time_series_data_trimmer_spark.functions.rounding import rd
@@ -1567,6 +1557,39 @@ def retrieval_mrr(
         .join(own.hint("shuffle_hash"), "vid")
         .join(nb.hint("shuffle_hash"), "nbr")
     )
+    return ranked, own
+
+
+def retrieval_mrr(
+    df: DataFrame,
+    label_col: str = "label",
+    bits: int = 8,
+    tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "tsdt",
+    dim: int | None = None,
+) -> DataFrame:
+    """Label-as-relevance retrieval evaluation over the LSH-blocked
+    candidate set: for every vector ("query"), rank its candidates by
+    exact decimal cosine and take the RECIPROCAL RANK of the first
+    SAME-label neighbor; per label, MRR = mean reciprocal rank with
+    rr = 0 for queries whose candidate list contains no same-label
+    vector (the honest denominator — a retrieval system is judged on
+    every query, not just the ones it happened to block well).
+
+    This is the standard cheap eval for an embedding space destined
+    for retrieval / hard-negative mining: agreement (1-NN audit) says
+    whether the top hit is right; MRR says how far down the right
+    answer lives. Same bounded Σ|B|² candidate generation and
+    id-keyed re-rank joins as `knn_label_agreement`; the per-query
+    rank is one keyed window; reciprocal ranks are 6-dp rounded then
+    DECIMAL-summed so the label mean is partial-agg-order-proof.
+    """
+    ranked, own = _lsh_ranked_candidates(
+        df, bits, tables, id_col, vec_col, seed, dim, label_col
+    )
+    from time_series_data_trimmer_spark.functions.rounding import rd
     first_hit = (
         ranked.filter(F.col("n_lbl") == F.col("q_lbl"))
         .groupBy("vid")
@@ -1764,4 +1787,97 @@ def prototypicality_prune(
         F.col("cid").cast("int").alias("centroid_id"),
         F.col("proto_cos"),
         (F.row_number().over(wc).cast("long") > cut).alias("keep"),
+    )
+
+
+def ndcg_weights(k: int) -> tuple[list[float], list[float]]:
+    """The binary-gain DCG position weights 1/log2(r+1) for r = 1..k,
+    pre-rounded to 9 dp, and their exact prefix sums (the IDCG table).
+    Computed ONCE here and embedded as identical literals in both the
+    Spark plan and the oracle SQL — cross-engine log2 never runs at
+    query time."""
+    import math
+    from decimal import Decimal
+
+    ws = [round(1.0 / math.log2(r + 1), 9) for r in range(1, k + 1)]
+    acc, idcg = Decimal(0), []
+    for w in ws:
+        acc += Decimal(str(w))
+        idcg.append(float(acc))
+    return ws, idcg
+
+
+def retrieval_ndcg(
+    df: DataFrame,
+    k: int = 10,
+    label_col: str = "label",
+    bits: int = 8,
+    tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "tsdt",
+    dim: int | None = None,
+) -> DataFrame:
+    """NDCG@k with labels as binary relevance, over the SAME
+    LSH-blocked exact-cosine ranking as `retrieval_mrr`
+    (`_lsh_ranked_candidates`): per query, DCG@k = Σ_{r≤k, same-label}
+    1/log2(r+1), normalized by the IDEAL DCG for min(k, |label|−1)
+    relevant items in the WHOLE corpus — so a query pays both for
+    ranking relevant items low AND for candidates its blocks never
+    produced (the generator-recall term MRR's first-hit metric is
+    blind to). ndcg = 0 for queries with no relevant candidate; the
+    mean is over every query (the honest denominator, as in MRR).
+
+    Exactness: position weights and the IDCG table are 9-dp literals
+    from `ndcg_weights` (no engine log2 at query time); per-query DCG
+    decimal-sums weight literals; per-label means decimal-sum the 6-dp
+    per-query scores. One keyed rank window, broadcast label counts,
+    no new joins beyond the shared frame.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    ranked, own = _lsh_ranked_candidates(
+        df, bits, tables, id_col, vec_col, seed, dim, label_col
+    )
+    ws, idcg = ndcg_weights(k)
+    warr = F.array(*[F.lit(w) for w in ws])
+    iarr = F.array(*[F.lit(v) for v in idcg])
+    term = F.when(
+        (F.col("n_lbl") == F.col("q_lbl")) & (F.col("__rk") <= k),
+        F.element_at(warr, F.col("__rk")).cast("decimal(38,9)"),
+    ).otherwise(F.lit(0).cast("decimal(38,9)"))
+    dcg = ranked.groupBy("vid").agg(F.sum(term).alias("__dcg"))
+    cnt = df.groupBy(F.col(label_col).alias("q_lbl")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    m = F.least(F.lit(k), F.col("__c") - 1).cast("int")
+    per_q = (
+        own.join(F.broadcast(cnt), "q_lbl")
+        .join(dcg.hint("shuffle_hash"), "vid", "left")
+        .select(
+            "vid",
+            "q_lbl",
+            F.when(
+                m >= 1,
+                rd(
+                    F.coalesce(F.col("__dcg"), F.lit(0).cast("decimal(38,9)"))
+                    .cast("double")
+                    / F.element_at(iarr, m),
+                    6,
+                ),
+            ).alias("__ndcg"),
+        )
+    )
+    agg = per_q.groupBy("q_lbl").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum((F.col("__ndcg") == 0.0).cast("long")).alias("n_zero"),
+        F.sum(F.col("__ndcg").cast("decimal(38,6)")).alias("__sum"),
+    )
+    return agg.select(
+        F.col("q_lbl").alias(label_col),
+        "n_queries",
+        "n_zero",
+        rd(
+            F.col("__sum").cast("double") / F.col("n_queries").cast("double"), 6
+        ).alias("ndcg"),
     )

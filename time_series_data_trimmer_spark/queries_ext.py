@@ -10578,10 +10578,10 @@ def _q_pipeline_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dqrows.unionByName(lrows).unionByName(brows)
 
 
-@register(
-    "emb_retrieval_mrr",
-    f"""
-    WITH ex AS ({_EX_SQL}),
+#: shared LSH-blocked exact-cosine candidate RANKING chain (``ranked``:
+#: vid, nbr, cos, rk) — factored so the MRR and NDCG retrieval evals
+#: rank the identical candidate set and can never drift.
+_LSH_RANKED_SQL = f"""ex AS ({_EX_SQL}),
     bitsv AS (
       SELECT greatest({_EMB_BITS},
                       CAST(ceil(log2(CAST(count(*) AS DOUBLE))) AS INTEGER) - 4)
@@ -10638,7 +10638,13 @@ def _q_pipeline_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY vid ORDER BY cos DESC, nbr ASC
              ) AS rk
       FROM sym
-    ),
+    )"""
+
+
+@register(
+    "emb_retrieval_mrr",
+    f"""
+    WITH {_LSH_RANKED_SQL},
     hit AS (
       SELECT r.vid, min(r.rk) AS r1
       FROM ranked r
@@ -14985,3 +14991,140 @@ def _q_ts_dtw_channel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.dtw_band_distance(
         e, bucket_us=_DTW_B, n_buckets=_DTW_L, band=_DTW_W
     )
+
+
+# ---------------------------------------------------------------------------
+# r7 wave 33: NDCG@k retrieval eval (completes the MRR/recall family)
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+_NDCG_WS, _NDCG_IDCG = sim.ndcg_weights(_NDCG_K)
+
+
+@register(
+    "emb_retrieval_ndcg",
+    f"""
+    WITH {_LSH_RANKED_SQL},
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    cnt AS (SELECT label, count(*) AS c FROM embeddings GROUP BY label),
+    terms AS (
+      SELECT r.vid,
+             CASE WHEN n.label = q.label AND r.rk <= {_NDCG_K}
+                  THEN CAST(([{", ".join(repr(w) for w in _NDCG_WS)}])[r.rk]
+                            AS DECIMAL(38,9))
+                  ELSE CAST(0 AS DECIMAL(38,9)) END AS term
+      FROM ranked r
+      JOIN lbl q ON q.vec_id = r.vid
+      JOIN lbl n ON n.vec_id = r.nbr
+    ),
+    dcg AS (SELECT vid, sum(term) AS dcg FROM terms GROUP BY vid),
+    perq AS (
+      SELECT q.vec_id AS vid, q.label AS q_lbl,
+             CASE WHEN least({_NDCG_K}, cnt.c - 1) >= 1 THEN
+               {R(f"CAST(COALESCE(d.dcg, 0) AS DOUBLE)"
+                  f" / ([{', '.join(repr(v) for v in _NDCG_IDCG)}])"
+                  f"[least({_NDCG_K}, cnt.c - 1)]", 6)}
+             END AS ndcg
+      FROM embeddings q
+      JOIN cnt ON cnt.label = q.label
+      LEFT JOIN dcg d ON d.vid = q.vec_id
+    )
+    SELECT q_lbl AS label,
+           count(*) AS n_queries,
+           CAST(count(*) FILTER (WHERE ndcg = 0.0) AS BIGINT) AS n_zero,
+           {R("CAST(sum(CAST(ndcg AS DECIMAL(38,6))) AS DOUBLE)"
+              " / CAST(count(*) AS DOUBLE)", 6)} AS ndcg
+    FROM perq GROUP BY q_lbl
+    """,
+)
+def _q_emb_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 with labels as binary relevance
+    (`sim.retrieval_ndcg`): the graded-position retrieval eval over
+    the SAME LSH-blocked exact-cosine ranking as `emb_retrieval_mrr`
+    (factored `_LSH_RANKED_SQL`, so the two evals can never rank
+    different candidates). MRR reads the FIRST hit's depth; NDCG pays
+    for every relevant item the top-k misses — normalized by the ideal
+    DCG over min(k, |label|−1) corpus-wide relevants, it also charges
+    the blocking structure for candidates it never produced.
+    Position weights and the IDCG table are shared 9-dp literals
+    (`sim.ndcg_weights`) — neither engine computes log2 at query
+    time."""
+    emb = _table(spark, sf_dir, "embeddings")
+    bits = _knn_bits(emb.count())
+    return sim.retrieval_ndcg(
+        emb, k=_NDCG_K, bits=bits, tables=_EMB_TABLES, dim=_EMB_DIM
+    )
+
+
+# ---------------------------------------------------------------------------
+# r7 wave 34: distributed BPE merge trainer
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 5
+
+
+def _bpe_oracle_sql(rounds: int) -> str:
+    """Unrolled per-round CTE chain replaying the trainer verbatim:
+    pair count → deterministic top-1 → corpus rewrite. The rewrite is
+    a DELIMITER-GUARDED string replace — tokens joined by '||' and
+    wrapped in single '|' ends, so pair (a,b) is the substring
+    '|a||b|' and its merge is '|a b|'; occurrences share no characters
+    and replace() scans leftmost non-overlapping, which is EXACTLY the
+    fold's (arr, carry) semantics (incl. the 'a a a' overlap case:
+    first two merge, third survives). Chosen over list_reduce, whose
+    DuckDB 1.0 lambda list-aliasing corrupts multi-round folds (see
+    the verify skill); tokens are [a-z0-9 ]+ so '|' can never occur
+    inside one."""
+    head = """t0 AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' '), x -> length(x) > 0) AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s0 AS (
+      SELECT doc_id, '|' || array_to_string(toks, '||') || '|' AS s FROM t0
+    )"""
+    parts = [head]
+    pair_toks = (
+        "list_filter(string_split(trim(s, '|'), '||'), x -> length(x) > 0)"
+    )
+    for r in range(1, rounds + 1):
+        parts.append(f"""p{r} AS (
+      SELECT u['a'] AS a, u['b'] AS b, count(*) AS cnt
+      FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> {{'a': toks[i], 'b': toks[i + 1]}})) AS u
+            FROM (SELECT {pair_toks} AS toks FROM s{r - 1}))
+      GROUP BY 1, 2
+    ),
+    m{r} AS (
+      SELECT a, b, cnt FROM p{r}
+      QUALIFY row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC) = 1
+    ),
+    s{r} AS (
+      SELECT t.doc_id,
+             replace(t.s, '|' || m.a || '||' || m.b || '|',
+                          '|' || m.a || ' ' || m.b || '|') AS s
+      FROM s{r - 1} t CROSS JOIN m{r} m
+    )""")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({r} AS INTEGER) AS round, a AS lhs, b AS rhs, cnt AS n_merges FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + union
+
+
+@register("text_bpe_merge_rounds", _bpe_oracle_sql(_BPE_ROUNDS))
+def _q_text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE-style merge training (`tx.bpe_merge_trainer`,
+    word-level Sennrich et al. 2016 — equivalently greedy phrase
+    mining): five rounds of most-frequent-adjacent-pair merge over the
+    whole corpus, later rounds free to merge earlier merges into
+    longer phrases. The returned merge table IS the trained tokenizer
+    artifact. Per round: one token scan (zip_with slices → pair
+    explode → map-side-combined count), top-1 via TakeOrdered (no
+    global sort), then the corpus rewrite as ONE `F.aggregate` fold
+    per document (struct (arr, carry) state, leftmost-first
+    non-overlapping) — all codegen; lineage truncated per round. The
+    oracle unrolls all five rounds verbatim, fold included."""
+    docs = _table(spark, sf_dir, "documents")
+    return tx.bpe_merge_trainer(docs, rounds=_BPE_ROUNDS)
