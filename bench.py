@@ -224,6 +224,7 @@ HEADLINE = [
     "ts_dtw_channel_pairs",      # banded DTW as a Catalyst HOF program
     "emb_retrieval_ndcg",        # graded-position retrieval eval
     "text_bpe_merge_rounds",     # distributed BPE/phrase-merge trainer
+    "stream_psi_drift_daily",    # continuous drift monitor (stream==batch)
 ]
 
 

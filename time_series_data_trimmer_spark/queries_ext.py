@@ -15128,3 +15128,84 @@ def _q_text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls all five rounds verbatim, fold included."""
     docs = _table(spark, sf_dir, "documents")
     return tx.bpe_merge_trainer(docs, rounds=_BPE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# r7 wave 35: streaming PSI drift monitor
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_psi_drift_daily",
+    f"""
+    WITH ev AS (
+      SELECT event_type, ts, value FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (
+      SELECT event_type,
+             quantile_cont(value, [{", ".join(str(q) for q in _PSI_DECILES)}]) AS bs
+      FROM ev GROUP BY event_type
+    ),
+    binned AS (
+      SELECT e.event_type, date_trunc('day', e.ts) AS window_start,
+             len(list_filter(b.bs, q -> e.value > q)) AS bin
+      FROM ev e JOIN bounds b USING (event_type)
+    ),
+    refc AS (
+      SELECT event_type, bin, count(*) AS rc FROM binned GROUP BY 1, 2
+    ),
+    reft AS (SELECT event_type, sum(rc) AS nr FROM refc GROUP BY 1),
+    wc AS (
+      SELECT event_type, window_start, bin, count(*) AS cw
+      FROM binned GROUP BY 1, 2, 3
+    ),
+    wt AS (
+      SELECT event_type, window_start, sum(cw) AS n
+      FROM wc GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT wt.event_type, wt.window_start, wt.n, g.bin
+      FROM wt CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g
+    ),
+    terms AS (
+      SELECT grid.event_type, grid.window_start, grid.n,
+             COALESCE(wc.cw, 0) AS cw, COALESCE(refc.rc, 0) AS rc, reft.nr,
+             CASE WHEN COALESCE(wc.cw, 0) > 0 AND COALESCE(refc.rc, 0) > 0
+                  THEN 1 ELSE 0 END AS used,
+             CASE WHEN COALESCE(wc.cw, 0) > 0 AND COALESCE(refc.rc, 0) > 0
+               THEN CAST({R("(CAST(wc.cw AS DOUBLE) / CAST(grid.n AS DOUBLE)"
+                            " - CAST(refc.rc AS DOUBLE) / CAST(reft.nr AS DOUBLE))"
+                            " * ln((CAST(wc.cw AS DOUBLE) / CAST(grid.n AS DOUBLE))"
+                            " / (CAST(refc.rc AS DOUBLE) / CAST(reft.nr AS DOUBLE)))", 8)}
+                    AS DECIMAL(38,8))
+             END AS term
+      FROM grid
+      LEFT JOIN wc ON wc.event_type = grid.event_type
+                  AND wc.window_start = grid.window_start
+                  AND wc.bin = grid.bin
+      LEFT JOIN refc ON refc.event_type = grid.event_type
+                    AND refc.bin = grid.bin
+      JOIN reft ON reft.event_type = grid.event_type
+    )
+    SELECT window_start, event_type, CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(used) AS BIGINT) AS n_bins_used,
+           CAST(count(*) - sum(used) AS BIGINT) AS n_bins_skipped,
+           {R("CAST(sum(term) AS DOUBLE)", 6)} AS psi
+    FROM terms GROUP BY window_start, event_type
+    """,
+)
+def _q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor (`stream_ops.stream_psi_drift`):
+    per tumbling DAY window and channel, the PSI of that window's
+    value distribution against the corpus-wide reference deciles — the
+    continuous twin of `stats_psi_halves_by_type` (same bins, same
+    term arithmetic, same skip-and-report contract). Streaming state
+    is 10 bin counters + a total per open (window, type) — pure
+    map-side-combinable sums, so the complete-mode final state equals
+    the batch GROUP BY and the exact oracle applies; bin assignment is
+    a stateless stream-static broadcast array fold."""
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        stream_psi_drift,
+    )
+
+    return stream_psi_drift(spark, os.path.join(sf_dir, "events.parquet"))

@@ -942,3 +942,110 @@ def stream_content_fingerprint(spark: SparkSession, path: str) -> DataFrame:
         "content_min",
         "content_max",
     )
+
+
+def stream_psi_drift(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming face of the batch PSI drift alarm
+    (`stats_psi_halves_by_type`): per tumbling 1-DAY window and
+    channel, the Population Stability Index of that window's value
+    distribution against the corpus-wide reference deciles — the
+    drift monitor a dashboard runs continuously ("which day did this
+    channel's distribution move, and how far").
+
+    Structure: the reference (per-type decile bounds + per-bin
+    reference counts) is a BATCH frame over the same source; the
+    stream assigns bins scan-side via a stream-static broadcast join +
+    the same array fold the batch query uses (stateless), and the only
+    streaming STATE is one row of 10 bin counters + a total per open
+    (window, type) — bytes, not data, and every counter is a pure
+    map-side-combinable sum, so the complete-mode final state equals
+    the batch GROUP BY (batch==stream, same exact oracle). PSI terms
+    are computed POST-SINK from the counters (8-dp decimal-summed,
+    empty bins skipped and reported — the batch query's contract).
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    qs = [i / 10.0 for i in range(1, 10)]
+    batch = spark.read.parquet(path).filter(F.col("value").isNotNull())
+    bounds = batch.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.array(*[F.lit(q) for q in qs])).alias(
+            "__bs"
+        )
+    )
+
+    def bin_col():
+        return F.aggregate(
+            F.col("__bs"),
+            F.lit(0),
+            lambda acc, q: acc + F.when(F.col("value") > q, 1).otherwise(0),
+        ).alias("__bin")
+
+    refb = batch.join(F.broadcast(bounds), "event_type").select(
+        "event_type", bin_col()
+    )
+    ref = refb.groupBy("event_type").agg(
+        *[
+            F.sum(F.when(F.col("__bin") == i, 1).otherwise(0)).alias(f"__r{i}")
+            for i in range(10)
+        ],
+        F.count(F.lit(1)).alias("__nr"),
+    )
+    stream = _events_stream(spark, path, max_files_per_trigger)
+    s = (
+        stream.filter(F.col("value").isNotNull())
+        .join(F.broadcast(bounds), "event_type")
+        .select("event_type", "event_time", "value", bin_col())
+    )
+    windowed = (
+        s.withWatermark("event_time", "1 day")
+        .groupBy(
+            F.window("event_time", "1 day").alias("w"), F.col("event_type")
+        )
+        .agg(
+            *[
+                F.sum(F.when(F.col("__bin") == i, 1).otherwise(0)).alias(
+                    f"__c{i}"
+                )
+                for i in range(10)
+            ],
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    out = _run_to_memory(windowed, mode="complete")
+    j = out.join(F.broadcast(ref), "event_type").select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        F.col("__n"),
+        F.col("__nr"),
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("__i"),
+        F.array(*[F.col(f"__c{i}") for i in range(10)]).alias("__cs"),
+        F.array(*[F.col(f"__r{i}") for i in range(10)]).alias("__rs"),
+    )
+    cw = F.element_at(F.col("__cs"), F.col("__i") + 1)
+    rc = F.element_at(F.col("__rs"), F.col("__i") + 1)
+    pw = cw.cast("double") / F.col("__n").cast("double")
+    pr = rc.cast("double") / F.col("__nr").cast("double")
+    ok = (cw > 0) & (rc > 0)
+    term = F.when(ok, rd((pw - pr) * F.log(pw / pr), 8).cast("decimal(38,8)"))
+    return (
+        j.select(
+            "window_start",
+            "event_type",
+            "__n",
+            F.when(ok, 1).otherwise(0).alias("__used"),
+            term.alias("__term"),
+        )
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.max("__n").cast("long").alias("n"),
+            F.sum("__used").cast("long").alias("n_bins_used"),
+            (F.count(F.lit(1)) - F.sum("__used"))
+            .cast("long")
+            .alias("n_bins_skipped"),
+            rd(F.sum("__term").cast("double"), 6).alias("psi"),
+        )
+    )
