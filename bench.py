@@ -225,6 +225,8 @@ HEADLINE = [
     "emb_retrieval_ndcg",        # graded-position retrieval eval
     "text_bpe_merge_rounds",     # distributed BPE/phrase-merge trainer
     "stream_psi_drift_daily",    # continuous drift monitor (stream==batch)
+    "eval_isotonic_calibration",  # PAVA via closed minimax form
+    "privacy_k_anonymity_audit",  # release-gate re-identification audit
 ]
 
 

@@ -15209,3 +15209,230 @@ def _q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stream_psi_drift(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# r7 wave 36: isotonic calibration + k-anonymity privacy audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_isotonic_calibration",
+    f"""
+    WITH {_HLS_VS_C4_SQL},
+    b AS (
+      SELECT least(CAST(floor((round(sc.logit * 1000000, 0) + 500000)
+                               / 100000) AS INT), 9) AS bin,
+             CASE WHEN surv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS pass
+      FROM sc LEFT JOIN surv ON surv.doc_id = sc.doc_id
+    ),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pass) AS BIGINT) AS np
+      FROM b GROUP BY bin
+    ),
+    packed AS (
+      SELECT list(bin ORDER BY bin) AS bs,
+             list(n ORDER BY bin) AS cs,
+             list(np ORDER BY bin) AS ps,
+             count(*) AS m
+      FROM bins
+    ),
+    pre AS (
+      SELECT bs, cs, ps, m,
+             list_transform(range(0, m + 1), i ->
+               CAST(list_aggregate(list_concat([CAST(0 AS BIGINT)],
+                    list_slice(cs, 1, i)), 'sum') AS BIGINT)) AS pc,
+             list_transform(range(0, m + 1), i ->
+               CAST(list_aggregate(list_concat([CAST(0 AS BIGINT)],
+                    list_slice(ps, 1, i)), 'sum') AS BIGINT)) AS pp
+      FROM packed
+    ),
+    fit AS (
+      SELECT bs, cs, ps, m,
+             list_transform(range(0, m), i ->
+               list_aggregate(
+                 list_transform(range(0, i + 1), j ->
+                   list_aggregate(
+                     list_transform(range(i, m), k ->
+                       CAST(pp[k + 2] - pp[j + 1] AS DOUBLE)
+                       / CAST(pc[k + 2] - pc[j + 1] AS DOUBLE)),
+                     'min')),
+                 'max')) AS iso
+      FROM pre
+    ),
+    rows_ AS (
+      SELECT unnest(range(0, m)) AS i, bs, cs, ps, iso FROM fit
+    )
+    SELECT CAST(bs[i + 1] AS INTEGER) AS bin,
+           cs[i + 1] AS n_docs,
+           ps[i + 1] AS n_pass,
+           {R("CAST(ps[i + 1] AS DOUBLE) / CAST(cs[i + 1] AS DOUBLE)", 6)}
+             AS pass_rate,
+           {R("iso[i + 1]", 6)} AS iso_rate
+    FROM rows_
+    """,
+)
+def _q_eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC (PAVA) calibration of the cheap scorer against the C4
+    gate: the monotone-non-decreasing pass-rate curve closest (weighted
+    L2) to the raw per-bin rates — the calibration map a production
+    threshold actually ships, completing the eval trilogy (reliability
+    diagram = raw rates, AUC = ranking power, isotonic = the deployable
+    monotone curve). Same factored logit/label (`_HLS_VS_C4_SQL`) and
+    the calibration query's exact integer-grid bins.
+
+    No sequential PAVA loop anywhere: the fit uses the CLOSED minimax
+    form fitted[i] = max_{{j≤i}} min_{{k≥i}} avg(y[j..k]) over exact
+    integer prefix sums — pure nested min/max array transforms on ONE
+    collected row (≤10 bins ⇒ ≤1000 exact-rational terms), identical
+    in both engines because every compared double is a ratio of exact
+    integers. Zero windows, zero joins after the bin agg."""
+    docs = _table(spark, sf_dir, "documents")
+    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
+    surv = tx.c4_filter_survivors(docs).select(
+        "doc_id", F.lit(1).alias("__pass")
+    )
+    j = scores.join(surv.hint("shuffle_hash"), "doc_id", "left")
+    bin_col = F.least(
+        F.floor(
+            (F.round(F.col("logit") * 1000000, 0) + F.lit(500000))
+            / F.lit(100000)
+        ).cast("int"),
+        F.lit(9),
+    )
+    bins = (
+        j.select(
+            bin_col.alias("__bin"),
+            F.coalesce(F.col("__pass"), F.lit(0)).alias("__p"),
+        )
+        .groupBy("__bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__p").cast("long").alias("__np"),
+        )
+    )
+    packed = bins.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__bin"), F.col("__n"), F.col("__np")))
+        ).alias("__a"),
+        F.count(F.lit(1)).cast("int").alias("__m"),
+    ).select(
+        F.transform(F.col("__a"), lambda x: x["__bin"]).alias("__bs"),
+        F.transform(F.col("__a"), lambda x: x["__n"]).alias("__cs"),
+        F.transform(F.col("__a"), lambda x: x["__np"]).alias("__ps"),
+        F.col("__m"),
+    )
+    zero_l = F.lit(0).cast("long")
+
+    def prefix(arr):
+        return F.transform(
+            F.sequence(F.lit(0), F.col("__m")),
+            lambda i: F.aggregate(
+                F.slice(arr, F.lit(1), i), zero_l, lambda a, v: a + v
+            ),
+        )
+
+    pre = packed.select(
+        "__bs", "__cs", "__ps", "__m",
+        prefix(F.col("__cs")).alias("__pc"),
+        prefix(F.col("__ps")).alias("__pp"),
+    )
+    pp, pc = F.col("__pp"), F.col("__pc")
+    iso = F.transform(
+        F.sequence(F.lit(0), F.col("__m") - 1),
+        lambda i: F.array_max(
+            F.transform(
+                F.sequence(F.lit(0), i),
+                lambda j: F.array_min(
+                    F.transform(
+                        F.sequence(i, F.col("__m") - 1),
+                        lambda k: (
+                            F.element_at(pp, k + 2) - F.element_at(pp, j + 1)
+                        ).cast("double")
+                        / (
+                            F.element_at(pc, k + 2) - F.element_at(pc, j + 1)
+                        ).cast("double"),
+                    )
+                ),
+            )
+        ),
+    )
+    rows = pre.select(
+        "__bs", "__cs", "__ps", iso.alias("__iso"),
+        F.explode(F.sequence(F.lit(0), F.col("__m") - 1)).alias("__i"),
+    )
+    at = lambda a: F.element_at(F.col(a), F.col("__i") + 1)  # noqa: E731
+    return rows.select(
+        at("__bs").cast("int").alias("bin"),
+        at("__cs").alias("n_docs"),
+        at("__ps").alias("n_pass"),
+        rd(at("__ps").cast("double") / at("__cs").cast("double"), 6).alias(
+            "pass_rate"
+        ),
+        rd(at("__iso"), 6).alias("iso_rate"),
+    )
+
+
+_KANON_BAND = 256
+
+
+@register(
+    "privacy_k_anonymity_audit",
+    f"""
+    WITH q AS (
+      SELECT lang, source, n_chars // {_KANON_BAND} AS size_band
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, source, size_band, count(*) AS k
+      FROM q GROUP BY 1, 2, 3
+    ),
+    classed AS (
+      SELECT CASE WHEN k = 1 THEN 'k=1 unique'
+                  WHEN k < 5 THEN 'k=2-4'
+                  WHEN k < 20 THEN 'k=5-19'
+                  ELSE 'k>=20' END AS risk_class,
+             k
+      FROM g
+    )
+    SELECT risk_class,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(k) AS BIGINT) AS n_docs,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM classed GROUP BY risk_class
+    """,
+)
+def _q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ANONYMITY audit over the corpus's quasi-identifier tuple
+    (lang, source, 256-char size band): how many documents sit in
+    equivalence classes small enough to re-identify (k=1 means the
+    metadata alone pins the document). The release gate a corpus runs
+    BEFORE publication — unique quasi-identifier combinations are
+    where linkage attacks start (Sweeney 2002), and at 100 TB the
+    audit is exactly one partial-agg groupBy over three narrow
+    columns + a bounded 4-row rollup. Integer band edges (`div`) so
+    the classes reproduce in any engine."""
+    docs = _table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "lang",
+            "source",
+            F.expr(f"n_chars DIV {_KANON_BAND}").alias("size_band"),
+        )
+        .groupBy("lang", "source", "size_band")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    risk = (
+        F.when(F.col("k") == 1, "k=1 unique")
+        .when(F.col("k") < 5, "k=2-4")
+        .when(F.col("k") < 20, "k=5-19")
+        .otherwise("k>=20")
+    )
+    return g.select(risk.alias("risk_class"), "k").groupBy("risk_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("k").cast("long").alias("n_docs"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
