@@ -227,6 +227,7 @@ HEADLINE = [
     "stream_psi_drift_daily",    # continuous drift monitor (stream==batch)
     "eval_isotonic_calibration",  # PAVA via closed minimax form
     "privacy_k_anonymity_audit",  # release-gate re-identification audit
+    "emb_matryoshka_recall_by_dim",  # the MRL prefix forfeit curve
 ]
 
 

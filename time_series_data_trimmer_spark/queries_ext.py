@@ -15436,3 +15436,166 @@ def _q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("long").alias("min_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r7 wave 37: Matryoshka recall-by-prefix-dims sweep
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)
+_MRL_SHORTLIST = 40
+
+
+def _mrl_dim_cols_sql() -> str:
+    return ",\n             ".join(
+        f"CAST(sum(CASE WHEN q.i <= {d} THEN CAST({sql_rd('q.x * e.x', 9)} AS DECIMAL(38,9)) END) AS DOUBLE) AS dxy{d},\n"
+        f"             CAST(sum(CASE WHEN q.i <= {d} THEN CAST({sql_rd('e.x * e.x', 9)} AS DECIMAL(38,9)) END) AS DOUBLE) AS dxx{d}"
+        for d in _MRL_DIMS
+    )
+
+
+@register(
+    "emb_matryoshka_recall_by_dim",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    qex AS (SELECT vec_id AS qid, i, x FROM ex WHERE vec_id < {_RECALL_Q}),
+    qn AS (
+      SELECT qid,
+             {", ".join(f'''CAST(sum(CASE WHEN i <= {d} THEN CAST({sql_rd("x * x", 9)} AS DECIMAL(38,9)) END) AS DOUBLE) AS qxx{d}''' for d in _MRL_DIMS)}
+      FROM qex GROUP BY qid
+    ),
+    dots AS (
+      SELECT q.qid, e.vec_id,
+             {_mrl_dim_cols_sql()}
+      FROM qex q JOIN ex e ON e.i = q.i AND e.vec_id <> q.qid
+      GROUP BY q.qid, e.vec_id
+    ),
+    cosd AS (
+      {" UNION ALL ".join(
+        f'''SELECT {d} AS pd, d.qid, d.vec_id,
+               {R(f"d.dxy{d} / (sqrt(n.qxx{d}) * sqrt(d.dxx{d}))", 6)} AS c
+        FROM dots d JOIN qn n ON n.qid = d.qid'''
+        for d in _MRL_DIMS)}
+    ),
+    short AS (
+      SELECT pd, qid, vec_id FROM (
+        SELECT pd, qid, vec_id,
+               row_number() OVER (PARTITION BY pd, qid
+                                  ORDER BY c DESC, vec_id ASC) AS rn
+        FROM cosd
+      ) WHERE rn <= {_MRL_SHORTLIST}
+    ),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY c DESC, vec_id ASC) AS rn
+        FROM cosd WHERE pd = {max(_MRL_DIMS)}
+      ) WHERE rn <= 10
+    )
+    SELECT s.pd AS prefix_dims,
+           CAST(count(t.qid) AS BIGINT) AS n_hits,
+           {R(f"CAST(count(t.qid) AS DOUBLE) / ({_RECALL_Q} * 10.0)", 6)}
+             AS recall_at_10
+    FROM short s
+    LEFT JOIN truth t ON t.qid = s.qid AND t.vec_id = s.vec_id
+    GROUP BY s.pd
+    """,
+)
+def _q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall for the Matryoshka prefix-dims knob
+    (`sim.matryoshka_topk`'s coarse tier): recall@10 over the standard
+    {_RECALL_Q} probes when the 40-deep shortlist is built from only
+    the first D ∈ {_MRL_DIMS} coordinates — the exact re-rank recovers
+    ordering, so the ONLY loss is truth items the prefix tier never
+    shortlists, and recall = |truth ∩ shortlist| / 10 exactly. D=64 is
+    the built-in identity row (full-dim shortlist ⊇ truth ⇒ recall 1),
+    pinning the harness. Completes the measured cost-vs-recall family:
+    LSH bits, IVF nprobe, PQ bits, and now the MRL prefix — every
+    approximate blocking structure in the repo carries its forfeit
+    curve. One pass computes all four prefix dots as conditional
+    decimal sums (no fourfold scan); per-(D, probe) ranks are keyed
+    windows."""
+    emb = _table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    qex = ex.filter(F.col("vec_id") < _RECALL_Q).select(
+        F.col("vec_id").alias("qid"), "i", F.col("x").alias("__qx")
+    )
+
+    def csum(cond, term):
+        return F.sum(F.when(cond, rd(term, 9).cast("decimal(38,9)"))).cast(
+            "double"
+        )
+
+    qn = qex.groupBy("qid").agg(
+        *[
+            csum(F.col("i") < d, F.col("__qx") * F.col("__qx")).alias(f"__qxx{d}")
+            for d in _MRL_DIMS
+        ]
+    )
+    dots = (
+        ex.join(F.broadcast(qex), "i")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            *[
+                c
+                for d in _MRL_DIMS
+                for c in (
+                    csum(F.col("i") < d, F.col("__qx") * F.col("x")).alias(
+                        f"__dxy{d}"
+                    ),
+                    csum(F.col("i") < d, F.col("x") * F.col("x")).alias(
+                        f"__dxx{d}"
+                    ),
+                )
+            ]
+        )
+    )
+    j = dots.join(F.broadcast(qn), "qid")
+    cosd = None
+    for d in _MRL_DIMS:
+        c = rd(
+            F.col(f"__dxy{d}")
+            / (F.sqrt(F.col(f"__qxx{d}")) * F.sqrt(F.col(f"__dxx{d}"))),
+            6,
+        )
+        part = j.select(
+            F.lit(d).alias("pd"), "qid", "vec_id", c.alias("__c")
+        )
+        cosd = part if cosd is None else cosd.unionByName(part)
+    wsh = Window.partitionBy("pd", "qid").orderBy(
+        F.col("__c").desc(), F.col("vec_id").asc()
+    )
+    short = (
+        cosd.withColumn("__rn", F.row_number().over(wsh))
+        .filter(F.col("__rn") <= _MRL_SHORTLIST)
+        .select("pd", "qid", "vec_id")
+    )
+    wtr = Window.partitionBy("qid").orderBy(
+        F.col("__c").desc(), F.col("vec_id").asc()
+    )
+    truth = (
+        cosd.filter(F.col("pd") == max(_MRL_DIMS))
+        .withColumn("__rn", F.row_number().over(wtr))
+        .filter(F.col("__rn") <= 10)
+        .select(F.col("qid"), F.col("vec_id"), F.lit(1).alias("__hit"))
+    )
+    return (
+        short.join(truth.hint("shuffle_hash"), ["qid", "vec_id"], "left")
+        .groupBy(F.col("pd").alias("prefix_dims"))
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "prefix_dims",
+            "n_hits",
+            rd(
+                F.col("n_hits").cast("double") / F.lit(_RECALL_Q * 10.0), 6
+            ).alias("recall_at_10"),
+        )
+    )
