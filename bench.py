@@ -228,6 +228,7 @@ HEADLINE = [
     "eval_isotonic_calibration",  # PAVA via closed minimax form
     "privacy_k_anonymity_audit",  # release-gate re-identification audit
     "emb_matryoshka_recall_by_dim",  # the MRL prefix forfeit curve
+    "ts_holt_forecast",          # trend-corrected double smoothing
 ]
 
 

@@ -15599,3 +15599,59 @@ def _q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r7 wave 38: Brown double-smoothing forecast
+# ---------------------------------------------------------------------------
+
+_HOLT_D = 8
+
+
+def _holt_sql() -> str:
+    D = _HOLT_D
+    den1 = (1 << D) - 1
+    num1 = " + ".join(
+        f"lag(v, {j}) OVER w * {1 << (D - 1 - j)}" if j else f"v * {1 << (D - 1)}"
+        for j in range(D)
+    )
+    num2 = " + ".join(
+        (f"lag(v, {m}) OVER w" if m else "v")
+        + f" * {min(m + 1, 2 * D - 1 - m) * (1 << (2 * D - 2 - m))}"
+        for m in range(2 * D - 1)
+    )
+    full = f"lag(v, {2 * D - 2}) OVER w IS NOT NULL"
+    d2 = den1 * den1
+    return f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, t_us, event_id,
+             CASE WHEN {full} THEN {num1} END AS n1,
+             CASE WHEN {full} THEN {num2} END AS n2
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_us ASC, event_id ASC)
+    )
+    SELECT user_id, t_us, event_id,
+           {R(f"CAST(n1 AS DOUBLE) / {float(den1)} / 10000.0", 6)} AS s1,
+           {R(f"CAST(n2 AS DOUBLE) / {float(d2)} / 10000.0", 6)} AS s2,
+           {R(f"CAST(3 * n1 * {den1} - 2 * n2 AS DOUBLE) / {float(d2)} / 10000.0", 6)}
+             AS forecast_next
+    FROM s
+    """
+
+
+@register("ts_holt_forecast", _holt_sql())
+def _q_ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing forecast
+    (`ts.holt_brown_forecast`): trend-corrected one-step-ahead
+    ŷ = 3S1 − 2S2 per trial, truncated to exact integer weights (the
+    triangular self-convolution) so the numerators are bit-portable
+    ints under 2^53 and both engines divide identically ONCE. Rows
+    without the full 2D−1 history are NULL by contract. One
+    trial-keyed window pass."""
+    e = _events_us(spark, sf_dir)
+    return ts.holt_brown_forecast(e, depth=_HOLT_D)
