@@ -229,6 +229,7 @@ HEADLINE = [
     "privacy_k_anonymity_audit",  # release-gate re-identification audit
     "emb_matryoshka_recall_by_dim",  # the MRL prefix forfeit curve
     "ts_holt_forecast",          # trend-corrected double smoothing
+    "sketch_quantile_error_report",  # measured register accuracy
 ]
 
 

@@ -15655,3 +15655,104 @@ def _q_ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     trial-keyed window pass."""
     e = _events_us(spark, sf_dir)
     return ts.holt_brown_forecast(e, depth=_HOLT_D)
+
+
+# ---------------------------------------------------------------------------
+# r7 wave 39: sketch accuracy report
+# ---------------------------------------------------------------------------
+
+_QERR_K = 32
+_QERR_QS = (0.5, 0.9)
+
+
+@register(
+    "sketch_quantile_error_report",
+    f"""
+    WITH ev AS (
+      SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    h AS (
+      SELECT event_type AS g, {sp.sql_hash_u32("event_id", "tsdt|qsk")} AS u,
+             CAST(value AS DOUBLE) AS v
+      FROM ev
+    ),
+    regs AS (
+      SELECT g, u, v FROM h
+      QUALIFY row_number() OVER (PARTITION BY g ORDER BY u ASC, v ASC) <= {_QERR_K}
+    ),
+    ranked AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v ASC, u ASC) AS vr,
+             count(*) OVER (PARTITION BY g) AS n_kept
+      FROM regs
+    ),
+    qs AS (SELECT unnest([{", ".join(f"CAST({q} AS DOUBLE)" for q in _QERR_QS)}]) AS q),
+    est AS (
+      SELECT g AS event_type, q, n_kept, v AS sketch_q
+      FROM ranked CROSS JOIN qs
+      WHERE vr = greatest(1, CAST(ceil(q * CAST(n_kept AS DOUBLE)) AS BIGINT))
+    ),
+    ex AS (
+      SELECT event_type, count(*) AS n_total,
+             {", ".join(f"{R(f'quantile_cont(value, {q})', 6)} AS x{i}" for i, q in enumerate(_QERR_QS))}
+      FROM ev GROUP BY event_type
+    ),
+    exl AS (
+      {" UNION ALL ".join(
+        f"SELECT event_type, n_total, CAST({q} AS DOUBLE) AS q, x{i} AS exact_q FROM ex"
+        for i, q in enumerate(_QERR_QS))}
+    )
+    SELECT e.event_type, e.q, x.n_total, CAST(e.n_kept AS BIGINT) AS n_kept,
+           x.exact_q, e.sketch_q,
+           {R("abs(e.sketch_q - x.exact_q)", 6)} AS abs_err
+    FROM est e JOIN exl x ON x.event_type = e.event_type AND x.q = e.q
+    """,
+)
+def _q_sketch_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch family's HONEST-ERROR row: per channel and q ∈
+    {_QERR_QS}, the {_QERR_K}-register bottom-k quantile estimate next
+    to the EXACT interpolated percentile and their absolute gap — the
+    measured answer to "what accuracy do 32 registers actually buy",
+    the same discipline as the recall curves for every approximate
+    blocking structure. Registers, estimator (nearest-rank on the
+    (v, u) total order) and exact percentile are all deterministic, so
+    even the ERROR is oracle-exact. One scan + bounded register
+    windows + one 5-row exact agg."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    regs = sk.quantile_sketch_registers(
+        ev, group_col="event_type", value_col="value", id_col="event_id",
+        k=_QERR_K,
+    )
+    est = sk.quantile_sketch_estimate(regs, qs=list(_QERR_QS)).select(
+        F.col("g").alias("event_type"),
+        "q",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("q_est").alias("sketch_q"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            rd(F.percentile(F.col("value"), F.lit(float(q))), 6).alias(
+                f"__x{i}"
+            )
+            for i, q in enumerate(_QERR_QS)
+        ],
+    )
+    exl = None
+    for i, q in enumerate(_QERR_QS):
+        part = exact.select(
+            "event_type",
+            "n_total",
+            F.lit(float(q)).alias("q"),
+            F.col(f"__x{i}").alias("exact_q"),
+        )
+        exl = part if exl is None else exl.unionByName(part)
+    return est.join(F.broadcast(exl), ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        "n_total",
+        "n_kept",
+        "exact_q",
+        "sketch_q",
+        rd(F.abs(F.col("sketch_q") - F.col("exact_q")), 6).alias("abs_err"),
+    )
