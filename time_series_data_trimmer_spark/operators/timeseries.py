@@ -605,10 +605,17 @@ def xcorr_lag(
     bucket = (F.col(micros_col) - F.col(micros_col) % F.lit(B)).alias("__b")
 
     def series(etype: str, out: str) -> DataFrame:
+        # bucket sums accumulate in decimal(38,0): a 100 TB bucket
+        # population × 1e-4-scaled values can pass int64 (~9.2e18),
+        # where Spark (non-ANSI) would wrap silently
         return (
             df.filter(F.col(type_col) == etype)
             .groupBy(bucket)
-            .agg(F.sum(_scaled_int(F.col(value_col))).alias(out))
+            .agg(
+                F.sum(
+                    _scaled_int(F.col(value_col)).cast("decimal(38,0)")
+                ).alias(out)
+            )
         )
 
     xs = series(type_x, "__x")
@@ -625,7 +632,7 @@ def xcorr_lag(
             F.col("__y"),
         )
     )
-    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     per = (
         xs.join(ys.hint("shuffle_hash"), "__b")
         .groupBy("lag")
@@ -690,7 +697,11 @@ def spectral_probe(
     """
     stats = df.groupBy(type_col).agg(
         F.count(F.lit(1)).alias("__n"),
-        F.sum(_scaled_int(F.col(value_col))).alias("__sv"),
+        # decimal accumulation: channel-total scaled sums pass int64
+        # long before 100 TB (the CUSUM precedent)
+        F.sum(_scaled_int(F.col(value_col)).cast("decimal(38,0)")).alias(
+            "__sv"
+        ),
     )
     mean = F.col("__sv").cast("double") / (
         F.col("__n").cast("double") * F.lit(1e4)
