@@ -230,6 +230,8 @@ HEADLINE = [
     "emb_matryoshka_recall_by_dim",  # the MRL prefix forfeit curve
     "ts_holt_forecast",          # trend-corrected double smoothing
     "sketch_quantile_error_report",  # measured register accuracy
+    "stats_chi2_residuals",      # which cells drive the dependence
+    "stats_interarrival_expfit",  # is the arrival process Poisson
 ]
 
 

@@ -15756,3 +15756,189 @@ def _q_sketch_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sketch_q",
         rd(F.abs(F.col("sketch_q") - F.col("exact_q")), 6).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r7 wave 40: chi2 residual drill-down + exponential inter-arrival fit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_chi2_residuals",
+    f"""
+    WITH o AS (
+      SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod,
+             count(*) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, sum(obs) AS rtot FROM o GROUP BY event_type),
+    ct AS (SELECT hod, sum(obs) AS ctot FROM o GROUP BY hod),
+    g AS (SELECT sum(obs) AS total FROM o),
+    cells AS (
+      SELECT o.event_type, o.hod, o.obs,
+             CAST(rt.rtot AS DOUBLE) * ct.ctot / g.total AS expected
+      FROM o JOIN rt USING (event_type) JOIN ct USING (hod) CROSS JOIN g
+    )
+    SELECT event_type, CAST(hod AS INT) AS hod, CAST(obs AS BIGINT) AS obs,
+           {R("expected", 6)} AS expected,
+           {R("(obs - expected) / sqrt(expected)", 6)} AS std_residual,
+           CAST(CASE WHEN abs({R("(obs - expected) / sqrt(expected)", 6)}) > 3.0
+                THEN 1 ELSE 0 END AS INTEGER) AS flag
+    FROM cells
+    """,
+)
+def _q_stats_chi2_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chi-square test's DRILL-DOWN: per (event_type, hour) cell,
+    the standardized Pearson residual (O−E)/√E — `stats_chi2_type_vs_
+    hour` says THAT type and hour associate; this says WHICH cells
+    drive it (|residual| > 3 flags), the readout an on-call engineer
+    actually acts on. Same present-cell contingency construction and
+    exact-integer margins as the parent test (the two share the
+    engine-identical expected expression), one IEEE division + sqrt
+    per cell, |types|·24 rows at any scale."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 24
+        ).alias("hod"),
+    )
+    o = ev.groupBy("event_type", "hod").agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("rtot"))
+    ct = o.groupBy("hod").agg(F.sum("obs").alias("ctot"))
+    g = o.agg(F.sum("obs").alias("total"))
+    cells = (
+        o.join(rt.hint("shuffle_hash"), "event_type")
+        .join(ct.hint("shuffle_hash"), "hod")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "hod",
+            "obs",
+            (
+                F.col("rtot").cast("double") * F.col("ctot") / F.col("total")
+            ).alias("__e"),
+        )
+    )
+    resid = rd(
+        (F.col("obs") - F.col("__e")) / F.sqrt(F.col("__e")), 6
+    )
+    return cells.select(
+        "event_type",
+        F.col("hod").cast("int").alias("hod"),
+        F.col("obs").cast("long").alias("obs"),
+        rd(F.col("__e"), 6).alias("expected"),
+        resid.alias("std_residual"),
+        F.when(F.abs(resid) > 3.0, 1).otherwise(0).cast("int").alias("flag"),
+    )
+
+
+@register(
+    "stats_interarrival_expfit",
+    f"""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS t, event_id FROM events
+    ),
+    d AS (
+      SELECT event_type, t - lag(t) OVER w AS dt, event_id
+      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY t ASC, event_id ASC)
+    ),
+    dd_ AS (SELECT event_type, dt, event_id FROM d WHERE dt IS NOT NULL),
+    st AS (
+      SELECT event_type, count(*) AS n, sum(dt) AS sdt FROM dd_ GROUP BY 1
+    ),
+    r AS (
+      SELECT dd_.event_type, dt, n, sdt,
+             row_number() OVER (PARTITION BY dd_.event_type
+                                ORDER BY dt ASC, event_id ASC) AS i
+      FROM dd_ JOIN st USING (event_type)
+    ),
+    k AS (
+      SELECT event_type, n, sdt,
+             max({R("CAST(i AS DOUBLE) / CAST(n AS DOUBLE)"
+                    " - (1.0 - exp(-(CAST(dt AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sdt AS DOUBLE))))", 6)})
+               AS dplus,
+             max({R("(1.0 - exp(-(CAST(dt AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sdt AS DOUBLE))))"
+                    " - CAST(i - 1 AS DOUBLE) / CAST(n AS DOUBLE)", 6)})
+               AS dminus
+      FROM r GROUP BY 1, 2, 3
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           {R("CAST(sdt AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0", 6)}
+             AS mean_dt_s,
+           greatest(dplus, dminus) AS ks_stat,
+           {R("1.358 / sqrt(CAST(n AS DOUBLE))", 6)} AS c_alpha_05,
+           CAST(CASE WHEN greatest(dplus, dminus)
+                     > {R("1.358 / sqrt(CAST(n AS DOUBLE))", 6)}
+                THEN 1 ELSE 0 END AS INTEGER) AS reject_exponential
+    FROM k
+    """,
+)
+def _q_stats_interarrival_expfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is each channel's arrival process POISSON? One-sample KS
+    goodness-of-fit of the inter-arrival deltas against
+    Exponential(1/mean): D = max(D⁺, D⁻) over the fitted CDF
+    1 − e^(−dt·n/Σdt), with the fitted rate an EXACT integer ratio so
+    both engines exponentiate the identical double (per-term 6-dp
+    rounding before the max, the ln/log2 discipline). A channel that
+    rejects exponential arrivals has bursts or scheduling — the
+    modeling assumption behind Poisson-based capacity planning and the
+    gap detector's median heuristic, now tested instead of assumed.
+    Two keyed windows (lag, rank) on one event_type exchange; tie
+    order can't move the max (within a dt tie, the extreme index
+    dominates both D⁺ and D⁻)."""
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("t_us").asc(), F.col("event_id").asc()
+    )
+    d = ev.select(
+        "event_type",
+        (F.col("t_us") - F.lag("t_us", 1).over(w)).alias("__dt"),
+        "event_id",
+    ).filter(F.col("__dt").isNotNull())
+    st = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__dt").alias("__sdt")
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("__dt").asc(), F.col("event_id").asc()
+    )
+    r = d.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "__dt",
+        "__n",
+        "__sdt",
+        F.row_number().over(wr).alias("__i"),
+    )
+    fmodel = F.lit(1.0) - F.exp(
+        -(
+            F.col("__dt").cast("double")
+            * F.col("__n").cast("double")
+            / F.col("__sdt").cast("double")
+        )
+    )
+    k = r.groupBy("event_type", "__n", "__sdt").agg(
+        F.max(
+            rd(F.col("__i").cast("double") / F.col("__n").cast("double") - fmodel, 6)
+        ).alias("__dplus"),
+        F.max(
+            rd(
+                fmodel
+                - (F.col("__i") - 1).cast("double") / F.col("__n").cast("double"),
+                6,
+            )
+        ).alias("__dminus"),
+    )
+    ks = F.greatest(F.col("__dplus"), F.col("__dminus"))
+    c05 = rd(F.lit(1.358) / F.sqrt(F.col("__n").cast("double")), 6)
+    return k.select(
+        "event_type",
+        F.col("__n").cast("long").alias("n"),
+        rd(
+            F.col("__sdt").cast("double")
+            / F.col("__n").cast("double")
+            / F.lit(1e6),
+            6,
+        ).alias("mean_dt_s"),
+        ks.alias("ks_stat"),
+        c05.alias("c_alpha_05"),
+        F.when(ks > c05, 1).otherwise(0).cast("int").alias("reject_exponential"),
+    )
