@@ -232,6 +232,7 @@ HEADLINE = [
     "sketch_quantile_error_report",  # measured register accuracy
     "stats_chi2_residuals",      # which cells drive the dependence
     "stats_interarrival_expfit",  # is the arrival process Poisson
+    "ts_burst_segments",         # hysteresis burst detector (ffill trick)
 ]
 
 

@@ -945,3 +945,86 @@ def holt_brown_forecast(
         F.when(full, rd(s2, 6)).alias("s2"),
         F.when(full, rd(fc, 6)).alias("forecast_next"),
     )
+
+
+def burst_segments(
+    df: DataFrame,
+    enter_div: int = 3,
+    key_col: str = "event_type",
+    micros_col: str = "t_us",
+    order_cols: tuple[str, ...] = ("t_us", "event_id"),
+) -> DataFrame:
+    """Hysteresis burst detector: contiguous runs where arrivals come
+    FASTER than the channel's norm — enter a burst when the
+    inter-arrival gap drops below mean/``enter_div``, stay in it until
+    a gap exceeds the mean (two thresholds = hysteresis, so borderline
+    gaps can't flicker segments the way a single cutoff does). The
+    practical reading of `stats_interarrival_expfit`'s rejection:
+    WHERE the bursts are, as (start, end, count, mean-gap) segments.
+
+    Scale construction — hysteresis is nominally a 1-bit sequential
+    state machine, but the state equals "the most recent threshold
+    CROSSING was an enter", which is one IGNORE-NULLS last_value over
+    the trial-keyed order (the forward-fill primitive) — no fold, no
+    per-key arrays, one Exchange carrying the lag, the fill, and the
+    island numbering. Thresholds are exact integer ratios of
+    (Σgap, n): gap·n·enter_div < Σgap compares INTEGERS (decimal to
+    dodge the n·Σgap overflow), so segment membership is bit-portable.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    d = df.select(
+        F.col(key_col),
+        *[F.col(c) for c in dict.fromkeys(order_cols)],
+        F.col(micros_col).alias("__t"),
+        (F.col(micros_col) - F.lag(micros_col, 1).over(w)).alias("__gap"),
+    )
+    st = d.groupBy(key_col).agg(
+        F.count("__gap").alias("__n"),
+        F.sum(F.col("__gap").cast("decimal(38,0)")).alias("__sg"),
+    )
+    j = d.join(F.broadcast(st), key_col)
+    gap_d = F.col("__gap").cast("decimal(38,0)")
+    n_d = F.col("__n").cast("decimal(38,0)")
+    enter = gap_d * n_d * F.lit(int(enter_div)) < F.col("__sg")
+    exit_ = gap_d * n_d > F.col("__sg")
+    marker = F.when(F.col("__gap").isNull(), F.lit(0)).when(
+        enter, F.lit(1)
+    ).when(exit_, F.lit(0))
+    filled = F.last(marker, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lab = j.select(
+        F.col(key_col),
+        *[F.col(c) for c in dict.fromkeys(order_cols)],
+        F.col("__t"),
+        F.col("__gap"),
+        F.coalesce(filled, F.lit(0)).alias("__in"),
+    )
+    # island id: cumulative count of state CHANGES up to this row
+    chg = F.when(
+        F.coalesce(F.lag("__in", 1).over(w), F.lit(0)) != F.col("__in"), 1
+    ).otherwise(0)
+    seg = lab.select(
+        F.col(key_col),
+        *[F.col(c) for c in dict.fromkeys(order_cols)],
+        "__t",
+        "__gap",
+        "__in",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__seg"),
+    ).filter(F.col("__in") == 1)
+    mean_gap = rd(
+        F.sum(F.col("__gap").cast("decimal(38,0)")).cast("double")
+        / F.count(F.lit(1)).cast("double")
+        / F.lit(1e6),
+        6,
+    )
+    return seg.groupBy(F.col(key_col), F.col("__seg")).agg(
+        F.min("__t").alias("start_us"),
+        F.max("__t").alias("end_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        mean_gap.alias("mean_gap_s"),
+    ).drop("__seg")

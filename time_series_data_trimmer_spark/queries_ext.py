@@ -15942,3 +15942,73 @@ def _q_stats_interarrival_expfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         c05.alias("c_alpha_05"),
         F.when(ks > c05, 1).otherwise(0).cast("int").alias("reject_exponential"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r7 wave 41: hysteresis burst segments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_burst_segments",
+    f"""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS t, event_id FROM events
+    ),
+    d AS (
+      SELECT event_type, t, event_id, t - lag(t) OVER w AS gap
+      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY t ASC, event_id ASC)
+    ),
+    st AS (
+      SELECT event_type, count(gap) AS n, sum(CAST(gap AS HUGEINT)) AS sg
+      FROM d GROUP BY 1
+    ),
+    m AS (
+      SELECT d.event_type, d.t, d.event_id, d.gap,
+             CASE WHEN d.gap IS NULL THEN 0
+                  WHEN CAST(d.gap AS HUGEINT) * st.n * 3 < st.sg THEN 1
+                  WHEN CAST(d.gap AS HUGEINT) * st.n > st.sg THEN 0
+             END AS marker
+      FROM d JOIN st USING (event_type)
+    ),
+    f AS (
+      SELECT *, COALESCE(last_value(marker IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY t ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+             AS inb
+      FROM m
+    ),
+    c AS (
+      SELECT *, CASE WHEN COALESCE(lag(inb) OVER (PARTITION BY event_type
+                          ORDER BY t ASC, event_id ASC), 0) <> inb
+                     THEN 1 ELSE 0 END AS chg
+      FROM f
+    ),
+    s AS (
+      SELECT *, sum(chg) OVER (PARTITION BY event_type
+                               ORDER BY t ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS seg
+      FROM c
+    )
+    SELECT event_type, min(t) AS start_us, max(t) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {R("CAST(sum(CAST(gap AS HUGEINT)) AS DOUBLE) / count(*) / 1000000.0", 6)}
+             AS mean_gap_s
+    FROM s WHERE inb = 1
+    GROUP BY event_type, seg
+    """,
+)
+def _q_ts_burst_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hysteresis burst detector (`ts.burst_segments`): contiguous
+    faster-than-norm arrival runs per channel — enter below mean/3,
+    exit above the mean, so borderline gaps can't flicker segments.
+    The WHERE answer to `stats_interarrival_expfit`'s THAT (non-
+    Poisson arrivals). The 1-bit state machine is re-expressed as an
+    IGNORE-NULLS forward-fill of threshold CROSSINGS (no fold, no
+    per-key arrays — one trial-keyed Exchange carries lag, fill and
+    island numbering); thresholds compare exact integers
+    (gap·n·3 < Σgap in decimal/HUGEINT), so membership is
+    bit-portable."""
+    e = _events_us(spark, sf_dir)
+    return ts.burst_segments(e)
