@@ -233,6 +233,7 @@ HEADLINE = [
     "stats_chi2_residuals",      # which cells drive the dependence
     "stats_interarrival_expfit",  # is the arrival process Poisson
     "ts_burst_segments",         # hysteresis burst detector (ffill trick)
+    "text_chunk_centrality",     # TextRank chunk pick for budget truncation
 ]
 
 

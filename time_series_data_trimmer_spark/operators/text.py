@@ -1515,3 +1515,151 @@ def bpe_merge_trainer(
     return spark.createDataFrame(
         merges, "round int, lhs string, rhs string, n_merges long"
     )
+
+
+def chunk_centrality(
+    df: DataFrame,
+    chunk_tokens: int = 12,
+    damping: float = 0.85,
+    iters: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank-style CHUNK centrality (Mihalcea & Tarau 2004, on
+    token-window chunks since this corpus has no sentence marks): per
+    document, rank its non-overlapping ``chunk_tokens``-token chunks
+    by weighted PageRank over the chunk-similarity graph — edge weight
+    |tokens_i ∩ tokens_j| / (|t_i| + |t_j|) — and return each doc's
+    TOP chunk. The long-document pruning primitive: keep the most
+    REPRESENTATIVE window of each doc instead of the first one (lead
+    bias) when a token budget forces truncation.
+
+    Determinism discipline: weights are exact integer ratios; every
+    float SUM (out-weight normalizers, per-iteration contributions) is
+    9-dp-rounded then decimal-accumulated so partial-agg order cannot
+    move the scores; ``iters`` fixed iterations (the PageRank
+    precedent — the recurrence unrolls exactly in the oracle).
+
+    Scale shape: chunking is scan-side; the similarity join is an
+    inverted-index co-occurrence on (doc, token) — pair volume bounded
+    per doc by its own chunk count (never cross-doc); each iteration
+    is one keyed join + map-side-combined sum over the edge table.
+    """
+    from pyspark.sql import Window
+
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    ch = chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap=0, id_col=id_col,
+        text_col=text_col,
+    )
+
+    toks = ch.select(
+        F.col(id_col),
+        F.col("chunk_id").alias("__cid"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.col("chunk_text"), " "),
+                    lambda x: F.length(x) > 0,
+                )
+            )
+        ).alias("__tok"),
+    )
+    sizes = toks.groupBy(id_col, "__cid").agg(
+        F.count(F.lit(1)).alias("__sz")
+    )
+    a = toks.select(
+        F.col(id_col), F.col("__cid").alias("__i"), F.col("__tok")
+    )
+    b = toks.select(
+        F.col(id_col), F.col("__cid").alias("__j"), F.col("__tok")
+    )
+    ov = (
+        a.join(b.hint("shuffle_hash"), [id_col, "__tok"])
+        .filter(F.col("__i") != F.col("__j"))
+        .groupBy(id_col, "__i", "__j")
+        .agg(F.count(F.lit(1)).alias("__ov"))
+    )
+    sz_i = sizes.select(
+        F.col(id_col), F.col("__cid").alias("__i"), F.col("__sz").alias("__szi")
+    )
+    sz_j = sizes.select(
+        F.col(id_col), F.col("__cid").alias("__j"), F.col("__sz").alias("__szj")
+    )
+    edges = (
+        ov.join(sz_i.hint("shuffle_hash"), [id_col, "__i"])
+        .join(sz_j.hint("shuffle_hash"), [id_col, "__j"])
+        .select(
+            F.col(id_col), "__i", "__j",
+            rd(
+                F.col("__ov").cast("double")
+                / (F.col("__szi") + F.col("__szj")).cast("double"),
+                9,
+            ).alias("__w"),
+        )
+    )
+    wsum = edges.groupBy(id_col, F.col("__j").alias("__src")).agg(
+        F.sum(F.col("__w").cast("decimal(38,9)")).cast("double").alias("__ws")
+    )
+    nodes = ch.select(F.col(id_col), F.col("chunk_id").alias("__cid"))
+    nper = nodes.groupBy(id_col).agg(F.count(F.lit(1)).alias("__ns"))
+    d = float(damping)
+    pr = nodes.join(F.broadcast(nper), id_col).select(
+        F.col(id_col), "__cid",
+        (F.lit(1.0) / F.col("__ns").cast("double")).alias("__pr"),
+        "__ns",
+    )
+    # transition weight w_ji / wsum_j, fixed across iterations
+    trans = (
+        edges.join(
+            wsum.withColumnRenamed("__src", "__j").hint("shuffle_hash"),
+            [id_col, "__j"],
+        ).select(
+            F.col(id_col), "__i", "__j",
+            (F.col("__w") / F.col("__ws")).alias("__t"),
+        )
+    )
+    for _ in range(int(iters)):
+        contrib = (
+            trans.join(
+                pr.select(
+                    F.col(id_col), F.col("__cid").alias("__j"),
+                    F.col("__pr").alias("__prj"),
+                ).hint("shuffle_hash"),
+                [id_col, "__j"],
+            )
+            .groupBy(id_col, F.col("__i").alias("__cid"))
+            .agg(
+                F.sum(
+                    rd(F.col("__t") * F.col("__prj"), 9).cast("decimal(38,9)")
+                )
+                .cast("double")
+                .alias("__c")
+            )
+        )
+        pr = (
+            pr.join(contrib.hint("shuffle_hash"), [id_col, "__cid"], "left")
+            .select(
+                F.col(id_col), "__cid",
+                rd(
+                    (F.lit(1.0) - F.lit(d)) / F.col("__ns").cast("double")
+                    + F.lit(d) * F.coalesce(F.col("__c"), F.lit(0.0)),
+                    9,
+                ).alias("__pr"),
+                "__ns",
+            )
+        )
+    wtop = Window.partitionBy(id_col).orderBy(
+        F.col("__pr").desc(), F.col("__cid").asc()
+    )
+    return (
+        pr.withColumn("__rn", F.row_number().over(wtop))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("__cid").cast("int").alias("top_chunk_id"),
+            F.col("__ns").cast("long").alias("n_chunks"),
+            rd(F.col("__pr"), 6).alias("centrality"),
+        )
+    )

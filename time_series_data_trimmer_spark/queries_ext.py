@@ -16012,3 +16012,102 @@ def _q_ts_burst_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-portable."""
     e = _events_us(spark, sf_dir)
     return ts.burst_segments(e)
+
+
+# ---------------------------------------------------------------------------
+# r7 wave 42: TextRank chunk centrality
+# ---------------------------------------------------------------------------
+
+_CENT_C = 12  # chunk tokens, no overlap
+_CENT_D = 0.85
+
+
+def _cent_iter_sql(prev: str, out_c: str, out_pr: str) -> str:
+    return f"""{out_c} AS (
+      SELECT t.doc_id, t.i AS cid,
+             CAST(sum(CAST({R("t.t * p.pr", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS c
+      FROM trans t JOIN {prev} p ON p.doc_id = t.doc_id AND p.cid = t.j
+      GROUP BY 1, 2
+    ),
+    {out_pr} AS (
+      SELECT p.doc_id, p.cid,
+             {R(f"(1.0 - {_CENT_D}) / p.ns + {_CENT_D} * COALESCE(c.c, 0.0)", 9)} AS pr,
+             p.ns
+      FROM {prev} p
+      LEFT JOIN {out_c} c ON c.doc_id = p.doc_id AND c.cid = p.cid
+    )"""
+
+
+@register(
+    "text_chunk_centrality",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> length(x) > 0) AS ts
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sized AS (SELECT doc_id, ts, len(ts) AS n FROM base WHERE len(ts) > 0),
+    ex AS (
+      SELECT doc_id, ts, n,
+             CAST(unnest(generate_series(0,
+               CASE WHEN n <= {_CENT_C} THEN 0
+                    ELSE CAST(ceil((n - {_CENT_C}) / {float(_CENT_C)}) AS INT) END)) AS INT)
+               AS cid
+      FROM sized
+    ),
+    chtok AS (
+      SELECT doc_id, cid,
+             unnest(list_distinct(
+               list_slice(ts, cid * {_CENT_C} + 1, cid * {_CENT_C} + {_CENT_C})))
+               AS tok
+      FROM ex
+    ),
+    sizes AS (SELECT doc_id, cid, count(*) AS sz FROM chtok GROUP BY 1, 2),
+    ov AS (
+      SELECT a.doc_id, a.cid AS i, b.cid AS j, count(*) AS ov
+      FROM chtok a
+      JOIN chtok b ON a.doc_id = b.doc_id AND a.tok = b.tok AND a.cid <> b.cid
+      GROUP BY 1, 2, 3
+    ),
+    edges AS (
+      SELECT ov.doc_id, i, j,
+             {R("CAST(ov AS DOUBLE) / CAST(si.sz + sj.sz AS DOUBLE)", 9)} AS w
+      FROM ov
+      JOIN sizes si ON si.doc_id = ov.doc_id AND si.cid = ov.i
+      JOIN sizes sj ON sj.doc_id = ov.doc_id AND sj.cid = ov.j
+    ),
+    wsum AS (
+      SELECT doc_id, j,
+             CAST(sum(CAST(w AS DECIMAL(38,9))) AS DOUBLE) AS ws
+      FROM edges GROUP BY 1, 2
+    ),
+    trans AS (
+      SELECT e.doc_id, e.i, e.j, e.w / s.ws AS t
+      FROM edges e JOIN wsum s ON s.doc_id = e.doc_id AND s.j = e.j
+    ),
+    nper AS (SELECT doc_id, count(*) AS ns FROM ex GROUP BY 1),
+    pr0 AS (
+      SELECT e.doc_id, e.cid, 1.0 / np.ns AS pr, np.ns
+      FROM ex e JOIN nper np USING (doc_id)
+    ),
+    {_cent_iter_sql("pr0", "c1", "pr1")},
+    {_cent_iter_sql("pr1", "c2", "pr2")}
+    SELECT doc_id, CAST(cid AS INT) AS top_chunk_id,
+           CAST(ns AS BIGINT) AS n_chunks, {R("pr", 6)} AS centrality
+    FROM pr2
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY pr DESC, cid ASC) = 1
+    """,
+)
+def _q_text_chunk_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank chunk centrality (`tx.chunk_centrality`, Mihalcea &
+    Tarau 2004 over 12-token windows): each document's most
+    REPRESENTATIVE chunk by two exact weighted-PageRank iterations
+    over the within-doc chunk-overlap graph — the budget-truncation
+    primitive that beats lead-bias truncation. Weights are exact
+    integer ratios, every float sum 9-dp decimal-accumulated, the
+    recurrence unrolled verbatim in the oracle (the pagerank
+    precedent); pair volume is bounded per doc by its own chunk
+    count."""
+    docs = _table(spark, sf_dir, "documents")
+    return tx.chunk_centrality(docs, chunk_tokens=_CENT_C, damping=_CENT_D)
