@@ -234,6 +234,8 @@ HEADLINE = [
     "stats_interarrival_expfit",  # is the arrival process Poisson
     "ts_burst_segments",         # hysteresis burst detector (ffill trick)
     "text_chunk_centrality",     # TextRank chunk pick for budget truncation
+    "text_lexical_complexity_by_source",  # readability-class signals
+    "dedup_cross_source_matrix",  # who copies whom (shared openers)
 ]
 
 

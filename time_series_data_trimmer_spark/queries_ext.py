@@ -16111,3 +16111,146 @@ def _q_text_chunk_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     count."""
     docs = _table(spark, sf_dir, "documents")
     return tx.chunk_centrality(docs, chunk_tokens=_CENT_C, damping=_CENT_D)
+
+
+# ---------------------------------------------------------------------------
+# r7 wave 43: lexical complexity + cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_lexical_complexity_by_source",
+    f"""
+    WITH toks AS (
+      SELECT source, t.tok
+      FROM documents,
+           unnest(list_filter(string_split(trim(lower(text)), ' '),
+                              x -> length(x) > 0)) AS t(tok)
+      WHERE text IS NOT NULL
+    ),
+    m AS (
+      SELECT source, count(*) AS n_words,
+             sum(length(tok)) AS n_chars,
+             sum(len(regexp_extract_all(tok, '[aeiou]+'))) AS n_syll,
+             sum(CASE WHEN length(tok) >= 7 THEN 1 ELSE 0 END) AS n_long,
+             sum(CASE WHEN len(regexp_extract_all(tok, '[aeiou]+')) <= 1
+                 THEN 1 ELSE 0 END) AS n_mono
+      FROM toks GROUP BY source
+    )
+    SELECT source, CAST(n_words AS BIGINT) AS n_words,
+           {R("CAST(n_chars AS DOUBLE) / n_words", 6)} AS mean_word_len,
+           {R("CAST(n_syll AS DOUBLE) / n_words", 6)} AS mean_syllables,
+           {R("CAST(n_long AS DOUBLE) / n_words", 6)} AS pct_long_words,
+           {R("CAST(n_mono AS DOUBLE) / n_words", 6)} AS pct_monosyllabic
+    FROM m
+    """,
+)
+def _q_text_lexical_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source LEXICAL COMPLEXITY profile: mean word length,
+    vowel-group syllable estimate, long-word and monosyllabic
+    fractions — the readability-class quality signals (the exact
+    integer counts under Flesch/Coleman-Liau style scores, reported
+    raw rather than through a sentence-dependent formula this corpus
+    can't support). Complexity outliers flag OCR junk and boilerplate
+    the C4 string rules miss. One token explode + one map-side-
+    combined agg; every ratio is an exact-integer division."""
+    docs = _table(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), " "),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("__tok"),
+    )
+    syll = F.size(F.expr("regexp_extract_all(__tok, '[aeiou]+', 0)"))
+    m = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("__nw"),
+        F.sum(F.length("__tok")).alias("__nc"),
+        F.sum(syll).alias("__ns"),
+        F.sum(F.when(F.length("__tok") >= 7, 1).otherwise(0)).alias("__nl"),
+        F.sum(F.when(syll <= 1, 1).otherwise(0)).alias("__nm"),
+    )
+    nw = F.col("__nw").cast("double")
+    return m.select(
+        "source",
+        F.col("__nw").cast("long").alias("n_words"),
+        rd(F.col("__nc").cast("double") / nw, 6).alias("mean_word_len"),
+        rd(F.col("__ns").cast("double") / nw, 6).alias("mean_syllables"),
+        rd(F.col("__nl").cast("double") / nw, 6).alias("pct_long_words"),
+        rd(F.col("__nm").cast("double") / nw, 6).alias("pct_monosyllabic"),
+    )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    """
+    WITH d AS (
+      SELECT md5(array_to_string(list_slice(
+               list_filter(string_split(trim(lower(text)), ' '),
+                           x -> length(x) > 0), 1, 16), ' ')) AS dig,
+             source
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ds AS (SELECT DISTINCT dig, source FROM d),
+    cnt AS (SELECT dig, source, count(*) AS n FROM d GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.dig, a.source AS source_a, b.source AS source_b,
+             ca.n AS n_a, cb.n AS n_b
+      FROM ds a
+      JOIN ds b ON a.dig = b.dig AND a.source < b.source
+      JOIN cnt ca ON ca.dig = a.dig AND ca.source = a.source
+      JOIN cnt cb ON cb.dig = b.dig AND cb.source = b.source
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_digests,
+           CAST(sum(n_a + n_b) AS BIGINT) AS n_docs_involved
+    FROM pairs GROUP BY source_a, source_b
+    """,
+)
+def _q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO COPIES WHOM: the source×source shared-OPENER matrix — for
+    each source pair, how many distinct 16-token normalized prefixes
+    they share and how many documents carry them. Shared openers are
+    the boilerplate/syndication provenance signal (full-content dup
+    matrices stay empty until corpora literally mirror each other;
+    prefix sharing surfaces the template reuse that precedes it), and
+    the heavy-hitter pairs say which sources to cross-dedup FIRST —
+    the provenance-graph complement of `dedup_impact_by_source`.
+    Digests shuffle, never text; the within-digest pair explode is
+    bounded by a digest's source multiplicity (≤ |sources|), so the
+    join is output-proportional at any corpus size."""
+    docs = _table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    prefix = F.concat_ws(
+        " ",
+        F.slice(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), " "),
+                lambda x: F.length(x) > 0,
+            ),
+            1,
+            16,
+        ),
+    )
+    d = docs.select(F.md5(prefix).alias("__dig"), "source")
+    ds = d.distinct()
+    cnt = d.groupBy("__dig", "source").agg(F.count(F.lit(1)).alias("__n"))
+    a = ds.select(F.col("__dig"), F.col("source").alias("source_a"))
+    b = ds.select(F.col("__dig"), F.col("source").alias("source_b"))
+    ca = cnt.select(
+        F.col("__dig"), F.col("source").alias("source_a"), F.col("__n").alias("__na")
+    )
+    cb = cnt.select(
+        F.col("__dig"), F.col("source").alias("source_b"), F.col("__n").alias("__nb")
+    )
+    pairs = (
+        a.join(b.hint("shuffle_hash"), "__dig")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(ca.hint("shuffle_hash"), ["__dig", "source_a"])
+        .join(cb.hint("shuffle_hash"), ["__dig", "source_b"])
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_digests"),
+        F.sum(F.col("__na") + F.col("__nb")).cast("long").alias("n_docs_involved"),
+    )
