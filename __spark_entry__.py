@@ -51,33 +51,37 @@ def entry(spark: SparkSession) -> DataFrame:
 #: representative reference-parity core; everything else follows in
 #: module registration order.
 _FIRST_50 = [
-    # reference-parity core (SURVEY §2): filters, edits, aggregates,
-    # expressions, relational
-    "f1_moving_average", "f2_rolling_median",
-    "f7_derivative", "f9_normalize_zscore",
-    "f6_detrend", "f13_interpolate_linear", "f14_resample",
-    "p1_time_slice", "p4_delete_segment_collapse", "p5_mark_bad",
-    "p7_asof_lookup", "a1_sample_rate", "a4_episode_overlay",
-    "a5_suggest_segments", "e1_frame_transform", "e8_quat_to_yaw",
-    "asof_join_click_purchase", "recipe_compiled_chain",
+    # ~15 reference-parity anchors (SURVEY §2) — stable across rounds so
+    # every CORRECTNESS_r*.json re-confirms the parity core
+    "f1_moving_average", "f2_rolling_median", "f9_normalize_zscore",
+    "f6_detrend", "f14_resample",
+    "p1_time_slice", "p4_delete_segment_collapse", "p7_asof_lookup",
+    "a1_sample_rate", "a4_episode_overlay", "a5_suggest_segments",
+    "e1_frame_transform", "recipe_compiled_chain",
     "tpch_q1_pricing_summary", "tpch_q21_waiting_supplier",
-    "graph_triangle_count_cooc", "sim_matryoshka_topk",
-    # LLM-pipeline marquee (r3-r7): dedup / similarity / text /
-    # time-series / graph / sketches / composition
-    "dedup_exact_groups", "dedup_minhash_lsh_pairs", "dedup_semantic",
-    "dedup_duplicate_spans", "dedup_span_removal",
-    "dedup_sorted_neighborhood_pairs", "overlap_join_user_sessions",
-    "graph_pagerank_user_concurrency", "sketch_kmv_distinct_tokens",
-    "sketch_kmv_jaccard_sources", "sketch_quantile_value_by_user",
-    "ts_m4_downsample", "ts_gap_report",
-    "ts_mad_outliers", "ts_cusum_changepoint", "ts_ewma_halflife",
-    "text_bm25_topk", "retrieval_rrf_hybrid", "mix_dsir_importance",
-    "sessionize_events", "cohort_retention", "events_json_props_stats",
-    # r7 marquee (rotated in so THIS round's additions get external
-    # verification; the rotated-out r6 names stay in the full local run)
-    "dedup_lsh_eval_report", "feature_pointintime_state",
-    "pipeline_ccnet_buckets", "emb_separability_by_label",
-    "ts_dtw_channel_pairs", "text_bpe_merge_rounds",
+    # r8 rotation (VERDICT r7 #1): ~30 names that have NEVER appeared in
+    # any driver CORRECTNESS_r1..r7 sample (194/293 were never externally
+    # verified at the r7 rotation rate). All pass the full local
+    # check_oracle run; this puts them in front of the external gate.
+    "sim_ivf_nprobe_recall", "emb_label_knn_agreement",
+    "graph_label_propagation_emb", "graph_adamic_adar_links",
+    "linkage_golden_record", "stream_psi_drift_daily",
+    "eval_isotonic_calibration", "eval_auc_binned",
+    "privacy_k_anonymity_audit", "emb_retrieval_ndcg",
+    "emb_matryoshka_recall_by_dim", "ts_holt_forecast",
+    "ts_burst_segments", "ts_xcorr_lag", "ts_spectral_probe",
+    "funnel_step_latency", "scd2_user_state_history",
+    "twap_value_by_user_hour", "dq_expectations_report",
+    "layout_partition_advisor", "sketch_quantile_error_report",
+    "stats_chi2_residuals", "text_chunk_centrality",
+    "decontam_bloom_prefilter", "export_manifest_shards",
+    "stream_stream_click_purchase_join", "dedup_containment_pairs",
+    "feature_loo_target_encoding", "ts_theilsen_lag_slope",
+    "stats_mutual_info_type_hour", "sample_neyman_allocation",
+    # r8 new this round (registered later in the round; the `in REGISTRY`
+    # filter below makes unregistered names inert until they land)
+    "text_bpe_encode_counts", "pipeline_pack_real_tokens",
+    "feature_quantile_transform_sketched", "dedup_report_suite",
 ]
 
 

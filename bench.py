@@ -239,6 +239,34 @@ HEADLINE = [
 ]
 
 
+#: FROZEN round-over-round comparison subset (VERDICT r7 #3). The
+#: headline set grew 26 -> 71 -> 195 across rounds, so verdicts could
+#: only compare shifting intersections. These ~34 names are versioned:
+#: NEVER remove or rename a member of an existing version — only add a
+#: new version. Subtotal printed as `compare_set_total_sec` (+ version).
+#: v1 = parity core + the measured heavy hitters + one head per family.
+COMPARE_SET_V1 = [
+    # parity core
+    "f1_moving_average", "f2_rolling_median", "f9_normalize_zscore",
+    "f6_detrend", "f13_interpolate_linear", "p4_delete_segment_collapse",
+    "a4_episode_overlay", "a5_suggest_segments", "f3_savgol",
+    "tpch_q1_pricing_summary", "tpch_q21_waiting_supplier",
+    # measured heavy hitters (r7 slowest queries)
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_prefix",
+    "dedup_minhash_lsh_pairs", "dedup_semantic", "dedup_duplicate_spans",
+    "dedup_embedding_topk_pairs", "pipeline_dedup_budget_pack",
+    "mix_budget_after_dedup", "dedup_impact_by_source",
+    "dedup_cluster_size_histogram", "dedup_simhash_eval_report",
+    "linkage_golden_record",
+    # one head per family
+    "sim_ivf_batch_topk", "text_tfidf_top_terms", "text_bm25_topk",
+    "mix_sequence_pack_offsets", "stream_stream_click_purchase_join",
+    "stream_tumbling_hour_agg", "ts_m4_downsample",
+    "graph_pagerank_user_concurrency", "emb_covariance",
+    "sketch_kmv_distinct_tokens", "sessionize_events",
+]
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -281,6 +309,10 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     total = round(sum(timings.values()), 3)
+    compare_total = round(
+        sum(timings[n] for n in COMPARE_SET_V1 if n in timings), 3
+    )
+    compare_n = sum(1 for n in COMPARE_SET_V1 if n in timings)
     detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -290,6 +322,9 @@ def main() -> None:
         # min-of-two steady runs since r02 (r01/BASELINE: single run)
         "timing_rule": "min_of_2_steady",
         "headline_set": f"headline-{len(names)}q",
+        "compare_set": "v1",
+        "compare_set_total_sec": compare_total,
+        "compare_set_n": compare_n,
     }
     if errors:
         detail["errors"] = errors
@@ -318,6 +353,9 @@ def main() -> None:
         "sf": detail["sf"],
         "timing_rule": "min_of_2_steady",
         "headline_set": detail["headline_set"],
+        "compare_set": "v1",
+        "compare_set_total_sec": compare_total,
+        "compare_set_n": compare_n,
         "detail": "BENCH_DETAIL.json",
     }
     if errors:
