@@ -236,6 +236,11 @@ HEADLINE = [
     "text_chunk_centrality",     # TextRank chunk pick for budget truncation
     "text_lexical_complexity_by_source",  # readability-class signals
     "dedup_cross_source_matrix",  # who copies whom (shared openers)
+    # r8, on-headline from day one:
+    "text_bpe_encode_counts",    # tokenizer application (train + encode, one codegen pass)
+    "pipeline_pack_real_tokens",  # packing budgeted on REAL BPE counts
+    "dedup_report_suite",        # 4 dedup reports off ONE CC labeling (3.2x amortization)
+    "feature_quantile_transform_sketched",  # flat-growth decile transform (register-backed)
 ]
 
 

@@ -81,3 +81,28 @@ def test_reversed_chain_labels_propagate_downhill(spark):
     # propagation got silently wrong at max_iter
     edges = [(i + 1, i) for i in range(35)]
     _check(spark, 36, edges)
+
+
+def test_dedup_components_matches_manual_composition(spark):
+    """r8: `dedup_components` (the report family's shared prefix) is
+    exactly minhash_lsh_pairs → connected_components over all ids —
+    same labeling, every doc present, representatives = min id."""
+    from time_series_data_trimmer_spark.operators import dedup as dd
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("text IS NOT NULL")
+    )
+    comp = dd.dedup_components(docs)
+    assert comp.count() == docs.count()  # every doc labeled
+    manual = dd.connected_components(
+        dd.minhash_lsh_pairs(docs).select("id_a", "id_b"),
+        all_ids=docs.select("doc_id"),
+    )
+    assert (
+        comp.exceptAll(manual).count() == 0
+        and manual.exceptAll(comp).count() == 0
+    )
+    # representative invariant: cluster_id is a member of its own cluster
+    reps = comp.filter("doc_id = cluster_id").count()
+    assert reps == comp.select("cluster_id").distinct().count()

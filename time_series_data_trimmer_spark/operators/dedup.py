@@ -821,6 +821,27 @@ def connected_components(
     return labels
 
 
+def dedup_components(
+    df: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The dedup REPORT FAMILY'S SHARED PREFIX as one building block
+    (VERDICT r7 #5): MinHash-LSH candidate pairs → min-label connected
+    components over ALL document ids. Four of the five most expensive
+    bench queries (impact-by-source, budget-after-dedup, cluster-size
+    histogram, dedup→budget→pack) recomputed this identical labeling
+    independently; callers that need several report sections compose
+    them over ONE `dedup_components` result instead — the returned
+    frame is localCheckpoint-materialized (the CC loop truncates its
+    own lineage), so every downstream consumer in the same plan reads
+    the same materialized (id, cluster_id) longs, paying the candidate
+    graph + iteration cost exactly once."""
+    pairs = minhash_lsh_pairs(df).select("id_a", "id_b")
+    return connected_components(
+        pairs, all_ids=df.select(id_col), id_col=id_col
+    )
+
+
 def dedup_cluster_survivors(
     df: DataFrame,
     pairs: DataFrame,

@@ -160,6 +160,7 @@ def sequence_pack_offsets(
     text_col: str = "text",
     seed: str = "tsdt",
     shard_bits: int = 6,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chop sequence packing offsets — the layout step of
     LLM training-data prep: documents are concatenated in a
@@ -185,7 +186,13 @@ def sequence_pack_offsets(
     engine.
     """
     h = hash_u32(F.col(key_col), seed)
-    n_tok = token_count(F.col(text_col)).cast("long")
+    # n_tokens_col: a PRECOMPUTED token count (e.g. real BPE counts from
+    # text.bpe_encode) instead of the chars/4 estimate over text_col.
+    n_tok = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col is not None
+        else token_count(F.col(text_col)).cast("long")
+    )
     t = df.select(
         F.col(key_col),
         n_tok.alias("n_tokens"),

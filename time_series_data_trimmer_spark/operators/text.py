@@ -1412,6 +1412,57 @@ def ngram_novelty(
     )
 
 
+def _merge_fold(tokens: Column, lhs: str, rhs: str) -> Column:
+    """ONE BPE merge applied to a token-array column as a single
+    `F.aggregate` fold with struct state (arr, carry): emit the merged
+    pair leftmost-first non-overlapping ('a a a' -> first two merge,
+    third survives). Pure codegen — no Python touches a row. Shared by
+    the trainer's per-round corpus rewrite and `bpe_encode`'s
+    application of a learned merge table."""
+    joined = F.lit(lhs + " " + rhs)
+    null_s = F.lit(None).cast("string")
+
+    def step(acc, t):
+        return (
+            F.when(
+                (acc["carry"] == F.lit(lhs)) & (t == F.lit(rhs)),
+                F.struct(
+                    F.concat(acc["arr"], F.array(joined)).alias("arr"),
+                    null_s.alias("carry"),
+                ),
+            )
+            .when(
+                acc["carry"].isNull(),
+                F.struct(acc["arr"].alias("arr"), t.alias("carry")),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["arr"], F.array(acc["carry"])).alias("arr"),
+                    t.alias("carry"),
+                )
+            )
+        )
+
+    return F.aggregate(
+        tokens,
+        F.struct(
+            F.array().cast("array<string>").alias("arr"),
+            null_s.alias("carry"),
+        ),
+        step,
+        lambda acc: F.when(acc["carry"].isNull(), acc["arr"]).otherwise(
+            F.concat(acc["arr"], F.array(acc["carry"]))
+        ),
+    )
+
+
+def _norm_tokens(text_col: str) -> Column:
+    """The trainer/encoder's shared normalization: lowercase, collapse
+    non-alphanumerics to spaces, split, drop empties."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    return F.filter(F.split(norm, " "), lambda t: F.length(t) > 0)
+
+
 def bpe_merge_trainer(
     df: DataFrame,
     rounds: int = 5,
@@ -1444,13 +1495,26 @@ def bpe_merge_trainer(
     bug, see the verify skill).
     """
     spark = df.sparkSession
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    merges = bpe_train_merges(df, rounds=rounds, id_col=id_col, text_col=text_col)
+    return spark.createDataFrame(
+        merges, "round int, lhs string, rhs string, n_merges long"
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    rounds: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """The trainer's driver-side form: the learned merge table as a
+    Python list of (round, lhs, rhs, n_merges) — the small model
+    artifact `bpe_encode` ships to executors as literals. Same
+    algorithm as `bpe_merge_trainer` (which wraps this); one bounded
+    1-row collect per round."""
     cur = (
         df.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col),
-            F.filter(F.split(norm, " "), lambda t: F.length(t) > 0).alias("__toks"),
-        )
+        .select(F.col(id_col), _norm_tokens(text_col).alias("__toks"))
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, int]] = []
@@ -1476,45 +1540,55 @@ def bpe_merge_trainer(
             break
         A, B, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((r, A, B, cnt))
-        joined = F.lit(A + " " + B)
-        null_s = F.lit(None).cast("string")
+        cur = cur.select(
+            F.col(id_col), _merge_fold(F.col("__toks"), A, B).alias("__toks")
+        ).localCheckpoint()
+    return merges
 
-        def step(acc, t):
-            return (
-                F.when(
-                    (acc["carry"] == F.lit(A)) & (t == F.lit(B)),
-                    F.struct(
-                        F.concat(acc["arr"], F.array(joined)).alias("arr"),
-                        null_s.alias("carry"),
-                    ),
-                )
-                .when(
-                    acc["carry"].isNull(),
-                    F.struct(acc["arr"].alias("arr"), t.alias("carry")),
-                )
-                .otherwise(
-                    F.struct(
-                        F.concat(acc["arr"], F.array(acc["carry"])).alias("arr"),
-                        t.alias("carry"),
-                    )
-                )
-            )
 
-        merged = F.aggregate(
-            F.col("__toks"),
-            F.struct(
-                F.array().cast("array<string>").alias("arr"),
-                null_s.alias("carry"),
-            ),
-            step,
-            lambda acc: F.when(
-                acc["carry"].isNull(), acc["arr"]
-            ).otherwise(F.concat(acc["arr"], F.array(acc["carry"]))),
-        )
-        cur = cur.select(F.col(id_col), merged.alias("__toks")).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "round int, lhs string, rhs string, n_merges long"
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """Tokenizer APPLICATION — the missing half of the BPE story: apply
+    a learned merge table (from `bpe_train_merges` /
+    `bpe_merge_trainer`; tuples may be (lhs, rhs) or the trainer's
+    (round, lhs, rhs, n_merges)) to every document, in training order,
+    with exactly the trainer's leftmost-non-overlapping fold semantics
+    (`_merge_fold` is literally shared). Returns (id_col,
+    n_tokens_raw, out_col array<string>) — real token sequences, so
+    downstream budgeting / packing stops running on the chars/4
+    `bpe_ish_token_estimate`.
+
+    Scale shape: the merge table is a tiny model shipped as LITERALS
+    inside the fold expressions — no join, no shuffle, no Python; the
+    whole encode is scan-side codegen, one pass over the corpus.
+    Catalyst collapses the per-merge projections into one, so
+    expression depth grows linearly with the merge count; every
+    ``checkpoint_every`` merges a lazy localCheckpoint bounds the
+    codegen unit (production merge tables are 10^4-10^5 rules — depth
+    must be bounded, not hoped about).
+    """
+    toks = _norm_tokens(text_col)
+    cur = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens_raw"),
+        toks.alias(out_col),
     )
+    for i, m in enumerate(merges, start=1):
+        lhs, rhs = (m[1], m[2]) if len(m) >= 4 else (m[0], m[1])
+        cur = cur.select(
+            F.col(id_col),
+            F.col("n_tokens_raw"),
+            _merge_fold(F.col(out_col), lhs, rhs).alias(out_col),
+        )
+        if checkpoint_every and i % checkpoint_every == 0 and i < len(merges):
+            cur = cur.localCheckpoint(eager=False)
+    return cur
 
 
 def chunk_centrality(

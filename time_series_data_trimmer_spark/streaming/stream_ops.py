@@ -65,26 +65,55 @@ ROCKSDB_PROVIDER = (
 )
 
 
-def _streaming_confs(spark: SparkSession) -> None:
-    """Apply the module's streaming defaults to the session. Called at
-    every query-start point so ad-hoc sessions get the same backend."""
-    if os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb").lower() != "hdfs":
+HDFS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+
+
+def _streaming_confs(spark: SparkSession, state_class: str = "agg") -> None:
+    """Apply the module's streaming state-store defaults to the session.
+    Called at every query-start point so ad-hoc sessions get the same
+    backend. Default for EVERY operator class: RocksDB + changelog
+    checkpointing, confirmed per class by the r8 provider matrix
+    (scripts/state_store_matrix.py, sf0.1, min-of-2 steady):
+
+    * agg class (tumbling counter): hdfs 1.89 / rocksdb_snapshot 2.06 /
+      rocksdb_changelog 1.74 s — and r7's snapshot-dominated GroupState
+      case measured 16 -> 3.2 s, per-batch cost scaling with state
+      CHANGED, not state SIZE.
+    * join class (stream-stream interval join, the r7 regression
+      suspect): hdfs 9.52 / rocksdb_snapshot 8.52 / rocksdb_changelog
+      7.33 s — changelog wins HERE TOO, which ACQUITS the r7 provider
+      flip: the real cost driver was the state-PARTITION count (four
+      store instances per partition x session shuffle width; see
+      `_auto_state_partitions`), not the provider.
+
+    ``state_class`` is kept so large-state operator classes can pick
+    class-specific knobs later without re-threading call sites.
+
+    Env override for A/B: ``SPARK_GRAFT_STATE_STORE`` in
+    ``hdfs`` | ``rocksdb_snapshot`` | ``rocksdb_changelog`` (empty =
+    the changelog default).
+    """
+    del state_class  # classes currently share the measured-best default
+    mode = os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower()
+    if mode in ("", "rocksdb"):
+        mode = "rocksdb_changelog"
+    if mode == "hdfs":
+        # JVM-heap provider: all state keys live as heap objects. Kept
+        # only as an A/B arm — at a 100 TB keyspace this is an executor
+        # OOM, not a tuning problem.
         spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+            "spark.sql.streaming.stateStore.providerClass", HDFS_PROVIDER
         )
-        # Changelog checkpointing: commit the per-batch DELTA instead of
-        # uploading a full RocksDB snapshot from every state partition on
-        # every micro-batch. Measured here (sf0.1 events, 1500 state
-        # keys, 32 partitions, availableNow): steady-state stateful-op
-        # wall 16s -> 3.2s — the snapshot upload was ~80% of batch time.
-        # At 100 TB this is the difference between per-batch cost scaling
-        # with STATE SIZE vs with STATE CHANGED; snapshots still happen,
-        # asynchronously every N commits (maintenance), so recovery cost
-        # stays bounded. See SCALING.md §r7 state-store table.
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-            "true",
-        )
+        return
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true" if mode == "rocksdb_changelog" else "false",
+    )
 
 
 def state_store_metrics(query) -> list[dict]:
@@ -106,21 +135,57 @@ def state_store_metrics(query) -> list[dict]:
     ]
 
 
-def _run_to_memory(windowed: DataFrame, mode: str = "complete") -> DataFrame:
+def _auto_state_partitions(
+    spark: SparkSession, n_rows: int, target_rows: int = 25_000
+) -> int:
+    """Data-derived state-partition count for LARGE-state streaming ops
+    (the stream-stream join class). The number of state-store instances
+    is partitions x stores-per-operator (a stream-stream join runs FOUR
+    stores per partition), and each instance pays a fixed open/commit/
+    upload cost EVERY micro-batch — measured r8 at sf0.1 (100k events,
+    RocksDB+changelog): 32 partitions = 7.66 s, 8 = 2.86 s, 4 = 2.50 s,
+    pure per-instance overhead, state volume unchanged. So partitions
+    must scale with STATE SIZE, not inherit the session shuffle width:
+    ceil(buffered_rows / target_rows), floor 4, capped at the session's
+    shuffle partitions (= cluster width on a real deployment — at 100 TB
+    the cap binds and you get full parallelism; at test scale the floor
+    binds and you stop paying 128 idle store commits per batch). Same
+    adaptive-parameter discipline as `_knn_bits` / `bucket_us="auto"`.
+    """
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(4, min(cap, -(-int(n_rows) // int(target_rows))))
+
+
+def _run_to_memory(
+    windowed: DataFrame,
+    mode: str = "complete",
+    state_class: str = "agg",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Execute a streaming aggregation to a memory sink with
     AvailableNow (process everything currently in the source, then
-    stop) and return the materialized result table."""
-    _streaming_confs(windowed.sparkSession)
-    name = f"st_{uuid.uuid4().hex[:12]}"
-    q = (
-        windowed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    stop) and return the materialized result table.
+
+    ``shuffle_partitions`` (from `_auto_state_partitions`) pins the
+    query's state-partition count; the session conf is restored after
+    the run so co-resident batch queries keep the session width."""
     spark = windowed.sparkSession
+    _streaming_confs(spark, state_class=state_class)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    name = f"st_{uuid.uuid4().hex[:12]}"
+    try:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -612,8 +677,18 @@ def stream_stream_interval_join(
     APPEND mode only — each matched pair exactly once — which is also
     why the memory-sink harness compares finals against the batch
     interval join directly.
+
+    State-partition count is DATA-DERIVED (`_auto_state_partitions`
+    over the source's parquet-footer row count — an upper bound on
+    buffered rows): the join runs four state-store instances per
+    partition, so inheriting the session shuffle width pays
+    4 x width fixed store costs per micro-batch regardless of state
+    volume. Measured r8 (sf0.1, SCALING.md §r8 state-partition table):
+    7.66 s at width 32 -> 2.50 s at the derived 4.
     """
-    _streaming_confs(spark)
+    _streaming_confs(spark, state_class="join")
+    n_rows = spark.read.parquet(path).count()  # footer metadata count
+    state_parts = _auto_state_partitions(spark, n_rows)
     clicks = (
         _events_stream(spark, path, max_files_per_trigger)
         .filter(F.col("event_type") == "click")
@@ -650,7 +725,10 @@ def stream_stream_interval_join(
         ),
         rd(F.col("value"), 2).alias("purchase_value"),
     )
-    return _run_to_memory(joined, mode="append")
+    return _run_to_memory(
+        joined, mode="append", state_class="join",
+        shuffle_partitions=state_parts,
+    )
 
 
 def stream_upsert_to_keyed_parquet(
