@@ -241,6 +241,11 @@ HEADLINE = [
     "pipeline_pack_real_tokens",  # packing budgeted on REAL BPE counts
     "dedup_report_suite",        # 4 dedup reports off ONE CC labeling (3.2x amortization)
     "feature_quantile_transform_sketched",  # flat-growth decile transform (register-backed)
+    "stats_mannwhitney_halves_by_type",  # tie-corrected rank-sum drift test
+    "mix_pack_len_sweep",        # 3 context-length operating points, one scan
+    "text_bpe_fertility_by_lang",  # tokenizer fertility/equity table
+    "graph_kcore_bound",         # dense-core (bot-ring) audit, 3x3 peel grid
+    "privacy_l_diversity_audit",  # attribute-disclosure release gate
 ]
 
 

@@ -1,0 +1,118 @@
+"""r8 waves 4-6: Mann-Whitney drift, pack-length sweep, BPE fertility,
+k-core peel bound, l-diversity audit."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from time_series_data_trimmer_spark.operators import graph as gr
+from time_series_data_trimmer_spark.queries import REGISTRY
+import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kcore_bound_toy_graph(spark):
+    """Triangle + pendant: the 2-core is exactly the triangle (pendant
+    peels in round 1); the 3-core is empty (triangle degrees are 2)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    out = {
+        r["k"]: (r["n_vertices"], r["n_edges"])
+        for r in gr.kcore_bound(edges, ks=(2, 3), rounds=3).collect()
+    }
+    assert out[2] == (3, 3)  # the triangle survives
+    assert out[3] == (0, 0)  # nothing has 3 surviving peers
+
+
+def test_kcore_bound_cascade_peels_chain(spark):
+    """A path graph cascades: each round exposes a new endpoint, so a
+    4-path is fully consumed by the 2-peel within 2 rounds."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    out = {
+        r["k"]: r["n_vertices"]
+        for r in gr.kcore_bound(edges, ks=(2,), rounds=2).collect()
+    }
+    assert out[2] == 0
+
+
+def test_kcore_bound_is_upper_bound_in_rounds(spark):
+    """Fewer rounds ⇒ a superset: survivors shrink monotonically."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)] + [(10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    one = gr.kcore_bound(edges, ks=(2,), rounds=1).collect()[0]
+    three = gr.kcore_bound(edges, ks=(2,), rounds=3).collect()[0]
+    four = gr.kcore_bound(edges, ks=(2,), rounds=4).collect()[0]
+    # monotone: each extra round sheds newly exposed path fringe
+    assert one["n_vertices"] >= three["n_vertices"] >= four["n_vertices"]
+    assert three["n_vertices"] == 5  # 2 path middles + the triangle
+    assert four["n_vertices"] == 3  # the 8-path fully consumed in 4 peels
+
+
+def test_pack_len_sweep_matches_single_length_audit(spark):
+    """The 512 row of the sweep must equal the dedicated single-length
+    audit (same corpus scan semantics, integer metrics)."""
+    sweep = {
+        r["seq_len"]: r
+        for r in REGISTRY["mix_pack_len_sweep"][0](spark, SF).collect()
+    }
+    single = REGISTRY["mix_pack_efficiency_report"][0](spark, SF).collect()[0]
+    row = sweep[512]
+    for m in (
+        "n_docs", "n_tokens", "n_sequences", "split_docs", "fragments",
+        "tail_pad_tokens",
+    ):
+        assert row[m] == single[m], m
+    # operating-point direction: longer sequences have FEWER chop
+    # boundaries (one every L tokens), so fewer documents straddle one;
+    # each sequence packs more documents (fragments per seq grows)
+    assert sweep[1024]["split_docs"] <= sweep[256]["split_docs"]
+    assert sweep[1024]["docs_per_seq"] >= sweep[256]["docs_per_seq"]
+
+
+def test_bpe_fertility_bounds(spark):
+    """fertility ∈ (0, 1]: encoding can only merge words, never split;
+    merge_rate = 1 − fertility exactly (integer counts)."""
+    rows = REGISTRY["text_bpe_fertility_by_lang"][0](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["fertility"] <= 1.0
+        assert r["n_bpe_tokens"] <= r["n_words"]
+        assert abs((1.0 - r["fertility"]) - r["merge_rate"]) < 2e-6
+
+
+def test_mannwhitney_invariants(spark):
+    """U2 ∈ [0, 2·n_a·n_b]; CLES ∈ [0,1]; z NULL only for zero-variance
+    groups (all-tied values)."""
+    rows = REGISTRY["stats_mannwhitney_halves_by_type"][0](
+        spark, SF
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["u2"] <= 2 * r["n_a"] * r["n_b"]
+        assert 0.0 <= r["cles"] <= 1.0
+
+
+def test_l_diversity_classes_partition_groups(spark):
+    """Risk classes partition the quasi-identifier groups: n_groups sums
+    to the number of (type, hour) cells; min_l ≥ 1 everywhere."""
+    rows = REGISTRY["privacy_l_diversity_audit"][0](spark, SF).collect()
+    total_groups = sum(r["n_groups"] for r in rows)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    cells = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "pmod(unix_micros(cast(ts as timestamp)) div 3600000000, 24)"
+            ).alias("hod"),
+        )
+        .distinct()
+        .count()
+    )
+    assert total_groups == cells
+    assert all(r["min_l"] >= 1 for r in rows)

@@ -216,3 +216,78 @@ def label_propagation(
             )
         )
     return cur.select(F.col("node").alias(id_col), F.col("lbl").alias(label_col))
+
+
+def kcore_bound(
+    edges: DataFrame,
+    ks: tuple[int, ...] = (2, 3, 4),
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core PEEL: for each ``k``, repeatedly delete
+    vertices of degree < k (``rounds`` times) and report the surviving
+    subgraph's size — the dense-core audit that separates organic
+    engagement from spam/bot rings (a k-core survives only if every
+    member keeps k co-occurring peers AFTER the fringe is peeled;
+    random fringes cannot fake that).
+
+    A FIXED round count converges FROM ABOVE: the survivor set always
+    CONTAINS the true k-core, and each extra round only sheds newly
+    exposed fringe (most co-occurrence graphs peel to fixpoint in 2-3
+    rounds because peeling only cascades along chains). Fixed rounds
+    keep the oracle replayable (unrolled CTEs, the PageRank/CC
+    precedent) and the plan bounded: per round, ONE vertex-keyed
+    degree aggregation + two semi joins of (a, b) longs — no
+    per-vertex iteration state, no driver loop over data.
+
+    Returns one row per k: (k, n_vertices, n_edges) of the surviving
+    bound.
+
+    Lineage discipline (the CC precedent, re-learned here the hard
+    way): every round references the previous edge set THREE times
+    (twice in the degree union, once in the re-filter), so a fully
+    lazy unroll grows the plan 3^rounds-fold per k — analysis alone
+    took minutes at sf0.001. `localCheckpoint` after the shared canon
+    build and after every round keeps the plan one round deep; each
+    round's edges materialize once and every consumer reads the
+    materialized longs."""
+    canon = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    out = None
+    for k in ks:
+        e = canon
+        for _ in range(int(rounds)):
+            deg = (
+                e.select(F.col("a").alias("v"))
+                .unionAll(e.select(F.col("b").alias("v")))
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).alias("__deg"))
+            )
+            keep = deg.filter(F.col("__deg") >= int(k)).select("v")
+            e = e.join(
+                keep.withColumnRenamed("v", "a").hint("shuffle_hash"),
+                "a",
+                "left_semi",
+            ).join(
+                keep.withColumnRenamed("v", "b").hint("shuffle_hash"),
+                "b",
+                "left_semi",
+            ).localCheckpoint()
+        nv = (
+            e.select(F.col("a").alias("v"))
+            .union(e.select(F.col("b").alias("v")))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_vertices"))
+        )
+        ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+        row = nv.crossJoin(ne).select(
+            F.lit(int(k)).alias("k"),
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -16860,3 +16860,362 @@ def _q_stats_mannwhitney_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         rd(F.col("u2").cast("double") / (2.0 * na * nb), 6).alias("cles"),
         F.when(var > 0.0, rd(z, 6)).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave 5: packing-length operating points + tokenizer fertility —
+# the layout and tokenizer-eval tables a training run is planned from.
+# ---------------------------------------------------------------------------
+
+_PACK_LENS = (256, 512, 1024)
+
+
+@register(
+    "mix_pack_len_sweep",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             {_SQL_H} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS tok_end
+      FROM toks
+    ),
+    ls AS (SELECT unnest([{", ".join(str(L) for L in _PACK_LENS)}]) AS seq_len),
+    o AS (
+      SELECT seq_len, n_tokens,
+             CAST(floor((tok_end - n_tokens) / CAST(seq_len AS DOUBLE))
+                  AS BIGINT) AS first_seq,
+             CAST(floor((tok_end - 1) / CAST(seq_len AS DOUBLE))
+                  AS BIGINT) AS last_seq
+      FROM c CROSS JOIN ls WHERE n_tokens > 0
+    ),
+    a AS (
+      SELECT seq_len,
+             count(*) AS n_docs,
+             sum(n_tokens) AS n_tokens,
+             sum(CASE WHEN first_seq < last_seq THEN 1 ELSE 0 END) AS split_docs,
+             sum(last_seq - first_seq + 1) AS fragments
+      FROM o GROUP BY seq_len
+    )
+    SELECT CAST(seq_len AS INTEGER) AS seq_len,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((n_tokens + seq_len - 1) // seq_len AS BIGINT) AS n_sequences,
+           CAST(split_docs AS BIGINT) AS split_docs,
+           {R("CAST(split_docs AS DOUBLE) / n_docs", 6)} AS split_frac,
+           CAST(fragments AS BIGINT) AS fragments,
+           {R("CAST(fragments AS DOUBLE)"
+              " / ((n_tokens + seq_len - 1) // seq_len)", 6)} AS docs_per_seq,
+           CAST(((n_tokens + seq_len - 1) // seq_len) * seq_len - n_tokens
+                AS BIGINT) AS tail_pad_tokens,
+           {R("CAST(n_tokens AS DOUBLE)"
+              " / (((n_tokens + seq_len - 1) // seq_len) * seq_len)", 6)}
+             AS utilization
+    FROM a
+    """,
+)
+def _q_mix_pack_len_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-LENGTH OPERATING POINTS from ONE corpus scan: the
+    packing-efficiency audit (`mix_pack_efficiency_report`) at 256 /
+    512 / 1024 tokens simultaneously. The global concat order and the
+    prefix-sum intervals [tok_start, tok_end) do not depend on
+    seq_len — only the chop does — so the sweep computes the prefix
+    sum ONCE and derives every length's split/fragment/utilization
+    numbers by integer floor-division of the SAME intervals (a 3-way
+    explode of narrow (n_tokens, tok_end) longs, then one 3-group
+    agg). The table a training run picks its context length from:
+    longer sequences cross fewer chop boundaries (fewer split
+    documents) but pack more documents per sequence — the
+    attention-masking/fragmentation cost — and strand more tail
+    padding."""
+    docs = _table(spark, sf_dir, "documents")
+    packed = sp.sequence_pack_offsets(docs, seq_len=512).select(
+        "n_tokens", "tok_start", "tok_end"
+    )
+    o = packed.select(
+        "n_tokens",
+        "tok_start",
+        "tok_end",
+        F.explode(
+            F.array(*[F.lit(int(L)) for L in _PACK_LENS])
+        ).alias("seq_len"),
+    ).select(
+        "seq_len",
+        "n_tokens",
+        F.floor(
+            F.col("tok_start") / F.col("seq_len").cast("double")
+        ).cast("long").alias("__fs"),
+        F.floor(
+            (F.col("tok_end") - 1) / F.col("seq_len").cast("double")
+        ).cast("long").alias("__ls"),
+    )
+    a = o.groupBy("seq_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("__fs") < F.col("__ls"), 1).otherwise(0)
+        ).alias("split_docs"),
+        F.sum(F.col("__ls") - F.col("__fs") + 1).alias("fragments"),
+    )
+    nseq = F.expr("(n_tokens + seq_len - 1) DIV seq_len")
+    return a.select(
+        F.col("seq_len").cast("int").alias("seq_len"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        nseq.cast("long").alias("n_sequences"),
+        F.col("split_docs").cast("long").alias("split_docs"),
+        rd(F.col("split_docs").cast("double") / F.col("n_docs"), 6).alias(
+            "split_frac"
+        ),
+        F.col("fragments").cast("long").alias("fragments"),
+        rd(F.col("fragments").cast("double") / nseq, 6).alias("docs_per_seq"),
+        (nseq * F.col("seq_len") - F.col("n_tokens"))
+        .cast("long")
+        .alias("tail_pad_tokens"),
+        rd(
+            F.col("n_tokens").cast("double") / (nseq * F.col("seq_len")), 6
+        ).alias("utilization"),
+    )
+
+
+@register(
+    "text_bpe_fertility_by_lang",
+    _bpe_cte(_BPE_ROUNDS)
+    + f""",
+    enc AS (
+      SELECT doc_id,
+             CAST(len({_BPE_PAIR_TOKS}) AS BIGINT) AS n_bpe
+      FROM s{_BPE_ROUNDS}
+    ),
+    j AS (
+      SELECT d.lang, CAST(len(t0.toks) AS BIGINT) AS n_words, enc.n_bpe
+      FROM t0 JOIN enc ON enc.doc_id = t0.doc_id
+      JOIN documents d ON d.doc_id = t0.doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           {R("CAST(sum(n_bpe) AS DOUBLE) / sum(n_words)", 6)} AS fertility,
+           {R("CAST(sum(n_words) - sum(n_bpe) AS DOUBLE)"
+              " / sum(n_words)", 6)} AS merge_rate
+    FROM j WHERE n_words > 0 GROUP BY lang
+    """,
+)
+def _q_text_bpe_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TOKENIZER FERTILITY by language — the eval table a tokenizer
+    ships with (how many tokens the encoder spends per word, per
+    language slice): train the 5-round merge table on the WHOLE corpus
+    (one tokenizer, like production), `bpe_encode` every document, and
+    report per-lang fertility = bpe_tokens/words (1.0 = no merges
+    apply — the tokenizer underserves that language, the
+    multilingual-equity number) and merge_rate = fraction of words
+    absorbed into merges. Same train+encode machinery as
+    `text_bpe_encode_counts` (oracle replays it through `_bpe_cte`),
+    plus one lang-keyed aggregation."""
+    docs = _table(spark, sf_dir, "documents")
+    merges = tx.bpe_train_merges(docs, rounds=_BPE_ROUNDS)
+    enc = tx.bpe_encode(docs, merges)
+    j = enc.join(
+        docs.select("doc_id", "lang").hint("shuffle_hash"), "doc_id"
+    ).filter(F.col("n_tokens_raw") > 0)
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens_raw").cast("long").alias("n_words"),
+        F.sum(F.size("bpe_tokens").cast("long")).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        rd(
+            F.sum(F.size("bpe_tokens").cast("long")).cast("double")
+            / F.sum("n_tokens_raw"),
+            6,
+        ).alias("fertility"),
+        rd(
+            (
+                F.sum("n_tokens_raw")
+                - F.sum(F.size("bpe_tokens").cast("long"))
+            ).cast("double")
+            / F.sum("n_tokens_raw"),
+            6,
+        ).alias("merge_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave 6: k-core peel bound (graph) + l-diversity audit (privacy)
+# ---------------------------------------------------------------------------
+
+_KCORE_KS, _KCORE_ROUNDS = (2, 3, 4), 3
+
+
+def _kcore_oracle_sql() -> str:
+    """Canon co-occurrence edges (the triangle-count fragment) + an
+    unrolled peel per (k, round): degree → keep(deg>=k) → re-filter
+    edges, three rounds, then per-k survivor counts unioned."""
+    head = f"""d AS (
+      SELECT DISTINCT user_id, event_type,
+             epoch_us(ts) // {_TRI_BLK_US} AS blk
+      FROM events
+    ),
+    capped AS (
+      SELECT user_id, event_type, blk
+      FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY event_type, blk ORDER BY user_id
+               ) AS rn
+        FROM d
+      ) WHERE rn <= {_TRI_CAP}
+    ),
+    canon AS MATERIALIZED (
+      SELECT DISTINCT x.user_id AS a, y.user_id AS b
+      FROM capped x JOIN capped y
+        ON x.event_type = y.event_type AND x.blk = y.blk
+       AND x.user_id < y.user_id
+    )"""
+    parts = [head]
+    for k in _KCORE_KS:
+        prev = "canon"
+        for r in range(1, _KCORE_ROUNDS + 1):
+            parts.append(f"""dg{k}_{r} AS (
+      SELECT v, count(*) AS deg FROM (
+        SELECT a AS v FROM {prev} UNION ALL SELECT b AS v FROM {prev}
+      ) GROUP BY v
+    ),
+    kp{k}_{r} AS (SELECT v FROM dg{k}_{r} WHERE deg >= {k}),
+    e{k}_{r} AS MATERIALIZED (
+      SELECT e.a, e.b FROM {prev} e
+      JOIN kp{k}_{r} x ON x.v = e.a
+      JOIN kp{k}_{r} y ON y.v = e.b
+    )""")
+            prev = f"e{k}_{r}"
+    finals = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({k} AS INTEGER) AS k,
+           (SELECT count(*) FROM (SELECT DISTINCT v FROM (
+              SELECT a AS v FROM e{k}_{_KCORE_ROUNDS}
+              UNION ALL SELECT b AS v FROM e{k}_{_KCORE_ROUNDS})))
+             AS n_vertices,
+           (SELECT count(*) FROM e{k}_{_KCORE_ROUNDS}) AS n_edges"""
+        for k in _KCORE_KS
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + finals
+
+
+@register("graph_kcore_bound", _kcore_oracle_sql())
+def _q_graph_kcore_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE survivor bound over the user co-occurrence graph
+    (`graph.kcore_bound`, k ∈ {2,3,4}, 3 peel rounds): the dense-core
+    audit that separates organic co-engagement from bot rings — a
+    vertex survives the k-peel only if k of its peers ALSO keep k
+    peers after the fringe is stripped. Same bounded co-occurrence
+    edges as `graph_triangle_count_cooc` (distinct-collapsed,
+    per-block sorted-neighborhood cap), then per (k, round): one
+    vertex-keyed degree agg + two semi joins of long pairs — fixed
+    3×3 round grid, oracle unrolled verbatim. Fixed rounds converge
+    from above (survivors ⊇ true k-core); the bound tightens one
+    fringe layer per round."""
+    from time_series_data_trimmer_spark.operators import graph as _gr
+
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        "user_id",
+        "event_type",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_TRI_BLK_US}").alias(
+            "blk"
+        ),
+    ).distinct()
+    wcap = Window.partitionBy("event_type", "blk").orderBy("user_id")
+    capped = (
+        d.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _TRI_CAP)
+        .drop("rn")
+    )
+    rhs = capped.select(F.col("user_id").alias("ub"), "event_type", "blk")
+    edges = (
+        capped.join(rhs.hint("shuffle_hash"), ["event_type", "blk"])
+        .filter(F.col("user_id") < F.col("ub"))
+        .select(F.col("user_id").alias("src"), F.col("ub").alias("dst"))
+    )
+    return _gr.kcore_bound(edges, ks=_KCORE_KS, rounds=_KCORE_ROUNDS)
+
+
+@register(
+    "privacy_l_diversity_audit",
+    """
+    WITH q AS (
+      SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod, user_id
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, hod,
+             count(*) AS k, count(DISTINCT user_id) AS l
+      FROM q GROUP BY 1, 2
+    ),
+    classed AS (
+      SELECT CASE WHEN l = 1 THEN 'l=1 attribute-disclosed'
+                  WHEN l < 5 THEN 'l=2-4'
+                  WHEN l < 20 THEN 'l=5-19'
+                  ELSE 'l>=20' END AS risk_class,
+             k, l
+      FROM g
+    )
+    SELECT risk_class,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(k) AS BIGINT) AS n_events,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(max(l) AS BIGINT) AS max_l,
+           CAST(min(k) AS BIGINT) AS min_k
+    FROM classed GROUP BY risk_class
+    """,
+)
+def _q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit (Machanavajjhala et al. 2007 — the
+    k-anonymity complement): per quasi-identifier class (event_type ×
+    hour-of-day), how many DISTINCT sensitive values (user_id) it
+    contains. A class can be k-anonymous with large k and still leak
+    everything if every row belongs to ONE user (l=1): k-anonymity
+    hides WHICH row is yours, l-diversity hides WHAT the class says
+    about you. Exact distinct counts via two-phase partial aggregation
+    over three narrow columns; integer hour bucketing
+    ((epoch_us // 3.6e9) % 24, the chi2-drift convention) so classes
+    reproduce in any engine; output is the bounded 4-row risk
+    rollup."""
+    ev = _events(spark, sf_dir)
+    g = (
+        ev.select(
+            "event_type",
+            F.expr("pmod(unix_micros(cast(ts as timestamp)) div 3600000000, 24)").alias(
+                "hod"
+            ),
+            "user_id",
+        )
+        .groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.countDistinct("user_id").alias("l"),
+        )
+    )
+    risk = (
+        F.when(F.col("l") == 1, "l=1 attribute-disclosed")
+        .when(F.col("l") < 5, "l=2-4")
+        .when(F.col("l") < 20, "l=5-19")
+        .otherwise("l>=20")
+    )
+    return (
+        g.select(risk.alias("risk_class"), "k", "l")
+        .groupBy("risk_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("k").cast("long").alias("n_events"),
+            F.min("l").cast("long").alias("min_l"),
+            F.max("l").cast("long").alias("max_l"),
+            F.min("k").cast("long").alias("min_k"),
+        )
+    )
