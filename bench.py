@@ -246,6 +246,7 @@ HEADLINE = [
     "text_bpe_fertility_by_lang",  # tokenizer fertility/equity table
     "graph_kcore_bound",         # dense-core (bot-ring) audit, 3x3 peel grid
     "privacy_l_diversity_audit",  # attribute-disclosure release gate
+    "retrieval_chunk_topk",      # RAG-shaped chunk BM25, best-chunk-per-doc
 ]
 
 

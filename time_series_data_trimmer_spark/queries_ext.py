@@ -17219,3 +17219,169 @@ def _q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").cast("long").alias("min_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave 7: chunk-level BM25 retrieval — the RAG-shaped query: rank
+# CHUNKS, return each document's best chunk.
+# ---------------------------------------------------------------------------
+
+_CHUNK_RET_TERMS = ("spark", "window", "join")
+_CHUNK_RET_K = 10
+_CHUNK_T, _CHUNK_OV = 32, 8  # chunk_documents defaults; stride = 24
+
+
+@register(
+    "retrieval_chunk_topk",
+    f"""
+    WITH t0 AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '),
+                         x -> length(x) > 0) AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= {_CHUNK_T} THEN 1
+                  ELSE CAST(ceil((len(toks) - {_CHUNK_T})
+                                 / {float(_CHUNK_T - _CHUNK_OV)}) AS INTEGER) + 1
+             END AS nc
+      FROM t0 WHERE len(toks) > 0
+    ),
+    ch AS (
+      SELECT doc_id, CAST(c.c AS INTEGER) AS chunk_id,
+             list_slice(toks, c.c * {_CHUNK_T - _CHUNK_OV} + 1,
+                        c.c * {_CHUNK_T - _CHUNK_OV} + {_CHUNK_T}) AS piece,
+             least({_CHUNK_T}, n - c.c * {_CHUNK_T - _CHUNK_OV}) AS dl
+      FROM b, LATERAL (SELECT unnest(range(0, nc)) AS c) c
+    ),
+    ctoks AS (
+      SELECT doc_id, chunk_id, t.token
+      FROM ch, LATERAL (SELECT unnest(piece) AS token) t
+      WHERE length(t.token) > 0
+    ),
+    stats AS (
+      SELECT count(*) AS n_chunks,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM ch
+    ),
+    tf AS (
+      SELECT doc_id, chunk_id, token, count(*) AS tf
+      FROM ctoks
+      WHERE token IN ({", ".join(repr(t) for t in _CHUNK_RET_TERMS)})
+      GROUP BY 1, 2, 3
+    ),
+    cfreq AS (SELECT token, count(*) AS cf FROM tf GROUP BY token),
+    scored AS (
+      SELECT t.doc_id, t.chunk_id,
+             CAST({sql_rd(
+                 "((CAST(s.n_chunks AS DOUBLE) - CAST(d.cf AS DOUBLE) + 0.5)"
+                 " / (CAST(d.cf AS DOUBLE) + 0.5))"
+                 " * (CAST(t.tf AS DOUBLE) * 2.2)"
+                 " / (CAST(t.tf AS DOUBLE)"
+                 "    + 1.2 * (0.25 + 0.75 * CAST(c.dl AS DOUBLE) / s.avgdl))",
+                 9,
+             )} AS DECIMAL(38,9)) AS s
+      FROM tf t
+      JOIN cfreq d ON d.token = t.token
+      JOIN ch c ON c.doc_id = t.doc_id AND c.chunk_id = t.chunk_id
+      CROSS JOIN stats s
+    ),
+    per_chunk AS (
+      SELECT doc_id, chunk_id,
+             count(*) AS n_terms_matched, sum(s) AS s
+      FROM scored GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT * FROM per_chunk
+      QUALIFY row_number() OVER (
+        PARTITION BY doc_id ORDER BY s DESC, chunk_id ASC) = 1
+    )
+    SELECT doc_id, chunk_id AS best_chunk_id,
+           CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+           {R("CAST(s AS DOUBLE)", 6)} AS score
+    FROM best
+    ORDER BY s DESC, doc_id ASC
+    LIMIT {_CHUNK_RET_K}
+    """,
+)
+def _q_retrieval_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-level BM25 retrieval — the RAG-shaped query: score every
+    32-token chunk (`tx.chunk_documents`, overlap 8) against the query
+    bag, keep each DOCUMENT's best chunk (dedup-by-doc, the step that
+    stops one long document flooding the context window), return the
+    global top-10. BM25 follows `tx.bm25_topk`'s portability rules
+    (un-logged idf ratio, 9-dp decimal term sums) with chunk-corpus
+    statistics (N = chunks, avgdl over chunk lengths — chunk dl comes
+    free from the chunker, no re-count). Plan: chunking is scan-side
+    (sequence + slice fan-out, no shuffle), the query-term isin lands
+    on the exploded-token scan, tf/cf move only (chunk, query-term)
+    rows, best-chunk is one doc-keyed window over matched chunks only,
+    top-10 is TakeOrdered. Oracle replays chunking (list_slice stride
+    arithmetic), scoring, and both ranks verbatim."""
+    docs = _table(spark, sf_dir, "documents")
+    ch = tx.chunk_documents(
+        docs, chunk_tokens=_CHUNK_T, overlap=_CHUNK_OV
+    )
+    toks = ch.select(
+        "doc_id",
+        "chunk_id",
+        F.explode(F.split(F.col("chunk_text"), " ")).alias("token"),
+    ).filter(F.length("token") > 0)
+    dl = ch.select("doc_id", "chunk_id", F.col("n_tokens").alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n_chunks"),
+        (
+            F.sum("__dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("__avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(list(_CHUNK_RET_TERMS)))
+        .groupBy("doc_id", "chunk_id", "token")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    cfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("__cf"))
+    joined = (
+        tf.join(cfreq.hint("shuffle_hash"), "token")
+        .join(dl.hint("shuffle_hash"), ["doc_id", "chunk_id"])
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = (
+        F.col("__n_chunks").cast("double")
+        - F.col("__cf").cast("double")
+        + F.lit(0.5)
+    ) / (F.col("__cf").cast("double") + F.lit(0.5))
+    denom = F.col("__tf").cast("double") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * F.col("__dl").cast("double") / F.col("__avgdl")
+    )
+    term_score = idf * (F.col("__tf").cast("double") * F.lit(2.2)) / denom
+    per_chunk = (
+        joined.select(
+            "doc_id",
+            "chunk_id",
+            rd(term_score, 9).cast("decimal(38,9)").alias("__s"),
+        )
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("__s").alias("__s"),
+        )
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(
+        F.col("__s").desc(), F.col("chunk_id").asc()
+    )
+    best = (
+        per_chunk.withColumn("__rn", F.row_number().over(wbest))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        best.orderBy(F.col("__s").desc(), F.col("doc_id").asc())
+        .limit(_CHUNK_RET_K)
+        .select(
+            "doc_id",
+            F.col("chunk_id").alias("best_chunk_id"),
+            F.col("n_terms_matched").cast("long").alias("n_terms_matched"),
+            rd(F.col("__s").cast("double"), 6).alias("score"),
+        )
+    )
