@@ -247,6 +247,7 @@ HEADLINE = [
     "graph_kcore_bound",         # dense-core (bot-ring) audit, 3x3 peel grid
     "privacy_l_diversity_audit",  # attribute-disclosure release gate
     "retrieval_chunk_topk",      # RAG-shaped chunk BM25, best-chunk-per-doc
+    "stats_bootstrap_mean_ci_by_type",  # Poisson bootstrap: B=32 resamples, one scan
 ]
 
 

@@ -116,3 +116,34 @@ def test_l_diversity_classes_partition_groups(spark):
     )
     assert total_groups == cells
     assert all(r["min_l"] >= 1 for r in rows)
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    """The resample range must bracket the full-sample mean (each
+    resample is an unbiased reweighting); repeated runs are
+    bit-identical (hash weights, no RNG)."""
+    q = REGISTRY["stats_bootstrap_mean_ci_by_type"][0]
+    a = {r["event_type"]: r for r in q(spark, SF).collect()}
+    b = {r["event_type"]: r for r in q(spark, SF).collect()}
+    assert a == b  # deterministic across runs
+    for r in a.values():
+        assert r["boot_lo"] <= r["mean"] <= r["boot_hi"]
+        assert 1 <= r["n_resamples"] <= 32
+        # nondegenerate data ⇒ the interval has width
+        assert r["boot_lo"] < r["boot_hi"]
+
+
+def test_poisson_weights_mean_one(spark):
+    """Poisson(1) CDF thresholds: the hash-derived weights must average
+    ≈1 over many draws (unbiasedness of the resample size)."""
+    from time_series_data_trimmer_spark.operators.sampling import hash_u32
+    from time_series_data_trimmer_spark.queries_ext import _BOOT_T
+
+    df = spark.range(20000).select(
+        hash_u32(F.col("id"), "tsdt|boot").alias("u")
+    )
+    w = F.lit(len(_BOOT_T))
+    for i in range(len(_BOOT_T) - 1, -1, -1):
+        w = F.when(F.col("u") < _BOOT_T[i], i).otherwise(w)
+    mean_w = df.select(F.avg(w).alias("m")).collect()[0]["m"]
+    assert abs(mean_w - 1.0) < 0.02

@@ -17385,3 +17385,149 @@ def _q_retrieval_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             rd(F.col("__s").cast("double"), 6).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave 8: Poisson bootstrap — the at-scale resampling primitive.
+# ---------------------------------------------------------------------------
+
+#: Poisson(1) CDF thresholds scaled to the 32-bit hash space, computed
+#: ONCE in Python (PLANS.md invariant 15 — exp(-1) never evaluates at
+#: query time in either engine). w = #thresholds the hash clears, cap 6.
+_BOOT_B = 32
+_BOOT_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+           4292415291)
+_BOOT_SEED = "tsdt|boot"
+
+
+def _boot_w_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {i}" for i, t in enumerate(_BOOT_T)
+    )
+    return f"CASE {branches} ELSE {len(_BOOT_T)} END"
+
+
+@register(
+    "stats_bootstrap_mean_ci_by_type",
+    f"""
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS sv
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, sv, b.b AS b,
+             {sp.sql_hash_u32(
+                 "CAST(event_id AS VARCHAR) || '#' || CAST(b.b AS VARCHAR)",
+                 _BOOT_SEED,
+             )} AS u
+      FROM ev CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+    ),
+    m AS (
+      SELECT event_type, b,
+             sum({_boot_w_sql("u")}) AS sw,
+             sum(CAST({_boot_w_sql("u")} AS DECIMAL(38,0)) * sv) AS swv
+      FROM r GROUP BY 1, 2
+    ),
+    mb AS (
+      SELECT event_type, b,
+             {R("CAST(swv AS DOUBLE) / (10000.0 * CAST(sw AS DOUBLE))", 6)}
+               AS mean_b
+      FROM m WHERE sw > 0
+    ),
+    f AS (
+      SELECT event_type, count(*) AS n,
+             {R("CAST(sum(sv) AS DOUBLE)"
+                " / (10000.0 * CAST(count(*) AS DOUBLE))", 6)} AS mean
+      FROM ev GROUP BY event_type
+    )
+    SELECT f.event_type, CAST(f.n AS BIGINT) AS n, f.mean,
+           min(mb.mean_b) AS boot_lo, max(mb.mean_b) AS boot_hi,
+           CAST(count(*) AS INTEGER) AS n_resamples
+    FROM f JOIN mb ON mb.event_type = f.event_type
+    GROUP BY f.event_type, f.n, f.mean
+    """,
+)
+def _q_stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP mean interval per event type — the resampling
+    scheme that actually scales (Chamandy et al. 2012, "Estimating
+    uncertainty for massive data streams"): classic bootstrap needs N
+    draws WITH replacement per resample (a global shuffle per
+    replicate); Poisson bootstrap gives each row an independent
+    Poisson(1) weight per replicate, so all B = 32 resamples ride ONE
+    scan with a 32-way explode of narrow longs into a map-side-combined
+    (type, b) aggregation. Determinism: the weight is a CASE ladder of
+    the portable md5 row-replicate hash against Poisson(1) CDF
+    thresholds precomputed in Python as 32-bit integer literals
+    (invariant 15 — no exp() at query time in either engine); weighted
+    sums accumulate in DECIMAL. Reported interval = [min, max] of the
+    32 resample means (≈94% coverage for the mean at B=32); empty
+    resamples (all-zero weights, P≈0.37^n) drop out identically in
+    both engines via the sw > 0 guard."""
+    evs = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    ev = evs.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("sv"),
+    )
+    r = ev.select(
+        "event_type",
+        "sv",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "event_id",
+    ).select(
+        "event_type",
+        "sv",
+        "b",
+        sp.hash_u32(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit("#"),
+                F.col("b").cast("string"),
+            ),
+            _BOOT_SEED,
+        ).alias("u"),
+    )
+    w = F.lit(len(_BOOT_T))
+    for i in range(len(_BOOT_T) - 1, -1, -1):
+        w = F.when(F.col("u") < _BOOT_T[i], i).otherwise(w)
+    m = r.select("event_type", "b", "sv", w.alias("__w")).groupBy(
+        "event_type", "b"
+    ).agg(
+        F.sum("__w").alias("__sw"),
+        F.sum(F.col("__w").cast("decimal(38,0)") * F.col("sv")).alias("__swv"),
+    )
+    mb = m.filter(F.col("__sw") > 0).select(
+        "event_type",
+        "b",
+        rd(
+            F.col("__swv").cast("double")
+            / (10000.0 * F.col("__sw").cast("double")),
+            6,
+        ).alias("__mean_b"),
+    )
+    f = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        rd(
+            F.sum("sv").cast("double")
+            / (10000.0 * F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("mean"),
+    )
+    return (
+        f.join(mb.hint("shuffle_hash"), "event_type")
+        .groupBy("event_type", "n", "mean")
+        .agg(
+            F.min("__mean_b").alias("boot_lo"),
+            F.max("__mean_b").alias("boot_hi"),
+            F.count(F.lit(1)).cast("int").alias("n_resamples"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "mean",
+            "boot_lo",
+            "boot_hi",
+            "n_resamples",
+        )
+    )
