@@ -248,6 +248,7 @@ HEADLINE = [
     "privacy_l_diversity_audit",  # attribute-disclosure release gate
     "retrieval_chunk_topk",      # RAG-shaped chunk BM25, best-chunk-per-doc
     "stats_bootstrap_mean_ci_by_type",  # Poisson bootstrap: B=32 resamples, one scan
+    "text_bpe_suite",            # tokenizer reports off ONE training run (3.7x amortization)
 ]
 
 

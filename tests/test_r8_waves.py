@@ -147,3 +147,33 @@ def test_poisson_weights_mean_one(spark):
         w = F.when(F.col("u") < _BOOT_T[i], i).otherwise(w)
     mean_w = df.select(F.avg(w).alias("m")).collect()[0]["m"]
     assert abs(mean_w - 1.0) < 0.02
+
+
+def test_bpe_suite_sections_reconcile_with_standalones(spark):
+    """The suite's sections must carry the same numbers as the
+    standalone queries (one training run cannot drift from three)."""
+    suite = REGISTRY["text_bpe_suite"][0](spark, SF).collect()
+    by_sec = {}
+    for r in suite:
+        by_sec.setdefault(r["section"], []).append(r)
+    assert set(by_sec) == {"merges", "fertility", "pack"}
+    assert len(by_sec["merges"]) == 5  # one row per training round
+    # fertility section vs the standalone per-lang query
+    fert = {
+        (r["k"], r["metric"]): r["value"]
+        for r in by_sec["fertility"]
+    }
+    standalone = REGISTRY["text_bpe_fertility_by_lang"][0](
+        spark, SF
+    ).collect()
+    for s in standalone:
+        assert fert[(s["lang"], "n_words")] == float(s["n_words"])
+        assert fert[(s["lang"], "n_bpe_tokens")] == float(s["n_bpe_tokens"])
+    # pack section vs the standalone real-token pack totals
+    pack = {r["metric"]: r["value"] for r in by_sec["pack"]}
+    packed = REGISTRY["pipeline_pack_real_tokens"][0](spark, SF)
+    agg = packed.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    ).collect()[0]
+    assert pack["n_docs"] == float(agg["n_docs"])
+    assert pack["n_tokens"] == float(agg["n_tokens"])

@@ -17531,3 +17531,169 @@ def _q_stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_resamples",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave 9: BPE suite — train once, every tokenizer report.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_suite_unpivot_sql() -> str:
+    branches = [
+        f"""SELECT 'merges' AS section, CAST(round AS VARCHAR) AS k,
+           lhs || ' + ' || rhs AS metric, CAST(n_merges AS DOUBLE) AS value
+    FROM (SELECT CAST({r} AS INTEGER) AS round, a AS lhs, b AS rhs,
+                 cnt AS n_merges FROM m{r})"""
+        for r in range(1, _BPE_ROUNDS + 1)
+    ]
+    for m in ("n_docs", "n_words", "n_bpe_tokens"):
+        branches.append(
+            f"SELECT 'fertility', lang, '{m}', CAST({m} AS DOUBLE) FROM fert"
+        )
+    branches.append(
+        "SELECT 'fertility', lang, 'fertility_e6', "
+        "CAST(fertility_e6 AS DOUBLE) FROM fert"
+    )
+    for m in (
+        "n_docs", "n_tokens", "n_sequences", "split_docs", "fragments",
+        "tail_pad_tokens",
+    ):
+        branches.append(
+            f"SELECT 'pack', '_all', '{m}', CAST({m} AS DOUBLE) FROM pk"
+        )
+    return "\n    UNION ALL\n    ".join(branches)
+
+
+@register(
+    "text_bpe_suite",
+    _bpe_cte(_BPE_ROUNDS)
+    + f""",
+    enc AS (
+      SELECT doc_id,
+             CAST(len({_BPE_PAIR_TOKS}) AS BIGINT) AS n_bpe
+      FROM s{_BPE_ROUNDS}
+    ),
+    j AS (
+      SELECT d.doc_id, d.lang,
+             CAST(len(t0.toks) AS BIGINT) AS n_words, enc.n_bpe,
+             {sp.sql_hash_u32("d.doc_id")} AS h
+      FROM t0 JOIN enc ON enc.doc_id = t0.doc_id
+      JOIN documents d ON d.doc_id = t0.doc_id
+    ),
+    fert AS (
+      SELECT lang,
+             count(*) AS n_docs,
+             sum(n_words) AS n_words,
+             sum(n_bpe) AS n_bpe_tokens,
+             CAST(floor(CAST(sum(n_bpe) AS DOUBLE) * 1000000.0
+                        / sum(n_words) + 0.5) AS BIGINT) AS fertility_e6
+      FROM j WHERE n_words > 0 GROUP BY lang
+    ),
+    c AS (
+      SELECT doc_id, n_bpe AS n_tokens,
+             CAST(sum(n_bpe) OVER (ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS tok_end
+      FROM j
+    ),
+    o AS (
+      SELECT n_tokens, tok_end,
+             CAST(floor((tok_end - n_tokens) / 512.0) AS BIGINT) AS first_seq,
+             CAST(floor((tok_end - 1) / 512.0) AS BIGINT) AS last_seq
+      FROM c WHERE n_tokens > 0
+    ),
+    pk AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST((sum(n_tokens) + 511) // 512 AS BIGINT) AS n_sequences,
+             CAST(sum(CASE WHEN first_seq < last_seq THEN 1 ELSE 0 END)
+                  AS BIGINT) AS split_docs,
+             CAST(sum(last_seq - first_seq + 1) AS BIGINT) AS fragments,
+             CAST(((sum(n_tokens) + 511) // 512) * 512 - sum(n_tokens)
+                  AS BIGINT) AS tail_pad_tokens
+      FROM o
+    )
+    {_bpe_suite_unpivot_sql()}
+    """,
+)
+def _q_text_bpe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY TOKENIZER REPORT, ONE TRAINING RUN (the dedup_report_suite
+    pattern applied to the BPE family): the three standalone BPE
+    queries each retrain the 5-round merge table (~11 s apiece at
+    sf0.1) to stay independently oracle-checkable; this suite trains
+    ONCE (`tx.bpe_train_merges`), encodes ONCE (`tx.bpe_encode` +
+    lazy localCheckpoint so fertility AND packing read one
+    materialization), and emits the merge table, the per-lang
+    fertility/equity numbers, and the real-token pack audit as
+    normalized (section, k, metric, value) rows. Float-free contract:
+    fertility ships as floor(1e6·ratio+0.5) micro-units so every value
+    is integer-exact in DOUBLE. The standalone queries stay registered;
+    the suite is what a tokenizer owner actually runs."""
+    docs = _table(spark, sf_dir, "documents")
+    merges = tx.bpe_train_merges(docs, rounds=_BPE_ROUNDS)
+    enc = tx.bpe_encode(docs, merges).localCheckpoint(eager=False)
+
+    mrows = spark.createDataFrame(
+        [
+            (
+                "merges",
+                str(r),
+                f"{lhs} + {rhs}",
+                float(cnt),
+            )
+            for (r, lhs, rhs, cnt) in merges
+        ],
+        "section string, k string, metric string, value double",
+    )
+
+    j = enc.join(
+        docs.select("doc_id", "lang").hint("shuffle_hash"), "doc_id"
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens_raw",
+        F.size("bpe_tokens").cast("long").alias("__nb"),
+    )
+    fert = (
+        j.filter(F.col("n_tokens_raw") > 0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens_raw").cast("long").alias("n_words"),
+            F.sum("__nb").cast("long").alias("n_bpe_tokens"),
+            F.floor(
+                F.sum("__nb").cast("double")
+                * 1000000.0
+                / F.sum("n_tokens_raw")
+                + 0.5
+            )
+            .cast("long")
+            .alias("fertility_e6"),
+        )
+    )
+    frows = fert.withColumn("__k", F.col("lang")).selectExpr(
+        "'fertility' AS section",
+        "__k AS k",
+        "stack(4, 'n_docs', CAST(n_docs AS DOUBLE),"
+        " 'n_words', CAST(n_words AS DOUBLE),"
+        " 'n_bpe_tokens', CAST(n_bpe_tokens AS DOUBLE),"
+        " 'fertility_e6', CAST(fertility_e6 AS DOUBLE)) AS (metric, value)",
+    )
+
+    counts = j.select(
+        "doc_id", F.col("__nb").alias("n_tokens")
+    )
+    packed = sp.sequence_pack_offsets(counts, seq_len=512, n_tokens_col="n_tokens")
+    audit = _pack_efficiency_agg(packed)
+    prows = audit.withColumn("__k", F.lit("_all")).selectExpr(
+        "'pack' AS section",
+        "__k AS k",
+        "stack(6, 'n_docs', CAST(n_docs AS DOUBLE),"
+        " 'n_tokens', CAST(n_tokens AS DOUBLE),"
+        " 'n_sequences', CAST(n_sequences AS DOUBLE),"
+        " 'split_docs', CAST(split_docs AS DOUBLE),"
+        " 'fragments', CAST(fragments AS DOUBLE),"
+        " 'tail_pad_tokens', CAST(tail_pad_tokens AS DOUBLE))"
+        " AS (metric, value)",
+    )
+    return mrows.unionByName(frows).unionByName(prows)
