@@ -249,6 +249,8 @@ HEADLINE = [
     "retrieval_chunk_topk",      # RAG-shaped chunk BM25, best-chunk-per-doc
     "stats_bootstrap_mean_ci_by_type",  # Poisson bootstrap: B=32 resamples, one scan
     "text_bpe_suite",            # tokenizer reports off ONE training run (3.7x amortization)
+    "eval_pr_curve_binned",      # imbalance-honest PR operating points (same bins as AUC)
+    "graph_degree_assortativity",  # hub-wiring spam smell, one number
 ]
 
 

