@@ -251,6 +251,7 @@ HEADLINE = [
     "text_bpe_suite",            # tokenizer reports off ONE training run (3.7x amortization)
     "eval_pr_curve_binned",      # imbalance-honest PR operating points (same bins as AUC)
     "graph_degree_assortativity",  # hub-wiring spam smell, one number
+    "mix_curriculum_shards",     # training-order manifest (quality bands x hash shards)
 ]
 
 

@@ -219,3 +219,24 @@ def test_assortativity_toy_graphs(spark):
     row = REGISTRY["graph_degree_assortativity"][0](spark, SF).collect()[0]
     assert row["assortativity"] is None or -1.0 <= row["assortativity"] <= 1.0
     assert row["n_directed_edges"] % 2 == 0
+
+
+def test_curriculum_shards_partition_corpus(spark):
+    """Bands × shards partition the scored corpus: doc totals equal the
+    scorer's row count; shard ids are 0..3; band means are ordered
+    (low ≤ mid ≤ high by construction of the tercile cut)."""
+    rows = REGISTRY["mix_curriculum_shards"][0](spark, SF).collect()
+    from time_series_data_trimmer_spark.operators import text as tx
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_scored = tx.hashed_linear_score(docs).count()
+    assert sum(r["n_docs"] for r in rows) == n_scored
+    assert {r["shard"] for r in rows} <= {0, 1, 2, 3}
+    band_mean = {}
+    for b in ("A_low", "B_mid", "C_high"):
+        rs = [r for r in rows if r["band"] == b]
+        assert rs, b
+        band_mean[b] = sum(r["mean_logit"] * r["n_docs"] for r in rs) / sum(
+            r["n_docs"] for r in rs
+        )
+    assert band_mean["A_low"] <= band_mean["B_mid"] <= band_mean["C_high"]

@@ -17969,3 +17969,101 @@ def _q_graph_degree_assortativity(
             "assortativity"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 wave 11: curriculum shard manifest — the training-ORDER handoff.
+# ---------------------------------------------------------------------------
+
+_CURR_P = (0.3333333333333333, 0.6666666666666666)  # invariant 15 literals
+_CURR_SEED = "tsdt|curr"
+
+
+@register(
+    "mix_curriculum_shards",
+    f"""
+    WITH {_HLS_VS_C4_SQL},
+    bd AS (
+      SELECT {R(f"quantile_cont(logit, {_CURR_P[0]!r})", 6)} AS b1,
+             {R(f"quantile_cont(logit, {_CURR_P[1]!r})", 6)} AS b2
+      FROM sc
+    ),
+    toks AS (
+      SELECT doc_id, CAST({_SQL_NTOK} AS BIGINT) AS n_tokens FROM documents
+    ),
+    assigned AS (
+      SELECT CASE WHEN sc.logit <= bd.b1 THEN 'A_low'
+                  WHEN sc.logit <= bd.b2 THEN 'B_mid'
+                  ELSE 'C_high' END AS band,
+             CAST({sp.sql_hash_u32("sc.doc_id", _CURR_SEED)} // 1073741824
+                  AS INTEGER) AS shard,
+             toks.n_tokens,
+             CAST(round(sc.logit * 1000000, 0) AS BIGINT) AS logit_e6
+      FROM sc CROSS JOIN bd
+      JOIN toks ON toks.doc_id = sc.doc_id
+    )
+    SELECT band, shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           {R("CAST(sum(logit_e6) AS DOUBLE)"
+              " / (1000000.0 * CAST(count(*) AS DOUBLE))", 6)} AS mean_logit
+    FROM assigned GROUP BY band, shard
+    """,
+)
+def _q_mix_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM SHARD MANIFEST — the training-ORDER handoff: band
+    every document into quality terciles of the hashed-linear scorer
+    logit (the SAME factored scorer the three eval queries audit, so
+    the curriculum signal is the one whose calibration/AUC/PR the
+    repo already measures), then split each band into 4 deterministic
+    hash shards (top 2 bits). A curriculum run consumes shards in
+    band order (easy → hard or the reverse); the manifest reports each
+    shard's doc/token mass and mean logit so the schedule's token
+    budget is known BEFORE any data moves. Portability discipline:
+    tercile boundaries are exact interpolated percentiles 6-dp-rounded
+    on both engines (`percentile` ≡ `quantile_cont`, the
+    token_percentiles precedent) with probe literals written once in
+    Python (invariant 15); band compares happen on the already-6-dp
+    logit; mean logit accumulates integer 1e6 micro-units. One scan +
+    a 1-row boundary broadcast + one (band, shard) aggregation."""
+    docs = _table(spark, sf_dir, "documents")
+    sc = tx.hashed_linear_score(docs).select("doc_id", "logit")
+    bd = sc.agg(
+        rd(
+            F.expr(f"percentile(logit, {_CURR_P[0]!r})"), 6
+        ).alias("__b1"),
+        rd(
+            F.expr(f"percentile(logit, {_CURR_P[1]!r})"), 6
+        ).alias("__b2"),
+    )
+    toks = docs.select(
+        "doc_id", tx.token_count(F.col("text")).cast("long").alias("__nt")
+    )
+    band = (
+        F.when(F.col("logit") <= F.col("__b1"), "A_low")
+        .when(F.col("logit") <= F.col("__b2"), "B_mid")
+        .otherwise("C_high")
+    )
+    assigned = (
+        sc.crossJoin(F.broadcast(bd))
+        .join(toks.hint("shuffle_hash"), "doc_id")
+        .select(
+            band.alias("band"),
+            F.shiftright(
+                sp.hash_u32(F.col("doc_id"), _CURR_SEED), 30
+            ).cast("int").alias("shard"),
+            F.col("__nt").alias("n_tokens"),
+            F.round(F.col("logit") * 1000000, 0).cast("long").alias(
+                "__logit_e6"
+            ),
+        )
+    )
+    return assigned.groupBy("band", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        rd(
+            F.sum("__logit_e6").cast("double")
+            / (1000000.0 * F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("mean_logit"),
+    )
