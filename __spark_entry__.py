@@ -59,29 +59,31 @@ _FIRST_50 = [
     "a1_sample_rate", "a4_episode_overlay", "a5_suggest_segments",
     "e1_frame_transform", "recipe_compiled_chain",
     "tpch_q1_pricing_summary", "tpch_q21_waiting_supplier",
-    # r8 rotation (VERDICT r7 #1): ~30 names that have NEVER appeared in
-    # any driver CORRECTNESS_r1..r7 sample (194/293 were never externally
-    # verified at the r7 rotation rate). All pass the full local
-    # check_oracle run; this puts them in front of the external gate.
-    "sim_ivf_nprobe_recall", "emb_label_knn_agreement",
-    "graph_label_propagation_emb", "graph_adamic_adar_links",
-    "linkage_golden_record", "stream_psi_drift_daily",
-    "eval_isotonic_calibration", "eval_auc_binned",
-    "privacy_k_anonymity_audit", "emb_retrieval_ndcg",
-    "emb_matryoshka_recall_by_dim", "ts_holt_forecast",
-    "ts_burst_segments", "ts_xcorr_lag", "ts_spectral_probe",
-    "funnel_step_latency", "scd2_user_state_history",
-    "twap_value_by_user_hour", "dq_expectations_report",
-    "layout_partition_advisor", "sketch_quantile_error_report",
-    "stats_chi2_residuals", "text_chunk_centrality",
-    "decontam_bloom_prefilter", "export_manifest_shards",
-    "stream_stream_click_purchase_join", "dedup_containment_pairs",
-    "feature_loo_target_encoding", "ts_theilsen_lag_slope",
-    "stats_mutual_info_type_hour", "sample_neyman_allocation",
-    # r8 new this round (registered later in the round; the `in REGISTRY`
+    # r9 rotation (VERDICT r8 #1): 31 names that have NEVER appeared in
+    # any driver CORRECTNESS_r1..r8 sample (174/308 remained unverified
+    # externally). Priorities from the verdict: the 8 never-checked
+    # streaming GroupState queries, the TPC-H tail, the time-series
+    # family heads, the r8 additions not yet sampled, and the two
+    # drift-triage names (emb_hard_negatives, dedup_impact_by_source).
+    "stream_dedup", "stream_funnel_users", "stream_dq_violations",
+    "stream_content_fingerprint", "stream_quantile_value_by_type",
+    "stream_kmv_distinct_users", "stream_upsert_latest_state",
+    "stream_static_enriched_counts",
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
+    "tpch_q11_important_parts", "tpch_q12_priority_by_returnflag",
+    "tpch_q16_supplier_variety", "tpch_q20_heavy_shippers",
+    "ts_sax_symbols", "ts_lttb_downsample",
+    "text_bpe_suite", "text_bpe_fertility_by_lang", "graph_kcore_bound",
+    "privacy_l_diversity_audit", "retrieval_chunk_topk",
+    "stats_bootstrap_mean_ci_by_type", "eval_pr_curve_binned",
+    "graph_degree_assortativity", "mix_curriculum_shards",
+    "mix_pack_len_sweep", "stats_mannwhitney_halves_by_type",
+    "emb_hard_negatives", "dedup_impact_by_source",
+    "pipeline_dedup_budget_pack", "sketch_kmv_rollup_day",
+    # r9 new this round (registered later in the round; the `in REGISTRY`
     # filter below makes unregistered names inert until they land)
-    "text_bpe_encode_counts", "pipeline_pack_real_tokens",
-    "feature_quantile_transform_sketched", "dedup_report_suite",
+    "graph_kcore_exact", "text_bpe_encode_ranked",
+    "pipeline_budget_pack_real_tokens", "stream_state_partition_report",
 ]
 
 

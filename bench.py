@@ -252,6 +252,10 @@ HEADLINE = [
     "eval_pr_curve_binned",      # imbalance-honest PR operating points (same bins as AUC)
     "graph_degree_assortativity",  # hub-wiring spam smell, one number
     "mix_curriculum_shards",     # training-order manifest (quality bands x hash shards)
+    # r9, on-headline from day one:
+    "text_bpe_encode_ranked",    # one-pass ranked-table tokenizer (flat in |merges|)
+    "graph_kcore_exact",         # loop-until-fixpoint peel (convergence contract)
+    "pipeline_budget_pack_real_tokens",  # budget AND pack on one real-count column
 ]
 
 
@@ -281,6 +285,21 @@ COMPARE_SET_V1 = [
     "graph_pagerank_user_concurrency", "emb_covariance",
     "sketch_kmv_distinct_tokens", "sessionize_events",
 ]
+
+
+def _family(name: str) -> str:
+    """Bench-legibility grouping (VERDICT r8 #7): reference-parity
+    operator codes (f1/p4/a5/e1/j2/w2 + recipe/asof) fold into one
+    'parity' family; every extension family keys on its name prefix,
+    so honest per-query duplication (e.g. the 4 standalone BPE
+    queries re-training the same table) reads as a family subtotal
+    instead of anonymous headline growth."""
+    tok = name.split("_", 1)[0]
+    import re as _re
+
+    if _re.fullmatch(r"[fpaejw]\d{1,2}", tok) or tok in ("recipe", "asof"):
+        return "parity"
+    return tok
 
 
 def _sf_from_dir(d: str) -> float:
@@ -329,6 +348,13 @@ def main() -> None:
         sum(timings[n] for n in COMPARE_SET_V1 if n in timings), 3
     )
     compare_n = sum(1 for n in COMPARE_SET_V1 if n in timings)
+    fam_tot: dict[str, float] = {}
+    for n, s in timings.items():
+        fam_tot[_family(n)] = fam_tot.get(_family(n), 0.0) + s
+    family_subtotals = {
+        k: round(v, 2)
+        for k, v in sorted(fam_tot.items(), key=lambda kv: -kv[1])
+    }
     detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -341,6 +367,7 @@ def main() -> None:
         "compare_set": "v1",
         "compare_set_total_sec": compare_total,
         "compare_set_n": compare_n,
+        "family_subtotals": family_subtotals,
     }
     if errors:
         detail["errors"] = errors
@@ -372,6 +399,7 @@ def main() -> None:
         "compare_set": "v1",
         "compare_set_total_sec": compare_total,
         "compare_set_n": compare_n,
+        "family_subtotals": family_subtotals,
         "detail": "BENCH_DETAIL.json",
     }
     if errors:
@@ -380,6 +408,9 @@ def main() -> None:
     if len(line) > 2000:  # never overflow the tail capture again
         payload.pop("errors", None)
         payload["queries"] = dict(list(slowest.items())[:5])
+        payload["family_subtotals"] = dict(
+            list(family_subtotals.items())[:10]
+        )
         line = json.dumps(payload)
     print(line)
 

@@ -1,0 +1,174 @@
+"""r9 wave tests: merge-count-scalable BPE application
+(`text.bpe_encode_ranked`, VERDICT r8 #2) — exact token-level
+equivalence with the fold encoder, constant plan depth in |merges|,
+and the skip-set's chained-merge correctness.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from time_series_data_trimmer_spark.operators import text as tx
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _toks(df):
+    return {r["doc_id"]: list(r["bpe_tokens"]) for r in df.collect()}
+
+
+def test_ranked_leftmost_nonoverlapping(spark):
+    """'a a a' with merge (a,a): first two merge, third survives —
+    identical to `_merge_fold`'s (arr, carry) contract."""
+    df = _docs(spark, [(1, "a a a"), (2, "a a a a")])
+    out = _toks(tx.bpe_encode_ranked(df, [("a", "a")]))
+    assert out[1] == ["a a", "a"]
+    assert out[2] == ["a a", "a a"]
+
+
+def test_ranked_training_order_and_chained_merges(spark):
+    """Rule k sees rule j<k's output — including when a rule's lhs
+    token EXISTS ONLY as a previous merge's product (the skip-set must
+    admit tokens created mid-encode, not just raw ones)."""
+    df = _docs(spark, [(1, "a b c"), (2, "b c a")])
+    out = _toks(tx.bpe_encode_ranked(df, [("a", "b"), ("a b", "c")]))
+    assert out[1] == ["a b c"]
+    assert out[2] == ["b", "c", "a"]
+
+
+def test_ranked_identical_to_fold_encoder_on_corpus(spark):
+    """Token-for-token identity with `bpe_encode` on the real sf0.001
+    documents under the trained 5-round table — the two encoders are
+    the same tokenizer, one flat-plan and one fold-per-rule."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges = tx.bpe_train_merges(docs, rounds=5)
+    fold = _toks(tx.bpe_encode(docs, merges))
+    ranked = _toks(tx.bpe_encode_ranked(docs, merges))
+    assert fold == ranked and len(ranked) > 0
+
+
+def test_ranked_plan_depth_constant_in_merge_count(spark):
+    """The scalability contract: the analyzed plan is ONE MapInPandas
+    stage whose size does not grow with the merge table — 500 rules
+    produce the same plan shape as 5 (the fold encoder's depth is
+    linear: one projection per rule plus a localCheckpoint every 16)."""
+    df = _docs(spark, [(1, "x y z w " * 8)])
+    small = [("x", "y")] * 1
+    big = [(f"t{i}", f"u{i}") for i in range(500)]
+    p_small = tx.bpe_encode_ranked(df, small)._jdf.queryExecution().analyzed().toString()
+    p_big = tx.bpe_encode_ranked(df, big)._jdf.queryExecution().analyzed().toString()
+    assert p_small.count("MapInPandas") == 1
+    assert p_big.count("MapInPandas") == 1
+    # rules travel as a broadcast list, never as plan expressions
+    assert abs(len(p_big) - len(p_small)) < 200
+
+
+def test_ranked_inert_rules_leave_corpus_untouched(spark):
+    """A 300-rule table where nothing applies returns the raw
+    normalized tokens (the production regime the skip set optimizes:
+    most rules never fire on a given document)."""
+    df = _docs(spark, [(7, "Hello, World! 42")])
+    rules = [(f"qq{i}", f"zz{i}") for i in range(300)]
+    out = tx.bpe_encode_ranked(df, rules).collect()[0]
+    assert list(out["bpe_tokens"]) == ["hello", "world", "42"]
+    assert out["n_tokens_raw"] == 3
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 2: exact k-core (graph.kcore_exact, VERDICT r8 #5)
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_kcore_exact_peels_chain_past_three_rounds(spark):
+    """A 12-vertex chain under k=2 sheds only its two endpoints per
+    round: after 3 rounds the fixed-round BOUND still holds 6 vertices,
+    but the true 2-core is EMPTY — kcore_exact must keep peeling to the
+    fixpoint (>3 rounds, n_rounds reported) while kcore_bound provably
+    hasn't converged."""
+    from time_series_data_trimmer_spark.operators import graph as gr
+
+    chain = _edges(spark, [(i, i + 1) for i in range(11)])
+    bound = {r["k"]: r for r in gr.kcore_bound(chain, ks=(2,), rounds=3).collect()}
+    exact = {r["k"]: r for r in gr.kcore_exact(chain, ks=(2,)).collect()}
+    assert bound[2]["n_edges"] > 0  # the screen's loose survivor set
+    assert exact[2]["n_edges"] == 0 and exact[2]["n_vertices"] == 0
+    assert exact[2]["n_rounds"] > 3
+
+
+def test_kcore_exact_matches_bound_on_converged_graph(spark):
+    """On a graph whose peel converges within 3 rounds (a clique plus
+    one pendant vertex), the exact form and the bound agree — the
+    bound is tight whenever the cascade is shallow."""
+    from time_series_data_trimmer_spark.operators import graph as gr
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    g = _edges(spark, k4 + [(3, 99)])
+    bound = {r["k"]: r for r in gr.kcore_bound(g, ks=(2, 3)).collect()}
+    exact = {r["k"]: r for r in gr.kcore_exact(g, ks=(2, 3)).collect()}
+    for k in (2, 3):
+        assert (bound[k]["n_vertices"], bound[k]["n_edges"]) == (
+            exact[k]["n_vertices"], exact[k]["n_edges"],
+        )
+    assert exact[3]["n_vertices"] == 4  # pendant peeled, clique survives
+
+
+def test_kcore_exact_raises_past_cap(spark):
+    """The convergence contract: a cap too small for the cascade depth
+    raises instead of silently returning a bound."""
+    import pytest as _pytest
+
+    from time_series_data_trimmer_spark.operators import graph as gr
+
+    chain = _edges(spark, [(i, i + 1) for i in range(11)])
+    with _pytest.raises(RuntimeError, match="fixed point"):
+        gr.kcore_exact(chain, ks=(2,), max_rounds=2)
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 3: real-token budget passthrough (VERDICT r8 #6)
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_respects_n_tokens_col(spark):
+    """`token_budget_per_stratum(n_tokens_col=...)` budgets on the
+    provided REAL counts, not the chars/4 estimate: with real counts
+    10× the estimate, the kept set shrinks accordingly and
+    n_tokens/cum_tokens carry the real numbers."""
+    from time_series_data_trimmer_spark.operators import sampling as sp
+
+    rows = [(i, "src", "word " * 40, 100) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, real_nt long"
+    )
+    est = sp.token_budget_per_stratum(df, 300)
+    real = sp.token_budget_per_stratum(df, 300, n_tokens_col="real_nt")
+    # estimate path: ~40-token docs, 7 fit in 300; real path: 100-token
+    # docs, exactly 3 fit
+    assert real.count() == 3
+    assert est.count() > real.count()
+    got = real.select("n_tokens", "cum_tokens").orderBy("cum_tokens").collect()
+    assert [r["n_tokens"] for r in got] == [100, 100, 100]
+    assert got[-1]["cum_tokens"] == 300
+
+
+def test_token_budget_default_path_unchanged(spark):
+    """Omitting n_tokens_col keeps the r4 estimate semantics byte-
+    for-byte (regression guard on the signature change)."""
+    from time_series_data_trimmer_spark.operators import sampling as sp
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = sp.token_budget_per_stratum(docs, 600).select(
+        "doc_id", "n_tokens", "cum_tokens"
+    )
+    b = sp.token_budget_per_stratum(docs, 600, n_tokens_col=None).select(
+        "doc_id", "n_tokens", "cum_tokens"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -291,3 +291,91 @@ def kcore_bound(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def kcore_exact(
+    edges: DataFrame,
+    ks: tuple[int, ...] = (2, 3, 4),
+    max_rounds: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """EXACT k-core: loop the peel until FIXED POINT, with the
+    connected-components convergence contract (VERDICT r8 #5) —
+    `localCheckpoint` per round so the plan stays one round deep, a
+    bounded scalar edge-count per round as the convergence probe, and
+    a hard ``max_rounds`` cap that RAISES on non-convergence instead
+    of silently returning a loose bound. `kcore_bound` (fixed 3
+    rounds) stays the cheap screen: its survivor set always CONTAINS
+    the true core but provably hasn't converged on deep peel cascades
+    (a chain graph sheds only its two endpoints per round); this form
+    is the authority when exactness matters.
+
+    Soundness of the probe: a peel round deletes vertices with
+    0 < deg < k, and every such deletion removes at least one edge —
+    so an UNCHANGED edge count between rounds certifies no vertex is
+    below k, i.e. the fixpoint. (Degree-0 vertices never appear in an
+    edge table.) Past the fixpoint the peel is the identity, which is
+    what lets the DuckDB oracle replay this as a FIXED ``max_rounds``
+    unroll: any Spark run that completes (didn't raise) has converged
+    within the cap, and extra oracle rounds are no-ops.
+
+    Returns one row per k: (k, n_vertices, n_edges, n_rounds) where
+    ``n_rounds`` is the round at which the fixpoint was certified.
+    Plan shape per round is `kcore_bound`'s: one vertex-keyed degree
+    aggregation + two shuffle-hash semi joins over materialized long
+    pairs; the driver holds only one scalar per round.
+    """
+    canon = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    out = None
+    for k in ks:
+        e = canon
+        n_prev = e.count()
+        n_rounds = 0
+        for r in range(1, int(max_rounds) + 1):
+            deg = (
+                e.select(F.col("a").alias("v"))
+                .unionAll(e.select(F.col("b").alias("v")))
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).alias("__deg"))
+            )
+            keep = deg.filter(F.col("__deg") >= int(k)).select("v")
+            e = e.join(
+                keep.withColumnRenamed("v", "a").hint("shuffle_hash"),
+                "a",
+                "left_semi",
+            ).join(
+                keep.withColumnRenamed("v", "b").hint("shuffle_hash"),
+                "b",
+                "left_semi",
+            ).localCheckpoint()
+            n_cur = e.count()
+            if n_cur == n_prev or n_cur == 0:
+                n_rounds = r
+                break
+            n_prev = n_cur
+        else:
+            raise RuntimeError(
+                f"kcore_exact(k={k}) did not reach a fixed point within "
+                f"max_rounds={max_rounds}; raise the cap (peel depth is "
+                f"data-dependent on chain-like fringes)"
+            )
+        nv = (
+            e.select(F.col("a").alias("v"))
+            .union(e.select(F.col("b").alias("v")))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_vertices"))
+        )
+        ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+        row = nv.crossJoin(ne).select(
+            F.lit(int(k)).alias("k"),
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.lit(int(n_rounds)).alias("n_rounds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

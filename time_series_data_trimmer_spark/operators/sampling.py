@@ -89,6 +89,7 @@ def token_budget_per_stratum(
     key_col: str = "doc_id",
     text_col: str = "text",
     seed: str = "tsdt",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Cap each stratum at a token budget, keeping a deterministic
     hash-ordered prefix — "at most N tokens per source" for training
@@ -103,6 +104,13 @@ def token_budget_per_stratum(
 
     Returns the kept rows plus ``n_tokens`` and ``cum_tokens`` so the
     mix report is free.
+
+    ``n_tokens_col`` (r9, VERDICT r8 #6 — the `sequence_pack_offsets`
+    hook replicated): name a column of REAL per-doc token counts
+    (e.g. `F.size` over `bpe_encode`'s output) and the budget runs on
+    those instead of the chars/4 `bpe_ish_token_estimate` — so mixes
+    are budgeted on the same counts the packer lays out, closing the
+    estimate-vs-real gap end-to-end.
     """
     h = hash_u32(F.col(key_col), seed)
     w = (
@@ -110,8 +118,13 @@ def token_budget_per_stratum(
         .orderBy(h.asc(), F.col(key_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    n_tokens = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else token_count(F.col(text_col)).cast("long")
+    )
     out = (
-        df.withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+        df.withColumn("n_tokens", n_tokens)
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
     )

@@ -1591,6 +1591,99 @@ def bpe_encode(
     return cur
 
 
+def bpe_encode_ranked(
+    df: DataFrame,
+    merges: list[tuple],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Merge-count-SCALABLE tokenizer application (VERDICT r8 #2): the
+    exact semantics of `bpe_encode` — each rule of the RANKED merge
+    table applied once, in training order, leftmost-first
+    non-overlapping (`_merge_fold`'s (arr, carry) contract) — but as
+    ONE Arrow `mapInPandas` pass over the corpus instead of one fold
+    stage per rule. Plan depth, codegen size, and checkpoint count are
+    CONSTANT in |merges|: the ranked table ships to executors as a
+    broadcast list, and each document is encoded in a single kernel
+    call. This is the sanctioned Python boundary (PLANS.md invariant
+    3, the DSP-kernel precedent): `bpe_encode`'s literal-fold form is
+    the right shape at the 5-rule phrase tables the suite trains, but
+    a production 10^4–10^5-rule tokenizer table would need thousands
+    of fold stages and localCheckpoint materializations — here it is
+    one stage at any table size.
+
+    Per-document cost: a token-membership skip set prunes rules whose
+    lhs/rhs cannot occur (O(1) per rule), so work is
+    O(|rules| set-probes + |applicable| token-scans) — encode time is
+    ~flat in merge-table size when most rules don't fire (the
+    production regime; SCALING.md carries the measured 5-vs-500-rule
+    row). Accepts (lhs, rhs) or the trainer's (round, lhs, rhs, n)
+    tuples. Returns (id_col, n_tokens_raw, out_col) exactly like
+    `bpe_encode`; the two encoders are asserted token-identical in
+    tests and value-checked against the same delimiter-guarded DuckDB
+    replay (reference tokenizer parity: Sennrich et al. 2016 encode
+    loop; reference repo has no tokenizer — LLM-pipeline extension)."""
+    from pyspark.sql import types as T
+
+    rules = [
+        ((m[1], m[2]) if len(m) >= 4 else (m[0], m[1])) for m in merges
+    ]
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(rules)
+
+    src = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), _norm_tokens(text_col).alias("__toks")
+    )
+    id_field = src.schema[id_col]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("n_tokens_raw", T.LongType(), False),
+            T.StructField(out_col, T.ArrayType(T.StringType()), False),
+        ]
+    )
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        rules_l = bc.value
+        for pdf in batches:
+            ids, raws, outs = [], [], []
+            for did, arr in zip(pdf[id_col], pdf["__toks"]):
+                toks = list(arr)
+                raws.append(len(toks))
+                present = set(toks)
+                for lhs, rhs in rules_l:
+                    if lhs not in present or rhs not in present:
+                        continue
+                    res = []
+                    i, n, fired = 0, len(toks), False
+                    joined = lhs + " " + rhs
+                    while i < n:
+                        if (
+                            i + 1 < n
+                            and toks[i] == lhs
+                            and toks[i + 1] == rhs
+                        ):
+                            res.append(joined)
+                            i += 2
+                            fired = True
+                        else:
+                            res.append(toks[i])
+                            i += 1
+                    if fired:
+                        toks = res
+                        present = set(toks)
+                ids.append(did)
+                outs.append(toks)
+            yield pd.DataFrame(
+                {id_col: ids, "n_tokens_raw": raws, out_col: outs}
+            )
+
+    return src.mapInPandas(encode_batches, schema=out_schema)
+
+
 def chunk_centrality(
     df: DataFrame,
     chunk_tokens: int = 12,

@@ -17056,10 +17056,14 @@ def _q_text_bpe_fertility_by_lang(
 _KCORE_KS, _KCORE_ROUNDS = (2, 3, 4), 3
 
 
-def _kcore_oracle_sql() -> str:
+def _kcore_oracle_sql(rounds: int = _KCORE_ROUNDS) -> str:
     """Canon co-occurrence edges (the triangle-count fragment) + an
     unrolled peel per (k, round): degree → keep(deg>=k) → re-filter
-    edges, three rounds, then per-k survivor counts unioned."""
+    edges, ``rounds`` rounds, then per-k survivor counts unioned.
+    Shared by `graph_kcore_bound` (3 rounds — the screen) and
+    `graph_kcore_exact` (16 rounds = the Spark loop's cap: past the
+    fixpoint each peel round is the identity, so a fixed unroll at
+    the cap replays any converged run exactly)."""
     head = f"""d AS (
       SELECT DISTINCT user_id, event_type,
              epoch_us(ts) // {_TRI_BLK_US} AS blk
@@ -17083,7 +17087,7 @@ def _kcore_oracle_sql() -> str:
     parts = [head]
     for k in _KCORE_KS:
         prev = "canon"
-        for r in range(1, _KCORE_ROUNDS + 1):
+        for r in range(1, rounds + 1):
             parts.append(f"""dg{k}_{r} AS (
       SELECT v, count(*) AS deg FROM (
         SELECT a AS v FROM {prev} UNION ALL SELECT b AS v FROM {prev}
@@ -17099,10 +17103,10 @@ def _kcore_oracle_sql() -> str:
     finals = "\n    UNION ALL\n    ".join(
         f"""SELECT CAST({k} AS INTEGER) AS k,
            (SELECT count(*) FROM (SELECT DISTINCT v FROM (
-              SELECT a AS v FROM e{k}_{_KCORE_ROUNDS}
-              UNION ALL SELECT b AS v FROM e{k}_{_KCORE_ROUNDS})))
+              SELECT a AS v FROM e{k}_{rounds}
+              UNION ALL SELECT b AS v FROM e{k}_{rounds})))
              AS n_vertices,
-           (SELECT count(*) FROM e{k}_{_KCORE_ROUNDS}) AS n_edges"""
+           (SELECT count(*) FROM e{k}_{rounds}) AS n_edges"""
         for k in _KCORE_KS
     )
     return "WITH " + ",\n    ".join(parts) + "\n    " + finals
@@ -18067,3 +18071,278 @@ def _q_mix_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_logit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 1: merge-count-scalable tokenizer application (VERDICT r8 #2)
+# — the ranked-table Arrow kernel, value-checked at TOKEN-SEQUENCE level
+# (digest of the encoded sequence, not just counts) against the same
+# delimiter-guarded DuckDB replay the fold encoder uses.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bpe_encode_ranked",
+    _bpe_cte(_BPE_ROUNDS)
+    + f""",
+    enc AS (
+      SELECT doc_id, {_BPE_PAIR_TOKS} AS toks
+      FROM s{_BPE_ROUNDS}
+    )
+    SELECT t0.doc_id,
+           CAST(len(t0.toks) AS BIGINT) AS n_tokens_raw,
+           CAST(len(enc.toks) AS BIGINT) AS n_tokens_bpe,
+           md5(array_to_string(enc.toks, ' ')) AS tok_digest
+    FROM t0 JOIN enc ON enc.doc_id = t0.doc_id
+    """,
+)
+def _q_text_bpe_encode_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-count-SCALABLE encoder (`tx.bpe_encode_ranked`,
+    VERDICT r8 #2): train the 5-round merge table, then encode every
+    document in ONE Arrow `mapInPandas` pass over the broadcast RANKED
+    table — plan depth constant in |merges| (the fold encoder's depth
+    is linear: one stage per rule, prohibitive at production 10^4-rule
+    tables). Value check is stronger than `text_bpe_encode_counts`:
+    the md5 digest of each encoded token SEQUENCE must match the
+    oracle's delimiter-guarded replay token for token, proving the
+    kernel reproduces `_merge_fold`'s leftmost-non-overlapping
+    semantics exactly, not merely the same lengths."""
+    docs = _table(spark, sf_dir, "documents")
+    merges = tx.bpe_train_merges(docs, rounds=_BPE_ROUNDS)
+    enc = tx.bpe_encode_ranked(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_tokens_raw",
+        F.size("bpe_tokens").cast("long").alias("n_tokens_bpe"),
+        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("tok_digest"),
+    )
+
+
+_KCORE_EXACT_CAP = 16
+
+
+@register("graph_kcore_exact", _kcore_oracle_sql(_KCORE_EXACT_CAP))
+def _q_graph_kcore_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT k-core over the user co-occurrence graph
+    (`graph.kcore_exact`, VERDICT r8 #5): the peel LOOPS UNTIL FIXED
+    POINT under the connected-components convergence contract —
+    localCheckpoint per round, an edge-count probe per round (unchanged
+    count certifies no vertex sits below k), and a hard
+    ``max_rounds=16`` cap that raises instead of returning a loose
+    bound. `graph_kcore_bound` stays the fixed-3-round screen; this is
+    the authority (a chain fringe peels one layer per round, so 3
+    rounds provably under-peel deep cascades — pytest-demonstrated).
+    Oracle: the same unrolled peel at the CAP — past the fixpoint each
+    round is the identity, so a fixed 16-round replay equals any Spark
+    run that completed without raising. Same bounded canon edges as
+    the bound/triangle queries; ``n_rounds`` is intentionally not part
+    of the registered output (it is a Python-API observability field;
+    the oracle's static unroll cannot name the convergence round)."""
+    from time_series_data_trimmer_spark.operators import graph as _gr
+
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        "user_id",
+        "event_type",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_TRI_BLK_US}").alias(
+            "blk"
+        ),
+    ).distinct()
+    wcap = Window.partitionBy("event_type", "blk").orderBy("user_id")
+    capped = (
+        d.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _TRI_CAP)
+        .drop("rn")
+    )
+    rhs = capped.select(F.col("user_id").alias("ub"), "event_type", "blk")
+    edges = (
+        capped.join(rhs.hint("shuffle_hash"), ["event_type", "blk"])
+        .filter(F.col("user_id") < F.col("ub"))
+        .select(F.col("user_id").alias("src"), F.col("ub").alias("dst"))
+    )
+    return _gr.kcore_exact(
+        edges, ks=_KCORE_KS, max_rounds=_KCORE_EXACT_CAP
+    ).drop("n_rounds")
+
+
+@register(
+    "pipeline_budget_pack_real_tokens",
+    _bpe_cte(_BPE_ROUNDS)
+    + f""",
+    enc AS (
+      SELECT s.doc_id AS doc_id, d.source AS source,
+             CAST(len({_BPE_PAIR_TOKS}) AS BIGINT) AS n_tokens,
+             {sp.sql_hash_u32("s.doc_id")} AS h
+      FROM s{_BPE_ROUNDS} s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    b AS (
+      SELECT doc_id, source, n_tokens, h,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM enc
+    ),
+    kept AS (SELECT * FROM b WHERE cum_tokens <= {_MIX_BUDGET}),
+    c AS (
+      SELECT doc_id, source, n_tokens, cum_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS tok_end
+      FROM kept
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           tok_end - n_tokens AS tok_start, tok_end,
+           CAST(floor((tok_end - n_tokens) / 512.0) AS BIGINT) AS first_seq,
+           CAST(floor((tok_end - 1) / 512.0) AS BIGINT) AS last_seq
+    FROM c WHERE n_tokens > 0
+    """,
+)
+def _q_pipeline_budget_pack_real_tokens(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL-TOKEN adoption closed end-to-end (VERDICT r8 #6): train
+    merges → `bpe_encode` the corpus → `token_budget_per_stratum` on
+    the ENCODED counts (its new ``n_tokens_col`` hook — until r9 the
+    budget silently re-estimated chars/4 internally, so mixes were
+    budgeted on estimates while packs ran on real counts) →
+    `sequence_pack_offsets` on the same real counts. One count column
+    flows through budget AND pack, so the two stages can no longer
+    disagree about what a token is. Oracle chains the full BPE replay
+    into the stratum-budget window and the packing prefix-sum —
+    training, encoding, budgeting, and packing value-checked in ONE
+    query."""
+    docs = _table(spark, sf_dir, "documents")
+    merges = tx.bpe_train_merges(docs, rounds=_BPE_ROUNDS)
+    counts = tx.bpe_encode(docs, merges).select(
+        "doc_id", F.size("bpe_tokens").cast("long").alias("__nt")
+    )
+    joined = (
+        docs.select("doc_id", "source")
+        .join(counts.hint("shuffle_hash"), "doc_id")
+    )
+    budgeted = sp.token_budget_per_stratum(
+        joined, _MIX_BUDGET, n_tokens_col="__nt"
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
+    packed = sp.sequence_pack_offsets(
+        budgeted, seq_len=512, n_tokens_col="n_tokens"
+    )
+    return packed.join(
+        budgeted.select("doc_id", "source", "cum_tokens").hint(
+            "shuffle_hash"
+        ),
+        "doc_id",
+    ).select(
+        "doc_id", "source", "n_tokens", "cum_tokens",
+        "tok_start", "tok_end", "first_seq", "last_seq",
+    )
+
+
+@register(
+    "stream_state_partition_report",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) // 3600000000 AS hour_bucket,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    classes AS (
+      SELECT 'join_stream_stream' AS state_class,
+             (SELECT count(*) FROM ev
+              WHERE event_type IN ('click', 'purchase')) AS n_state_keys
+      UNION ALL
+      SELECT 'dedup_within_watermark',
+             (SELECT count(*) FROM (
+                SELECT DISTINCT user_id,
+                       md5(coalesce(event_type, '<null>') || '|' ||
+                           coalesce(CAST(cents AS VARCHAR), '<null>'))
+                FROM ev))
+      UNION ALL
+      SELECT 'groupstate_by_user',
+             (SELECT count(DISTINCT user_id) FROM ev)
+      UNION ALL
+      SELECT 'groupstate_by_type',
+             (SELECT count(DISTINCT event_type) FROM ev)
+      UNION ALL
+      SELECT 'window_agg_hour_type',
+             (SELECT count(*) FROM (
+                SELECT DISTINCT hour_bucket, event_type FROM ev))
+    )
+    SELECT state_class,
+           CAST(n_state_keys AS BIGINT) AS n_state_keys,
+           CAST(n_state_keys * 87 AS BIGINT) AS state_bytes_est,
+           CAST(greatest(4, CAST(ceil(n_state_keys / 25000.0) AS BIGINT))
+                AS BIGINT) AS recommended_partitions
+    FROM classes
+    """,
+)
+def _q_stream_state_partition_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Invariant 18 made AUDITABLE (VERDICT r8 #4): the data-derived
+    state-partition recommendation per streaming state-op CLASS,
+    computed from the batch corpus the stream would ingest. Each
+    class's state-size driver: the stream-stream join buffers both
+    filtered sides within the watermark horizon (rows); watermarked
+    dedup holds one entry per distinct (key, content digest);
+    GroupState ops hold one entry per group (user / type); window aggs
+    hold one row per open (window, type). Recommendation =
+    max(4, ceil(keys / 25 000)) — `_auto_state_partitions`' formula
+    UNCAPPED (the session-width cap is a deploy-time bound, not a data
+    property); `state_bytes_est` prices capacity at the measured
+    ≈87 B/key RocksDB footprint (COVERAGE.md, sf0.01 dedup
+    measurement). The same numbers `state_store_metrics` reports at
+    runtime, predicted from data — what a capacity planner runs BEFORE
+    the stream exists; the r9 state-partition matrix (SCALING.md)
+    validates the recommendation per class."""
+    ev = _events(spark, sf_dir)
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias(
+            "hour_bucket"
+        ),
+        cents.alias("cents"),
+    )
+    digest = F.md5(
+        F.concat(
+            F.coalesce(F.col("event_type"), F.lit("<null>")),
+            F.lit("|"),
+            F.coalesce(F.col("cents").cast("string"), F.lit("<null>")),
+        )
+    )
+    join_keys = base.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dedup_keys = (
+        base.select("user_id", digest.alias("ck"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    user_keys = base.agg(F.countDistinct("user_id").alias("n"))
+    type_keys = base.agg(F.countDistinct("event_type").alias("n"))
+    win_keys = (
+        base.select("hour_bucket", "event_type")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = [
+        ("join_stream_stream", join_keys),
+        ("dedup_within_watermark", dedup_keys),
+        ("groupstate_by_user", user_keys),
+        ("groupstate_by_type", type_keys),
+        ("window_agg_hour_type", win_keys),
+    ]
+    out = None
+    for name, agg in rows:
+        r = agg.select(
+            F.lit(name).alias("state_class"),
+            F.col("n").cast("long").alias("n_state_keys"),
+            (F.col("n") * F.lit(87)).cast("long").alias("state_bytes_est"),
+            F.greatest(
+                F.lit(4), F.ceil(F.col("n") / F.lit(25000.0)).cast("long")
+            ).cast("long").alias("recommended_partitions"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
