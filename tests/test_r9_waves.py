@@ -172,3 +172,35 @@ def test_token_budget_default_path_unchanged(spark):
         "doc_id", "n_tokens", "cum_tokens"
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 4: invariant 18 at every stateful start point (VERDICT r8 #4)
+# ---------------------------------------------------------------------------
+
+
+def test_derived_state_partitions_formula(spark):
+    """ceil(rows/25k), floor 4, capped at session width — and the
+    derivation reads only parquet footer metadata (free at any scale)."""
+    from time_series_data_trimmer_spark.streaming import stream_ops as so
+
+    assert so._auto_state_partitions(spark, 1_000) == 4
+    assert so._auto_state_partitions(spark, 100_000) == 4  # local[4] cap
+    d = so._derived_state_partitions(
+        spark, "/root/testdata/sf0.001/events.parquet"
+    )
+    assert d == 4
+
+
+def test_streaming_ops_restore_session_width(spark):
+    """Every stateful start point pins its own state-partition count
+    and restores the session conf afterwards (co-resident batch
+    queries keep the session width)."""
+    from time_series_data_trimmer_spark.streaming import stream_ops as so
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = so.stream_kmv_distinct(
+        spark, "/root/testdata/sf0.001/events.parquet"
+    )
+    assert out.count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

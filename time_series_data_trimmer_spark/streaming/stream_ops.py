@@ -156,6 +156,22 @@ def _auto_state_partitions(
     return max(4, min(cap, -(-int(n_rows) // int(target_rows))))
 
 
+def _derived_state_partitions(spark: SparkSession, path: str) -> int:
+    """Invariant 18 at EVERY stateful start point (r9, VERDICT r8 #4):
+    the source's parquet-footer row count (a free metadata read, and an
+    upper bound on state keys for every op class — dedup holds ≤1 row
+    per input row, GroupState ≤1 per group, window aggs ≤1 per open
+    (window, key)) fed through `_auto_state_partitions`. Measured r9
+    matrix (scripts/state_partition_matrix.py, sf0.1, min-of-2):
+    session width 32 is the WORST cell for every class — dedup
+    2.26→1.47 s at 8, GroupState-by-type 1.73→1.27 s, window agg
+    1.68→1.26 s — same fixed per-instance store cost the r8 join fix
+    measured; at 100 TB the session-width cap binds and full
+    parallelism returns. `stream_state_partition_report` exposes the
+    same derivation as an oracle-backed capacity-planning query."""
+    return _auto_state_partitions(spark, spark.read.parquet(path).count())
+
+
 def _run_to_memory(
     windowed: DataFrame,
     mode: str = "complete",
@@ -189,7 +205,12 @@ def _run_to_memory(
     return spark.table(name)
 
 
-def _run_to_files(out: DataFrame, out_dir: str, checkpoint_dir: str) -> DataFrame:
+def _run_to_files(
+    out: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Execute a streaming aggregation to a PARQUET sink in APPEND mode
     with AvailableNow — the production path. Append emits each window
     exactly once, when the watermark closes it, so sink size is
@@ -205,17 +226,26 @@ def _run_to_files(out: DataFrame, out_dir: str, checkpoint_dir: str) -> DataFram
     past the watermark, leaving the sink directory without data files —
     schema inference would fail there, while the pinned schema yields an
     empty DataFrame with the right shape."""
-    _streaming_confs(out.sparkSession)
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return out.sparkSession.read.schema(out.schema).parquet(out_dir)
+    spark = out.sparkSession
+    _streaming_confs(spark)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if shuffle_partitions is not None:
+            # first run only: a checkpoint restart keeps its original
+            # state-partition count (Spark pins it at query creation)
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.schema(out.schema).parquet(out_dir)
 
 
 def _tumbling_hour_windowed(
@@ -245,7 +275,11 @@ def tumbling_hour_agg(spark: SparkSession, path: str) -> DataFrame:
     """Oracle-harness form: complete-mode memory sink, so the FINAL
     state (every window) is comparable to the batch SQL oracle. The
     production form is `tumbling_hour_agg_to_files`."""
-    out = _run_to_memory(_tumbling_hour_windowed(spark, path), mode="complete")
+    out = _run_to_memory(
+        _tumbling_hour_windowed(spark, path),
+        mode="complete",
+        shuffle_partitions=_derived_state_partitions(spark, path),
+    )
     return out.select("user_id", "window_start", "n_events", "sum_value")
 
 
@@ -264,6 +298,7 @@ def tumbling_hour_agg_to_files(
         _tumbling_hour_windowed(spark, path, max_files_per_trigger),
         out_dir,
         checkpoint_dir,
+        shuffle_partitions=_derived_state_partitions(spark, path),
     )
 
 
@@ -284,7 +319,12 @@ def session_agg_to_files(
             "n_events",
         )
     )
-    return _run_to_files(windowed, out_dir, checkpoint_dir)
+    return _run_to_files(
+        windowed,
+        out_dir,
+        checkpoint_dir,
+        shuffle_partitions=_derived_state_partitions(spark, path),
+    )
 
 
 def sliding_mean(spark: SparkSession, path: str, window: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
@@ -299,7 +339,11 @@ def sliding_mean(spark: SparkSession, path: str, window: str = "1 hour", slide: 
             F.sum(rd(F.col("value"), 2).cast("decimal(38,6)")).alias("sum_dec"),
         )
     )
-    out = _run_to_memory(windowed, mode="complete")
+    out = _run_to_memory(
+        windowed,
+        mode="complete",
+        shuffle_partitions=_derived_state_partitions(spark, path),
+    )
     return out.select(
         "user_id",
         F.col("w.start").alias("window_start"),
@@ -321,7 +365,11 @@ def streaming_spike_counts(spark: SparkSession, path: str, threshold: float = 40
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_spikes"))
     )
-    return _run_to_memory(windowed, mode="complete")
+    return _run_to_memory(
+        windowed,
+        mode="complete",
+        shuffle_partitions=_derived_state_partitions(spark, path),
+    )
 
 
 def session_agg(spark: SparkSession, path: str, gap: str = "30 minutes") -> DataFrame:
@@ -334,7 +382,11 @@ def session_agg(spark: SparkSession, path: str, gap: str = "30 minutes") -> Data
         .groupBy(F.session_window("event_time", gap).alias("w"), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    out = _run_to_memory(windowed, mode="complete")
+    out = _run_to_memory(
+        windowed,
+        mode="complete",
+        shuffle_partitions=_derived_state_partitions(spark, path),
+    )
     return out.select(
         "user_id",
         F.col("w.start").alias("session_start"),
@@ -396,7 +448,11 @@ def stream_dedup(
     """Oracle-harness form: append-mode memory sink; the emitted rows
     are one per distinct (keys, content_key) — comparable to batch
     SELECT DISTINCT. Production form: `stream_dedup_to_files`."""
-    return _run_to_memory(_dedup_plan(spark, path, keys, watermark), mode="append")
+    return _run_to_memory(
+        _dedup_plan(spark, path, keys, watermark),
+        mode="append",
+        shuffle_partitions=_derived_state_partitions(spark, path),
+    )
 
 
 def stream_dedup_to_files(
@@ -415,6 +471,7 @@ def stream_dedup_to_files(
         _dedup_plan(spark, path, keys, watermark, max_files_per_trigger),
         out_dir,
         checkpoint_dir,
+        shuffle_partitions=_derived_state_partitions(spark, path),
     )
 
 
@@ -458,7 +515,11 @@ def running_counts_with_state(spark: SparkSession, path: str, threshold: float =
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(result, mode="update")
+    return _run_to_memory(
+        result,
+        mode="update",
+        shuffle_partitions=_derived_state_partitions(spark, path),
+    )
 
 
 def stream_kmv_distinct(
@@ -523,7 +584,11 @@ def stream_kmv_distinct(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    emissions = _run_to_memory(emitted, mode="update")
+    emissions = _run_to_memory(
+        emitted,
+        mode="update",
+        shuffle_partitions=_derived_state_partitions(spark, path),
+    )
     # merge ALL emissions (union → dedup → re-rank to bottom-k) and
     # estimate — correct regardless of which emission was "final"
     regs = emissions.distinct()
@@ -610,7 +675,11 @@ def stream_quantile_sketch(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    emissions = _run_to_memory(emitted, mode="update").distinct()
+    emissions = _run_to_memory(
+        emitted,
+        mode="update",
+        shuffle_partitions=_derived_state_partitions(spark, path),
+    ).distinct()
     merged = sk.quantile_sketch_merge(emissions, emissions.limit(0), k=k)
     return sk.quantile_sketch_estimate(merged, list(qs), group_col=group_col)
 
@@ -648,7 +717,11 @@ def stream_static_enriched_counts(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(rd(F.col("value"), 2).cast("decimal(38,6)")).alias("sum_dec"),
     )
-    out = _run_to_memory(agg, mode="complete")
+    out = _run_to_memory(
+        agg,
+        mode="complete",
+        shuffle_partitions=_derived_state_partitions(spark, path),
+    )
     return out.select(
         "cohort", "n_events", F.col("sum_dec").cast("double").alias("sum_value")
     )
@@ -892,7 +965,11 @@ def stream_funnel(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    emissions = _run_to_memory(emitted, mode="update")
+    emissions = _run_to_memory(
+        emitted,
+        mode="update",
+        shuffle_partitions=_derived_state_partitions(spark, path),
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(
@@ -944,7 +1021,11 @@ def stream_dq_violations(
         .groupBy(F.window("event_time", "1 hour").alias("w"))
         .agg(*aggs)
     )
-    out = _run_to_memory(windowed, mode="complete")
+    out = _run_to_memory(
+        windowed,
+        mode="complete",
+        shuffle_partitions=_derived_state_partitions(spark, path),
+    )
     rows = out.select(
         F.col("w.start").alias("window_start"),
         F.explode(
@@ -1010,7 +1091,11 @@ def stream_content_fingerprint(spark: SparkSession, path: str) -> DataFrame:
         F.min("u").alias("content_min"),
         F.max("u").alias("content_max"),
     )
-    out = _run_to_memory(agg, mode="complete")
+    out = _run_to_memory(
+        agg,
+        mode="complete",
+        shuffle_partitions=_derived_state_partitions(spark, path),
+    )
     return out.select(
         "source",
         F.col("n_rows").cast("long").alias("n_rows"),
@@ -1093,7 +1178,11 @@ def stream_psi_drift(
             F.count(F.lit(1)).alias("__n"),
         )
     )
-    out = _run_to_memory(windowed, mode="complete")
+    out = _run_to_memory(
+        windowed,
+        mode="complete",
+        shuffle_partitions=_derived_state_partitions(spark, path),
+    )
     j = out.join(F.broadcast(ref), "event_type").select(
         F.col("w.start").alias("window_start"),
         "event_type",
