@@ -256,6 +256,8 @@ HEADLINE = [
     "text_bpe_encode_ranked",    # one-pass ranked-table tokenizer (flat in |merges|)
     "graph_kcore_exact",         # loop-until-fixpoint peel (convergence contract)
     "pipeline_budget_pack_real_tokens",  # budget AND pack on one real-count column
+    "stream_state_partition_report",  # invariant-18 capacity planning as a query
+    "sim_recall_suite",          # every blocking forfeit curve off ONE exact truth
 ]
 
 

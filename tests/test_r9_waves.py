@@ -204,3 +204,48 @@ def test_streaming_ops_restore_session_width(spark):
     )
     assert out.count() > 0
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 5: recall-curve suite (one exact truth, every forfeit curve)
+# ---------------------------------------------------------------------------
+
+
+def test_recall_suite_reconciles_with_standalone_curves(spark):
+    """The suite's LSH and MRL sections share the standalones' exact
+    conventions (probes vec_id<8, self excluded, same truth), so the
+    numbers must be IDENTICAL row-for-row; the IVF section differs by
+    design (8 probes vs 5, self excluded vs kept) and is value-checked
+    by its own oracle instead."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    sf = SF_DIR
+    suite = {
+        (r["section"], r["k"]): r
+        for r in REGISTRY["sim_recall_suite"][0](spark, sf).collect()
+    }
+    lsh = {
+        r["n_bits"]: r
+        for r in REGISTRY["emb_lsh_recall_by_bits"][0](spark, sf).collect()
+    }
+    for b, row in lsh.items():
+        s = suite[("lsh_bits", b)]
+        assert s["recall_at_10"] == row["recall_at_10"]
+        assert s["n_candidates"] == row["n_candidates"]
+    mrl = {
+        r["prefix_dims"]: r
+        for r in REGISTRY["emb_matryoshka_recall_by_dim"][0](
+            spark, sf
+        ).collect()
+    }
+    for d, row in mrl.items():
+        s = suite[("mrl_dim", d)]
+        assert s["n_hits"] == row["n_hits"]
+        assert s["recall_at_10"] == row["recall_at_10"]
+    # structural invariants: identity row + monotone curves
+    assert suite[("mrl_dim", 64)]["recall_at_10"] == 1.0
+    lsh_rs = [suite[("lsh_bits", b)]["recall_at_10"] for b in (6, 8, 10)]
+    assert lsh_rs == sorted(lsh_rs, reverse=True)
+    ivf_rs = [suite[("ivf_nprobe", n)]["recall_at_10"] for n in (1, 2, 4)]
+    assert ivf_rs == sorted(ivf_rs)

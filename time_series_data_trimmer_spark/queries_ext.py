@@ -18346,3 +18346,356 @@ def _q_stream_state_partition_report(
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 5: the recall-curve suite — ONE exact truth, every forfeit
+# curve (the dedup_report_suite / text_bpe_suite amortization pattern
+# applied to the ANN blocking family).
+# ---------------------------------------------------------------------------
+
+
+def _suite_lsh_branch_sql(b: int) -> str:
+    return f"""SELECT 'lsh_bits' AS section, CAST({b} AS INTEGER) AS k,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           {R(f"CAST(sum(hit) AS DOUBLE) / ({_RECALL_Q} * 10.0)", 6)} AS recall_at_10
+    FROM (
+      SELECT CASE WHEN t.qid IS NOT NULL AND pr.rn <= 10 THEN 1 ELSE 0 END AS hit
+      FROM (
+        SELECT c.qid, c.vec_id,
+               row_number() OVER (PARTITION BY c.qid ORDER BY c.c DESC, c.vec_id ASC) AS rn
+        FROM cos c
+        JOIN sigs sq ON sq.vec_id = c.qid
+        JOIN sigs sv ON sv.vec_id = c.vec_id
+        WHERE sq.sig % {1 << b} = sv.sig % {1 << b}
+      ) pr
+      LEFT JOIN truth t ON t.qid = pr.qid AND t.vec_id = pr.vec_id
+    )"""
+
+
+def _suite_ivf_branch_sql(np_: int) -> str:
+    return f"""SELECT 'ivf_nprobe' AS section, CAST({np_} AS INTEGER) AS k,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           {R(f"CAST(sum(hit) AS DOUBLE) / ({_RECALL_Q} * 10.0)", 6)} AS recall_at_10
+    FROM (
+      SELECT CASE WHEN t.qid IS NOT NULL AND pr.rn <= 10 THEN 1 ELSE 0 END AS hit
+      FROM (
+        SELECT c.qid, c.vec_id,
+               row_number() OVER (PARTITION BY c.qid ORDER BY c.c DESC, c.vec_id ASC) AS rn
+        FROM cos c
+        JOIN assigned a ON a.vec_id = c.vec_id
+        JOIN (
+          SELECT qid, cid FROM qdist
+          QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d, cid) <= {np_}
+        ) p ON p.qid = c.qid AND p.cid = a.cid
+      ) pr
+      LEFT JOIN truth t ON t.qid = pr.qid AND t.vec_id = pr.vec_id
+    )"""
+
+
+def _suite_mrl_branch_sql(d: int) -> str:
+    return f"""SELECT 'mrl_dim' AS section, CAST({d} AS INTEGER) AS k,
+           CAST(count(t.qid) AS BIGINT) AS n_hits,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           {R(f"CAST(count(t.qid) AS DOUBLE) / ({_RECALL_Q} * 10.0)", 6)} AS recall_at_10
+    FROM (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) AS rn
+        FROM mcos WHERE pd = {d}
+      ) WHERE rn <= {_MRL_SHORTLIST}
+    ) s
+    LEFT JOIN truth t ON t.qid = s.qid AND t.vec_id = s.vec_id"""
+
+
+_SUITE_RECALL_SQL = (
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    qex AS (SELECT vec_id AS qid, i, x FROM ex WHERE vec_id < {_RECALL_Q}),
+    norms AS (
+      SELECT vec_id,
+             sqrt(CAST(sum(CAST({sql_rd("x * x", 9)} AS DECIMAL(38,9))) AS DOUBLE)) AS nrm
+      FROM ex GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT q.qid, e.vec_id,
+             CAST(sum(CAST({sql_rd("q.x * e.x", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS dxy
+      FROM qex q JOIN ex e ON e.i = q.i AND e.vec_id <> q.qid
+      GROUP BY q.qid, e.vec_id
+    ),
+    cos AS (
+      SELECT d.qid, d.vec_id,
+             {R("d.dxy / (nq.nrm * nv.nrm)", 6)} AS c
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.qid
+      JOIN norms nv ON nv.vec_id = d.vec_id
+    ),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) AS rn
+        FROM cos
+      ) WHERE rn <= 10
+    ),
+    planes AS (
+      SELECT b.b, i.i,
+             ('0x' || substr(md5('tsdt|t0|' || b.b || '|' || i.i), 1, 8))::BIGINT
+               / 2147483648.0 - 1.0 AS w
+      FROM generate_series(0, {max(_BITS_SWEEP) - 1}) b(b),
+           generate_series(0, 63) i(i)
+    ),
+    pdots AS (
+      SELECT e.vec_id, p.b,
+             CAST(sum(CAST({sql_rd("e.x * p.w", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS d
+      FROM ex e JOIN planes p ON p.i = e.i - 1
+      GROUP BY e.vec_id, p.b
+    ),
+    sigs AS (
+      SELECT vec_id,
+             sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sig
+      FROM pdots GROUP BY vec_id
+    ),
+    ord AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
+      FROM embeddings
+      QUALIFY cid <= 15
+    ),
+    cex AS (SELECT o.cid, e.i, e.x FROM ord o JOIN ex e ON e.vec_id = o.vec_id),
+    cdists AS (
+      SELECT e.vec_id, c.cid,
+             sum(CAST({sql_rd("(e.x - c.x) * (e.x - c.x)", 9)} AS DECIMAL(38,9))) AS d
+      FROM ex e JOIN cex c ON c.i = e.i
+      GROUP BY e.vec_id, c.cid
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM cdists
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    qdist AS (
+      SELECT q.qid, c.cid,
+             sum(CAST({sql_rd("(q.x - c.x) * (q.x - c.x)", 9)} AS DECIMAL(38,9))) AS d
+      FROM qex q JOIN cex c ON c.i = q.i
+      GROUP BY q.qid, c.cid
+    ),
+    qn AS (
+      SELECT qid,
+             {", ".join(f'''CAST(sum(CASE WHEN i <= {d} THEN CAST({sql_rd("x * x", 9)} AS DECIMAL(38,9)) END) AS DOUBLE) AS qxx{d}''' for d in _MRL_DIMS)}
+      FROM qex GROUP BY qid
+    ),
+    mdots AS (
+      SELECT q.qid, e.vec_id,
+             {_mrl_dim_cols_sql()}
+      FROM qex q JOIN ex e ON e.i = q.i AND e.vec_id <> q.qid
+      GROUP BY q.qid, e.vec_id
+    ),
+    mcos AS (
+      {" UNION ALL ".join(
+        f'''SELECT {d} AS pd, d.qid, d.vec_id,
+               {R(f"d.dxy{d} / (sqrt(n.qxx{d}) * sqrt(d.dxx{d}))", 6)} AS c
+        FROM mdots d JOIN qn n ON n.qid = d.qid'''
+        for d in _MRL_DIMS)}
+    )
+    """
+    + "\n    UNION ALL\n    ".join(
+        [_suite_lsh_branch_sql(b) for b in _BITS_SWEEP]
+        + [_suite_ivf_branch_sql(np_) for np_ in _NPROBE_SWEEP]
+        + [_suite_mrl_branch_sql(d) for d in _MRL_DIMS]
+    )
+)
+
+
+@register("sim_recall_suite", _SUITE_RECALL_SQL)
+def _q_sim_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""The recall-curve SUITE: every approximate blocking structure's
+    forfeit curve — LSH hyperplane bits ∈ {_BITS_SWEEP}, IVF nprobe ∈
+    {_NPROBE_SWEEP}, Matryoshka prefix dims ∈ {_MRL_DIMS} — off ONE
+    exact-cosine truth computation (the third instance of the
+    amortize-the-shared-prefix pattern after dedup_report_suite and
+    text_bpe_suite). The standalone curves each pay the Q×N exact
+    truth pass and their own candidate machinery; here the shared cos
+    matrix (8 probes × corpus, self-excluded, decimal-exact,
+    lazily checkpointed) feeds all ten operating points, and every
+    candidate set is RANKED BY THE SAME cos values — so the three
+    curves are comparable cell-for-cell: one truth, one probe set, one
+    ranking rule. Normalized (section, k, n_hits, n_candidates,
+    recall_at_10) rows. Conventions unified suite-wide (probes =
+    vec_id < {_RECALL_Q}, self excluded); the standalone queries keep
+    their own contracts and remain independently oracle-checked — the
+    LSH and MRL sections reconcile with them exactly (pytest), the IVF
+    section differs by design (8 probes vs 5, self excluded vs kept).
+    """
+    emb = _table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    qex = ex.filter(F.col("vec_id") < _RECALL_Q).select(
+        F.col("vec_id").alias("qid"), "i", F.col("x").alias("__qx")
+    )
+    norms = ex.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum(rd(F.col("x") * F.col("x"), 9).cast("decimal(38,9)")).cast(
+                "double"
+            )
+        ).alias("__nrm")
+    ).localCheckpoint(eager=False)
+    dots = (
+        ex.join(F.broadcast(qex), "i")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(rd(F.col("__qx") * F.col("x"), 9).cast("decimal(38,9)"))
+            .cast("double")
+            .alias("__dxy")
+        )
+    )
+    cos = (
+        dots.join(
+            F.broadcast(
+                norms.select(
+                    F.col("vec_id").alias("qid"), F.col("__nrm").alias("__nq")
+                ).filter(F.col("qid") < _RECALL_Q)
+            ),
+            "qid",
+        )
+        .join(norms.hint("shuffle_hash"), "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            rd(F.col("__dxy") / (F.col("__nq") * F.col("__nrm")), 6).alias(
+                "__c"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("__c").desc(), F.col("vec_id").asc()
+    )
+    truth = (
+        cos.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= 10)
+        .select("qid", "vec_id", F.lit(1).alias("__t"))
+        .localCheckpoint(eager=False)
+    )
+
+    def branch(section: str, k: int, pred) -> DataFrame:
+        scored = pred.join(
+            truth.hint("shuffle_hash"), ["qid", "vec_id"], "left"
+        ).select(
+            F.when(
+                (F.col("__t") == 1) & (F.col("__rn") <= 10), 1
+            ).otherwise(0).alias("hit")
+        )
+        return scored.agg(
+            F.sum("hit").cast("long").alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        ).select(
+            F.lit(section).alias("section"),
+            F.lit(k).cast("int").alias("k"),
+            "n_hits",
+            "n_candidates",
+            rd(
+                F.col("n_hits").cast("double") / F.lit(_RECALL_Q * 10.0), 6
+            ).alias("recall_at_10"),
+        )
+
+    rows = []
+    # LSH bits: one signature pass at max bits, nested lower-bit buckets
+    sigs = (
+        sim.lsh_signatures(emb, dim=64, bits=max(_BITS_SWEEP), tables=1)
+        .select("vec_id", "sig")
+        .localCheckpoint(eager=False)
+    )
+    qsig = sigs.select(F.col("vec_id").alias("qid"), F.col("sig").alias("__qs"))
+    vsig = sigs.select("vec_id", F.col("sig").alias("__vs"))
+    for b in _BITS_SWEEP:
+        pred = (
+            cos.join(F.broadcast(qsig), "qid")
+            .join(vsig.hint("shuffle_hash"), "vec_id")
+            .filter(
+                F.pmod(F.col("__qs"), F.lit(1 << b))
+                == F.pmod(F.col("__vs"), F.lit(1 << b))
+            )
+            .withColumn("__rn", F.row_number().over(wq))
+        )
+        rows.append(branch("lsh_bits", b, pred))
+    # IVF nprobe: one corpus assignment, driver-ranked probe cells
+    cents = sim.ivf_centroids(emb, 16)
+    assigned = sim.ivf_assign_dec(emb, cents).localCheckpoint(eager=False)
+    qrows = emb.filter(F.col("vec_id") < _RECALL_Q).select(
+        "vec_id", "embedding"
+    ).collect()
+    for np_ in _NPROBE_SWEEP:
+        probe_rows = [
+            (int(r["vec_id"]), cid)
+            for r in qrows
+            for cid in sim.probe_centroids(
+                cents, [float(x) for x in r["embedding"]], np_
+            )
+        ]
+        probe_df = spark.createDataFrame(
+            probe_rows, "qid bigint, centroid_id int"
+        )
+        cand = assigned.join(F.broadcast(probe_df), "centroid_id").select(
+            "vec_id", "qid"
+        )
+        pred = cos.join(
+            cand.hint("shuffle_hash"), ["qid", "vec_id"]
+        ).withColumn("__rn", F.row_number().over(wq))
+        rows.append(branch("ivf_nprobe", np_, pred))
+    # MRL prefix dims: one pass computes every prefix dot conditionally
+    def csum(cond, term):
+        return F.sum(F.when(cond, rd(term, 9).cast("decimal(38,9)"))).cast(
+            "double"
+        )
+
+    qn = qex.groupBy("qid").agg(
+        *[
+            csum(F.col("i") < d, F.col("__qx") * F.col("__qx")).alias(
+                f"__qxx{d}"
+            )
+            for d in _MRL_DIMS
+        ]
+    )
+    mdots = (
+        ex.join(F.broadcast(qex), "i")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            *[
+                c
+                for d in _MRL_DIMS
+                for c in (
+                    csum(F.col("i") < d, F.col("__qx") * F.col("x")).alias(
+                        f"__dxy{d}"
+                    ),
+                    csum(F.col("i") < d, F.col("x") * F.col("x")).alias(
+                        f"__dxx{d}"
+                    ),
+                )
+            ]
+        )
+    )
+    j = mdots.join(F.broadcast(qn), "qid").localCheckpoint(eager=False)
+    for d in _MRL_DIMS:
+        c = rd(
+            F.col(f"__dxy{d}")
+            / (F.sqrt(F.col(f"__qxx{d}")) * F.sqrt(F.col(f"__dxx{d}"))),
+            6,
+        )
+        wsh = Window.partitionBy("qid").orderBy(
+            F.col("__mc").desc(), F.col("vec_id").asc()
+        )
+        short = (
+            j.select("qid", "vec_id", c.alias("__mc"))
+            .withColumn("__rn", F.row_number().over(wsh))
+            .filter(F.col("__rn") <= _MRL_SHORTLIST)
+            .select("qid", "vec_id", F.lit(1).alias("__rn"))
+        )
+        rows.append(branch("mrl_dim", d, short))
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionByName(x)
+    return out
