@@ -258,6 +258,9 @@ HEADLINE = [
     "pipeline_budget_pack_real_tokens",  # budget AND pack on one real-count column
     "stream_state_partition_report",  # invariant-18 capacity planning as a query
     "sim_recall_suite",          # every blocking forfeit curve off ONE exact truth
+    "graph_clustering_by_degree",  # Watts-Strogatz cc curve by degree bucket
+    "privacy_t_closeness_audit",  # distribution-disclosure release gate (trilogy leg 3)
+    "eval_ece_binned",           # one-number calibration error (same 100 bins)
 ]
 
 

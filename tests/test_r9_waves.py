@@ -249,3 +249,75 @@ def test_recall_suite_reconciles_with_standalone_curves(spark):
     assert lsh_rs == sorted(lsh_rs, reverse=True)
     ivf_rs = [suite[("ivf_nprobe", n)]["recall_at_10"] for n in (1, 2, 4)]
     assert ivf_rs == sorted(ivf_rs)
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 6: local clustering, t-closeness, ECE
+# ---------------------------------------------------------------------------
+
+
+def test_local_clustering_closed_forms(spark):
+    """K3: every vertex cc=1. Star S4: center deg=4 cc=0, leaves
+    deg=1 cc=0. K4 minus one edge: the two opposite vertices see
+    their 2 neighbors connected (cc=1), the others 2/3."""
+    from time_series_data_trimmer_spark.operators import graph as gr
+
+    k3 = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    out = {r["v"]: r for r in gr.local_clustering(k3).collect()}
+    assert all(out[v]["cc"] == 1.0 and out[v]["n_triangles"] == 1 for v in (1, 2, 3))
+
+    star = _edges(spark, [(0, i) for i in (1, 2, 3, 4)])
+    out = {r["v"]: r for r in gr.local_clustering(star).collect()}
+    assert out[0]["deg"] == 4 and out[0]["cc"] == 0.0
+    assert all(out[i]["cc"] == 0.0 for i in (1, 2, 3, 4))
+
+    k4m = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)])  # no 3-4
+    out = {r["v"]: r for r in gr.local_clustering(k4m).collect()}
+    assert out[3]["cc"] == 1.0 and out[4]["cc"] == 1.0
+    assert out[1]["cc"] == round(2 * 2 / (3 * 2), 6)
+    assert out[2]["cc"] == round(2 * 2 / (3 * 2), 6)
+
+
+def test_clustering_bucket_rollup_reconciles_with_triangle_count(spark):
+    """Σ per-vertex triangle credits = 3 × global triangle count on
+    the same graph (each triangle credits its three corners)."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    rollup = REGISTRY["graph_clustering_by_degree"][0](spark, SF_DIR)
+    tri = REGISTRY["graph_triangle_count_cooc"][0](spark, SF_DIR)
+    got = rollup.agg({"sum_vertex_triangles": "sum"}).collect()[0][0]
+    want = tri.collect()[0]["n_triangles"]
+    assert got == 3 * want
+
+
+def test_ece_is_bounded_by_max_gap_and_auc_population(spark):
+    """ECE (weighted mean bin gap) can never exceed the max bin gap,
+    and the eval family scores one population: ECE's n_docs equals
+    AUC's n_pos + n_neg."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    e = REGISTRY["eval_ece_binned"][0](spark, SF_DIR).collect()[0]
+    assert 0.0 <= e["ece"] <= e["max_gap"] + 1e-9 <= 1.0 + 1e-9
+    a = REGISTRY["eval_auc_binned"][0](spark, SF_DIR).collect()[0]
+    assert e["n_docs"] == a["n_pos"] + a["n_neg"]
+
+
+def test_t_closeness_single_class_is_close(spark):
+    """If every document belongs to ONE (lang, source) class, the
+    class distribution IS the global distribution: t = 0 exactly."""
+    import time_series_data_trimmer_spark.queries_ext as qe
+
+    docs = spark.createDataFrame(
+        [(i, "en", "web", "some text here " * (3 + i % 5)) for i in range(40)],
+        "doc_id long, lang string, source string, text string",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    out = REGISTRY["privacy_t_closeness_audit"][0](spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["risk_class"] == "t<0.1 close"
+    assert out[0]["max_t"] == 0.0

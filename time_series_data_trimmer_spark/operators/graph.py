@@ -379,3 +379,79 @@ def kcore_exact(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def local_clustering(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-vertex LOCAL clustering coefficient (Watts & Strogatz 1998):
+    cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), T(v) = triangles containing
+    v, over an undirected edge table. Triangle credit comes from the
+    same degree-oriented wedge enumeration as `triangle_count` (wedge
+    fan bounded O(√m) per vertex), each closed wedge crediting its
+    three corners — a bounded explode of triangle rows, never a
+    per-vertex neighborhood materialization. cc is one IEEE division
+    of exact integers, 6-dp rounded (engine-portable). Returns
+    (v, deg, n_triangles, cc); deg-1 vertices get cc = 0.0.
+
+    The intermediate edge/degree/orientation frames are lazily
+    localCheckpoint'd: each is consumed by 2-3 downstream joins, the
+    CC-family lineage discipline (PLANS.md invariant 17)."""
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    canon = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .unionAll(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("__db"))
+    lo_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        canon.join(da.hint("shuffle_hash"), "a")
+        .join(db.hint("shuffle_hash"), "b")
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+    ).localCheckpoint(eager=False)
+    l = o.select("u", F.col("w").alias("a"))
+    r = o.select("u", F.col("w").alias("b"))
+    wedges = l.join(r.hint("shuffle_hash"), "u").filter(F.col("a") < F.col("b"))
+    tri = wedges.join(canon.hint("shuffle_hash"), ["a", "b"]).select(
+        "u", "a", "b"
+    )
+    tv = (
+        tri.select(F.col("u").alias("v"))
+        .unionAll(tri.select(F.col("a").alias("v")))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("__t"))
+    )
+    return deg.join(tv.hint("shuffle_hash"), "v", "left").select(
+        "v",
+        "deg",
+        F.coalesce(F.col("__t"), F.lit(0)).cast("long").alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            rd(
+                F.lit(2.0) * F.coalesce(F.col("__t"), F.lit(0)).cast("double")
+                / (
+                    F.col("deg").cast("double")
+                    * (F.col("deg").cast("double") - F.lit(1.0))
+                ),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("cc"),
+    )

@@ -18699,3 +18699,309 @@ def _q_sim_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in rows[1:]:
         out = out.unionByName(x)
     return out
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 6: local clustering coefficient, t-closeness, ECE.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_clustering_by_degree",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT user_id, event_type,
+             epoch_us(ts) // {_TRI_BLK_US} AS blk
+      FROM events
+    ),
+    capped AS (
+      SELECT user_id, event_type, blk
+      FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY event_type, blk ORDER BY user_id
+               ) AS rn
+        FROM d
+      ) WHERE rn <= {_TRI_CAP}
+    ),
+    canon AS MATERIALIZED (
+      SELECT DISTINCT x.user_id AS a, y.user_id AS b
+      FROM capped x JOIN capped y
+        ON x.event_type = y.event_type AND x.blk = y.blk
+       AND x.user_id < y.user_id
+    ),
+    deg AS (
+      SELECT v, count(*) AS deg FROM (
+        SELECT a AS v FROM canon UNION ALL SELECT b AS v FROM canon
+      ) GROUP BY v
+    ),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+                  THEN c.a ELSE c.b END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+                  THEN c.b ELSE c.a END AS w
+      FROM canon c
+      JOIN deg da ON da.v = c.a
+      JOIN deg db ON db.v = c.b
+    ),
+    wedges AS (
+      SELECT l.u AS u, l.w AS a, r.w AS b
+      FROM o l JOIN o r ON l.u = r.u AND l.w < r.w
+    ),
+    tri AS (
+      SELECT w.u, w.a, w.b
+      FROM wedges w JOIN canon c ON c.a = w.a AND c.b = w.b
+    ),
+    tv AS (
+      SELECT v, count(*) AS t FROM (
+        SELECT u AS v FROM tri
+        UNION ALL SELECT a FROM tri
+        UNION ALL SELECT b FROM tri
+      ) GROUP BY v
+    ),
+    cc AS (
+      SELECT g.v, g.deg, COALESCE(tv.t, 0) AS t,
+             CASE WHEN g.deg >= 2 THEN
+               {R("2.0 * CAST(COALESCE(tv.t, 0) AS DOUBLE) / (CAST(g.deg AS DOUBLE) * (CAST(g.deg AS DOUBLE) - 1.0))", 6)}
+             ELSE 0.0 END AS cc
+      FROM deg g LEFT JOIN tv ON tv.v = g.v
+    )
+    SELECT CAST(length(bin(deg)) - 1 AS INTEGER) AS deg_bucket,
+           CAST(count(*) AS BIGINT) AS n_vertices,
+           CAST(sum(t) AS BIGINT) AS sum_vertex_triangles,
+           {R("CAST(sum(CAST(cc AS DECIMAL(38,6))) AS DOUBLE) / count(*)", 6)} AS mean_cc
+    FROM cc GROUP BY 1
+    """,
+)
+def _q_graph_clustering_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL clustering coefficient by degree bucket — the
+    Watts-Strogatz per-vertex completion next to the global triangle
+    count: cc(v) = 2·T(v)/(deg(v)·(deg(v)−1)) over the same capped
+    co-occurrence graph (`graph.local_clustering`), rolled up by exact
+    log2-degree bucket (length(bin(d))−1, the graph_degree_stats
+    convention). Organic communities keep cc HIGH at moderate degree;
+    bot rings and broadcast hubs show high degree with near-zero cc —
+    the curve shape is the audit, complementing assortativity's one
+    number and the k-core's WHERE. Per-vertex triangle counts come
+    from the SAME degree-oriented wedge enumeration as
+    `graph_triangle_count_cooc` (each closed wedge credits its three
+    corners — a bounded explode of triangle rows, never a per-vertex
+    neighborhood materialization); every cc is one IEEE division of
+    exact integers, 6-dp rounded, decimal-summed per bucket.
+    Reference: Watts & Strogatz 1998; graph-family extension (the
+    reference repo has no graph surface)."""
+    from time_series_data_trimmer_spark.operators import graph as _gr
+
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        "user_id",
+        "event_type",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_TRI_BLK_US}").alias(
+            "blk"
+        ),
+    ).distinct()
+    wcap = Window.partitionBy("event_type", "blk").orderBy("user_id")
+    capped = (
+        d.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _TRI_CAP)
+        .drop("rn")
+    )
+    rhs = capped.select(F.col("user_id").alias("ub"), "event_type", "blk")
+    edges = (
+        capped.join(rhs.hint("shuffle_hash"), ["event_type", "blk"])
+        .filter(F.col("user_id") < F.col("ub"))
+        .select(F.col("user_id").alias("src"), F.col("ub").alias("dst"))
+    )
+    cc = _gr.local_clustering(edges)
+    return cc.groupBy(
+        F.expr("length(bin(deg)) - 1").cast("int").alias("deg_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.sum("n_triangles").cast("long").alias("sum_vertex_triangles"),
+        rd(
+            F.sum(F.col("cc").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_cc"),
+    )
+
+
+@register(
+    "privacy_t_closeness_audit",
+    f"""
+    WITH {_HLS_VS_C4_SQL},
+    lab AS (
+      SELECT d.doc_id, d.lang, d.source,
+             CASE WHEN surv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS pass
+      FROM documents d LEFT JOIN surv ON surv.doc_id = d.doc_id
+      WHERE d.text IS NOT NULL
+    ),
+    tot AS (
+      SELECT CAST(sum(pass) AS DOUBLE) / count(*) AS p_glob FROM lab
+    ),
+    cls AS (
+      SELECT lang, source, count(*) AS n, CAST(sum(pass) AS DOUBLE) / count(*) AS p_cls
+      FROM lab GROUP BY lang, source
+    ),
+    tdist AS (
+      SELECT lang, source, n,
+             {R("abs(p_cls - (SELECT p_glob FROM tot))", 6)} AS t
+      FROM cls
+    ),
+    classed AS (
+      SELECT CASE WHEN t >= 0.3 THEN 't>=0.3 distribution-disclosed'
+                  WHEN t >= 0.1 THEN 't=0.1-0.3'
+                  ELSE 't<0.1 close' END AS risk_class,
+             n, t
+      FROM tdist
+    )
+    SELECT risk_class,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           {R("max(t)", 6)} AS max_t,
+           {R("CAST(sum(CAST(t AS DECIMAL(38,6))) AS DOUBLE) / count(*)", 6)} AS mean_t
+    FROM classed GROUP BY risk_class
+    """,
+)
+def _q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007 — the third
+    leg of the privacy release trilogy after k-anonymity and
+    l-diversity): per quasi-identifier class (lang × source), the
+    distance between the class's SENSITIVE-attribute distribution and
+    the corpus-global one. A class can be k-anonymous AND l-diverse
+    yet still disclose — if its distribution over the sensitive value
+    differs sharply from global, membership alone shifts an attacker's
+    posterior. Sensitive attribute: the C4 quality gate's pass bit
+    (the released corpus's own quality label); for a binary attribute
+    the variational distance is |p_class − p_global| exactly. Risk
+    rollup by t band + per-band max/mean; every ratio is
+    exact-integer division, one narrow groupBy at any scale, the
+    global term one broadcast scalar."""
+    docs = _table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    surv = tx.c4_filter_survivors(docs).select(
+        "doc_id", F.lit(1).alias("__pass")
+    )
+    lab = docs.select("doc_id", "lang", "source").join(
+        surv.hint("shuffle_hash"), "doc_id", "left"
+    ).select(
+        "lang", "source", F.coalesce(F.col("__pass"), F.lit(0)).alias("__p")
+    )
+    tot = lab.agg(
+        (F.sum("__p").cast("double") / F.count(F.lit(1))).alias("__pg")
+    )
+    cls = lab.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("__n"),
+        (F.sum("__p").cast("double") / F.count(F.lit(1))).alias("__pc"),
+    )
+    t = cls.crossJoin(F.broadcast(tot)).select(
+        "__n", rd(F.abs(F.col("__pc") - F.col("__pg")), 6).alias("__t")
+    )
+    risk = (
+        F.when(F.col("__t") >= 0.3, "t>=0.3 distribution-disclosed")
+        .when(F.col("__t") >= 0.1, "t=0.1-0.3")
+        .otherwise("t<0.1 close")
+    )
+    return t.groupBy(risk.alias("risk_class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("__n").cast("long").alias("n_docs"),
+        rd(F.max("__t"), 6).alias("max_t"),
+        rd(
+            F.sum(F.col("__t").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_t"),
+    )
+
+
+@register(
+    "eval_ece_binned",
+    f"""
+    WITH {_HLS_VS_C4_SQL},
+    b AS (
+      SELECT least(CAST(floor((round(sc.logit * 1000000, 0) + 500000)
+                               / 10000) AS INT), 99) AS bin,
+             CAST(round(sc.logit * 1000000, 0) + 500000 AS BIGINT) AS conf_micro,
+             CASE WHEN surv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS pass
+      FROM sc LEFT JOIN surv ON surv.doc_id = sc.doc_id
+    ),
+    bins AS (
+      SELECT bin, count(*) AS n, CAST(sum(pass) AS BIGINT) AS np,
+             CAST(sum(conf_micro) AS BIGINT) AS smic
+      FROM b GROUP BY bin
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM bins),
+    gaps AS (
+      SELECT bin, n,
+             {R("abs(CAST(np AS DOUBLE) / n - CAST(smic AS DOUBLE) / (n * 1000000.0))", 9)} AS gap
+      FROM bins
+    )
+    SELECT (SELECT nn FROM tot) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           {R("max(" + sql_rd("gap", 6) + ")", 6)} AS max_gap,
+           {R("CAST(sum(CAST(" + sql_rd("gap * n / (SELECT nn FROM tot)", 9) + " AS DECIMAL(38,9))) AS DOUBLE)", 6)} AS ece
+    FROM gaps
+    """,
+)
+def _q_eval_ece_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error (Naeini et al. 2015) — the
+    one-number summary of `text_score_calibration`'s reliability
+    diagram, over the SAME factored logit/label and the SAME 100 fixed
+    6-dp bins as AUC and the PR curve (one family, one binning, four
+    evals). Confidence maps the bounded logit to [0,1] as exact
+    integer micro-units (logit·1e6 + 5e5); per bin the |accuracy −
+    confidence| gap is one IEEE expression of exact integers, 9-dp
+    rounded; ECE is the n_b/N-weighted decimal sum, rounded once.
+    Everything after the bin aggregation is ≤100 rows — scan-bound at
+    any corpus size."""
+    docs = _table(spark, sf_dir, "documents")
+    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
+    surv = tx.c4_filter_survivors(docs).select(
+        "doc_id", F.lit(1).alias("__pass")
+    )
+    j = scores.join(surv.hint("shuffle_hash"), "doc_id", "left")
+    conf_micro = (F.round(F.col("logit") * 1000000, 0) + F.lit(500000)).cast(
+        "long"
+    )
+    bin_col = F.least(
+        F.floor(conf_micro / F.lit(10000)).cast("int"), F.lit(99)
+    )
+    bins = (
+        j.select(
+            bin_col.alias("__bin"),
+            conf_micro.alias("__cm"),
+            F.coalesce(F.col("__pass"), F.lit(0)).alias("__p"),
+        )
+        .groupBy("__bin")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__p").cast("long").alias("__np"),
+            F.sum("__cm").cast("long").alias("__smic"),
+        )
+    )
+    tot = bins.agg(F.sum("__n").cast("long").alias("__nn"))
+    gaps = bins.crossJoin(F.broadcast(tot)).select(
+        "__n",
+        "__nn",
+        rd(
+            F.abs(
+                F.col("__np").cast("double") / F.col("__n")
+                - F.col("__smic").cast("double")
+                / (F.col("__n") * F.lit(1000000.0))
+            ),
+            9,
+        ).alias("__gap"),
+    )
+    return gaps.agg(
+        F.max("__nn").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        rd(F.max(rd(F.col("__gap"), 6)), 6).alias("max_gap"),
+        rd(
+            F.sum(
+                rd(
+                    F.col("__gap") * F.col("__n") / F.col("__nn"), 9
+                ).cast("decimal(38,9)")
+            ).cast("double"),
+            6,
+        ).alias("ece"),
+    )
