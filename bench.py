@@ -261,6 +261,7 @@ HEADLINE = [
     "graph_clustering_by_degree",  # Watts-Strogatz cc curve by degree bucket
     "privacy_t_closeness_audit",  # distribution-disclosure release gate (trilogy leg 3)
     "eval_ece_binned",           # one-number calibration error (same 100 bins)
+    "mix_split_leakage_audit",   # near-dup pairs straddling train/val/test
 ]
 
 

@@ -321,3 +321,46 @@ def test_t_closeness_single_class_is_close(spark):
     assert len(out) == 1
     assert out[0]["risk_class"] == "t<0.1 close"
     assert out[0]["max_t"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 7: split-leakage audit
+# ---------------------------------------------------------------------------
+
+
+def test_split_leakage_flags_planted_cross_split_neardup(spark):
+    """Two near-identical documents whose ids hash into different
+    splits must surface as a crosses_split pair; a corpus of unique
+    documents yields no candidate pairs at all."""
+    import hashlib
+
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    def split_of(doc_id: int) -> str:
+        h = int(hashlib.md5(f"tsdt|split|{doc_id}".encode()).hexdigest()[:8], 16)
+        if h < int(0.1 * (1 << 32)):
+            return "test"
+        if h < 2 * int(0.1 * (1 << 32)):
+            return "val"
+        return "train"
+
+    test_id = next(i for i in range(1000) if split_of(i) == "test")
+    train_id = next(i for i in range(1000) if split_of(i) == "train")
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(test_id, "en", "web", dup), (train_id, "en", "web", dup)] + [
+        (10_000 + i, "en", "web", f"totally unique document number {i} "
+         f"with its own words {i * 7} {i * 13} {i * 29}")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    import os, tempfile
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = REGISTRY["mix_split_leakage_audit"][0](spark, d).collect()
+    cells = {(r["split_a"], r["split_b"]): r for r in out}
+    assert ("test", "train") in cells
+    leak = cells[("test", "train")]
+    assert leak["crosses_split"] == 1 and leak["n_pairs"] >= 1

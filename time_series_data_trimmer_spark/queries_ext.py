@@ -19005,3 +19005,102 @@ def _q_eval_ece_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ece"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 7: split-leakage audit — the contamination number a
+# deterministic split still leaves on the table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mix_split_leakage_audit",
+    f"""
+    WITH shingled AS ({_SH_SQL}),
+    sig AS ({_SIG_SQL}),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS key
+      FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {sp.sql_hash_u32('doc_id', 'tsdt|split')} < {int(0.1 * (1 << 32))} THEN 'test'
+                  WHEN {sp.sql_hash_u32('doc_id', 'tsdt|split')} < {2 * int(0.1 * (1 << 32))} THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents
+    ),
+    labeled AS (
+      SELECT least(sa.split, sb.split) AS split_a,
+             greatest(sa.split, sb.split) AS split_b
+      FROM cand c
+      JOIN sp sa ON sa.doc_id = c.id_a
+      JOIN sp sb ON sb.doc_id = c.id_b
+    ),
+    tot AS (SELECT count(*) AS n FROM labeled)
+    SELECT split_a, split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS crosses_split,
+           {R("CAST(count(*) AS DOUBLE) / (SELECT n FROM tot)", 6)} AS frac_of_pairs
+    FROM labeled GROUP BY split_a, split_b
+    """,
+)
+def _q_mix_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-LEAKAGE audit: how many NEAR-DUPLICATE pairs (the
+    MinHash-LSH candidate generator every dedup query trusts) straddle
+    the deterministic train/val/test split — the contamination a
+    doc-level hash split still leaves when near-dups aren't collapsed
+    first. A train/test bridging pair means the eval set contains a
+    near-copy of training data: eval scores inflate even though the
+    split itself is perfectly reproducible. This is the MEASURED
+    argument for `pipeline_dedup_budget_pack`'s dedup-BEFORE-split
+    ordering and the quantitative companion of
+    `dedup_decontaminate_vs_heldout` (which decontaminates against an
+    explicit held-out set; this audits the split you already made).
+    Output: (split_a ≤ split_b) pair counts with a crosses_split flag
+    and each cell's share of all candidate pairs. Plan: the standard
+    bucketed LSH pair generator (digests shuffle, never text) + two
+    id-keyed joins onto the scan-side split labels + a ≤6-row agg;
+    the total joins back as one broadcast scalar."""
+    docs = _table(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_pairs(docs).select("id_a", "id_b")
+    splits = sp.train_val_test_split(
+        docs, val_frac=0.1, test_frac=0.1
+    ).select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("__sa")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("__sb")
+    )
+    labeled = (
+        cand.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
+        .select(
+            F.least(F.col("__sa"), F.col("__sb")).alias("split_a"),
+            F.greatest(F.col("__sa"), F.col("__sb")).alias("split_b"),
+        )
+    )
+    tot = labeled.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        labeled.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            F.when(F.col("split_a") != F.col("split_b"), 1)
+            .otherwise(0)
+            .alias("crosses_split"),
+            rd(
+                F.col("n_pairs").cast("double") / F.col("__n").cast("double"),
+                6,
+            ).alias("frac_of_pairs"),
+        )
+    )
