@@ -364,3 +364,26 @@ def test_split_leakage_flags_planted_cross_split_neardup(spark):
     assert ("test", "train") in cells
     leak = cells[("test", "train")]
     assert leak["crosses_split"] == 1 and leak["n_pairs"] >= 1
+
+
+def test_sharded_pack_respects_n_tokens_col(spark):
+    """All three layout stages now share the real-count hook: the
+    sharded packer on a real-count column produces offsets consistent
+    with those counts, and omitting the hook reproduces the estimate
+    path byte-for-byte."""
+    from time_series_data_trimmer_spark.operators import sampling as sp
+
+    rows = [(i, "s" + str(i % 2), "w " * 10, 7) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, real_nt long"
+    )
+    real = sp.sequence_pack_offsets_sharded(
+        df, seq_len=16, n_tokens_col="real_nt"
+    ).collect()
+    assert all(r["n_tokens"] == 7 for r in real)
+    assert sorted(r["tok_end"] for r in real)[-1] == 7 * 12  # contiguous
+    a = sp.sequence_pack_offsets_sharded(df, seq_len=16).collect()
+    b = sp.sequence_pack_offsets_sharded(
+        df, seq_len=16, n_tokens_col=None
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -241,6 +241,7 @@ def sequence_pack_offsets_sharded(
     key_col: str = "doc_id",
     text_col: str = "text",
     seed: str = "tsdt",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Production per-shard sequence packing: documents concatenate in
     (shard, hash, key) order — shard-major, deterministic within each
@@ -261,7 +262,14 @@ def sequence_pack_offsets_sharded(
     order across shards).
     """
     h = hash_u32(F.col(key_col), seed)
-    n_tok = token_count(F.col(text_col)).cast("long")
+    # n_tokens_col (r9): the same real-count hook as sequence_pack_offsets
+    # and token_budget_per_stratum — all three layout stages can now run
+    # on one encoded-count column instead of the chars/4 estimate.
+    n_tok = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col is not None
+        else token_count(F.col(text_col)).cast("long")
+    )
     t = df.select(
         F.col(shard_col),
         F.col(key_col),
