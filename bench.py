@@ -262,6 +262,7 @@ HEADLINE = [
     "privacy_t_closeness_audit",  # distribution-disclosure release gate (trilogy leg 3)
     "eval_ece_binned",           # one-number calibration error (same 100 bins)
     "mix_split_leakage_audit",   # near-dup pairs straddling train/val/test
+    "retrieval_mmr_topk",        # MMR diversification as a Catalyst fold
 ]
 
 

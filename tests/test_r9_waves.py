@@ -387,3 +387,56 @@ def test_sharded_pack_respects_n_tokens_col(spark):
         df, seq_len=16, n_tokens_col=None
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 8: MMR diversification fold
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_first_pick_is_top_rel_and_diversity_reorders(spark):
+    """Step 1 has an empty selected set, so MMR's first pick is the
+    relevance top-1; with two near-identical high-rel candidates and
+    one distinct lower-rel candidate, the distinct one must outrank
+    the redundant near-copy at lambda=0.5."""
+    from time_series_data_trimmer_spark.operators import similarity as sim
+
+    rows = [
+        # query 1: cand 10 (rel .9, v=[1,0]), cand 11 (rel .89, v=[1,0.01] ~ same),
+        # cand 12 (rel .5, v=[0,1] orthogonal)
+        (1, 10, 0.90, [1.0, 0.0]),
+        (1, 11, 0.89, [1.0, 0.01]),
+        (1, 12, 0.50, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "qid long, vec_id long, rel double, embedding array<double>"
+    )
+    out = {
+        r["mmr_rank"]: r["vec_id"]
+        for r in sim.mmr_diversify(
+            df, k=3, lam=0.5, query_col="qid", rel_col="rel"
+        ).collect()
+    }
+    assert out[1] == 10          # pure relevance first
+    assert out[2] == 12          # orthogonal beats the near-copy
+    assert out[3] == 11
+
+
+def test_mmr_lambda_one_is_pure_relevance_order(spark):
+    """lambda=1 disables the diversity term: MMR order == rel order
+    (ties by id)."""
+    from time_series_data_trimmer_spark.operators import similarity as sim
+
+    rows = [
+        (1, i, 1.0 - 0.1 * i, [float(i), 1.0]) for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "qid long, vec_id long, rel double, embedding array<double>"
+    )
+    out = [
+        r["vec_id"]
+        for r in sim.mmr_diversify(
+            df, k=5, lam=1.0, query_col="qid", rel_col="rel"
+        ).orderBy("mmr_rank").collect()
+    ]
+    assert out == [0, 1, 2, 3, 4]

@@ -19104,3 +19104,190 @@ def _q_mix_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac_of_pairs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 8: MMR diversification — the greedy re-rank as a Catalyst
+# fold, oracle = the unrolled greedy walk.
+# ---------------------------------------------------------------------------
+
+_MMR_SHORT, _MMR_K, _MMR_LAM = 20, 10, 0.7
+
+
+def _mmr_step_sql(s: int) -> str:
+    # every per-step CTE is MATERIALIZED: rem/sel/pick are each read by
+    # 2-3 consumers at the next step, and DuckDB re-inlines plain CTEs
+    # (3^k scan blowup — "too many open files" at k=10; PLANS.md
+    # invariant 17's oracle-side half).
+    return f"""ms{s} AS MATERIALIZED (
+      SELECT r.qid, r.id, max(pc.c) AS msim
+      FROM rem{s - 1} r
+      JOIN sel{s - 1} sl ON sl.qid = r.qid
+      JOIN paircos pc ON pc.qid = r.qid AND pc.a = r.id AND pc.b = sl.id
+      GROUP BY r.qid, r.id
+    ),
+    sc{s} AS MATERIALIZED (
+      SELECT r.qid, r.id, r.rel,
+             {R(f"{_MMR_LAM} * r.rel - (1.0 - {_MMR_LAM}) * COALESCE(ms.msim, 0.0)", 6)} AS s
+      FROM rem{s - 1} r
+      LEFT JOIN ms{s} ms ON ms.qid = r.qid AND ms.id = r.id
+    ),
+    pick{s} AS MATERIALIZED (
+      SELECT qid, id FROM sc{s}
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY s DESC, id ASC) = 1
+    ),
+    sel{s} AS MATERIALIZED (
+      SELECT qid, id, rank FROM sel{s - 1}
+      UNION ALL
+      SELECT qid, id, {s} AS rank FROM pick{s}
+    ),
+    rem{s} AS MATERIALIZED (
+      SELECT r.qid, r.id, r.rel FROM rem{s - 1} r
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pick{s} p WHERE p.qid = r.qid AND p.id = r.id
+      )
+    )"""
+
+
+_MMR_SQL = (
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    qex AS (SELECT vec_id AS qid, i, x FROM ex WHERE vec_id < {_RECALL_Q}),
+    norms AS (
+      SELECT vec_id,
+             sqrt(CAST(sum(CAST({sql_rd("x * x", 9)} AS DECIMAL(38,9))) AS DOUBLE)) AS nrm
+      FROM ex GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT q.qid, e.vec_id,
+             CAST(sum(CAST({sql_rd("q.x * e.x", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS dxy
+      FROM qex q JOIN ex e ON e.i = q.i AND e.vec_id <> q.qid
+      GROUP BY q.qid, e.vec_id
+    ),
+    cos AS (
+      SELECT d.qid, d.vec_id,
+             {R("d.dxy / (nq.nrm * nv.nrm)", 6)} AS c
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.qid
+      JOIN norms nv ON nv.vec_id = d.vec_id
+    ),
+    short AS MATERIALIZED (
+      SELECT qid, vec_id, c FROM (
+        SELECT qid, vec_id, c,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) AS rn
+        FROM cos
+      ) WHERE rn <= {_MMR_SHORT}
+    ),
+    prs AS (
+      SELECT s1.qid, s1.vec_id AS a, s2.vec_id AS b
+      FROM short s1 JOIN short s2
+        ON s1.qid = s2.qid AND s1.vec_id <> s2.vec_id
+    ),
+    pdots AS (
+      SELECT p.qid, p.a, p.b,
+             CAST(sum(CAST({sql_rd("ea.x * eb.x", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS dxy
+      FROM prs p
+      JOIN ex ea ON ea.vec_id = p.a
+      JOIN ex eb ON eb.vec_id = p.b AND eb.i = ea.i
+      GROUP BY p.qid, p.a, p.b
+    ),
+    paircos AS MATERIALIZED (
+      SELECT d.qid, d.a, d.b,
+             {R("d.dxy / (na.nrm * nb.nrm)", 6)} AS c
+      FROM pdots d
+      JOIN norms na ON na.vec_id = d.a
+      JOIN norms nb ON nb.vec_id = d.b
+    ),
+    sel0 AS MATERIALIZED (SELECT qid, vec_id AS id, 0 AS rank FROM short WHERE 1 = 0),
+    rem0 AS MATERIALIZED (SELECT qid, vec_id AS id, c AS rel FROM short),
+    """
+    + ",\n    ".join(_mmr_step_sql(s) for s in range(1, _MMR_K + 1))
+    + f"""
+    SELECT qid AS query_id, id AS vec_id, CAST(rank AS INTEGER) AS mmr_rank
+    FROM sel{_MMR_K}
+    """
+)
+
+
+@register("retrieval_mmr_topk", _MMR_SQL)
+def _q_retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""MMR diversification (`sim.mmr_diversify`, Carbonell & Goldstein
+    1998): per standard probe, the exact-cosine top-{_MMR_SHORT}
+    shortlist greedily re-ranked by λ·rel − (1−λ)·max-sim-to-selected
+    (λ={_MMR_LAM}, k={_MMR_K}) — the post-retrieval pass that stops
+    near-duplicate hits from crowding a RAG context window. The greedy
+    recurrence is sequential in k, so it runs as one Catalyst
+    `F.aggregate` fold over each query's BOUNDED collected shortlist
+    (the DTW precedent: per-key bounded arrays + fold = pure codegen,
+    no Python, no driver loop, k fold steps at plan time). The oracle
+    replays the walk as {_MMR_K} unrolled steps (argmax by (score
+    desc, id), selected-set max-sim via the precomputed shortlist
+    pair-cosine table); every cosine is the repo's decimal-exact dot,
+    6-dp rounded, so both engines pick the same candidate at every
+    step."""
+    emb = _table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    qex = ex.filter(F.col("vec_id") < _RECALL_Q).select(
+        F.col("vec_id").alias("qid"), "i", F.col("x").alias("__qx")
+    )
+    norms = ex.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum(rd(F.col("x") * F.col("x"), 9).cast("decimal(38,9)")).cast(
+                "double"
+            )
+        ).alias("__nrm")
+    ).localCheckpoint(eager=False)
+    dots = (
+        ex.join(F.broadcast(qex), "i")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(rd(F.col("__qx") * F.col("x"), 9).cast("decimal(38,9)"))
+            .cast("double")
+            .alias("__dxy")
+        )
+    )
+    cos = (
+        dots.join(
+            F.broadcast(
+                norms.select(
+                    F.col("vec_id").alias("qid"), F.col("__nrm").alias("__nq")
+                ).filter(F.col("qid") < _RECALL_Q)
+            ),
+            "qid",
+        )
+        .join(norms.hint("shuffle_hash"), "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            rd(F.col("__dxy") / (F.col("__nq") * F.col("__nrm")), 6).alias(
+                "__c"
+            ),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("__c").desc(), F.col("vec_id").asc()
+    )
+    short = (
+        cos.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= _MMR_SHORT)
+        .select("qid", "vec_id", "__c")
+    )
+    scored = short.join(
+        emb.select("vec_id", "embedding").hint("shuffle_hash"), "vec_id"
+    )
+    return sim.mmr_diversify(
+        scored,
+        k=_MMR_K,
+        lam=_MMR_LAM,
+        query_col="qid",
+        id_col="vec_id",
+        rel_col="__c",
+        vec_col="embedding",
+    ).select(
+        F.col("qid").alias("query_id"),
+        "vec_id",
+        "mmr_rank",
+    )
