@@ -263,6 +263,7 @@ HEADLINE = [
     "eval_ece_binned",           # one-number calibration error (same 100 bins)
     "mix_split_leakage_audit",   # near-dup pairs straddling train/val/test
     "retrieval_mmr_topk",        # MMR diversification as a Catalyst fold
+    "events_ohlc_hourly",        # deterministic first/last-by-time candle bars
 ]
 
 

@@ -19291,3 +19291,72 @@ def _q_retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "mmr_rank",
     )
+
+
+@register(
+    "events_ohlc_hourly",
+    f"""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
+             epoch_us(ts) AS us, event_id, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, hour_bucket, value,
+             row_number() OVER (PARTITION BY event_type, hour_bucket
+                                ORDER BY us ASC, event_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, hour_bucket
+                                ORDER BY us DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT event_type, hour_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {R("max(CASE WHEN rn_a = 1 THEN value END)", 2)} AS open,
+           {R("max(value)", 2)} AS high,
+           {R("min(value)", 2)} AS low,
+           {R("max(CASE WHEN rn_d = 1 THEN value END)", 2)} AS close
+    FROM r GROUP BY event_type, hour_bucket
+    """,
+)
+def _q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars per (event_type, hour) — the classic time-series
+    downsample-for-monitoring shape (finance candles, metrics rollups):
+    open/close are the first/last value by (time, event_id) — a
+    DETERMINISTIC tie-break, where naive min_by/max_by on the bare
+    timestamp would be engine-undefined under equal timestamps — and
+    high/low are plain extrema. One keyed exchange carries both
+    row-number windows and the aggregation; output is
+    |types| × |hours| rows at any input size. Complements
+    `ts_m4_downsample` (min/max/first/last per pixel bucket for viz)
+    and `twap_value_by_user_hour` (time-weighted mean) in the bar
+    family."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    e = ev.select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias(
+            "hour_bucket"
+        ),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("__us"),
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "hour_bucket").orderBy(
+        F.col("__us").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("event_type", "hour_bucket").orderBy(
+        F.col("__us").desc(), F.col("event_id").desc()
+    )
+    r = e.select(
+        "event_type",
+        "hour_bucket",
+        "value",
+        F.row_number().over(wa).alias("__ra"),
+        F.row_number().over(wd).alias("__rd"),
+    )
+    return r.groupBy("event_type", "hour_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        rd(F.max(F.when(F.col("__ra") == 1, F.col("value"))), 2).alias("open"),
+        rd(F.max("value"), 2).alias("high"),
+        rd(F.min("value"), 2).alias("low"),
+        rd(F.max(F.when(F.col("__rd") == 1, F.col("value"))), 2).alias("close"),
+    )
