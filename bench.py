@@ -264,6 +264,8 @@ HEADLINE = [
     "mix_split_leakage_audit",   # near-dup pairs straddling train/val/test
     "retrieval_mmr_topk",        # MMR diversification as a Catalyst fold
     "events_ohlc_hourly",        # deterministic first/last-by-time candle bars
+    "eval_brier_decomposition",  # Murphy REL-RES+UNC split of the binned Brier
+    "feature_woe_encoding",      # smoothed WOE + Information Value per category
 ]
 
 

@@ -440,3 +440,55 @@ def test_mmr_lambda_one_is_pure_relevance_order(spark):
         ).orderBy("mmr_rank").collect()
     ]
     assert out == [0, 1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 10: Brier decomposition + WOE encoding
+# ---------------------------------------------------------------------------
+
+
+def test_brier_murphy_identity_and_eval_family_population(spark):
+    """The binned Murphy identity brier = REL − RES + UNC holds by
+    construction; the decomposition scores the same population as
+    ECE/AUC."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    b = REGISTRY["eval_brier_decomposition"][0](spark, SF_DIR).collect()[0]
+    assert abs(
+        b["brier_binned"]
+        - (b["reliability"] - b["resolution"] + b["uncertainty"])
+    ) < 2e-6
+    assert 0.0 <= b["uncertainty"] <= 0.25 + 1e-9  # p(1-p) max at 0.5
+    e = REGISTRY["eval_ece_binned"][0](spark, SF_DIR).collect()[0]
+    assert b["n_docs"] == e["n_docs"]
+
+
+def test_woe_signs_and_iv_nonnegative(spark):
+    """A category enriched in positives gets WOE > 0, one enriched in
+    negatives WOE < 0, and every IV term is ≥ 0 (it is (ps−ns)·ln(ps/ns),
+    a product of same-sign factors)."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+    import os, tempfile
+
+    good = (
+        "the cat and the dog sat on the mat of the house and it is that "
+        "good to see the sun in the sky when the day starts " * 3
+    )  # english markers + stopwords + sane token stats pass the C4 gate
+    bad = "x"  # degenerate docs fail
+    rows = (
+        [(i, "en", "rich", good) for i in range(20)]
+        + [(100 + i, "en", "poor", bad) for i in range(20)]
+        + [(200 + i, "en", "mixed", good if i % 2 else bad) for i in range(20)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["source"]: r for r in REGISTRY["feature_woe_encoding"][0](spark, d).collect()}
+    # sanity: the gate must actually separate the two corpora
+    assert out["rich"]["n_pos"] > 0 and out["poor"]["n_pos"] == 0
+    assert out["rich"]["woe"] > 0 > out["poor"]["woe"]
+    assert all(r["iv_term"] >= -1e-9 for r in out.values())

@@ -19360,3 +19360,219 @@ def _q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         rd(F.min("value"), 2).alias("low"),
         rd(F.max(F.when(F.col("__rd") == 1, F.col("value"))), 2).alias("close"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 10: Brier decomposition + weight-of-evidence encoding.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_brier_decomposition",
+    f"""
+    WITH {_HLS_VS_C4_SQL},
+    b AS (
+      SELECT least(CAST(floor((round(sc.logit * 1000000, 0) + 500000)
+                               / 10000) AS INT), 99) AS bin,
+             CAST(round(sc.logit * 1000000, 0) + 500000 AS BIGINT) AS conf_micro,
+             CASE WHEN surv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS pass
+      FROM sc LEFT JOIN surv ON surv.doc_id = sc.doc_id
+    ),
+    bins AS (
+      SELECT bin, count(*) AS n, CAST(sum(pass) AS BIGINT) AS np,
+             CAST(sum(conf_micro) AS BIGINT) AS smic
+      FROM b GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(np) AS BIGINT) AS npos
+      FROM bins
+    ),
+    terms AS (
+      SELECT n,
+             CAST(np AS DOUBLE) / n AS acc,
+             CAST(smic AS DOUBLE) / (n * 1000000.0) AS conf,
+             CAST((SELECT npos FROM tot) AS DOUBLE) / (SELECT nn FROM tot) AS obar
+      FROM bins
+    ),
+    parts AS (
+      SELECT
+        CAST(sum(CAST({sql_rd("(conf - acc) * (conf - acc) * n / (SELECT nn FROM tot)", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS rel,
+        CAST(sum(CAST({sql_rd("(acc - obar) * (acc - obar) * n / (SELECT nn FROM tot)", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS res,
+        max({R("obar * (1.0 - obar)", 9)}) AS unc
+      FROM terms
+    )
+    SELECT (SELECT nn FROM tot) AS n_docs,
+           {R("rel", 6)} AS reliability,
+           {R("res", 6)} AS resolution,
+           {R("unc", 6)} AS uncertainty,
+           {R("rel - res + unc", 6)} AS brier_binned
+    FROM parts
+    """,
+)
+def _q_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the binned Brier score (Murphy 1973):
+    Brier = RELIABILITY − RESOLUTION + UNCERTAINTY over the same
+    factored logit/label and 100 fixed bins as AUC/PR/ECE — the
+    decomposition says WHY a scorer's probabilistic quality is what it
+    is (badly calibrated? or just uninformative?), where ECE only
+    prices the calibration term. REL = Σ n_b/N·(conf_b − acc_b)²,
+    RES = Σ n_b/N·(acc_b − ō)², UNC = ō(1−ō), and the binned identity
+    brier = REL − RES + UNC holds exactly (pytest). All terms are IEEE
+    expressions of exact integer ratios, 9-dp rounded per bin, decimal
+    summed, 6-dp surfaced; ≤100 rows after the bin agg."""
+    docs = _table(spark, sf_dir, "documents")
+    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
+    surv = tx.c4_filter_survivors(docs).select(
+        "doc_id", F.lit(1).alias("__pass")
+    )
+    j = scores.join(surv.hint("shuffle_hash"), "doc_id", "left")
+    conf_micro = (F.round(F.col("logit") * 1000000, 0) + F.lit(500000)).cast(
+        "long"
+    )
+    bin_col = F.least(
+        F.floor(conf_micro / F.lit(10000)).cast("int"), F.lit(99)
+    )
+    bins = (
+        j.select(
+            bin_col.alias("__bin"),
+            conf_micro.alias("__cm"),
+            F.coalesce(F.col("__pass"), F.lit(0)).alias("__p"),
+        )
+        .groupBy("__bin")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__p").cast("long").alias("__np"),
+            F.sum("__cm").cast("long").alias("__smic"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("__n").cast("long").alias("__nn"),
+        F.sum("__np").cast("long").alias("__npos"),
+    )
+    terms = bins.crossJoin(F.broadcast(tot)).select(
+        "__n",
+        "__nn",
+        (F.col("__np").cast("double") / F.col("__n")).alias("__acc"),
+        (
+            F.col("__smic").cast("double") / (F.col("__n") * F.lit(1000000.0))
+        ).alias("__conf"),
+        (F.col("__npos").cast("double") / F.col("__nn")).alias("__obar"),
+    )
+    rel_t = rd(
+        (F.col("__conf") - F.col("__acc"))
+        * (F.col("__conf") - F.col("__acc"))
+        * F.col("__n")
+        / F.col("__nn"),
+        9,
+    )
+    res_t = rd(
+        (F.col("__acc") - F.col("__obar"))
+        * (F.col("__acc") - F.col("__obar"))
+        * F.col("__n")
+        / F.col("__nn"),
+        9,
+    )
+    parts = terms.agg(
+        F.max("__nn").cast("long").alias("n_docs"),
+        F.sum(rel_t.cast("decimal(38,9)")).cast("double").alias("__rel"),
+        F.sum(res_t.cast("decimal(38,9)")).cast("double").alias("__res"),
+        F.max(
+            rd(F.col("__obar") * (F.lit(1.0) - F.col("__obar")), 9)
+        ).alias("__unc"),
+    )
+    return parts.select(
+        "n_docs",
+        rd(F.col("__rel"), 6).alias("reliability"),
+        rd(F.col("__res"), 6).alias("resolution"),
+        rd(F.col("__unc"), 6).alias("uncertainty"),
+        rd(F.col("__rel") - F.col("__res") + F.col("__unc"), 6).alias(
+            "brier_binned"
+        ),
+    )
+
+
+@register(
+    "feature_woe_encoding",
+    f"""
+    WITH {_HLS_VS_C4_SQL},
+    lab AS (
+      SELECT d.doc_id, d.source,
+             CASE WHEN surv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS pass
+      FROM documents d LEFT JOIN surv ON surv.doc_id = d.doc_id
+      WHERE d.text IS NOT NULL
+    ),
+    tot AS (
+      SELECT CAST(sum(pass) AS BIGINT) AS pos,
+             CAST(count(*) - sum(pass) AS BIGINT) AS neg
+      FROM lab
+    ),
+    cls AS (
+      SELECT source, count(*) AS n,
+             CAST(sum(pass) AS BIGINT) AS np,
+             CAST(count(*) - sum(pass) AS BIGINT) AS nn
+      FROM lab GROUP BY source
+    ),
+    woe_t AS (
+      SELECT source, n, np, nn,
+             (np + 0.5) / ((SELECT pos FROM tot) + 0.5) AS ps,
+             (nn + 0.5) / ((SELECT neg FROM tot) + 0.5) AS ns
+      FROM cls
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(np AS BIGINT) AS n_pos,
+           {R("ln(ps / ns)", 6)} AS woe,
+           {R("(ps - ns) * ln(ps / ns)", 6)} AS iv_term
+    FROM woe_t
+    """,
+)
+def _q_feature_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence categorical encoding + Information Value —
+    the credit-scoring-standard supervised encoding next to
+    `feature_loo_target_encoding`: per source, WOE = ln(pos_share /
+    neg_share) with 0.5 Laplace smoothing (never ±∞ on pure classes),
+    target = the C4 gate's pass bit. IV_term per category sums to the
+    feature's Information Value (the keep-this-feature number: <0.02
+    useless, >0.5 suspicious). Shares are exact smoothed-integer
+    ratios, so both engines take ln of identical doubles; one narrow
+    groupBy + a 2-scalar broadcast at any corpus size."""
+    docs = _table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    surv = tx.c4_filter_survivors(docs).select(
+        "doc_id", F.lit(1).alias("__pass")
+    )
+    lab = docs.select("doc_id", "source").join(
+        surv.hint("shuffle_hash"), "doc_id", "left"
+    ).select("source", F.coalesce(F.col("__pass"), F.lit(0)).alias("__p"))
+    tot = lab.agg(
+        F.sum("__p").cast("long").alias("__pos"),
+        (F.count(F.lit(1)) - F.sum("__p")).cast("long").alias("__neg"),
+    )
+    cls = lab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__p").cast("long").alias("__np"),
+        (F.count(F.lit(1)) - F.sum("__p")).cast("long").alias("__nn"),
+    )
+    w = cls.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "__n",
+        "__np",
+        (
+            (F.col("__np") + F.lit(0.5)) / (F.col("__pos") + F.lit(0.5))
+        ).alias("__ps"),
+        (
+            (F.col("__nn") + F.lit(0.5)) / (F.col("__neg") + F.lit(0.5))
+        ).alias("__ns"),
+    )
+    return w.select(
+        "source",
+        F.col("__n").cast("long").alias("n_docs"),
+        F.col("__np").cast("long").alias("n_pos"),
+        rd(F.log(F.col("__ps") / F.col("__ns")), 6).alias("woe"),
+        rd(
+            (F.col("__ps") - F.col("__ns"))
+            * F.log(F.col("__ps") / F.col("__ns")),
+            6,
+        ).alias("iv_term"),
+    )
