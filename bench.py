@@ -266,6 +266,7 @@ HEADLINE = [
     "events_ohlc_hourly",        # deterministic first/last-by-time candle bars
     "eval_brier_decomposition",  # Murphy REL-RES+UNC split of the binned Brier
     "feature_woe_encoding",      # smoothed WOE + Information Value per category
+    "text_rake_top_keyword",     # training-free RAKE document keywords
 ]
 
 

@@ -492,3 +492,42 @@ def test_woe_signs_and_iv_nonnegative(spark):
     assert out["rich"]["n_pos"] > 0 and out["poor"]["n_pos"] == 0
     assert out["rich"]["woe"] > 0 > out["poor"]["woe"]
     assert all(r["iv_term"] >= -1e-9 for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 11: RAKE keywords
+# ---------------------------------------------------------------------------
+
+
+def test_rake_scores_closed_form(spark):
+    """'the red apple and green apple of spain': candidates
+    {red apple}, {green apple}, {spain}. freq(apple)=2, deg(apple)=4
+    → score 2; red/green freq 1 deg 2 → 2; spain 1/1 → 1. Phrase
+    scores: red apple = green apple = 4, spain = 1; top-1 breaks the
+    tie alphabetically → 'green apple'."""
+    from time_series_data_trimmer_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "the red apple and green apple of spain")],
+        "doc_id long, text string",
+    )
+    cand = {r["phrase"]: r for r in tx.rake_keywords(df).collect()}
+    assert set(cand) == {"red apple", "green apple", "spain"}
+    assert cand["red apple"]["score"] == 4.0
+    assert cand["green apple"]["score"] == 4.0
+    assert cand["spain"]["score"] == 1.0
+    assert cand["red apple"]["n_words"] == 2
+
+
+def test_rake_phrase_cap_and_stopword_boundaries(spark):
+    """Runs longer than RAKE_MAX_PHRASE are dropped; stopwords never
+    appear inside a candidate."""
+    from time_series_data_trimmer_spark.operators import text as tx
+
+    long_run = " ".join(f"w{i}" for i in range(tx.RAKE_MAX_PHRASE + 1))
+    df = spark.createDataFrame(
+        [(1, f"{long_run} and small cat")], "doc_id long, text string"
+    )
+    cand = [r["phrase"] for r in tx.rake_keywords(df).collect()]
+    assert cand == ["small cat"]
+    assert all(w not in tx.RAKE_STOPWORDS for p in cand for w in p.split())

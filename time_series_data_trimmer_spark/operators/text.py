@@ -1830,3 +1830,99 @@ def chunk_centrality(
             rd(F.col("__pr"), 6).alias("centrality"),
         )
     )
+
+
+#: fixed literal stopword list for RAKE phrase boundaries — shared
+#: verbatim by the DuckDB oracle (engineering constant, not learned).
+RAKE_STOPWORDS: tuple[str, ...] = (
+    "the", "and", "of", "to", "is", "in", "that", "it", "a", "an",
+    "on", "at", "for", "with", "as", "was", "are", "be", "this",
+    "by", "from", "or", "but", "not", "they", "he", "she", "we",
+    "you", "i", "his", "her", "its", "their", "has", "have", "had",
+)
+
+#: RAKE candidate phrases longer than this are boilerplate, not
+#: keywords (Rose et al. 2010 convention).
+RAKE_MAX_PHRASE = 4
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyword candidates (Rose et al. 2010): per document, the
+    candidate phrases (maximal runs of consecutive non-stopword
+    tokens, capped at ``RAKE_MAX_PHRASE`` words) scored by
+    Σ_{w ∈ phrase} deg(w)/freq(w), where freq(w) counts w's candidate
+    occurrences IN THIS DOCUMENT and deg(w) sums the lengths of this
+    document's phrases containing w — the classic degree/frequency
+    ratio that favors words living in longer collocations. The
+    document-keyword primitive (index terms, dataset cards, topic
+    labels) that needs no training and no corpus statistics.
+
+    Per-document math only, so everything is bounded by doc length:
+    one normalized-token scan, phrase segmentation as gaps-and-islands
+    (running stopword count per doc — keyed window), one (doc, word)
+    aggregation, one keyed phrase-score sum. Word scores are exact
+    integer ratios (deg/freq), 6-dp rounded then decimal-summed per
+    phrase — engine-exact. Returns (id_col, phrase, n_words, score),
+    all candidates (consumers take their own top-k).
+    """
+    from pyspark.sql import Window
+
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(_norm_tokens(text_col)).alias("__pos", "__w"),
+    )
+    is_stop = F.col("__w").isin(*RAKE_STOPWORDS)
+    wdoc = Window.partitionBy(id_col).orderBy("__pos")
+    marked = toks.select(
+        F.col(id_col),
+        "__pos",
+        "__w",
+        F.sum(F.when(is_stop, 1).otherwise(0)).over(wdoc).alias("__isl"),
+        is_stop.alias("__stop"),
+    ).filter(~F.col("__stop"))
+    phrases = (
+        marked.groupBy(id_col, "__isl")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__w")))
+                ),
+                lambda s: s["__w"],
+            ).alias("__ws")
+        )
+        .filter(F.size("__ws") <= RAKE_MAX_PHRASE)
+        .select(
+            F.col(id_col),
+            F.col("__isl"),
+            F.concat_ws(" ", F.col("__ws")).alias("phrase"),
+            F.size("__ws").alias("n_words"),
+        )
+    )
+    words = phrases.select(
+        F.col(id_col), "__isl", "n_words", F.explode(F.split("phrase", " ")).alias("__w")
+    )
+    stats = words.groupBy(id_col, "__w").agg(
+        F.count(F.lit(1)).alias("__freq"),
+        F.sum("n_words").alias("__deg"),
+    )
+    scored_words = words.join(stats.hint("shuffle_hash"), [id_col, "__w"]).select(
+        F.col(id_col),
+        "__isl",
+        rd(
+            F.col("__deg").cast("double") / F.col("__freq").cast("double"), 6
+        ).alias("__ws_score"),
+    )
+    scores = scored_words.groupBy(id_col, "__isl").agg(
+        rd(
+            F.sum(F.col("__ws_score").cast("decimal(38,6)")).cast("double"), 6
+        ).alias("score")
+    )
+    return phrases.join(scores.hint("shuffle_hash"), [id_col, "__isl"]).select(
+        id_col, "phrase", "n_words", "score"
+    )

@@ -19576,3 +19576,93 @@ def _q_feature_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("iv_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 11: RAKE keyword extraction.
+# ---------------------------------------------------------------------------
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in tx.RAKE_STOPWORDS)
+
+
+@register(
+    "text_rake_top_keyword",
+    f"""
+    WITH t0 AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' '), x -> length(x) > 0) AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pos AS (
+      SELECT doc_id, u['i'] AS pos, u['v'] AS w
+      FROM (SELECT doc_id,
+                   unnest(list_transform(toks, (x, i) -> {{'v': x, 'i': i}})) AS u
+            FROM t0)
+    ),
+    marked AS (
+      SELECT doc_id, pos, w,
+             sum(CASE WHEN w IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS isl,
+             w IN ({_RAKE_STOP_SQL}) AS stop
+      FROM pos
+    ),
+    ph AS (
+      SELECT doc_id, isl,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             count(*) AS n_words
+      FROM marked WHERE NOT stop
+      GROUP BY doc_id, isl
+      HAVING count(*) <= {tx.RAKE_MAX_PHRASE}
+    ),
+    wrd AS (
+      SELECT doc_id, isl, n_words, unnest(string_split(phrase, ' ')) AS w
+      FROM ph
+    ),
+    st AS (
+      SELECT doc_id, w, count(*) AS freq, sum(n_words) AS deg
+      FROM wrd GROUP BY doc_id, w
+    ),
+    sw AS (
+      SELECT wr.doc_id, wr.isl,
+             {R("CAST(st.deg AS DOUBLE) / st.freq", 6)} AS s
+      FROM wrd wr JOIN st ON st.doc_id = wr.doc_id AND st.w = wr.w
+    ),
+    sc AS (
+      SELECT doc_id, isl,
+             {R("CAST(sum(CAST(s AS DECIMAL(38,6))) AS DOUBLE)", 6)} AS score
+      FROM sw GROUP BY doc_id, isl
+    ),
+    ranked AS (
+      SELECT p.doc_id, p.phrase, CAST(p.n_words AS INTEGER) AS n_words,
+             sc.score,
+             row_number() OVER (PARTITION BY p.doc_id
+                                ORDER BY sc.score DESC, p.phrase ASC) AS rn
+      FROM ph p JOIN sc ON sc.doc_id = p.doc_id AND sc.isl = p.isl
+    )
+    SELECT doc_id, phrase, n_words, score FROM ranked WHERE rn = 1
+    """,
+)
+def _q_text_rake_top_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (`tx.rake_keywords`, Rose et al. 2010):
+    each document's TOP candidate phrase by the degree/frequency score
+    — training-free document keywords for index terms, dataset cards,
+    and topic labels, computed entirely from the document's own
+    collocation structure (no corpus statistics, no model). Candidate
+    phrases are maximal non-stopword runs (fixed literal stopword
+    list, phrases capped at {tx.RAKE_MAX_PHRASE} words); word score =
+    deg/freq favors words living in longer collocations; phrase score
+    is the 6-dp decimal sum of its word scores; top-1 per doc breaks
+    ties on the phrase text. Everything is per-document bounded —
+    segmentation is one keyed gaps-and-islands window, scoring two
+    doc-keyed aggregations."""
+    docs = _table(spark, sf_dir, "documents")
+    cand = tx.rake_keywords(docs)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("phrase").asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "phrase", "n_words", "score")
+    )
