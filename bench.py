@@ -267,6 +267,8 @@ HEADLINE = [
     "eval_brier_decomposition",  # Murphy REL-RES+UNC split of the binned Brier
     "feature_woe_encoding",      # smoothed WOE + Information Value per category
     "text_rake_top_keyword",     # training-free RAKE document keywords
+    "graph_jaccard_links",       # overlap-share link prediction next to AA
+    "mix_dedup_aware_epochs",    # soft dedup: 1/cluster-size training weights
 ]
 
 

@@ -531,3 +531,52 @@ def test_rake_phrase_cap_and_stopword_boundaries(spark):
     cand = [r["phrase"] for r in tx.rake_keywords(df).collect()]
     assert cand == ["small cat"]
     assert all(w not in tx.RAKE_STOPWORDS for p in cand for w in p.split())
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 12: Jaccard links + dedup-aware epochs
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_aware_epochs_discounts_planted_duplicates(spark):
+    """A source made of 4 identical docs gets effective_tokens =
+    raw/4 (each doc weighted 1/cluster_size); a source of unique docs
+    keeps discount 1.0."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+    import os, tempfile
+
+    dup = "the same boilerplate paragraph repeated across mirror sites " * 4
+    rows = [(i, "en", "mirror", dup) for i in range(4)] + [
+        (100 + i, "en", "organic",
+         f"unique article {i} about topic {i * 17} with words {i * 31} "
+         f"and more distinct content {i * 53}")
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        r["source"]: r
+        for r in REGISTRY["mix_dedup_aware_epochs"][0](spark, d).collect()
+    }
+    assert out["organic"]["dup_discount"] == 1.0
+    assert abs(out["mirror"]["dup_discount"] - 0.25) < 1e-6
+    assert abs(
+        out["mirror"]["effective_tokens"] - out["mirror"]["raw_tokens"] / 4
+    ) < 1e-3
+
+
+def test_jaccard_links_bounds_and_nonadjacency(spark):
+    """Jaccard scores live in (0, 1]; returned pairs are non-adjacent
+    by construction and fully ordered."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    out = REGISTRY["graph_jaccard_links"][0](spark, SF_DIR).collect()
+    assert len(out) > 0
+    assert all(0.0 < r["jaccard"] <= 1.0 for r in out)
+    js = [r["jaccard"] for r in out]
+    assert js == sorted(js, reverse=True)

@@ -19666,3 +19666,242 @@ def _q_text_rake_top_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("doc_id", "phrase", "n_words", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 12: Jaccard link prediction + dedup-aware epoch weighting.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_jaccard_links",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS newf
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *,
+             sum(newf) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, sess, min(us) AS start_us, max(us) AS end_us
+      FROM s GROUP BY user_id, sess
+    ),
+    ed AS (
+      SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+      FROM sess a JOIN sess b
+        ON a.start_us <= b.end_us AND b.start_us <= a.end_us
+       AND a.user_id < b.user_id
+    ),
+    sym AS (
+      SELECT ua AS u, ub AS v FROM ed
+      UNION ALL
+      SELECT ub AS u, ua AS v FROM ed
+    ),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    nbr AS (
+      SELECT u, v FROM (
+        SELECT u, v,
+               row_number() OVER (
+                 PARTITION BY u
+                 ORDER BY {sp.sql_hash_u32("v", "tsdt|aa")} ASC, v ASC
+               ) AS rn
+        FROM sym
+      ) WHERE rn <= {_AA_CAP}
+    ),
+    hop2 AS (
+      SELECT a.v AS x, b.v AS y
+      FROM nbr a JOIN nbr b ON a.u = b.u AND a.v < b.v
+    ),
+    com AS (SELECT x, y, count(*) AS c FROM hop2 GROUP BY x, y),
+    sc AS (
+      SELECT com.x, com.y, com.c,
+             dx.d + dy.d - com.c AS uni
+      FROM com
+      JOIN deg dx ON dx.u = com.x
+      JOIN deg dy ON dy.u = com.y
+    ),
+    new_links AS (
+      SELECT sc.x, sc.y, sc.c, sc.uni
+      FROM sc LEFT JOIN ed ON ed.ua = sc.x AND ed.ub = sc.y
+      WHERE ed.ua IS NULL
+    )
+    SELECT x AS user_a, y AS user_b,
+           CAST(c AS BIGINT) AS n_common,
+           {R("CAST(c AS DOUBLE) / uni", 6)} AS jaccard
+    FROM new_links
+    ORDER BY jaccard DESC, x ASC, y ASC
+    LIMIT 20
+    """,
+)
+def _q_graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JACCARD link prediction over the session-concurrency graph —
+    Adamic-Adar's size-normalized sibling: |N(x)∩N(y)| / |N(x)∪N(y)|
+    for non-adjacent pairs, union from TRUE degrees
+    (d(x)+d(y)−common), common neighbors from the SAME capped two-hop
+    expansion as `graph_adamic_adar_links` (per-node {_AA_CAP}-cap by
+    portable hash order — the bounded-block rule that keeps Σdeg²
+    finite at hubs). AA rewards rare shared contacts; Jaccard rewards
+    OVERLAP SHARE — a pair with 3 of 4 neighbors shared outranks a
+    hub pair with 10 of 500. The two scores together are the link-
+    prediction panel. Exact integer count/union ratio, 6-dp round,
+    top-20 fully tie-broken."""
+    ev = _table(spark, sf_dir, "events")
+    sess = ag.sessionize_user_events(ev, gap_minutes=30)
+    ivl = sess.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+            "start_us"
+        ),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+    )
+    pairs = iv.overlap_join(ivl, ivl, bucket_us="auto").filter(
+        F.col("user_id_a") < F.col("user_id_b")
+    )
+    ed = pairs.select(
+        F.col("user_id_a").alias("ua"), F.col("user_id_b").alias("ub")
+    ).distinct()
+    sym = ed.select(F.col("ua").alias("u"), F.col("ub").alias("v")).unionAll(
+        ed.select(F.col("ub").alias("u"), F.col("ua").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    wn = Window.partitionBy("u").orderBy(
+        sp.hash_u32(F.col("v"), "tsdt|aa").asc(), F.col("v").asc()
+    )
+    nbr = (
+        sym.withColumn("__rn", F.row_number().over(wn))
+        .filter(F.col("__rn") <= _AA_CAP)
+        .select("u", "v")
+    )
+    a = nbr.select(F.col("u").alias("__via"), F.col("v").alias("x"))
+    b = nbr.select(F.col("u").alias("__via"), F.col("v").alias("y"))
+    com = (
+        a.join(b.hint("shuffle_hash"), "__via")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    dx = deg.select(F.col("u").alias("x"), F.col("d").alias("__dx"))
+    dy = deg.select(F.col("u").alias("y"), F.col("d").alias("__dy"))
+    sc = (
+        com.join(dx.hint("shuffle_hash"), "x")
+        .join(dy.hint("shuffle_hash"), "y")
+        .select(
+            "x", "y", "__c",
+            (F.col("__dx") + F.col("__dy") - F.col("__c")).alias("__uni"),
+        )
+    )
+    new_links = sc.join(
+        ed.hint("shuffle_hash"),
+        (F.col("x") == F.col("ua")) & (F.col("y") == F.col("ub")),
+        "left_anti",
+    )
+    return (
+        new_links.select(
+            F.col("x").alias("user_a"),
+            F.col("y").alias("user_b"),
+            F.col("__c").cast("long").alias("n_common"),
+            rd(F.col("__c").cast("double") / F.col("__uni"), 6).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy(
+            F.col("jaccard").desc(), F.col("user_a").asc(), F.col("user_b").asc()
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "mix_dedup_aware_epochs",
+    f"""
+    WITH RECURSIVE shingled AS ({_SH_SQL}),
+    sig AS ({_SIG_SQL}),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS key
+      FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst
+    ),
+    cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+    sz AS (SELECT cluster_id, count(*) AS csize FROM cl GROUP BY cluster_id),
+    d AS (
+      SELECT doc.doc_id, doc.source,
+             CAST(ceil(length(coalesce(doc.text, '')) / 4.0) AS BIGINT) AS n_tokens,
+             sz.csize
+      FROM documents doc
+      JOIN cl ON cl.doc_id = doc.doc_id
+      JOIN sz ON sz.cluster_id = cl.cluster_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+           {R("CAST(sum(CAST(" + sql_rd("CAST(n_tokens AS DOUBLE) / csize", 6) + " AS DECIMAL(38,6))) AS DOUBLE)", 6)} AS effective_tokens,
+           {R("CAST(sum(CAST(" + sql_rd("CAST(n_tokens AS DOUBLE) / csize", 6) + " AS DECIMAL(38,6))) AS DOUBLE) / sum(n_tokens)", 6)} AS dup_discount
+    FROM d GROUP BY source
+    """,
+)
+def _q_mix_dedup_aware_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-AWARE epoch weighting — the SOFT alternative to
+    drop-the-duplicates: every document keeps membership, but its
+    training weight is 1/cluster_size of its near-dup LSH+CC cluster,
+    so a 5-copy boilerplate family contributes ONE document's worth of
+    gradient per epoch instead of five (the "data diet" form the
+    dedup literature recommends when provenance must be preserved).
+    Per source: raw token mass, dup-discounted EFFECTIVE token mass
+    (Σ n_tokens/csize, 6-dp decimal sum), and the discount ratio —
+    the number a mix owner feeds into per-source epoch counts. Same
+    proven LSH + pointer-jumped CC labeling (`dd.dedup_components`);
+    one size join + one source agg on top."""
+    docs = _table(spark, sf_dir, "documents")
+    comp = dd.dedup_components(docs)
+    sz = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__csize"))
+    d = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.ceil(
+                F.length(F.coalesce(F.col("text"), F.lit(""))) / F.lit(4.0)
+            ).cast("long").alias("__nt"),
+        )
+        .join(comp.hint("shuffle_hash"), "doc_id")
+        .join(sz.hint("shuffle_hash"), "cluster_id")
+    )
+    eff_term = rd(
+        F.col("__nt").cast("double") / F.col("__csize"), 6
+    ).cast("decimal(38,6)")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("raw_tokens"),
+        rd(F.sum(eff_term).cast("double"), 6).alias("effective_tokens"),
+        rd(
+            F.sum(eff_term).cast("double")
+            / F.sum("__nt").cast("double"),
+            6,
+        ).alias("dup_discount"),
+    )
