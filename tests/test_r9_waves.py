@@ -580,3 +580,179 @@ def test_jaccard_links_bounds_and_nonadjacency(spark):
     assert all(0.0 < r["jaccard"] <= 1.0 for r in out)
     js = [r["jaccard"] for r in out]
     assert js == sorted(js, reverse=True)
+
+
+def test_confusion_at_threshold_counts_and_rates_consistent(spark):
+    """The confusion row's derived rates recompute exactly from its
+    own counts, and the counts cover every scored document."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    r = REGISTRY["eval_confusion_at_threshold"][0](spark, SF_DIR).collect()[0]
+    tp, fp, fn, tn = r["tp"], r["fp"], r["fn"], r["tn"]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_scored = tx.hashed_linear_score(docs).count()
+    assert tp + fp + fn + tn == n_scored
+    if tp + fp:
+        assert abs(r["prec"] - tp / (tp + fp)) < 1e-6
+    if tp + fn:
+        assert abs(r["recall"] - tp / (tp + fn)) < 1e-6
+    assert 0.0 <= r["accuracy"] <= 1.0
+    if r["mcc"] is not None:
+        assert -1.0 <= r["mcc"] <= 1.0
+
+
+def test_bh_fdr_planted_drift_discovered_null_not(spark):
+    """A type whose second time-half shifts by +10 is a discovery; a
+    stationary type is not; and the BH q-values dominate the raw
+    p-values (the step-up's monotonicity contract)."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+    import datetime
+    import os
+    import tempfile
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(400):
+        ts = t0 + datetime.timedelta(minutes=i)
+        shift = 10.0 if i >= 200 else 0.0
+        rows.append((eid, ts, 1, "drifty", (i % 17) / 17.0 + shift, None))
+        eid += 1
+        rows.append((eid, ts, 2, "steady", (i % 23) / 23.0, None))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        r["event_type"]: r
+        for r in REGISTRY["stats_bh_fdr_ks_by_type"][0](spark, d).collect()
+    }
+    assert out["drifty"]["discovery"] == 1
+    assert out["steady"]["discovery"] == 0
+    for r in out.values():
+        assert 0.0 <= r["p_value"] <= 1.0
+        assert r["q_value"] >= r["p_value"] - 1e-12
+        assert r["q_value"] <= 1.0
+
+
+def test_doremi_step_weights_normalize_and_upweight_hard_domains(spark):
+    """EG invariants straight from the output: weights form a
+    distribution, and weight/share ratios are strictly monotone in
+    excess loss (harder-than-mixture domains get upweighted)."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    rows = REGISTRY["mix_doremi_step"][0](spark, SF_DIR).collect()
+    assert len(rows) > 1
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    assert all(r["weight"] > 0 for r in rows)
+    by_excess = sorted(rows, key=lambda r: r["excess"])
+    ratios = [r["weight"] / r["share"] for r in by_excess]
+    assert all(a <= b + 1e-9 for a, b in zip(ratios, ratios[1:]))
+    pos = [r for r in rows if r["excess"] > 0]
+    neg = [r for r in rows if r["excess"] < 0]
+    if pos and neg:
+        assert min(r["weight"] / r["share"] for r in pos) > max(
+            r["weight"] / r["share"] for r in neg
+        )
+
+
+def test_hampel_replaces_planted_spike_keeps_clean_points(spark):
+    """A lone 100.0 spike in a flat series is flagged and replaced by
+    the local median; every clean point passes through untouched."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+    import datetime
+    import os
+    import tempfile
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        v = 100.0 if i == 20 else 5.0 + (i % 3) * 0.01
+        rows.append((i, t0 + datetime.timedelta(seconds=i), 1, "a", v, None))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        r["event_id"]: r
+        for r in REGISTRY["ts_hampel_filter"][0](spark, d).collect()
+    }
+    assert out[20]["is_outlier"] == 1
+    assert abs(out[20]["filtered"] - out[20]["med"]) < 1e-9
+    assert out[20]["filtered"] < 6.0
+    clean = [r for i, r in out.items() if abs(i - 20) > 3]
+    assert all(r["is_outlier"] == 0 for r in clean)
+    assert len(out) == 40
+
+
+def test_centroid_shift_identical_halves_cosine_one(spark):
+    """Vectors duplicated across parity halves give centroid cosine
+    exactly 1 and l2 shift 0 for every label."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+    import os
+    import tempfile
+
+    rows = []
+    for k in range(6):
+        vec = [float((k * 7 + j) % 5) / 4.0 + 0.1 for j in range(8)]
+        rows.append((2 * k, vec, k % 2))      # even half
+        rows.append((2 * k + 1, vec, k % 2))  # odd half, same vector
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = tempfile.mkdtemp()
+    emb.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = REGISTRY["emb_centroid_shift_by_label"][0](spark, d).collect()
+    assert len(out) == 2
+    for r in out:
+        assert abs(r["centroid_cosine"] - 1.0) < 1e-6
+        assert abs(r["l2_shift"]) < 1e-6
+        assert r["n_a"] == r["n_b"]
+
+
+def test_hits_authority_is_distribution_and_favors_hub_heavy_type(spark):
+    """Authority scores form a distribution over types, and a type
+    engaged only by multi-type (hub) users outranks a type with the
+    same raw count from single-type users."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+    import datetime
+    import os
+    import tempfile
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # hubs 1-5 touch hubbed + popular; loners 10-19 touch lonely only
+    for u in range(1, 6):
+        for t in ("hubbed", "popular"):
+            for _ in range(4):
+                rows.append((eid, t0, u, t, 1.0, None))
+                eid += 1
+    for u in range(10, 20):
+        for _ in range(2):
+            rows.append((eid, t0, u, "lonely", 1.0, None))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r["event_type"]: r for r in REGISTRY["graph_hits_scores"][0](spark, d).collect()}
+    assert abs(sum(r["authority"] for r in out.values()) - 1.0) < 1e-4
+    assert out["hubbed"]["authority"] > out["lonely"]["authority"]
+    assert out["hubbed"]["n_users"] == 5

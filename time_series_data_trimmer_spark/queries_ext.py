@@ -19905,3 +19905,683 @@ def _q_mix_dedup_aware_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_discount"),
     )
+
+
+@register(
+    "eval_confusion_at_threshold",
+    f"""
+    WITH {_HLS_VS_C4_SQL},
+    b AS (
+      SELECT CASE WHEN sc.logit >= 0.0 THEN 1 ELSE 0 END AS pred,
+             CASE WHEN surv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS pass
+      FROM sc LEFT JOIN surv ON surv.doc_id = sc.doc_id
+    ),
+    c AS (
+      SELECT CAST(sum(pred * pass) AS BIGINT) AS tp,
+             CAST(sum(pred * (1 - pass)) AS BIGINT) AS fp,
+             CAST(sum((1 - pred) * pass) AS BIGINT) AS fn,
+             CAST(sum((1 - pred) * (1 - pass)) AS BIGINT) AS tn
+      FROM b
+    )
+    SELECT tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0 THEN
+             {R("CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))", 6)}
+           END AS prec,
+           CASE WHEN tp + fn > 0 THEN
+             {R("CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))", 6)}
+           END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0 THEN
+             {R("(2.0 * CAST(tp AS DOUBLE)) / (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE))", 6)}
+           END AS f1,
+           {R("(CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE)) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE))", 6)} AS accuracy,
+           CASE WHEN (tp + fp) > 0 AND (tp + fn) > 0 AND (tn + fp) > 0 AND (tn + fn) > 0 THEN
+             {R("(CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE) - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE)) / sqrt(((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))) * ((CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE)) * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))))", 6)}
+           END AS mcc
+    FROM c
+    """,
+)
+def _q_eval_confusion_at_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPERATING-POINT eval for the cheap hashed-linear quality
+    scorer against the expensive C4 gate: the confusion matrix and
+    its derived rates at the deployment threshold (logit >= 0) — the
+    number a pipeline owner reads AFTER `eval_auc_binned` says the
+    ranking is good and `text_score_calibration` picks the threshold:
+    what do we actually keep/lose if the cheap scorer pre-prunes the
+    crawl HERE. Same factored scorer+label pair (`_HLS_VS_C4_SQL`) as
+    the rest of the eval family, so all four evals (AUC, PR, Brier,
+    confusion) score the identical logit against the identical label.
+    Counts are exact integers off one scan + one doc_id-keyed left
+    join; precision/recall/F1/accuracy/MCC are single IEEE
+    expressions on the four counts (explicitly parenthesized so both
+    engines multiply in the same order; sqrt is correctly rounded),
+    zero-denominator cells NULL-guarded. Single-row output — at
+    100 TB this is a pure scan + one broadcast-sized join, no state."""
+    docs = _table(spark, sf_dir, "documents")
+    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
+    surv = tx.c4_filter_survivors(docs).select(
+        "doc_id", F.lit(1).alias("__pass")
+    )
+    j = scores.join(surv.hint("shuffle_hash"), "doc_id", "left").select(
+        F.when(F.col("logit") >= 0.0, 1).otherwise(0).alias("__pred"),
+        F.coalesce(F.col("__pass"), F.lit(0)).alias("__y"),
+    )
+    c = j.agg(
+        F.sum(F.col("__pred") * F.col("__y")).cast("long").alias("tp"),
+        F.sum(F.col("__pred") * (F.lit(1) - F.col("__y"))).cast("long").alias("fp"),
+        F.sum((F.lit(1) - F.col("__pred")) * F.col("__y")).cast("long").alias("fn"),
+        F.sum((F.lit(1) - F.col("__pred")) * (F.lit(1) - F.col("__y"))).cast("long").alias("tn"),
+    )
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = F.col("fn").cast("double")
+    tn = F.col("tn").cast("double")
+    mcc_den = F.sqrt(((tp + fp) * (tp + fn)) * ((tn + fp) * (tn + fn)))
+    return c.select(
+        "tp", "fp", "fn", "tn",
+        F.when(F.col("tp") + F.col("fp") > 0, rd(tp / (tp + fp), 6)).alias("prec"),
+        F.when(F.col("tp") + F.col("fn") > 0, rd(tp / (tp + fn), 6)).alias("recall"),
+        F.when(
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            rd((F.lit(2.0) * tp) / (F.lit(2.0) * tp + fp + fn), 6),
+        ).alias("f1"),
+        rd((tp + tn) / (tp + fp + fn + tn), 6).alias("accuracy"),
+        F.when(
+            (F.col("tp") + F.col("fp") > 0)
+            & (F.col("tp") + F.col("fn") > 0)
+            & (F.col("tn") + F.col("fp") > 0)
+            & (F.col("tn") + F.col("fn") > 0),
+            rd((tp * tn - fp * fn) / mcc_den, 6),
+        ).alias("mcc"),
+    )
+
+
+@register(
+    "stats_bh_fdr_ks_by_type",
+    f"""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) AS us, value AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    rng AS (SELECT min(us) AS u0, max(us) AS u1 FROM ev),
+    f AS (
+      SELECT event_type, v,
+             CASE WHEN us <= (u0 + u1) // 2 THEN 1 ELSE 0 END AS isa
+      FROM ev CROSS JOIN rng
+    ),
+    r AS (
+      SELECT event_type, v,
+             sum(isa) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(1 - isa) OVER (PARTITION BY event_type ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cb,
+             sum(isa) OVER (PARTITION BY event_type) AS na,
+             sum(1 - isa) OVER (PARTITION BY event_type) AS nb,
+             lead(v) OVER (PARTITION BY event_type ORDER BY v) AS nv
+      FROM f
+    ),
+    l AS (SELECT * FROM r WHERE nv IS NULL OR nv <> v),
+    m AS (
+      SELECT event_type,
+             max(abs(CAST(ca AS DECIMAL(38,0)) * nb
+                     - CAST(cb AS DECIMAL(38,0)) * na)) AS dnum,
+             max(na) AS n_a, max(nb) AS n_b
+      FROM l GROUP BY event_type
+    ),
+    k AS (
+      SELECT event_type,
+             CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             {R("CAST(dnum AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))", 6)} AS ks_stat
+      FROM m WHERE n_a > 0 AND n_b > 0
+    ),
+    p AS (
+      SELECT event_type, n_a, n_b, ks_stat,
+             {R("least(1.0, 2.0 * exp(-2.0 * ((ks_stat * ks_stat) * ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))))", 8)} AS p_value
+      FROM k
+    ),
+    rr AS (
+      SELECT *, row_number() OVER (ORDER BY p_value, event_type) AS rn,
+             count(*) OVER () AS mm
+      FROM p
+    ),
+    q AS (
+      SELECT event_type, n_a, n_b, ks_stat, p_value,
+             {R("least(1.0, min((p_value * CAST(mm AS DOUBLE)) / CAST(rn AS DOUBLE)) OVER (ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))", 8)} AS q_value
+      FROM rr
+    )
+    SELECT event_type, n_a, n_b, ks_stat, p_value, q_value,
+           CAST(CASE WHEN q_value <= 0.05 THEN 1 ELSE 0 END AS INTEGER) AS discovery
+    FROM q
+    """,
+)
+def _q_stats_bh_fdr_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE-TESTING control over the drift family: the per-type
+    KS drift test (identical exact-integer statistic as
+    `stats_ks_halves_by_type`) promoted from one critical value to
+    asymptotic p-values (p = 2·exp(−2·d²·n_a·n_b/(n_a+n_b)), computed
+    from the 6-dp-rounded stat so both engines exponentiate the same
+    double) with BENJAMINI-HOCHBERG step-up q-values across the m
+    types — the correction a monitoring pipeline needs the moment it
+    runs the drift test per segment × per day (at 100 TB that is
+    thousands of simultaneous tests; per-test α would page on noise
+    every night). q_i = min(1, min_{{j≥i}} p_(j)·m/j) is computed
+    WITHOUT a keyless window: the per-type rows (≤|types|) collect
+    into ONE sorted array and an O(m²) `F.transform` over index
+    suffixes takes the running min — the eval-family
+    collect-list-and-fold pattern, all JVM-side. Tie order between
+    equal p-values provably cannot change q (equal p at ranks i<j
+    share the suffix min), so the sort key needs no tiebreak for
+    value agreement. Output: stat, p, q (8-dp), FDR-0.05 discovery
+    flag per type."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    us = event_micros(ev)
+    base = ev.select("event_type", us.alias("__us"), F.col("value").alias("__v"))
+    rng = base.agg(F.min("__us").alias("__u0"), F.max("__us").alias("__u1"))
+    flagged = base.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "__v",
+        F.when(F.col("__us") <= F.expr("(__u0 + __u1) DIV 2"), 1)
+        .otherwise(0)
+        .alias("__isa"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("__v").asc())
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("event_type")
+    r = flagged.select(
+        "event_type",
+        "__v",
+        F.sum("__isa").over(wcum).alias("__ca"),
+        F.sum(F.lit(1) - F.col("__isa")).over(wcum).alias("__cb"),
+        F.sum("__isa").over(wall).alias("__na"),
+        F.sum(F.lit(1) - F.col("__isa")).over(wall).alias("__nb"),
+        F.lead("__v").over(w).alias("__nv"),
+    )
+    last = r.filter(F.col("__nv").isNull() | (F.col("__nv") != F.col("__v")))
+    num = F.abs(
+        F.col("__ca").cast("decimal(38,0)") * F.col("__nb")
+        - F.col("__cb").cast("decimal(38,0)") * F.col("__na")
+    )
+    m = last.groupBy("event_type").agg(
+        F.max(num).alias("__dnum"),
+        F.max("__na").alias("__fna"),
+        F.max("__nb").alias("__fnb"),
+    ).filter((F.col("__fna") > 0) & (F.col("__fnb") > 0))
+    na_d = F.col("__fna").cast("double")
+    nb_d = F.col("__fnb").cast("double")
+    ks = rd(F.col("__dnum").cast("double") / (na_d * nb_d), 6)
+    pval = rd(
+        F.least(
+            F.lit(1.0),
+            F.lit(2.0)
+            * F.exp(
+                F.lit(-2.0) * ((ks * ks) * ((na_d * nb_d) / (na_d + nb_d)))
+            ),
+        ),
+        8,
+    )
+    per = m.select(
+        pval.alias("p"),
+        F.col("event_type"),
+        ks.alias("ks_stat"),
+        F.col("__fna").cast("long").alias("n_a"),
+        F.col("__fnb").cast("long").alias("n_b"),
+    )
+    row = per.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("p", "event_type", "ks_stat", "n_a", "n_b")
+            )
+        ).alias("__arr")
+    )
+    arr = F.col("__arr")
+    mm = F.size(arr).cast("double")
+    qarr = F.transform(
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda i: rd(
+            F.least(
+                F.lit(1.0),
+                F.array_min(
+                    F.transform(
+                        F.sequence(i, F.size(arr)),
+                        lambda j: (F.element_at(arr, j)["p"] * mm)
+                        / j.cast("double"),
+                    )
+                ),
+            ),
+            8,
+        ),
+    )
+    z = row.select(F.explode(F.arrays_zip(arr, qarr.alias("__q"))).alias("__z"))
+    return z.select(
+        F.col("__z.__arr.event_type").alias("event_type"),
+        F.col("__z.__arr.n_a").alias("n_a"),
+        F.col("__z.__arr.n_b").alias("n_b"),
+        F.col("__z.__arr.ks_stat").alias("ks_stat"),
+        F.col("__z.__arr.p").alias("p_value"),
+        F.col("__z.__q").alias("q_value"),
+        F.when(F.col("__z.__q") <= 0.05, 1).otherwise(0).cast("int").alias("discovery"),
+    )
+
+
+@register(
+    "mix_doremi_step",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> length(x) > 0) AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT doc_id, len(ws) AS n,
+             list_aggregate(list_transform(ws, t ->
+               CAST({R("(('0x' || substr(md5('tsdt|hls' || '|' || t), 1, 8))::BIGINT) / 4294967296.0 - 0.5", 6)} AS DECIMAL(20,6))
+             ), 'sum') AS tot
+      FROM w WHERE len(ws) > 0
+    ),
+    sc AS (SELECT doc_id, {R("CAST(tot AS DOUBLE) / n", 6)} AS logit FROM s),
+    d AS (
+      SELECT doc.source,
+             CAST(ceil(length(coalesce(doc.text, '')) / 4.0) AS BIGINT) AS nt,
+             sc.logit
+      FROM documents doc JOIN sc ON sc.doc_id = doc.doc_id
+    ),
+    per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS tokens,
+             sum(CAST(logit AS DECIMAL(38,6))) AS slog
+      FROM d GROUP BY source
+    ),
+    tot AS (SELECT sum(tokens) AS tt FROM per),
+    p2 AS (
+      SELECT source, n_docs, tokens,
+             {R("CAST(tokens AS DOUBLE) / CAST(tt AS DOUBLE)", 8)} AS share,
+             {R("(-(CAST(slog AS DOUBLE))) / CAST(n_docs AS DOUBLE)", 8)} AS loss
+      FROM per CROSS JOIN tot
+    ),
+    refc AS (SELECT sum(CAST({R("share * loss", 12)} AS DECIMAL(38,12))) AS r FROM p2),
+    p3 AS (
+      SELECT p2.*, {R(f"loss - {R('CAST(r AS DOUBLE)', 8)}", 8)} AS excess
+      FROM p2 CROSS JOIN refc
+    ),
+    p4 AS (SELECT p3.*, {R("share * exp(excess)", 8)} AS wraw FROM p3),
+    ws2 AS (SELECT sum(CAST(wraw AS DECIMAL(38,8))) AS wsum FROM p4)
+    SELECT source, n_docs, tokens, share, loss AS proxy_loss, excess,
+           {R("wraw / CAST(wsum AS DOUBLE)", 6)} AS weight
+    FROM p4 CROSS JOIN ws2
+    """,
+)
+def _q_mix_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN REWEIGHTING, DoReMi-shaped: one exponentiated-gradient
+    step on per-source mixture weights from per-source EXCESS LOSS —
+    the principled alternative to hand-tuned source weights
+    (`mix_temperature_sample` is the heuristic member; this is the
+    optimizer member the DoReMi paper distills a proxy run into).
+    Loss proxy: the negated mean hashed-linear quality logit per
+    source (one scan, the eval family's scorer — swap in real proxy-
+    model NLL by replacing one column); reference loss: the token-
+    share-weighted mixture mean, so excess_s = loss_s − Σ share·loss
+    is positive exactly for harder-than-mixture domains, which EG
+    then upweights: w'_s ∝ share_s·exp(η·excess_s), η=1, normalized.
+    Determinism: every float is rounded to a fixed grid BEFORE the
+    next stage consumes it (losses/shares 8-dp, share·loss terms
+    12-dp decimal-summed, exp terms 8-dp decimal-summed, final weight
+    6-dp), so both engines fold identical doubles; the three mixture
+    scalars attach via sanctioned 1-row broadcast cross joins. Plan:
+    one document scan + one source-keyed exchange, then |sources|-row
+    arithmetic — at 100 TB the cost is the scan, the EG step is
+    free."""
+    docs = _table(spark, sf_dir, "documents")
+    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.ceil(
+            F.length(F.coalesce(F.col("text"), F.lit(""))) / F.lit(4.0)
+        ).cast("long").alias("__nt"),
+    ).join(scores.hint("shuffle_hash"), "doc_id")
+    per = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("tokens"),
+        F.sum(F.col("logit").cast("decimal(38,6)")).alias("__slog"),
+    )
+    tot = per.agg(F.sum("tokens").alias("__tt"))
+    p2 = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        rd(F.col("tokens").cast("double") / F.col("__tt").cast("double"), 8).alias("share"),
+        rd(
+            (-(F.col("__slog").cast("double"))) / F.col("n_docs").cast("double"),
+            8,
+        ).alias("loss"),
+    )
+    ref = p2.agg(
+        F.sum(rd(F.col("share") * F.col("loss"), 12).cast("decimal(38,12)")).alias("__r")
+    )
+    p3 = p2.crossJoin(F.broadcast(ref)).select(
+        "source", "n_docs", "tokens", "share", "loss",
+        rd(F.col("loss") - rd(F.col("__r").cast("double"), 8), 8).alias("excess"),
+    )
+    p4 = p3.select(
+        "*", rd(F.col("share") * F.exp(F.col("excess")), 8).alias("__wraw")
+    )
+    wsum = p4.agg(F.sum(F.col("__wraw").cast("decimal(38,8)")).alias("__ws"))
+    return p4.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        "share",
+        F.col("loss").alias("proxy_loss"),
+        "excess",
+        rd(F.col("__wraw") / F.col("__ws").cast("double"), 6).alias("weight"),
+    )
+
+
+@register(
+    "ts_hampel_filter",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, ts, value AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    fr AS (
+      SELECT event_id, user_id, event_type, v,
+             list_sort(list(v) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+      FROM e
+    ),
+    md AS (
+      SELECT event_id, user_id, event_type, v, arr,
+             (arr[CAST(floor((len(arr) + 1) / 2) AS INT)]
+              + arr[CAST(floor(len(arr) / 2) AS INT) + 1]) / 2.0 AS med
+      FROM fr
+    ),
+    dv AS (
+      SELECT event_id, user_id, event_type, v, med,
+             list_sort(list_transform(arr, x -> abs(x - med))) AS arr2
+      FROM md
+    ),
+    mz AS (
+      SELECT event_id, user_id, event_type, v, med,
+             (arr2[CAST(floor((len(arr2) + 1) / 2) AS INT)]
+              + arr2[CAST(floor(len(arr2) / 2) AS INT) + 1]) / 2.0 AS mad
+      FROM dv
+    )
+    SELECT event_id, user_id, event_type,
+           {R("med", 6)} AS med,
+           {R("mad", 6)} AS mad,
+           CAST(CASE WHEN abs(v - med) > 3.0 * (1.4826 * mad) THEN 1 ELSE 0 END AS INTEGER) AS is_outlier,
+           {R("CASE WHEN abs(v - med) > 3.0 * (1.4826 * mad) THEN med ELSE v END", 6)} AS filtered
+    FROM mz
+    """,
+)
+def _q_ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAMPEL FILTER — the robust despiking standard for sensor
+    streams: a centered 7-row window per event type, the window
+    MEDIAN as the local level and the window MAD (median absolute
+    deviation, ×1.4826 for Gaussian consistency) as the robust sigma;
+    a point farther than 3σ̂ from the local median is an outlier and
+    is REPLACED by it. The robust sibling of a Bollinger/z-score
+    despiker: one spike cannot inflate its own rejection threshold
+    the way it inflates a rolling stddev (`ts_mad_outliers` is the
+    GLOBAL member; this is the rolling one). Built exactly like
+    `f2_rolling_median`: the frame collects into a sorted array once,
+    the median AND the MAD (a second sort over the absolute
+    deviations from that median — a pure array expression, no second
+    window) both come off it, edges shrink naturally. The window keys on (user_id,
+    event_type) — per-ENTITY series, so partition count scales with
+    the data (a type-keyed window would leave |types| tasks at
+    100 TB) and each frame stays O(7). Interpolated (mean-of-middle-pair) medians keep
+    both engines on the same rational."""
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "user_id", "event_type", "ts", F.col("value").alias("__v"))
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    arr = F.sort_array(F.collect_list("__v").over(w.rowsBetween(-3, 3)))
+    fr = ev.select("event_id", "user_id", "event_type", "__v", arr.alias("__arr"))
+
+    def _med(a):
+        n = F.size(a)
+        lo = F.element_at(a, F.floor((n + F.lit(1)) / F.lit(2)).cast("int"))
+        hi = F.element_at(a, F.floor(n / F.lit(2)).cast("int") + F.lit(1))
+        return (lo + hi) / F.lit(2.0)
+
+    md = fr.select(
+        "event_id", "user_id", "event_type", "__v", "__arr", _med(F.col("__arr")).alias("__med")
+    )
+    arr2 = F.sort_array(
+        F.transform(F.col("__arr"), lambda x: F.abs(x - F.col("__med")))
+    )
+    mz = md.select(
+        "event_id", "user_id", "event_type", "__v", "__med", _med(arr2).alias("__mad")
+    )
+    hit = F.abs(F.col("__v") - F.col("__med")) > F.lit(3.0) * (
+        F.lit(1.4826) * F.col("__mad")
+    )
+    return mz.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        rd(F.col("__med"), 6).alias("med"),
+        rd(F.col("__mad"), 6).alias("mad"),
+        F.when(hit, 1).otherwise(0).cast("int").alias("is_outlier"),
+        rd(F.when(hit, F.col("__med")).otherwise(F.col("__v")), 6).alias("filtered"),
+    )
+
+
+@register(
+    "emb_centroid_shift_by_label",
+    f"""
+    WITH ex AS (
+      SELECT vec_id, label, u['i'] - 1 AS i, CAST(u['v'] AS DOUBLE) AS x,
+             vec_id % 2 AS half
+      FROM (SELECT vec_id, label,
+                   unnest(list_transform(embedding, (x, i) -> {{'v': x, 'i': i}})) AS u
+            FROM embeddings)
+    ),
+    m AS (
+      SELECT label, i, half,
+             {R("CAST(sum(CAST(" + sql_rd("x", 9) + " AS DECIMAL(38,9))) AS DOUBLE) / count(*)", 9)} AS m,
+             count(*) AS n
+      FROM ex GROUP BY label, i, half
+    ),
+    piv AS (
+      SELECT label, i,
+             max(CASE WHEN half = 0 THEN m END) AS a,
+             max(CASE WHEN half = 1 THEN m END) AS b,
+             max(CASE WHEN half = 0 THEN n END) AS na,
+             max(CASE WHEN half = 1 THEN n END) AS nb
+      FROM m GROUP BY label, i
+    ),
+    ok2 AS (SELECT * FROM piv WHERE a IS NOT NULL AND b IS NOT NULL),
+    agg AS (
+      SELECT label,
+             CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+             CAST(sum(CAST({R("a * b", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+             CAST(sum(CAST({R("a * a", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS naa,
+             CAST(sum(CAST({R("b * b", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS nbb,
+             CAST(sum(CAST({R("(a - b) * (a - b)", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS sh2
+      FROM ok2 GROUP BY label
+    )
+    SELECT label, n_a, n_b,
+           {R("dot / (sqrt(naa) * sqrt(nbb))", 6)} AS centroid_cosine,
+           {R("sqrt(sh2)", 6)} AS l2_shift
+    FROM agg
+    """,
+)
+def _q_emb_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING DRIFT detector — the check a retrieval/dedup owner
+    runs after re-embedding a corpus with a new model checkpoint or
+    ingesting a new batch: split each label's vectors into two
+    deterministic halves (vec_id parity standing in for
+    old-batch/new-batch), mean-pool each half (the proven
+    `emb_mean_pool_by_label` decimal-exact per-dimension pattern),
+    and compare the two centroids per label by cosine and L2 shift.
+    Centroid cosine ≈ 1 and small L2 → the space is stable and ANN
+    index parameters / dedup thresholds transfer; a label whose
+    halves disagree flags re-tuning BEFORE recall silently degrades
+    (the drift sibling of `emb_ood_zscore_by_label`, which scores
+    points, not the space). Plan: one explode + one (label, dim,
+    half)-keyed decimal mean — vectors never shuffle whole — then a
+    64-row-per-label pivot and one label agg; every sum
+    order-independent via fixed-grid rounding + decimal
+    accumulation. |labels|-row output."""
+    emb = _table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "__xf")
+    ).select(
+        "label",
+        "i",
+        F.col("__xf").cast("double").alias("__x"),
+        (F.col("vec_id") % 2).alias("__half"),
+    )
+    m = ex.groupBy("label", "i", "__half").agg(
+        rd(
+            F.sum(rd(F.col("__x"), 9).cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("__m"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    piv = m.groupBy("label", "i").agg(
+        F.max(F.when(F.col("__half") == 0, F.col("__m"))).alias("__a"),
+        F.max(F.when(F.col("__half") == 1, F.col("__m"))).alias("__b"),
+        F.max(F.when(F.col("__half") == 0, F.col("__n"))).alias("__na"),
+        F.max(F.when(F.col("__half") == 1, F.col("__n"))).alias("__nb"),
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+
+    def _ds12(term):
+        return F.sum(rd(term, 12).cast("decimal(38,12)")).cast("double")
+
+    agg = piv.groupBy("label").agg(
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+        _ds12(F.col("__a") * F.col("__b")).alias("__dot"),
+        _ds12(F.col("__a") * F.col("__a")).alias("__naa"),
+        _ds12(F.col("__b") * F.col("__b")).alias("__nbb"),
+        _ds12((F.col("__a") - F.col("__b")) * (F.col("__a") - F.col("__b"))).alias("__sh2"),
+    )
+    return agg.select(
+        "label",
+        "n_a",
+        "n_b",
+        rd(
+            F.col("__dot") / (F.sqrt(F.col("__naa")) * F.sqrt(F.col("__nbb"))), 6
+        ).alias("centroid_cosine"),
+        rd(F.sqrt(F.col("__sh2")), 6).alias("l2_shift"),
+    )
+
+
+@register(
+    "graph_hits_scores",
+    f"""
+    WITH ed AS (
+      SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    t0 AS (SELECT DISTINCT event_type FROM ed),
+    ntc AS (SELECT count(*) AS nt FROM t0),
+    a0 AS (SELECT event_type, {R("1.0 / nt", 12)} AS a FROM t0 CROSS JOIN ntc),
+    h1r AS (
+      SELECT user_id, CAST(sum(CAST({R("c * a", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS h
+      FROM ed JOIN a0 USING (event_type) GROUP BY user_id
+    ),
+    h1s AS (SELECT CAST(sum(CAST({R("h", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS s FROM h1r),
+    h1 AS (SELECT user_id, {R("h / s", 12)} AS h FROM h1r CROSS JOIN h1s),
+    a1r AS (
+      SELECT event_type, CAST(sum(CAST({R("c * h", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS a
+      FROM ed JOIN h1 USING (user_id) GROUP BY event_type
+    ),
+    a1s AS (SELECT CAST(sum(CAST({R("a", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS s FROM a1r),
+    a1 AS (SELECT event_type, {R("a / s", 12)} AS a FROM a1r CROSS JOIN a1s),
+    h2r AS (
+      SELECT user_id, CAST(sum(CAST({R("c * a", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS h
+      FROM ed JOIN a1 USING (event_type) GROUP BY user_id
+    ),
+    h2s AS (SELECT CAST(sum(CAST({R("h", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS s FROM h2r),
+    h2 AS (SELECT user_id, {R("h / s", 12)} AS h FROM h2r CROSS JOIN h2s),
+    a2r AS (
+      SELECT event_type, CAST(sum(CAST({R("c * h", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS a
+      FROM ed JOIN h2 USING (user_id) GROUP BY event_type
+    ),
+    a2s AS (SELECT CAST(sum(CAST({R("a", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS s FROM a2r),
+    a2 AS (SELECT event_type, {R("a / s", 12)} AS a FROM a2r CROSS JOIN a2s),
+    nu AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ed GROUP BY event_type)
+    SELECT a2.event_type, nu.n_users,
+           {R("a2.a", 6)} AS authority,
+           {R("a2.a - a1.a", 6)} AS delta_last_iter
+    FROM a2 JOIN a1 ON a1.event_type = a2.event_type
+    JOIN nu ON nu.event_type = a2.event_type
+    """,
+)
+def _q_graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs-and-authorities) on the user ↔ event-type
+    bipartite engagement graph — the mutual-reinforcement ranking
+    member of the graph family next to `graph_pagerank_user_concurrency`
+    (random-walk member): an event type is AUTHORITATIVE when heavy
+    multi-type users (hubs) engage with it, a user is a hub when they
+    engage with authoritative types — the structure simple count
+    ranking misses (a type with many single-type drive-by users
+    outranks on counts but not on authority). Two fixed power-iteration
+    rounds with L1 normalization after every half-step (fixed-round =
+    the `graph_kcore_bound` contract: a deep-cascade-independent,
+    plan-depth-bounded screen; `delta_last_iter` reports residual
+    movement so the reader sees convergence). Exactness: every Σ c·x
+    rounds terms to the 12-dp grid and accumulates in decimal, every
+    normalization scalar attaches as a sanctioned 1-row broadcast —
+    both engines fold identical doubles at every half-step. Plan: one
+    (user,type) edge agg, then per round one broadcast join + type agg
+    and one user-keyed shuffle-hash join + user agg — all keyed, no
+    iteration-count data dependence."""
+    ev = _events(spark, sf_dir)
+    ed = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+
+    def _ds12(term):
+        return F.sum(rd(term, 12).cast("decimal(38,12)")).cast("double")
+
+    t0 = ed.select("event_type").distinct()
+    ntc = t0.agg(F.count(F.lit(1)).alias("__nt"))
+    a = t0.crossJoin(F.broadcast(ntc)).select(
+        "event_type", rd(F.lit(1.0) / F.col("__nt"), 12).alias("__a")
+    )
+    a_prev = None
+    for _ in range(2):
+        hr = (
+            ed.join(F.broadcast(a), "event_type")
+            .groupBy("user_id")
+            .agg(_ds12(F.col("__c") * F.col("__a")).alias("__h"))
+        )
+        hs = hr.agg(_ds12(F.col("__h")).alias("__s"))
+        h = hr.crossJoin(F.broadcast(hs)).select(
+            "user_id", rd(F.col("__h") / F.col("__s"), 12).alias("__h")
+        )
+        ar = (
+            ed.join(h.hint("shuffle_hash"), "user_id")
+            .groupBy("event_type")
+            .agg(_ds12(F.col("__c") * F.col("__h")).alias("__ar"))
+        )
+        asum = ar.agg(_ds12(F.col("__ar")).alias("__s"))
+        a_prev = a
+        a = ar.crossJoin(F.broadcast(asum)).select(
+            "event_type", rd(F.col("__ar") / F.col("__s"), 12).alias("__a")
+        )
+    nu = ed.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    prev = a_prev.select("event_type", F.col("__a").alias("__ap"))
+    return (
+        a.join(F.broadcast(prev), "event_type")
+        .join(F.broadcast(nu), "event_type")
+        .select(
+            "event_type",
+            "n_users",
+            rd(F.col("__a"), 6).alias("authority"),
+            rd(F.col("__a") - F.col("__ap"), 6).alias("delta_last_iter"),
+        )
+    )
