@@ -756,3 +756,137 @@ def test_hits_authority_is_distribution_and_favors_hub_heavy_type(spark):
     assert abs(sum(r["authority"] for r in out.values()) - 1.0) < 1e-4
     assert out["hubbed"]["authority"] > out["lonely"]["authority"]
     assert out["hubbed"]["n_users"] == 5
+
+
+def test_prf_expansion_retrieves_doc_without_original_terms(spark):
+    """The recall contract: a document containing ONLY the expansion
+    term (no original query term) is absent from plain BM25 results
+    but present after PRF expansion."""
+    rows = []
+    # 5 strong matches: original terms + a distinctive co-term
+    for i in range(5):
+        rows.append((i, "spark window join quasar " + f"alpha{i} beta{i}"))
+    # the target: shares only the co-term
+    rows.append((100, "quasar telemetry " + "filler " * 5))
+    # diluting corpus: common words, no query terms
+    for i in range(40):
+        rows.append((200 + i, "the quick brown fox jumps over lazy dog " * 2))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {r["doc_id"] for r in tx.bm25_topk(docs, ["spark", "window", "join"], k=20).collect()}
+    prf = tx.bm25_prf_topk(
+        docs, ["spark", "window", "join"], k=20, fb_docs=5, fb_terms=3, beta=0.5
+    )
+    got = {r["doc_id"]: r for r in prf.collect()}
+    assert 100 not in plain
+    assert 100 in got
+    scores = [r["score"] for r in sorted(got.values(), key=lambda r: (-r["score"], r["doc_id"]))]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    # originals still dominate: every seed doc outranks the expansion-only doc
+    for i in range(5):
+        assert got[i]["score"] > got[100]["score"]
+
+
+def test_cramers_v_perfect_association_is_one_independence_near_zero(spark):
+    """type_x_hod V == 1 when every type owns one hour exclusively;
+    an independent uniform grid gives V == 0."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+    import datetime
+    import os
+    import tempfile
+
+    t0 = datetime.datetime(2024, 1, 1)  # midnight UTC
+    rows = []
+    eid = 0
+    # perfect: type 'a' only hour 0, 'b' only hour 1 (same weekday)
+    for i in range(20):
+        rows.append((eid, t0 + datetime.timedelta(minutes=i), 1, "a", 1.0, None)); eid += 1
+        rows.append((eid, t0 + datetime.timedelta(hours=1, minutes=i), 2, "b", 1.0, None)); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r["pair"]: r for r in REGISTRY["stats_cramers_v_pairs"][0](spark, d).collect()}
+    assert abs(out["type_x_hod"]["cramers_v"] - 1.0) < 1e-6
+    assert out["type_x_hod"]["dof"] == 1
+    assert out["type_x_hod"]["n"] == 40
+    # one weekday only -> hod_x_dow and type_x_dow are degenerate (c=1):
+    # dof 0 and a NULL-guarded V instead of a divide-by-zero
+    assert out["hod_x_dow"]["dof"] == 0
+    assert out["hod_x_dow"]["cramers_v"] is None
+
+
+def test_fd_audit_key_holds_multivalued_violates(spark):
+    """o_orderkey->o_custkey holds (it is a key); the planted
+    multi-sourced FDs report their true violation counts."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    out = {r["fd"]: r for r in REGISTRY["dq_functional_dependency"][0](spark, SF_DIR).collect()}
+    assert out["orders.o_orderkey->o_custkey"]["holds"] == 1
+    assert out["orders.o_orderkey->o_custkey"]["n_violating"] == 0
+    assert out["lineitem.l_partkey->l_suppkey"]["holds"] == 0
+    assert out["lineitem.l_partkey->l_suppkey"]["violation_rate"] > 0.5
+    for r in out.values():
+        assert 0.0 <= r["violation_rate"] <= 1.0
+
+
+def test_chi2_zero_cells_contribute_expected_mass(spark):
+    """r9 zero-cell fix: a type completely absent from an hour now
+    contributes (0−E)²/E — perfect 2×2 association yields chi2 = n
+    and the residual drill-down emits the missing cells with negative
+    residuals."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+    import datetime
+    import os
+    import tempfile
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(20):
+        rows.append((eid, t0 + datetime.timedelta(minutes=i), 1, "a", 1.0, None)); eid += 1
+        rows.append((eid, t0 + datetime.timedelta(hours=1, minutes=i), 2, "b", 1.0, None)); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    parent = REGISTRY["stats_chi2_type_vs_hour"][0](spark, d).collect()[0]
+    assert abs(parent["chi2"] - parent["n"]) < 1e-6  # phi = 1
+    cells = REGISTRY["stats_chi2_residuals"][0](spark, d).collect()
+    assert len(cells) == 4  # full 2x2 grid, zero cells included
+    zero = [c for c in cells if c["obs"] == 0]
+    assert len(zero) == 2
+    assert all(c["std_residual"] < 0 for c in zero)
+
+
+def test_lift_gains_monotone_and_reconciles_with_confusion(spark):
+    """Gains curve invariants: cum_share and cum_gains are monotone
+    walking DOWN the score bands, the bottom row captures everything
+    (gains=1, lift=1 at 100% share), and totals reconcile with the
+    confusion matrix's positive count."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    rows = sorted(
+        REGISTRY["eval_lift_gains_decile"][0](spark, SF_DIR).collect(),
+        key=lambda r: -r["bin"],
+    )
+    assert rows
+    shares = [r["cum_share"] for r in rows]
+    gains = [r["cum_gains"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))
+    assert all(a <= b + 1e-9 for a, b in zip(gains, gains[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-6
+    assert abs(gains[-1] - 1.0) < 1e-6
+    assert abs(rows[-1]["cum_lift"] - 1.0) < 1e-6
+    conf = REGISTRY["eval_confusion_at_threshold"][0](spark, SF_DIR).collect()[0]
+    n_pos = conf["tp"] + conf["fn"]
+    assert sum(r["n_pass"] for r in rows) == n_pos

@@ -1926,3 +1926,121 @@ def rake_keywords(
     return phrases.join(scores.hint("shuffle_hash"), [id_col, "__isl"]).select(
         id_col, "phrase", "n_words", "score"
     )
+
+
+def bm25_prf_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    beta: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_term_len: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 with PSEUDO-RELEVANCE FEEDBACK (Rocchio-style query
+    expansion): run `bm25_topk` for the original query, treat its top
+    ``fb_docs`` documents as relevant, pick the ``fb_terms`` strongest
+    new terms from them (feedback term frequency × the same un-logged
+    corpus-rarity ratio BM25 itself uses, ties broken by token), and
+    rescore the corpus with the expanded weighted query (original
+    terms weight 1, expansion terms weight ``beta``) — the classic
+    recall-booster for short queries in eval-set mining / RAG
+    retrieval.
+
+    EVERYTHING stays in-plan: the feedback doc-id set, the candidate
+    term table, and the expansion pick are DataFrames joined back in
+    (each bounded — fb_docs ids, then tokens of fb_docs documents),
+    never collected to the driver. Candidate df counts touch only
+    corpus tokens that appear in the feedback docs (a broadcast
+    semi-join on the scan). Determinism: the round-1 cut orders by the
+    6-dp rounded score then id; term picks order by the 9-dp rounded
+    expansion score then token; per-term contributions round to 9 dp
+    and accumulate in decimal exactly like `bm25_topk`.
+    """
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    spark = df.sparkSession
+    terms = [str(t) for t in query_terms]
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+
+    fb = bm25_topk(
+        df, terms, k=fb_docs, k1=k1, b=b, id_col=id_col, text_col=text_col
+    ).select(id_col)
+
+    cand = (
+        toks.join(F.broadcast(fb), id_col)
+        .filter(
+            (F.length("token") >= min_term_len) & (~F.col("token").isin(terms))
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("fbtf"))
+    )
+    cdf = (
+        toks.join(F.broadcast(cand.select("token")), "token")
+        .groupBy("token")
+        .agg(F.countDistinct(id_col).alias("doc_freq"))
+    )
+    rarity = (
+        F.col("n_docs").cast("double") - F.col("doc_freq").cast("double") + F.lit(0.5)
+    ) / (F.col("doc_freq").cast("double") + F.lit(0.5))
+    exp_terms = (
+        cand.join(cdf.hint("shuffle_hash"), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("token", rd(F.col("fbtf").cast("double") * rarity, 9).alias("escore"))
+        .orderBy(F.col("escore").desc(), F.col("token").asc())
+        .limit(int(fb_terms))
+        .select("token", F.lit(float(beta)).alias("w"))
+    )
+    orig = spark.createDataFrame(
+        [(t, 1.0) for t in terms], "token string, w double"
+    )
+    termw = orig.unionByName(exp_terms)
+
+    tf = (
+        toks.join(F.broadcast(termw.select("token")), "token")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    joined = (
+        tf.join(dfreq.hint("shuffle_hash"), "token")
+        .join(F.broadcast(termw), "token")
+        .join(dl.hint("shuffle_hash"), id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = (
+        F.col("n_docs").cast("double") - F.col("doc_freq").cast("double") + F.lit(0.5)
+    ) / (F.col("doc_freq").cast("double") + F.lit(0.5))
+    denom = F.col("tf").cast("double") + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b))
+        + F.lit(float(b)) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    term_score = (
+        F.col("w") * (idf * (F.col("tf").cast("double") * F.lit(float(k1) + 1.0)) / denom)
+    )
+    per_doc = (
+        joined.select(F.col(id_col), rd(term_score, 9).cast("decimal(38,9)").alias("s"))
+        .groupBy(id_col)
+        .agg(F.sum("s").alias("s_dec"), F.count(F.lit(1)).alias("n_terms_matched"))
+    )
+    return (
+        per_doc.select(
+            F.col(id_col),
+            F.col("n_terms_matched"),
+            rd(F.col("s_dec").cast("double"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )

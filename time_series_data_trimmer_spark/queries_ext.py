@@ -8189,10 +8189,15 @@ def _q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt AS (SELECT event_type, sum(obs) AS rtot FROM o GROUP BY event_type),
     ct AS (SELECT hod, sum(obs) AS ctot FROM o GROUP BY hod),
     g AS (SELECT sum(obs) AS total FROM o),
+    grid AS (
+      SELECT rt.event_type, ct.hod, rt.rtot, ct.ctot FROM rt CROSS JOIN ct
+    ),
     cells AS (
-      SELECT o.event_type, o.hod, o.obs,
-             CAST(rt.rtot AS DOUBLE) * ct.ctot / g.total AS expected
-      FROM o JOIN rt USING (event_type) JOIN ct USING (hod) CROSS JOIN g
+      SELECT gr.event_type, gr.hod, COALESCE(o.obs, 0) AS obs,
+             CAST(gr.rtot AS DOUBLE) * gr.ctot / g.total AS expected
+      FROM grid gr
+      LEFT JOIN o ON o.event_type = gr.event_type AND o.hod = gr.hod
+      CROSS JOIN g
     )
     SELECT CAST(sum(CAST({sql_rd(
                "(obs - expected) * (obs - expected) / expected", 6
@@ -8208,7 +8213,11 @@ def _q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour-of-day — the categorical drift / association test a pipeline
     monitor runs on every ingest slice. Expected counts are one IEEE
     expression over exact integer margins; per-cell terms are
-    6-dp-rounded and decimal-summed (order-independent). The
+    6-dp-rounded and decimal-summed (order-independent); the
+    margin-grid rebuild gives ZERO cells their expected mass — a
+    type absent from an hour is evidence of dependence, not a row to
+    drop (r9 fix, caught by the Cramér's-V perfect-association
+    pytest). The
     contingency table is |types|·24 cells no matter how many rows
     scanned — margins and cells all ride map-side combines."""
     ev = _events(spark, sf_dir).select(
@@ -8221,14 +8230,14 @@ def _q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt = o.groupBy("event_type").agg(F.sum("obs").alias("rtot"))
     ct = o.groupBy("hod").agg(F.sum("obs").alias("ctot"))
     g = o.agg(F.sum("obs").alias("total"))
+    grid = rt.crossJoin(F.broadcast(ct))
     cells = (
-        o.join(rt.hint("shuffle_hash"), "event_type")
-        .join(ct.hint("shuffle_hash"), "hod")
+        grid.join(o.hint("shuffle_hash"), ["event_type", "hod"], "left")
         .crossJoin(F.broadcast(g))
         .select(
             "event_type",
             "hod",
-            "obs",
+            F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
             (
                 F.col("rtot").cast("double") * F.col("ctot") / F.col("total")
             ).alias("expected"),
@@ -15772,10 +15781,15 @@ def _q_sketch_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt AS (SELECT event_type, sum(obs) AS rtot FROM o GROUP BY event_type),
     ct AS (SELECT hod, sum(obs) AS ctot FROM o GROUP BY hod),
     g AS (SELECT sum(obs) AS total FROM o),
+    grid AS (
+      SELECT rt.event_type, ct.hod, rt.rtot, ct.ctot FROM rt CROSS JOIN ct
+    ),
     cells AS (
-      SELECT o.event_type, o.hod, o.obs,
-             CAST(rt.rtot AS DOUBLE) * ct.ctot / g.total AS expected
-      FROM o JOIN rt USING (event_type) JOIN ct USING (hod) CROSS JOIN g
+      SELECT gr.event_type, gr.hod, COALESCE(o.obs, 0) AS obs,
+             CAST(gr.rtot AS DOUBLE) * gr.ctot / g.total AS expected
+      FROM grid gr
+      LEFT JOIN o ON o.event_type = gr.event_type AND o.hod = gr.hod
+      CROSS JOIN g
     )
     SELECT event_type, CAST(hod AS INT) AS hod, CAST(obs AS BIGINT) AS obs,
            {R("expected", 6)} AS expected,
@@ -15790,8 +15804,9 @@ def _q_stats_chi2_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standardized Pearson residual (O−E)/√E — `stats_chi2_type_vs_
     hour` says THAT type and hour associate; this says WHICH cells
     drive it (|residual| > 3 flags), the readout an on-call engineer
-    actually acts on. Same present-cell contingency construction and
-    exact-integer margins as the parent test (the two share the
+    actually acts on. Same margin-grid contingency construction (zero
+    cells included — their residual −√E is exactly the missing-type
+    signal, r9 fix) and exact-integer margins as the parent test (the two share the
     engine-identical expected expression), one IEEE division + sqrt
     per cell, |types|·24 rows at any scale."""
     ev = _events(spark, sf_dir).select(
@@ -15804,14 +15819,14 @@ def _q_stats_chi2_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt = o.groupBy("event_type").agg(F.sum("obs").alias("rtot"))
     ct = o.groupBy("hod").agg(F.sum("obs").alias("ctot"))
     g = o.agg(F.sum("obs").alias("total"))
+    grid = rt.crossJoin(F.broadcast(ct))
     cells = (
-        o.join(rt.hint("shuffle_hash"), "event_type")
-        .join(ct.hint("shuffle_hash"), "hod")
+        grid.join(o.hint("shuffle_hash"), ["event_type", "hod"], "left")
         .crossJoin(F.broadcast(g))
         .select(
             "event_type",
             "hod",
-            "obs",
+            F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
             (
                 F.col("rtot").cast("double") * F.col("ctot") / F.col("total")
             ).alias("__e"),
@@ -20584,4 +20599,471 @@ def _q_graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             rd(F.col("__a"), 6).alias("authority"),
             rd(F.col("__a") - F.col("__ap"), 6).alias("delta_last_iter"),
         )
+    )
+
+
+@register(
+    "retrieval_prf_expansion",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.token
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(trim(text), ' ')) AS token) t
+      WHERE len(t.token) > 0
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    tf1 AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM toks WHERE token IN ('spark', 'window', 'join')
+      GROUP BY doc_id, token
+    ),
+    dfreq1 AS (SELECT token, count(*) AS doc_freq FROM tf1 GROUP BY token),
+    scored1 AS (
+      SELECT t.doc_id,
+             CAST({sql_rd(
+                 "((CAST(s.n_docs AS DOUBLE) - CAST(d.doc_freq AS DOUBLE) + 0.5)"
+                 " / (CAST(d.doc_freq AS DOUBLE) + 0.5))"
+                 " * (CAST(t.tf AS DOUBLE) * 2.2)"
+                 " / (CAST(t.tf AS DOUBLE)"
+                 "    + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl))",
+                 9,
+             )} AS DECIMAL(38,9)) AS s
+      FROM tf1 t
+      JOIN dfreq1 d ON d.token = t.token
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ),
+    fb AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, {R("CAST(sum(s) AS DOUBLE)", 6)} AS score
+        FROM scored1 GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 5
+      )
+    ),
+    cand AS (
+      SELECT t.token, count(*) AS fbtf
+      FROM toks t JOIN fb ON fb.doc_id = t.doc_id
+      WHERE len(t.token) >= 3 AND t.token NOT IN ('spark', 'window', 'join')
+      GROUP BY t.token
+    ),
+    cdf AS (
+      SELECT token, count(DISTINCT doc_id) AS doc_freq
+      FROM toks WHERE token IN (SELECT token FROM cand)
+      GROUP BY token
+    ),
+    exp AS (
+      SELECT token, 0.5 AS w FROM (
+        SELECT c.token AS token,
+               {sql_rd(
+                   "CAST(c.fbtf AS DOUBLE)"
+                   " * ((CAST(s.n_docs AS DOUBLE) - CAST(cd.doc_freq AS DOUBLE) + 0.5)"
+                   " / (CAST(cd.doc_freq AS DOUBLE) + 0.5))",
+                   9,
+               )} AS escore
+        FROM cand c JOIN cdf cd ON cd.token = c.token
+        CROSS JOIN stats s
+        ORDER BY escore DESC, c.token ASC LIMIT 3
+      )
+    ),
+    qterms AS (
+      SELECT token, 1.0 AS w FROM (VALUES ('spark'), ('window'), ('join')) v(token)
+      UNION ALL
+      SELECT token, w FROM exp
+    ),
+    tf2 AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM toks WHERE token IN (SELECT token FROM qterms)
+      GROUP BY doc_id, token
+    ),
+    dfreq2 AS (SELECT token, count(*) AS doc_freq FROM tf2 GROUP BY token),
+    scored2 AS (
+      SELECT t.doc_id,
+             CAST({sql_rd(
+                 "q.w * (((CAST(s.n_docs AS DOUBLE) - CAST(d.doc_freq AS DOUBLE) + 0.5)"
+                 " / (CAST(d.doc_freq AS DOUBLE) + 0.5))"
+                 " * (CAST(t.tf AS DOUBLE) * 2.2)"
+                 " / (CAST(t.tf AS DOUBLE)"
+                 "    + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl)))",
+                 9,
+             )} AS DECIMAL(38,9)) AS s
+      FROM tf2 t
+      JOIN dfreq2 d ON d.token = t.token
+      JOIN qterms q ON q.token = t.token
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           count(*) AS n_terms_matched,
+           {R("CAST(sum(s) AS DOUBLE)", 6)} AS score
+    FROM scored2 GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def _q_retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSEUDO-RELEVANCE-FEEDBACK retrieval (`tx.bm25_prf_topk`) for
+    the query "spark window join": round-1 BM25 top-5 become the
+    feedback set, their 3 strongest new terms (feedback tf × the same
+    un-logged rarity ratio, len≥3, originals excluded) join the query
+    at Rocchio weight β=0.5, and the corpus is rescored — the classic
+    recall move for short queries, completing the retrieval family
+    (BM25 = lexical, chunk_topk = granular, MMR = diversity, RRF =
+    fusion, PRF = expansion). Both retrieval rounds keep BM25's scale
+    shape — query-term semi-join ON the token scan, narrow (doc,
+    term) shuffles, 1-row stats broadcast, TakeOrdered cuts — and the
+    feedback/expansion tables stay in-plan as bounded broadcasts
+    (never collected). Weighted per-term scores round to 9 dp and
+    accumulate in decimal; every cut orders by rounded score then
+    id/token."""
+    return tx.bm25_prf_topk(
+        _table(spark, sf_dir, "documents"),
+        query_terms=_BM25_TERMS,
+        k=20, fb_docs=5, fb_terms=3, beta=0.5,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+@register(
+    "stats_cramers_v_pairs",
+    f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) // 3600000000) % 24 AS VARCHAR) AS hod,
+             CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS VARCHAR) AS dow
+      FROM events
+    ),
+    m AS (
+      SELECT 'type_x_hod' AS pair, event_type AS x, hod AS y FROM base
+      UNION ALL SELECT 'type_x_dow', event_type, dow FROM base
+      UNION ALL SELECT 'hod_x_dow', hod, dow FROM base
+    ),
+    o AS (SELECT pair, x, y, count(*) AS obs FROM m GROUP BY 1, 2, 3),
+    rt AS (SELECT pair, x, sum(obs) AS rtot FROM o GROUP BY pair, x),
+    ct AS (SELECT pair, y, sum(obs) AS ctot FROM o GROUP BY pair, y),
+    g AS (SELECT pair, sum(obs) AS total FROM o GROUP BY pair),
+    grid AS (
+      SELECT rt.pair, rt.x, ct.y, rt.rtot, ct.ctot
+      FROM rt JOIN ct ON ct.pair = rt.pair
+    ),
+    cells AS (
+      SELECT gr.pair, COALESCE(o.obs, 0) AS obs,
+             CAST(gr.rtot AS DOUBLE) * gr.ctot / g.total AS expected,
+             gr.x, gr.y
+      FROM grid gr
+      LEFT JOIN o ON o.pair = gr.pair AND o.x = gr.x AND o.y = gr.y
+      JOIN g ON g.pair = gr.pair
+    ),
+    agg AS (
+      SELECT pair,
+             CAST(sum(CAST({sql_rd(
+                 "(obs - expected) * (obs - expected) / expected", 6
+             )} AS DECIMAL(38,6))) AS DOUBLE) AS chi2,
+             count(DISTINCT x) AS r, count(DISTINCT y) AS c,
+             sum(obs) AS n
+      FROM cells GROUP BY pair
+    )
+    SELECT pair,
+           {R("chi2", 6)} AS chi2,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           CAST(n AS BIGINT) AS n,
+           CASE WHEN least(r - 1, c - 1) > 0 THEN
+             {R("sqrt(chi2 / (CAST(n AS DOUBLE) * least(r - 1, c - 1)))", 6)}
+           END AS cramers_v
+    FROM agg
+    """,
+)
+def _q_stats_cramers_v_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR'S V association panel over the categorical column pairs
+    (event_type × hour-of-day, event_type × day-of-week, hour × dow)
+    — `stats_chi2_type_vs_hour` generalized from one raw statistic to
+    the NORMALIZED effect size a profiler can compare ACROSS pairs
+    with different table shapes (chi2 grows with n and dof; V =
+    √(χ²/(n·min(r−1,c−1))) ∈ [0,1] does not), which is how a feature-
+    selection or leakage audit ranks categorical dependencies. All
+    three contingency tables ride ONE unpivoted (pair, x, y) keyed
+    aggregation (`stack`, scan-side) + margin joins — no per-pair
+    rescan; the margin×margin grid is rebuilt so ZERO cells
+    contribute their expected mass (dropping them understates χ² —
+    exactly on the drifted slices the test exists for; perfect
+    association pins V=1 in pytest); hour/dow are integer epoch buckets (no calendar-locale
+    trap between engines); per-cell terms 6-dp-rounded and
+    decimal-summed like the chi2 parent. 3-row output."""
+    base = _events(spark, sf_dir).select(
+        "event_type",
+        (F.expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 24)
+        .cast("string")
+        .alias("hod"),
+        ((F.expr("unix_micros(cast(ts as timestamp)) div 86400000000") + 4) % 7)
+        .cast("string")
+        .alias("dow"),
+    )
+    m = base.select(
+        F.expr(
+            "stack(3, 'type_x_hod', event_type, hod,"
+            " 'type_x_dow', event_type, dow,"
+            " 'hod_x_dow', hod, dow) as (pair, x, y)"
+        )
+    )
+    o = m.groupBy("pair", "x", "y").agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("pair", "x").agg(F.sum("obs").alias("rtot"))
+    ct = o.groupBy("pair", "y").agg(F.sum("obs").alias("ctot"))
+    g = o.groupBy("pair").agg(F.sum("obs").alias("total"))
+    grid = rt.join(ct.hint("shuffle_hash"), "pair")
+    cells = (
+        grid.join(o.hint("shuffle_hash"), ["pair", "x", "y"], "left")
+        .join(F.broadcast(g), "pair")
+        .select(
+            "pair",
+            F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
+            (F.col("rtot").cast("double") * F.col("ctot") / F.col("total")).alias(
+                "expected"
+            ),
+            "x",
+            "y",
+        )
+    )
+    agg = cells.groupBy("pair").agg(
+        F.sum(
+            rd(
+                (F.col("obs") - F.col("expected"))
+                * (F.col("obs") - F.col("expected"))
+                / F.col("expected"),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("__chi2"),
+        F.count_distinct(F.col("x")).alias("__r"),
+        F.count_distinct(F.col("y")).alias("__c"),
+        F.sum("obs").alias("__n"),
+    )
+    return agg.select(
+        "pair",
+        rd(F.col("__chi2"), 6).alias("chi2"),
+        ((F.col("__r") - 1) * (F.col("__c") - 1)).cast("long").alias("dof"),
+        F.col("__n").cast("long").alias("n"),
+        F.when(
+            F.least(F.col("__r") - 1, F.col("__c") - 1) > 0,
+            rd(
+                F.sqrt(
+                    F.col("__chi2")
+                    / (
+                        F.col("__n").cast("double")
+                        * F.least(F.col("__r") - 1, F.col("__c") - 1)
+                    )
+                ),
+                6,
+            ),
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "dq_functional_dependency",
+    f"""
+    WITH fd1 AS (
+      SELECT 'orders.o_orderkey->o_custkey' AS fd,
+             count(*) AS n_lhs,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+      FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS nd
+            FROM orders GROUP BY o_orderkey)
+    ),
+    fd2 AS (
+      SELECT 'lineitem.l_orderkey->l_returnflag' AS fd,
+             count(*) AS n_lhs,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+      FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS nd
+            FROM lineitem GROUP BY l_orderkey)
+    ),
+    fd3 AS (
+      SELECT 'lineitem.l_partkey->l_suppkey' AS fd,
+             count(*) AS n_lhs,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+      FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nd
+            FROM lineitem GROUP BY l_partkey)
+    ),
+    fd4 AS (
+      SELECT 'part.p_brand->p_type' AS fd,
+             count(*) AS n_lhs,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+      FROM (SELECT p_brand, count(DISTINCT p_type) AS nd
+            FROM part GROUP BY p_brand)
+    ),
+    u AS (
+      SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+      UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4
+    )
+    SELECT fd, CAST(n_lhs AS BIGINT) AS n_lhs, n_violating,
+           {R("CAST(n_violating AS DOUBLE) / n_lhs", 6)} AS violation_rate,
+           CAST(CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS INTEGER) AS holds
+    FROM u
+    """,
+)
+def _q_dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY audit — the schema-contract member of
+    the DQ family (`dq_expectations_report` checks value ranges; this
+    checks STRUCTURE): for each candidate FD lhs→rhs, the count of
+    lhs values bound to more than one rhs value. Validates key
+    contracts (o_orderkey→o_custkey must hold: violation = corrupted
+    ingest or a bad merge) and DOCUMENTS true multiplicities the
+    optimizer/modeler must not assume away (l_partkey→l_suppkey
+    violates by design — multi-sourcing). Each FD is one
+    lhs-keyed count-distinct aggregation reduced to a single row —
+    map-side combined, four tiny rows unioned; at 100 TB each audit
+    is one exchange on its lhs. The FD set is the audit's
+    configuration; adding one is one more UNION branch."""
+    def _fd(df, name, lhs, rhs):
+        nd = df.groupBy(lhs).agg(F.count_distinct(F.col(rhs)).alias("__nd"))
+        return nd.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_lhs"),
+            F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0)).cast("long").alias("n_violating"),
+        )
+
+    orders = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part")
+    u = (
+        _fd(orders, "orders.o_orderkey->o_custkey", "o_orderkey", "o_custkey")
+        .unionByName(_fd(li, "lineitem.l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"))
+        .unionByName(_fd(li, "lineitem.l_partkey->l_suppkey", "l_partkey", "l_suppkey"))
+        .unionByName(_fd(part, "part.p_brand->p_type", "p_brand", "p_type"))
+    )
+    return u.select(
+        "fd",
+        "n_lhs",
+        "n_violating",
+        rd(F.col("n_violating").cast("double") / F.col("n_lhs"), 6).alias(
+            "violation_rate"
+        ),
+        F.when(F.col("n_violating") == 0, 1).otherwise(0).cast("int").alias("holds"),
+    )
+
+
+@register(
+    "eval_lift_gains_decile",
+    f"""
+    WITH {_HLS_VS_C4_SQL},
+    b AS (
+      SELECT least(CAST(floor((round(sc.logit * 1000000, 0) + 500000)
+                               / 100000) AS INT), 9) AS bin,
+             CASE WHEN surv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS pass
+      FROM sc LEFT JOIN surv ON surv.doc_id = sc.doc_id
+    ),
+    bins AS (
+      SELECT bin, count(*) AS n_docs, sum(pass) AS n_pass
+      FROM b GROUP BY bin
+    ),
+    tot AS (SELECT sum(n_docs) AS tn, sum(n_pass) AS tp FROM bins),
+    cum AS (
+      SELECT bin, n_docs, n_pass,
+             sum(n_docs) OVER (ORDER BY bin DESC
+                               ROWS UNBOUNDED PRECEDING) AS cn,
+             sum(n_pass) OVER (ORDER BY bin DESC
+                               ROWS UNBOUNDED PRECEDING) AS cp
+      FROM bins
+    )
+    SELECT CAST(bin AS INTEGER) AS bin,
+           {R("bin / 10.0 - 0.5", 6)} AS bin_lo,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_pass AS BIGINT) AS n_pass,
+           {R("CAST(n_pass AS DOUBLE) / n_docs", 6)} AS pass_rate,
+           CASE WHEN tp > 0 THEN
+             {R("(CAST(n_pass AS DOUBLE) / n_docs) / (CAST(tp AS DOUBLE) / tn)", 6)}
+           END AS lift,
+           {R("CAST(cn AS DOUBLE) / tn", 6)} AS cum_share,
+           CASE WHEN tp > 0 THEN
+             {R("CAST(cp AS DOUBLE) / tp", 6)}
+           END AS cum_gains,
+           CASE WHEN tp > 0 THEN
+             {R("(CAST(cp AS DOUBLE) / cn) / (CAST(tp AS DOUBLE) / tn)", 6)}
+           END AS cum_lift
+    FROM cum CROSS JOIN tot
+    """,
+)
+def _q_eval_lift_gains_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIFT / GAINS table for the cheap quality scorer — the
+    TARGETING readout of the eval family: bin documents by the same
+    ten fixed logit bands as the calibration diagram, walk from the
+    TOP band down, and report per band the pass-rate lift over the
+    corpus base rate plus the cumulative share of all C4 survivors
+    captured (gains) — i.e. "score-prune the top X% of the crawl and
+    you keep Y% of everything the expensive gate would keep", the
+    single chart that prices a pre-filter threshold in retained-data
+    terms (confusion prices ONE threshold; this prices all ten).
+    Same factored `_HLS_VS_C4_SQL` scorer+label, fixed integer-grid
+    bins (no global rank), cumulative sums over the ≤10 bin rows via
+    the collect-sorted-array fold — the BH/AUC pattern, no keyless
+    window. Zero-pass corpora NULL-guard every lift column."""
+    docs = _table(spark, sf_dir, "documents")
+    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
+    surv = tx.c4_filter_survivors(docs).select("doc_id", F.lit(1).alias("__pass"))
+    j = scores.join(surv.hint("shuffle_hash"), "doc_id", "left")
+    bin_col = F.least(
+        F.floor(
+            (F.round(F.col("logit") * 1000000, 0) + F.lit(500000)) / F.lit(100000)
+        ).cast("int"),
+        F.lit(9),
+    )
+    bins = (
+        j.select(bin_col.alias("__bin"), F.coalesce(F.col("__pass"), F.lit(0)).alias("__p"))
+        .groupBy("__bin")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__p").alias("__np"))
+    )
+    row = bins.agg(
+        F.reverse(
+            F.sort_array(F.collect_list(F.struct("__bin", "__n", "__np")))
+        ).alias("__arr"),
+        F.sum("__n").alias("__tn"),
+        F.sum("__np").alias("__tp"),
+    )
+    arr = F.col("__arr")
+    cumn = F.transform(
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda i: F.aggregate(
+            F.slice(arr, F.lit(1), i),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x["__n"],
+        ),
+    )
+    cump = F.transform(
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda i: F.aggregate(
+            F.slice(arr, F.lit(1), i),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x["__np"],
+        ),
+    )
+    z = row.select(
+        "__tn",
+        "__tp",
+        F.explode(
+            F.arrays_zip(arr, cumn.alias("__cn"), cump.alias("__cp"))
+        ).alias("__z"),
+    ).select(
+        F.col("__z.__arr.__bin").alias("bin"),
+        F.col("__z.__arr.__n").alias("__n"),
+        F.col("__z.__arr.__np").alias("__np"),
+        F.col("__z.__cn").alias("__cn"),
+        F.col("__z.__cp").alias("__cp"),
+        "__tn",
+        "__tp",
+    )
+    tp_pos = F.col("__tp") > 0
+    base = F.col("__tp").cast("double") / F.col("__tn")
+    return z.select(
+        F.col("bin").cast("int").alias("bin"),
+        rd(F.col("bin") / F.lit(10.0) - F.lit(0.5), 6).alias("bin_lo"),
+        F.col("__n").cast("long").alias("n_docs"),
+        F.col("__np").cast("long").alias("n_pass"),
+        rd(F.col("__np").cast("double") / F.col("__n"), 6).alias("pass_rate"),
+        F.when(tp_pos, rd((F.col("__np").cast("double") / F.col("__n")) / base, 6)).alias("lift"),
+        rd(F.col("__cn").cast("double") / F.col("__tn"), 6).alias("cum_share"),
+        F.when(tp_pos, rd(F.col("__cp").cast("double") / F.col("__tp"), 6)).alias("cum_gains"),
+        F.when(tp_pos, rd((F.col("__cp").cast("double") / F.col("__cn")) / base, 6)).alias("cum_lift"),
     )
