@@ -269,6 +269,19 @@ HEADLINE = [
     "text_rake_top_keyword",     # training-free RAKE document keywords
     "graph_jaccard_links",       # overlap-share link prediction next to AA
     "mix_dedup_aware_epochs",    # soft dedup: 1/cluster-size training weights
+    # r9 waves 13-16
+    "stats_bh_fdr_ks_by_type",   # KS p-values + Benjamini-Hochberg q
+    "eval_confusion_at_threshold",  # operating-point eval of the scorer
+    "mix_doremi_step",           # EG domain-reweighting step
+    "ts_hampel_filter",          # rolling median/MAD despike per entity
+    "emb_centroid_shift_by_label",  # half-split centroid drift
+    "graph_hits_scores",         # 2-round HITS on user<->type bipartite
+    "retrieval_prf_expansion",   # Rocchio pseudo-relevance feedback
+    "stats_cramers_v_pairs",     # normalized categorical association panel
+    "dq_functional_dependency",  # FD contract audit
+    "eval_lift_gains_decile",    # targeting lift/gains curve
+    "graph_ppr_seed_topk",       # personalized PageRank data selection
+    "privacy_dp_count_report",   # DP Laplace budget planner
 ]
 
 

@@ -890,3 +890,40 @@ def test_lift_gains_monotone_and_reconciles_with_confusion(spark):
     conf = REGISTRY["eval_confusion_at_threshold"][0](spark, SF_DIR).collect()[0]
     n_pos = conf["tp"] + conf["fn"]
     assert sum(r["n_pass"] for r in rows) == n_pos
+
+
+def test_personalized_pagerank_mass_stays_near_seeds(spark):
+    """Two disconnected triangles; seeds in triangle A: every A-member
+    (seed or not) outranks every B-member, and B gets zero mass (no
+    teleport ever lands there)."""
+    from time_series_data_trimmer_spark.operators import graph as gr
+
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    rows = [(a, b, 1.0) for a, b in pairs] + [(b, a, 1.0) for a, b in pairs]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["ppr"] for r in gr.personalized_pagerank(edges, seeds).collect()}
+    assert set(out) == {1, 2, 3, 10, 11, 12}
+    assert min(out[n] for n in (1, 2, 3)) > max(out[n] for n in (10, 11, 12))
+    assert all(out[n] == 0.0 for n in (10, 11, 12))
+    assert out[1] > out[2]  # the seed keeps the restart mass
+    assert abs(sum(out.values()) - 1.0) < 1e-3  # stochastic up to rounding
+
+
+def test_dp_report_sensitivity_and_publishability(spark):
+    """User-level sensitivity is the max per-user contribution, the
+    looser epsilon is never MORE publishable, and rel_err recomputes
+    from its own columns."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    rows = REGISTRY["privacy_dp_count_report"][0](spark, SF_DIR).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        assert abs(r["rel_err"] - (r["sensitivity"] / r["epsilon"]) / r["n"]) < 1e-5
+        assert r["sensitivity"] >= 1
+        assert r["n"] >= r["n_users"]
+        by_type.setdefault(r["event_type"], {})[r["epsilon"]] = r["publishable"]
+    for flags in by_type.values():
+        assert flags[0.1] <= flags[1.0]

@@ -21067,3 +21067,201 @@ def _q_eval_lift_gains_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(tp_pos, rd(F.col("__cp").cast("double") / F.col("__tp"), 6)).alias("cum_gains"),
         F.when(tp_pos, rd((F.col("__cp").cast("double") / F.col("__cn")) / base, 6)).alias("cum_lift"),
     )
+
+
+@register(
+    "graph_ppr_seed_topk",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS newf
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *,
+             sum(newf) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, sess, min(us) AS start_us, max(us) AS end_us
+      FROM s GROUP BY user_id, sess
+    ),
+    p AS (
+      SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS w
+      FROM sess a JOIN sess b
+        ON a.start_us <= b.end_us AND b.start_us <= a.end_us
+       AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+    ),
+    edges AS (
+      SELECT ua AS src, ub AS dst, CAST(w AS DOUBLE) AS w FROM p
+      UNION ALL
+      SELECT ub AS src, ua AS dst, CAST(w AS DOUBLE) AS w FROM p
+    ),
+    deg AS (SELECT src, sum(w) AS wdeg FROM edges GROUP BY src),
+    marked AS (
+      SELECT src, CASE WHEN src % 20 = 0 THEN 1 ELSE 0 END AS isseed
+      FROM deg
+    ),
+    nsc AS (SELECT CAST(sum(isseed) AS DOUBLE) AS __ns FROM marked),
+    svec AS (
+      SELECT src,
+             CASE WHEN isseed = 1 THEN 1.0 / sc.__ns ELSE 0.0 END AS sv
+      FROM marked CROSS JOIN nsc sc
+    ),
+    r0 AS (SELECT src, sv AS rank FROM svec),
+    c1 AS (
+      SELECT e.dst AS src,
+             CAST(sum(CAST({R("r.rank * e.w / d.wdeg", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS cs
+      FROM edges e JOIN r0 r ON r.src = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT v.src, {R("0.15000000000000002 * v.sv + 0.85 * coalesce(c.cs, 0.0)", 9)} AS rank
+      FROM svec v LEFT JOIN c1 c ON c.src = v.src
+    ),
+    c2 AS (
+      SELECT e.dst AS src,
+             CAST(sum(CAST({R("r.rank * e.w / d.wdeg", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS cs
+      FROM edges e JOIN r1 r ON r.src = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT v.src, {R("0.15000000000000002 * v.sv + 0.85 * coalesce(c.cs, 0.0)", 9)} AS rank
+      FROM svec v LEFT JOIN c2 c ON c.src = v.src
+    ),
+    c3 AS (
+      SELECT e.dst AS src,
+             CAST(sum(CAST({R("r.rank * e.w / d.wdeg", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS cs
+      FROM edges e JOIN r2 r ON r.src = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT v.src, {R("0.15000000000000002 * v.sv + 0.85 * coalesce(c.cs, 0.0)", 9)} AS rank
+      FROM svec v LEFT JOIN c3 c ON c.src = v.src
+    )
+    SELECT src AS node,
+           CAST(CASE WHEN src % 20 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_seed,
+           rank AS ppr
+    FROM r3
+    ORDER BY rank DESC, node ASC
+    LIMIT 20
+    """,
+)
+def _q_graph_ppr_seed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (`gr.personalized_pagerank`, d=0.85, 3
+    decimal-exact rounds) over the same session-concurrency graph as
+    `graph_pagerank_user_concurrency`, with teleport mass pinned to a
+    deterministic seed cohort (user_id % 20 == 0): the top-20 by
+    seed-proximity is the GRAPH-BASED DATA-SELECTION primitive —
+    expand a trusted/labeled subset through the co-activity graph to
+    find candidates for labeling/inclusion, the link-analysis
+    analogue of `mix_dsir_importance`. Global PageRank answers "who
+    is central"; PPR answers "who is central RELATIVE TO THESE" —
+    seeds rank high by restart mass, their non-seed neighbors by
+    received flow (`is_seed` column separates the two readings). Same
+    per-iteration plan as the parent (two vertex-keyed shuffle-hash
+    joins + one map-side sum), one extra broadcast seed indicator,
+    recurrence unrolled bit-for-bit in the oracle."""
+    sessd = ag.sessionize_user_events(_table(spark, sf_dir, "events"), gap_minutes=30)
+    ivl = sessd.select(
+        "user_id",
+        "session_idx",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+    )
+    prs = iv.overlap_join(ivl, ivl).filter(F.col("user_id_a") < F.col("user_id_b"))
+    mat = prs.groupBy(
+        F.col("user_id_a").alias("ua"), F.col("user_id_b").alias("ub")
+    ).agg(F.count(F.lit(1)).alias("w"))
+    edges = mat.select(
+        F.col("ua").alias("src"), F.col("ub").alias("dst"), F.col("w").alias("weight")
+    ).unionByName(
+        mat.select(
+            F.col("ub").alias("src"), F.col("ua").alias("dst"), F.col("w").alias("weight")
+        )
+    )
+    seeds = edges.select("src").distinct().filter(F.col("src") % 20 == 0).select(
+        F.col("src").alias("node")
+    )
+    out = gr.personalized_pagerank(edges, seeds, damping=_PR_D, iterations=3)
+    return (
+        out.select(
+            "node",
+            F.when(F.col("node") % 20 == 0, 1).otherwise(0).cast("int").alias("is_seed"),
+            "ppr",
+        )
+        .orderBy(F.col("ppr").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "privacy_dp_count_report",
+    f"""
+    WITH g AS (
+      SELECT event_type, sum(cnt_per_user) AS n,
+             count(*) AS n_users,
+             max(cnt_per_user) AS max_user_contrib
+      FROM (
+        SELECT event_type, user_id, count(*) AS cnt_per_user
+        FROM events GROUP BY event_type, user_id
+      ) t
+      GROUP BY event_type
+    ),
+    eps AS (SELECT * FROM (VALUES (0.1), (1.0)) e(epsilon))
+    SELECT g.event_type,
+           CAST(g.n AS BIGINT) AS n,
+           CAST(g.n_users AS BIGINT) AS n_users,
+           CAST(g.max_user_contrib AS BIGINT) AS sensitivity,
+           CAST(e.epsilon AS DOUBLE) AS epsilon,
+           {R("CAST(g.max_user_contrib AS DOUBLE) / e.epsilon", 6)} AS laplace_scale,
+           {R("(CAST(g.max_user_contrib AS DOUBLE) / e.epsilon) / g.n", 6)} AS rel_err,
+           CAST(CASE WHEN (CAST(g.max_user_contrib AS DOUBLE) / e.epsilon) / g.n < 0.05
+                THEN 1 ELSE 0 END AS INTEGER) AS publishable
+    FROM g CROSS JOIN eps e
+    """,
+)
+def _q_privacy_dp_count_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIAL-PRIVACY budget planner for per-type event counts
+    — the deterministic half of a DP release (the noise draw happens
+    at publication; THIS report decides whether a release is worth
+    making): per event type, the USER-LEVEL sensitivity (max events
+    one user contributes — user-level DP, not the naive row-level
+    Δ=1), the Laplace scale Δ/ε and expected relative error (E|Lap| =
+    b) at ε ∈ {{0.1, 1}}, and a publishable flag (rel. error < 5%).
+    Complements the re-identification audits (k-anonymity,
+    l-diversity, t-closeness judge the raw table; this prices the
+    NOISED aggregate). One (type, user) keyed agg + one type agg —
+    map-side combined; output |types|×|ε| rows."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    g = per_user.groupBy("event_type").agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.max("__c").cast("long").alias("sensitivity"),
+    )
+    eps = spark.createDataFrame([(0.1,), (1.0,)], "epsilon double")
+    j = g.crossJoin(F.broadcast(eps))
+    scale = F.col("sensitivity").cast("double") / F.col("epsilon")
+    rel = scale / F.col("n")
+    return j.select(
+        "event_type",
+        "n",
+        "n_users",
+        "sensitivity",
+        F.col("epsilon").cast("double").alias("epsilon"),
+        rd(scale, 6).alias("laplace_scale"),
+        rd(rel, 6).alias("rel_err"),
+        F.when(rel < 0.05, 1).otherwise(0).cast("int").alias("publishable"),
+    )
