@@ -282,6 +282,7 @@ HEADLINE = [
     "eval_lift_gains_decile",    # targeting lift/gains curve
     "graph_ppr_seed_topk",       # personalized PageRank data selection
     "privacy_dp_count_report",   # DP Laplace budget planner
+    "stream_cusum_level_alerts", # order-dependent streaming CUSUM state
 ]
 
 

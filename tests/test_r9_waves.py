@@ -927,3 +927,62 @@ def test_dp_report_sensitivity_and_publishability(spark):
         by_type.setdefault(r["event_type"], {})[r["epsilon"]] = r["publishable"]
     for flags in by_type.values():
         assert flags[0.1] <= flags[1.0]
+
+
+def _cusum_replica(values, mu0=100.0, kappa=5.0, h=500.0):
+    off = int(round((mu0 + kappa) * 10000))
+    hs = int(round(h * 10000))
+    cum = fl = maxs = alerts = 0
+    for v in values:
+        import math
+        cum += int(math.floor(v * 10000.0 + 0.5)) - off
+        fl = min(fl, cum)
+        s = cum - min(0, fl)
+        maxs = max(maxs, s)
+        alerts += 1 if s > hs else 0
+    return maxs / 10000.0, alerts, (cum - min(0, fl)) / 10000.0
+
+
+def test_stream_cusum_state_carries_across_triggers(spark):
+    """Two files, one trigger each (maxFilesPerTrigger=1): the final
+    state equals the pure-Python sequential replica over the full
+    ordered series — the cross-batch recurrence is exact."""
+    from time_series_data_trimmer_spark.streaming.stream_ops import stream_cusum_alert
+    import datetime
+    import os
+    import tempfile
+    import time
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [100.0 + (i % 7) for i in range(60)] + [300.0] * 15 + [100.0] * 25
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i), 1, "a", v, None)
+        for i, v in enumerate(vals)
+    ]
+    d = tempfile.mkdtemp()
+    pdir = os.path.join(d, "events.parquet")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    spark.createDataFrame(rows[:50], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(pdir)
+    time.sleep(1.1)  # second file strictly newer: in-order arrival
+    spark.createDataFrame(rows[50:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(pdir)
+    out = stream_cusum_alert(spark, pdir, max_files_per_trigger=1)
+    rows_out = out.collect()
+    final = max(
+        (r for r in rows_out if r["event_type"] == "a"),
+        key=lambda r: r["n_obs"],
+    )
+    exp_max, exp_alerts, exp_now = _cusum_replica(vals)
+    assert final["n_obs"] == len(vals)
+    assert abs(final["max_cusum"] - exp_max) < 1e-9
+    assert final["n_alerts"] == exp_alerts
+    assert abs(final["cusum_now"] - exp_now) < 1e-9
+    assert exp_alerts > 0  # the planted +200 shift actually fires
+    # more than one emission proves more than one trigger ran
+    assert len([r for r in rows_out if r["event_type"] == "a"]) >= 2

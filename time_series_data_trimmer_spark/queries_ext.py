@@ -21265,3 +21265,66 @@ def _q_privacy_dp_count_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         rd(rel, 6).alias("rel_err"),
         F.when(rel < 0.05, 1).otherwise(0).cast("int").alias("publishable"),
     )
+
+
+@register(
+    "stream_cusum_level_alerts",
+    f"""
+    WITH e AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) - 1050000 AS d
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+      SELECT event_type, ts, event_id, d,
+             sum(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM e
+    ),
+    s AS (
+      SELECT event_type, d, cum,
+             cum - least(CAST(0 AS BIGINT),
+                         min(cum) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING)) AS sc
+      FROM c
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           {sql_rd("CAST(max(sc) AS DOUBLE) / 10000.0", 4)} AS max_cusum,
+           CAST(sum(CASE WHEN sc > 5000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts,
+           {sql_rd("CAST(sum(d) - least(CAST(0 AS BIGINT), min(cum)) AS DOUBLE) / 10000.0", 4)} AS cusum_now
+    FROM s GROUP BY event_type
+    """,
+)
+def _q_stream_cusum_level_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM level-shift monitor (`stream_cusum_alert`,
+    Page 1954) per event type — the ORDER-DEPENDENT state-machine
+    member of the streaming family (counters/sketches/windows commute
+    with batching; this one does not, which is exactly why it needs
+    `applyInPandasWithState`): S⁺ = max(0, S⁺ + (x−μ₀−κ)) with alerts
+    on S⁺ > h, carried across micro-batches as O(1) integer state via
+    the closed form S⁺_n = cum_n − min(0, min prefix cum). Values
+    quantize to integer ten-thousandths scan-side, so stream state
+    and the oracle's two window passes are EXACT INT64 end-to-end —
+    the final streaming state equals the batch fixpoint bit-for-bit
+    (μ₀=100, κ=5, h=500 on the events value scale). Emits running
+    totals per trigger; the registry entry reduces emissions to the
+    final state per key (n_obs is monotone)."""
+    from time_series_data_trimmer_spark.streaming.stream_ops import (
+        stream_cusum_alert,
+    )
+
+    out = stream_cusum_alert(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = out.groupBy("event_type").agg(
+        F.max(
+            F.struct("n_obs", "n_alerts", "max_cusum", "cusum_now")
+        ).alias("__s")
+    )
+    return agg.select(
+        "event_type",
+        F.col("__s.n_obs").alias("n_obs"),
+        F.col("__s.max_cusum").alias("max_cusum"),
+        F.col("__s.n_alerts").alias("n_alerts"),
+        F.col("__s.cusum_now").alias("cusum_now"),
+    )

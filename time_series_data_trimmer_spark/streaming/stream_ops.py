@@ -1216,3 +1216,108 @@ def stream_psi_drift(
             rd(F.sum("__term").cast("double"), 6).alias("psi"),
         )
     )
+
+
+def stream_cusum_alert(
+    spark: SparkSession,
+    path: str,
+    mu0: float = 100.0,
+    kappa: float = 5.0,
+    h: float = 500.0,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming one-sided CUSUM level-shift monitor per group (Page
+    1954 — the streaming twin of `ts_cusum_changepoint`): maintain
+    S⁺ = max(0, S⁺ + (x − μ₀ − κ)) in GroupState and count alert
+    crossings S⁺ > h. The state is O(1) per group — the closed form
+    S⁺_n = cum_n − min(0, min_{j≤n} cum_j) needs only the running
+    cumulative and its running floor, both carried across triggers.
+
+    Exactness: values quantize to integer ten-thousandths BEFORE any
+    arithmetic (μ₀+κ becomes one integer offset), so cum/floor/S are
+    exact int64 in the stream AND in the batch oracle's two window
+    passes — no float accumulation anywhere. Order contract: rows
+    sort by (event_time, event_id) within every micro-batch; across
+    triggers the recurrence assumes in-order arrival (the file
+    source's mod-time ordering — the standard contract for
+    order-dependent streaming state machines; out-of-order files
+    would need a watermark-delayed reorder buffer in front).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+    import numpy as np
+    import pandas as pd
+
+    offset = int(round((float(mu0) + float(kappa)) * 10000.0))
+    h_scaled = int(round(float(h) * 10000.0))
+
+    stream = _events_stream(spark, path, max_files_per_trigger)
+    base = stream.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col("event_time").alias("et"),
+        F.col("event_id").cast("long").alias("eid"),
+        (F.floor(F.col(value_col) * F.lit(10000.0) + F.lit(0.5)).cast("long")
+         - F.lit(offset)).alias("d"),
+    )
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("n_obs", LongType()),
+            StructField("max_cusum", DoubleType()),
+            StructField("n_alerts", LongType()),
+            StructField("cusum_now", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("cum", LongType()),
+            StructField("floor", LongType()),
+            StructField("n", LongType()),
+            StructField("alerts", LongType()),
+            StructField("maxs", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        cum, floor_min, n, alerts, maxs = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["et", "eid"], kind="mergesort")
+            c = cum + np.cumsum(pdf["d"].to_numpy(dtype="int64"))
+            runmin = np.minimum(np.minimum.accumulate(c), floor_min)
+            s = c - runmin
+            alerts += int((s > h_scaled).sum())
+            maxs = max(maxs, int(s.max()))
+            n += len(pdf)
+            cum = int(c[-1])
+            floor_min = int(runmin[-1])
+        state.update((cum, floor_min, n, alerts, maxs))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_obs": [n],
+                "max_cusum": [float(np.floor(maxs / 10000.0 * 10000.0 + 0.5) / 10000.0)],
+                "n_alerts": [alerts],
+                "cusum_now": [float(np.floor((cum - floor_min) / 10000.0 * 10000.0 + 0.5) / 10000.0)],
+            }
+        )
+
+    result = base.groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(
+        result,
+        mode="update",
+        shuffle_partitions=_derived_state_partitions(spark, path),
+    )
