@@ -283,6 +283,8 @@ HEADLINE = [
     "graph_ppr_seed_topk",       # personalized PageRank data selection
     "privacy_dp_count_report",   # DP Laplace budget planner
     "stream_cusum_level_alerts", # order-dependent streaming CUSUM state
+    "feature_hashing_collision_report",  # hashing-trick width audit
+    "dq_volume_anomaly_daily",   # robust daily ingest-volume anomaly
 ]
 
 

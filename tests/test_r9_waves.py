@@ -986,3 +986,52 @@ def test_stream_cusum_state_carries_across_triggers(spark):
     assert exp_alerts > 0  # the planted +200 shift actually fires
     # more than one emission proves more than one trigger ran
     assert len([r for r in rows_out if r["event_type"] == "a"]) >= 2
+
+
+def test_hashing_collision_monotone_in_width(spark):
+    """More hash bits never increase collisions; bucket counts bound
+    by both vocab size and table size."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    rows = {r["k_bits"]: r for r in REGISTRY["feature_hashing_collision_report"][0](spark, SF_DIR).collect()}
+    assert set(rows) == {12, 16, 20}
+    n = {r["n_tokens"] for r in rows.values()}
+    assert len(n) == 1  # same vocab at every width
+    for k, r in rows.items():
+        assert r["buckets_used"] <= min(r["n_tokens"], 2 ** k)
+        assert r["n_collided"] == r["n_tokens"] - r["buckets_used"]
+    assert rows[12]["n_collided"] >= rows[16]["n_collided"] >= rows[20]["n_collided"]
+
+
+def test_volume_anomaly_flags_planted_burst_day(spark):
+    """29 calm days + one 12x day: exactly the burst day flags."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+    import datetime
+    import os
+    import tempfile
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(30):
+        n = 240 if day == 17 else 20 + (day % 3)
+        for i in range(n):
+            rows.append(
+                (eid, t0 + datetime.timedelta(days=day, seconds=i), 1, "a", 1.0, None)
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = REGISTRY["dq_volume_anomaly_daily"][0](spark, d).collect()
+    assert len(out) == 30
+    flagged = [r for r in out if r["anomaly"] == 1]
+    assert len(flagged) == 1
+    assert flagged[0]["n_rows"] == 240
+    assert flagged[0]["robust_z"] > 3.5

@@ -21328,3 +21328,159 @@ def _q_stream_cusum_level_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__s.n_alerts").alias("n_alerts"),
         F.col("__s.cusum_now").alias("cusum_now"),
     )
+
+
+@register(
+    "feature_hashing_collision_report",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT t.token
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(trim(text), ' ')) AS token) t
+      WHERE len(t.token) > 0 AND text IS NOT NULL
+    ),
+    h AS (
+      SELECT token,
+             ('0x' || substr(md5('tsdt|fh|' || token), 1, 8))::BIGINT AS u
+      FROM toks
+    ),
+    ks AS (SELECT * FROM (VALUES (12), (16), (20)) k(k_bits)),
+    b AS (
+      SELECT k.k_bits, h.u % (CAST(1 AS BIGINT) << k.k_bits) AS bucket
+      FROM h CROSS JOIN ks k
+    )
+    SELECT k_bits,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT bucket) AS BIGINT) AS buckets_used,
+           CAST(count(*) - count(DISTINCT bucket) AS BIGINT) AS n_collided,
+           {R("CAST(count(*) - count(DISTINCT bucket) AS DOUBLE) / count(*)", 6)} AS collision_rate,
+           {R("CAST(count(DISTINCT bucket) AS DOUBLE) / (CAST(1 AS BIGINT) << k_bits)", 6)} AS load_factor
+    FROM b GROUP BY k_bits
+    """,
+)
+def _q_feature_hashing_collision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-HASHING capacity audit for the hashed-linear scorer
+    family (`tx.hashed_linear_score` hashes tokens to weights; THIS
+    says how many weights the table actually needs): per hash width
+    k ∈ {{12, 16, 20}} bits, the corpus vocabulary's distinct-bucket
+    occupancy, collided-token count/rate, and table load factor — the
+    numbers that pick the hashing-trick width before training (too
+    narrow = gradient interference from collisions, too wide = wasted
+    parameters; Weinberger et al. 2009). One DISTINCT-token scan, the
+    three widths fan out scan-side (3 rows per distinct token), one
+    (k, bucket) distinct-count — all map-side combinable; 3-row
+    output at any corpus size."""
+    docs = _table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("tsdt|fh|"), F.col("token"))), 1, 8), 16, 10
+    ).cast("long")
+    ks = spark.createDataFrame([(12,), (16,), (20,)], "k_bits int")
+    b = toks.select(u.alias("__u")).crossJoin(F.broadcast(ks)).select(
+        "k_bits",
+        F.pmod(
+            F.col("__u"), F.expr("shiftleft(cast(1 as bigint), k_bits)")
+        ).alias("__bucket"),
+    )
+    agg = b.groupBy("k_bits").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count_distinct(F.col("__bucket")).cast("long").alias("buckets_used"),
+    )
+    return agg.select(
+        "k_bits",
+        "n_tokens",
+        "buckets_used",
+        (F.col("n_tokens") - F.col("buckets_used")).cast("long").alias("n_collided"),
+        rd(
+            (F.col("n_tokens") - F.col("buckets_used")).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("collision_rate"),
+        rd(
+            F.col("buckets_used").cast("double")
+            / F.expr("shiftleft(cast(1 as bigint), k_bits)"),
+            6,
+        ).alias("load_factor"),
+    )
+
+
+@register(
+    "dq_volume_anomaly_daily",
+    f"""
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    arrs AS (
+      SELECT list_sort(list(n)) AS arr FROM d
+    ),
+    med AS (
+      SELECT (arr[CAST(floor((len(arr) + 1) / 2) AS INT)]
+              + arr[CAST(floor(len(arr) / 2) AS INT) + 1]) / 2.0 AS med, arr
+      FROM arrs
+    ),
+    mz AS (
+      SELECT med,
+             (arr2[CAST(floor((len(arr2) + 1) / 2) AS INT)]
+              + arr2[CAST(floor(len(arr2) / 2) AS INT) + 1]) / 2.0 AS mad
+      FROM (SELECT med, list_sort(list_transform(arr, x -> abs(x - med))) AS arr2 FROM med)
+    )
+    SELECT CAST(d.day AS BIGINT) AS day,
+           CAST(d.n AS BIGINT) AS n_rows,
+           {R("m.med", 6)} AS median_rows,
+           {R("m.mad", 6)} AS mad_rows,
+           CASE WHEN m.mad > 0.0 THEN
+             {R("(d.n - m.med) / (1.4826 * m.mad)", 6)}
+           END AS robust_z,
+           CAST(CASE WHEN m.mad > 0.0 AND abs((d.n - m.med) / (1.4826 * m.mad)) > 3.5
+                THEN 1 ELSE 0 END AS INTEGER) AS anomaly
+    FROM d CROSS JOIN mz m
+    """,
+)
+def _q_dq_volume_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-VOLUME anomaly detector — the DQ check that catches a
+    broken producer or a double-delivery before any value-level test
+    can (freshness says data ARRIVED; this says the right AMOUNT
+    arrived): daily row counts scored by robust z against the
+    corpus's own median/MAD (the Hampel identifier on the day axis —
+    a crashed day cannot drag the threshold the way it drags a
+    mean±kσ rule). Day counts are one map-side-combined agg (≤ a few
+    thousand rows for years of data); the median and MAD come off ONE
+    sorted collected array (the `ts_hampel_filter` interpolated
+    formula) attached back as a sanctioned 1-row broadcast. |days|-row
+    output, MAD=0 NULL-guarded."""
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day")
+    ).groupBy("day").agg(F.count(F.lit(1)).alias("__n"))
+    arrs = d.agg(F.sort_array(F.collect_list(F.col("__n").cast("double"))).alias("__arr"))
+
+    def _med(a):
+        n = F.size(a)
+        lo = F.element_at(a, F.floor((n + F.lit(1)) / F.lit(2)).cast("int"))
+        hi = F.element_at(a, F.floor(n / F.lit(2)).cast("int") + F.lit(1))
+        return (lo + hi) / F.lit(2.0)
+
+    med = arrs.select(
+        "__arr", _med(F.col("__arr")).alias("__med")
+    )
+    arr2 = F.sort_array(F.transform(F.col("__arr"), lambda x: F.abs(x - F.col("__med"))))
+    mz = med.select("__med", _med(arr2).alias("__mad"))
+    j = d.crossJoin(F.broadcast(mz))
+    zexpr = (F.col("__n") - F.col("__med")) / (F.lit(1.4826) * F.col("__mad"))
+    return j.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("__n").cast("long").alias("n_rows"),
+        rd(F.col("__med"), 6).alias("median_rows"),
+        rd(F.col("__mad"), 6).alias("mad_rows"),
+        F.when(F.col("__mad") > 0.0, rd(zexpr, 6)).alias("robust_z"),
+        F.when((F.col("__mad") > 0.0) & (F.abs(zexpr) > 3.5), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("anomaly"),
+    )
