@@ -285,6 +285,7 @@ HEADLINE = [
     "stream_cusum_level_alerts", # order-dependent streaming CUSUM state
     "feature_hashing_collision_report",  # hashing-trick width audit
     "dq_volume_anomaly_daily",   # robust daily ingest-volume anomaly
+    "sample_kcenter_coreset",    # farthest-point diversity coreset
 ]
 
 

@@ -1035,3 +1035,37 @@ def test_volume_anomaly_flags_planted_burst_day(spark):
     assert len(flagged) == 1
     assert flagged[0]["n_rows"] == 240
     assert flagged[0]["robust_z"] > 3.5
+
+
+def test_kcenter_picks_are_diverse_and_radius_shrinks(spark):
+    """Farthest-point invariants: 8 distinct picks, the covering
+    radius (dist2 at selection) is non-increasing, and on a planted
+    3-cluster set the first 3 picks hit 3 different clusters."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+    import os
+    import tempfile
+
+    out = REGISTRY["sample_kcenter_coreset"][0](spark, SF_DIR).collect()
+    assert len(out) == 8
+    assert len({r["vec_id"] for r in out}) == 8
+    radii = [r["dist2_to_set"] for r in sorted(out, key=lambda r: r["round"])][1:]
+    assert all(a >= b - 1e-9 for a, b in zip(radii, radii[1:]))
+
+    # planted: 3 tight clusters far apart -> first 3 picks cover all 3
+    rows = []
+    centers = [0.0, 100.0, 200.0]
+    vid = 0
+    for ci, c in enumerate(centers):
+        for j in range(5):
+            rows.append((vid, [c + j * 0.01] * 4, ci))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = tempfile.mkdtemp()
+    emb.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    got = sorted(
+        REGISTRY["sample_kcenter_coreset"][0](spark, d).collect(),
+        key=lambda r: r["round"],
+    )
+    first3_clusters = {r["vec_id"] // 5 for r in got[:3]}
+    assert first3_clusters == {0, 1, 2}

@@ -21484,3 +21484,120 @@ def _q_dq_volume_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("anomaly"),
     )
+
+
+def _kc_sql(k: int = 8) -> str:
+    """Unrolled k-center greedy oracle: round r's center = argmax of
+    the running min-squared-distance, every distance an exact
+    decimal(38,9) sum — the `graph_pagerank` unrolled-recurrence
+    discipline applied to farthest-point traversal."""
+    dterm = sql_rd("(e.x - c.x) * (e.x - c.x)", 9)
+    parts = [
+        f"WITH ex AS ({_EX_SQL}),",
+        "sd AS (SELECT vec_id FROM embeddings"
+        " ORDER BY md5('tsdt|kc|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),",
+        "c1 AS (SELECT e.i, e.x FROM ex e JOIN sd ON sd.vec_id = e.vec_id),",
+        f"d1 AS (SELECT e.vec_id, sum(CAST({dterm} AS DECIMAL(38,9))) AS dmin"
+        " FROM ex e JOIN c1 c ON c.i = e.i GROUP BY e.vec_id),",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"p{r} AS (SELECT vec_id, dmin FROM d{r-1}"
+            " ORDER BY dmin DESC, vec_id ASC LIMIT 1),"
+        )
+        if r < k:
+            parts.append(
+                f"c{r} AS (SELECT e.i, e.x FROM ex e JOIN p{r} ON p{r}.vec_id = e.vec_id),"
+            )
+            parts.append(
+                f"n{r} AS (SELECT e.vec_id, sum(CAST({dterm} AS DECIMAL(38,9))) AS d"
+                f" FROM ex e JOIN c{r} c ON c.i = e.i GROUP BY e.vec_id),"
+            )
+            parts.append(
+                f"d{r} AS (SELECT d.vec_id, least(d.dmin, n.d) AS dmin"
+                f" FROM d{r-1} d JOIN n{r} n ON n.vec_id = d.vec_id),"
+            )
+    sel = [
+        "SELECT 1 AS round, sd.vec_id, CAST(NULL AS DOUBLE) AS dist2_to_set FROM sd"
+    ]
+    for r in range(2, k + 1):
+        sel.append(
+            f"SELECT {r} AS round, p{r}.vec_id,"
+            f" {sql_rd(f'CAST(p{r}.dmin AS DOUBLE)', 6)} AS dist2_to_set FROM p{r}"
+        )
+    body = "\n    ".join(parts).rstrip(",")
+    union = "\n    UNION ALL\n    ".join(sel)
+    return f"{body}\n    {union}"
+
+
+@register("sample_kcenter_coreset", _kc_sql(8))
+def _q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CENTER GREEDY coreset (farthest-point traversal, the
+    2-approximation of Gonzalez 1985): 8 maximally-DIVERSE embedding
+    exemplars — the opposite pole of `data_prune_prototypicality`
+    (which keeps the most TYPICAL points): active-learning seed sets,
+    eval-set design, and coverage-first data pruning all start from
+    exactly this traversal, and `dist2_to_set` at each pick is the
+    shrinking covering-radius curve (pick k where it elbows). Every
+    candidate-to-set distance is an exact decimal(38,9) sum of 9-dp
+    squared-difference terms, argmax ties break on vec_id, the seed
+    is the min-md5 point — fully deterministic, recurrence unrolled
+    bit-for-bit in the oracle like the PageRank family. Plan: k−1
+    fixed rounds × (one 64-row broadcast center join + one
+    vec-keyed distance agg + a TakeOrdered-1); the running-min state
+    localCheckpoints per round (PLANS.md invariant 17). Vectors
+    never shuffle; k is plan-time fixed."""
+    emb = _table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "__xf")
+    ).select("vec_id", "i", F.col("__xf").cast("double").alias("x"))
+    seed = (
+        emb.select(
+            "vec_id",
+            F.md5(F.concat(F.lit("tsdt|kc|"), F.col("vec_id").cast("string"))).alias("__h"),
+        )
+        .orderBy(F.col("__h").asc(), F.col("vec_id").asc())
+        .limit(1)
+        .select("vec_id")
+    )
+
+    def _dist_to(center_ids: DataFrame) -> DataFrame:
+        cvec = ex.join(F.broadcast(center_ids), "vec_id").select(
+            "i", F.col("x").alias("__cx")
+        )
+        term = rd((F.col("x") - F.col("__cx")) * (F.col("x") - F.col("__cx")), 9)
+        return (
+            ex.join(F.broadcast(cvec), "i")
+            .groupBy("vec_id")
+            .agg(F.sum(term.cast("decimal(38,9)")).alias("__d"))
+        )
+
+    state = _dist_to(seed).withColumnRenamed("__d", "__dmin").localCheckpoint()
+    picks = [
+        seed.select(
+            F.lit(1).alias("round"),
+            "vec_id",
+            F.lit(None).cast("double").alias("dist2_to_set"),
+        )
+    ]
+    k = 8
+    for r in range(2, k + 1):
+        p = state.orderBy(F.col("__dmin").desc(), F.col("vec_id").asc()).limit(1)
+        picks.append(
+            p.select(
+                F.lit(r).alias("round"),
+                "vec_id",
+                rd(F.col("__dmin").cast("double"), 6).alias("dist2_to_set"),
+            )
+        )
+        if r < k:
+            dn = _dist_to(p.select("vec_id"))
+            state = (
+                state.join(dn.hint("shuffle_hash"), "vec_id")
+                .select("vec_id", F.least(F.col("__dmin"), F.col("__d")).alias("__dmin"))
+                .localCheckpoint()
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
