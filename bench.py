@@ -286,6 +286,9 @@ HEADLINE = [
     "feature_hashing_collision_report",  # hashing-trick width audit
     "dq_volume_anomaly_daily",   # robust daily ingest-volume anomaly
     "sample_kcenter_coreset",    # farthest-point diversity coreset
+    "orders_basket_lift_pairs",  # market-basket association rules
+    "markov_stationary_dist",    # chain fixpoint vs empirical share
+    "graph_lp_modularity",       # LP communities + Newman Q
 ]
 
 

@@ -1069,3 +1069,114 @@ def test_kcenter_picks_are_diverse_and_radius_shrinks(spark):
     )
     first3_clusters = {r["vec_id"] // 5 for r in got[:3]}
     assert first3_clusters == {0, 1, 2}
+
+
+def test_basket_lift_planted_perfect_pair_tops(spark):
+    """Parts 1 and 2 always co-occur in their 4 baskets and nowhere
+    else -> they top the lift ranking; a pair seen twice (< min
+    support 3) is excluded."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+    import os
+    import tempfile
+
+    rows = []
+    lid = 0
+    # 4 baskets of the perfect pair
+    for o in range(4):
+        for pk in (1, 2):
+            rows.append((100 + o, lid, pk)); lid += 1
+    # 2 baskets of a sub-support pair
+    for o in range(2):
+        for pk in (7, 8):
+            rows.append((200 + o, lid, pk)); lid += 1
+    # 30 noise baskets sharing common part 50 with rotating partners
+    for o in range(30):
+        rows.append((300 + o, lid, 50)); lid += 1
+        rows.append((300 + o, lid, 60 + o % 6)); lid += 1
+    li = spark.createDataFrame(rows, "l_orderkey long, l_lineno long, l_partkey long")
+    d = tempfile.mkdtemp()
+    li.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    out = REGISTRY["orders_basket_lift_pairs"][0](spark, d).collect()
+    assert out
+    top = out[0]
+    assert (top["part_a"], top["part_b"]) == (1, 2)
+    assert top["n_pair"] == 4
+    assert top["conf_a_b"] == 1.0 and top["conf_b_a"] == 1.0
+    assert not any({r["part_a"], r["part_b"]} == {7, 8} for r in out)
+    for r in out:
+        assert r["n_pair"] >= 3
+
+
+def test_markov_stationary_absorbing_type_takes_mass(spark):
+    """A chain where every user drifts a->b->c and stays on c: the
+    stationary estimate puts the most mass on c and both columns form
+    distributions."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+    import datetime
+    import os
+    import tempfile
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(20):
+        seq = ["a", "b"] + ["c"] * 8
+        for i, et in enumerate(seq):
+            rows.append((eid, t0 + datetime.timedelta(seconds=i), u, et, 1.0, None))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r["event_type"]: r for r in REGISTRY["markov_stationary_dist"][0](spark, d).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert abs(sum(r["stationary_p"] for r in out.values()) - 1.0) < 1e-4
+    assert abs(sum(r["empirical_p"] for r in out.values()) - 1.0) < 1e-4
+    assert out["c"]["stationary_p"] > out["a"]["stationary_p"]
+    assert out["c"]["stationary_p"] > out["b"]["stationary_p"]
+    assert out["c"]["delta"] > 0  # chain pulls mass toward the absorbing type
+
+
+def test_lp_modularity_two_cliques_high_q(spark):
+    """Two 5-cliques joined by one bridge: LP recovers the two
+    communities and Q lands near the two-community optimum (~0.4);
+    the planted structure also pins n_communities and intra fraction."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+    import datetime
+    import os
+    import tempfile
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # clique A: users 1-5 share one overlapping hour; clique B: 11-15
+    for u in range(1, 6):
+        rows.append((eid, t0, u, "x", 1.0, None)); eid += 1
+        rows.append((eid, t0 + datetime.timedelta(minutes=20), u, "x", 1.0, None)); eid += 1
+    for u in range(11, 16):
+        rows.append((eid, t0 + datetime.timedelta(hours=5), u, "x", 1.0, None)); eid += 1
+        rows.append((eid, t0 + datetime.timedelta(hours=5, minutes=20), u, "x", 1.0, None)); eid += 1
+    # bridge: user 5 also active in B's hour (one cross edge set)
+    rows.append((eid, t0 + datetime.timedelta(hours=5, minutes=10), 5, "x", 1.0, None)); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    r = REGISTRY["graph_lp_modularity"][0](spark, d).collect()[0]
+    assert r["n_nodes"] == 10
+    assert r["n_communities"] == 2
+    # the bridge user sees 5 B-neighbors vs 4 A-neighbors and defects
+    assert r["largest_comm"] == 6
+    # Q of the 4/6 split is 0.2752 (the 5/5 optimum would be ~0.41) —
+    # still far above the random-graph 0
+    assert 0.2 < r["modularity_q"] < 0.45
+    assert r["intra_edge_frac"] > 0.7

@@ -21601,3 +21601,403 @@ def _q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "orders_basket_lift_pairs",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem
+    ),
+    nord AS (SELECT CAST(count(DISTINCT okey) AS DOUBLE) AS n FROM items),
+    cnt AS (SELECT pk, count(*) AS c FROM items GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_pair
+      FROM items a JOIN items b
+        ON a.okey = b.okey AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+    ),
+    scored AS (
+      SELECT p.part_a, p.part_b, p.n_pair,
+             {R("CAST(p.n_pair AS DOUBLE) / nord.n", 6)} AS support,
+             {R("CAST(p.n_pair AS DOUBLE) / ca.c", 6)} AS conf_a_b,
+             {R("CAST(p.n_pair AS DOUBLE) / cb.c", 6)} AS conf_b_a,
+             {R("(nord.n * p.n_pair) / (CAST(ca.c AS DOUBLE) * cb.c)", 6)} AS lift
+      FROM pairs p
+      JOIN cnt ca ON ca.pk = p.part_a
+      JOIN cnt cb ON cb.pk = p.part_b
+      CROSS JOIN nord
+      WHERE p.n_pair >= 3
+    )
+    SELECT * FROM scored
+    ORDER BY lift DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+)
+def _q_orders_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET association rules over order line items:
+    support / directed confidence / lift per co-purchased part pair,
+    top-20 by lift (min support 3 orders) — the classic retail
+    analytics workload (Agrawal-Srikant Apriori at the pair level),
+    and the relational sibling of `coengagement_type_pairs` (events)
+    and `text_cooc_lift_pairs` (tokens). SCALE SHAPE is the whole
+    point: pairs come from a basket-keyed self-join, and TPC-H
+    baskets are ≤7 items, so the fan-out is ≤21 pairs per order —
+    bounded by the BASKET size law, never by part popularity (the
+    same bounded-pair-generator discipline as the dedup family,
+    PLANS.md invariant 6); part marginals join keyed, the order
+    count is the 1-row broadcast, the cut is TakeOrdered. Exact
+    integer counts; four 6-dp ratios on top."""
+    li = _table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("__okey"), F.col("l_partkey").alias("__pk")
+    ).distinct()
+    nord = items.agg(
+        F.count_distinct(F.col("__okey")).cast("double").alias("__n")
+    )
+    cnt = items.groupBy("__pk").agg(F.count(F.lit(1)).alias("__c"))
+    a = items.select(F.col("__okey"), F.col("__pk").alias("part_a"))
+    b = items.select(F.col("__okey"), F.col("__pk").alias("part_b"))
+    pairs = (
+        a.join(b.hint("shuffle_hash"), "__okey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    ca = cnt.select(F.col("__pk").alias("part_a"), F.col("__c").alias("__ca"))
+    cb = cnt.select(F.col("__pk").alias("part_b"), F.col("__c").alias("__cb"))
+    scored = (
+        pairs.join(ca.hint("shuffle_hash"), "part_a")
+        .join(cb.hint("shuffle_hash"), "part_b")
+        .crossJoin(F.broadcast(nord))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            rd(F.col("n_pair").cast("double") / F.col("__n"), 6).alias("support"),
+            rd(F.col("n_pair").cast("double") / F.col("__ca"), 6).alias("conf_a_b"),
+            rd(F.col("n_pair").cast("double") / F.col("__cb"), 6).alias("conf_b_a"),
+            rd(
+                (F.col("__n") * F.col("n_pair"))
+                / (F.col("__ca").cast("double") * F.col("__cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(20)
+
+
+def _markov_stat_sql(rounds: int = 3) -> str:
+    """Unrolled π ← normalize(πP) recurrence over the 6-dp transition
+    matrix — pagerank's unrolled-recurrence discipline on the
+    |types|² chain."""
+    head = f"""WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS src, nxt AS dst, count(*) AS n
+      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT src, sum(n) AS tot FROM c GROUP BY src),
+    pm AS (
+      SELECT c.src, c.dst, {sql_rd("CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE)", 6)} AS p
+      FROM c JOIN t ON t.src = c.src
+    ),
+    ty AS (SELECT DISTINCT event_type AS et FROM events),
+    nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ty),
+    pi0 AS (SELECT et, {sql_rd("1.0 / nt.n", 12)} AS pi FROM ty CROSS JOIN nt)"""
+    parts = [head]
+    prev = "pi0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    r{r} AS (
+      SELECT pm.dst AS et,
+             CAST(sum(CAST({sql_rd("pr.pi * pm.p", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS raw
+      FROM pm JOIN {prev} pr ON pr.et = pm.src GROUP BY pm.dst
+    ),
+    s{r} AS (SELECT CAST(sum(CAST({sql_rd("raw", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS s FROM r{r}),
+    pi{r} AS (
+      SELECT t.et, coalesce({sql_rd("r.raw / s.s", 12)}, 0.0) AS pi
+      FROM ty t LEFT JOIN r{r} r ON r.et = t.et CROSS JOIN s{r} s
+    )"""
+        )
+        prev = f"pi{r}"
+    parts.append(
+        f""",
+    emp AS (
+      SELECT event_type AS et, count(*) AS n FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n FROM emp)
+    SELECT p.et AS event_type,
+           {sql_rd("p.pi", 6)} AS stationary_p,
+           {sql_rd("CAST(e.n AS DOUBLE) / tot.n", 6)} AS empirical_p,
+           {sql_rd(f"p.pi - CAST(e.n AS DOUBLE) / tot.n", 6)} AS delta
+    FROM {prev} p JOIN emp e ON e.et = p.et CROSS JOIN tot"""
+    )
+    return "".join(parts)
+
+
+@register("markov_stationary_dist", _markov_stat_sql(3))
+def _q_markov_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIONARY distribution of the event-type Markov chain (3
+    decimal-exact power rounds of π ← normalize(πP) from uniform,
+    the `graph_pagerank` fixed-round contract) set against the
+    EMPIRICAL type share — the behavioral-model readout on top of
+    `markov_event_transitions` (matrix) and
+    `stats_markov_entropy_rate` (predictability): where the chain is
+    HEADING vs where the counts ARE; a large delta means the recent
+    transition structure is pulling traffic toward a type faster
+    than its historical share shows (early drift signal at the
+    process level, not the value level). All linear algebra happens
+    on |types|-row vectors against the |types|²-row 6-dp matrix —
+    broadcast joins, 12-dp-rounded decimal-summed contributions,
+    renormalized per round (rounding + dangling-type leakage cannot
+    compound). |types|-row output."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("__nxt")
+    ).filter(F.col("__nxt").isNotNull())
+    c = o.groupBy(
+        F.col("event_type").alias("__src"), F.col("__nxt").alias("__dst")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    t = c.groupBy("__src").agg(F.sum("__n").alias("__tot"))
+    pm = c.join(t.hint("shuffle_hash"), "__src").select(
+        "__src", "__dst",
+        rd(F.col("__n").cast("double") / F.col("__tot").cast("double"), 6).alias("__p"),
+    )
+    ty = ev.select(F.col("event_type").alias("__et")).distinct()
+    nt = ty.agg(F.count(F.lit(1)).cast("double").alias("__nt"))
+    pi = ty.crossJoin(F.broadcast(nt)).select(
+        "__et", rd(F.lit(1.0) / F.col("__nt"), 12).alias("__pi")
+    )
+
+    def _ds12(term):
+        return F.sum(rd(term, 12).cast("decimal(38,12)")).cast("double")
+
+    for _ in range(3):
+        raw = (
+            pm.join(F.broadcast(pi.withColumnRenamed("__et", "__src")), "__src")
+            .groupBy("__dst")
+            .agg(_ds12(F.col("__pi") * F.col("__p")).alias("__raw"))
+        )
+        s = raw.agg(_ds12(F.col("__raw")).alias("__s"))
+        pi = (
+            ty.join(
+                F.broadcast(raw.withColumnRenamed("__dst", "__et")), "__et", "left"
+            )
+            .crossJoin(F.broadcast(s))
+            .select(
+                "__et",
+                F.coalesce(
+                    rd(F.col("__raw") / F.col("__s"), 12), F.lit(0.0)
+                ).alias("__pi"),
+            )
+        )
+    emp = ev.groupBy(F.col("event_type").alias("__et")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    tot = emp.agg(F.sum("__n").cast("double").alias("__tn"))
+    return (
+        pi.join(F.broadcast(emp), "__et")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__et").alias("event_type"),
+            rd(F.col("__pi"), 6).alias("stationary_p"),
+            rd(F.col("__n").cast("double") / F.col("__tn"), 6).alias("empirical_p"),
+            rd(
+                F.col("__pi") - F.col("__n").cast("double") / F.col("__tn"), 6
+            ).alias("delta"),
+        )
+    )
+
+
+@register(
+    "graph_lp_modularity",
+    f"""
+    WITH e0 AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+    ),
+    m0 AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS newf
+      FROM e0 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s0 AS (
+      SELECT *,
+             sum(newf) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess
+      FROM m0
+    ),
+    sess AS (
+      SELECT user_id, sess, min(us) AS start_us, max(us) AS end_us
+      FROM s0 GROUP BY user_id, sess
+    ),
+    p AS (
+      SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+      FROM sess a JOIN sess b
+        ON a.start_us <= b.end_us AND b.start_us <= a.end_us
+       AND a.user_id < b.user_id
+    ),
+    e AS (
+      SELECT ua AS s, ub AS d FROM p
+      UNION ALL SELECT ub AS s, ua AS d FROM p
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM e),
+    l0 AS (SELECT node, node AS lbl FROM nodes),
+    v1 AS (
+      SELECT e.d AS node, l.lbl, count(*) AS n
+      FROM e JOIN l0 l ON l.node = e.s GROUP BY e.d, l.lbl
+    ),
+    w1 AS (
+      SELECT node, lbl AS new_lbl FROM v1
+      QUALIFY row_number() OVER (PARTITION BY node ORDER BY n DESC, lbl ASC) = 1
+    ),
+    l1 AS (
+      SELECT l.node, coalesce(w.new_lbl, l.lbl) AS lbl
+      FROM l0 l LEFT JOIN w1 w ON w.node = l.node
+    ),
+    v2 AS (
+      SELECT e.d AS node, l.lbl, count(*) AS n
+      FROM e JOIN l1 l ON l.node = e.s GROUP BY e.d, l.lbl
+    ),
+    w2 AS (
+      SELECT node, lbl AS new_lbl FROM v2
+      QUALIFY row_number() OVER (PARTITION BY node ORDER BY n DESC, lbl ASC) = 1
+    ),
+    l2 AS (
+      SELECT l.node, coalesce(w.new_lbl, l.lbl) AS lbl
+      FROM l1 l LEFT JOIN w2 w ON w.node = l.node
+    ),
+    mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM p),
+    dc AS (
+      SELECT l.lbl, CAST(count(*) AS DOUBLE) AS d
+      FROM e JOIN l2 l ON l.node = e.s GROUP BY l.lbl
+    ),
+    ec AS (
+      SELECT la.lbl, CAST(count(*) AS DOUBLE) AS ein
+      FROM p JOIN l2 la ON la.node = p.ua JOIN l2 lb ON lb.node = p.ub
+      WHERE la.lbl = lb.lbl GROUP BY la.lbl
+    ),
+    terms AS (
+      SELECT d.lbl,
+             CAST({sql_rd("coalesce(e.ein, 0.0) / mm.m - (d.d / (2.0 * mm.m)) * (d.d / (2.0 * mm.m))", 9)} AS DECIMAL(38,9)) AS q,
+             coalesce(e.ein, 0.0) AS ein
+      FROM dc d LEFT JOIN ec e ON e.lbl = d.lbl CROSS JOIN mm
+    ),
+    cs AS (SELECT lbl, count(*) AS nn FROM l2 GROUP BY lbl)
+    SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT m FROM mm) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM cs) AS BIGINT) AS n_communities,
+           CAST((SELECT max(nn) FROM cs) AS BIGINT) AS largest_comm,
+           {sql_rd("(SELECT sum(ein) FROM terms) / (SELECT m FROM mm)", 6)} AS intra_edge_frac,
+           {sql_rd("CAST((SELECT sum(q) FROM terms) AS DOUBLE)", 6)} AS modularity_q
+    """,
+)
+def _q_graph_lp_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMUNITY QUALITY readout: 2-round deterministic label
+    propagation (`gr.label_propagation`, min-label tie-break) over the
+    session-concurrency graph, scored by Newman MODULARITY Q =
+    Σ_c (e_c/m − (d_c/2m)²) plus the intra-edge fraction — the number
+    that says whether the co-activity graph HAS community structure
+    worth exploiting (Q ≈ 0 → don't bother sharding/sampling by
+    community; Q ≫ 0 → community-aware negative sampling and graph
+    partitioning pay). Completes the graph family's unsupervised
+    side: CC = connectivity, k-core = density, LP+Q = mesoscale.
+    Every piece is exact-integer until the final ratios (counts,
+    degrees, canonical intra-pair counts); the LP recurrence and the
+    Q reduction unroll bit-for-bit in the oracle. Plan: the proven
+    bounded session-overlap pair build, then per LP round one
+    vertex-keyed join + a keyed majority vote; Q is three
+    |labels|-row aggregates. 1-row output."""
+    sessd = ag.sessionize_user_events(_table(spark, sf_dir, "events"), gap_minutes=30)
+    ivl = sessd.select(
+        "user_id",
+        "session_idx",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+    )
+    prs = iv.overlap_join(ivl, ivl).filter(F.col("user_id_a") < F.col("user_id_b"))
+    p = prs.select(
+        F.col("user_id_a").alias("ua"), F.col("user_id_b").alias("ub")
+    ).distinct()
+    nodes = (
+        p.select(F.col("ua").alias("node"))
+        .unionByName(p.select(F.col("ub").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.select("node", F.col("node").alias("label"))
+    lab = gr.label_propagation(
+        p.select(F.col("ua").alias("src"), F.col("ub").alias("dst")),
+        seeds,
+        iterations=2,
+    )
+    e = p.select(F.col("ua").alias("s"), F.col("ub").alias("d")).unionByName(
+        p.select(F.col("ub").alias("s"), F.col("ua").alias("d"))
+    )
+    mm = p.agg(F.count(F.lit(1)).cast("double").alias("__m"))
+    la = lab.select(F.col("node").alias("s"), F.col("label").alias("__lbl"))
+    dc = e.join(la.hint("shuffle_hash"), "s").groupBy("__lbl").agg(
+        F.count(F.lit(1)).cast("double").alias("__d")
+    )
+    lpa = lab.select(F.col("node").alias("ua"), F.col("label").alias("__la"))
+    lpb = lab.select(F.col("node").alias("ub"), F.col("label").alias("__lb"))
+    ec = (
+        p.join(lpa.hint("shuffle_hash"), "ua")
+        .join(lpb.hint("shuffle_hash"), "ub")
+        .filter(F.col("__la") == F.col("__lb"))
+        .groupBy(F.col("__la").alias("__lbl"))
+        .agg(F.count(F.lit(1)).cast("double").alias("__ein"))
+    )
+    terms = (
+        dc.join(ec.hint("shuffle_hash"), "__lbl", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            rd(
+                F.coalesce(F.col("__ein"), F.lit(0.0)) / F.col("__m")
+                - (F.col("__d") / (F.lit(2.0) * F.col("__m")))
+                * (F.col("__d") / (F.lit(2.0) * F.col("__m"))),
+                9,
+            )
+            .cast("decimal(38,9)")
+            .alias("__q"),
+            F.coalesce(F.col("__ein"), F.lit(0.0)).alias("__einf"),
+        )
+    )
+    cs = lab.groupBy("label").agg(F.count(F.lit(1)).alias("__nn"))
+    stats = (
+        terms.agg(
+            F.sum("__q").cast("double").alias("__qsum"),
+            F.sum("__einf").alias("__eins"),
+        )
+        .crossJoin(F.broadcast(nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))))
+        .crossJoin(F.broadcast(mm))
+        .crossJoin(
+            F.broadcast(
+                cs.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_communities"),
+                    F.max("__nn").cast("long").alias("largest_comm"),
+                )
+            )
+        )
+    )
+    return stats.select(
+        "n_nodes",
+        F.col("__m").cast("long").alias("n_edges"),
+        "n_communities",
+        "largest_comm",
+        rd(F.col("__eins") / F.col("__m"), 6).alias("intra_edge_frac"),
+        rd(F.col("__qsum"), 6).alias("modularity_q"),
+    )
