@@ -8230,7 +8230,13 @@ def _q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt = o.groupBy("event_type").agg(F.sum("obs").alias("rtot"))
     ct = o.groupBy("hod").agg(F.sum("obs").alias("ctot"))
     g = o.agg(F.sum("obs").alias("total"))
-    grid = rt.crossJoin(F.broadcast(ct))
+    grid = rt.select(
+        "event_type",
+        "rtot",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(23).cast("long"))).alias(
+            "hod"
+        ),
+    ).join(F.broadcast(ct), "hod")
     cells = (
         grid.join(o.hint("shuffle_hash"), ["event_type", "hod"], "left")
         .crossJoin(F.broadcast(g))
@@ -15819,7 +15825,13 @@ def _q_stats_chi2_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt = o.groupBy("event_type").agg(F.sum("obs").alias("rtot"))
     ct = o.groupBy("hod").agg(F.sum("obs").alias("ctot"))
     g = o.agg(F.sum("obs").alias("total"))
-    grid = rt.crossJoin(F.broadcast(ct))
+    grid = rt.select(
+        "event_type",
+        "rtot",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(23).cast("long"))).alias(
+            "hod"
+        ),
+    ).join(F.broadcast(ct), "hod")
     cells = (
         grid.join(o.hint("shuffle_hash"), ["event_type", "hod"], "left")
         .crossJoin(F.broadcast(g))
@@ -21251,8 +21263,9 @@ def _q_privacy_dp_count_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.max("__c").cast("long").alias("sensitivity"),
     )
-    eps = spark.createDataFrame([(0.1,), (1.0,)], "epsilon double")
-    j = g.crossJoin(F.broadcast(eps))
+    j = g.select(
+        "*", F.explode(F.array(F.lit(0.1), F.lit(1.0))).alias("epsilon")
+    )
     scale = F.col("sensitivity").cast("double") / F.col("epsilon")
     rel = scale / F.col("n")
     return j.select(
@@ -21380,8 +21393,10 @@ def _q_feature_hashing_collision_report(spark: SparkSession, sf_dir: str) -> Dat
     u = F.conv(
         F.substring(F.md5(F.concat(F.lit("tsdt|fh|"), F.col("token"))), 1, 8), 16, 10
     ).cast("long")
-    ks = spark.createDataFrame([(12,), (16,), (20,)], "k_bits int")
-    b = toks.select(u.alias("__u")).crossJoin(F.broadcast(ks)).select(
+    b = toks.select(
+        u.alias("__u"),
+        F.explode(F.array(F.lit(12), F.lit(16), F.lit(20))).alias("k_bits"),
+    ).select(
         "k_bits",
         F.pmod(
             F.col("__u"), F.expr("shiftleft(cast(1 as bigint), k_bits)")
