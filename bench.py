@@ -291,6 +291,7 @@ HEADLINE = [
     "graph_lp_modularity",       # LP communities + Newman Q
     "ts_holt_backtest_mase",     # forecaster vs naive backtest
     "dq_srm_check",              # assignment sample-ratio mismatch
+    "mix_interleave_schedule",   # smooth-WRR loader schedule
 ]
 
 

@@ -1214,3 +1214,37 @@ def test_srm_clean_hash_passes_broken_assignment_flags(spark):
     exp = (na + nb) / 2
     chi2 = (na - exp) ** 2 / exp + (nb - exp) ** 2 / exp
     assert chi2 > 3.841  # the statistic the query computes would flag
+
+
+def test_interleave_schedule_prefix_stays_on_mix(spark):
+    """Smooth-WRR contract: every prefix of the schedule keeps each
+    source's realized slot count within 2 slots of its target share
+    (virtual-time EDF bound at arbitrary prefixes) — the property IID
+    sampling lacks (O(sqrt n) wander); steps are 1..N with no gaps."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+    import os
+    import tempfile
+
+    rows = []
+    did = 0
+    for src, ndocs, nwords in (("big", 30, 40), ("mid", 15, 20), ("small", 5, 8)):
+        for i in range(ndocs):
+            rows.append((did, " ".join(["w"] * nwords), "en", src)); did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = sorted(
+        REGISTRY["mix_interleave_schedule"][0](spark, d).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [r["step"] for r in out] == list(range(1, len(out) + 1))
+    # shares from token mass: big/mid/small docs*words proportional
+    tok = {"big": 30 * 40, "mid": 15 * 20, "small": 5 * 8}
+    tt = sum(tok.values())
+    seen = {k: 0 for k in tok}
+    for r in out:
+        seen[r["source"]] += 1
+        n = r["step"]
+        for k in tok:
+            assert abs(seen[k] - n * tok[k] / tt) <= 2.0 + 1e-9

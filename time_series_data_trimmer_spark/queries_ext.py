@@ -22230,3 +22230,94 @@ def _q_dq_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.alias("crit_05"),
         F.when(chi2r > crit, 1).otherwise(0).cast("int").alias("srm_flag"),
     )
+
+
+_ILV_N = 120
+
+
+@register(
+    "mix_interleave_schedule",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(ceil(length(coalesce(text, '')) / 4.0) AS BIGINT) AS nt,
+             source
+      FROM documents
+    ),
+    per AS (
+      SELECT source, CAST(sum(nt) AS BIGINT) AS tokens FROM w GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS tt FROM per),
+    sh AS (
+      SELECT source, {R("CAST(tokens AS DOUBLE) / tot.tt", 8)} AS share
+      FROM per CROSS JOIN tot
+    ),
+    emis AS (
+      SELECT source, share,
+             unnest(generate_series(1, CAST(ceil({_ILV_N} * share) + 1 AS BIGINT))) AS j
+      FROM sh WHERE share > 0.0
+    ),
+    timed AS (
+      SELECT source, {R("CAST(j AS DOUBLE) / share", 9)} AS t FROM emis
+    ),
+    ranked AS (
+      SELECT source, t,
+             row_number() OVER (ORDER BY t ASC, source ASC) AS step
+      FROM timed
+    )
+    SELECT CAST(step AS BIGINT) AS step, source, t AS sched_t
+    FROM ranked WHERE step <= {_ILV_N}
+    """,
+)
+def _q_mix_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC SOURCE-INTERLEAVE SCHEDULE for a training data
+    loader: the first {_ILV_N} batch slots assigned to sources by the
+    virtual-time rule (source s emits at times j/share_s; slots are
+    emissions in time order) — the smooth-weighted-round-robin that
+    keeps every prefix of the stream within one batch of the target
+    token-share mix, where IID sampling wanders O(√n) off-mix and a
+    naive block schedule front-loads big sources. The schedule TABLE
+    is the artifact a reproducible loader ships (step → source), the
+    mix-order counterpart of `mix_shuffle_shards`' intra-shard order.
+    Emission times are one division each (9-dp-rounded so both
+    engines order the same grid; ties break by source name); the
+    candidate pool is Σ ceil(N·share_s)+1 ≈ N+|sources| rows, so the
+    final rank is a bounded collect-and-explode, not a data-scale
+    sort. One documents scan for the shares; everything after is
+    |sources|-row arithmetic."""
+    docs = _table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.ceil(
+            F.length(F.coalesce(F.col("text"), F.lit(""))) / F.lit(4.0)
+        ).cast("long").alias("__nt"),
+    ).groupBy("source").agg(F.sum("__nt").cast("long").alias("__tokens"))
+    tot = per.agg(F.sum("__tokens").cast("double").alias("__tt"))
+    sh = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        rd(F.col("__tokens").cast("double") / F.col("__tt"), 8).alias("__share"),
+    ).filter(F.col("__share") > 0.0)
+    emis = sh.select(
+        "source",
+        "__share",
+        F.explode(
+            F.sequence(
+                F.lit(1).cast("long"),
+                (F.ceil(F.lit(_ILV_N) * F.col("__share")) + F.lit(1)).cast("long"),
+            )
+        ).alias("__j"),
+    )
+    timed = emis.select(
+        "source", rd(F.col("__j").cast("double") / F.col("__share"), 9).alias("__t")
+    )
+    row = timed.agg(
+        F.sort_array(F.collect_list(F.struct("__t", "source"))).alias("__arr")
+    )
+    z = row.select(
+        F.posexplode(F.slice(F.col("__arr"), 1, _ILV_N)).alias("__i", "__s")
+    )
+    return z.select(
+        (F.col("__i") + 1).cast("long").alias("step"),
+        F.col("__s.source").alias("source"),
+        F.col("__s.__t").alias("sched_t"),
+    )
