@@ -292,6 +292,8 @@ HEADLINE = [
     "ts_holt_backtest_mase",     # forecaster vs naive backtest
     "dq_srm_check",              # assignment sample-ratio mismatch
     "mix_interleave_schedule",   # smooth-WRR loader schedule
+    "dedup_family_agreement",    # MinHash vs SimHash pair overlap
+    "privacy_qi_risk_sweep",     # QI dimensionality risk growth
 ]
 
 

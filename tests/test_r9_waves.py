@@ -1248,3 +1248,30 @@ def test_interleave_schedule_prefix_stays_on_mix(spark):
         n = r["step"]
         for k in tok:
             assert abs(seen[k] - n * tok[k] / tt) <= 2.0 + 1e-9
+
+
+def test_family_agreement_counts_reconcile(spark):
+    """n_union = n_minhash + n_simhash − n_both, and both similarity
+    ratios live in [0,1]."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    r = REGISTRY["dedup_family_agreement"][0](spark, SF_DIR).collect()[0]
+    assert r["n_union"] == r["n_minhash"] + r["n_simhash"] - r["n_both"]
+    if r["overlap_jaccard"] is not None:
+        assert 0.0 <= r["overlap_jaccard"] <= 1.0
+        assert r["overlap_jaccard"] <= (r["dice"] or 0) + 1e-9  # J <= D always
+
+
+def test_qi_risk_monotone_in_dimensions(spark):
+    """Adding QI attributes can only shrink equivalence classes:
+    group count rises, min_k falls, risk share rises (weakly)."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    out = {r["qi_set"]: r for r in REGISTRY["privacy_qi_risk_sweep"][0](spark, SF_DIR).collect()}
+    a, b, c = out["type"], out["type+hour"], out["type+hour+dow"]
+    assert a["n_rows"] == b["n_rows"] == c["n_rows"]
+    assert a["n_groups"] <= b["n_groups"] <= c["n_groups"]
+    assert a["min_k"] >= b["min_k"] >= c["min_k"]
+    assert a["risk_share"] <= b["risk_share"] + 1e-9 <= c["risk_share"] + 2e-9

@@ -22321,3 +22321,193 @@ def _q_mix_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__s.source").alias("source"),
         F.col("__s.__t").alias("sched_t"),
     )
+
+
+@register(
+    "dedup_family_agreement",
+    f"""
+    WITH shingled AS ({_SH_SQL}),
+    sig AS ({_SIG_SQL}),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS key
+      FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    mh AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    bits AS (SELECT doc_id, {_SIMHASH_BITS_SQL} FROM hashed GROUP BY doc_id),
+    fp AS (SELECT doc_id, {_SIMHASH_FP_SQL} AS simhash FROM bits),
+    ck AS (
+      SELECT doc_id, simhash, cb.combo_id, {_SIMHASH_KEY_SQL} AS cv
+      FROM fp, (VALUES {_SIMHASH_COMBO_VALUES}) cb(combo_id, {_SIMHASH_COMBO_COLS})
+    ),
+    shp AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ck a JOIN ck b
+        ON a.combo_id = b.combo_id AND a.cv = b.cv AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    u AS (
+      SELECT coalesce(m.id_a, s.id_a) AS id_a,
+             coalesce(m.id_b, s.id_b) AS id_b,
+             CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_mh,
+             CASE WHEN s.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_sh
+      FROM mh m FULL OUTER JOIN shp s
+        ON s.id_a = m.id_a AND s.id_b = m.id_b
+    ),
+    agg AS (
+      SELECT CAST(sum(in_mh) AS BIGINT) AS n_minhash,
+             CAST(sum(in_sh) AS BIGINT) AS n_simhash,
+             CAST(sum(in_mh * in_sh) AS BIGINT) AS n_both,
+             CAST(count(*) AS BIGINT) AS n_union
+      FROM u
+    )
+    SELECT n_minhash, n_simhash, n_both, n_union,
+           CASE WHEN n_union > 0 THEN
+             {R("CAST(n_both AS DOUBLE) / n_union", 6)}
+           END AS overlap_jaccard,
+           CASE WHEN n_minhash + n_simhash > 0 THEN
+             {R("2.0 * n_both / (CAST(n_minhash AS DOUBLE) + n_simhash)", 6)}
+           END AS dice
+    FROM agg
+    """,
+)
+def _q_dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METHOD-AGREEMENT audit between the two near-dup families:
+    MinHash-LSH candidate pairs (Jaccard lens) vs pigeonhole-blocked
+    SimHash pairs (Hamming lens) — pair-set overlap Jaccard and Dice.
+    The reading a dedup owner needs BEFORE trusting either eval
+    report alone: high agreement → one cheap method suffices; low
+    agreement → the two families see DIFFERENT duplication (shingle
+    overlap vs token-multiset similarity) and the pipeline should
+    run both (each family's recall eval, `dedup_lsh_eval_report` /
+    `dedup_simhash_eval_report`, scores against its OWN ground truth
+    and cannot see this). Both generators are the proven bounded
+    ones; the comparison is one full-outer join on the (bounded)
+    pair keys + a 1-row agg. Zero new machinery — pure composition."""
+    docs = _table(spark, sf_dir, "documents")
+    mh = dd.minhash_lsh_pairs(docs).select("id_a", "id_b", F.lit(1).alias("__mh"))
+    fp = dd.simhash(docs)
+    sh = dd.simhash_pairs(fp, max_hamming=3, n_chunks=_SIMHASH_M).select(
+        "id_a", "id_b", F.lit(1).alias("__sh")
+    )
+    u = mh.join(sh.hint("shuffle_hash"), ["id_a", "id_b"], "full_outer").select(
+        F.coalesce(F.col("__mh"), F.lit(0)).alias("__m"),
+        F.coalesce(F.col("__sh"), F.lit(0)).alias("__s"),
+    )
+    agg = u.agg(
+        F.sum("__m").cast("long").alias("n_minhash"),
+        F.sum("__s").cast("long").alias("n_simhash"),
+        F.sum(F.col("__m") * F.col("__s")).cast("long").alias("n_both"),
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+    )
+    return agg.select(
+        "n_minhash",
+        "n_simhash",
+        "n_both",
+        "n_union",
+        F.when(
+            F.col("n_union") > 0,
+            rd(F.col("n_both").cast("double") / F.col("n_union"), 6),
+        ).alias("overlap_jaccard"),
+        F.when(
+            F.col("n_minhash") + F.col("n_simhash") > 0,
+            rd(
+                F.lit(2.0) * F.col("n_both")
+                / (F.col("n_minhash").cast("double") + F.col("n_simhash")),
+                6,
+            ),
+        ).alias("dice"),
+    )
+
+
+@register(
+    "privacy_qi_risk_sweep",
+    f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) // 3600000000) % 24 AS VARCHAR) AS hod,
+             CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS VARCHAR) AS dow
+      FROM events
+    ),
+    m AS (
+      SELECT 'type' AS qi_set, event_type AS qk FROM base
+      UNION ALL
+      SELECT 'type+hour', event_type || '|' || hod FROM base
+      UNION ALL
+      SELECT 'type+hour+dow', event_type || '|' || hod || '|' || dow FROM base
+    ),
+    g AS (SELECT qi_set, qk, count(*) AS k FROM m GROUP BY qi_set, qk),
+    agg AS (
+      SELECT qi_set,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(min(k) AS BIGINT) AS min_k,
+             CAST(sum(k) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_at_risk
+      FROM g GROUP BY qi_set
+    )
+    SELECT qi_set, n_groups, min_k, n_rows, rows_at_risk,
+           {R("CAST(rows_at_risk AS DOUBLE) / n_rows", 6)} AS risk_share,
+           CAST(CASE WHEN min_k >= 5 THEN 1 ELSE 0 END AS INTEGER) AS k5_anonymous
+    FROM agg
+    """,
+)
+def _q_privacy_qi_risk_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUASI-IDENTIFIER dimensionality sweep — how re-identification
+    risk GROWS as attributes stack (Sweeney's 87%-from-three-attrs
+    result, as a query): for QI sets {{type}}, {{type,hour}},
+    {{type,hour,dow}}, the equivalence-class count, the smallest
+    class (the k in k-anonymity), and the share of rows in classes
+    below k=5. `privacy_k_anonymity_audit` judges ONE chosen QI set;
+    this is the PLANNING view that picks which attributes a release
+    can afford to keep before that audit runs. One scan fans the
+    three key shapes scan-side (`stack`), one (set, key) count, one
+    |sets|-row reduction — the same shape discipline as the Cramér's
+    panel. 3-row output at any scale."""
+    base = _events(spark, sf_dir).select(
+        "event_type",
+        (F.expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 24)
+        .cast("string")
+        .alias("__hod"),
+        ((F.expr("unix_micros(cast(ts as timestamp)) div 86400000000") + 4) % 7)
+        .cast("string")
+        .alias("__dow"),
+    )
+    m = base.select(
+        F.expr(
+            "stack(3,"
+            " 'type', event_type,"
+            " 'type+hour', concat(event_type, '|', __hod),"
+            " 'type+hour+dow', concat(event_type, '|', __hod, '|', __dow)"
+            ") as (qi_set, qk)"
+        )
+    )
+    g = m.groupBy("qi_set", "qk").agg(F.count(F.lit(1)).alias("__k"))
+    agg = g.groupBy("qi_set").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("__k").cast("long").alias("min_k"),
+        F.sum("__k").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("__k") < 5, F.col("__k")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    )
+    return agg.select(
+        "qi_set",
+        "n_groups",
+        "min_k",
+        "n_rows",
+        "rows_at_risk",
+        rd(F.col("rows_at_risk").cast("double") / F.col("n_rows"), 6).alias(
+            "risk_share"
+        ),
+        F.when(F.col("min_k") >= 5, 1).otherwise(0).cast("int").alias("k5_anonymous"),
+    )
