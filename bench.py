@@ -294,6 +294,8 @@ HEADLINE = [
     "mix_interleave_schedule",   # smooth-WRR loader schedule
     "dedup_family_agreement",    # MinHash vs SimHash pair overlap
     "privacy_qi_risk_sweep",     # QI dimensionality risk growth
+    "stats_tost_equivalence_by_type",  # TOST sameness affirmation
+    "eval_f1_threshold_sweep",   # best-F1 operating point chooser
 ]
 
 

@@ -1275,3 +1275,49 @@ def test_qi_risk_monotone_in_dimensions(spark):
     assert a["n_groups"] <= b["n_groups"] <= c["n_groups"]
     assert a["min_k"] >= b["min_k"] >= c["min_k"]
     assert a["risk_share"] <= b["risk_share"] + 1e-9 <= c["risk_share"] + 2e-9
+
+
+def test_tost_identical_halves_equivalent_shifted_not(spark):
+    """A stationary type affirms equivalence; a type whose second
+    half shifts by 5x the margin does not."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+    import datetime
+    import os
+    import tempfile
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(400):
+        ts = t0 + datetime.timedelta(minutes=i)
+        rows.append((eid, ts, 1, "steady", 10.0 + (i % 11) / 11.0, None)); eid += 1
+        shift = 5.0 if i >= 200 else 0.0
+        rows.append((eid, ts, 2, "shifted", 10.0 + (i % 11) / 11.0 + shift, None)); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r["event_type"]: r for r in REGISTRY["stats_tost_equivalence_by_type"][0](spark, d).collect()}
+    assert out["steady"]["equivalent"] == 1
+    assert out["shifted"]["equivalent"] == 0
+    assert out["shifted"]["mean_diff"] > out["shifted"]["margin"]
+
+
+def test_f1_sweep_best_flag_is_argmax_and_counts_reconcile(spark):
+    """Exactly one best row; it attains the max F1; every row's
+    tp+fn equals the positive total."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    rows = REGISTRY["eval_f1_threshold_sweep"][0](spark, SF_DIR).collect()
+    assert rows
+    best = [r for r in rows if r["is_best"] == 1]
+    assert len(best) == 1
+    mf = max(r["f1"] for r in rows)
+    assert abs(best[0]["f1"] - mf) < 1e-12
+    pos = {r["tp"] + r["fn"] for r in rows}
+    assert len(pos) == 1

@@ -22511,3 +22511,276 @@ def _q_privacy_qi_risk_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(F.col("min_k") >= 5, 1).otherwise(0).cast("int").alias("k5_anonymous"),
     )
+
+
+@register(
+    "stats_tost_equivalence_by_type",
+    f"""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) AS us, value AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    rng AS (SELECT min(us) AS u0, max(us) AS u1 FROM ev),
+    f AS (
+      SELECT event_type, v,
+             CASE WHEN us <= (u0 + u1) // 2 THEN 1 ELSE 0 END AS isa
+      FROM ev CROSS JOIN rng
+    ),
+    g AS (
+      SELECT event_type,
+             sum(isa) AS n_a, sum(1 - isa) AS n_b,
+             CAST(sum(CASE WHEN isa = 1 THEN CAST({R("v", 6)} AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS sa,
+             CAST(sum(CASE WHEN isa = 0 THEN CAST({R("v", 6)} AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS sb,
+             CAST(sum(CASE WHEN isa = 1 THEN CAST({R("v * v", 6)} AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS qa,
+             CAST(sum(CASE WHEN isa = 0 THEN CAST({R("v * v", 6)} AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS qb
+      FROM f GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             sa / n_a AS ma, sb / n_b AS mb,
+             (qa - sa * sa / n_a) / (n_a - 1) AS va,
+             (qb - sb * sb / n_b) / (n_b - 1) AS vb
+      FROM g WHERE n_a > 1 AND n_b > 1
+    ),
+    t AS (
+      SELECT event_type, n_a, n_b,
+             mb - ma AS d,
+             sqrt(va / n_a + vb / n_b) AS se,
+             0.2 * sqrt(va) AS margin
+      FROM m
+    )
+    SELECT event_type, n_a, n_b,
+           {R("d", 6)} AS mean_diff,
+           {R("se", 6)} AS se,
+           {R("margin", 6)} AS margin,
+           CASE WHEN se > 0.0 THEN {R("(d + margin) / se", 6)} END AS z_lower,
+           CASE WHEN se > 0.0 THEN {R("(margin - d) / se", 6)} END AS z_upper,
+           CAST(CASE WHEN se > 0.0
+                      AND {R("(d + margin) / se", 6)} > 1.645
+                      AND {R("(margin - d) / se", 6)} > 1.645
+                THEN 1 ELSE 0 END AS INTEGER) AS equivalent
+    FROM t
+    """,
+)
+def _q_stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST EQUIVALENCE test per event type (two one-sided Welch z
+    tests between the time halves, margin δ = 0.2·σ_first-half) — the
+    test the drift family is MISSING a direction for: KS/MW/PSI can
+    only REJECT sameness; failing to reject proves nothing. TOST
+    inverts the burden — both one-sided tests clearing 1.645 AFFIRMS
+    the halves are within δ (the "no regression" launch criterion,
+    Schuirmann 1987). Moments accumulate as 6-dp decimal sums (value
+    and value² both), variances/SE are closed-form IEEE on those
+    exact sums, δ is data-derived from the FIRST half only (the
+    invariant-13 degeneracy rule: a drifted second half cannot widen
+    its own acceptance margin). One event_type exchange + the 1-row
+    time-midpoint broadcast. |types|-row output."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    us = event_micros(ev)
+    base = ev.select("event_type", us.alias("__us"), F.col("value").alias("__v"))
+    rng = base.agg(F.min("__us").alias("__u0"), F.max("__us").alias("__u1"))
+    flagged = base.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "__v",
+        F.when(F.col("__us") <= F.expr("(__u0 + __u1) DIV 2"), 1)
+        .otherwise(0)
+        .alias("__isa"),
+    )
+
+    def _dside(cond, term):
+        return (
+            F.sum(
+                F.when(cond, rd(term, 6).cast("decimal(38,6)")).otherwise(
+                    F.lit(0).cast("decimal(38,6)")
+                )
+            ).cast("double")
+        )
+
+    isa = F.col("__isa") == 1
+    g = flagged.groupBy("event_type").agg(
+        F.sum("__isa").cast("long").alias("__na"),
+        F.sum(F.lit(1) - F.col("__isa")).cast("long").alias("__nb"),
+        _dside(isa, F.col("__v")).alias("__sa"),
+        _dside(~isa, F.col("__v")).alias("__sb"),
+        _dside(isa, F.col("__v") * F.col("__v")).alias("__qa"),
+        _dside(~isa, F.col("__v") * F.col("__v")).alias("__qb"),
+    ).filter((F.col("__na") > 1) & (F.col("__nb") > 1))
+    na_d = F.col("__na").cast("double")
+    nb_d = F.col("__nb").cast("double")
+    ma = F.col("__sa") / na_d
+    mb = F.col("__sb") / nb_d
+    va = (F.col("__qa") - F.col("__sa") * F.col("__sa") / na_d) / (na_d - 1)
+    vb = (F.col("__qb") - F.col("__sb") * F.col("__sb") / nb_d) / (nb_d - 1)
+    t = g.select(
+        "event_type",
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        (mb - ma).alias("__d"),
+        F.sqrt(va / na_d + vb / nb_d).alias("__se"),
+        (F.lit(0.2) * F.sqrt(va)).alias("__margin"),
+    )
+    zl = rd((F.col("__d") + F.col("__margin")) / F.col("__se"), 6)
+    zu = rd((F.col("__margin") - F.col("__d")) / F.col("__se"), 6)
+    se_pos = F.col("__se") > 0.0
+    return t.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        rd(F.col("__d"), 6).alias("mean_diff"),
+        rd(F.col("__se"), 6).alias("se"),
+        rd(F.col("__margin"), 6).alias("margin"),
+        F.when(se_pos, zl).alias("z_lower"),
+        F.when(se_pos, zu).alias("z_upper"),
+        F.when(se_pos & (zl > 1.645) & (zu > 1.645), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("equivalent"),
+    )
+
+
+@register(
+    "eval_f1_threshold_sweep",
+    f"""
+    WITH {_HLS_VS_C4_SQL},
+    b AS (
+      SELECT least(CAST(floor((round(sc.logit * 1000000, 0) + 500000)
+                               / 10000) AS INT), 99) AS bin,
+             CASE WHEN surv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS pass
+      FROM sc LEFT JOIN surv ON surv.doc_id = sc.doc_id
+    ),
+    bins AS (
+      SELECT bin, count(*) AS n, sum(pass) AS np FROM b GROUP BY bin
+    ),
+    tot AS (SELECT sum(np) AS p FROM bins),
+    cum AS (
+      SELECT bin,
+             sum(np) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS tp,
+             sum(n - np) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS fp
+      FROM bins
+    ),
+    sc2 AS (
+      SELECT bin, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             CAST(t.p - tp AS BIGINT) AS fn,
+             CASE WHEN 2 * tp + fp + (t.p - tp) > 0 THEN
+               {R("2.0 * tp / (2.0 * tp + fp + (t.p - tp))", 6)}
+             ELSE 0.0 END AS f1
+      FROM cum CROSS JOIN tot t
+    ),
+    mx AS (SELECT max(f1) AS mf FROM sc2),
+    mb AS (SELECT min(bin) AS mbin FROM sc2 CROSS JOIN mx WHERE f1 = mf)
+    SELECT CAST(s.bin AS INTEGER) AS bin,
+           {R("s.bin / 100.0 - 0.5", 6)} AS threshold_logit,
+           s.tp, s.fp, s.fn,
+           CASE WHEN s.tp + s.fp > 0 THEN {R("CAST(s.tp AS DOUBLE) / (s.tp + s.fp)", 6)} END AS prec,
+           CASE WHEN s.tp + s.fn > 0 THEN {R("CAST(s.tp AS DOUBLE) / (s.tp + s.fn)", 6)} END AS recall,
+           s.f1,
+           CAST(CASE WHEN s.f1 = mx.mf AND s.bin = mb.mbin THEN 1 ELSE 0 END AS INTEGER) AS is_best
+    FROM sc2 s CROSS JOIN mx CROSS JOIN mb
+    """,
+)
+def _q_eval_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL THRESHOLD SWEEP for the cheap scorer: every occupied
+    6-dp-grid score bin as a candidate cut (predict keep when
+    bin ≥ t), with TP/FP/FN, precision, recall, F1, and the best-F1
+    row flagged (ties → lowest threshold) — the OPERATING-POINT
+    CHOOSER that closes the eval family's loop: calibration shows the
+    shape, AUC/PR judge the ranking, lift/gains price retention,
+    confusion audits ONE point, and THIS picks the point. Same
+    factored scorer/label and the AUC query's 100 fixed bins;
+    cumulative TP/FP are suffix sums over ≤100 collected rows (the
+    BH/lift fold pattern — no keyless window); counts exact, ratios
+    6-dp. ≤100-row output at any corpus size."""
+    docs = _table(spark, sf_dir, "documents")
+    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
+    surv = tx.c4_filter_survivors(docs).select("doc_id", F.lit(1).alias("__pass"))
+    j = scores.join(surv.hint("shuffle_hash"), "doc_id", "left")
+    bin_col = F.least(
+        F.floor(
+            (F.round(F.col("logit") * 1000000, 0) + F.lit(500000)) / F.lit(10000)
+        ).cast("int"),
+        F.lit(99),
+    )
+    bins = (
+        j.select(bin_col.alias("__bin"), F.coalesce(F.col("__pass"), F.lit(0)).alias("__p"))
+        .groupBy("__bin")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__p").alias("__np"))
+    )
+    row = bins.agg(
+        F.reverse(
+            F.sort_array(F.collect_list(F.struct("__bin", "__n", "__np")))
+        ).alias("__arr"),
+        F.sum("__np").cast("long").alias("__p"),
+    )
+    arr = F.col("__arr")
+
+    def _suffix(field):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(arr)),
+            lambda i: F.aggregate(
+                F.slice(arr, F.lit(1), i),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x[field],
+            ),
+        )
+
+    tp_arr = _suffix("__np")
+    n_arr = _suffix("__n")
+    z = row.select(
+        "__p",
+        F.explode(
+            F.arrays_zip(arr, tp_arr.alias("__tp"), n_arr.alias("__cn"))
+        ).alias("__z"),
+    ).select(
+        F.col("__z.__arr.__bin").alias("bin"),
+        F.col("__z.__tp").alias("tp"),
+        (F.col("__z.__cn") - F.col("__z.__tp")).alias("fp"),
+        (F.col("__p") - F.col("__z.__tp")).alias("fn"),
+    )
+    f1 = F.when(
+        F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        rd(
+            F.lit(2.0) * F.col("tp")
+            / (F.lit(2.0) * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    sc2 = z.select(
+        "bin",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        f1.alias("f1"),
+    )
+    mx = sc2.agg(F.max("f1").alias("__mf"))
+    mb = (
+        sc2.crossJoin(F.broadcast(mx))
+        .filter(F.col("f1") == F.col("__mf"))
+        .agg(F.min("bin").alias("__mbin"))
+    )
+    return (
+        sc2.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(mb))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            rd(F.col("bin") / F.lit(100.0) - F.lit(0.5), 6).alias("threshold_logit"),
+            "tp",
+            "fp",
+            "fn",
+            F.when(
+                F.col("tp") + F.col("fp") > 0,
+                rd(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6),
+            ).alias("prec"),
+            F.when(
+                F.col("tp") + F.col("fn") > 0,
+                rd(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6),
+            ).alias("recall"),
+            "f1",
+            F.when(
+                (F.col("f1") == F.col("__mf")) & (F.col("bin") == F.col("__mbin")), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("is_best"),
+        )
+    )
