@@ -296,6 +296,8 @@ HEADLINE = [
     "privacy_qi_risk_sweep",     # QI dimensionality risk growth
     "stats_tost_equivalence_by_type",  # TOST sameness affirmation
     "eval_f1_threshold_sweep",   # best-F1 operating point chooser
+    "sketch_kmv_error_vs_k",     # register budget accuracy curve
+    "text_vocab_coverage_by_freq_band",  # Zipf head coverage table
 ]
 
 

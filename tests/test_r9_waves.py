@@ -1321,3 +1321,41 @@ def test_f1_sweep_best_flag_is_argmax_and_counts_reconcile(spark):
     assert abs(best[0]["f1"] - mf) < 1e-12
     pos = {r["tp"] + r["fn"] for r in rows}
     assert len(pos) == 1
+
+
+def test_kmv_error_curve_tightens_and_saturates(spark):
+    """Mean |rel err| is non-increasing in k, and once k exceeds a
+    source's true vocabulary the sketch is exact (n_kept < k branch)."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    rows = REGISTRY["sketch_kmv_error_vs_k"][0](spark, SF_DIR).collect()
+    by_k = {}
+    for r in rows:
+        by_k.setdefault(r["k"], []).append(r)
+    ks = sorted(by_k)
+    means = [sum(abs(r["rel_err"]) for r in by_k[k]) / len(by_k[k]) for k in ks]
+    assert means == sorted(means, reverse=True) or means[0] >= means[-1]
+    for r in rows:
+        if r["n_kept"] < r["k"]:
+            assert r["rel_err"] == 0.0
+            assert r["est_distinct"] == r["exact_distinct"]
+
+
+def test_vocab_coverage_walk_reaches_one(spark):
+    """Walking bands from the top, coverage is monotone and the last
+    row covers the whole corpus mass and vocabulary."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    rows = sorted(
+        REGISTRY["text_vocab_coverage_by_freq_band"][0](spark, SF_DIR).collect(),
+        key=lambda r: -r["band"],
+    )
+    assert rows
+    cov = [r["coverage_from_top"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(cov, cov[1:]))
+    assert abs(cov[-1] - 1.0) < 1e-6
+    assert rows[-1]["vocab_from_top"] == sum(r["n_types"] for r in rows)
+    for r in rows:
+        assert r["min_freq"] == 2 ** r["band"]

@@ -22784,3 +22784,209 @@ def _q_eval_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_best"),
         )
     )
+
+
+
+@register(
+    "sketch_kmv_error_vs_k",
+    """SELECT CAST(64 AS INTEGER) AS k, q.source, q.n_kept, q.est_distinct, q.exact_distinct, (floor((q.est_distinct - q.exact_distinct) / q.exact_distinct * 1000000.0 + 0.5) / 1000000.0) AS rel_err FROM (
+    WITH hashed AS (
+      SELECT DISTINCT source AS g, ('0x' || substr(md5('tsdt|kmv' || '|' || CAST(token AS VARCHAR)), 1, 8))::BIGINT AS u FROM (SELECT source, t.token FROM documents, LATERAL (SELECT unnest(string_split(trim(text), ' ')) AS token) t WHERE len(t.token) > 0 AND text IS NOT NULL) tt
+    ),
+    ranked AS (
+      SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u ASC) AS rn
+      FROM hashed
+    ),
+    exact AS (SELECT g, count(*) AS exact_distinct FROM hashed GROUP BY g),
+    kept AS (
+      SELECT g, count(*) AS n_kept, max(u) AS kth
+      FROM ranked WHERE rn <= 64 GROUP BY g
+    )
+    SELECT kept.g AS source, kept.n_kept,
+           (floor((CASE WHEN kept.n_kept < 64 THEN CAST(kept.n_kept AS DOUBLE) ELSE 63.0 * 4294967296.0 / CAST(kept.kth AS DOUBLE) END) * 1000000.0 + 0.5) / 1000000.0) AS est_distinct,
+           exact.exact_distinct
+    FROM kept JOIN exact ON kept.g = exact.g
+    
+) q
+UNION ALL
+SELECT CAST(256 AS INTEGER) AS k, q.source, q.n_kept, q.est_distinct, q.exact_distinct, (floor((q.est_distinct - q.exact_distinct) / q.exact_distinct * 1000000.0 + 0.5) / 1000000.0) AS rel_err FROM (
+    WITH hashed AS (
+      SELECT DISTINCT source AS g, ('0x' || substr(md5('tsdt|kmv' || '|' || CAST(token AS VARCHAR)), 1, 8))::BIGINT AS u FROM (SELECT source, t.token FROM documents, LATERAL (SELECT unnest(string_split(trim(text), ' ')) AS token) t WHERE len(t.token) > 0 AND text IS NOT NULL) tt
+    ),
+    ranked AS (
+      SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u ASC) AS rn
+      FROM hashed
+    ),
+    exact AS (SELECT g, count(*) AS exact_distinct FROM hashed GROUP BY g),
+    kept AS (
+      SELECT g, count(*) AS n_kept, max(u) AS kth
+      FROM ranked WHERE rn <= 256 GROUP BY g
+    )
+    SELECT kept.g AS source, kept.n_kept,
+           (floor((CASE WHEN kept.n_kept < 256 THEN CAST(kept.n_kept AS DOUBLE) ELSE 255.0 * 4294967296.0 / CAST(kept.kth AS DOUBLE) END) * 1000000.0 + 0.5) / 1000000.0) AS est_distinct,
+           exact.exact_distinct
+    FROM kept JOIN exact ON kept.g = exact.g
+    
+) q
+UNION ALL
+SELECT CAST(1024 AS INTEGER) AS k, q.source, q.n_kept, q.est_distinct, q.exact_distinct, (floor((q.est_distinct - q.exact_distinct) / q.exact_distinct * 1000000.0 + 0.5) / 1000000.0) AS rel_err FROM (
+    WITH hashed AS (
+      SELECT DISTINCT source AS g, ('0x' || substr(md5('tsdt|kmv' || '|' || CAST(token AS VARCHAR)), 1, 8))::BIGINT AS u FROM (SELECT source, t.token FROM documents, LATERAL (SELECT unnest(string_split(trim(text), ' ')) AS token) t WHERE len(t.token) > 0 AND text IS NOT NULL) tt
+    ),
+    ranked AS (
+      SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u ASC) AS rn
+      FROM hashed
+    ),
+    exact AS (SELECT g, count(*) AS exact_distinct FROM hashed GROUP BY g),
+    kept AS (
+      SELECT g, count(*) AS n_kept, max(u) AS kth
+      FROM ranked WHERE rn <= 1024 GROUP BY g
+    )
+    SELECT kept.g AS source, kept.n_kept,
+           (floor((CASE WHEN kept.n_kept < 1024 THEN CAST(kept.n_kept AS DOUBLE) ELSE 1023.0 * 4294967296.0 / CAST(kept.kth AS DOUBLE) END) * 1000000.0 + 0.5) / 1000000.0) AS est_distinct,
+           exact.exact_distinct
+    FROM kept JOIN exact ON kept.g = exact.g
+    
+) q""",
+)
+def _q_sketch_kmv_error_vs_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV ACCURACY-vs-BUDGET curve: the per-source distinct-token
+    estimate at k ∈ {64, 256, 1024} registers next to the exact
+    count — the measured error curve that picks the register budget
+    BEFORE a 100 TB run commits to one (the distinct-count sibling of
+    `sketch_quantile_error_report`; theory says σ ≈ 1/√(k−2), the
+    table shows what THIS corpus does, including the saturation
+    regime where k exceeds the true cardinality and the sketch turns
+    exact). Three runs of the proven `sk.kmv_distinct` (distinct
+    narrow (group, hash) pairs, bottom-k keyed window, ≤k longs of
+    state) unioned with a k column. |sources|×3-row output."""
+    import time_series_data_trimmer_spark.operators.sketches as sk
+
+    docs = _table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+        )
+        .filter(F.length("token") > 0)
+    )
+    parts = []
+    for kk in (64, 256, 1024):
+        r = sk.kmv_distinct(toks, "source", "token", k=kk).select(
+            F.lit(kk).cast("int").alias("k"),
+            "source",
+            "n_kept",
+            "est_distinct",
+            "exact_distinct",
+            rd(
+                (F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+        parts.append(r)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "text_vocab_coverage_by_freq_band",
+    f"""
+    WITH toks AS (
+      SELECT t.token
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(trim(text), ' ')) AS token) t
+      WHERE len(t.token) > 0 AND text IS NOT NULL
+    ),
+    freq AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    banded AS (
+      SELECT length(bin(n)) - 1 AS band, n FROM freq
+    ),
+    b AS (
+      SELECT band, count(*) AS n_types, CAST(sum(n) AS BIGINT) AS mass
+      FROM banded GROUP BY band
+    ),
+    tot AS (SELECT CAST(sum(mass) AS DOUBLE) AS tm, sum(n_types) AS tv FROM b),
+    cum AS (
+      SELECT band, n_types, mass,
+             sum(mass) OVER (ORDER BY band DESC ROWS UNBOUNDED PRECEDING) AS cmass,
+             sum(n_types) OVER (ORDER BY band DESC ROWS UNBOUNDED PRECEDING) AS ctypes
+      FROM b
+    )
+    SELECT CAST(c.band AS INTEGER) AS band,
+           CAST(CAST(1 AS BIGINT) << c.band AS BIGINT) AS min_freq,
+           CAST(c.n_types AS BIGINT) AS n_types,
+           c.mass,
+           {R("CAST(c.mass AS DOUBLE) / t.tm", 6)} AS mass_share,
+           {R("CAST(c.cmass AS DOUBLE) / t.tm", 6)} AS coverage_from_top,
+           CAST(c.ctypes AS BIGINT) AS vocab_from_top
+    FROM cum c CROSS JOIN tot t
+    """,
+)
+def _q_text_vocab_coverage_by_freq_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCAB COVERAGE curve by frequency band — the tokenizer-design
+    readout `text_vocab_growth` (new types per doc) and
+    `text_token_percentiles` (lengths) don't give: for each power-of-
+    two frequency band, how many token TYPES live there and what
+    share of the corpus TOKEN MASS the bands from the top down cover
+    — i.e. "a vocab of the N most-frequent types covers X% of
+    running text", the Zipf-head table that sizes a vocabulary before
+    training (read next to `text_zipf_slope_by_source`, and against
+    `feature_hashing_collision_report` when the vocab will be hashed
+    instead). The band is floor(log2(n)) computed EXACTLY as
+    length(bin(n))−1 — no libm log at a power-of-two boundary can
+    disagree between engines. One token scan + one vocab-bounded agg;
+    the cumulative walk is over ≤~25 band rows (collect-and-fold).
+    ~|bands|-row output at any scale."""
+    docs = _table(spark, sf_dir, "documents")
+    freq = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    b = freq.select(
+        (F.length(F.expr("bin(__n)")) - 1).alias("band"), F.col("__n")
+    ).groupBy("band").agg(
+        F.count(F.lit(1)).alias("__types"), F.sum("__n").cast("long").alias("__mass")
+    )
+    row = b.agg(
+        F.reverse(
+            F.sort_array(F.collect_list(F.struct("band", "__types", "__mass")))
+        ).alias("__arr"),
+        F.sum("__mass").cast("double").alias("__tm"),
+    )
+    arr = F.col("__arr")
+
+    def _suffix(field):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(arr)),
+            lambda i: F.aggregate(
+                F.slice(arr, F.lit(1), i),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x[field],
+            ),
+        )
+
+    z = row.select(
+        "__tm",
+        F.explode(
+            F.arrays_zip(arr, _suffix("__mass").alias("__cm"), _suffix("__types").alias("__ct"))
+        ).alias("__z"),
+    )
+    return z.select(
+        F.col("__z.__arr.band").cast("int").alias("band"),
+        F.expr("shiftleft(cast(1 as bigint), __z.__arr.band)").alias("min_freq"),
+        F.col("__z.__arr.__types").cast("long").alias("n_types"),
+        F.col("__z.__arr.__mass").cast("long").alias("mass"),
+        rd(F.col("__z.__arr.__mass").cast("double") / F.col("__tm"), 6).alias(
+            "mass_share"
+        ),
+        rd(F.col("__z.__cm").cast("double") / F.col("__tm"), 6).alias(
+            "coverage_from_top"
+        ),
+        F.col("__z.__ct").cast("long").alias("vocab_from_top"),
+    )
