@@ -59,31 +59,27 @@ _FIRST_50 = [
     "a1_sample_rate", "a4_episode_overlay", "a5_suggest_segments",
     "e1_frame_transform", "recipe_compiled_chain",
     "tpch_q1_pricing_summary", "tpch_q21_waiting_supplier",
-    # r9 rotation (VERDICT r8 #1): 31 names that have NEVER appeared in
-    # any driver CORRECTNESS_r1..r8 sample (174/308 remained unverified
-    # externally). Priorities from the verdict: the 8 never-checked
-    # streaming GroupState queries, the TPC-H tail, the time-series
-    # family heads, the r8 additions not yet sampled, and the two
-    # drift-triage names (emb_hard_negatives, dedup_impact_by_source).
-    "stream_dedup", "stream_funnel_users", "stream_dq_violations",
-    "stream_content_fingerprint", "stream_quantile_value_by_type",
-    "stream_kmv_distinct_users", "stream_upsert_latest_state",
-    "stream_static_enriched_counts",
-    "tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
-    "tpch_q11_important_parts", "tpch_q12_priority_by_returnflag",
-    "tpch_q16_supplier_variety", "tpch_q20_heavy_shippers",
-    "ts_sax_symbols", "ts_lttb_downsample",
-    "text_bpe_suite", "text_bpe_fertility_by_lang", "graph_kcore_bound",
-    "privacy_l_diversity_audit", "retrieval_chunk_topk",
-    "stats_bootstrap_mean_ci_by_type", "eval_pr_curve_binned",
-    "graph_degree_assortativity", "mix_curriculum_shards",
-    "mix_pack_len_sweep", "stats_mannwhitney_halves_by_type",
-    "emb_hard_negatives", "dedup_impact_by_source",
-    "pipeline_dedup_budget_pack", "sketch_kmv_rollup_day",
-    # r9 new this round (registered later in the round; the `in REGISTRY`
-    # filter below makes unregistered names inert until they land)
-    "graph_kcore_exact", "text_bpe_encode_ranked",
-    "pipeline_budget_pack_real_tokens", "stream_state_partition_report",
+    # r10 rotation (VERDICT r9 #1): 35 names that have NEVER appeared in
+    # any driver CORRECTNESS_r1..r9 sample (183/352 remained unverified
+    # externally). Priorities from the verdict: the r9 waves never
+    # sampled, the remaining TPC-H middle, and unsampled dedup/text
+    # standalones.
+    "graph_ppr_seed_topk", "graph_lp_modularity", "graph_hits_scores",
+    "retrieval_mmr_topk", "mix_dedup_aware_epochs", "mix_doremi_step",
+    "mix_interleave_schedule", "stream_cusum_level_alerts",
+    "stats_tost_equivalence_by_type", "eval_f1_threshold_sweep",
+    "eval_brier_decomposition", "sketch_kmv_error_vs_k",
+    "privacy_qi_risk_sweep", "privacy_t_closeness_audit",
+    "dedup_family_agreement", "mix_split_leakage_audit",
+    "markov_stationary_dist", "ts_holt_backtest_mase",
+    "tpch_q4_order_priority", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q13_customer_order_distribution",
+    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue", "tpch_q19_disjunctive_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "sim_recall_suite", "dedup_lsh_band_sweep", "dedup_incremental_batch",
+    "text_tfidf_top_terms", "text_chunk_documents", "text_bigram_lm_score",
+    "emb_pca_power_iteration", "events_ohlc_hourly",
 ]
 
 

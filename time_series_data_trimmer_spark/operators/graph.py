@@ -482,6 +482,12 @@ def personalized_pagerank(
     map-side-combined sum as `pagerank`; the |S| scalar is a 1-row
     broadcast. Every rank rounds to the 9-dp grid per step, so the
     full recurrence unrolls bit-for-bit as SQL.
+
+    Vertex set is src ∪ dst (dedup), so dst-only (dangling) nodes are
+    ranked too; their outgoing mass is DROPPED (ranks need not sum to
+    1 on directed input — same convention the oracle replays). Raises
+    ``ValueError`` eagerly if no seed matches a graph vertex (the
+    1/|S| teleport would otherwise divide by zero into NULL ranks).
     """
     from time_series_data_trimmer_spark.functions.rounding import rd
 
@@ -491,11 +497,19 @@ def personalized_pagerank(
         F.col(weight_col).cast("double").alias("w"),
     )
     deg = e.groupBy("src").agg(F.sum("w").alias("wdeg"))
-    nodes = deg.select("src")
+    nodes = (
+        e.select("src").unionAll(e.select(F.col("dst").alias("src"))).distinct()
+    )
     sd = seeds.select(F.col(seed_col).alias("src"), F.lit(1).alias("__isseed"))
     marked = nodes.join(F.broadcast(sd), "src", "left").select(
         "src", F.coalesce(F.col("__isseed"), F.lit(0)).alias("__isseed")
     )
+    n_matched = marked.agg(F.sum("__isseed")).first()[0]
+    if not n_matched:
+        raise ValueError(
+            "personalized_pagerank: no seed matches any graph vertex "
+            "(teleport vector would be empty)"
+        )
     ns = marked.agg(F.sum("__isseed").cast("double").alias("__ns"))
     svec = marked.crossJoin(F.broadcast(ns)).select(
         "src",

@@ -1591,6 +1591,47 @@ def bpe_encode(
     return cur
 
 
+#: Fold→ranked encoder crossover (|merges| above which
+#: `bpe_encode_auto` switches from the literal-fold plan to the Arrow
+#: ranked kernel). Measured on sf0.1 documents (scripts/
+#: bench_bpe_crossover.py, SCALING.md "r10 BPE encoder crossover"):
+#: the fold encoder's cost grows ~linearly in rule count (one codegen
+#: projection per rule + periodic localCheckpoint materializations)
+#: while the ranked kernel is flat, and the curves cross between 32
+#: and 64 rules on this corpus. 32 keeps every suite-trained 5-rule
+#: table on the scan-side codegen path (invariant 3) with margin.
+BPE_ENCODE_CROSSOVER = 32
+
+
+def bpe_encode_auto(
+    df: DataFrame,
+    merges: list[tuple],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    crossover: int = BPE_ENCODE_CROSSOVER,
+) -> DataFrame:
+    """ENCODER DISPATCH (VERDICT r9 #2): pick the tokenizer-application
+    engine by merge-table size — `bpe_encode`'s literal-fold codegen
+    plan at or below ``crossover`` rules (the measured regime where
+    scan-side expression folding beats an Arrow exchange), the
+    merge-count-constant `bpe_encode_ranked` kernel above it. The two
+    encoders are token-identical by contract (asserted in tests,
+    value-checked against the same DuckDB replay), so the dispatch is
+    invisible to results and to every oracle — only the physical plan
+    changes. Invariant-13 shape: the selection input (|merges|) is
+    data-derived from the model artifact itself, and the degenerate
+    empty table short-circuits to the fold path (a no-op projection).
+    """
+    if len(merges) <= int(crossover):
+        return bpe_encode(
+            df, merges, id_col=id_col, text_col=text_col, out_col=out_col
+        )
+    return bpe_encode_ranked(
+        df, merges, id_col=id_col, text_col=text_col, out_col=out_col
+    )
+
+
 def bpe_encode_ranked(
     df: DataFrame,
     merges: list[tuple],
@@ -1964,7 +2005,10 @@ def bm25_prf_topk(
     from time_series_data_trimmer_spark.functions.rounding import rd
 
     spark = df.sparkSession
-    terms = [str(t) for t in query_terms]
+    # Dedupe up front: duplicate query terms would duplicate rows in the
+    # weighted term table below, fanning out the round-2 join and
+    # double-counting those terms' scores (bm25_topk itself only isin()s).
+    terms = list(dict.fromkeys(str(t) for t in query_terms))
 
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("token")

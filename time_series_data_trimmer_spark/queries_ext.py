@@ -22252,10 +22252,11 @@ _ILV_N = 120
       SELECT source, {R("CAST(tokens AS DOUBLE) / tot.tt", 8)} AS share
       FROM per CROSS JOIN tot
     ),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sh WHERE share > 0.0),
     emis AS (
       SELECT source, share,
-             unnest(generate_series(1, CAST(ceil({_ILV_N} * share) + 1 AS BIGINT))) AS j
-      FROM sh WHERE share > 0.0
+             unnest(generate_series(1, CAST(ceil(({_ILV_N} + ns.n) * share) + 1 AS BIGINT))) AS j
+      FROM sh CROSS JOIN ns WHERE share > 0.0
     ),
     timed AS (
       SELECT source, {R("CAST(j AS DOUBLE) / share", 9)} AS t FROM emis
@@ -22281,10 +22282,13 @@ def _q_mix_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix-order counterpart of `mix_shuffle_shards`' intra-shard order.
     Emission times are one division each (9-dp-rounded so both
     engines order the same grid; ties break by source name); the
-    candidate pool is Σ ceil(N·share_s)+1 ≈ N+|sources| rows, so the
-    final rank is a bounded collect-and-explode, not a data-scale
-    sort. One documents scan for the shares; everything after is
-    |sources|-row arithmetic."""
+    candidate pool is Σ ceil((N+|sources|)·share_s)+1 ≈ N+2|sources|
+    rows — sized to cover virtual time N+|sources|, the latest time
+    the N-th slot can occur (a dominant source with share > 1/|sources|
+    pushes tail slots past N+1/share, which an N·share pool would
+    miss) — so the final rank is a bounded collect-and-explode, not a
+    data-scale sort. One documents scan for the shares; everything
+    after is |sources|-row arithmetic."""
     docs = _table(spark, sf_dir, "documents")
     per = docs.select(
         "source",
@@ -22297,13 +22301,19 @@ def _q_mix_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         rd(F.col("__tokens").cast("double") / F.col("__tt"), 8).alias("__share"),
     ).filter(F.col("__share") > 0.0)
-    emis = sh.select(
+    ns = sh.agg(F.count(F.lit(1)).cast("long").alias("__nsrc"))
+    emis = sh.crossJoin(F.broadcast(ns)).select(
         "source",
         "__share",
         F.explode(
             F.sequence(
                 F.lit(1).cast("long"),
-                (F.ceil(F.lit(_ILV_N) * F.col("__share")) + F.lit(1)).cast("long"),
+                (
+                    F.ceil(
+                        (F.lit(_ILV_N) + F.col("__nsrc")) * F.col("__share")
+                    )
+                    + F.lit(1)
+                ).cast("long"),
             )
         ).alias("__j"),
     )
@@ -22539,8 +22549,8 @@ def _q_privacy_qi_risk_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
              sa / n_a AS ma, sb / n_b AS mb,
-             (qa - sa * sa / n_a) / (n_a - 1) AS va,
-             (qb - sb * sb / n_b) / (n_b - 1) AS vb
+             GREATEST((qa - sa * sa / n_a) / (n_a - 1), 0) AS va,
+             GREATEST((qb - sb * sb / n_b) / (n_b - 1), 0) AS vb
       FROM g WHERE n_a > 1 AND n_b > 1
     ),
     t AS (
@@ -22610,8 +22620,17 @@ def _q_stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb_d = F.col("__nb").cast("double")
     ma = F.col("__sa") / na_d
     mb = F.col("__sb") / nb_d
-    va = (F.col("__qa") - F.col("__sa") * F.col("__sa") / na_d) / (na_d - 1)
-    vb = (F.col("__qb") - F.col("__sb") * F.col("__sb") / nb_d) / (nb_d - 1)
+    # Clamp at 0: the 6-dp-rounded v/v² sums can make a near-constant
+    # slice's sample variance go slightly negative, which would NaN the
+    # sqrt here and range-error DuckDB's sqrt on the oracle side.
+    va = F.greatest(
+        (F.col("__qa") - F.col("__sa") * F.col("__sa") / na_d) / (na_d - 1),
+        F.lit(0.0),
+    )
+    vb = F.greatest(
+        (F.col("__qb") - F.col("__sb") * F.col("__sb") / nb_d) / (nb_d - 1),
+        F.lit(0.0),
+    )
     t = g.select(
         "event_type",
         F.col("__na").alias("n_a"),
