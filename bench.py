@@ -329,6 +329,19 @@ COMPARE_SET_V1 = [
 ]
 
 
+#: v2 (r10, VERDICT r9 #4 — ADDITIVE: v1 stays frozen above): the
+#: r8/r9 family heads that now dominate the headline total but were
+#: invisible to the versioned round-over-round comparison. Same rule:
+#: never remove or rename a member — only add a new version.
+COMPARE_SET_V2 = [
+    "sim_recall_suite", "text_bpe_suite", "dedup_report_suite",
+    "pipeline_budget_pack_real_tokens", "graph_lp_modularity",
+    "graph_ppr_seed_topk", "stream_cusum_level_alerts",
+    "mix_dedup_aware_epochs", "graph_kcore_exact",
+    "text_bpe_encode_ranked",
+]
+
+
 def _family(name: str) -> str:
     """Bench-legibility grouping (VERDICT r8 #7): reference-parity
     operator codes (f1/p4/a5/e1/j2/w2 + recipe/asof) fold into one
@@ -390,13 +403,23 @@ def main() -> None:
         sum(timings[n] for n in COMPARE_SET_V1 if n in timings), 3
     )
     compare_n = sum(1 for n in COMPARE_SET_V1 if n in timings)
+    compare_v2_total = round(
+        sum(timings[n] for n in COMPARE_SET_V2 if n in timings), 3
+    )
+    compare_v2_n = sum(1 for n in COMPARE_SET_V2 if n in timings)
     fam_tot: dict[str, float] = {}
+    fam_n: dict[str, int] = {}
     for n, s in timings.items():
         fam_tot[_family(n)] = fam_tot.get(_family(n), 0.0) + s
+        fam_n[_family(n)] = fam_n.get(_family(n), 0) + 1
     family_subtotals = {
         k: round(v, 2)
         for k, v in sorted(fam_tot.items(), key=lambda kv: -kv[1])
     }
+    # membership count next to each subtotal (VERDICT r9 #7): growth in
+    # a family's subtotal is attributable to membership vs per-query
+    # cost in one read.
+    family_counts = {k: fam_n[k] for k in family_subtotals}
     detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -409,7 +432,10 @@ def main() -> None:
         "compare_set": "v1",
         "compare_set_total_sec": compare_total,
         "compare_set_n": compare_n,
+        "compare_set_v2_total_sec": compare_v2_total,
+        "compare_set_v2_n": compare_v2_n,
         "family_subtotals": family_subtotals,
+        "family_counts": family_counts,
     }
     if errors:
         detail["errors"] = errors
@@ -441,7 +467,10 @@ def main() -> None:
         "compare_set": "v1",
         "compare_set_total_sec": compare_total,
         "compare_set_n": compare_n,
+        "compare_set_v2_total_sec": compare_v2_total,
+        "compare_set_v2_n": compare_v2_n,
         "family_subtotals": family_subtotals,
+        "family_counts": family_counts,
         "detail": "BENCH_DETAIL.json",
     }
     if errors:
@@ -449,6 +478,7 @@ def main() -> None:
     line = json.dumps(payload)
     if len(line) > 2000:  # never overflow the tail capture again
         payload.pop("errors", None)
+        payload.pop("family_counts", None)
         payload["queries"] = dict(list(slowest.items())[:5])
         payload["family_subtotals"] = dict(
             list(family_subtotals.items())[:10]

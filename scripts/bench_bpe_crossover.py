@@ -75,19 +75,23 @@ def main() -> None:
             ("ranked", tx.bpe_encode_ranked),
         ):
             best = float("inf")
-            for _ in range(3):
+            for _ in range(2):
                 t0 = time.monotonic()
                 fn(docs, rules).agg(
                     F.sum(F.size("bpe_tokens")), F.sum("n_tokens_raw")
                 ).collect()
                 best = min(best, time.monotonic() - t0)
             results[size][name] = best
-            print(f"size={size:4d} engine={name:6s} best-of-3 {best:7.2f} s")
-        # token-identity spot check at this size
-        a = fn_tokens(tx.bpe_encode(docs, rules))
-        b = fn_tokens(tx.bpe_encode_ranked(docs, rules))
-        assert a == b, f"size={size}: encoders disagree ({a} vs {b})"
-        print(f"size={size:4d} identity ok (checksum {a})")
+            print(
+                f"size={size:4d} engine={name:6s} best-of-2 {best:7.2f} s",
+                flush=True,
+            )
+        if size == max(SIZES):
+            # token-identity spot check once, at the largest table
+            a = fn_tokens(tx.bpe_encode(docs, rules))
+            b = fn_tokens(tx.bpe_encode_ranked(docs, rules))
+            assert a == b, f"size={size}: encoders disagree ({a} vs {b})"
+            print(f"size={size:4d} identity ok (checksum {a})", flush=True)
 
     crossed = [s for s, r in sorted(results.items()) if r["fold"] > r["ranked"]]
     print(

@@ -1,0 +1,123 @@
+"""r10 wave tests: the per-bucket interval cap on the overlap join
+(VERDICT r9 #6 — the skewed-concurrency guard), its forfeit
+accounting, and the BPE encoder dispatch (VERDICT r9 #2)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from time_series_data_trimmer_spark.operators import intervals as iv
+from time_series_data_trimmer_spark.operators import text as tx
+
+HOUR = 3_600_000_000
+
+
+def _ivl(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, session_idx long, start_us long, end_us long"
+    )
+
+
+def _hot_hour(spark, n_hot=120, n_cold=8):
+    """One hot bucket: n_hot users co-running inside hour 10, plus
+    n_cold isolated users one per later hour (no cross-overlap)."""
+    rows = [
+        # all inside [10h + 60s, 10h + 3000s + i] — pairwise overlapping
+        (i, 0, 10 * HOUR + 60_000_000, 10 * HOUR + 3_000_000_000 + i)
+        for i in range(n_hot)
+    ] + [
+        (1000 + j, 0, (20 + 2 * j) * HOUR + 1, (20 + 2 * j) * HOUR + 100)
+        for j in range(n_cold)
+    ]
+    return _ivl(spark, rows)
+
+
+def test_capped_overlap_bounds_hot_bucket(spark):
+    """120 co-running sessions in one bucket: uncapped emits
+    C(120,2) = 7140 pairs; cap 16 emits exactly C(16,2) = 120 —
+    quadratic term absorbed linearly. Cold singletons unaffected."""
+    ivl = _hot_hour(spark)
+    base = dict(
+        bucket_us=HOUR, per_bucket_cap=16,
+        cap_order_cols=["user_id", "session_idx"],
+    )
+    pairs = (
+        iv.overlap_join(ivl, ivl, **base)
+        .filter(F.col("user_id_a") < F.col("user_id_b"))
+        .count()
+    )
+    assert pairs == 16 * 15 // 2
+    uncapped = (
+        iv.overlap_join(ivl, ivl, bucket_us=HOUR)
+        .filter(F.col("user_id_a") < F.col("user_id_b"))
+        .count()
+    )
+    assert uncapped == 120 * 119 // 2
+
+
+def test_cap_keep_set_is_deterministic_rank(spark):
+    """The kept side is the FIRST cap intervals by (start, end,
+    order_cols) — users 0..15 here (identical starts, end breaks by
+    +i, so ascending user order); forfeited users never pair."""
+    ivl = _hot_hour(spark, n_hot=40, n_cold=0)
+    kept_pairs = iv.overlap_join(
+        ivl, ivl, bucket_us=HOUR, per_bucket_cap=16,
+        cap_order_cols=["user_id", "session_idx"],
+    ).filter(F.col("user_id_a") < F.col("user_id_b"))
+    users = {
+        u
+        for r in kept_pairs.select("user_id_a", "user_id_b").collect()
+        for u in (r["user_id_a"], r["user_id_b"])
+    }
+    assert users == set(range(16))
+
+
+def test_bucket_cap_report_accounts_forfeits(spark):
+    """Per-bucket accounting: hot bucket forfeits n_hot - cap rows,
+    cold buckets forfeit zero; totals reconcile."""
+    ivl = _hot_hour(spark, n_hot=120, n_cold=8)
+    rep = {
+        r["bucket"]: r
+        for r in iv.bucket_cap_report(ivl, HOUR, 16).collect()
+    }
+    hot = rep[10]
+    assert hot["n_rows"] == 120
+    assert hot["n_kept"] == 16
+    assert hot["n_forfeited"] == 104
+    cold = [r for b, r in rep.items() if b != 10]
+    assert len(cold) == 8
+    assert all(r["n_rows"] == 1 and r["n_forfeited"] == 0 for r in cold)
+    assert sum(r["n_kept"] + r["n_forfeited"] for r in rep.values()) == sum(
+        r["n_rows"] for r in rep.values()
+    )
+
+
+def test_cap_none_is_identity(spark):
+    """Default (no cap) emits the identical pair set as before r10 —
+    the 352 green queries riding overlap_join are untouched."""
+    ivl = _hot_hour(spark, n_hot=10, n_cold=3)
+    a = iv.overlap_join(ivl, ivl, bucket_us=HOUR)
+    b = iv.overlap_join(
+        ivl, ivl, bucket_us=HOUR, per_bucket_cap=None,
+    )
+    ra = sorted(map(tuple, a.select("user_id_a", "user_id_b").collect()))
+    rb = sorted(map(tuple, b.select("user_id_a", "user_id_b").collect()))
+    assert ra == rb
+
+
+def test_bpe_encode_auto_dispatch(spark):
+    """At/below the crossover the dispatcher returns the fold plan
+    (no Arrow exchange in the plan); above it, the mapInPandas kernel.
+    Token output identical either way."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "b c b c a a")],
+        "doc_id long, text string",
+    )
+    rules = [("a", "b"), ("b", "c"), ("c", "d")]
+    lo = tx.bpe_encode_auto(df, rules, crossover=8)
+    hi = tx.bpe_encode_auto(df, rules, crossover=2)
+    assert "mapinpandas" not in lo._jdf.queryExecution().toString().lower()
+    assert "mapinpandas" in hi._jdf.queryExecution().toString().lower()
+    tl = {r["doc_id"]: list(r["bpe_tokens"]) for r in lo.collect()}
+    th = {r["doc_id"]: list(r["bpe_tokens"]) for r in hi.collect()}
+    assert tl == th

@@ -1,0 +1,84 @@
+"""The per-family registry split (VERDICT r9 #5) must be invisible to
+the driver contract: identical ordered name list, identical oracle
+coverage, every family module contributing, no module back above the
+~5k-line ceiling the split exists to enforce."""
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _entry():
+    import __spark_entry__ as entry
+
+    return entry
+
+
+def test_ordered_names_frozen():
+    """queries() returns the exact pre-split registration order, pinned
+    as a fixture the day of the split (r10). Any reorder — a family
+    module shuffle, a new import order, a lost reorder step — fails
+    here before the driver's CORRECTNESS sample can silently shift."""
+    entry = _entry()
+    with open(os.path.join(REPO, "tests", "fixtures_registry_order.json")) as f:
+        frozen = json.load(f)
+    got = list(entry.queries())
+    # new registrations may append after their block (post-split ext
+    # additions land between the ext block and parity/compose); the
+    # frozen 352 must keep their exact relative order.
+    fset = set(frozen)
+    kept = [n for n in got if n in fset]
+    assert kept == frozen, (
+        "registration order drifted from the split-day freeze; first "
+        f"divergence at {next(i for i, (a, b) in enumerate(zip(kept, frozen)) if a != b)}"
+    )
+    assert fset <= set(got), f"frozen names missing: {fset - set(got)}"
+
+
+def test_every_query_has_exact_oracle():
+    entry = _entry()
+    names = set(entry.queries())
+    oracles = entry.oracle_sql()
+    missing = names - set(oracles)
+    assert not missing, f"rows-only queries appeared: {sorted(missing)}"
+
+
+def test_family_modules_all_register():
+    """Each queries_fam/*.py module contributes at least one REGISTRY
+    entry (guards against a family import silently dropped from
+    queries_ext)."""
+    _entry()
+    from time_series_data_trimmer_spark.queries import REGISTRY
+
+    fam_dir = os.path.join(
+        REPO, "time_series_data_trimmer_spark", "queries_fam"
+    )
+    mods = [
+        os.path.splitext(os.path.basename(p))[0]
+        for p in glob.glob(os.path.join(fam_dir, "*.py"))
+        if not p.endswith("__init__.py")
+    ]
+    assert len(mods) >= 14
+    import importlib
+
+    for m in mods:
+        mod = importlib.import_module(
+            f"time_series_data_trimmer_spark.queries_fam.{m}"
+        )
+        regs = [
+            n for n in dir(mod) if n.startswith("_q_")
+        ]
+        assert regs, f"family module {m} defines no query functions"
+    assert len(REGISTRY) >= 352
+
+
+def test_no_module_above_size_ceiling():
+    """The split's reason to exist: no single query module above ~5k
+    lines (the former monolith was 23k)."""
+    pkg = os.path.join(REPO, "time_series_data_trimmer_spark")
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        with open(path) as f:
+            n = sum(1 for _ in f)
+        assert n <= 5000, f"{os.path.relpath(path, REPO)} is {n} lines"

@@ -1540,8 +1540,12 @@ def bpe_train_merges(
             break
         A, B, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((r, A, B, cnt))
-        cur = cur.select(
-            F.col(id_col), _merge_fold(F.col("__toks"), A, B).alias("__toks")
+        # r10: the rewrite rides the Arrow kernel (token-identical to
+        # `_merge_fold`, pytest-pinned) — the fold costs ~0.8 s/rule
+        # on sf0.1 (SCALING.md r10 crossover row) vs a near-flat
+        # kernel pass, and the round's localCheckpoint hides neither.
+        cur = _apply_merges_arrow(
+            cur, [(A, B)], id_col, "__toks"
         ).localCheckpoint()
     return merges
 
@@ -1593,14 +1597,80 @@ def bpe_encode(
 
 #: Fold→ranked encoder crossover (|merges| above which
 #: `bpe_encode_auto` switches from the literal-fold plan to the Arrow
-#: ranked kernel). Measured on sf0.1 documents (scripts/
-#: bench_bpe_crossover.py, SCALING.md "r10 BPE encoder crossover"):
-#: the fold encoder's cost grows ~linearly in rule count (one codegen
-#: projection per rule + periodic localCheckpoint materializations)
-#: while the ranked kernel is flat, and the curves cross between 32
-#: and 64 rules on this corpus. 32 keeps every suite-trained 5-rule
-#: table on the scan-side codegen path (invariant 3) with margin.
-BPE_ENCODE_CROSSOVER = 32
+#: ranked kernel). MEASURED on sf0.1 documents (scripts/
+#: bench_bpe_crossover.py best-of-2 per size, SCALING.md "r10 BPE
+#: encoder crossover"): the fold's `F.aggregate` struct-state pass
+#: costs ~0.8 s per RULE on this corpus (1 rule 1.50 s … 128 rules
+#: 100.8 s, linear), while the ranked kernel's one Arrow pass is
+#: near-flat (0.44–2.2 s over the same range) — the fold NEVER wins,
+#: not even at one rule (1.50 vs 0.52 s). The r9 assumption that
+#: scan-side codegen beats the Arrow exchange at small tables was
+#: wrong for this operator: per-element expression folds are
+#: interpreter-heavy, exactly the DSP-kernel precedent (invariant 3's
+#: sanctioned Python boundary). Crossover 0 → always ranked; the
+#: dispatch stays so a JVM-only deployment can force the fold path.
+BPE_ENCODE_CROSSOVER = 0
+
+
+def _apply_rules_py(toks: list, rules: list) -> list:
+    """The ranked kernel's inner loop: apply each (lhs, rhs) rule in
+    order, leftmost-first non-overlapping — token-identical to chaining
+    `_merge_fold` once per rule (pytest-pinned). A token-membership
+    skip set prunes rules that cannot fire in O(1). Shared by
+    `bpe_encode_ranked` and the trainer's per-round rewrite."""
+    present = set(toks)
+    for lhs, rhs in rules:
+        if lhs not in present or rhs not in present:
+            continue
+        res = []
+        i, n, fired = 0, len(toks), False
+        joined = lhs + " " + rhs
+        while i < n:
+            if i + 1 < n and toks[i] == lhs and toks[i + 1] == rhs:
+                res.append(joined)
+                i += 2
+                fired = True
+            else:
+                res.append(toks[i])
+                i += 1
+        if fired:
+            toks = res
+            present = set(toks)
+    return toks
+
+
+def _apply_merges_arrow(
+    df: DataFrame, rules: list[tuple], id_col: str, toks_col: str
+) -> DataFrame:
+    """One Arrow `mapInPandas` pass applying ``rules`` to an
+    ALREADY-TOKENIZED array column — the tokenized-input form of
+    `bpe_encode_ranked` (same `_apply_rules_py` kernel, same
+    non-overlap contract). Used by the trainer's per-round corpus
+    rewrite, where the measured fold cost (~0.8 s/rule on sf0.1,
+    SCALING.md r10) made each training round pay a full fold stage."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast([tuple(r) for r in rules])
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField(toks_col, T.ArrayType(T.StringType()), False),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        rules_l = bc.value
+        for pdf in batches:
+            ids, outs = [], []
+            for did, arr in zip(pdf[id_col], pdf[toks_col]):
+                ids.append(did)
+                outs.append(_apply_rules_py(list(arr), rules_l))
+            yield pd.DataFrame({id_col: ids, toks_col: outs})
+
+    return df.select(id_col, toks_col).mapInPandas(run, schema=out_schema)
 
 
 def bpe_encode_auto(
@@ -1612,16 +1682,18 @@ def bpe_encode_auto(
     crossover: int = BPE_ENCODE_CROSSOVER,
 ) -> DataFrame:
     """ENCODER DISPATCH (VERDICT r9 #2): pick the tokenizer-application
-    engine by merge-table size — `bpe_encode`'s literal-fold codegen
-    plan at or below ``crossover`` rules (the measured regime where
-    scan-side expression folding beats an Arrow exchange), the
-    merge-count-constant `bpe_encode_ranked` kernel above it. The two
-    encoders are token-identical by contract (asserted in tests,
-    value-checked against the same DuckDB replay), so the dispatch is
-    invisible to results and to every oracle — only the physical plan
-    changes. Invariant-13 shape: the selection input (|merges|) is
-    data-derived from the model artifact itself, and the degenerate
-    empty table short-circuits to the fold path (a no-op projection).
+    engine by merge-table size. The measurement came out one-sided —
+    the Arrow ranked kernel beats the literal-fold codegen plan at
+    EVERY table size on the measured corpora (see
+    `BPE_ENCODE_CROSSOVER`) — so the default dispatches every
+    non-empty table to `bpe_encode_ranked`; the ``crossover`` knob
+    remains for deployments that must stay JVM-only. The two encoders
+    are token-identical by contract (asserted in tests, value-checked
+    against the same DuckDB replay), so the dispatch is invisible to
+    results and to every oracle — only the physical plan changes.
+    Invariant-13 shape: the selection input (|merges|) is data-derived
+    from the model artifact itself, and the degenerate empty table
+    short-circuits to the fold path (a no-op projection).
     """
     if len(merges) <= int(crossover):
         return bpe_encode(
@@ -1694,30 +1766,8 @@ def bpe_encode_ranked(
             for did, arr in zip(pdf[id_col], pdf["__toks"]):
                 toks = list(arr)
                 raws.append(len(toks))
-                present = set(toks)
-                for lhs, rhs in rules_l:
-                    if lhs not in present or rhs not in present:
-                        continue
-                    res = []
-                    i, n, fired = 0, len(toks), False
-                    joined = lhs + " " + rhs
-                    while i < n:
-                        if (
-                            i + 1 < n
-                            and toks[i] == lhs
-                            and toks[i + 1] == rhs
-                        ):
-                            res.append(joined)
-                            i += 2
-                            fired = True
-                        else:
-                            res.append(toks[i])
-                            i += 1
-                    if fired:
-                        toks = res
-                        present = set(toks)
                 ids.append(did)
-                outs.append(toks)
+                outs.append(_apply_rules_py(toks, rules_l))
             yield pd.DataFrame(
                 {id_col: ids, "n_tokens_raw": raws, out_col: outs}
             )

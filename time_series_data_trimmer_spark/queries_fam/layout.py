@@ -1,0 +1,337 @@
+"""Layout-family extension queries (7 registrations), split out of the former
+monolithic queries_ext.py with block text unchanged. Global
+registration order is restored by queries_ext's reorder —
+do not rely on this module's import order.
+"""
+
+from __future__ import annotations
+
+from time_series_data_trimmer_spark.queries_common import *  # noqa: F401,F403
+
+
+
+@register(
+    "skew_salted_user_agg",
+    f"""
+    SELECT user_id, count(*) AS n_events,
+           {_sql_dsum("value", 2)} AS sum_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation through the driver gate: the
+    salted (key, salt) partial → key final plan must produce EXACTLY the
+    plain GROUP BY answer. Sum terms are decimal (associative), so the
+    salt-dependent combine order cannot perturb the result; the salt is
+    a deterministic xxhash of event_id, never rand()."""
+    from time_series_data_trimmer_spark.operators import skew
+
+    ev = _events(spark, sf_dir).withColumn(
+        "__v", rd(F.col("value"), 2).cast("decimal(38,6)")
+    )
+    out = skew.salted_agg(
+        ev,
+        ["user_id"],
+        {
+            "n_events": ("count", "*"),
+            "sum_value": ("sum", "__v"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        salt_source="event_id",
+    )
+    return out.select(
+        "user_id", "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value", "max_value",
+    )
+
+
+@register(
+    "melt_lineitem_measures",
+    """
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           channel, value
+    FROM (
+      UNPIVOT (
+        SELECT l_orderkey, l_linenumber,
+               l_quantity, l_extendedprice, l_discount, l_tax
+        FROM lineitem WHERE l_orderkey % 100 = 0
+      ) ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME channel VALUE value
+    )
+    """,
+)
+def _q_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (UNPIVOT/melt): the inverse of the pivot
+    query, and the multi-channel overlay layout the reference's plot
+    view builds per render (plot2d.py iterates channels into stacked
+    series). Spark's native `unpivot` is a zero-shuffle Expand node —
+    rows fan out scan-side, nothing is aggregated or joined, so the
+    reshape survives any scale the scan itself survives. Measure
+    columns must share a type (all double here); the filter keeps the
+    oracle's row count honest without losing generality."""
+    l = (
+        _table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        )
+    )
+    out = l.unpivot(
+        ["orderkey", "linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "channel",
+        "value",
+    )
+    # Spark unpivot KEEPS null measures; DuckDB UNPIVOT drops them —
+    # pin the shared (exclude-nulls) semantic explicitly
+    return out.filter(F.col("value").isNotNull())
+
+
+@register(
+    "cube_revenue_by_flag_status",
+    f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+           {_sql_dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def _q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with revenue + grouping id —
+    completes the multi-level aggregation family (rollup, pivot, melt,
+    grouping-set cube). Spark plans cube as ONE Expand + one
+    aggregation (4 grouping sets, single scan, partial-agg friendly) —
+    the same shape DuckDB executes, not N passes. `grouping_id()`
+    disambiguates real NULL keys from subtotal rows; revenue is the
+    order-independent decimal sum."""
+    l = _table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            _dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            F.col("gid").cast("long").alias("gid"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+@register(
+    "layout_zorder_keys",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id,
+             (user_id & 65535) AS ub,
+             (CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) & 65535) AS tb
+      FROM events
+    )
+    SELECT event_id, user_id, tb,
+           {ly.sql_morton_z("ub", "tb", 16)} AS z
+    FROM e
+    """,
+)
+def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering keys for the events table
+    (`ly.morton_z`): user and epoch-hour coordinates bit-interleaved
+    into one Morton key — the sort key under which parquet row groups
+    become axis-aligned (user, time) rectangles, so min/max pruning
+    fires for predicates on EITHER dimension (today's time-ordered
+    layout prunes only time). Pure bit arithmetic, scan-side codegen,
+    byte-identical formula in the oracle. The write path
+    (`ly.zorder_write`, repartitionByRange + sortWithinPartitions)
+    and the measured row-group pruning win live in
+    `scripts/zorder_prune.py` + SCALING.md §r7."""
+    ev = _table(spark, sf_dir, "events")
+    us = event_micros(ev)
+    ub = F.col("user_id").bitwiseAND(F.lit(65535))
+    tb = F.floor(us / F.lit(3_600_000_000.0)).cast("long").bitwiseAND(F.lit(65535))
+    d = ev.select("event_id", "user_id", tb.alias("tb"), ub.alias("__ub"))
+    return d.select(
+        "event_id", "user_id", "tb",
+        ly.morton_z(F.col("__ub"), F.col("tb"), 16).alias("z"),
+    )
+
+
+@register(
+    "layout_encoding_advisor",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+      FROM events
+    ),
+    per AS (
+      {" UNION ALL ".join(_enc_sql_one(c) for c in _ENC_COLS)}
+    )
+    SELECT "column", n, CAST(ndv AS BIGINT) AS ndv,
+           CAST(n_runs AS BIGINT) AS n_runs,
+           {R('CAST(n_runs AS DOUBLE) / n', 6)} AS rle_ratio,
+           CAST(ceil(log2(CAST(ndv AS DOUBLE))) AS BIGINT) AS dict_bits
+    FROM per
+    """,
+)
+def _q_layout_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Would re-clustering pay for itself? Exact RLE run counts and
+    dictionary widths for the audited columns under the trial-
+    clustered (user, time) sort (`layout.encoding_advisor`) — the
+    byte-level complement of `scripts/zorder_prune.py`'s row-group
+    study: user_id collapses to one run per trial, event_type to
+    ~NDV-bounded runs, value stays incompressible; those three numbers
+    ARE the re-layout cost/benefit at 100 TB. One window pass flags
+    runs for all columns; output is len(columns) rows."""
+    from time_series_data_trimmer_spark.operators import layout as ly
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    return ly.encoding_advisor(
+        ev, list(_ENC_COLS), key_col="user_id", order_cols=("us", "event_id")
+    )
+
+
+@register(
+    "layout_compaction_plan",
+    f"""
+    WITH per AS (
+      SELECT source AS part, count(*) AS n_rows,
+             CAST(sum(strlen(coalesce(text, '')) + 64) AS BIGINT) AS est_bytes
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(est_bytes) AS total FROM per)
+    SELECT part, CAST(n_rows AS BIGINT) AS n_rows, est_bytes,
+           greatest(1, CAST(ceil(CAST(est_bytes AS DOUBLE) / 1048576.0) AS BIGINT))
+             AS n_files,
+           {R("CAST(est_bytes AS DOUBLE)"
+              " / CAST(greatest(1, CAST(ceil(CAST(est_bytes AS DOUBLE) / 1048576.0)"
+              " AS BIGINT)) AS DOUBLE) / 1048576.0", 6)} AS avg_file_mb,
+           {R("CAST(est_bytes AS DOUBLE) / CAST(tot.total AS DOUBLE)", 6)}
+             AS pct_of_total
+    FROM per CROSS JOIN tot
+    """,
+)
+def _q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compaction/file-sizing plan (`layout.compaction_plan`,
+    target 1 MiB at test scale standing in for the production 128 MiB):
+    exact row counts, scan-side byte estimates
+    (octet_length(text) + 64 B row overhead), the file count landing
+    each partition at the target size, and each partition's share of
+    corpus bytes (the skew signal — a 40% partition wants salting, not
+    more files). ONE map-side-combined aggregation + a sanctioned
+    1-row-total scalar broadcast; at 100 TB this IS the compaction
+    job's planning step and it costs one scan of one column."""
+    from time_series_data_trimmer_spark.operators import layout as ly
+
+    docs = _table(spark, sf_dir, "documents")
+    return ly.compaction_plan(
+        docs,
+        "source",
+        (F.octet_length(F.coalesce(F.col("text"), F.lit(""))) + F.lit(64)).cast(
+            "long"
+        ),
+        target_file_bytes=1024 * 1024,
+    )
+
+
+@register(
+    "layout_partition_advisor",
+    f"""
+    WITH cand AS (
+      SELECT 'event_type' AS part_col, event_type AS k FROM events
+      UNION ALL
+      SELECT 'user_id' AS part_col, CAST(user_id AS VARCHAR) AS k FROM events
+      UNION ALL
+      SELECT 'event_day' AS part_col,
+             CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS k FROM events
+    ),
+    per_key AS (
+      SELECT part_col, k, count(*) AS rows_in_part
+      FROM cand GROUP BY part_col, k
+    ),
+    agg AS (
+      SELECT part_col, count(*) AS n_partitions, sum(rows_in_part) AS total_rows,
+             max(rows_in_part) AS max_part
+      FROM per_key GROUP BY part_col
+    )
+    SELECT part_col,
+           CAST(n_partitions AS BIGINT) AS n_partitions,
+           CAST(total_rows AS BIGINT) AS total_rows,
+           CAST(max_part AS BIGINT) AS max_part_rows,
+           {R("CAST(max_part AS DOUBLE)"
+              " / (CAST(total_rows AS DOUBLE) / n_partitions)", 6)} AS skew_ratio,
+           CAST(CASE WHEN n_partitions BETWEEN 5 AND 100000
+                      AND CAST(max_part AS DOUBLE)
+                          / (CAST(total_rows AS DOUBLE) / n_partitions) < 10.0
+                THEN 1 ELSE 0 END AS INTEGER) AS advisable
+    FROM agg
+    """,
+)
+def _q_layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-KEY advisor for the events table: for each candidate
+    key (event_type, user_id, epoch-day) the partition count, largest
+    partition, and skew ratio (max/mean) — the two failure modes of
+    `partitionBy` at 100 TB are too FEW/too MANY partitions and one
+    giant hot partition, and this row flags both (advisable = 5 ≤
+    parts ≤ 1e5 AND skew < 10). Completes the layout family: encoding
+    advisor (column codecs) → compaction plan (file sizing) → z-order
+    (clustering) → THIS (directory partitioning). One scan exploded to
+    three candidate keyings, two aggregations, |keys|-bounded rows."""
+    ev = _events_us(spark, sf_dir)
+    cand = (
+        ev.select(
+            F.lit("event_type").alias("part_col"),
+            F.col("event_type").cast("string").alias("k"),
+        )
+        .unionAll(
+            ev.select(
+                F.lit("user_id").alias("part_col"),
+                F.col("user_id").cast("string").alias("k"),
+            )
+        )
+        .unionAll(
+            ev.select(
+                F.lit("event_day").alias("part_col"),
+                F.expr("CAST(t_us DIV 86400000000 AS STRING)").alias("k"),
+            )
+        )
+    )
+    per_key = cand.groupBy("part_col", "k").agg(
+        F.count(F.lit(1)).alias("rows_in_part")
+    )
+    agg = per_key.groupBy("part_col").agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("rows_in_part").alias("total_rows"),
+        F.max("rows_in_part").alias("max_part"),
+    )
+    skew = F.col("max_part").cast("double") / (
+        F.col("total_rows").cast("double") / F.col("n_partitions")
+    )
+    return agg.select(
+        "part_col",
+        F.col("n_partitions").cast("long").alias("n_partitions"),
+        F.col("total_rows").cast("long").alias("total_rows"),
+        F.col("max_part").cast("long").alias("max_part_rows"),
+        rd(skew, 6).alias("skew_ratio"),
+        F.when(
+            (F.col("n_partitions").between(5, 100000)) & (skew < 10.0), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("advisable"),
+    )

@@ -1,0 +1,765 @@
+"""Misc-family extension queries (15 registrations), split out of the former
+monolithic queries_ext.py with block text unchanged. Global
+registration order is restored by queries_ext's reorder —
+do not rely on this module's import order.
+"""
+
+from __future__ import annotations
+
+from time_series_data_trimmer_spark.queries_common import *  # noqa: F401,F403
+
+
+
+@register(
+    "topk_orders_by_price",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TakeOrdered physical op: per-partition partial top-k, only k rows
+    # per partition reach the driver-side merge — no global sort.
+    return (
+        _table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "multimodal_fake_features",
+    f"""
+    WITH h AS (SELECT doc_id AS asset_id, md5(text) AS h1 FROM documents),
+    hh AS (
+      SELECT asset_id, h1, md5(h1) AS h2, md5(md5(h1)) AS h3, md5(md5(md5(h1))) AS h4
+      FROM h
+    )
+    SELECT asset_id, {_MM_FEATS} FROM hh
+    """,
+)
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal mapInPandas plumbing through the exact-value gate:
+    documents' text bytes become binary payloads, the (fake, md5-seeded)
+    decoder emits 16 features per asset inside an Arrow batch stream,
+    and the oracle reproduces the iterated-digest features in SQL —
+    payload bytes never shuffle (output schema is id + features only).
+    The real-codec path keeps its documented NotImplementedError site."""
+    from time_series_data_trimmer_spark.operators.multimodal import extract_features
+
+    assets = _table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_features(assets, id_col="asset_id")
+    return feats.select(
+        "asset_id",
+        *[F.element_at(F.col("features"), k + 1).alias(f"f{k}") for k in range(16)],
+    )
+
+
+@register(
+    "f1_time_window_mean",
+    f"""
+    SELECT user_id, event_id,
+           {R("CAST(sum(CAST(" + sql_rd("value", 2) + " AS DECIMAL(38,6))) OVER w AS DOUBLE)"
+              " / CAST(count(*) OVER w AS DOUBLE)", 6)} AS tw_mean
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 2500000 PRECEDING AND 2500000 FOLLOWING
+    )
+    """,
+)
+def _q_time_window_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based rolling mean: a RANGE window frame over the time axis
+    (±2.5 s of each sample) — the frame family the sample-count rolling
+    ops (F1/F2/F11, ROW frames) cannot express when sampling is
+    irregular. The order key is INTEGER epoch-microseconds (Spark's
+    rangeBetween takes long offsets; micros are exact in both engines),
+    frame = ±2,500,000 µs. Same single (user)-keyed Exchange + sort as
+    the row-frame family; the frame bound is a value offset evaluated
+    inside WindowExec, no extra pass. Decimal-accumulated sum / integer
+    count so the mean is order-independent; identical-µs rows are
+    RANGE-peers in both engines, making ties well-defined."""
+    from time_series_data_trimmer_spark.sources.events import event_micros
+
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = df.withColumn("t_us", event_micros(df))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_us"))
+        .rangeBetween(-2_500_000, 2_500_000)
+    )
+    s = F.sum(rd(F.col("value"), 2).cast("decimal(38,6)")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    return ev.select(
+        "user_id", "event_id", rd(s / n, 6).alias("tw_mean")
+    )
+
+
+@register(
+    "cdc_latest_event_per_user_type",
+    f"""
+    SELECT user_id, event_type, event_id, value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def _q_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDC/log-compaction dedup: keep the newest record per key — the
+    # standard keep-latest operator for incremental training-data feeds.
+    # max_by over a composite key would also work; row_number keeps the
+    # full row without struct packing.
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+@register(
+    "distinct_event_types_per_user",
+    """
+    SELECT user_id,
+           count(DISTINCT event_type) AS n_types,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def _q_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir)
+    return df.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "rollup_lineitem_status",
+    f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           {_sql_dsum("l_quantity", 2)} AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hierarchical totals in one pass (partial-agg friendly; Spark plans
+    # rollup as Expand + single aggregation, not N scans)
+    l = _table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(_dsum(F.col("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "pivot_returnflag_by_status",
+    f"""
+    SELECT l_returnflag AS returnflag,
+           {_sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE NULL END", 2)} AS qty_o,
+           {_sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE NULL END", 2)} AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pivot compiles to the same conditional-aggregate shape as the
+    # portable CASE form in the oracle
+    l = _table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            _dsum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")), 2).alias("qty_o"),
+            _dsum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")), 2).alias("qty_f"),
+        )
+    )
+
+
+@register(
+    "a1_sample_rate_sketch",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
+    ),
+    d AS (
+      SELECT user_id, event_id,
+             t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS dt
+      FROM e
+    ),
+    pos AS (SELECT user_id, event_id, CAST(dt AS DOUBLE) AS dt FROM d WHERE dt > 0),
+    h AS (
+      SELECT user_id AS g, {sp.sql_hash_u32("event_id", _QSK_SEED)} AS u, dt AS v
+      FROM pos
+    ),
+    regs AS (
+      SELECT g, u, v FROM h
+      QUALIFY row_number() OVER (PARTITION BY g ORDER BY u ASC, v ASC) <= 32
+    ),
+    ranked AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v ASC, u ASC) AS vr,
+             count(*) OVER (PARTITION BY g) AS n_kept
+      FROM regs
+    ),
+    est AS (
+      SELECT g, n_kept, v AS dt_med_est
+      FROM ranked
+      WHERE vr = greatest(1, CAST(ceil(0.5 * CAST(n_kept AS DOUBLE)) AS BIGINT))
+    ),
+    exact AS (SELECT user_id AS g, median(dt) AS dt_med FROM pos GROUP BY user_id)
+    SELECT e.g AS user_id, e.n_kept,
+           {sql_rd("1000000.0 / e.dt_med_est", 2)} AS rate_sketch,
+           {sql_rd("1000000.0 / x.dt_med", 2)} AS rate_exact,
+           {sql_rd("abs(e.dt_med_est - x.dt_med) / x.dt_med", 6)} AS dt_rel_err
+    FROM est e JOIN exact x ON e.g = x.g
+    """,
+)
+def _q_a1_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's sample-rate inference (A1, data_model.py:116-126
+    — the VERDICT r6 anchor for "the operation that stops scaling
+    first") re-based on the mergeable quantile sketch: per-trial
+    median inter-sample gap from ≤ k bottom-k registers instead of an
+    exact full-sort percentile, exact rate alongside for audit. At
+    100 TB the registers come from per-day sketch merges, never a
+    corpus rescan; at test scale the relative error column shows what
+    k=32 buys. Same one-Exchange register chain as
+    `sketch_quantile_value_by_user`."""
+    ev = _table(spark, sf_dir, "events")
+    us = event_micros(ev)
+    w = Window.partitionBy("user_id").orderBy(F.col("t_us").asc(), F.col("event_id").asc())
+    d = ev.select("user_id", "event_id", us.alias("t_us")).withColumn(
+        "dt", F.col("t_us") - F.lag("t_us").over(w)
+    )
+    pos = d.filter(F.col("dt") > 0).select(
+        "user_id", "event_id", F.col("dt").cast("double").alias("dt")
+    )
+    regs = sk.quantile_sketch_registers(
+        pos, "user_id", "dt", "event_id", k=_QSK_K, seed=_QSK_SEED
+    )
+    est = sk.quantile_sketch_estimate(regs, [0.5], group_col="g").select(
+        "g", "n_kept", F.col("q_est").alias("dt_med_est")
+    )
+    exact = pos.groupBy(F.col("user_id").alias("g")).agg(
+        F.median("dt").alias("dt_med")
+    )
+    out = est.join(exact.hint("shuffle_hash"), "g")
+    return out.select(
+        F.col("g").alias("user_id"),
+        "n_kept",
+        rd(F.lit(1_000_000.0) / F.col("dt_med_est"), 2).alias("rate_sketch"),
+        rd(F.lit(1_000_000.0) / F.col("dt_med"), 2).alias("rate_exact"),
+        rd(F.abs(F.col("dt_med_est") - F.col("dt_med")) / F.col("dt_med"), 6).alias(
+            "dt_rel_err"
+        ),
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS w
+      FROM events
+    ),
+    f AS (SELECT u, min(w) AS cw FROM uw GROUP BY u),
+    sizes AS (SELECT cw, count(*) AS cohort_size FROM f GROUP BY cw),
+    cells AS (
+      SELECT f.cw, uw.w, count(*) AS n_active
+      FROM uw JOIN f USING (u) GROUP BY f.cw, uw.w
+    )
+    SELECT cells.cw AS cohort_week,
+           cells.w - cells.cw AS week_offset,
+           n_active, cohort_size,
+           CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retained_frac
+    FROM cells JOIN sizes ON cells.cw = sizes.cw
+    """,
+)
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle (`ag.cohort_retention`): users
+    bucketed by first-seen epoch-week; per (cohort, offset) the active
+    count and retained fraction. Integer epoch-week math, narrow
+    distinct (user, week) pairs, bounded cohort-size broadcast."""
+    return ag.cohort_retention(_table(spark, sf_dir, "events"))
+
+
+@register(
+    "overlap_join_user_sessions",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS newf
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *,
+             sum(newf) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, sess, min(us) AS start_us, max(us) AS end_us
+      FROM s GROUP BY user_id, sess
+    ),
+    p AS (
+      SELECT a.user_id AS ua, b.user_id AS ub,
+             least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us) AS ov
+      FROM sess a JOIN sess b
+        ON a.start_us <= b.end_us AND b.start_us <= a.end_us
+       AND a.user_id < b.user_id
+    )
+    SELECT ua AS user_a, ub AS user_b,
+           count(*) AS n_overlapping_sessions,
+           CAST(sum(ov) AS BIGINT) AS total_overlap_us
+    FROM p GROUP BY ua, ub
+    """,
+)
+def _q_overlap_join_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user session concurrency matrix via the bucket-blocked
+    interval-overlap join (`iv.overlap_join`): sessionize each user's
+    events (30-min gap), then find every overlapping session pair
+    between DIFFERENT users and aggregate per user pair. The naive
+    form of this join is a BroadcastNestedLoopJoin (no equi-key);
+    the operator's bucket explode turns it into ONE shuffle-hash
+    equi-join with an exact-predicate filter — the production
+    range-join shape. Output is bounded by |user pairs| at any scale.
+    The oracle runs the naive quadratic join (DuckDB plans it as an
+    IEJoin) — same pairs, proving the bucket blocking lossless.
+
+    r7: the bucket is DERIVED (`iv.auto_bucket_us` = guarded median
+    interval length): candidate volume 3.77M vs 13.05M with the fixed
+    1-hour bucket at sf0.1 (3.5× fewer; 0.38B vs 1.31B at 10×) —
+    results bucket-invariant, pytest-pinned (SCALING.md §r7)."""
+    sess = ag.sessionize_user_events(_table(spark, sf_dir, "events"), gap_minutes=30)
+    ivl = sess.select(
+        "user_id",
+        "session_idx",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+    )
+    pairs = iv.overlap_join(ivl, ivl, bucket_us="auto").filter(
+        F.col("user_id_a") < F.col("user_id_b")
+    )
+    return pairs.groupBy(
+        F.col("user_id_a").alias("user_a"), F.col("user_id_b").alias("user_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_overlapping_sessions"),
+        F.sum("overlap_us").alias("total_overlap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 state history + time-weighted average (window classics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_state_history",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type FROM events
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    ),
+    v AS (
+      SELECT *, sum(chg) OVER (
+        PARTITION BY user_id ORDER BY t_us, event_id
+        ROWS UNBOUNDED PRECEDING
+      ) AS version
+      FROM m
+    ),
+    g AS (
+      SELECT user_id, version,
+             min(event_type) AS event_type,
+             min(t_us) AS valid_from_us,
+             count(*) AS n_events
+      FROM v GROUP BY user_id, version
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           valid_from_us,
+           lead(valid_from_us) OVER wv AS valid_to_us,
+           lead(valid_from_us) OVER wv IS NULL AS is_current,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM g WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+    """,
+)
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: compress each
+    user's event stream into state-change runs (consecutive same
+    event_type collapse) and emit validity intervals — valid_from /
+    valid_to (null = current) / is_current — the batch upsert-history
+    complement to `cdc_latest_event_per_user_type`'s keep-latest
+    compaction.
+
+    Plan: lag + running sum share ONE (user, t, id) window pass, the
+    run-collapse is a map-side-combinable agg on the same key, and the
+    valid_to lead runs over the already-collapsed version table (rows
+    = state changes, not events). Everything is user-keyed — no global
+    sort; the history table this builds is exactly the as-of-joinable
+    dimension shape (`p7_asof_lookup` consumes such intervals)."""
+    e = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").asc(), F.col("event_id").asc()
+    )
+    chg = F.when(
+        F.lag("event_type", 1).over(w).isNull()
+        | (F.lag("event_type", 1).over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    v = e.select(
+        "user_id", "t_us", "event_id", "event_type", chg.alias("__chg")
+    ).withColumn(
+        "version",
+        F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    g = v.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("t_us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy(F.col("version").asc())
+    nxt = F.lead("valid_from_us", 1).over(wv)
+    return g.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "event_type",
+        "valid_from_us",
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "twap_value_by_user_hour",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, t_us, v4,
+             lead(t_us) OVER (
+               PARTITION BY user_id ORDER BY t_us, event_id
+             ) - t_us AS dur
+      FROM e
+    )
+    SELECT user_id,
+           t_us - (t_us % {_TWAP_HOUR_US}) AS hour_us,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(dur) AS BIGINT) AS held_us,
+           {R("CAST(sum(CAST(v4 AS DECIMAL(38,0)) * dur) AS DOUBLE) / (CAST(sum(dur) AS DOUBLE) * 10000.0)", 6)} AS twap
+    FROM d
+    WHERE dur IS NOT NULL AND dur > 0
+    GROUP BY user_id, hour_us
+    """,
+)
+def _q_twap_by_user_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (user, hour): each sample is
+    weighted by how long it was the CURRENT value (duration to the
+    next sample — the held interval), the standard TWAP/position-
+    weighting that plain AVG gets wrong on irregular sampling.
+
+    Integer-exact inside: value scaled to int(4 dp), the held
+    duration is integer micros, and Σ v4·dur accumulates in
+    DECIMAL(38,0) (a year-held 10³-magnitude value is ~10²¹ — past
+    bigint, Spark non-ANSI would wrap silently); ONE double division
+    at the end, then the shared rounding grid. Plan: one user-keyed
+    window for the lead, one (user, hour) aggregation — attribution
+    is to the hour the sample STARTED in (no interval splitting;
+    the split variant is `iv.coverage_sweep`'s job)."""
+    e = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").asc(), F.col("event_id").asc()
+    )
+    from time_series_data_trimmer_spark.operators.timeseries import _scaled_int
+
+    d = e.select(
+        "user_id",
+        "t_us",
+        _scaled_int(F.col("value")).alias("__v4"),
+        (F.lead("t_us", 1).over(w) - F.col("t_us")).alias("__dur"),
+    ).filter(F.col("__dur").isNotNull() & (F.col("__dur") > 0))
+    return (
+        d.groupBy(
+            "user_id",
+            (F.col("t_us") - F.col("t_us") % F.lit(_TWAP_HOUR_US)).alias("hour_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("__dur").alias("__held"),
+            F.sum(F.col("__v4").cast("decimal(38,0)") * F.col("__dur")).alias("__num"),
+        )
+        .select(
+            "user_id",
+            "hour_us",
+            F.col("n_samples").cast("long").alias("n_samples"),
+            F.col("__held").cast("long").alias("held_us"),
+            rd(
+                F.col("__num").cast("double")
+                / (F.col("__held").cast("double") * F.lit(1e4)),
+                6,
+            ).alias("twap"),
+        )
+    )
+
+
+@register(
+    "export_manifest_shards",
+    f"""
+    WITH h AS (
+      SELECT ({sp.sql_hash_u32("doc_id", "tsdt|shard")}) % {_EXPORT_SHARDS}
+               AS shard,
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             {sp.sql_hash_u32(
+                 "concat_ws('|', CAST(doc_id AS VARCHAR), coalesce(text, ''),"
+                 " coalesce(lang, ''), CAST(n_chars AS VARCHAR))",
+                 'tsdt|fp')} AS u
+      FROM documents
+    )
+    SELECT CAST(shard AS INTEGER) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(u AS DECIMAL(38,0))) % 1000000000000000000 AS BIGINT)
+             AS content_sum_mod,
+           min(u) AS content_min, max(u) AS content_max
+    FROM h GROUP BY shard
+    """,
+)
+def _q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPORT MANIFEST for a sharded corpus handoff: per hash shard
+    (the deterministic md5 shard every doc would be written to), the
+    doc count, token count, and the order-insensitive content
+    fingerprint — the receiving side recomputes this table on what
+    arrived and diffs {_EXPORT_SHARDS} rows to localize any dropped /
+    duplicated / corrupted shard WITHOUT re-reading the healthy ones
+    (the `dq_content_fingerprint` reconciliation made shard-local, the
+    integrity contract a 100 TB handoff signs). One scan, map-side-
+    combined aggregation."""
+    docs = _table(spark, sf_dir, "documents")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.col("n_chars").cast("string"),
+    )
+    h = docs.select(
+        (sp.hash_u32(F.col("doc_id"), "tsdt|shard") % _EXPORT_SHARDS)
+        .cast("int")
+        .alias("shard"),
+        tx.token_count(F.col("text")).cast("long").alias("__nt"),
+        sp.hash_u32(row_repr, "tsdt|fp").alias("__u"),
+    )
+    return h.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+        (
+            F.sum(F.col("__u").cast("decimal(38,0)"))
+            % F.lit(1000000000000000000).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("content_sum_mod"),
+        F.min("__u").alias("content_min"),
+        F.max("__u").alias("content_max"),
+    )
+
+
+@register(
+    "linkage_golden_record",
+    f"""
+    WITH RECURSIVE {_LINKAGE_SCORED_SQL},
+    me AS (
+      SELECT id_a, id_b FROM scored WHERE score >= 8
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM me
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM me
+    ),
+    reach(src, dst) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst
+    ),
+    lbl AS (
+      SELECT src AS doc_id, min(dst) AS entity_id FROM reach GROUP BY src
+    ),
+    g AS (
+      SELECT l.entity_id, count(*) AS n_members,
+             min(d.n_chars) AS min_n_chars, max(d.n_chars) AS max_n_chars
+      FROM lbl l JOIN documents d ON d.doc_id = l.doc_id
+      GROUP BY l.entity_id
+    )
+    SELECT g.entity_id, CAST(g.n_members AS BIGINT) AS n_members,
+           dc.lang AS canonical_lang, dc.source AS canonical_source,
+           g.min_n_chars, g.max_n_chars
+    FROM g JOIN documents dc ON dc.doc_id = g.entity_id
+    """,
+)
+def _q_linkage_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END of the linkage pipeline: transitive
+    closure over the Fellegi-Sunter 'match' pairs (same factored
+    candidate chain as `dedup_linkage_scores` — `_LINKAGE_SCORED_SQL`)
+    into entities, then one GOLDEN RECORD per multi-member entity:
+    entity_id = min member id, member count, the canonical (min-id)
+    member's attributes, and the member size span. This is the
+    master-data rollup a dedup decision feeds — pairwise scores alone
+    can't be acted on until transitivity is resolved (A~B, B~C ⇒ one
+    entity even when A,C never paired). Closure via the same
+    min-label propagation + pointer-jumping as `dedup_clusters`
+    (O(log n) rounds, (id,label) longs only); the oracle replays it
+    with a recursive CTE. Canonical attributes come from ONE
+    doc_id-keyed join against the entity id — no per-entity text ever
+    shuffles."""
+    docs = _table(spark, sf_dir, "documents")
+    match_pairs = dd.linkage_scores(docs).filter(
+        F.col("link_class") == "match"
+    ).select("id_a", "id_b")
+    lbl = dd.connected_components(match_pairs)
+    g = (
+        lbl.join(
+            docs.select(F.col("doc_id"), F.col("n_chars")).hint("shuffle_hash"),
+            "doc_id",
+        )
+        .groupBy(F.col("cluster_id").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("n_chars").alias("min_n_chars"),
+            F.max("n_chars").alias("max_n_chars"),
+        )
+    )
+    canon = docs.select(
+        F.col("doc_id").alias("entity_id"),
+        F.col("lang").alias("canonical_lang"),
+        F.col("source").alias("canonical_source"),
+    )
+    return g.join(canon.hint("shuffle_hash"), "entity_id").select(
+        "entity_id",
+        "n_members",
+        "canonical_lang",
+        "canonical_source",
+        "min_n_chars",
+        "max_n_chars",
+    )
+
+
+@register(
+    "orders_basket_lift_pairs",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem
+    ),
+    nord AS (SELECT CAST(count(DISTINCT okey) AS DOUBLE) AS n FROM items),
+    cnt AS (SELECT pk, count(*) AS c FROM items GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_pair
+      FROM items a JOIN items b
+        ON a.okey = b.okey AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+    ),
+    scored AS (
+      SELECT p.part_a, p.part_b, p.n_pair,
+             {R("CAST(p.n_pair AS DOUBLE) / nord.n", 6)} AS support,
+             {R("CAST(p.n_pair AS DOUBLE) / ca.c", 6)} AS conf_a_b,
+             {R("CAST(p.n_pair AS DOUBLE) / cb.c", 6)} AS conf_b_a,
+             {R("(nord.n * p.n_pair) / (CAST(ca.c AS DOUBLE) * cb.c)", 6)} AS lift
+      FROM pairs p
+      JOIN cnt ca ON ca.pk = p.part_a
+      JOIN cnt cb ON cb.pk = p.part_b
+      CROSS JOIN nord
+      WHERE p.n_pair >= 3
+    )
+    SELECT * FROM scored
+    ORDER BY lift DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+)
+def _q_orders_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET association rules over order line items:
+    support / directed confidence / lift per co-purchased part pair,
+    top-20 by lift (min support 3 orders) — the classic retail
+    analytics workload (Agrawal-Srikant Apriori at the pair level),
+    and the relational sibling of `coengagement_type_pairs` (events)
+    and `text_cooc_lift_pairs` (tokens). SCALE SHAPE is the whole
+    point: pairs come from a basket-keyed self-join, and TPC-H
+    baskets are ≤7 items, so the fan-out is ≤21 pairs per order —
+    bounded by the BASKET size law, never by part popularity (the
+    same bounded-pair-generator discipline as the dedup family,
+    PLANS.md invariant 6); part marginals join keyed, the order
+    count is the 1-row broadcast, the cut is TakeOrdered. Exact
+    integer counts; four 6-dp ratios on top."""
+    li = _table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("__okey"), F.col("l_partkey").alias("__pk")
+    ).distinct()
+    nord = items.agg(
+        F.count_distinct(F.col("__okey")).cast("double").alias("__n")
+    )
+    cnt = items.groupBy("__pk").agg(F.count(F.lit(1)).alias("__c"))
+    a = items.select(F.col("__okey"), F.col("__pk").alias("part_a"))
+    b = items.select(F.col("__okey"), F.col("__pk").alias("part_b"))
+    pairs = (
+        a.join(b.hint("shuffle_hash"), "__okey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    ca = cnt.select(F.col("__pk").alias("part_a"), F.col("__c").alias("__ca"))
+    cb = cnt.select(F.col("__pk").alias("part_b"), F.col("__c").alias("__cb"))
+    scored = (
+        pairs.join(ca.hint("shuffle_hash"), "part_a")
+        .join(cb.hint("shuffle_hash"), "part_b")
+        .crossJoin(F.broadcast(nord))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            rd(F.col("n_pair").cast("double") / F.col("__n"), 6).alias("support"),
+            rd(F.col("n_pair").cast("double") / F.col("__ca"), 6).alias("conf_a_b"),
+            rd(F.col("n_pair").cast("double") / F.col("__cb"), 6).alias("conf_b_a"),
+            rd(
+                (F.col("__n") * F.col("n_pair"))
+                / (F.col("__ca").cast("double") * F.col("__cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(20)

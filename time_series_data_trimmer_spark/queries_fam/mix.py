@@ -1,0 +1,1377 @@
+"""Mix-family extension queries (24 registrations), split out of the former
+monolithic queries_ext.py with block text unchanged. Global
+registration order is restored by queries_ext's reorder —
+do not rely on this module's import order.
+"""
+
+from __future__ import annotations
+
+from time_series_data_trimmer_spark.queries_common import *  # noqa: F401,F403
+
+
+
+@register(
+    "sample_hash_bernoulli",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_SQL_H} < {int(_SAMPLE_RATE * (1 << 32))}
+    """,
+)
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample (keep iff hash_u32(doc_id) <
+    rate·2³²): scan-side codegen, no shuffle, membership stable under
+    repartitioning — the reproducible alternative to df.sample."""
+    out = sp.hash_sample(_table(spark, sf_dir, "documents"), _SAMPLE_RATE)
+    return out.select("doc_id", "source")
+
+
+@register(
+    "sample_stratified_by_source",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_SQL_H} < {_STRATA_CASE}
+    """,
+)
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing primitive
+    ('80% of src0, 50% of src1, 25% of src2, 10% of the rest'). The
+    per-row threshold is a CASE over the stratum: still one scan, no
+    join, no shuffle."""
+    out = sp.stratified_hash_sample(
+        _table(spark, sf_dir, "documents"), _STRATA_RATES, _STRATA_DEFAULT
+    )
+    return out.select("doc_id", "source")
+
+
+@register(
+    "mix_token_budget_per_source",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             {_SQL_H} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {_MIX_BUDGET}
+    """,
+)
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing: each source keeps a deterministic
+    hash-ordered prefix of docs while the running token total stays
+    within budget (docs are atomic — cap, never split). One window
+    shuffle on the stratum key, integer cumulative sum, no joins."""
+    out = sp.token_budget_per_stratum(
+        _table(spark, sf_dir, "documents"), _MIX_BUDGET
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+@register(
+    "mix_sequence_pack_offsets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             {_SQL_H} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS tok_end
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, tok_end - n_tokens AS tok_start, tok_end,
+           CAST(floor((tok_end - n_tokens) / 512.0) AS BIGINT) AS first_seq,
+           CAST(floor((tok_end - 1) / 512.0) AS BIGINT) AS last_seq
+    FROM c WHERE n_tokens > 0
+    """,
+)
+def _q_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing (seq_len=512): each doc's global
+    token interval and the training sequences it spans, in deterministic
+    hash order. r4: scale-safe distributed prefix-sum — the shard id is
+    the hash's top bits, so per-shard window cumsum + broadcast base
+    offsets reproduce the global-order result bit-for-bit with no
+    keyless window anywhere in the plan (the oracle stays the simple
+    global-window SQL)."""
+    return sp.sequence_pack_offsets(_table(spark, sf_dir, "documents"), seq_len=512)
+
+
+@register(
+    "mix_sequence_pack_sharded",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             {_SQL_H} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY source, h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS tok_end
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, tok_end - n_tokens AS tok_start, tok_end,
+           CAST(floor((tok_end - n_tokens) / 512.0) AS BIGINT) AS first_seq,
+           CAST(floor((tok_end - 1) / 512.0) AS BIGINT) AS last_seq
+    FROM c WHERE n_tokens > 0
+    """,
+)
+def _q_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production per-shard packing (shard = source, seq_len=512):
+    shard-major deterministic concat order with globally contiguous
+    offsets — per-shard window cumsum, driver-side cumsum of the
+    per-shard totals (one bounded row per shard), broadcast base-offset
+    join. The oracle is the equivalent single global window ordered by
+    (source, h, doc_id) — DuckDB doesn't need the scale-safe shape,
+    the result must match it exactly."""
+    return sp.sequence_pack_offsets_sharded(
+        _table(spark, sf_dir, "documents"), seq_len=512
+    )
+
+
+@register(
+    "sample_top_n_per_source",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {sp.sql_hash_u32('doc_id', 'tsdt|topn')} AS hv
+      FROM documents
+    )
+    SELECT doc_id, source FROM h
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) <= 10
+    """,
+)
+def _q_top_n_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sample
+    (`sp.hash_top_n_per_group`, 10 docs per source by smallest u32
+    hash): exact counts per stratum, append-stable membership, one
+    keyed window — what rate-based sampling can't give and RNG
+    reservoirs can't reproduce."""
+    out = sp.hash_top_n_per_group(
+        _table(spark, sf_dir, "documents"), n=10, group_col="source"
+    )
+    return out.select("doc_id", "source")
+
+
+@register(
+    "mix_train_val_test_split",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {sp.sql_hash_u32('doc_id', 'tsdt|split')} AS hv
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN hv < {int(0.1 * (1 << 32))} THEN 'test'
+                WHEN hv < {2 * int(0.1 * (1 << 32))} THEN 'val'
+                ELSE 'train' END AS split
+    FROM h
+    """,
+)
+def _q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (`sp.train_val_test_split`,
+    10/10/80 by u32 hash bucket): labels are a pure function of
+    (seed, doc_id) — no row can migrate between splits across runs,
+    appends, or engines (the leakage mode randomSplit invites).
+    Scan-side codegen, zero shuffle."""
+    out = sp.train_val_test_split(
+        _table(spark, sf_dir, "documents"), val_frac=0.1, test_frac=0.1
+    )
+    return out.select("doc_id", "source", "split")
+
+
+@register(
+    "mix_shuffle_shards",
+    f"""
+    WITH h AS (
+      SELECT doc_id, {sp.sql_hash_u32('doc_id', 'tsdt|shuffle')} AS hv
+      FROM documents
+    )
+    SELECT doc_id, CAST(hv % 16 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def _q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle (`sp.shuffle_to_shards`):
+    hash-permutation into 16 shards with within-shard positions — the
+    export-order primitive (no global sort, no rand()); one shuffle +
+    per-shard keyed window."""
+    out = sp.shuffle_to_shards(_table(spark, sf_dir, "documents"), n_shards=16)
+    return out.select("doc_id", "shard", "pos")
+
+
+@register(
+    "mix_temperature_sample",
+    f"""
+    WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+    t AS (
+      SELECT CAST(sum(CAST({R("sqrt(CAST(c AS DOUBLE))", 9)} AS DECIMAL(38,9))) AS DOUBLE) AS T,
+             CAST(sum(c) AS DOUBLE) AS N
+      FROM c
+    ),
+    r AS (
+      SELECT source,
+             least(1.0,
+               ((0.25 * t.N) * {R("sqrt(CAST(c AS DOUBLE))", 9)})
+                 / ((CAST(c AS DOUBLE)) * t.T)) AS rate
+      FROM c, t
+    )
+    SELECT d.doc_id, d.source, {R("r.rate", 9)} AS keep_rate
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE {sp.sql_hash_u32("d.doc_id", "tsdt|temp")}
+          < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+    """,
+)
+def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature-scaled domain sampling
+    (`sp.temperature_sample`): per-source keep rates ∝ √count/count at
+    an overall 25% target — the mT5-style domain-rebalancing step.
+    Rates are decimal-exact (√c rounded to 9 dp, T summed in decimal),
+    membership is the portable md5 coin; the oracle reproduces every
+    rate and every member bit-for-bit."""
+    return sp.temperature_sample(
+        _table(spark, sf_dir, "documents"), target_frac=0.25
+    ).select("doc_id", "source", "keep_rate")
+
+
+@register(
+    "mix_epoch_upsample",
+    """
+    WITH c AS (
+      SELECT coalesce(CAST(source AS VARCHAR), '<NULL>') AS g, count(*) AS c
+      FROM documents GROUP BY 1
+    ),
+    m AS (SELECT max(c) AS cmax FROM c),
+    e AS (
+      SELECT g,
+             least(4, CAST(ceil(sqrt(CAST(m.cmax AS DOUBLE) / CAST(c.c AS DOUBLE))) AS INT)) AS epochs
+      FROM c, m
+    )
+    SELECT d.doc_id, d.source,
+           CAST(unnest(generate_series(1, e.epochs)) AS INT) AS epoch
+    FROM documents d
+    JOIN e ON coalesce(CAST(d.source AS VARCHAR), '<NULL>') = e.g
+    """,
+)
+def _q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-based domain upsampling (`sp.epoch_upsample`): integer
+    replication epochs_g = min(4, ceil(sqrt(c_max/c_g))) per source —
+    the multi-epoch small-domain mixing of LLM data recipes, as an
+    explode(sequence) on the scan (zero payload shuffle; the
+    (group, epochs) table is a bounded broadcast). Complement of
+    `mix_temperature_sample`: that down-samples dominant domains,
+    this up-samples small ones, both under the alpha=0.5 law."""
+    return sp.epoch_upsample(
+        _table(spark, sf_dir, "documents"), max_epochs=4
+    ).select("doc_id", "source", "epoch")
+
+
+@register(
+    "mix_dsir_importance",
+    f"""
+    WITH wt AS (
+      SELECT string_split(trim(text), ' ') AS w FROM documents
+      WHERE source = 'src0' AND text IS NOT NULL
+    ),
+    tg AS (
+      SELECT ({_DSIR_H}) % {_DSIR_B} AS b FROM (
+        SELECT array_to_string(w[i.i:i.i+1], ' ') AS gram
+        FROM wt, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) i
+        WHERE len(w) >= 2)
+    ),
+    wr AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      WHERE source <> 'src0' AND text IS NOT NULL
+    ),
+    rg AS (
+      SELECT doc_id, ({_DSIR_H}) % {_DSIR_B} AS b FROM (
+        SELECT doc_id, array_to_string(w[i.i:i.i+1], ' ') AS gram
+        FROM wr, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) i
+        WHERE len(w) >= 2)
+    ),
+    ct AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
+    cr AS (SELECT b, count(*) AS cr FROM rg GROUP BY b),
+    tt AS (SELECT CAST(sum(ct) AS DOUBLE) AS t FROM ct),
+    rt AS (SELECT CAST(sum(cr) AS DOUBLE) AS r FROM cr),
+    ratios AS (
+      SELECT coalesce(ct.b, cr.b) AS b,
+             {R(f"((CAST(coalesce(ct.ct, 0) AS DOUBLE) + 1.0) / (tt.t + {float(_DSIR_B)}))"
+                f" / ((CAST(coalesce(cr.cr, 0) AS DOUBLE) + 1.0) / (rt.r + {float(_DSIR_B)}))", 9)} AS ratio
+      FROM ct FULL OUTER JOIN cr ON ct.b = cr.b CROSS JOIN tt CROSS JOIN rt
+    )
+    SELECT rg.doc_id, count(*) AS n_grams,
+           {R("CAST(sum(CAST(ratio AS DECIMAL(38,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 9)} AS importance
+    FROM rg JOIN ratios ON ratios.b = rg.b
+    GROUP BY rg.doc_id
+    """,
+)
+def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-bigram importance scoring
+    (`sp.dsir_importance`, Xie et al. 2023): raw docs (source != src0)
+    scored by the decimal-mean of per-bucket probability ratios vs the
+    target slice (source == src0) — the in-domain data-selection
+    signal. Ratio-MEAN variant (the paper's log-product is not
+    bit-reproducible; same determinism policy as the un-logged idf).
+    Grams collapse to hash%4096 ints on the scan; both count tables
+    and their totals fold into one <= 4096-row broadcast ratio table;
+    the only wide exchange is the per-doc decimal mean."""
+    docs = _table(spark, sf_dir, "documents")
+    return sp.dsir_importance(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n_buckets=_DSIR_B,
+    )
+
+
+@register(
+    "sample_pps_by_chars",
+    f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             {sp.sql_hash_u32('doc_id', _PPS_SEED)} AS h
+      FROM documents WHERE n_chars > 0
+    ),
+    o AS (
+      SELECT doc_id, n_chars,
+             sum(n_chars) OVER (
+               ORDER BY h % {_PPS_S}, h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    ),
+    w AS (SELECT sum(n_chars) AS tw FROM t)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           CAST(({_PPS_K} * CAST(cum AS HUGEINT)) // tw
+              - ({_PPS_K} * CAST(cum - n_chars AS HUGEINT)) // tw AS BIGINT)
+             AS n_hits
+    FROM o CROSS JOIN w
+    WHERE ({_PPS_K} * CAST(cum AS HUGEINT)) // tw
+        - ({_PPS_K} * CAST(cum - n_chars AS HUGEINT)) // tw >= 1
+    """,
+)
+def _q_pps_by_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample exactly {k}=100 draws from documents with inclusion
+    count ∝ n_chars via systematic PPS (`sp.pps_systematic_sample`) —
+    the "sample documents proportional to token count" primitive a
+    training-data mix needs, with zero transcendental functions: the
+    md5-shuffled order, a distributed integer prefix sum (per-shard
+    window + S bounded shard totals, no global sort), and two exact
+    integer divisions per row. Σ n_hits telescopes to exactly k
+    (pytest-pinned); every arithmetic step is reproduced verbatim in
+    the oracle, so the SAMPLE ITSELF is cross-engine identical —
+    a property no rand()-based sampler has."""
+    docs = _table(spark, sf_dir, "documents")
+    return sp.pps_systematic_sample(
+        docs, k=_PPS_K, weight_col="n_chars", key_col="doc_id",
+        n_shards=_PPS_S, seed=_PPS_SEED,
+    )
+
+
+@register(
+    "mix_pack_efficiency_report",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             {_SQL_H} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS tok_end
+      FROM toks
+    ),
+    o AS (
+      SELECT n_tokens, tok_end,
+             CAST(floor((tok_end - n_tokens) / 512.0) AS BIGINT) AS first_seq,
+             CAST(floor((tok_end - 1) / 512.0) AS BIGINT) AS last_seq
+      FROM c WHERE n_tokens > 0
+    ),
+    a AS (
+      SELECT count(*) AS n_docs,
+             sum(n_tokens) AS n_tokens,
+             sum(CASE WHEN first_seq < last_seq THEN 1 ELSE 0 END) AS split_docs,
+             sum(last_seq - first_seq + 1) AS fragments
+      FROM o
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((n_tokens + 511) // 512 AS BIGINT) AS n_sequences,
+           CAST(split_docs AS BIGINT) AS split_docs,
+           {R("CAST(split_docs AS DOUBLE) / n_docs", 6)} AS split_frac,
+           CAST(fragments AS BIGINT) AS fragments,
+           {R("CAST(fragments AS DOUBLE) / ((n_tokens + 511) // 512)", 6)}
+             AS docs_per_seq,
+           CAST(((n_tokens + 511) // 512) * 512 - n_tokens AS BIGINT)
+             AS tail_pad_tokens,
+           {R("CAST(n_tokens AS DOUBLE) / (((n_tokens + 511) // 512) * 512)", 6)}
+             AS utilization
+    FROM a
+    """,
+)
+def _q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit of the concat-and-chop layout
+    (seq_len=512) — the report a training-data build reads before
+    committing a mix to sequence files: how many docs straddle a
+    sequence boundary (attention-mask fragmentation), mean docs per
+    training sequence (fragments / n_sequences), and the layout's
+    token utilization (concat-and-chop pads ONLY the final partial
+    sequence, so utilization ~1 by construction — the row PROVES it,
+    and the same report run on a pad-per-doc layout is the comparison
+    that justifies packing). One aggregate row over the pack-offsets
+    frame (`sp.sequence_pack_offsets`, scale-safe sharded prefix-sum);
+    sequence count and tail pad in exact integer arithmetic (DIV), no
+    scalar joins — a single-row select over one aggregation."""
+    packed = sp.sequence_pack_offsets(
+        _table(spark, sf_dir, "documents"), seq_len=512
+    )
+    return _pack_efficiency_agg(packed)
+
+
+@register(
+    "mix_grouped_kfold",
+    f"""
+    WITH d AS (
+      SELECT source, CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             ({sp.sql_hash_u32("source", "tsdt|fold")}) % 5 AS fold
+      FROM documents
+    ),
+    f AS (
+      SELECT fold, count(DISTINCT source) AS n_sources, count(*) AS n_docs,
+             sum(n_tokens) AS n_tokens
+      FROM d GROUP BY fold
+    ),
+    t AS (SELECT sum(n_tokens) AS tot FROM f)
+    SELECT CAST(fold AS INTEGER) AS fold,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           {R("CAST(n_tokens AS DOUBLE) / tot", 6)} AS token_share
+    FROM f CROSS JOIN t
+    """,
+)
+def _q_mix_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE 5-fold assignment: every document of a source lands
+    in the same fold (fold = md5-hash of the SOURCE, not the doc), so
+    cross-validation and held-out splits can't leak near-duplicates
+    that cluster within a source — the leakage-safe split a dedup'd
+    corpus still needs (doc-level `mix_train_val_test_split` splits
+    finer but lets one source straddle train/val). Report per fold:
+    source count, doc count, token count, token share (the balance
+    check hash-folding is supposed to deliver). One scan + one fold
+    aggregation; the total is the sanctioned 1-row scalar."""
+    docs = _table(spark, sf_dir, "documents")
+    fold = (sp.hash_u32(F.col("source"), "tsdt|fold") % 5).cast("int")
+    d = docs.select(
+        "source",
+        tx.token_count(F.col("text")).cast("long").alias("__ntok"),
+        fold.alias("fold"),
+    )
+    f = d.groupBy("fold").agg(
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__ntok").alias("__nt"),
+    )
+    t = f.agg(F.sum("__nt").alias("__tot"))
+    return f.crossJoin(F.broadcast(t)).select(
+        "fold",
+        "n_sources",
+        "n_docs",
+        F.col("__nt").cast("long").alias("n_tokens"),
+        rd(F.col("__nt").cast("double") / F.col("__tot"), 6).alias(
+            "token_share"
+        ),
+    )
+
+
+@register(
+    "sample_neyman_allocation",
+    f"""
+    WITH d AS (
+      SELECT source, CAST({_SQL_NTOK} AS BIGINT) AS t FROM documents
+    ),
+    g AS (
+      SELECT source, count(*) AS n,
+             sum(CAST(t AS DECIMAL(38,0))) AS s1,
+             sum(CAST(t * t AS DECIMAL(38,0))) AS s2
+      FROM d GROUP BY source
+    ),
+    v AS (
+      SELECT source, n,
+             {R("sqrt(greatest(CAST(s2 AS DOUBLE) / n"
+                " - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),"
+                " 0.0))", 6)} AS sigma
+      FROM g
+    ),
+    w AS (SELECT *, CAST({R("n * sigma", 6)} AS DECIMAL(38,6)) AS wgt FROM v),
+    tot AS (SELECT sum(wgt) AS tw FROM w)
+    SELECT source, CAST(n AS BIGINT) AS n_docs, sigma AS sigma_tokens,
+           {R("CAST(wgt AS DOUBLE) / CAST(tw AS DOUBLE)", 6)} AS share,
+           CAST(floor(1000.0 * (CAST(wgt AS DOUBLE) / CAST(tw AS DOUBLE)) + 0.5)
+                AS BIGINT) AS n_alloc
+    FROM w CROSS JOIN tot
+    """,
+)
+def _q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN ALLOCATION for a stratified sample (budget 1000 docs):
+    each source's share ∝ N_h·σ_h (stratum size × token-count
+    std-dev), the variance-minimizing allocation for estimating corpus
+    token statistics from a sample — the statistics-literate upgrade
+    of proportional stratified sampling (`sample_stratified_by_source`
+    samples at a flat rate; Neyman oversamples high-variance strata).
+    Integer-exact power sums per stratum (token counts are ints —
+    decimal(38,0), no scaling needed), one IEEE sqrt per stratum, the
+    σ·N weights 6-dp-rounded into decimal before the share division;
+    the total is the sanctioned 1-row scalar."""
+    docs = _table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", tx.token_count(F.col("text")).cast("long").alias("__t")
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__t").cast("decimal(38,0)")).alias("__s1"),
+        F.sum((F.col("__t") * F.col("__t")).cast("decimal(38,0)")).alias(
+            "__s2"
+        ),
+    )
+    sigma = rd(
+        F.sqrt(
+            F.greatest(
+                F.col("__s2").cast("double") / F.col("n")
+                - (F.col("__s1").cast("double") / F.col("n"))
+                * (F.col("__s1").cast("double") / F.col("n")),
+                F.lit(0.0),
+            )
+        ),
+        6,
+    )
+    w = g.select(
+        "source",
+        F.col("n"),
+        sigma.alias("sigma"),
+        rd(F.col("n") * sigma, 6).cast("decimal(38,6)").alias("__wgt"),
+    )
+    tot = w.agg(F.sum("__wgt").alias("__tw"))
+    share = F.col("__wgt").cast("double") / F.col("__tw").cast("double")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("sigma").alias("sigma_tokens"),
+        rd(share, 6).alias("share"),
+        F.floor(F.lit(1000.0) * share + F.lit(0.5))
+        .cast("long")
+        .alias("n_alloc"),
+    )
+
+
+@register(
+    "mix_budget_after_dedup",
+    f"""
+    WITH RECURSIVE shingled AS ({_SH_SQL}),
+    sig AS ({_SIG_SQL}),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS key
+      FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst
+    ),
+    cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+    toks AS (
+      SELECT doc_id, source,
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             {_SQL_H} AS h
+      FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM cl WHERE doc_id = cluster_id)
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {_MIX_BUDGET}
+    """,
+)
+def _q_mix_budget_after_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE ORDER THAT MATTERS, MADE EXPLICIT: the per-source token
+    budget applied AFTER near-dedup (survivors of the LSH + connected
+    components pipeline), not before. Budgeting first and deduping
+    second under-fills every dup-heavy source (its budget was spent on
+    copies that dedup then removes); this composition spends the
+    budget entirely on surviving documents — the pipeline
+    `dedup_impact_by_source` tells you to run. Same proven pieces:
+    bucketed LSH pairs, min-label CC, one stratum-keyed budget window
+    over the deduped stream."""
+    docs = _table(spark, sf_dir, "documents")
+    comp = dd.dedup_components(docs)
+    keep = comp.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    surv = docs.join(keep.hint("shuffle_hash"), "doc_id", "left_semi")
+    out = sp.token_budget_per_stratum(surv, _MIX_BUDGET)
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+@register(
+    "data_prune_prototypicality",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    ord AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
+      FROM embeddings
+      QUALIFY cid <= {_PROTO_K - 1}
+    ),
+    cex AS (SELECT o.cid, e.i, e.x FROM ord o JOIN ex e ON e.vec_id = o.vec_id),
+    dists AS (
+      SELECT e.vec_id, c.cid,
+             sum(CAST({R("(e.x - c.x) * (e.x - c.x)", 9)} AS DECIMAL(38,9))) AS d
+      FROM ex e JOIN cex c ON c.i = e.i
+      GROUP BY e.vec_id, c.cid
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    sdot AS (
+      SELECT a.vec_id, a.cid,
+             sum(CAST({R("e.x * c.x", 9)} AS DECIMAL(38,9))) AS dxy,
+             sum(CAST({R("e.x * e.x", 9)} AS DECIMAL(38,9))) AS dxx,
+             sum(CAST({R("c.x * c.x", 9)} AS DECIMAL(38,9))) AS dyy
+      FROM assigned a
+      JOIN ex e ON e.vec_id = a.vec_id
+      JOIN cex c ON c.cid = a.cid AND c.i = e.i
+      GROUP BY a.vec_id, a.cid
+    ),
+    scored AS (
+      SELECT vec_id, cid,
+             {R("CAST(dxy AS DOUBLE) / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE)))", 6)} AS proto_cos
+      FROM sdot
+    ),
+    rk AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY proto_cos DESC, vec_id ASC) AS rn,
+             count(*) OVER (PARTITION BY cid) AS nc
+      FROM scored
+    )
+    SELECT vec_id, CAST(cid AS INT) AS centroid_id, proto_cos,
+           rn > (nc * {_PROTO_PRUNE_PCT}) // 100 AS keep
+    FROM rk
+    """,
+)
+def _q_data_prune_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes pruning decision (`sim.prototypicality_prune`,
+    Sorscher et al. 2022): per IVF cell, rank vectors by cosine to
+    their own centroid and drop the 20% most prototypical — the
+    keep/prune bit a curation pipeline writes after SemDeDup has
+    removed near-copies. Same deterministic IVF structure as
+    `sim_ivf_*`/`dedup_semantic`; FIXED k is the scale path here
+    (assignment N·k, rank one window — no pair volume anywhere)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    return sim.prototypicality_prune(
+        emb, n_centroids=_PROTO_K, prune_pct=_PROTO_PRUNE_PCT
+    )
+
+
+@register(
+    "mix_pack_len_sweep",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             {_SQL_H} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS tok_end
+      FROM toks
+    ),
+    ls AS (SELECT unnest([{", ".join(str(L) for L in _PACK_LENS)}]) AS seq_len),
+    o AS (
+      SELECT seq_len, n_tokens,
+             CAST(floor((tok_end - n_tokens) / CAST(seq_len AS DOUBLE))
+                  AS BIGINT) AS first_seq,
+             CAST(floor((tok_end - 1) / CAST(seq_len AS DOUBLE))
+                  AS BIGINT) AS last_seq
+      FROM c CROSS JOIN ls WHERE n_tokens > 0
+    ),
+    a AS (
+      SELECT seq_len,
+             count(*) AS n_docs,
+             sum(n_tokens) AS n_tokens,
+             sum(CASE WHEN first_seq < last_seq THEN 1 ELSE 0 END) AS split_docs,
+             sum(last_seq - first_seq + 1) AS fragments
+      FROM o GROUP BY seq_len
+    )
+    SELECT CAST(seq_len AS INTEGER) AS seq_len,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((n_tokens + seq_len - 1) // seq_len AS BIGINT) AS n_sequences,
+           CAST(split_docs AS BIGINT) AS split_docs,
+           {R("CAST(split_docs AS DOUBLE) / n_docs", 6)} AS split_frac,
+           CAST(fragments AS BIGINT) AS fragments,
+           {R("CAST(fragments AS DOUBLE)"
+              " / ((n_tokens + seq_len - 1) // seq_len)", 6)} AS docs_per_seq,
+           CAST(((n_tokens + seq_len - 1) // seq_len) * seq_len - n_tokens
+                AS BIGINT) AS tail_pad_tokens,
+           {R("CAST(n_tokens AS DOUBLE)"
+              " / (((n_tokens + seq_len - 1) // seq_len) * seq_len)", 6)}
+             AS utilization
+    FROM a
+    """,
+)
+def _q_mix_pack_len_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-LENGTH OPERATING POINTS from ONE corpus scan: the
+    packing-efficiency audit (`mix_pack_efficiency_report`) at 256 /
+    512 / 1024 tokens simultaneously. The global concat order and the
+    prefix-sum intervals [tok_start, tok_end) do not depend on
+    seq_len — only the chop does — so the sweep computes the prefix
+    sum ONCE and derives every length's split/fragment/utilization
+    numbers by integer floor-division of the SAME intervals (a 3-way
+    explode of narrow (n_tokens, tok_end) longs, then one 3-group
+    agg). The table a training run picks its context length from:
+    longer sequences cross fewer chop boundaries (fewer split
+    documents) but pack more documents per sequence — the
+    attention-masking/fragmentation cost — and strand more tail
+    padding."""
+    docs = _table(spark, sf_dir, "documents")
+    packed = sp.sequence_pack_offsets(docs, seq_len=512).select(
+        "n_tokens", "tok_start", "tok_end"
+    )
+    o = packed.select(
+        "n_tokens",
+        "tok_start",
+        "tok_end",
+        F.explode(
+            F.array(*[F.lit(int(L)) for L in _PACK_LENS])
+        ).alias("seq_len"),
+    ).select(
+        "seq_len",
+        "n_tokens",
+        F.floor(
+            F.col("tok_start") / F.col("seq_len").cast("double")
+        ).cast("long").alias("__fs"),
+        F.floor(
+            (F.col("tok_end") - 1) / F.col("seq_len").cast("double")
+        ).cast("long").alias("__ls"),
+    )
+    a = o.groupBy("seq_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("__fs") < F.col("__ls"), 1).otherwise(0)
+        ).alias("split_docs"),
+        F.sum(F.col("__ls") - F.col("__fs") + 1).alias("fragments"),
+    )
+    nseq = F.expr("(n_tokens + seq_len - 1) DIV seq_len")
+    return a.select(
+        F.col("seq_len").cast("int").alias("seq_len"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        nseq.cast("long").alias("n_sequences"),
+        F.col("split_docs").cast("long").alias("split_docs"),
+        rd(F.col("split_docs").cast("double") / F.col("n_docs"), 6).alias(
+            "split_frac"
+        ),
+        F.col("fragments").cast("long").alias("fragments"),
+        rd(F.col("fragments").cast("double") / nseq, 6).alias("docs_per_seq"),
+        (nseq * F.col("seq_len") - F.col("n_tokens"))
+        .cast("long")
+        .alias("tail_pad_tokens"),
+        rd(
+            F.col("n_tokens").cast("double") / (nseq * F.col("seq_len")), 6
+        ).alias("utilization"),
+    )
+
+
+@register(
+    "mix_curriculum_shards",
+    f"""
+    WITH {_HLS_VS_C4_SQL},
+    bd AS (
+      SELECT {R(f"quantile_cont(logit, {_CURR_P[0]!r})", 6)} AS b1,
+             {R(f"quantile_cont(logit, {_CURR_P[1]!r})", 6)} AS b2
+      FROM sc
+    ),
+    toks AS (
+      SELECT doc_id, CAST({_SQL_NTOK} AS BIGINT) AS n_tokens FROM documents
+    ),
+    assigned AS (
+      SELECT CASE WHEN sc.logit <= bd.b1 THEN 'A_low'
+                  WHEN sc.logit <= bd.b2 THEN 'B_mid'
+                  ELSE 'C_high' END AS band,
+             CAST({sp.sql_hash_u32("sc.doc_id", _CURR_SEED)} // 1073741824
+                  AS INTEGER) AS shard,
+             toks.n_tokens,
+             CAST(round(sc.logit * 1000000, 0) AS BIGINT) AS logit_e6
+      FROM sc CROSS JOIN bd
+      JOIN toks ON toks.doc_id = sc.doc_id
+    )
+    SELECT band, shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           {R("CAST(sum(logit_e6) AS DOUBLE)"
+              " / (1000000.0 * CAST(count(*) AS DOUBLE))", 6)} AS mean_logit
+    FROM assigned GROUP BY band, shard
+    """,
+)
+def _q_mix_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM SHARD MANIFEST — the training-ORDER handoff: band
+    every document into quality terciles of the hashed-linear scorer
+    logit (the SAME factored scorer the three eval queries audit, so
+    the curriculum signal is the one whose calibration/AUC/PR the
+    repo already measures), then split each band into 4 deterministic
+    hash shards (top 2 bits). A curriculum run consumes shards in
+    band order (easy → hard or the reverse); the manifest reports each
+    shard's doc/token mass and mean logit so the schedule's token
+    budget is known BEFORE any data moves. Portability discipline:
+    tercile boundaries are exact interpolated percentiles 6-dp-rounded
+    on both engines (`percentile` ≡ `quantile_cont`, the
+    token_percentiles precedent) with probe literals written once in
+    Python (invariant 15); band compares happen on the already-6-dp
+    logit; mean logit accumulates integer 1e6 micro-units. One scan +
+    a 1-row boundary broadcast + one (band, shard) aggregation."""
+    docs = _table(spark, sf_dir, "documents")
+    sc = tx.hashed_linear_score(docs).select("doc_id", "logit")
+    bd = sc.agg(
+        rd(
+            F.expr(f"percentile(logit, {_CURR_P[0]!r})"), 6
+        ).alias("__b1"),
+        rd(
+            F.expr(f"percentile(logit, {_CURR_P[1]!r})"), 6
+        ).alias("__b2"),
+    )
+    toks = docs.select(
+        "doc_id", tx.token_count(F.col("text")).cast("long").alias("__nt")
+    )
+    band = (
+        F.when(F.col("logit") <= F.col("__b1"), "A_low")
+        .when(F.col("logit") <= F.col("__b2"), "B_mid")
+        .otherwise("C_high")
+    )
+    assigned = (
+        sc.crossJoin(F.broadcast(bd))
+        .join(toks.hint("shuffle_hash"), "doc_id")
+        .select(
+            band.alias("band"),
+            F.shiftright(
+                sp.hash_u32(F.col("doc_id"), _CURR_SEED), 30
+            ).cast("int").alias("shard"),
+            F.col("__nt").alias("n_tokens"),
+            F.round(F.col("logit") * 1000000, 0).cast("long").alias(
+                "__logit_e6"
+            ),
+        )
+    )
+    return assigned.groupBy("band", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        rd(
+            F.sum("__logit_e6").cast("double")
+            / (1000000.0 * F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("mean_logit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r9 wave 7: split-leakage audit — the contamination number a
+# deterministic split still leaves on the table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mix_split_leakage_audit",
+    f"""
+    WITH shingled AS ({_SH_SQL}),
+    sig AS ({_SIG_SQL}),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS key
+      FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {sp.sql_hash_u32('doc_id', 'tsdt|split')} < {int(0.1 * (1 << 32))} THEN 'test'
+                  WHEN {sp.sql_hash_u32('doc_id', 'tsdt|split')} < {2 * int(0.1 * (1 << 32))} THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents
+    ),
+    labeled AS (
+      SELECT least(sa.split, sb.split) AS split_a,
+             greatest(sa.split, sb.split) AS split_b
+      FROM cand c
+      JOIN sp sa ON sa.doc_id = c.id_a
+      JOIN sp sb ON sb.doc_id = c.id_b
+    ),
+    tot AS (SELECT count(*) AS n FROM labeled)
+    SELECT split_a, split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS crosses_split,
+           {R("CAST(count(*) AS DOUBLE) / (SELECT n FROM tot)", 6)} AS frac_of_pairs
+    FROM labeled GROUP BY split_a, split_b
+    """,
+)
+def _q_mix_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-LEAKAGE audit: how many NEAR-DUPLICATE pairs (the
+    MinHash-LSH candidate generator every dedup query trusts) straddle
+    the deterministic train/val/test split — the contamination a
+    doc-level hash split still leaves when near-dups aren't collapsed
+    first. A train/test bridging pair means the eval set contains a
+    near-copy of training data: eval scores inflate even though the
+    split itself is perfectly reproducible. This is the MEASURED
+    argument for `pipeline_dedup_budget_pack`'s dedup-BEFORE-split
+    ordering and the quantitative companion of
+    `dedup_decontaminate_vs_heldout` (which decontaminates against an
+    explicit held-out set; this audits the split you already made).
+    Output: (split_a ≤ split_b) pair counts with a crosses_split flag
+    and each cell's share of all candidate pairs. Plan: the standard
+    bucketed LSH pair generator (digests shuffle, never text) + two
+    id-keyed joins onto the scan-side split labels + a ≤6-row agg;
+    the total joins back as one broadcast scalar."""
+    docs = _table(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_pairs(docs).select("id_a", "id_b")
+    splits = sp.train_val_test_split(
+        docs, val_frac=0.1, test_frac=0.1
+    ).select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("__sa")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("__sb")
+    )
+    labeled = (
+        cand.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
+        .select(
+            F.least(F.col("__sa"), F.col("__sb")).alias("split_a"),
+            F.greatest(F.col("__sa"), F.col("__sb")).alias("split_b"),
+        )
+    )
+    tot = labeled.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        labeled.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            F.when(F.col("split_a") != F.col("split_b"), 1)
+            .otherwise(0)
+            .alias("crosses_split"),
+            rd(
+                F.col("n_pairs").cast("double") / F.col("__n").cast("double"),
+                6,
+            ).alias("frac_of_pairs"),
+        )
+    )
+
+
+@register(
+    "mix_dedup_aware_epochs",
+    f"""
+    WITH RECURSIVE shingled AS ({_SH_SQL}),
+    sig AS ({_SIG_SQL}),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS key
+      FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst
+    ),
+    cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+    sz AS (SELECT cluster_id, count(*) AS csize FROM cl GROUP BY cluster_id),
+    d AS (
+      SELECT doc.doc_id, doc.source,
+             CAST(ceil(length(coalesce(doc.text, '')) / 4.0) AS BIGINT) AS n_tokens,
+             sz.csize
+      FROM documents doc
+      JOIN cl ON cl.doc_id = doc.doc_id
+      JOIN sz ON sz.cluster_id = cl.cluster_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+           {R("CAST(sum(CAST(" + sql_rd("CAST(n_tokens AS DOUBLE) / csize", 6) + " AS DECIMAL(38,6))) AS DOUBLE)", 6)} AS effective_tokens,
+           {R("CAST(sum(CAST(" + sql_rd("CAST(n_tokens AS DOUBLE) / csize", 6) + " AS DECIMAL(38,6))) AS DOUBLE) / sum(n_tokens)", 6)} AS dup_discount
+    FROM d GROUP BY source
+    """,
+)
+def _q_mix_dedup_aware_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-AWARE epoch weighting — the SOFT alternative to
+    drop-the-duplicates: every document keeps membership, but its
+    training weight is 1/cluster_size of its near-dup LSH+CC cluster,
+    so a 5-copy boilerplate family contributes ONE document's worth of
+    gradient per epoch instead of five (the "data diet" form the
+    dedup literature recommends when provenance must be preserved).
+    Per source: raw token mass, dup-discounted EFFECTIVE token mass
+    (Σ n_tokens/csize, 6-dp decimal sum), and the discount ratio —
+    the number a mix owner feeds into per-source epoch counts. Same
+    proven LSH + pointer-jumped CC labeling (`dd.dedup_components`);
+    one size join + one source agg on top."""
+    docs = _table(spark, sf_dir, "documents")
+    comp = dd.dedup_components(docs)
+    sz = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__csize"))
+    d = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.ceil(
+                F.length(F.coalesce(F.col("text"), F.lit(""))) / F.lit(4.0)
+            ).cast("long").alias("__nt"),
+        )
+        .join(comp.hint("shuffle_hash"), "doc_id")
+        .join(sz.hint("shuffle_hash"), "cluster_id")
+    )
+    eff_term = rd(
+        F.col("__nt").cast("double") / F.col("__csize"), 6
+    ).cast("decimal(38,6)")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("raw_tokens"),
+        rd(F.sum(eff_term).cast("double"), 6).alias("effective_tokens"),
+        rd(
+            F.sum(eff_term).cast("double")
+            / F.sum("__nt").cast("double"),
+            6,
+        ).alias("dup_discount"),
+    )
+
+
+@register(
+    "mix_doremi_step",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> length(x) > 0) AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT doc_id, len(ws) AS n,
+             list_aggregate(list_transform(ws, t ->
+               CAST({R("(('0x' || substr(md5('tsdt|hls' || '|' || t), 1, 8))::BIGINT) / 4294967296.0 - 0.5", 6)} AS DECIMAL(20,6))
+             ), 'sum') AS tot
+      FROM w WHERE len(ws) > 0
+    ),
+    sc AS (SELECT doc_id, {R("CAST(tot AS DOUBLE) / n", 6)} AS logit FROM s),
+    d AS (
+      SELECT doc.source,
+             CAST(ceil(length(coalesce(doc.text, '')) / 4.0) AS BIGINT) AS nt,
+             sc.logit
+      FROM documents doc JOIN sc ON sc.doc_id = doc.doc_id
+    ),
+    per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS tokens,
+             sum(CAST(logit AS DECIMAL(38,6))) AS slog
+      FROM d GROUP BY source
+    ),
+    tot AS (SELECT sum(tokens) AS tt FROM per),
+    p2 AS (
+      SELECT source, n_docs, tokens,
+             {R("CAST(tokens AS DOUBLE) / CAST(tt AS DOUBLE)", 8)} AS share,
+             {R("(-(CAST(slog AS DOUBLE))) / CAST(n_docs AS DOUBLE)", 8)} AS loss
+      FROM per CROSS JOIN tot
+    ),
+    refc AS (SELECT sum(CAST({R("share * loss", 12)} AS DECIMAL(38,12))) AS r FROM p2),
+    p3 AS (
+      SELECT p2.*, {R(f"loss - {R('CAST(r AS DOUBLE)', 8)}", 8)} AS excess
+      FROM p2 CROSS JOIN refc
+    ),
+    p4 AS (SELECT p3.*, {R("share * exp(excess)", 8)} AS wraw FROM p3),
+    ws2 AS (SELECT sum(CAST(wraw AS DECIMAL(38,8))) AS wsum FROM p4)
+    SELECT source, n_docs, tokens, share, loss AS proxy_loss, excess,
+           {R("wraw / CAST(wsum AS DOUBLE)", 6)} AS weight
+    FROM p4 CROSS JOIN ws2
+    """,
+)
+def _q_mix_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN REWEIGHTING, DoReMi-shaped: one exponentiated-gradient
+    step on per-source mixture weights from per-source EXCESS LOSS —
+    the principled alternative to hand-tuned source weights
+    (`mix_temperature_sample` is the heuristic member; this is the
+    optimizer member the DoReMi paper distills a proxy run into).
+    Loss proxy: the negated mean hashed-linear quality logit per
+    source (one scan, the eval family's scorer — swap in real proxy-
+    model NLL by replacing one column); reference loss: the token-
+    share-weighted mixture mean, so excess_s = loss_s − Σ share·loss
+    is positive exactly for harder-than-mixture domains, which EG
+    then upweights: w'_s ∝ share_s·exp(η·excess_s), η=1, normalized.
+    Determinism: every float is rounded to a fixed grid BEFORE the
+    next stage consumes it (losses/shares 8-dp, share·loss terms
+    12-dp decimal-summed, exp terms 8-dp decimal-summed, final weight
+    6-dp), so both engines fold identical doubles; the three mixture
+    scalars attach via sanctioned 1-row broadcast cross joins. Plan:
+    one document scan + one source-keyed exchange, then |sources|-row
+    arithmetic — at 100 TB the cost is the scan, the EG step is
+    free."""
+    docs = _table(spark, sf_dir, "documents")
+    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.ceil(
+            F.length(F.coalesce(F.col("text"), F.lit(""))) / F.lit(4.0)
+        ).cast("long").alias("__nt"),
+    ).join(scores.hint("shuffle_hash"), "doc_id")
+    per = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("tokens"),
+        F.sum(F.col("logit").cast("decimal(38,6)")).alias("__slog"),
+    )
+    tot = per.agg(F.sum("tokens").alias("__tt"))
+    p2 = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        rd(F.col("tokens").cast("double") / F.col("__tt").cast("double"), 8).alias("share"),
+        rd(
+            (-(F.col("__slog").cast("double"))) / F.col("n_docs").cast("double"),
+            8,
+        ).alias("loss"),
+    )
+    ref = p2.agg(
+        F.sum(rd(F.col("share") * F.col("loss"), 12).cast("decimal(38,12)")).alias("__r")
+    )
+    p3 = p2.crossJoin(F.broadcast(ref)).select(
+        "source", "n_docs", "tokens", "share", "loss",
+        rd(F.col("loss") - rd(F.col("__r").cast("double"), 8), 8).alias("excess"),
+    )
+    p4 = p3.select(
+        "*", rd(F.col("share") * F.exp(F.col("excess")), 8).alias("__wraw")
+    )
+    wsum = p4.agg(F.sum(F.col("__wraw").cast("decimal(38,8)")).alias("__ws"))
+    return p4.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        "share",
+        F.col("loss").alias("proxy_loss"),
+        "excess",
+        rd(F.col("__wraw") / F.col("__ws").cast("double"), 6).alias("weight"),
+    )
+
+
+@register("sample_kcenter_coreset", _kc_sql(8))
+def _q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CENTER GREEDY coreset (farthest-point traversal, the
+    2-approximation of Gonzalez 1985): 8 maximally-DIVERSE embedding
+    exemplars — the opposite pole of `data_prune_prototypicality`
+    (which keeps the most TYPICAL points): active-learning seed sets,
+    eval-set design, and coverage-first data pruning all start from
+    exactly this traversal, and `dist2_to_set` at each pick is the
+    shrinking covering-radius curve (pick k where it elbows). Every
+    candidate-to-set distance is an exact decimal(38,9) sum of 9-dp
+    squared-difference terms, argmax ties break on vec_id, the seed
+    is the min-md5 point — fully deterministic, recurrence unrolled
+    bit-for-bit in the oracle like the PageRank family. Plan: k−1
+    fixed rounds × (one 64-row broadcast center join + one
+    vec-keyed distance agg + a TakeOrdered-1); the running-min state
+    localCheckpoints per round (PLANS.md invariant 17). Vectors
+    never shuffle; k is plan-time fixed."""
+    emb = _table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "__xf")
+    ).select("vec_id", "i", F.col("__xf").cast("double").alias("x"))
+    seed = (
+        emb.select(
+            "vec_id",
+            F.md5(F.concat(F.lit("tsdt|kc|"), F.col("vec_id").cast("string"))).alias("__h"),
+        )
+        .orderBy(F.col("__h").asc(), F.col("vec_id").asc())
+        .limit(1)
+        .select("vec_id")
+    )
+
+    def _dist_to(center_ids: DataFrame) -> DataFrame:
+        cvec = ex.join(F.broadcast(center_ids), "vec_id").select(
+            "i", F.col("x").alias("__cx")
+        )
+        term = rd((F.col("x") - F.col("__cx")) * (F.col("x") - F.col("__cx")), 9)
+        return (
+            ex.join(F.broadcast(cvec), "i")
+            .groupBy("vec_id")
+            .agg(F.sum(term.cast("decimal(38,9)")).alias("__d"))
+        )
+
+    state = _dist_to(seed).withColumnRenamed("__d", "__dmin").localCheckpoint()
+    picks = [
+        seed.select(
+            F.lit(1).alias("round"),
+            "vec_id",
+            F.lit(None).cast("double").alias("dist2_to_set"),
+        )
+    ]
+    k = 8
+    for r in range(2, k + 1):
+        p = state.orderBy(F.col("__dmin").desc(), F.col("vec_id").asc()).limit(1)
+        picks.append(
+            p.select(
+                F.lit(r).alias("round"),
+                "vec_id",
+                rd(F.col("__dmin").cast("double"), 6).alias("dist2_to_set"),
+            )
+        )
+        if r < k:
+            dn = _dist_to(p.select("vec_id"))
+            state = (
+                state.join(dn.hint("shuffle_hash"), "vec_id")
+                .select("vec_id", F.least(F.col("__dmin"), F.col("__d")).alias("__dmin"))
+                .localCheckpoint()
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "mix_interleave_schedule",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(ceil(length(coalesce(text, '')) / 4.0) AS BIGINT) AS nt,
+             source
+      FROM documents
+    ),
+    per AS (
+      SELECT source, CAST(sum(nt) AS BIGINT) AS tokens FROM w GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS tt FROM per),
+    sh AS (
+      SELECT source, {R("CAST(tokens AS DOUBLE) / tot.tt", 8)} AS share
+      FROM per CROSS JOIN tot
+    ),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sh WHERE share > 0.0),
+    emis AS (
+      SELECT source, share,
+             unnest(generate_series(1, CAST(ceil(({_ILV_N} + ns.n) * share) + 1 AS BIGINT))) AS j
+      FROM sh CROSS JOIN ns WHERE share > 0.0
+    ),
+    timed AS (
+      SELECT source, {R("CAST(j AS DOUBLE) / share", 9)} AS t FROM emis
+    ),
+    ranked AS (
+      SELECT source, t,
+             row_number() OVER (ORDER BY t ASC, source ASC) AS step
+      FROM timed
+    )
+    SELECT CAST(step AS BIGINT) AS step, source, t AS sched_t
+    FROM ranked WHERE step <= {_ILV_N}
+    """,
+)
+def _q_mix_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC SOURCE-INTERLEAVE SCHEDULE for a training data
+    loader: the first {_ILV_N} batch slots assigned to sources by the
+    virtual-time rule (source s emits at times j/share_s; slots are
+    emissions in time order) — the smooth-weighted-round-robin that
+    keeps every prefix of the stream within one batch of the target
+    token-share mix, where IID sampling wanders O(√n) off-mix and a
+    naive block schedule front-loads big sources. The schedule TABLE
+    is the artifact a reproducible loader ships (step → source), the
+    mix-order counterpart of `mix_shuffle_shards`' intra-shard order.
+    Emission times are one division each (9-dp-rounded so both
+    engines order the same grid; ties break by source name); the
+    candidate pool is Σ ceil((N+|sources|)·share_s)+1 ≈ N+2|sources|
+    rows — sized to cover virtual time N+|sources|, the latest time
+    the N-th slot can occur (a dominant source with share > 1/|sources|
+    pushes tail slots past N+1/share, which an N·share pool would
+    miss) — so the final rank is a bounded collect-and-explode, not a
+    data-scale sort. One documents scan for the shares; everything
+    after is |sources|-row arithmetic."""
+    docs = _table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.ceil(
+            F.length(F.coalesce(F.col("text"), F.lit(""))) / F.lit(4.0)
+        ).cast("long").alias("__nt"),
+    ).groupBy("source").agg(F.sum("__nt").cast("long").alias("__tokens"))
+    tot = per.agg(F.sum("__tokens").cast("double").alias("__tt"))
+    sh = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        rd(F.col("__tokens").cast("double") / F.col("__tt"), 8).alias("__share"),
+    ).filter(F.col("__share") > 0.0)
+    ns = sh.agg(F.count(F.lit(1)).cast("long").alias("__nsrc"))
+    emis = sh.crossJoin(F.broadcast(ns)).select(
+        "source",
+        "__share",
+        F.explode(
+            F.sequence(
+                F.lit(1).cast("long"),
+                (
+                    F.ceil(
+                        (F.lit(_ILV_N) + F.col("__nsrc")) * F.col("__share")
+                    )
+                    + F.lit(1)
+                ).cast("long"),
+            )
+        ).alias("__j"),
+    )
+    timed = emis.select(
+        "source", rd(F.col("__j").cast("double") / F.col("__share"), 9).alias("__t")
+    )
+    row = timed.agg(
+        F.sort_array(F.collect_list(F.struct("__t", "source"))).alias("__arr")
+    )
+    z = row.select(
+        F.posexplode(F.slice(F.col("__arr"), 1, _ILV_N)).alias("__i", "__s")
+    )
+    return z.select(
+        (F.col("__i") + 1).cast("long").alias("step"),
+        F.col("__s.source").alias("source"),
+        F.col("__s.__t").alias("sched_t"),
+    )
