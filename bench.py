@@ -298,6 +298,12 @@ HEADLINE = [
     "eval_f1_threshold_sweep",   # best-F1 operating point chooser
     "sketch_kmv_error_vs_k",     # register budget accuracy curve
     "text_vocab_coverage_by_freq_band",  # Zipf head coverage table
+    # r10, on-headline from day one:
+    "graph_concurrency_capped_edges",  # hot-bucket capped pair build + forfeit accounting
+    "dq_regex_rule_audit",       # PII/policy regex rule-table scan gate
+    "mix_length_bucket_padding_waste",  # bucketed-batching pad cost vs packing
+    "dq_schema_drift_report",    # column-level null/distinct drift
+    "layout_zonemap_prune_stats",  # what a sort key buys a time predicate
 ]
 
 

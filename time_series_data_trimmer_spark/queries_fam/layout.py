@@ -335,3 +335,175 @@ def _q_layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("advisable"),
     )
+
+
+_ZM_GROUPS = 32
+_ZM_DAY_US = 86_400_000_000
+
+
+@register(
+    "layout_zonemap_prune_stats",
+    f"""
+    WITH e AS (
+      SELECT epoch_us(ts) AS us, user_id, value FROM events
+    ),
+    cand AS (
+      SELECT 'ts' AS cand, CAST(us AS DOUBLE) AS k, us FROM e
+       WHERE us IS NOT NULL
+      UNION ALL
+      SELECT 'user_id', CAST(user_id AS DOUBLE), us FROM e
+       WHERE user_id IS NOT NULL
+      UNION ALL
+      SELECT 'value', value, us FROM e
+       WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    rng AS (SELECT min(us) AS u0 FROM e),
+    pr AS (
+      SELECT (u0 // {_ZM_DAY_US}) * {_ZM_DAY_US} AS lo,
+             (u0 // {_ZM_DAY_US}) * {_ZM_DAY_US} + {_ZM_DAY_US} AS hi
+      FROM rng
+    ),
+    bnd AS (
+      SELECT cand, min(k) AS kmin, max(k) AS kmax,
+             (max(k) - min(k)) / {_ZM_GROUPS}.0 AS w
+      FROM cand GROUP BY cand
+    ),
+    asg AS (
+      SELECT c.cand,
+             CASE WHEN b.w > 0 THEN
+               least({_ZM_GROUPS - 1},
+                     CAST(floor((c.k - b.kmin) / b.w) AS BIGINT))
+             ELSE 0 END AS grp,
+             c.us
+      FROM cand c JOIN bnd b USING (cand)
+    ),
+    zones AS (
+      SELECT cand, grp, count(*) AS n_rows,
+             min(us) AS zmin, max(us) AS zmax
+      FROM asg GROUP BY cand, grp
+    ),
+    per AS (
+      SELECT z.cand,
+             count(*) AS n_groups,
+             CAST(sum(z.n_rows) AS BIGINT) AS n_rows,
+             sum(CASE WHEN z.zmax < pr.lo OR z.zmin >= pr.hi
+                 THEN 1 ELSE 0 END) AS n_pruned,
+             CAST(sum(CASE WHEN z.zmax < pr.lo OR z.zmin >= pr.hi
+                 THEN z.n_rows ELSE 0 END) AS BIGINT) AS rows_skipped
+      FROM zones z CROSS JOIN pr GROUP BY z.cand
+    ),
+    sel AS (
+      SELECT c.cand, CAST(count(*) AS BIGINT) AS n_selected
+      FROM cand c CROSS JOIN pr
+      WHERE c.us >= pr.lo AND c.us < pr.hi GROUP BY c.cand
+    )
+    SELECT p.cand AS candidate,
+           CAST(p.n_groups AS BIGINT) AS n_groups,
+           p.n_rows,
+           CAST(p.n_pruned AS BIGINT) AS n_pruned_groups,
+           {R("CAST(p.n_pruned AS DOUBLE) / p.n_groups", 6)} AS prune_frac,
+           p.rows_skipped,
+           s.n_selected,
+           {R("CAST(s.n_selected AS DOUBLE) / p.n_rows", 6)} AS selectivity
+    FROM per p JOIN sel s ON s.cand = p.cand
+    """,
+)
+def _q_layout_zonemap_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONE-MAP (min/max row-group statistics) pruning audit — the
+    measurement that closes the layout family's loop: `layout_
+    partition_advisor` picks partition keys, `layout_zorder_keys`
+    derives clustering keys, and THIS query quantifies what a sort
+    key actually buys a time-predicate scan. Rows are assigned to
+    {_ZM_GROUPS} EQUAL-WIDTH key-range zones per candidate sort key
+    (ts / user_id / value) — the scalable stand-in for "write files
+    clustered by k" that needs NO global sort and NO window at all:
+    zone = floor((k − kmin)/w) off one min/max aggregate, pure
+    scan-side IEEE arithmetic that lands the same row in the same
+    zone in both engines (interpolated-quantile boundaries were
+    rejected: lerp formula order differs across engines in the last
+    ulp, and Spark's long-valued floor clamps on microsecond-scale
+    6-dp products) — then each zone's min/max ts
+    plays the parquet footer, and a one-day predicate (the corpus's
+    first day) reports pruned-group fraction, skipped rows, and true
+    selectivity. Expected reading: sorting by ts prunes ~all
+    non-matching groups; user_id/value sorting prunes ~none — the
+    quantified case for time-clustering event data. |candidates|-row
+    output; one events scan + one percentile agg + one zone agg."""
+    ev = _table(spark, sf_dir, "events")
+    us = event_micros(ev)
+    base = ev.select(
+        us.alias("__us"),
+        F.col("user_id").cast("double").alias("__uid"),
+        F.col("value").alias("__val"),
+    )
+    cand = base.select(
+        "__us",
+        F.stack(
+            F.lit(3),
+            F.lit("ts"), F.col("__us").cast("double"),
+            F.lit("user_id"), F.col("__uid"),
+            F.lit("value"), F.col("__val"),
+        ).alias("candidate", "__k"),
+    ).filter(F.col("__k").isNotNull() & ~F.isnan(F.col("__k")))
+    bnd = cand.groupBy("candidate").agg(
+        F.min("__k").alias("__kmin"),
+        ((F.max("__k") - F.min("__k")) / F.lit(float(_ZM_GROUPS))).alias(
+            "__w"
+        ),
+    )
+    pr = base.agg(F.min("__us").alias("__u0")).select(
+        (F.floor(F.col("__u0") / _ZM_DAY_US) * _ZM_DAY_US)
+        .cast("long")
+        .alias("__lo")
+    ).select("__lo", (F.col("__lo") + _ZM_DAY_US).alias("__hi"))
+    asg = cand.join(F.broadcast(bnd), "candidate").select(
+        "candidate",
+        "__us",
+        F.when(
+            F.col("__w") > 0,
+            F.least(
+                F.lit(_ZM_GROUPS - 1).cast("long"),
+                F.floor(
+                    (F.col("__k") - F.col("__kmin")) / F.col("__w")
+                ).cast("long"),
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("__grp"),
+    )
+    zones = asg.groupBy("candidate", "__grp").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("__us").alias("__zmin"),
+        F.max("__us").alias("__zmax"),
+    )
+    pruned = (
+        F.col("__zmax") < F.col("__lo")
+    ) | (F.col("__zmin") >= F.col("__hi"))
+    per = zones.crossJoin(F.broadcast(pr)).groupBy("candidate").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.sum(pruned.cast("int")).cast("long").alias("n_pruned_groups"),
+        F.sum(F.when(pruned, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("rows_skipped"),
+    )
+    sel = (
+        cand.crossJoin(F.broadcast(pr))
+        .filter((F.col("__us") >= F.col("__lo")) & (F.col("__us") < F.col("__hi")))
+        .groupBy("candidate")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_selected"))
+    )
+    return per.join(F.broadcast(sel), "candidate").select(
+        "candidate",
+        "n_groups",
+        "n_rows",
+        "n_pruned_groups",
+        rd(
+            F.col("n_pruned_groups").cast("double") / F.col("n_groups"), 6
+        ).alias("prune_frac"),
+        "rows_skipped",
+        "n_selected",
+        rd(F.col("n_selected").cast("double") / F.col("n_rows"), 6).alias(
+            "selectivity"
+        ),
+    )

@@ -1375,3 +1375,107 @@ def _q_mix_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__s.source").alias("source"),
         F.col("__s.__t").alias("sched_t"),
     )
+
+
+@register(
+    "mix_length_bucket_padding_waste",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             greatest(CAST(ceil(length(coalesce(text, '')) / 4.0) AS BIGINT),
+                      1) AS nt
+      FROM documents
+    ),
+    b AS (
+      SELECT nt,
+             CAST(power(2, ceil(log2(CAST(nt AS DOUBLE)))) AS BIGINT) AS ub
+      FROM w
+    ),
+    perb AS (
+      SELECT ub,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS sum_tokens,
+             CAST(count(*) * ub AS BIGINT) AS padded_tokens
+      FROM b GROUP BY ub
+    ),
+    tot AS (
+      SELECT CAST(max(ub) AS BIGINT) AS gmax,
+             CAST(sum(sum_tokens) AS BIGINT) AS all_tokens,
+             CAST(sum(padded_tokens) AS BIGINT) AS all_padded,
+             CAST(sum(n_docs) AS BIGINT) AS all_docs
+      FROM perb
+    )
+    SELECT CAST(ub AS BIGINT) AS bucket_ub, n_docs, sum_tokens,
+           padded_tokens,
+           {R("1.0 - CAST(sum_tokens AS DOUBLE) / padded_tokens", 6)}
+             AS waste_share,
+           {R("1.0 - CAST(t.all_tokens AS DOUBLE) / t.all_padded", 6)}
+             AS bucketed_total_waste,
+           {R("1.0 - CAST(t.all_tokens AS DOUBLE) / (t.all_docs * t.gmax)", 6)}
+             AS unbucketed_total_waste
+    FROM perb CROSS JOIN tot t
+    """,
+)
+def _q_mix_length_bucket_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED BATCHING efficiency — the dynamic-batching
+    complement of the packing family: bucket every document's token
+    estimate into its power-of-two ceiling (the standard bucketed-
+    batching policy when sequences are PADDED, not packed), and report
+    per-bucket padding waste next to the two corpus-wide operating
+    points a loader owner compares: bucketed total waste vs padding
+    everything to the global max (the naive collate). `mix_pack_*`
+    answers "how well do we PACK"; this answers "what does padding
+    cost if we DON'T" — the number that justifies the packing
+    pipeline's existence in one read. Power-of-two edges are exact in
+    IEEE (log2 of a positive integer, ceil, power — bit-identical in
+    both engines); counts exact, shares 6-dp. ≤log2(max_len) + 1 rows.
+    One scan, one bounded agg, one 1-row broadcast."""
+    docs = _table(spark, sf_dir, "documents")
+    w = docs.select(
+        F.greatest(
+            F.ceil(
+                F.length(F.coalesce(F.col("text"), F.lit(""))) / F.lit(4.0)
+            ).cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("__nt")
+    )
+    b = w.select(
+        "__nt",
+        F.pow(F.lit(2.0), F.ceil(F.log2(F.col("__nt").cast("double"))))
+        .cast("long")
+        .alias("__ub"),
+    )
+    perb = b.groupBy("__ub").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("sum_tokens"),
+    ).withColumn(
+        "padded_tokens", (F.col("n_docs") * F.col("__ub")).cast("long")
+    )
+    tot = perb.agg(
+        F.max("__ub").cast("long").alias("__gmax"),
+        F.sum("sum_tokens").cast("long").alias("__all_tokens"),
+        F.sum("padded_tokens").cast("long").alias("__all_padded"),
+        F.sum("n_docs").cast("long").alias("__all_docs"),
+    )
+    return perb.crossJoin(F.broadcast(tot)).select(
+        F.col("__ub").alias("bucket_ub"),
+        "n_docs",
+        "sum_tokens",
+        "padded_tokens",
+        rd(
+            F.lit(1.0)
+            - F.col("sum_tokens").cast("double") / F.col("padded_tokens"),
+            6,
+        ).alias("waste_share"),
+        rd(
+            F.lit(1.0)
+            - F.col("__all_tokens").cast("double") / F.col("__all_padded"),
+            6,
+        ).alias("bucketed_total_waste"),
+        rd(
+            F.lit(1.0)
+            - F.col("__all_tokens").cast("double")
+            / (F.col("__all_docs") * F.col("__gmax")).cast("double"),
+            6,
+        ).alias("unbucketed_total_waste"),
+    )

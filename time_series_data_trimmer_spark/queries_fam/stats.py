@@ -4194,3 +4194,218 @@ def _q_eval_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_best"),
         )
     )
+
+
+#: (rule_name, pattern) scanned over documents.text — the shape of a
+#: PII / secret / policy scanner run before a corpus ships. Patterns
+#: stay in the regex subset Java (Spark rlike/regexp_count) and RE2
+#: (DuckDB regexp_matches) agree on: literals, classes, +, {n,}.
+_REGEX_RULES = [
+    ("id_like", "[0-9]{3,}"),
+    ("email_like", "[a-z]+@[a-z]+[.][a-z]+"),
+    ("kw_error", "error"),
+    ("kw_join_chain", "join [a-z]+ join"),
+]
+
+
+@register(
+    "dq_regex_rule_audit",
+    f"""
+    WITH rules(rule, pat) AS (
+      VALUES {", ".join(f"('{n}', '{p}')" for n, p in _REGEX_RULES)}
+    ),
+    hits AS (
+      SELECT r.rule, d.source,
+             CASE WHEN regexp_matches(d.text, r.pat) THEN 1 ELSE 0 END
+               AS flagged,
+             len(regexp_extract_all(d.text, r.pat)) AS n_hits
+      FROM documents d CROSS JOIN rules r
+      WHERE d.text IS NOT NULL
+    )
+    SELECT rule, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(flagged) AS BIGINT) AS n_docs_flagged,
+           {R("CAST(sum(flagged) AS DOUBLE) / count(*)", 6)} AS flag_share,
+           CAST(sum(n_hits) AS BIGINT) AS n_hits
+    FROM hits GROUP BY rule, source
+    """,
+)
+def _q_dq_regex_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGEX RULE-TABLE audit over the corpus — the release-gate scan
+    every production pipeline runs (PII, secrets, policy keywords)
+    expressed as data: a (rule, pattern) table fanned over documents
+    with per-(rule, source) flagged-doc share and non-overlapping hit
+    counts. Two of the four shipped rules are identifier-shaped and
+    legitimately read ZERO on this corpus (the audit proving absence
+    is the point of a PII gate); two fire on real tokens, so both the
+    zero and nonzero paths are value-checked. Engine side is ONE scan
+    with |rules| `rlike`/`regexp_count` codegen expressions stacked
+    scan-side (the QI-sweep literal-fan pattern — no join against the
+    rule table, it compiles into the projection); |rules|×|sources|
+    output rows at any corpus size. Patterns are restricted to the
+    Java-regex ∩ RE2 subset so Spark and DuckDB agree symbol-for-
+    symbol (reference: corpus-gating extensions beyond the reference
+    repo's surface; Dolma/RefinedWeb-style release gates)."""
+    docs = _table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    per_rule = docs.select(
+        "source",
+        F.stack(
+            F.lit(len(_REGEX_RULES)),
+            *[
+                x
+                for name, pat in _REGEX_RULES
+                for x in (
+                    F.lit(name),
+                    F.col("text").rlike(pat).cast("int"),
+                    F.regexp_count(F.col("text"), F.lit(pat)),
+                )
+            ],
+        ).alias("rule", "__flagged", "__n_hits"),
+    )
+    return per_rule.groupBy("rule", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__flagged").cast("long").alias("n_docs_flagged"),
+        rd(
+            F.sum("__flagged").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("flag_share"),
+        F.sum("__n_hits").cast("long").alias("n_hits"),
+    )
+
+
+@register(
+    "dq_schema_drift_report",
+    f"""
+    WITH e AS (
+      SELECT *, epoch_us(ts) AS us FROM events
+    ),
+    rng AS (SELECT min(us) AS u0, max(us) AS u1 FROM e),
+    f AS (
+      SELECT e.*,
+             CASE WHEN us <= (u0 + u1) // 2 THEN 1 ELSE 0 END AS isa
+      FROM e CROSS JOIN rng
+    ),
+    g AS (
+      SELECT isa,
+             count(*) AS n,
+             sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_type,
+             count(DISTINCT event_type) AS nd_type,
+             sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+             count(DISTINCT value) AS nd_value,
+             sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+             count(DISTINCT props) AS nd_props,
+             sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user,
+             count(DISTINCT user_id) AS nd_user
+      FROM f GROUP BY isa
+    ),
+    s AS (
+      SELECT u.col,
+             CASE u.col WHEN 'event_type' THEN null_type
+                        WHEN 'value' THEN null_value
+                        WHEN 'props' THEN null_props
+                        ELSE null_user END AS nulls,
+             CASE u.col WHEN 'event_type' THEN nd_type
+                        WHEN 'value' THEN nd_value
+                        WHEN 'props' THEN nd_props
+                        ELSE nd_user END AS nd,
+             n, isa
+      FROM g CROSS JOIN (
+        VALUES ('event_type'), ('value'), ('props'), ('user_id')
+      ) u(col)
+    ),
+    p AS (
+      SELECT a.col,
+             a.n AS n_a, b.n AS n_b,
+             {R("CAST(a.nulls AS DOUBLE) / a.n", 6)} AS null_rate_a,
+             {R("CAST(b.nulls AS DOUBLE) / b.n", 6)} AS null_rate_b,
+             CAST(a.nd AS BIGINT) AS n_distinct_a,
+             CAST(b.nd AS BIGINT) AS n_distinct_b
+      FROM (SELECT * FROM s WHERE isa = 1) a
+      JOIN (SELECT * FROM s WHERE isa = 0) b USING (col)
+    )
+    SELECT col AS column_name,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           null_rate_a, null_rate_b,
+           {R("abs(null_rate_b - null_rate_a)", 6)} AS null_rate_delta,
+           n_distinct_a, n_distinct_b,
+           {R("CAST(n_distinct_b AS DOUBLE) / n_distinct_a", 6)}
+             AS distinct_ratio
+    FROM p
+    """,
+)
+def _q_dq_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-LEVEL drift report — the column-granularity companion of
+    the value-level drift family (KS/PSI/W1 watch DISTRIBUTIONS; this
+    watches the COLUMNS themselves): per events column, first-half vs
+    second-half null rate and exact distinct count, with the delta and
+    ratio an ingest owner pages on (a null-rate step = an upstream
+    field dropped; a distinct-count collapse = an enum retired or an
+    id column truncated). Exact distincts via one grouped
+    count(DISTINCT) pass per half (type/value/props/user_id — each
+    bounded by its own cardinality); the column stack is a literal
+    4-way fan, |columns| output rows at any scale. One events scan +
+    the 1-row midpoint broadcast."""
+    ev = _table(spark, sf_dir, "events")
+    us = event_micros(ev)
+    rng = ev.select(us.alias("__us")).agg(
+        F.min("__us").alias("__u0"), F.max("__us").alias("__u1")
+    )
+    f = ev.select(
+        "event_type", "value", "props", "user_id", us.alias("__us")
+    ).crossJoin(F.broadcast(rng)).withColumn(
+        "__isa",
+        F.when(
+            F.col("__us") <= F.expr("(__u0 + __u1) DIV 2"), 1
+        ).otherwise(0),
+    )
+    g = f.groupBy("__isa").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            x
+            for c in ("event_type", "value", "props", "user_id")
+            for x in (
+                F.sum(F.col(c).isNull().cast("int")).alias(f"__null_{c}"),
+                F.countDistinct(c).alias(f"__nd_{c}"),
+            )
+        ],
+    )
+    s = g.select(
+        "__isa",
+        "__n",
+        F.stack(
+            F.lit(4),
+            *[
+                x
+                for c in ("event_type", "value", "props", "user_id")
+                for x in (F.lit(c), F.col(f"__null_{c}"), F.col(f"__nd_{c}"))
+            ],
+        ).alias("column_name", "__nulls", "__nd"),
+    )
+    a = s.filter(F.col("__isa") == 1).select(
+        "column_name",
+        F.col("__n").alias("__na"),
+        F.col("__nulls").alias("__nla"),
+        F.col("__nd").alias("__nda"),
+    )
+    b = s.filter(F.col("__isa") == 0).select(
+        "column_name",
+        F.col("__n").alias("__nb"),
+        F.col("__nulls").alias("__nlb"),
+        F.col("__nd").alias("__ndb"),
+    )
+    j = a.join(F.broadcast(b), "column_name")
+    nra = rd(F.col("__nla").cast("double") / F.col("__na"), 6)
+    nrb = rd(F.col("__nlb").cast("double") / F.col("__nb"), 6)
+    return j.select(
+        "column_name",
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        nra.alias("null_rate_a"),
+        nrb.alias("null_rate_b"),
+        rd(F.abs(nrb - nra), 6).alias("null_rate_delta"),
+        F.col("__nda").cast("long").alias("n_distinct_a"),
+        F.col("__ndb").cast("long").alias("n_distinct_b"),
+        rd(F.col("__ndb").cast("double") / F.col("__nda"), 6).alias(
+            "distinct_ratio"
+        ),
+    )
