@@ -121,3 +121,130 @@ def test_bpe_encode_auto_dispatch(spark):
     tl = {r["doc_id"]: list(r["bpe_tokens"]) for r in lo.collect()}
     th = {r["doc_id"]: list(r["bpe_tokens"]) for r in hi.collect()}
     assert tl == th
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r9 fixes, pinned
+# ---------------------------------------------------------------------------
+
+
+def test_ppr_ranks_dangling_nodes_and_guards_empty_seeds(spark):
+    """Directed edges a->b, b->c, c has no out-edges: c must appear in
+    the output with nonzero rank (dst-only nodes were formerly
+    dropped); an unmatched seed set must raise, not divide by zero."""
+    import pytest as _pytest
+
+    from time_series_data_trimmer_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0)], "src string, dst string, weight double"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["ppr"] for r in personalized_pagerank(edges, seeds).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["c"] > 0.0  # a -> b -> c proximity mass arrives
+    bad = spark.createDataFrame([("zz",)], "node string")
+    with _pytest.raises(ValueError, match="no seed matches"):
+        personalized_pagerank(edges, bad)
+
+
+def test_bm25_prf_duplicate_terms_no_double_count(spark):
+    """Duplicate query terms must not fan out the round-2 weighted
+    join: scores with ['data', 'data'] == scores with ['data']."""
+    from time_series_data_trimmer_spark.operators.text import bm25_prf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data table join data spark"),
+            (2, "data window filter value"),
+            (3, "table scan fast slow"),
+            (4, "spark join data table batch"),
+        ],
+        "doc_id long, text string",
+    )
+    one = {(r["doc_id"], r["score"]) for r in bm25_prf_topk(docs, ["data"]).collect()}
+    dup = {
+        (r["doc_id"], r["score"])
+        for r in bm25_prf_topk(docs, ["data", "data"]).collect()
+    }
+    assert one == dup
+
+
+def test_interleave_prefix_mix_with_dominant_source(spark, tmp_path):
+    """A source with share > 1/|sources| (the regime the r9 pool
+    truncation missed): every prefix of the schedule stays within one
+    slot of the target mix — the SWRR guarantee the query documents."""
+    import os
+
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    # shares ~ [0.625, 0.25, 0.125]: src0 dominant
+    rows = []
+    did = 0
+    for src, reps in (("s0", 50), ("s1", 20), ("s2", 10)):
+        for _ in range(reps):
+            rows.append((did, "tok " * 4, "en", src))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    d = str(tmp_path / "ilv")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    sched = (
+        REGISTRY["mix_interleave_schedule"][0](spark, d)
+        .orderBy("step")
+        .collect()
+    )
+    n = len(sched)
+    assert n == 120  # every slot filled — the tail the old pool missed
+    shares = {"s0": 50 / 80, "s1": 20 / 80, "s2": 10 / 80}
+    counts = {k: 0 for k in shares}
+    for i, r in enumerate(sched, start=1):
+        counts[r["source"]] += 1
+        for s, sh in shares.items():
+            assert abs(counts[s] - i * sh) <= 1.0 + 1e-9, (
+                f"prefix {i}: {s} count {counts[s]} vs target {i * sh:.2f}"
+            )
+
+
+def test_tost_negative_variance_clamp(spark, tmp_path):
+    """A near-constant event-type slice whose 6-dp-rounded moment sums
+    make the sample variance slightly negative must yield se=0 /
+    equivalent=0 (NaN-free) — the clamp the r9 draft lacked."""
+    import datetime
+    import os
+
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(minutes=i),
+            i % 3,
+            "const",
+            0.0012,
+            None,
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "tost")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = REGISTRY["stats_tost_equivalence_by_type"][0](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    import math
+
+    for c in ("mean_diff", "se", "margin"):
+        assert r[c] is not None and not math.isnan(r[c]), (c, r[c])
+    assert r["se"] == 0.0
+    assert r["equivalent"] == 0

@@ -1282,98 +1282,136 @@ def _q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mix_interleave_schedule",
     f"""
-    WITH w AS (
+    WITH RECURSIVE w AS (
       SELECT doc_id,
              CAST(ceil(length(coalesce(text, '')) / 4.0) AS BIGINT) AS nt,
              source
       FROM documents
     ),
     per AS (
-      SELECT source, CAST(sum(nt) AS BIGINT) AS tokens FROM w GROUP BY source
+      SELECT source, CAST(sum(nt) AS BIGINT) AS tokens FROM w
+      GROUP BY source HAVING sum(nt) > 0
     ),
-    tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS tt FROM per),
-    sh AS (
-      SELECT source, {R("CAST(tokens AS DOUBLE) / tot.tt", 8)} AS share
-      FROM per CROSS JOIN tot
+    arr AS (
+      SELECT list(struct_pack(s := source, tk := tokens) ORDER BY source)
+               AS a,
+             CAST(sum(tokens) AS BIGINT) AS tot
+      FROM per
     ),
-    ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sh WHERE share > 0.0),
-    emis AS (
-      SELECT source, share,
-             unnest(generate_series(1, CAST(ceil(({_ILV_N} + ns.n) * share) + 1 AS BIGINT))) AS j
-      FROM sh CROSS JOIN ns WHERE share > 0.0
-    ),
-    timed AS (
-      SELECT source, {R("CAST(j AS DOUBLE) / share", 9)} AS t FROM emis
-    ),
-    ranked AS (
-      SELECT source, t,
-             row_number() OVER (ORDER BY t ASC, source ASC) AS step
-      FROM timed
+    sched(step, credits, widx) AS (
+      SELECT 0,
+             (SELECT list_transform(a, x -> CAST(0 AS BIGINT)) FROM arr),
+             CAST(NULL AS BIGINT)
+      UNION ALL
+      SELECT q.step + 1,
+             list_transform(
+               list_zip(q.c1, range(1, len(q.c1) + 1)),
+               z -> z[1] - CASE WHEN z[2] =
+                      list_position(q.c1, list_aggregate(q.c1, 'max'))
+                    THEN q.tot ELSE CAST(0 AS BIGINT) END),
+             CAST(list_position(q.c1, list_aggregate(q.c1, 'max'))
+                  AS BIGINT)
+      FROM (
+        SELECT s.step AS step,
+               list_transform(list_zip(s.credits, ar.a),
+                              z -> z[1] + z[2].tk) AS c1,
+               ar.tot AS tot
+        FROM sched s CROSS JOIN arr ar
+        WHERE s.step < {_ILV_N}
+      ) q
     )
-    SELECT CAST(step AS BIGINT) AS step, source, t AS sched_t
-    FROM ranked WHERE step <= {_ILV_N}
+    SELECT CAST(s.step AS BIGINT) AS step,
+           ar.a[s.widx].s AS source,
+           CAST(s.credits[s.widx] AS BIGINT) AS credit_after
+    FROM sched s CROSS JOIN arr ar
+    WHERE s.step >= 1
     """,
 )
 def _q_mix_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DETERMINISTIC SOURCE-INTERLEAVE SCHEDULE for a training data
-    loader: the first {_ILV_N} batch slots assigned to sources by the
-    virtual-time rule (source s emits at times j/share_s; slots are
-    emissions in time order) — the smooth-weighted-round-robin that
-    keeps every prefix of the stream within one batch of the target
-    token-share mix, where IID sampling wanders O(√n) off-mix and a
-    naive block schedule front-loads big sources. The schedule TABLE
-    is the artifact a reproducible loader ships (step → source), the
-    mix-order counterpart of `mix_shuffle_shards`' intra-shard order.
-    Emission times are one division each (9-dp-rounded so both
-    engines order the same grid; ties break by source name); the
-    candidate pool is Σ ceil((N+|sources|)·share_s)+1 ≈ N+2|sources|
-    rows — sized to cover virtual time N+|sources|, the latest time
-    the N-th slot can occur (a dominant source with share > 1/|sources|
-    pushes tail slots past N+1/share, which an N·share pool would
-    miss) — so the final rank is a bounded collect-and-explode, not a
-    data-scale sort. One documents scan for the shares; everything
-    after is |sources|-row arithmetic."""
+    loader: the first {_ILV_N} batch slots assigned to sources by TRUE
+    smooth weighted round-robin (the Nginx/LVS deficit-counter form):
+    every slot, each source's credit grows by its token count; the
+    richest source (ties -> source-name order, the list scan's first
+    max) emits and pays back the corpus total. This is the schedule
+    with the real WITHIN-ONE-SLOT guarantee — every prefix of length
+    n carries between floor(n*share_s)-ish and that +1 emissions of
+    each source (pytest-pinned against a dominant-share mix) — where
+    IID sampling wanders O(sqrt n) off-mix and the r9 virtual-time
+    rule (emission times j/share) provably drifted up to
+    1 + |sources|*share slots on a dominant source (caught by the r10
+    prefix test; BENCH_NOTES r10). Credits are EXACT INTEGER token
+    counts — no floats anywhere, so both engines replay the recurrence
+    bit-for-bit: Spark as one bounded {_ILV_N}-step Catalyst fold over
+    the |sources|-entry credit vector (the MMR/invariant-19 shape:
+    state is a small array, the fold is the sequential part only),
+    DuckDB as a recursive CTE over the same integer state. One
+    documents scan for the per-source token sums; everything after is
+    |sources|-row arithmetic. Output (step, source, credit_after) —
+    credit_after is the winner's post-payback balance, the loader's
+    resumable state."""
     docs = _table(spark, sf_dir, "documents")
-    per = docs.select(
-        "source",
-        F.ceil(
-            F.length(F.coalesce(F.col("text"), F.lit(""))) / F.lit(4.0)
-        ).cast("long").alias("__nt"),
-    ).groupBy("source").agg(F.sum("__nt").cast("long").alias("__tokens"))
-    tot = per.agg(F.sum("__tokens").cast("double").alias("__tt"))
-    sh = per.crossJoin(F.broadcast(tot)).select(
-        "source",
-        rd(F.col("__tokens").cast("double") / F.col("__tt"), 8).alias("__share"),
-    ).filter(F.col("__share") > 0.0)
-    ns = sh.agg(F.count(F.lit(1)).cast("long").alias("__nsrc"))
-    emis = sh.crossJoin(F.broadcast(ns)).select(
-        "source",
-        "__share",
-        F.explode(
-            F.sequence(
-                F.lit(1).cast("long"),
-                (
-                    F.ceil(
-                        (F.lit(_ILV_N) + F.col("__nsrc")) * F.col("__share")
-                    )
-                    + F.lit(1)
-                ).cast("long"),
-            )
-        ).alias("__j"),
+    per = (
+        docs.select(
+            "source",
+            F.ceil(
+                F.length(F.coalesce(F.col("text"), F.lit(""))) / F.lit(4.0)
+            ).cast("long").alias("__nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("__nt").cast("long").alias("__tokens"))
+        .filter(F.col("__tokens") > 0)
     )
-    timed = emis.select(
-        "source", rd(F.col("__j").cast("double") / F.col("__share"), 9).alias("__t")
+    row = per.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("source"), F.col("__tokens")))
+        ).alias("__arr"),
+        F.sum("__tokens").cast("long").alias("__tot"),
     )
-    row = timed.agg(
-        F.sort_array(F.collect_list(F.struct("__t", "source"))).alias("__arr")
+
+    def _step(acc, _step_no):
+        c1 = F.zip_with(
+            acc["cr"], F.col("__arr"), lambda c, x: c + x["__tokens"]
+        )
+        w = F.array_position(c1, F.array_max(c1))
+        c2 = F.transform(
+            c1,
+            lambda c, i: F.when(
+                i == (w - F.lit(1)).cast("int"), c - F.col("__tot")
+            ).otherwise(c),
+        )
+        pick = F.struct(
+            w.cast("int").alias("w"),
+            F.element_at(c2, w.cast("int")).alias("credit"),
+        )
+        return F.struct(
+            c2.alias("cr"),
+            F.concat(acc["picks"], F.array(pick)).alias("picks"),
+        )
+
+    init = F.struct(
+        F.transform(F.col("__arr"), lambda x: F.lit(0).cast("long")).alias(
+            "cr"
+        ),
+        F.expr(
+            "CAST(array() AS array<struct<w: int, credit: bigint>>)"
+        ).alias("picks"),
     )
-    z = row.select(
-        F.posexplode(F.slice(F.col("__arr"), 1, _ILV_N)).alias("__i", "__s")
+    folded = row.select(
+        "__arr",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(_ILV_N)), init, _step
+        ).alias("__st"),
+    )
+    z = folded.select(
+        "__arr", F.posexplode(F.col("__st.picks")).alias("__i", "__p")
     )
     return z.select(
         (F.col("__i") + 1).cast("long").alias("step"),
-        F.col("__s.source").alias("source"),
-        F.col("__s.__t").alias("sched_t"),
+        F.element_at(F.col("__arr"), F.col("__p.w"))
+        .getField("source")
+        .alias("source"),
+        F.col("__p.credit").cast("long").alias("credit_after"),
     )
 
 
