@@ -23,8 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod
 from time_series_data_trimmer_spark.session import TABLES, get_spark
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+_json_out = next(
+    (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")), None
+)
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -92,6 +96,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
@@ -101,15 +106,18 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
             failures += 1
+            results[name] = {"ok": False, "problems": [f"spark error: {exc}"[:300]]}
             continue
         if name not in oracles:
             print(f"ok*   {name}: rows-only ({len(got)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {"ok": True, "rows_only": True, "rows": len(got)}
             continue
         try:
             want = con.execute(oracles[name]).fetchdf()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures += 1
+            results[name] = {"ok": False, "problems": [f"duckdb error: {exc}"[:300]]}
             continue
         problems = compare(name, got, want)
         if problems:
@@ -117,6 +125,21 @@ def main() -> int:
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
             print(f"ok    {name}: {len(got)} rows match ({time.time()-t0:.1f}s)")
+        results[name] = {
+            "ok": not problems,
+            "rows": len(got),
+            "sec": round(time.time() - t0, 2),
+            "problems": problems or None,
+        }
+    if _json_out:
+        import json
+
+        with open(_json_out, "w") as fh:
+            json.dump(
+                {"sf_dir": SF_DIR, "failures": failures, "results": results},
+                fh,
+                indent=1,
+            )
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 

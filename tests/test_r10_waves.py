@@ -248,3 +248,59 @@ def test_tost_negative_variance_clamp(spark, tmp_path):
         assert r[c] is not None and not math.isnan(r[c]), (c, r[c])
     assert r["se"] == 0.0
     assert r["equivalent"] == 0
+
+
+def test_capped_overlap_property_random(spark):
+    """Randomized cross-check (md5-seeded, deterministic): the capped
+    overlap join's pair set equals a pure-Python reference of the same
+    spec — fan to buckets, rank (start, end, user, session) per
+    bucket, keep `cap`, emit overlapping kept pairs in their first
+    overlap bucket only."""
+    import hashlib
+
+    B = 100  # small bucket so intervals span several
+
+    def h(i, j):
+        return int(hashlib.md5(f"capprop|{i}|{j}".encode()).hexdigest()[:8], 16)
+
+    for case in range(4):
+        rows = []
+        n = 18 + case * 7
+        for i in range(n):
+            start = h(case, i) % 400
+            dur = h(case, i + 1000) % 250
+            rows.append((i, 0, start, start + dur))
+        cap = 2 + case
+
+        # pure-Python reference
+        fan = {}
+        for uid, sx, s, e in rows:
+            for b in range(s // B, e // B + 1):
+                fan.setdefault(b, []).append((s, e, uid, sx))
+        kept = {
+            b: sorted(v)[:cap] for b, v in fan.items()
+        }
+        expect = set()
+        for b, members in kept.items():
+            for x in members:
+                for y in members:
+                    sa, ea, ua, _ = x
+                    sb, eb, ub, _ = y
+                    if ua >= ub:
+                        continue
+                    if sa <= eb and sb <= ea and max(sa, sb) // B == b:
+                        expect.add((ua, ub))
+
+        ivl = _ivl(spark, rows)
+        got = {
+            (r["user_id_a"], r["user_id_b"])
+            for r in iv.overlap_join(
+                ivl, ivl, bucket_us=B, per_bucket_cap=cap,
+                cap_order_cols=["user_id", "session_idx"],
+            )
+            .filter(F.col("user_id_a") < F.col("user_id_b"))
+            .select("user_id_a", "user_id_b")
+            .distinct()
+            .collect()
+        }
+        assert got == expect, f"case {case}: {got ^ expect}"
