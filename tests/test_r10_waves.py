@@ -131,7 +131,9 @@ def test_bpe_encode_auto_dispatch(spark):
 def test_ppr_ranks_dangling_nodes_and_guards_empty_seeds(spark):
     """Directed edges a->b, b->c, c has no out-edges: c must appear in
     the output with nonzero rank (dst-only nodes were formerly
-    dropped); an unmatched seed set must raise, not divide by zero."""
+    dropped); an unmatched seed set must fail at execution with the
+    named message (in-plan assert — an eager guard would run the
+    vertex build twice per call), not divide by zero into NULLs."""
     import pytest as _pytest
 
     from time_series_data_trimmer_spark.operators.graph import (
@@ -146,8 +148,8 @@ def test_ppr_ranks_dangling_nodes_and_guards_empty_seeds(spark):
     assert set(out) == {"a", "b", "c"}
     assert out["c"] > 0.0  # a -> b -> c proximity mass arrives
     bad = spark.createDataFrame([("zz",)], "node string")
-    with _pytest.raises(ValueError, match="no seed matches"):
-        personalized_pagerank(edges, bad)
+    with _pytest.raises(Exception, match="no seed matches"):
+        personalized_pagerank(edges, bad).collect()
 
 
 def test_bm25_prf_duplicate_terms_no_double_count(spark):

@@ -485,9 +485,13 @@ def personalized_pagerank(
 
     Vertex set is src ∪ dst (dedup), so dst-only (dangling) nodes are
     ranked too; their outgoing mass is DROPPED (ranks need not sum to
-    1 on directed input — same convention the oracle replays). Raises
-    ``ValueError`` eagerly if no seed matches a graph vertex (the
-    1/|S| teleport would otherwise divide by zero into NULL ranks).
+    1 on directed input — same convention the oracle replays). An
+    unmatched seed set fails at EXECUTION time via an in-plan
+    ``assert_true`` on the 1-row |S| aggregate (the 1/|S| teleport
+    would otherwise divide by zero into NULL ranks) — in-plan rather
+    than an eager driver collect because the eager form ran the whole
+    vertex build twice per call (caught as a 1.4× step on
+    `graph_ppr_seed_topk` in the r10 bench).
     """
     from time_series_data_trimmer_spark.functions.rounding import rd
 
@@ -504,18 +508,31 @@ def personalized_pagerank(
     marked = nodes.join(F.broadcast(sd), "src", "left").select(
         "src", F.coalesce(F.col("__isseed"), F.lit(0)).alias("__isseed")
     )
-    n_matched = marked.agg(F.sum("__isseed")).first()[0]
-    if not n_matched:
-        raise ValueError(
-            "personalized_pagerank: no seed matches any graph vertex "
-            "(teleport vector would be empty)"
+    ns = marked.agg(F.sum("__isseed").cast("double").alias("__ns")).select(
+        F.when(
+            F.assert_true(
+                F.col("__ns") > 0,
+                F.lit(
+                    "personalized_pagerank: no seed matches any graph "
+                    "vertex (teleport vector would be empty)"
+                ),
+            ).isNull(),
+            F.col("__ns"),
+        ).alias("__ns")
+    )
+    svec = (
+        marked.crossJoin(F.broadcast(ns))
+        .select(
+            "src",
+            F.when(F.col("__isseed") == 1, F.lit(1.0) / F.col("__ns"))
+            .otherwise(F.lit(0.0))
+            .alias("__s"),
         )
-    ns = marked.agg(F.sum("__isseed").cast("double").alias("__ns"))
-    svec = marked.crossJoin(F.broadcast(ns)).select(
-        "src",
-        F.when(F.col("__isseed") == 1, F.lit(1.0) / F.col("__ns"))
-        .otherwise(F.lit(0.0))
-        .alias("__s"),
+        # |V| rows, re-joined EVERY iteration: checkpoint so the src∪dst
+        # distinct over the edge list (r10 dangling-node fix) runs once,
+        # not once per iteration (invariant 17 — the CC precedent;
+        # caught as a 1.7× step on graph_ppr_seed_topk in the r10 bench)
+        .localCheckpoint(eager=False)
     )
     r = svec.select("src", F.col("__s").alias("rank"))
     for _ in range(int(iterations)):
