@@ -27,6 +27,11 @@ _args = [a for a in sys.argv[1:] if not a.startswith("--json")]
 _json_out = next(
     (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")), None
 )
+for _a in sys.argv[1:]:
+    # A bare "--json" (no =path) would be silently filtered out of the
+    # positionals and produce no report file — fail loudly (ADVICE r10).
+    if _a.startswith("--json") and not _a.startswith("--json="):
+        sys.exit(f"check_oracle: {_a!r} has no output path — use --json=PATH")
 SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 ONLY = set(_args[1:])
 

@@ -122,7 +122,19 @@ def overlap_join(
     candidates (C(cap,2) pairs after a self-join's id filter). This is
     lossy by design (invariant-6 bounded-block rule): pair it with
     `bucket_cap_report` so the forfeit is ACCOUNTED, never silent.
+
+    ``cap_order_cols`` is REQUIRED whenever ``per_bucket_cap`` is set:
+    (start, end) alone is not a total order — duplicate bounds would
+    make ``row_number`` partition-order-dependent and silently break
+    the replayed-keep-set guarantee. Callers must supply columns that
+    complete a unique key (ADVICE r10).
     """
+    if per_bucket_cap is not None and not cap_order_cols:
+        raise ValueError(
+            "per_bucket_cap requires cap_order_cols: (start, end) is not a "
+            "total order, so the capped keep set would be nondeterministic. "
+            "Pass tie-breaker columns that complete a unique key."
+        )
     if bucket_us == "auto":
         bucket_us = auto_bucket_us(left, right, start_col, end_col)
     sa, sb = suffixes
@@ -172,13 +184,14 @@ def bucket_cap_report(
     intervals: DataFrame,
     bucket_us: int,
     cap: int,
-    order_cols: list[str] | None = None,
     start_col: str = "start_us",
     end_col: str = "end_us",
 ) -> DataFrame:
     """FORFEIT ACCOUNTING for `overlap_join(per_bucket_cap=...)`: the
-    same fan-out and the same deterministic per-bucket rank, reduced to
-    per-bucket counts — ``bucket, n_rows, n_kept, n_forfeited``. A
+    same fan-out, reduced to per-bucket counts —
+    ``bucket, n_rows, n_kept, n_forfeited``. Counts are rank-
+    INDEPENDENT (how many exceed the cap does not depend on which ones
+    the keep-set rank chose), so no order columns are taken. A
     capped candidate generator may never be silent about what it
     dropped (invariant 6); a caller reports this next to the capped
     pair set so the judge (and the pipeline owner) can see the skew

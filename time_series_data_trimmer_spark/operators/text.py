@@ -1544,9 +1544,13 @@ def bpe_train_merges(
         # `_merge_fold`, pytest-pinned) — the fold costs ~0.8 s/rule
         # on sf0.1 (SCALING.md r10 crossover row) vs a near-flat
         # kernel pass, and the round's localCheckpoint hides neither.
-        cur = _apply_merges_arrow(
-            cur, [(A, B)], id_col, "__toks"
-        ).localCheckpoint()
+        # The eager localCheckpoint materializes the rewrite, so the
+        # round's rule broadcast is dead afterwards — destroy it, or
+        # one broadcast per merge round accumulates on executors for
+        # the session's lifetime (ADVICE r10).
+        rewritten, bc = _apply_merges_arrow(cur, [(A, B)], id_col, "__toks")
+        cur = rewritten.localCheckpoint()
+        bc.destroy()
     return merges
 
 
@@ -1641,13 +1645,18 @@ def _apply_rules_py(toks: list, rules: list) -> list:
 
 def _apply_merges_arrow(
     df: DataFrame, rules: list[tuple], id_col: str, toks_col: str
-) -> DataFrame:
+):
     """One Arrow `mapInPandas` pass applying ``rules`` to an
     ALREADY-TOKENIZED array column — the tokenized-input form of
     `bpe_encode_ranked` (same `_apply_rules_py` kernel, same
     non-overlap contract). Used by the trainer's per-round corpus
     rewrite, where the measured fold cost (~0.8 s/rule on sf0.1,
-    SCALING.md r10) made each training round pay a full fold stage."""
+    SCALING.md r10) made each training round pay a full fold stage.
+
+    Returns ``(df, broadcast)`` — the caller OWNS the rule broadcast
+    and must ``destroy()`` it once the result is materialized (the
+    trainer does so after each round's eager localCheckpoint), so
+    per-round broadcasts don't accumulate on executors (ADVICE r10)."""
     from pyspark.sql import types as T
 
     spark = df.sparkSession
@@ -1670,7 +1679,7 @@ def _apply_merges_arrow(
                 outs.append(_apply_rules_py(list(arr), rules_l))
             yield pd.DataFrame({id_col: ids, toks_col: outs})
 
-    return df.select(id_col, toks_col).mapInPandas(run, schema=out_schema)
+    return df.select(id_col, toks_col).mapInPandas(run, schema=out_schema), bc
 
 
 def bpe_encode_auto(
