@@ -59,27 +59,32 @@ _FIRST_50 = [
     "a1_sample_rate", "a4_episode_overlay", "a5_suggest_segments",
     "e1_frame_transform", "recipe_compiled_chain",
     "tpch_q1_pricing_summary", "tpch_q21_waiting_supplier",
-    # r10 rotation (VERDICT r9 #1): 35 names that have NEVER appeared in
-    # any driver CORRECTNESS_r1..r9 sample (183/352 remained unverified
-    # externally). Priorities from the verdict: the r9 waves never
-    # sampled, the remaining TPC-H middle, and unsampled dedup/text
-    # standalones.
-    "graph_ppr_seed_topk", "graph_lp_modularity", "graph_hits_scores",
-    "retrieval_mmr_topk", "mix_dedup_aware_epochs", "mix_doremi_step",
-    "mix_interleave_schedule", "stream_cusum_level_alerts",
-    "stats_tost_equivalence_by_type", "eval_f1_threshold_sweep",
-    "eval_brier_decomposition", "sketch_kmv_error_vs_k",
-    "privacy_qi_risk_sweep", "privacy_t_closeness_audit",
-    "dedup_family_agreement", "mix_split_leakage_audit",
-    "markov_stationary_dist", "ts_holt_backtest_mase",
-    "tpch_q4_order_priority", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q13_customer_order_distribution",
-    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue", "tpch_q19_disjunctive_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "sim_recall_suite", "dedup_lsh_band_sweep", "dedup_incremental_batch",
-    "text_tfidf_top_terms", "text_chunk_documents", "text_bigram_lm_score",
-    "emb_pca_power_iteration", "events_ohlc_hourly",
+    # r11 rotation (VERDICT r10 #1): 35 names that have NEVER appeared
+    # in any driver CORRECTNESS_r1..r10 sample (153/357 remained
+    # unverified externally; set-diff over all ten files). Priorities
+    # from the verdict: the 5 r10 registry additions, the one heavy
+    # suite truly never sampled (dedup_simhash_eval_report — the other
+    # suites it named were r8/r9-sampled), the 12 reference-parity
+    # queries that never drew an external check, and a cross-family
+    # spread over the remaining sim/text/stats/ts/dq tails.
+    # graph_clustering_by_degree doubles as mover triage (VERDICT #3).
+    "graph_concurrency_capped_edges", "dq_regex_rule_audit",
+    "dq_schema_drift_report", "mix_length_bucket_padding_waste",
+    "layout_zonemap_prune_stats",
+    "dedup_simhash_eval_report", "mix_budget_after_dedup",
+    "f4_butter_lowpass_fallback", "f5_butter_bandpass_fallback",
+    "f13_interpolate_kernel", "j1_annotation_containment_join",
+    "j2_deletion_anti_join", "p3_selection_masked_filter",
+    "p6_annotation_at_time", "p8_snap_to_extremum", "w2_forward_fill",
+    "e2_derived_channel", "e9_heading_from_forward", "a9_sessionize",
+    "sim_ivf_pq_topk", "sim_ivf_topk_refined", "emb_isotropy_report",
+    "emb_retrieval_mrr",
+    "text_zipf_slope_by_source", "text_jsd_source_divergence",
+    "text_rake_top_keyword",
+    "stats_cramers_v_pairs", "stats_bh_fdr_ks_by_type", "stats_cuped_halves",
+    "ts_changepoint_binary_seg", "ts_hampel_filter",
+    "dq_functional_dependency", "privacy_dp_count_report",
+    "graph_clustering_by_degree", "sample_kcenter_coreset",
 ]
 
 
