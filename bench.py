@@ -304,6 +304,8 @@ HEADLINE = [
     "mix_length_bucket_padding_waste",  # bucketed-batching pad cost vs packing
     "dq_schema_drift_report",    # column-level null/distinct drift
     "layout_zonemap_prune_stats",  # what a sort key buys a time predicate
+    # r11, on-headline from day one:
+    "text_bpe_sample_train_encode",  # sample-to-driver train + full-corpus ranked encode
 ]
 
 

@@ -17,17 +17,21 @@ def _entry():
 
 
 def test_ordered_names_frozen():
-    """queries() returns the exact pre-split registration order, pinned
-    as a fixture the day of the split (r10). Any reorder — a family
-    module shuffle, a new import order, a lost reorder step — fails
-    here before the driver's CORRECTNESS sample can silently shift."""
-    entry = _entry()
+    """REGISTRY registration order matches the fixture pinned the day
+    of the split (r10, regenerated r11 from the same order). Any
+    reorder — a family module shuffle, a new import order, a lost
+    reorder step — fails here. Checked on the RAW registry, not
+    queries(): the `_FIRST_50` rotation reorders the queries() head
+    intentionally every round (VERDICT rotation item), while the
+    underlying registration order is the thing the module split could
+    silently break. New registrations may land anywhere; the frozen
+    names must keep their exact relative order."""
+    _entry()
+    from time_series_data_trimmer_spark.queries import REGISTRY
+
     with open(os.path.join(REPO, "tests", "fixtures_registry_order.json")) as f:
         frozen = json.load(f)
-    got = list(entry.queries())
-    # new registrations may append after their block (post-split ext
-    # additions land between the ext block and parity/compose); the
-    # frozen 352 must keep their exact relative order.
+    got = list(REGISTRY)
     fset = set(frozen)
     kept = [n for n in got if n in fset]
     assert kept == frozen, (

@@ -1554,6 +1554,78 @@ def bpe_train_merges(
     return merges
 
 
+def bpe_train_merges_local(
+    df: DataFrame,
+    rounds: int = 5,
+    sample_rate: float | None = None,
+    sample_seed: str = "bpe-sample",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_sample_tokens: int = 50_000_000,
+) -> list[tuple[int, str, str, int]]:
+    """SAMPLE-TO-DRIVER BPE trainer — the sanctioned production-scale
+    path (VERDICT r10 #5). The distributed trainer
+    (`bpe_train_merges`) runs one Spark job per merge round; at a
+    production vocabulary (10^4-10^5 merges) that is 10^4+ SEQUENTIAL
+    jobs — scheduling overhead alone dominates, regardless of
+    per-round cost. Production tokenizers are trained on a corpus
+    SAMPLE on one machine (the HF-tokenizers / SentencePiece model);
+    this is that path, kept oracle-replayable:
+
+    1. deterministic Bernoulli doc sample via the portable md5 coin
+       (`sampling.hash_u32` — pure function of (seed, key), identical
+       in Spark / DuckDB / Python, layout-independent);
+    2. ONE bounded collect of the sampled, Spark-tokenized corpus —
+       bounded by contract: a pre-collect token-count aggregate raises
+       if the sample exceeds ``max_sample_tokens`` (invariant-6: a
+       driver materialization must carry a data-derived bound, never
+       hope);
+    3. pure-Python training with the distributed trainer's EXACT
+       semantics — same adjacent-pair count, same (count desc, lhs,
+       rhs) tie-break, same leftmost-non-overlapping rewrite
+       (literally `_apply_rules_py`, the ranked kernel's inner loop) —
+       so on the same input the merge table is value-identical
+       (pytest-pinned).
+
+    The returned table feeds `bpe_encode_auto` for the full-corpus
+    distributed encode, which is merge-count-constant (one Arrow
+    pass). Net: training cost scales with the SAMPLE, encode with the
+    corpus, and neither multiplies by |merges|.
+    """
+    base = df.filter(F.col(text_col).isNotNull())
+    if sample_rate is not None:
+        from time_series_data_trimmer_spark.operators.sampling import (
+            hash_sample,
+        )
+
+        base = hash_sample(base, sample_rate, key_col=id_col, seed=sample_seed)
+    toks_df = base.select(_norm_tokens(text_col).alias("__toks"))
+    n_tok = toks_df.agg(
+        F.coalesce(F.sum(F.size("__toks")), F.lit(0)).alias("n")
+    ).collect()[0]["n"]
+    if n_tok > max_sample_tokens:
+        raise ValueError(
+            f"bpe_train_merges_local: sample holds {n_tok} tokens > "
+            f"max_sample_tokens={max_sample_tokens}; lower sample_rate — "
+            "the driver-side trainer is only sanctioned for bounded samples"
+        )
+    corpora = [list(r["__toks"]) for r in toks_df.collect()]
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for toks in corpora:
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (A, B), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, A, B, int(cnt)))
+        corpora = [_apply_rules_py(toks, [(A, B)]) for toks in corpora]
+    return merges
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple],

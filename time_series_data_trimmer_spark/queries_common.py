@@ -1307,7 +1307,7 @@ _NDCG_WS, _NDCG_IDCG = sim.ndcg_weights(_NDCG_K)
 _BPE_ROUNDS = 5
 
 
-def _bpe_cte(rounds: int) -> str:
+def _bpe_cte(rounds: int, train_where: str = "") -> str:
     """Unrolled per-round CTE chain replaying the trainer verbatim:
     pair count → deterministic top-1 → corpus rewrite. The rewrite is
     a DELIMITER-GUARDED string replace — tokens joined by '||' and
@@ -1323,12 +1323,18 @@ def _bpe_cte(rounds: int) -> str:
     Returns the ``WITH ...`` prefix ending at ``s{rounds}`` (the fully
     rewritten corpus) and ``m1..m{rounds}`` (the merge table) — shared
     by the trainer, encoder, and real-token packing oracles, which
-    append their own final SELECT."""
-    head = """t0 AS (
+    append their own final SELECT.
+
+    ``train_where``: extra predicate on the TRAINING corpus (t0) —
+    the sample-trained variants restrict t0 to the portable-md5
+    Bernoulli sample while encoding the full corpus in their own
+    appended CTEs."""
+    extra = f" AND ({train_where})" if train_where else ""
+    head = f"""t0 AS (
       SELECT doc_id,
              list_filter(string_split(trim(regexp_replace(lower(text),
                  '[^a-z0-9]+', ' ', 'g')), ' '), x -> length(x) > 0) AS toks
-      FROM documents WHERE text IS NOT NULL
+      FROM documents WHERE text IS NOT NULL{extra}
     ),
     s0 AS (
       SELECT doc_id, '|' || array_to_string(toks, '||') || '|' AS s FROM t0
