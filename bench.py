@@ -306,6 +306,7 @@ HEADLINE = [
     "layout_zonemap_prune_stats",  # what a sort key buys a time predicate
     # r11, on-headline from day one:
     "text_bpe_sample_train_encode",  # sample-to-driver train + full-corpus ranked encode
+    "graph_concurrency_autocap_edges",  # data-derived p99 cap, oracle-replayed
 ]
 
 

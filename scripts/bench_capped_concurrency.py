@@ -57,9 +57,53 @@ def build(spark, n_hot: int):
     return hot.unionByName(bg).localCheckpoint()
 
 
+def cap_sweep(spark, sizes: list[int], caps: list[int]) -> None:
+    """VERDICT r10 #6: forfeit fraction + capped pair volume vs CAP at
+    each skew level, plus the data-derived p99 auto-cap for reference
+    — the curve that justifies (or indicts) a cap choice."""
+    for n_hot in sizes:
+        ivl = build(spark, n_hot)
+        auto = iv.auto_bucket_cap(ivl, HOUR, pct=0.99, floor_cap=16)
+        total = ivl.count()
+        print(f"n_hot={n_hot:6d} auto_cap(p99)={auto} n_intervals={total}")
+        for cap in caps:
+            t0 = time.monotonic()
+            pairs = (
+                iv.overlap_join(
+                    ivl,
+                    ivl,
+                    bucket_us=HOUR,
+                    per_bucket_cap=cap,
+                    cap_order_cols=["user_id", "session_idx"],
+                )
+                .filter(F.col("user_id_a") < F.col("user_id_b"))
+                .count()
+            )
+            el = time.monotonic() - t0
+            rep = (
+                iv.bucket_cap_report(ivl, HOUR, cap)
+                .agg(
+                    F.sum("n_rows").alias("rows"),
+                    F.sum("n_forfeited").alias("forf"),
+                    F.sum((F.col("n_rows") > cap).cast("int")).alias("hot"),
+                )
+                .collect()[0]
+            )
+            share = rep["forf"] / rep["rows"] if rep["rows"] else 0.0
+            print(
+                f"n_hot={n_hot:6d} cap={cap:5d} {el:6.2f} s pairs={pairs:>12d}"
+                f" forfeited={rep['forf']:>8d} ({share:.4%})"
+                f" hot_buckets={rep['hot']}"
+            )
+
+
 def main() -> None:
     spark = get_spark("capped-concurrency-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    if sys.argv[1:2] == ["--cap-sweep"]:
+        sizes = [int(s) for s in sys.argv[2:]] or [1000, 40000]
+        cap_sweep(spark, sizes, caps=[16, 32, 64, 128, 256, 512])
+        return
     sizes = [int(s) for s in sys.argv[1:]] or [1000, 4000]
     for n_hot in sizes:
         ivl = build(spark, n_hot)

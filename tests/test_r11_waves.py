@@ -82,6 +82,35 @@ def test_sample_trained_table_encodes_full_corpus(spark):
         assert 0 < len(r["bpe_tokens"]) <= r["n_tokens_raw"]
 
 
+def test_auto_bucket_cap_is_p99_order_statistic(spark):
+    """auto_bucket_cap returns the exact k-th smallest per-bucket
+    occupancy (k = ceil(pct·n)), floored: 99 buckets at occupancy 20
+    + 1 bucket at 5000 → p99 = 20 (the outlier is invisible to the
+    order statistic), floored to 16 only when below."""
+    B = 1000
+    rows = [
+        # 99 buckets, 20 point-intervals each
+        (b * 100 + i, 0, b * B + 1, b * B + 2)
+        for b in range(99)
+        for i in range(20)
+    ] + [
+        # one hot bucket with 5000
+        (1_000_000 + i, 0, 99 * B + 1, 99 * B + 2)
+        for i in range(5000)
+    ]
+    ivl = _ivl_frame(spark, rows)
+    assert iv.auto_bucket_cap(ivl, B, pct=0.99, floor_cap=16) == 20
+    # floor engages when the statistic is tiny
+    small = _ivl_frame(spark, [(1, 0, 10, 20), (2, 0, 3000, 3100)])
+    assert iv.auto_bucket_cap(small, B, pct=0.99, floor_cap=16) == 16
+
+
+def _ivl_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, session_idx long, start_us long, end_us long"
+    )
+
+
 def test_capped_join_requires_tiebreak_cols(spark):
     """ADVICE r10: per_bucket_cap without cap_order_cols would make
     the keep set partition-order-dependent — the API now refuses."""

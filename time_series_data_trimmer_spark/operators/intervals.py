@@ -220,6 +220,59 @@ def bucket_cap_report(
     )
 
 
+def auto_bucket_cap(
+    intervals: DataFrame,
+    bucket_us: int,
+    pct: float = 0.99,
+    floor_cap: int = 16,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> int:
+    """Data-derived ``per_bucket_cap`` (VERDICT r10 #6): the
+    ``pct``-th ORDER STATISTIC of per-bucket occupancy, floored at
+    ``floor_cap``. Contract: the cap equals what the (100·pct)%
+    coldest buckets already hold, so ONLY the hottest (1−pct) tail of
+    buckets forfeits anything — under uniform load the capped join is
+    bit-identical to uncapped, and under a flash-crowd hour the
+    quadratic term is bounded by exactly the skew outlier, not by a
+    magic constant (invariant-13: selection inputs are data-derived
+    and oracle-replayable).
+
+    Exact k-th smallest (k = ceil(pct·n)) rather than an interpolated
+    percentile: PLANS.md invariant 21 — interpolated quantile VALUES
+    may not be compared cross-engine, but an order statistic is the
+    same value in every engine. One bucket-keyed count over the
+    interval table + one bounded scalar collect (the `auto_bucket_us`
+    precedent: interval tables are session-sized, orders of magnitude
+    below the fact tables)."""
+    import math
+
+    b = int(bucket_us)
+    counts = (
+        intervals.select(
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start_col) / F.lit(b)),
+                    F.floor(F.col(end_col) / F.lit(b)),
+                )
+            ).alias("__bucket")
+        )
+        .groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    n = counts.count()
+    if n == 0:
+        return int(floor_cap)
+    k = int(math.ceil(pct * n))
+    kth = (
+        counts.orderBy(F.col("__n").asc())
+        .limit(k)
+        .agg(F.max("__n").alias("m"))
+        .collect()[0]["m"]
+    )
+    return max(int(floor_cap), int(kth))
+
+
 #: one UTC day, in microseconds — the default coverage bucket.
 DAY_US = 86_400_000_000
 

@@ -1863,3 +1863,170 @@ def _q_graph_concurrency_capped_edges(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("forfeit_share"),
         )
     )
+
+
+_ACAP_PCT, _ACAP_FLOOR = 0.99, 16
+
+
+@register(
+    "graph_concurrency_autocap_edges",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS newf
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *,
+             sum(newf) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, sess, min(us) AS start_us, max(us) AS end_us
+      FROM s GROUP BY user_id, sess
+    ),
+    dur AS (
+      SELECT end_us - start_us AS d FROM sess
+      UNION ALL
+      SELECT end_us - start_us AS d FROM sess
+    ),
+    bk AS (
+      SELECT coalesce(
+               greatest(1000000,
+                        CAST(floor(quantile_cont(d, 0.5)) AS BIGINT)),
+               3600000000) AS b
+      FROM dur WHERE d > 0
+    ),
+    fan AS (
+      SELECT user_id, sess, start_us, end_us, bk.b AS b,
+             unnest(generate_series(
+               CAST(floor(CAST(start_us AS DOUBLE) / bk.b) AS BIGINT),
+               CAST(floor(CAST(end_us AS DOUBLE) / bk.b) AS BIGINT)
+             )) AS bucket
+      FROM sess CROSS JOIN bk
+    ),
+    perb0 AS (SELECT bucket, count(*) AS n_rows FROM fan GROUP BY bucket),
+    capsel AS (
+      SELECT greatest({_ACAP_FLOOR}, CAST(max(n_rows) AS BIGINT)) AS cap
+      FROM (SELECT n_rows,
+                   row_number() OVER (ORDER BY n_rows ASC) AS rn,
+                   count(*) OVER () AS n
+            FROM perb0)
+      WHERE rn <= CAST(ceil({_ACAP_PCT} * n) AS BIGINT)
+    ),
+    rk AS (
+      SELECT f.*, c.cap,
+             row_number() OVER (
+               PARTITION BY bucket
+               ORDER BY start_us ASC, end_us ASC, user_id ASC, sess ASC
+             ) AS rn
+      FROM fan f CROSS JOIN capsel c
+    ),
+    kept AS (SELECT * FROM rk WHERE rn <= cap),
+    prs AS (
+      SELECT a.user_id AS ua, b.user_id AS ub
+      FROM kept a JOIN kept b
+        ON a.bucket = b.bucket
+       AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+       AND a.bucket = CAST(floor(CAST(greatest(a.start_us, b.start_us)
+                                      AS DOUBLE) / a.b) AS BIGINT)
+       AND a.user_id < b.user_id
+    ),
+    perb AS (
+      SELECT bucket, p.n_rows,
+             least(p.n_rows, c.cap) AS n_kept,
+             greatest(p.n_rows - c.cap, 0) AS n_forfeited,
+             c.cap AS cap
+      FROM perb0 p CROSS JOIN capsel c
+    ),
+    rep AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(n_rows) AS BIGINT) AS n_fan_rows,
+             CAST(sum(n_forfeited) AS BIGINT) AS n_forfeited_rows,
+             CAST(sum(CASE WHEN n_rows > cap THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hot_buckets
+      FROM perb
+    ),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs_capped FROM prs),
+    ni AS (SELECT CAST(count(*) AS BIGINT) AS n_intervals FROM sess)
+    SELECT bk.b AS bucket_us, CAST(capsel.cap AS BIGINT) AS cap,
+           ni.n_intervals, rep.n_buckets, rep.n_fan_rows,
+           rep.n_forfeited_rows, rep.n_hot_buckets, np.n_pairs_capped,
+           {R("CAST(rep.n_forfeited_rows AS DOUBLE) / rep.n_fan_rows", 6)}
+             AS forfeit_share
+    FROM rep CROSS JOIN np CROSS JOIN ni CROSS JOIN bk CROSS JOIN capsel
+    """,
+)
+def _q_graph_concurrency_autocap_edges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The capped concurrency build with a DATA-DERIVED cap (VERDICT
+    r10 #6): instead of the fixed {_CC_CAP} constant, the cap is
+    `iv.auto_bucket_cap` — the p{int(_ACAP_PCT * 100)} order statistic
+    of per-bucket occupancy (exact k-th smallest, never an
+    interpolated quantile: invariant 21), floored at {_ACAP_FLOOR}.
+    The contract this encodes: only the hottest {{1−pct}} tail of
+    buckets forfeits pairs — uniform load is bit-identical to the
+    uncapped join, and a flash-crowd hour is bounded by what the
+    cold 99% already hold. The chosen cap is a first-class output
+    column, and the oracle re-derives the IDENTICAL cap from the same
+    per-bucket counts (row_number ≤ ceil(pct·n), then max) before
+    replaying the identical keep set. `graph_concurrency_capped_edges`
+    keeps the frozen cap={_CC_CAP} contract for cross-round
+    comparability; this is the production selector next to it
+    (SCALING.md r11 carries the forfeit-vs-cap curve at two skew
+    levels that motivated p99)."""
+    ev = _table(spark, sf_dir, "events")
+    sess = ag.sessionize_user_events(ev, gap_minutes=30)
+    ivl = sess.select(
+        "user_id",
+        "session_idx",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+    )
+    b = iv.auto_bucket_us(ivl, ivl)
+    cap = iv.auto_bucket_cap(ivl, b, pct=_ACAP_PCT, floor_cap=_ACAP_FLOOR)
+    pairs = iv.overlap_join(
+        ivl,
+        ivl,
+        bucket_us=b,
+        per_bucket_cap=cap,
+        cap_order_cols=["user_id", "session_idx"],
+    ).filter(F.col("user_id_a") < F.col("user_id_b"))
+    rep = iv.bucket_cap_report(ivl, b, cap)
+    summary = rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n_rows").cast("long").alias("n_fan_rows"),
+        F.sum("n_forfeited").cast("long").alias("n_forfeited_rows"),
+        F.sum((F.col("n_rows") > cap).cast("int"))
+        .cast("long")
+        .alias("n_hot_buckets"),
+    )
+    np_ = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs_capped"))
+    ni = ivl.agg(F.count(F.lit(1)).cast("long").alias("n_intervals"))
+    return (
+        summary.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(ni))
+        .select(
+            F.lit(int(b)).cast("long").alias("bucket_us"),
+            F.lit(int(cap)).cast("long").alias("cap"),
+            "n_intervals",
+            "n_buckets",
+            "n_fan_rows",
+            "n_forfeited_rows",
+            "n_hot_buckets",
+            "n_pairs_capped",
+            rd(
+                F.col("n_forfeited_rows").cast("double") / F.col("n_fan_rows"),
+                6,
+            ).alias("forfeit_share"),
+        )
+    )
