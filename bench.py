@@ -307,6 +307,10 @@ HEADLINE = [
     # r11, on-headline from day one:
     "text_bpe_sample_train_encode",  # sample-to-driver train + full-corpus ranked encode
     "graph_concurrency_autocap_edges",  # data-derived p99 cap, oracle-replayed
+    "eval_cohens_kappa_langid",   # chance-corrected rater agreement (label QA)
+    "text_kn_bigram_ppl",         # interpolated Kneser-Ney source perplexity
+    "mix_waterfill_token_budget",  # max-min fair budget allocation
+    "ts_ljungbox_whiteness",      # portmanteau autocorrelation test
 ]
 
 

@@ -1517,3 +1517,151 @@ def _q_mix_length_bucket_padding_waste(spark: SparkSession, sf_dir: str) -> Data
             6,
         ).alias("unbucketed_total_waste"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 2: max-min fair (water-filling) token budget across sources.
+# ---------------------------------------------------------------------------
+
+_WF_BUDGET_FRAC = 2  # budget = total_tokens div 2 (integer)
+
+
+@register(
+    "mix_waterfill_token_budget",
+    f"""
+    WITH av AS (
+      SELECT source,
+             sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split(trim(text), ' ')) END) AS avail
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(avail) AS total, count(*) AS n,
+             sum(avail) // {_WF_BUDGET_FRAC} AS b
+      FROM av
+    ),
+    rk AS (
+      SELECT av.*, tot.n, tot.b,
+             row_number() OVER (ORDER BY avail ASC, source ASC) AS k,
+             sum(avail) OVER (
+               ORDER BY avail ASC, source ASC ROWS UNBOUNDED PRECEDING
+             ) AS pfx
+      FROM av CROSS JOIN tot
+    ),
+    fe AS (
+      SELECT *, CASE WHEN pfx + (n - k) * avail <= b THEN 1 ELSE 0 END AS feas
+      FROM rk
+    ),
+    jj AS (
+      SELECT coalesce(sum(feas), 0) AS j,
+             coalesce(max(CASE WHEN feas = 1 THEN pfx END), 0) AS pfxj
+      FROM fe
+    ),
+    lvl AS (
+      SELECT CASE WHEN jj.j < tot.n
+                  THEN (tot.b - jj.pfxj) // (tot.n - jj.j) END AS c
+      FROM jj CROSS JOIN tot
+    )
+    SELECT fe.source,
+           CAST(fe.avail AS BIGINT) AS avail_tokens,
+           CAST(fe.b AS BIGINT) AS budget_tokens,
+           CAST(CASE WHEN fe.feas = 1 THEN fe.avail ELSE lvl.c END
+                AS BIGINT) AS allocated_tokens,
+           fe.feas = 0 AS capped,
+           CAST(lvl.c AS BIGINT) AS water_level
+    FROM fe CROSS JOIN lvl
+    """,
+)
+def _q_mix_waterfill_token_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MAX-MIN FAIR token-budget allocation across sources
+    (water-filling): given a global budget (half the corpus here),
+    give every source as much as possible subject to no source
+    getting more than the common water level C — small sources keep
+    everything they have, large sources are capped at C, with C the
+    largest integer level the budget affords. This is the principled
+    alternative to temperature sampling when the goal is "no source
+    dominates, no source is starved" (max-min fairness; the classic
+    link-capacity water-fill applied to data mixing).
+
+    Closed form, no iteration: sort sources by availability
+    ascending; source k is UNCAPPED iff prefix_k + (n−k)·avail_k ≤ B
+    (funding the k smallest fully and everyone above at avail_k
+    already fits) — that predicate is monotone in k, so j = count of
+    feasible rows and C = (B − prefix_j) div (n − j). All integer
+    math end to end (budget and level via integer division). The rank
+    and prefix sums run over the BOUNDED per-source table as a
+    sorted-array fold (collect into one sort_array struct, posexplode,
+    prefix via an array-slice aggregate — the DTW/MMR bounded-fold
+    precedent), NOT a keyless Window: |sources| rows is driver-tiny
+    but the no-keyless-window invariant is mechanical and earned. The
+    corpus scan is the entire cost at any scale. Mix-family extension
+    (the reference repo has no sampling surface)."""
+    docs = _table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    av = docs.groupBy("source").agg(
+        F.sum(tx.token_count(F.col("text"))).alias("avail")
+    )
+    arr = av.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("avail"), F.col("source")))
+        ).alias("a"),
+        F.count(F.lit(1)).alias("__n"),
+        (F.sum("avail") / F.lit(_WF_BUDGET_FRAC)).cast("long").alias("__b"),
+    )
+    rk = (
+        arr.select(
+            "__n", "__b", "a", F.posexplode("a").alias("__k0", "__s")
+        )
+        .select(
+            F.col("__s.source").alias("source"),
+            F.col("__s.avail").alias("avail"),
+            (F.col("__k0") + 1).alias("k"),
+            F.expr(
+                "aggregate(slice(a, 1, __k0 + 1), CAST(0 AS BIGINT),"
+                " (acc, x) -> acc + x.avail)"
+            ).alias("pfx"),
+            "__n",
+            "__b",
+        )
+        .withColumn(
+            "feas",
+            (
+                F.col("pfx") + (F.col("__n") - F.col("k")) * F.col("avail")
+                <= F.col("__b")
+            ).cast("int"),
+        )
+    )
+    jj = rk.agg(
+        F.coalesce(F.sum("feas"), F.lit(0)).alias("__j"),
+        F.coalesce(
+            F.max(F.when(F.col("feas") == 1, F.col("pfx"))), F.lit(0)
+        ).alias("__pfxj"),
+        F.max("__n").alias("__nn"),
+        F.max("__b").alias("__bb"),
+    )
+    lvl = jj.select(
+        F.when(
+            F.col("__j") < F.col("__nn"),
+            F.floor(
+                (F.col("__bb") - F.col("__pfxj"))
+                / (F.col("__nn") - F.col("__j"))
+            ),
+        )
+        .cast("long")
+        .alias("__c")
+    )
+    return rk.crossJoin(F.broadcast(lvl)).select(
+        "source",
+        F.col("avail").cast("long").alias("avail_tokens"),
+        F.col("__b").cast("long").alias("budget_tokens"),
+        F.when(F.col("feas") == 1, F.col("avail"))
+        .otherwise(F.col("__c"))
+        .cast("long")
+        .alias("allocated_tokens"),
+        (F.col("feas") == 0).alias("capped"),
+        F.col("__c").cast("long").alias("water_level"),
+    )

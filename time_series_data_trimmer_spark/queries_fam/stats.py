@@ -4409,3 +4409,79 @@ def _q_dq_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 2: chance-corrected rater agreement (label-QA family).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_cohens_kappa_langid",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{_lang_score_sql(lang)} AS s_{lang}" for lang in tx.LANG_MARKERS)}
+      FROM documents
+    ),
+    p AS (SELECT lang, {_LANG_CASE} AS lang_pred FROM scored),
+    ct AS (SELECT lang, lang_pred, count(*) AS c FROM p GROUP BY 1, 2),
+    tot AS (SELECT sum(c) AS n,
+                   sum(CASE WHEN lang = lang_pred THEN c ELSE 0 END) AS agree
+            FROM ct),
+    r AS (SELECT lang AS k, sum(c) AS rk FROM ct GROUP BY 1),
+    cl AS (SELECT lang_pred AS k, sum(c) AS ck FROM ct GROUP BY 1),
+    pe AS (
+      SELECT sum(r.rk * cl.ck) AS pen
+      FROM r JOIN cl ON cl.k = r.k
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_docs,
+           CAST(tot.agree AS BIGINT) AS n_agree,
+           {R("CAST(tot.agree AS DOUBLE) / tot.n", 6)} AS observed_agreement,
+           {R("CAST(pe.pen AS DOUBLE) / (CAST(tot.n AS DOUBLE) * tot.n)", 6)}
+             AS expected_agreement,
+           {R("(CAST(tot.agree AS DOUBLE) / tot.n"
+              " - CAST(pe.pen AS DOUBLE) / (CAST(tot.n AS DOUBLE) * tot.n))"
+              " / (1.0 - CAST(pe.pen AS DOUBLE)"
+              "          / (CAST(tot.n AS DOUBLE) * tot.n))", 6)} AS kappa
+    FROM tot CROSS JOIN pe
+    """,
+)
+def _q_eval_cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA between the n-gram language-ID heuristic and the
+    gold `lang` label — chance-corrected agreement, the standard
+    label-QA statistic the raw confusion matrix
+    (`text_lang_confusion`) doesn't give: a heuristic can show 60%
+    raw agreement on a 2-language corpus and still be barely above
+    chance. κ = (p_o − p_e)/(1 − p_e) with p_e from the marginal
+    row/column products (Cohen 1960). Every input to the two ratios
+    is an exact integer (cell counts, marginal products summed as
+    integers), each ratio is ONE IEEE division — bit-identical in
+    both engines — and outputs round on the 6-dp grid. One groupBy
+    over |langs|² cells; the scan is the cost, the test is free.
+    Label-QA extension (the reference repo has no eval surface)."""
+    docs = _table(spark, sf_dir, "documents")
+    p = tx.language_id(docs).select("lang", "lang_pred")
+    ct = p.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("c"))
+    tot = ct.agg(
+        F.sum("c").alias("__n"),
+        F.sum(F.when(F.col("lang") == F.col("lang_pred"), F.col("c")).otherwise(F.lit(0))).alias("__agree"),
+    )
+    r = ct.groupBy(F.col("lang").alias("k")).agg(F.sum("c").alias("rk"))
+    cl = ct.groupBy(F.col("lang_pred").alias("k")).agg(F.sum("c").alias("ck"))
+    pen = (
+        r.join(cl.hint("shuffle_hash"), "k")
+        .agg(F.sum(F.col("rk") * F.col("ck")).alias("__pen"))
+    )
+    j = tot.crossJoin(F.broadcast(pen))
+    po = F.col("__agree").cast("double") / F.col("__n")
+    pe = F.col("__pen").cast("double") / (
+        F.col("__n").cast("double") * F.col("__n")
+    )
+    return j.select(
+        F.col("__n").cast("long").alias("n_docs"),
+        F.col("__agree").cast("long").alias("n_agree"),
+        rd(po, 6).alias("observed_agreement"),
+        rd(pe, 6).alias("expected_agreement"),
+        rd((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )

@@ -2389,3 +2389,146 @@ def _q_text_vocab_coverage_by_freq_band(spark: SparkSession, sf_dir: str) -> Dat
         ),
         F.col("__z.__ct").cast("long").alias("vocab_from_top"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 2: interpolated Kneser-Ney bigram perplexity per source —
+# the CCNet/KenLM-style LM-quality statistic, upgrading the add-one
+# bigram scorer with the smoothing production pipelines actually use.
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount; 3/4 is exact in binary, engine-safe
+
+
+@register(
+    "text_kn_bigram_ppl",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' '), x -> length(x) > 0) AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bg AS (
+      SELECT source, md5(u['a']) AS vd, md5(u['b']) AS wd
+      FROM (SELECT source,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> {{'a': toks[i], 'b': toks[i + 1]}})) AS u
+            FROM tk)
+    ),
+    cbg AS (SELECT vd, wd, count(*) AS cvw FROM bg GROUP BY 1, 2),
+    cv AS (SELECT vd, sum(cvw) AS cvtot, count(*) AS n1pv FROM cbg GROUP BY 1),
+    nw AS (SELECT wd, count(*) AS n1pw FROM cbg GROUP BY 1),
+    tt AS (SELECT count(*) AS t FROM cbg),
+    pt AS (
+      SELECT c.vd, c.wd,
+             {sql_rd(f"log2((CAST(c.cvw AS DOUBLE) - {_KN_D}) / v.cvtot"
+                     f" + {_KN_D} * CAST(v.n1pv AS DOUBLE) / v.cvtot"
+                     " * (CAST(n.n1pw AS DOUBLE) / tt.t))", 6)} AS term
+      FROM cbg c
+      JOIN cv v ON v.vd = c.vd
+      JOIN nw n ON n.wd = c.wd
+      CROSS JOIN tt
+    ),
+    sc AS (SELECT source, vd, wd, count(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+    agg AS (
+      SELECT sc.source,
+             CAST(sum(sc.cnt) AS BIGINT) AS n_bigrams,
+             {R(f"-CAST(sum(CAST({sql_rd('sc.cnt * pt.term', 6)}"
+                " AS DECIMAL(38,6))) AS DOUBLE) / sum(sc.cnt)", 6)}
+               AS cross_entropy_bits
+      FROM sc JOIN pt ON pt.vd = sc.vd AND pt.wd = sc.wd
+      GROUP BY sc.source
+    )
+    SELECT source, n_bigrams, cross_entropy_bits,
+           {R("power(2.0, cross_entropy_bits)", 4)} AS ppl
+    FROM agg
+    """,
+)
+def _q_text_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram perplexity per source — the
+    LM-quality statistic production corpus pipelines actually
+    threshold on (CCNet scores against a KenLM model, which is
+    modified KN; the repo's `text_bigram_lm_score` is the add-one
+    baseline). Trained on the whole corpus in the same job:
+
+        P(w|v) = (c(vw) − d)/c(v·) + d·N1+(v·)/c(v·) · N1+(·w)/T
+
+    with d = {_KN_D} (exact in binary), N1+ the continuation/prefix
+    TYPE counts and T the bigram type count — the KN insight that a
+    word's continuation probability should count how many contexts it
+    follows, not how often ("san francisco" makes "francisco"
+    frequent but not free-standing). Per source: cross-entropy in
+    bits over its bigram occurrences and ppl = 2^H.
+
+    Scale plan (the `bigram_lm_score` discipline): bigrams collapse
+    to md5 digests scan-side so every join/agg shuffles 32-hex keys,
+    never text; counts are map-side partial, vocab²-bounded; T is a
+    1-row broadcast. Every probability input is an exact integer,
+    the P expression is a fixed IEEE op sequence replicated verbatim
+    in the oracle, log2 terms round on the 6-dp grid before decimal
+    accumulation (entropy-family convention), ppl on the 4-dp grid."""
+    docs = _table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    toks = F.filter(F.split(norm, " "), lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(F.md5(a).alias("vd"), F.md5(b).alias("wd")),
+    )
+    # repartition BEFORE the md5-heavy explode (the bigram_lm_score
+    # lesson): locally a small corpus scans as one partition and the
+    # hash work would single-thread; at scale AQE coalesces to a no-op.
+    par = spark.sparkContext.defaultParallelism
+    bg = (
+        docs.filter(n >= 2)
+        .select("doc_id", "source", "text")
+        .repartition(par, F.col("doc_id"))
+        .select("source", F.explode(pairs).alias("b"))
+        .select(
+            "source", F.col("b.vd").alias("vd"), F.col("b.wd").alias("wd")
+        )
+    )
+    cbg = bg.groupBy("vd", "wd").agg(F.count(F.lit(1)).alias("cvw"))
+    cv = cbg.groupBy("vd").agg(
+        F.sum("cvw").alias("cvtot"), F.count(F.lit(1)).alias("n1pv")
+    )
+    nw = cbg.groupBy("wd").agg(F.count(F.lit(1)).alias("n1pw"))
+    tt = cbg.agg(F.count(F.lit(1)).alias("t"))
+    p = (
+        F.col("cvw").cast("double") - F.lit(_KN_D)
+    ) / F.col("cvtot") + F.lit(_KN_D) * F.col("n1pv").cast("double") / F.col(
+        "cvtot"
+    ) * (F.col("n1pw").cast("double") / F.col("t"))
+    pt = (
+        cbg.join(cv.hint("shuffle_hash"), "vd")
+        .join(nw.hint("shuffle_hash"), "wd")
+        .crossJoin(F.broadcast(tt))
+        .select("vd", "wd", rd(F.log2(p), 6).alias("term"))
+    )
+    sc = bg.groupBy("source", "vd", "wd").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = (
+        sc.join(pt.hint("shuffle_hash"), ["vd", "wd"])
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            rd(
+                -F.sum(
+                    rd(F.col("cnt") * F.col("term"), 6).cast("decimal(38,6)")
+                ).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("cross_entropy_bits"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_bigrams",
+        "cross_entropy_bits",
+        rd(F.pow(F.lit(2.0), F.col("cross_entropy_bits")), 4).alias("ppl"),
+    )

@@ -2218,3 +2218,138 @@ def _q_ts_holt_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         rd(F.col("__wins").cast("double") / F.col("n_evals"), 6).alias("win_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 2: Ljung-Box whiteness test per event type — "is there any
+# autocorrelation left", the formal test next to autocorr's argmax.
+# ---------------------------------------------------------------------------
+
+_LB_H = 6
+
+
+def _lb_ck_sql(k: int) -> str:
+    prod = R(f"(__v - __m) * (__v{k} - __m)", 6)
+    return (
+        f"CAST(sum(CASE WHEN __v{k} IS NOT NULL THEN "
+        f"CAST({prod} AS DECIMAL(38,6)) END) AS DOUBLE) AS c{k}"
+    )
+
+
+@register(
+    "ts_ljungbox_whiteness",
+    f"""
+    WITH e AS (
+      SELECT event_type, event_id, ts, value, epoch_us(ts) AS us FROM events
+    ),
+    base AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS __v,
+             CAST(sum(CAST({R("CAST(value AS DOUBLE)", 6)} AS DECIMAL(38,6)))
+                    OVER (PARTITION BY event_type) AS DOUBLE)
+               / CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE)
+               AS __m,
+             {", ".join(f"lead(CAST(value AS DOUBLE), {k}) OVER w AS __v{k}" for k in range(1, _LB_H + 1))}
+      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+    ),
+    agg AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST({R("(__v - __m) * (__v - __m)", 6)}
+                  AS DECIMAL(38,6))) AS DOUBLE) AS c0,
+             {", ".join(_lb_ck_sql(k) for k in range(1, _LB_H + 1))}
+      FROM base GROUP BY event_type
+    ),
+    rho AS (
+      SELECT event_type, n,
+             {", ".join(f"{R(f'c{k} / c0', 6)} AS r{k}" for k in range(1, _LB_H + 1))}
+      FROM agg
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, r1 AS rho1,
+           {R("CAST(n AS DOUBLE) * (n + 2) * CAST(("
+              + " + ".join(f"CAST({sql_rd(f'r{k} * r{k} / (n - {k})', 9)} AS DECIMAL(18,9))" for k in range(1, _LB_H + 1))
+              + ") AS DOUBLE)", 4)} AS q_stat,
+           CAST({_LB_H} AS INTEGER) AS df
+    FROM rho
+    """,
+)
+def _q_ts_ljungbox_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX portmanteau whiteness test per event type (lags
+    1-{_LB_H}): Q = n(n+2)·Σ ρ̂²_k/(n−k), the formal "is there ANY
+    autocorrelation left" statistic (χ² with {_LB_H} df under the
+    white-noise null; Q ≫ 12.6 at α=.05 rejects) — the hypothesis
+    -test companion to `autocorr_peak_lag_by_user`'s descriptive
+    argmax and the residual-diagnostic the forecast family
+    (ts_holt_*, ts_seasonal_*) needs to claim a model captured the
+    structure. Exactness discipline is the autocorr family's: type
+    mean from a decimal sum of 6-dp values, each lag product
+    6-dp-rounded and decimal-summed (c_k over the n−k aligned pairs,
+    c_0 over all), ρ_k = one IEEE division rounded to the 6-dp grid,
+    Q assembled from 9-dp decimal terms and reported on the 4-dp
+    grid. Plan: ONE type-partitioned window pass carries the mean and
+    all {_LB_H} leads (shared Exchange), one map-side-combined
+    aggregate, |types| output rows. Time-series extension (reference
+    repo has no test surface)."""
+    from time_series_data_trimmer_spark.sources.events import event_micros
+
+    e = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        event_micros(e, "ts").asc(), F.col("event_id").asc()
+    )
+    wfull = Window.partitionBy("event_type")
+    v = F.col("value").cast("double")
+    m = (
+        F.sum(rd(v, 6).cast("decimal(38,6)")).over(wfull).cast("double")
+        / F.count(F.lit(1)).over(wfull).cast("double")
+    )
+    base = e.select(
+        "event_type",
+        v.alias("__v"),
+        m.alias("__m"),
+        *[
+            F.lead(v, k).over(w).alias(f"__v{k}")
+            for k in range(1, _LB_H + 1)
+        ],
+    )
+    d = F.col("__v") - F.col("__m")
+    agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rd(d * d, 6).cast("decimal(38,6)")).cast("double").alias("c0"),
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"__v{k}").isNotNull(),
+                    rd(d * (F.col(f"__v{k}") - F.col("__m")), 6).cast(
+                        "decimal(38,6)"
+                    ),
+                )
+            )
+            .cast("double")
+            .alias(f"c{k}")
+            for k in range(1, _LB_H + 1)
+        ],
+    )
+    rho = agg.select(
+        "event_type",
+        "n",
+        *[
+            rd(F.col(f"c{k}") / F.col("c0"), 6).alias(f"r{k}")
+            for k in range(1, _LB_H + 1)
+        ],
+    )
+    qsum = None
+    for k in range(1, _LB_H + 1):
+        term = rd(
+            F.col(f"r{k}") * F.col(f"r{k}") / (F.col("n") - F.lit(k)), 9
+        ).cast("decimal(18,9)")
+        qsum = term if qsum is None else qsum + term
+    return rho.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("r1").alias("rho1"),
+        rd(
+            F.col("n").cast("double")
+            * (F.col("n") + F.lit(2))
+            * qsum.cast("double"),
+            4,
+        ).alias("q_stat"),
+        F.lit(_LB_H).cast("int").alias("df"),
+    )
