@@ -311,6 +311,9 @@ HEADLINE = [
     "text_kn_bigram_ppl",         # interpolated Kneser-Ney source perplexity
     "mix_waterfill_token_budget",  # max-min fair budget allocation
     "ts_ljungbox_whiteness",      # portmanteau autocorrelation test
+    "stats_brown_forsythe_by_type",  # robust variance-homogeneity gate for ANOVA
+    "layout_bloom_advisor",       # parquet bloom sizing for point predicates
+    "stream_watermark_lateness_audit",  # data-derived watermark delay
 ]
 
 

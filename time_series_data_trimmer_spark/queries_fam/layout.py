@@ -507,3 +507,118 @@ def _q_layout_zonemap_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             "selectivity"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 3: parquet bloom-filter sizing advisor.
+# ---------------------------------------------------------------------------
+
+#: target false-positive rate 1% -> bits/element = -ln(.01)/ln(2)^2 and
+#: k = round(bits/n * ln 2), both CONSTANTS once p is fixed — embedding
+#: them as literals keeps every engine's arithmetic identical (one
+#: double multiply + ceil; no ln at query time).
+_BLOOM_BITS_PER_ELEM = 9.585026430693062
+_BLOOM_K = 7
+_BLOOM_ROWS_PER_FILE = 1_000_000
+_BLOOM_DICT_CUTOFF = 4096  # below this, parquet dictionary already serves point lookups
+
+_BLOOM_COLS = ("user_id", "event_type", "event_id")
+
+
+@register(
+    "layout_bloom_advisor",
+    f"""
+    WITH d AS (
+      SELECT count(*) AS n_rows,
+             {", ".join(f"count(DISTINCT {c}) AS nd_{c}" for c in _BLOOM_COLS)}
+      FROM events
+    ),
+    u AS (
+      {" UNION ALL ".join(
+          f"SELECT '{c}' AS column_name, n_rows, nd_{c} AS n_distinct FROM d"
+          for c in _BLOOM_COLS)}
+    ),
+    s AS (
+      SELECT column_name, n_rows, n_distinct,
+             least(n_distinct, {_BLOOM_ROWS_PER_FILE}) AS est_distinct_per_file
+      FROM u
+    )
+    SELECT column_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST({_BLOOM_ROWS_PER_FILE} AS BIGINT) AS rows_per_file,
+           CAST(est_distinct_per_file AS BIGINT) AS est_distinct_per_file,
+           CAST(ceil(est_distinct_per_file * {_BLOOM_BITS_PER_ELEM})
+                AS BIGINT) AS bloom_bits_per_file,
+           CAST(ceil(est_distinct_per_file * {_BLOOM_BITS_PER_ELEM} / 8.0)
+                AS BIGINT) AS bloom_bytes_per_file,
+           CAST({_BLOOM_K} AS INTEGER) AS k_hashes,
+           CASE WHEN est_distinct_per_file <= {_BLOOM_DICT_CUTOFF}
+                THEN 'dict' ELSE 'bloom' END AS recommend
+    FROM s
+    """,
+)
+def _q_layout_bloom_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET BLOOM-FILTER sizing advisor for equality-predicate
+    columns: per candidate column, the exact global distinct count,
+    the per-file distinct upper bound (min(distinct, rows/file) — the
+    uniform worst case), and the standard Bloom sizing at 1% FPR —
+    m = ceil(n·(−ln p)/ln²2) bits, k = round(m/n·ln 2) hashes. With p
+    FIXED both factors are literals ({_BLOOM_BITS_PER_ELEM:.4f}
+    bits/element, k={_BLOOM_K}), so the advisor is one multiply+ceil
+    per column, engine-identical. The recommendation column encodes
+    the real layout decision: a column whose per-file cardinality
+    fits a dictionary page (≤{_BLOOM_DICT_CUTOFF}) gets point-lookup
+    pruning for free from dict+stats — a Bloom filter only pays for
+    itself on high-cardinality keys (the `user_id` class). Next to
+    `layout_zonemap_prune_stats` (range predicates) and
+    `layout_encoding_advisor` (storage), this completes the
+    scan-pruning triad for point predicates. One Expand-based
+    multi-distinct aggregate; |cols| output rows at any scale."""
+    e = _table(spark, sf_dir, "events")
+    d = e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.countDistinct(F.col(c)).alias(f"nd_{c}")
+            for c in _BLOOM_COLS
+        ],
+    )
+    rows = None
+    for c in _BLOOM_COLS:
+        r = d.select(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    s = rows.withColumn(
+        "est_distinct_per_file",
+        F.least(F.col("n_distinct"), F.lit(_BLOOM_ROWS_PER_FILE)),
+    )
+    bits = F.ceil(
+        F.col("est_distinct_per_file") * F.lit(_BLOOM_BITS_PER_ELEM)
+    )
+    return s.select(
+        "column_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.lit(_BLOOM_ROWS_PER_FILE).cast("long").alias("rows_per_file"),
+        F.col("est_distinct_per_file")
+        .cast("long")
+        .alias("est_distinct_per_file"),
+        bits.cast("long").alias("bloom_bits_per_file"),
+        F.ceil(
+            F.col("est_distinct_per_file")
+            * F.lit(_BLOOM_BITS_PER_ELEM)
+            / F.lit(8.0)
+        )
+        .cast("long")
+        .alias("bloom_bytes_per_file"),
+        F.lit(_BLOOM_K).cast("int").alias("k_hashes"),
+        F.when(
+            F.col("est_distinct_per_file") <= F.lit(_BLOOM_DICT_CUTOFF),
+            F.lit("dict"),
+        )
+        .otherwise(F.lit("bloom"))
+        .alias("recommend"),
+    )

@@ -4485,3 +4485,166 @@ def _q_eval_cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         rd(pe, 6).alias("expected_agreement"),
         rd((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 3: Brown-Forsythe robust variance homogeneity — the
+# assumption check stats_anova_value_by_type silently relies on.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_brown_forsythe_by_type",
+    f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS sv
+      FROM events WHERE value IS NOT NULL
+    ),
+    rk AS (
+      SELECT event_type, sv,
+             row_number() OVER (PARTITION BY event_type ORDER BY sv) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ),
+    md AS (
+      SELECT event_type, sv AS med FROM rk
+      WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    ),
+    z AS (
+      SELECT e.event_type, abs(e.sv - md.med) AS zv
+      FROM e JOIN md ON md.event_type = e.event_type
+    ),
+    g AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(zv AS DECIMAL(38,0))) AS s1,
+             sum(CAST(CAST(zv * zv AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS s2
+      FROM z GROUP BY event_type
+    ),
+    t AS (
+      SELECT event_type, n, s1, s2,
+             CAST({R("CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n"
+                     " / 100000000.0", 6)}
+                  AS DECIMAL(38,6)) AS tg
+      FROM g
+    ),
+    a AS (
+      SELECT count(*) AS k, sum(n) AS nn,
+             sum(s1) AS s1t, sum(s2) AS s2t, sum(tg) AS t1
+      FROM t
+    ),
+    d AS (
+      SELECT k, nn,
+             {R("CAST(t1 AS DOUBLE) - " + R("CAST(s1t AS DOUBLE) * CAST(s1t AS DOUBLE) / nn / 100000000.0", 6), 6)} AS ssb,
+             {R(R("CAST(s2t AS DOUBLE) / 100000000.0", 6) + " - CAST(t1 AS DOUBLE)", 6)} AS ssw
+      FROM a
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(nn AS BIGINT) AS n,
+           ssb AS ss_between, ssw AS ss_within,
+           {R("(ssb / (k - 1)) / (ssw / (nn - k))", 6)} AS f_stat
+    FROM d
+    """,
+)
+def _q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE variance-homogeneity test across event types —
+    the robust Levene variant (deviations from the group MEDIAN, not
+    mean): one-way ANOVA F on z_ij = |x_ij − med_j|. This is the
+    assumption check `stats_anova_value_by_type` silently relies on
+    (classical ANOVA assumes equal group variances; BF is the
+    recommended gatekeeper, robust to heavy tails where Levene-mean
+    and Bartlett break). Med_j is the LOWER median — the exact
+    ceil(n/2)-th order statistic, an engine-identical VALUE even
+    under duplicate ties (invariant 21: order statistics compare
+    cross-engine, interpolated quantiles don't). Everything else is
+    the ANOVA query's integer discipline verbatim: values on the 1e-4
+    grid, z integer, sums as exact decimals, one final IEEE division
+    per output on the 6-dp grid. Plan: one type-keyed window pass for
+    (rank, count), a broadcast-size median table joined back, one
+    map-side-combined aggregate. Stats-family extension."""
+    e = (
+        _table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 10000.0 + 0.5)
+            .cast("long")
+            .alias("sv"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("sv").asc())
+    wf = Window.partitionBy("event_type")
+    rk = e.select(
+        "event_type",
+        "sv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wf).alias("__n"),
+    )
+    md = rk.filter(
+        F.col("rn") == F.ceil(F.col("__n") / F.lit(2.0))
+    ).select("event_type", F.col("sv").alias("med"))
+    z = e.join(F.broadcast(md), "event_type").select(
+        "event_type", F.abs(F.col("sv") - F.col("med")).alias("zv")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("zv").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            (F.col("zv") * F.col("zv")).cast("decimal(19,0)").cast(
+                "decimal(38,0)"
+            )
+        ).alias("s2"),
+    )
+    t = g.select(
+        "event_type",
+        "n",
+        "s1",
+        "s2",
+        rd(
+            F.col("s1").cast("double")
+            * F.col("s1").cast("double")
+            / F.col("n")
+            / F.lit(100000000.0),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("tg"),
+    )
+    a = t.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s1").alias("s1t"),
+        F.sum("s2").alias("s2t"),
+        F.sum("tg").alias("t1"),
+    )
+    d = a.select(
+        "k",
+        "nn",
+        rd(
+            F.col("t1").cast("double")
+            - rd(
+                F.col("s1t").cast("double")
+                * F.col("s1t").cast("double")
+                / F.col("nn")
+                / F.lit(100000000.0),
+                6,
+            ),
+            6,
+        ).alias("ssb"),
+        rd(
+            rd(F.col("s2t").cast("double") / F.lit(100000000.0), 6)
+            - F.col("t1").cast("double"),
+            6,
+        ).alias("ssw"),
+    )
+    return d.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n"),
+        F.col("ssb").alias("ss_between"),
+        F.col("ssw").alias("ss_within"),
+        rd(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("nn") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )

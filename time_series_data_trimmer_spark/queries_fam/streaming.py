@@ -733,3 +733,111 @@ def _q_stream_cusum_level_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__s.n_alerts").alias("n_alerts"),
         F.col("__s.cusum_now").alias("cusum_now"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 3: out-of-orderness audit -> data-derived watermark delay.
+# ---------------------------------------------------------------------------
+
+_WM_QS = ((50, 0.5), (95, 0.95), (99, 0.99))
+
+
+@register(
+    "stream_watermark_lateness_audit",
+    f"""
+    WITH e AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us FROM events
+    ),
+    lat AS (
+      SELECT event_type,
+             max(us) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING
+             ) - us AS lateness_us
+      FROM e
+    ),
+    rk AS (
+      SELECT event_type, lateness_us,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY lateness_us
+             ) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM lat
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN lateness_us > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+           {", ".join(
+             f"CAST(max(CASE WHEN rn = CAST(ceil({q} * n) AS BIGINT) "
+             f"THEN lateness_us END) AS BIGINT) AS p{p}_lateness_us"
+             for p, q in _WM_QS)},
+           CAST(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                THEN lateness_us END) AS BIGINT) AS watermark_delay_us
+    FROM rk GROUP BY event_type
+    """,
+)
+def _q_stream_watermark_lateness_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OUT-OF-ORDERNESS audit → data-derived watermark delay: for each
+    event type, the distribution of event-time LATENESS relative to
+    the max event time already seen in arrival order (event_id — the
+    ingest sequence), i.e. exactly the quantity a Structured Streaming
+    watermark bounds. `withWatermark(delay)` drops events later than
+    delay behind the frontier; picking delay by folklore either drops
+    data (too small) or balloons state (too large — the invariant-18
+    capacity term). This query makes the choice a measurement: p50/
+    p95/p99 lateness as exact ORDER STATISTICS (ceil(q·n)-th smallest
+    — engine-identical values, invariant 21) and the p99 as the
+    recommended delay, the complement to
+    `stream_state_partition_report`'s state sizing. Plan: one
+    type-keyed running-max window pass in arrival order, one
+    type-keyed rank pass, one aggregate; |types| rows out at any
+    scale. Streaming-family extension."""
+    ev = _table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", "event_id", event_micros(ev, "ts").alias("us")
+    )
+    wa = Window.partitionBy("event_type").orderBy(F.col("event_id").asc())
+    lat = e.select(
+        "event_type",
+        (
+            F.max("us").over(wa.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("us")
+        ).alias("lateness_us"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.col("lateness_us").asc())
+    wf = Window.partitionBy("event_type")
+    rk = lat.select(
+        "event_type",
+        "lateness_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wf).alias("n"),
+    )
+    qcols = [
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")),
+                F.col("lateness_us"),
+            )
+        )
+        .cast("long")
+        .alias(f"p{p}_lateness_us")
+        for p, q in _WM_QS
+    ]
+    return rk.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.sum((F.col("lateness_us") > 0).cast("int"))
+        .cast("long")
+        .alias("n_late"),
+        *qcols,
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.99) * F.col("n")),
+                F.col("lateness_us"),
+            )
+        )
+        .cast("long")
+        .alias("watermark_delay_us"),
+    )
