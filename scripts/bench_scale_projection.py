@@ -64,7 +64,7 @@ def main() -> None:
             "minhash_lsh_pairs": lambda d: dd.minhash_lsh_pairs(d).count(),
             "simhash_pairs": lambda d: dd.simhash_pairs(dd.simhash(d)).count(),
             "ngram_jaccard_prefix": lambda d: dd.ngram_jaccard_prefix_pairs(
-                d
+                d, min_jaccard=0.2
             ).count(),
             "exact_dedup_groups": lambda d: dd.exact_dedup_groups(d).count(),
             "bpe_encode_ranked_50r": lambda d: tx.bpe_encode_auto(
