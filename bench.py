@@ -314,6 +314,7 @@ HEADLINE = [
     "stats_brown_forsythe_by_type",  # robust variance-homogeneity gate for ANOVA
     "layout_bloom_advisor",       # parquet bloom sizing for point predicates
     "stream_watermark_lateness_audit",  # data-derived watermark delay
+    "dedup_prefix_density_probe",  # one-scan PPJoin-vs-LSH forecast
 ]
 
 

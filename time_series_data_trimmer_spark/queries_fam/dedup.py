@@ -1704,3 +1704,149 @@ def _q_dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("dice"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 4: posting-density probe — the one-scan forecast that picks
+# exact PPJoin vs LSH-first (operationalizes the SCALING r11 finding).
+# ---------------------------------------------------------------------------
+
+#: measured envelope (SCALING.md r11 scale projection): past ~64
+#: candidate pairs per posting row the exact prefix join's verify
+#: stage dominated the LSH path on the 8x salted-replica fixture.
+_DENSITY_PPJOIN_ENVELOPE = 64
+
+
+@register(
+    "dedup_prefix_density_probe",
+    f"""
+    WITH shing AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(generate_series(1, len(w) - 2),
+                      i -> array_to_string(list_slice(w, i, i + 2), ' '))
+               ELSE [array_to_string(w, ' ')] END) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE text IS NOT NULL)
+    ),
+    tok AS (SELECT doc_id, md5(g.gram) AS gd
+            FROM shing, LATERAL (SELECT unnest(grams) AS gram) g),
+    dfc AS (SELECT gd, count(*) AS df FROM tok GROUP BY gd),
+    h AS (SELECT df, count(*) AS c FROM dfc GROUP BY df),
+    tot AS (
+      SELECT sum(c) AS n_types,
+             sum(df * c) AS n_postings,
+             sum(CAST(df * (df - 1) // 2 AS DECIMAL(38,0)) * c) AS cand,
+             max(df) AS max_df
+      FROM h
+    ),
+    cum AS (
+      SELECT df, sum(c) OVER (ORDER BY df) AS cum, tot.n_types
+      FROM h CROSS JOIN tot
+    ),
+    p99 AS (
+      SELECT min(df) AS p99_df FROM cum
+      WHERE cum >= CAST(ceil(0.99 * n_types) AS BIGINT)
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM shing)
+    SELECT CAST(nd.n_docs AS BIGINT) AS n_docs,
+           CAST(tot.n_types AS BIGINT) AS n_gram_types,
+           CAST(tot.n_postings AS BIGINT) AS n_postings,
+           CAST(tot.cand AS BIGINT) AS candidate_upper_bound,
+           CAST(tot.max_df AS BIGINT) AS max_df,
+           CAST(p99.p99_df AS BIGINT) AS p99_df,
+           {R("CAST(tot.cand AS DOUBLE) / tot.n_postings", 6)}
+             AS density_ratio,
+           CASE WHEN CAST(tot.cand AS DOUBLE)
+                     <= {_DENSITY_PPJOIN_ENVELOPE} * tot.n_postings
+                THEN 'ppjoin' ELSE 'lsh_first' END AS recommend
+    FROM nd CROSS JOIN tot CROSS JOIN p99
+    """,
+)
+def _q_dedup_prefix_density_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POSTING-DENSITY PROBE for the exact-vs-LSH dedup choice: the
+    SCALING r11 projection showed the exact PPJoin's cost is quadratic
+    in DUPLICATION DENSITY — candidate volume is Σ_g C(df(g), 2) over
+    gram posting lists — while the LSH path stays output-bound. This
+    one-scan probe computes that forecast BEFORE anyone runs a join:
+    gram-type/posting counts, the exact candidate upper bound
+    Σ df·(df−1)/2, max and p99 posting length (p99 as an order
+    statistic over the BOUNDED df-histogram — cumulative fold over
+    ≤max_df rows, no corpus-sized window), the density ratio
+    (candidates per posting row), and the recommendation at the
+    measured envelope ({_DENSITY_PPJOIN_ENVELOPE} candidates/posting —
+    the 8× salted-replica crossover). Invariant-13 shape: the
+    engine-selection input is data-derived, cheap (one shingle scan +
+    one gram-keyed count, digest-keyed shuffles), and replayed
+    verbatim by the oracle. One row out at any scale."""
+    docs = _table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tok = docs.select(
+        "doc_id", F.explode(dd.word_shingles(F.col("text"))).alias("g")
+    ).select("doc_id", F.md5("g").alias("gd"))
+    dfc = tok.groupBy("gd").agg(F.count(F.lit(1)).alias("df"))
+    h = dfc.groupBy("df").agg(F.count(F.lit(1)).alias("c"))
+    tot = h.agg(
+        F.sum("c").alias("n_types"),
+        F.sum(F.col("df") * F.col("c")).alias("n_postings"),
+        F.sum(
+            (F.col("df") * (F.col("df") - 1) / F.lit(2))
+            .cast("decimal(38,0)")
+            * F.col("c")
+        ).alias("cand"),
+        F.max("df").alias("max_df"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("df"), F.col("c")))
+        ).alias("a"),
+    )
+    # p99 df from the bounded histogram: posexplode the sorted
+    # (df, c) array, prefix-sum via slice-aggregate (waterfill
+    # precedent), take the smallest df whose cumulative count reaches
+    # ceil(0.99 * n_types).
+    cum = tot.select(
+        "n_types",
+        "n_postings",
+        "cand",
+        "max_df",
+        "a",
+        F.posexplode("a").alias("__k0", "__s"),
+    ).select(
+        "n_types",
+        "n_postings",
+        "cand",
+        "max_df",
+        F.col("__s.df").alias("df"),
+        F.expr(
+            "aggregate(slice(a, 1, __k0 + 1), CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + x.c)"
+        ).alias("cum"),
+    )
+    p99 = (
+        cum.filter(
+            F.col("cum") >= F.ceil(F.lit(0.99) * F.col("n_types"))
+        )
+        .groupBy("n_types", "n_postings", "cand", "max_df")
+        .agg(F.min("df").alias("p99_df"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return p99.crossJoin(F.broadcast(nd)).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_types").cast("long").alias("n_gram_types"),
+        F.col("n_postings").cast("long").alias("n_postings"),
+        F.col("cand").cast("long").alias("candidate_upper_bound"),
+        F.col("max_df").cast("long").alias("max_df"),
+        F.col("p99_df").cast("long").alias("p99_df"),
+        rd(
+            F.col("cand").cast("double") / F.col("n_postings"), 6
+        ).alias("density_ratio"),
+        F.when(
+            F.col("cand").cast("double")
+            <= F.lit(_DENSITY_PPJOIN_ENVELOPE) * F.col("n_postings"),
+            F.lit("ppjoin"),
+        )
+        .otherwise(F.lit("lsh_first"))
+        .alias("recommend"),
+    )
