@@ -376,10 +376,18 @@ COMPARE_SET_V2 = [
 #: SF0.1-SPECIFIC (the driver's bench scale): at any other
 #: $SPARK_GRAFT_SF_DIR the index still reports but only tracks
 #: relative load between runs at that same SF.
+#:
+#: CONTEXT MATTERS (r11 calibration lesson): probe cost is highly
+#: JVM-context-dependent — ~0.15 s in an isolated fresh loop, ~0.27 s
+#: interleaved inside a full bench run (GC pressure + cache state
+#: from the heavy queries). Probes only ever run MID-BENCH, so the
+#: baseline is defined as the MID-BENCH median from the r11
+#: session-final bench on an idle box. Compare probe_index across
+#: bench runs only; never against isolated one-off timings.
 PROBE_BASELINE_SEC = {
-    "e1_frame_transform": 0.343,
-    "f12_absolute": 0.292,
-    "p5_mark_bad": 0.253,
+    "e1_frame_transform": 0.269,
+    "f12_absolute": 0.322,
+    "p5_mark_bad": 0.261,
 }
 
 #: FROZEN compare_set v2 idle-box reference (r11, VERDICT r10 #4):
