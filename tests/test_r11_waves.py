@@ -111,6 +111,36 @@ def _ivl_frame(spark, rows):
     )
 
 
+def test_waterfill_allocation_properties(spark):
+    """Max-min fairness invariants of the water-fill allocation, on a
+    hand-checkable fixture: sources below the water level keep their
+    full availability, capped sources all get the same level, the
+    total never exceeds the budget, and a budget >= total funds
+    everyone uncapped."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    fn, _ = REGISTRY["mix_waterfill_token_budget"]
+
+    import os
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    b = rows[0]["budget_tokens"]
+    total_alloc = sum(r["allocated_tokens"] for r in rows)
+    assert total_alloc <= b
+    levels = {r["allocated_tokens"] for r in rows if r["capped"]}
+    assert len(levels) <= 1  # all capped sources share the water level
+    for r in rows:
+        if not r["capped"]:
+            assert r["allocated_tokens"] == r["avail_tokens"]
+        else:
+            assert r["allocated_tokens"] <= r["avail_tokens"]
+    # residual after flooring is < number of capped sources
+    n_capped = sum(1 for r in rows if r["capped"])
+    if n_capped:
+        assert b - total_alloc < n_capped
+
+
 def test_capped_join_requires_tiebreak_cols(spark):
     """ADVICE r10: per_bucket_cap without cap_order_cols would make
     the keep set partition-order-dependent — the API now refuses."""
