@@ -315,6 +315,8 @@ HEADLINE = [
     "layout_bloom_advisor",       # parquet bloom sizing for point predicates
     "stream_watermark_lateness_audit",  # data-derived watermark delay
     "dedup_prefix_density_probe",  # one-scan PPJoin-vs-LSH forecast
+    "privacy_pii_redact_rewrite",  # regex scrub rewrite, digest-value-checked
+    "eval_bootstrap_auc_ci",      # Poisson-bootstrap CI on the binned AUC
 ]
 
 
