@@ -77,14 +77,17 @@ _FIRST_50 = [
     "j2_deletion_anti_join", "p3_selection_masked_filter",
     "p6_annotation_at_time", "p8_snap_to_extremum", "w2_forward_fill",
     "e2_derived_channel", "e9_heading_from_forward", "a9_sessionize",
-    "sim_ivf_pq_topk", "sim_ivf_topk_refined", "emb_isotropy_report",
-    "emb_retrieval_mrr",
-    "text_zipf_slope_by_source", "text_jsd_source_divergence",
-    "text_rake_top_keyword",
-    "stats_cramers_v_pairs", "stats_bh_fdr_ks_by_type", "stats_cuped_halves",
-    "ts_changepoint_binary_seg", "ts_hampel_filter",
     "dq_functional_dependency", "privacy_dp_count_report",
     "graph_clustering_by_degree", "sample_kcenter_coreset",
+    # the 12 r11 additions (newest-first per the VERDICT rotation
+    # precedent — all registered and locally oracle-verified this
+    # round, never driver-sampled by construction)
+    "text_bpe_sample_train_encode", "graph_concurrency_autocap_edges",
+    "eval_cohens_kappa_langid", "text_kn_bigram_ppl",
+    "mix_waterfill_token_budget", "ts_ljungbox_whiteness",
+    "stats_brown_forsythe_by_type", "layout_bloom_advisor",
+    "stream_watermark_lateness_audit", "dedup_prefix_density_probe",
+    "privacy_pii_redact_rewrite", "eval_bootstrap_auc_ci",
 ]
 
 
