@@ -485,6 +485,8 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         if qi % probe_every == 0:
             run_probes()
+    if len(names) % probe_every != 0:
+        run_probes()  # end-of-run round (the modulo can skip it)
     ratios = sorted(
         t / PROBE_BASELINE_SEC[p]
         for p, ts in probe_samples.items()
