@@ -317,6 +317,8 @@ HEADLINE = [
     "dedup_prefix_density_probe",  # one-scan PPJoin-vs-LSH forecast
     "privacy_pii_redact_rewrite",  # regex scrub rewrite, digest-value-checked
     "eval_bootstrap_auc_ci",      # Poisson-bootstrap CI on the binned AUC
+    "orders_cohort_ltv_curve",    # cumulative revenue per cohort customer
+    "events_markov_attribution",  # removal-effect channel attribution
 ]
 
 

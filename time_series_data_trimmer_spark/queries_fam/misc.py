@@ -763,3 +763,352 @@ def _q_orders_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc()
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 6: cohort LTV curve — the revenue companion to the
+# retention triangle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_cohort_ltv_curve",
+    f"""
+    WITH ow AS (
+      SELECT o_custkey AS c,
+             CAST(floor(epoch_us(o_orderdate) / 604800000000) AS BIGINT) AS w,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    f AS (SELECT c, min(w) AS cw FROM ow GROUP BY c),
+    sizes AS (SELECT cw, count(*) AS cohort_size FROM f GROUP BY cw),
+    cells AS (
+      SELECT f.cw, ow.w - f.cw AS off, count(*) AS n_orders,
+             sum(CAST(ow.cents AS DECIMAL(38,0))) AS rev_cents
+      FROM ow JOIN f ON f.c = ow.c
+      GROUP BY f.cw, ow.w - f.cw
+    ),
+    cum AS (
+      SELECT cw, off, n_orders, rev_cents,
+             sum(rev_cents) OVER (
+               PARTITION BY cw ORDER BY off
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_cents
+      FROM cells
+    )
+    SELECT cum.cw AS cohort_week,
+           CAST(cum.off AS BIGINT) AS week_offset,
+           CAST(cum.n_orders AS BIGINT) AS n_orders,
+           {R("CAST(cum.rev_cents AS DOUBLE) / 100.0", 2)} AS revenue,
+           {R("CAST(cum.cum_cents AS DOUBLE) / 100.0", 2)} AS cum_revenue,
+           CAST(sizes.cohort_size AS BIGINT) AS cohort_size,
+           {R("CAST(cum.cum_cents AS DOUBLE)"
+              " / (100.0 * CAST(sizes.cohort_size AS DOUBLE))", 2)}
+             AS cum_ltv_per_customer
+    FROM cum JOIN sizes ON sizes.cw = cum.cw
+    """,
+)
+def _q_orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LIFETIME-VALUE curve — the revenue companion to
+    `cohort_retention`'s activity triangle: customers bucketed by
+    first-order epoch week, then per (cohort, week-offset) the order
+    count, revenue, RUNNING cumulative revenue, and cumulative LTV per
+    original cohort customer — the curve whose flattening point is
+    the payback-window decision. Same integer epoch-week convention
+    as the retention triangle; revenue on the exact cent grid
+    (floor(x·100+.5) BIGINT) summed as decimals, the running sum in a
+    cohort-KEYED window over the bounded (cohort × offset) cell
+    table, divided once per output on the 2-dp grid. One narrow scan
+    of orders, one broadcast-size first-order table, cells-bounded
+    output. Revenue-analytics extension (reference repo has no orders
+    surface)."""
+    o = _table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(604800000000)
+        )
+        .cast("long")
+        .alias("w"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    f = o.groupBy("c").agg(F.min("w").alias("cw"))
+    sizes = f.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_size"))
+    cells = (
+        o.join(f.hint("shuffle_hash"), "c")
+        .groupBy("cw", (F.col("w") - F.col("cw")).alias("off"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("rev_cents"),
+        )
+    )
+    wc = Window.partitionBy("cw").orderBy(F.col("off").asc())
+    cum = cells.withColumn(
+        "cum_cents",
+        F.sum("rev_cents").over(
+            wc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return cum.join(F.broadcast(sizes), "cw").select(
+        F.col("cw").alias("cohort_week"),
+        F.col("off").cast("long").alias("week_offset"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        rd(F.col("rev_cents").cast("double") / F.lit(100.0), 2).alias(
+            "revenue"
+        ),
+        rd(F.col("cum_cents").cast("double") / F.lit(100.0), 2).alias(
+            "cum_revenue"
+        ),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        rd(
+            F.col("cum_cents").cast("double")
+            / (F.lit(100.0) * F.col("cohort_size").cast("double")),
+            2,
+        ).alias("cum_ltv_per_customer"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 6: Markov removal-effect attribution (Anderl et al. 2016).
+# ---------------------------------------------------------------------------
+
+_ATTR_CHANNELS = ["click", "error", "signup", "view"]  # alphabetical
+_ATTR_ITERS = 12
+_ATTR_TRANS_SQL = """ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS newf
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT *, sum(newf) OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS UNBOUNDED PRECEDING) AS sess
+      FROM m
+    ),
+    r0 AS (
+      SELECT *, row_number() OVER ws AS rn
+      FROM s WINDOW ws AS (PARTITION BY user_id, sess ORDER BY us, event_id)
+    ),
+    r1 AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'purchase' THEN rn END)
+               OVER (PARTITION BY user_id, sess) AS prn,
+             max(rn) OVER (PARTITION BY user_id, sess) AS mxrn
+      FROM r0
+    ),
+    kept AS (SELECT * FROM r1 WHERE rn <= coalesce(prn, mxrn)),
+    edges AS (
+      SELECT coalesce(lag(event_type) OVER wk, 'START') AS src,
+             CASE WHEN event_type = 'purchase' THEN 'CONV'
+                  ELSE event_type END AS dst
+      FROM kept WINDOW wk AS (PARTITION BY user_id, sess ORDER BY rn)
+      UNION ALL
+      SELECT event_type AS src, 'NULLE' AS dst
+      FROM kept WHERE rn = mxrn AND prn IS NULL
+    ),
+    trans AS (SELECT src, dst, count(*) AS cnt FROM edges GROUP BY 1, 2),
+    prob AS (
+      SELECT src, dst,
+             {P} AS p
+      FROM trans
+    )""".replace(
+    "{P}",
+    sql_rd("CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY src)", 9),
+)
+
+
+def _attr_scenario_sql(tag: str, chans: list[str]) -> str:
+    """Unrolled absorption-probability CTE chain for one channel set:
+    a_{k+1}(s) = rd9(P(s→CONV) + Σ_{d∈chans} rd9(P(s→d)·a_k(d))) —
+    per-term 9-dp grid so the ≤|chans|+1-term sum is exact and
+    order-free in both engines."""
+    cl = ", ".join(f"'{c}'" for c in chans)
+    arr = ", ".join(f"'{c}'" for c in chans)
+    parts = [
+        f"""a_{tag}_0 AS (
+      SELECT unnest(ARRAY[{arr}]) AS s, CAST(0 AS DOUBLE) AS a
+    )"""
+    ]
+    step = sql_rd("t.p * coalesce(prev.a, 0)", 9)
+    for k in range(1, _ATTR_ITERS + 1):
+        parts.append(f"""a_{tag}_{k} AS (
+      SELECT t.src AS s,
+             {sql_rd(
+                 "coalesce(max(CASE WHEN t.dst = 'CONV' THEN t.p END), 0)"
+                 f" + coalesce(sum(CASE WHEN t.dst IN ({cl})"
+                 f" THEN {step} END), 0)", 9)} AS a
+      FROM prob t LEFT JOIN a_{tag}_{k - 1} prev ON prev.s = t.dst
+      WHERE t.src IN ({cl})
+      GROUP BY t.src
+    )""")
+    parts.append(f"""conv_{tag} AS (
+      SELECT {sql_rd(
+          "coalesce(max(CASE WHEN t.dst = 'CONV' THEN t.p END), 0)"
+          f" + coalesce(sum(CASE WHEN t.dst IN ({cl})"
+          f" THEN {step} END), 0)", 9)} AS conv
+      FROM prob t LEFT JOIN a_{tag}_{_ATTR_ITERS} prev ON prev.s = t.dst
+      WHERE t.src = 'START'
+    )""")
+    return ",\n    ".join(parts)
+
+
+def _attr_sql() -> str:
+    scen = [_attr_scenario_sql("base", _ATTR_CHANNELS)]
+    for c in _ATTR_CHANNELS:
+        scen.append(
+            _attr_scenario_sql(
+                f"no_{c}", [x for x in _ATTR_CHANNELS if x != c]
+            )
+        )
+    rows = "\n    UNION ALL\n    ".join(
+        f"""SELECT '{c}' AS channel,
+           {R("b.conv", 6)} AS conv_rate_base,
+           {R("r.conv", 6)} AS conv_rate_removed,
+           CASE WHEN b.conv > 0 THEN
+             {R("(b.conv - r.conv) / b.conv", 6)} END AS removal_effect
+    FROM conv_base b CROSS JOIN conv_no_{c} r"""
+        for c in _ATTR_CHANNELS
+    )
+    return (
+        "WITH "
+        + _ATTR_TRANS_SQL
+        + ",\n    "
+        + ",\n    ".join(scen)
+        + "\n    "
+        + rows
+    )
+
+
+@register("events_markov_attribution", _attr_sql())
+def _q_events_markov_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MARKOV REMOVAL-EFFECT attribution (Anderl et al. 2016 — the
+    data-driven alternative to last-touch): model each user session as
+    a chain over event-type states with absorbing CONV (first
+    purchase; the path truncates there) and NULL (session end), fit
+    transition probabilities from the corpus, and score each channel
+    by how much the chain's START→CONV absorption probability drops
+    when the channel is removed (transitions into it redirect to
+    NULL, transitions out of it vanish). Absorption probabilities are
+    a {_ATTR_ITERS}-step unrolled fixpoint on the 9-dp grid — each
+    product rounds before the ≤5-term (exact, order-free) sum, the
+    PageRank/PPR convention — so the recurrence replays bit-for-bit
+    as SQL. Plan: sessionize + truncate + lag edges in keyed windows
+    (one exchange family), ONE bounded driver collect of the
+    ≤(|types|+1)² probability matrix (the IVF-centroid precedent),
+    and the 5 scenario folds run in pure Python on that tiny matrix —
+    at 100 TB the corpus cost is the transition count, constant in
+    everything but the scan. Attribution extension (reference repo
+    has no marketing-analytics surface)."""
+    import math
+
+    ev = _table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    m = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull()
+            | (us - F.lag(us).over(w) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("newf"),
+    )
+    s = m.withColumn(
+        "sess",
+        F.sum("newf").over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("us").asc(), F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sess").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    wsf = Window.partitionBy("user_id", "sess")
+    r0 = s.withColumn("rn", F.row_number().over(ws))
+    r1 = r0.withColumn(
+        "prn",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        ).over(wsf),
+    ).withColumn("mxrn", F.max("rn").over(wsf))
+    kept = r1.filter(F.col("rn") <= F.coalesce(F.col("prn"), F.col("mxrn")))
+    wk = Window.partitionBy("user_id", "sess").orderBy(F.col("rn").asc())
+    edges = kept.select(
+        F.coalesce(F.lag("event_type").over(wk), F.lit("START")).alias(
+            "src"
+        ),
+        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+        .otherwise(F.col("event_type"))
+        .alias("dst"),
+    ).unionByName(
+        kept.filter(
+            (F.col("rn") == F.col("mxrn")) & F.col("prn").isNull()
+        ).select(
+            F.col("event_type").alias("src"), F.lit("NULLE").alias("dst")
+        )
+    )
+    trans = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    wsrc = Window.partitionBy("src")
+    prob = trans.select(
+        "src",
+        "dst",
+        rd(
+            F.col("cnt").cast("double") / F.sum("cnt").over(wsrc), 9
+        ).alias("p"),
+    )
+    P = {(r["src"], r["dst"]): r["p"] for r in prob.collect()}
+
+    def rd9(x: float) -> float:
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    def conv(chans: list[str]) -> float:
+        a = {c: 0.0 for c in chans}
+        for _ in range(_ATTR_ITERS):
+            a = {
+                st: rd9(
+                    P.get((st, "CONV"), 0.0)
+                    + sum(
+                        rd9(P[(st, d)] * a[d])
+                        for d in chans
+                        if (st, d) in P
+                    )
+                )
+                for st in chans
+            }
+        return rd9(
+            P.get(("START", "CONV"), 0.0)
+            + sum(
+                rd9(P[("START", d)] * a[d])
+                for d in chans
+                if ("START", d) in P
+            )
+        )
+
+    def rd6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    base = conv(_ATTR_CHANNELS)
+    rows = []
+    for c in _ATTR_CHANNELS:
+        removed = conv([x for x in _ATTR_CHANNELS if x != c])
+        eff = rd6((base - removed) / base) if base > 0 else None
+        rows.append((c, rd6(base), rd6(removed), eff))
+    return spark.createDataFrame(
+        rows,
+        "channel string, conv_rate_base double, conv_rate_removed double,"
+        " removal_effect double",
+    )
