@@ -319,6 +319,7 @@ HEADLINE = [
     "eval_bootstrap_auc_ci",      # Poisson-bootstrap CI on the binned AUC
     "orders_cohort_ltv_curve",    # cumulative revenue per cohort customer
     "events_markov_attribution",  # removal-effect channel attribution
+    "text_lang_mixing_entropy",   # code-switching / mixed-language QA
 ]
 
 

@@ -2532,3 +2532,98 @@ def _q_text_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cross_entropy_bits",
         rd(F.pow(F.lit(2.0), F.col("cross_entropy_bits")), 4).alias("ppl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 7: language-mixing entropy — the code-switching signal the
+# single-label language-ID family can't express.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_lang_mixing_entropy",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             {", ".join(f"CAST({_lang_score_sql(lang)} AS BIGINT) AS s_{lang}" for lang in sorted(tx.LANG_MARKERS))}
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tot AS (
+      SELECT doc_id, source,
+             ({" + ".join(f"s_{lang}" for lang in sorted(tx.LANG_MARKERS))}) AS th,
+             {", ".join(f"s_{lang}" for lang in sorted(tx.LANG_MARKERS))}
+      FROM scored
+    ),
+    ent AS (
+      SELECT doc_id, source,
+             CAST(({" + ".join(
+               f"CASE WHEN s_{lang} > 0 THEN CAST({sql_rd(f'-(CAST(s_{lang} AS DOUBLE) / th) * log2(CAST(s_{lang} AS DOUBLE) / th)', 6)} AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END"
+               for lang in sorted(tx.LANG_MARKERS))}) AS DOUBLE) AS h
+      FROM tot WHERE th > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_scored,
+           {R("CAST(sum(CAST(" + sql_rd("h", 6) + " AS DECIMAL(18,6))) AS DOUBLE)"
+              " / count(*)", 6)} AS mean_mixing_entropy,
+           CAST(sum(CASE WHEN h > 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mixed_docs,
+           {R("CAST(sum(CASE WHEN h > 1.0 THEN 1 ELSE 0 END) AS DOUBLE)"
+              " / count(*)", 6)} AS mixed_share
+    FROM ent GROUP BY source
+    """,
+)
+def _q_text_lang_mixing_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LANGUAGE-MIXING entropy per source — the code-switching signal
+    the argmax language-ID family throws away: per document, Shannon
+    entropy (bits) over the language-marker hit distribution (a
+    clean monolingual doc concentrates its hits → H≈0; boilerplate
+    soup and code-switched text spread them → H→log2|langs|), rolled
+    up per source as the mean and the share of docs past 1 bit. This
+    is the corpus-mix QA companion to `eval_cohens_kappa_langid`
+    (how OFTEN the heuristic is right) and `text_lang_confusion`
+    (WHERE it's wrong): high mixing entropy marks the slice where a
+    single label is the wrong model. Marker hits are exact integers
+    (the shared `_lang_score_sql` scan), each entropy term rounds on
+    the 6-dp grid before a DECIMAL(18,6) sum (invariant 22 headroom:
+    ≤5 terms), one division per output. One scan, |sources| rows."""
+    docs = _table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    scores = tx.lang_scores(F.col("text"))
+    langs = sorted(tx.LANG_MARKERS)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        *[scores[lang].cast("long").alias(f"s_{lang}") for lang in langs],
+    )
+    th = None
+    for lang in langs:
+        th = F.col(f"s_{lang}") if th is None else th + F.col(f"s_{lang}")
+    tot = scored.withColumn("th", th).filter(F.col("th") > 0)
+    hsum = None
+    for lang in langs:
+        p = F.col(f"s_{lang}").cast("double") / F.col("th")
+        term = F.when(
+            F.col(f"s_{lang}") > 0,
+            rd(-p * F.log2(p), 6).cast("decimal(18,6)"),
+        ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        hsum = term if hsum is None else hsum + term
+    ent = tot.select("source", hsum.cast("double").alias("h"))
+    return ent.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_scored"),
+        rd(
+            F.sum(rd(F.col("h"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_mixing_entropy"),
+        F.sum((F.col("h") > 1.0).cast("int"))
+        .cast("long")
+        .alias("n_mixed_docs"),
+        rd(
+            F.sum((F.col("h") > 1.0).cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mixed_share"),
+    )
