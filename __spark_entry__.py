@@ -59,35 +59,38 @@ _FIRST_50 = [
     "a1_sample_rate", "a4_episode_overlay", "a5_suggest_segments",
     "e1_frame_transform", "recipe_compiled_chain",
     "tpch_q1_pricing_summary", "tpch_q21_waiting_supplier",
-    # r11 rotation (VERDICT r10 #1): 35 names that have NEVER appeared
-    # in any driver CORRECTNESS_r1..r10 sample (153/357 remained
-    # unverified externally; set-diff over all ten files). Priorities
-    # from the verdict: the 5 r10 registry additions, the one heavy
-    # suite truly never sampled (dedup_simhash_eval_report — the other
-    # suites it named were r8/r9-sampled), the 12 reference-parity
-    # queries that never drew an external check, and a cross-family
-    # spread over the remaining sim/text/stats/ts/dq tails.
-    # graph_clustering_by_degree doubles as mover triage (VERDICT #3).
-    "graph_concurrency_capped_edges", "dq_regex_rule_audit",
-    "dq_schema_drift_report", "mix_length_bucket_padding_waste",
-    "layout_zonemap_prune_stats",
-    "dedup_simhash_eval_report", "mix_budget_after_dedup",
-    "f4_butter_lowpass_fallback", "f5_butter_bandpass_fallback",
-    "f13_interpolate_kernel", "j1_annotation_containment_join",
-    "j2_deletion_anti_join", "p3_selection_masked_filter",
-    "p6_annotation_at_time", "p8_snap_to_extremum", "w2_forward_fill",
-    "e2_derived_channel", "e9_heading_from_forward", "a9_sessionize",
-    "dq_functional_dependency", "privacy_dp_count_report",
-    "graph_clustering_by_degree", "sample_kcenter_coreset",
-    # the 12 r11 additions (newest-first per the VERDICT rotation
-    # precedent — all registered and locally oracle-verified this
-    # round, never driver-sampled by construction)
-    "text_bpe_sample_train_encode", "graph_concurrency_autocap_edges",
-    "eval_cohens_kappa_langid", "text_kn_bigram_ppl",
-    "mix_waterfill_token_budget", "ts_ljungbox_whiteness",
-    "stats_brown_forsythe_by_type", "layout_bloom_advisor",
-    "stream_watermark_lateness_audit", "dedup_prefix_density_probe",
-    "privacy_pii_redact_rewrite", "eval_bootstrap_auc_ci",
+    # r12 rotation (VERDICT r11 #2/#4): GENERATED, not hand-curated —
+    # `python scripts/never_driver_verified.py` derives the 134-name
+    # backlog (names never green in any CORRECTNESS_r1..r11) from the
+    # driver history + current REGISTRY and annotates each with its
+    # latest bench cost; this list is its top-by-cost slice plus three
+    # special cases: `sim_ivf_topk` (sampled r1 rows-only BEFORE it had
+    # an oracle — the one name the judge counts verified that never
+    # drew a value check), `events_rfm_segments` (this round's triage
+    # subject — re-verify after the localCheckpoint rewrite), and
+    # `graph_degree_stats` (secondary r11 mover). The heavy suites
+    # VERDICT r11 listed by name (dedup_report_suite, lsh_eval,
+    # mix_dedup_aware_epochs, graph_lp_modularity, ...) were already
+    # driver-green in r7-r10 per the generated artifact — the backlog
+    # says so mechanically now, no memory required.
+    "dedup_cluster_size_histogram", "emb_retrieval_mrr",
+    "dedup_fuzzy_prefix_pairs", "emb_lsh_recall_by_bits",
+    "graph_jaccard_links", "retrieval_prf_expansion",
+    "eval_ece_binned", "eval_confusion_at_threshold",
+    "text_score_calibration", "eval_lift_gains_decile",
+    "feature_woe_encoding", "events_rfm_segments",
+    "sketch_kmv_sliding_distinct_users", "text_heavy_hitters_by_source",
+    "pipeline_c4_survivors", "dedup_semantic_tau_sweep",
+    "emb_jl_project", "graph_degree_stats",
+    "decontam_overlap_frac", "sim_ivf_topk_refined",
+    "emb_lsh_bits_sweep", "orders_basket_lift_pairs",
+    "sim_ivf_batch_topk", "cube_revenue_by_flag_status",
+    "text_lang_confusion", "ts_seasonal_strength",
+    "text_lang_mixing_entropy", "sketch_cm_token_freq_by_source",
+    "sketch_kmv_intersection_sources", "pipeline_cluster_topics",
+    "pipeline_drift_report", "sim_ivf_topk",
+    "events_markov_attribution", "profile_events_columns",
+    "text_ngram_novelty",
 ]
 
 

@@ -440,6 +440,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}
+    run_samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     probe_samples: dict[str, list[float]] = {p: [] for p in PROBE_BASELINE_SEC}
 
@@ -479,11 +480,18 @@ def main() -> None:
         # Per-query isolation (r5 lesson): one broken query must cost
         # one line in the report, never the whole round's bench.
         try:
-            run_query(spark, name, SF_DIR)
-            timings[name] = round(
-                min(run_query(spark, name, SF_DIR), run_query(spark, name, SF_DIR)),
-                3,
-            )
+            # ALL THREE samples are recorded in BENCH_DETAIL (VERDICT
+            # r11 #3): run 1 is the warm-up (analysis + codegen compile
+            # + first data touch), runs 2-3 are the steady pair whose
+            # MIN is the quotable `queries` number (unchanged rule).
+            # A query whose run-1 dwarfs run-2/3 is self-identifying
+            # as warm-up-dominated — the r11 `events_rfm_segments`
+            # mover class — without isolated re-measurement.
+            r1 = run_query(spark, name, SF_DIR)
+            r2 = run_query(spark, name, SF_DIR)
+            r3 = run_query(spark, name, SF_DIR)
+            timings[name] = round(min(r2, r3), 3)
+            run_samples[name] = [round(r1, 3), round(r2, 3), round(r3, 3)]
         except Exception as exc:  # noqa: BLE001 — report and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         if qi % probe_every == 0:
@@ -551,6 +559,12 @@ def main() -> None:
         "probe_baseline_sf": 0.1,
         "family_subtotals": family_subtotals,
         "family_counts": family_counts,
+        # [warmup, steady_a, steady_b] per query; `queries` holds
+        # min(steady_a, steady_b) — the ONLY quotable number. The
+        # warmup sample exists to CLASSIFY movers (warmup >> steady =
+        # cache/JIT, not capability), never to compare across rounds.
+        "run_samples_sec": run_samples,
+        "run_samples_rule": "[warmup, steady_a, steady_b]; quote min(steady)",
     }
     if errors:
         detail["errors"] = errors

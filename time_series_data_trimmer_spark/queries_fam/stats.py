@@ -4911,8 +4911,16 @@ def _q_eval_bootstrap_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct(F.col("auc_b"), F.col("b")))
         ).alias("a")
     ).select(
-        F.element_at(F.col("a"), 2).getField("auc_b").alias("auc_lo_p05"),
-        F.element_at(F.col("a"), _BOOT_B - 1)
+        # try_element_at, not element_at: a degenerate corpus can leave
+        # <31 replicates with p>0 AND nneg>0, and Spark 4 ANSI mode
+        # turns an out-of-range rank into INVALID_ARRAY_INDEX while the
+        # DuckDB oracle's min-over-empty-set returns NULL (ADVICE r11
+        # #2) — the try_ variant yields NULL and keeps both engines
+        # aligned on edge data.
+        F.try_element_at(F.col("a"), F.lit(2))
+        .getField("auc_b")
+        .alias("auc_lo_p05"),
+        F.try_element_at(F.col("a"), F.lit(_BOOT_B - 1))
         .getField("auc_b")
         .alias("auc_hi_p95"),
     )

@@ -1470,15 +1470,38 @@ def _q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     while boundary-broadcast scoring is one user-keyed aggregation +
     one scan. Ties score identically by construction (strict >
     against interpolated boundaries), so no engine-varying tie order
-    exists; monetary sums accumulate 4-dp decimals."""
+    exists; monetary sums accumulate 4-dp decimals.
+
+    The per-user aggregate is localCheckpoint'ed (invariant-17 shape):
+    the two chained 1-row scalars (global max, then quintile
+    boundaries over the derived recency) would otherwise re-derive
+    `u` — and with it the FULL events scan + user-keyed shuffle —
+    three times in one action (r11 plan: 4 parquet scans, zero
+    ReusedExchange). Checkpointing pins the |users|-row aggregate
+    (1.5k rows at sf0.1; tiny vs the corpus at any SF) so the big
+    table is scanned exactly once — the difference between 1× and 3×
+    the corpus cost at 100 TB. Also the r12 triage outcome for the
+    r11 `events_rfm_segments` mover (BENCH_NOTES r12): code and data
+    were ruled out by a side-by-side r10-worktree timing, and this
+    rewrite removes the redundant-scan sensitivity that made the
+    query a noisy bench line in the first place."""
     ev = _events(spark, sf_dir)
     us = event_micros(ev)
-    u = ev.select("user_id", us.alias("__us"), "value").groupBy("user_id").agg(
-        F.max("__us").alias("__last"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(rd(F.coalesce(F.col("value"), F.lit(0.0)), 4).cast("decimal(38,6)"))
-        .cast("double")
-        .alias("__mon"),
+    u = (
+        ev.select("user_id", us.alias("__us"), "value")
+        .groupBy("user_id")
+        .agg(
+            F.max("__us").alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                rd(F.coalesce(F.col("value"), F.lit(0.0)), 4).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("__mon"),
+        )
+        .localCheckpoint()
     )
     g = u.agg(F.max("__last").alias("__gmax"))
     rfm = u.crossJoin(F.broadcast(g)).select(
