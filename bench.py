@@ -320,6 +320,9 @@ HEADLINE = [
     "orders_cohort_ltv_curve",    # cumulative revenue per cohort customer
     "events_markov_attribution",  # removal-effect channel attribution
     "text_lang_mixing_entropy",   # code-switching / mixed-language QA
+    # r12 additions
+    "dedup_auto_method_choice",   # probe-dispatched exact-vs-LSH dedup
+    "dedup_auto_lsh_branch",      # the dispatcher's LSH arm, value-pinned
 ]
 
 

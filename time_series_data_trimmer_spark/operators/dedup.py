@@ -1939,3 +1939,113 @@ def ngram_containment_pairs(
         .otherwise(0)
         .cast("int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# probe-dispatched dedup (VERDICT r11 #6): the posting-density probe as
+# the method chooser, not just a report
+# ---------------------------------------------------------------------------
+
+
+def posting_density_decision(
+    df: DataFrame,
+    envelope: tuple[int, int] = (64, 1),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+) -> dict:
+    """ONE bounded 1-row collect of the exact-PPJoin cost forecast and
+    the resulting method choice. The SCALING r11 salted-replica
+    projection showed exact PPJoin's candidate volume is quadratic in
+    duplication density — Σ_g C(df(g), 2) over gram posting lists —
+    while the LSH-first path stays output-bound; the measured
+    crossover envelope is ~64 candidates per posting row. This helper
+    computes that forecast from one shingle scan + one gram-keyed
+    count (the same plan as the `dedup_prefix_density_probe` query)
+    and applies the ALL-INTEGER decision rule
+
+        ppjoin  iff  cand * env_den <= env_num * n_postings
+
+    (``envelope`` is the (num, den) rational bound; integer cross-
+    multiplication, no float drift at any corpus size — the oracle
+    replays the identical comparison). Returns the decision inputs so
+    callers can surface them: {method, n_postings,
+    candidate_upper_bound, envelope}."""
+    env_num, env_den = envelope
+    toks = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    ).select(id_col, F.md5("g").alias("gd"))
+    dfc = toks.groupBy("gd").agg(F.count(F.lit(1)).alias("df"))
+    row = dfc.agg(
+        F.coalesce(F.sum("df"), F.lit(0)).alias("n_postings"),
+        F.coalesce(
+            F.sum(F.expr("CAST(df * (df - 1) DIV 2 AS DECIMAL(38,0))")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("cand"),
+    ).collect()[0]
+    n_postings = int(row["n_postings"])
+    cand = int(row["cand"])
+    method = (
+        "ppjoin"
+        if cand * env_den <= env_num * n_postings
+        else "lsh_first"
+    )
+    return {
+        "method": method,
+        "n_postings": n_postings,
+        "candidate_upper_bound": cand,
+        "envelope": envelope,
+    }
+
+
+def dedup_auto_pairs(
+    df: DataFrame,
+    min_jaccard: float,
+    envelope: tuple[int, int] = (64, 1),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+) -> tuple[DataFrame, dict]:
+    """PROBE-DISPATCHED near-duplicate pair generation: run the
+    one-scan posting-density forecast, then execute the method it
+    sanctions — the exact PPJoin prefix join when the forecast clears
+    the envelope (low duplication density: exactness is affordable),
+    else the LSH-first composition (banded MinHash candidates + exact
+    Jaccard verify on candidates only — output-bound on dense
+    corpora). Completes the `auto_bucket_cap` pattern for the dedup
+    family: the engine-selection input is data-derived, cheap, and
+    the decision is replayed verbatim by the oracle (invariant-13).
+
+    Both arms emit the SAME schema (id_a, id_b, jaccard with exact
+    Jaccard values), so downstream clustering/impact code is
+    method-agnostic. The arms differ only in RECALL (PPJoin is exact;
+    LSH forfeits pairs per its banding S-curve), which is precisely
+    what the density forecast is trading against cost."""
+    dec = posting_density_decision(df, envelope, id_col, text_col, n)
+    if dec["method"] == "ppjoin":
+        pairs = ngram_jaccard_prefix_pairs(
+            df, min_jaccard, id_col, text_col, n
+        )
+    else:
+        cand_pairs = minhash_lsh_pairs(df, id_col, text_col)
+        sh = df.select(
+            F.col(id_col), word_shingles(F.col(text_col), n).alias("__gr")
+        )
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("__gr").alias("__ga"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("__gr").alias("__gb"))
+        inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb")))
+        union = F.size(F.array_union(F.col("__ga"), F.col("__gb")))
+        pairs = (
+            cand_pairs.join(a.hint("shuffle_hash"), "id_a")
+            .join(b.hint("shuffle_hash"), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (inter.cast("double") / union.cast("double")).alias(
+                    "jaccard"
+                ),
+            )
+            .filter(F.col("jaccard") >= F.lit(float(min_jaccard)))
+        )
+    return pairs, dec

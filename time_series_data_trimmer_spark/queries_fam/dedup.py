@@ -1850,3 +1850,160 @@ def _q_dedup_prefix_density_probe(
         .otherwise(F.lit("lsh_first"))
         .alias("recommend"),
     )
+
+
+def _auto_dispatch_sql(env_num: int, env_den: int) -> str:
+    """Oracle body for the probe-dispatched dedup: compute the SAME
+    integer decision rule, then surface the CHOSEN arm's verified-pair
+    counts (both arms are materialized as CTEs — the exact arm is the
+    brute-force truth, which the prefix join reproduces verbatim by
+    its zero-false-negative contract; the LSH arm replays banding +
+    exact verify)."""
+    return f"""
+    WITH sub AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 2 = 0 AND text IS NOT NULL
+    ),
+    shingled AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(generate_series(1, len(w) - 2),
+                                   i -> array_to_string(list_slice(w, i, i + 2), ' '))
+               ELSE [array_to_string(w, ' ')] END) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM sub)
+    ),
+    tok AS (SELECT doc_id, md5(g.gram) AS gd
+            FROM shingled, LATERAL (SELECT unnest(grams) AS gram) g),
+    dfc AS (SELECT gd, count(*) AS df FROM tok GROUP BY gd),
+    tot AS (
+      SELECT coalesce(sum(df), 0) AS n_postings,
+             coalesce(sum(CAST(df * (df - 1) // 2 AS DECIMAL(38,0))),
+                      CAST(0 AS DECIMAL(38,0))) AS cand
+      FROM dfc
+    ),
+    dec AS (
+      SELECT CASE WHEN cand * {env_den} <= {env_num} * n_postings
+                  THEN 'ppjoin' ELSE 'lsh_first' END AS method,
+             n_postings, cand
+      FROM tot
+    ),
+    jac AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                      AS DOUBLE) AS j
+      FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    ),
+    ep AS (
+      SELECT count(*) AS n,
+             coalesce(sum(CASE WHEN j >= 0.9 THEN 1 END), 0) AS nhi
+      FROM jac WHERE j >= {_PREFIX_TAU}
+    ),
+    sig AS ({_SIG_SQL}),
+    bands AS (
+      SELECT doc_id, b.band,
+             md5(sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2]) AS key
+      FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    pred AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    lshv AS (
+      SELECT p.id_a, p.id_b,
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                      AS DOUBLE) AS j
+      FROM pred p
+      JOIN shingled a ON a.doc_id = p.id_a
+      JOIN shingled b ON b.doc_id = p.id_b
+    ),
+    lp AS (
+      SELECT count(*) AS n,
+             coalesce(sum(CASE WHEN j >= 0.9 THEN 1 END), 0) AS nhi
+      FROM lshv WHERE j >= {_PREFIX_TAU}
+    )
+    SELECT dec.method,
+           CAST(dec.n_postings AS BIGINT) AS n_postings,
+           CAST(dec.cand AS BIGINT) AS candidate_upper_bound,
+           {R("CASE WHEN dec.n_postings > 0 THEN CAST(dec.cand AS DOUBLE)"
+              " / dec.n_postings ELSE 0.0 END", 6)} AS density_ratio,
+           CAST(CASE WHEN dec.method = 'ppjoin' THEN ep.n ELSE lp.n END
+                AS BIGINT) AS n_pairs_tau,
+           CAST(CASE WHEN dec.method = 'ppjoin' THEN ep.nhi ELSE lp.nhi END
+                AS BIGINT) AS n_pairs_hi
+    FROM dec CROSS JOIN ep CROSS JOIN lp
+    """
+
+
+def _auto_dispatch_frame(
+    spark: SparkSession, sf_dir: str, envelope: tuple[int, int]
+) -> DataFrame:
+    sub = (
+        _table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .filter(F.col("text").isNotNull())
+    )
+    pairs, dec = dd.dedup_auto_pairs(
+        sub, min_jaccard=_PREFIX_TAU, envelope=envelope
+    )
+    np_, cand = dec["n_postings"], dec["candidate_upper_bound"]
+    ratio = (
+        rd(F.lit(cand).cast("double") / F.lit(np_).cast("double"), 6)
+        if np_ > 0
+        else F.lit(0.0)
+    )
+    rep = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs_tau"),
+        F.coalesce(
+            F.sum(F.when(F.col("jaccard") >= 0.9, F.lit(1))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_pairs_hi"),
+    )
+    return rep.select(
+        F.lit(dec["method"]).alias("method"),
+        F.lit(np_).cast("long").alias("n_postings"),
+        F.lit(cand).cast("long").alias("candidate_upper_bound"),
+        ratio.alias("density_ratio"),
+        F.col("n_pairs_tau"),
+        F.col("n_pairs_hi"),
+    )
+
+
+@register("dedup_auto_method_choice", _auto_dispatch_sql(64, 1))
+def _q_dedup_auto_method_choice(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROBE-DISPATCHED dedup at the measured envelope (VERDICT r11
+    #6): `dd.dedup_auto_pairs` runs the one-scan posting-density
+    forecast (Σ_g C(df(g), 2) candidates vs posting rows — the SCALING
+    r11 salted-replica crossover, 64 candidates/posting) and EXECUTES
+    the method it sanctions: exact PPJoin prefix join under the
+    envelope, LSH-first (banded MinHash + exact verify) above it —
+    `auto_bucket_cap`'s pattern applied to engine selection. The
+    decision inputs are ALL-INTEGER (cross-multiplied rational
+    envelope — no float drift at any corpus size), surfaced in the
+    report row, and the oracle re-derives the identical decision AND
+    replays the chosen arm's verified-pair counts (τ={_PREFIX_TAU} and
+    0.9). Parity-half corpus (the prefix family's own oracle-cost
+    policy). This corpus sits well under the envelope → the exact arm
+    fires; `dedup_auto_lsh_branch` pins the other arm."""
+    return _auto_dispatch_frame(spark, sf_dir, (64, 1))
+
+
+@register("dedup_auto_lsh_branch", _auto_dispatch_sql(1, 8))
+def _q_dedup_auto_lsh_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dispatcher's OTHER arm, value-verified: same probe, same
+    integer decision rule, but at a 1/8-candidates-per-posting
+    envelope this corpus's density (~0.25-2.4 across SFs) exceeds the
+    bound, so `dedup_auto_pairs` takes the LSH-first composition —
+    banded MinHash candidates, exact Jaccard verify on candidates
+    only. The oracle replays banding + verify and the same decision,
+    so BOTH dispatch branches (not just the one the default envelope
+    happens to pick) are hash-checked end to end. The recall the LSH
+    arm forfeits vs the exact arm is visible as this query's
+    n_pairs_tau vs `dedup_auto_method_choice`'s — the measured cost of
+    the cheap path, in the same report shape."""
+    return _auto_dispatch_frame(spark, sf_dir, (1, 8))
