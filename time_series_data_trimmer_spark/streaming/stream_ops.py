@@ -1218,7 +1218,7 @@ def stream_psi_drift(
     )
 
 
-def stream_cusum_alert(
+def _cusum_plan(
     spark: SparkSession,
     path: str,
     mu0: float = 100.0,
@@ -1228,7 +1228,12 @@ def stream_cusum_alert(
     value_col: str = "value",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Streaming one-sided CUSUM level-shift monitor per group (Page
+    """Plan-builder half of `stream_cusum_alert` (split r12 so the
+    state-scale stress harness can own the query handle and read
+    state metrics): returns the applyInPandasWithState DataFrame,
+    un-started.
+
+    Streaming one-sided CUSUM level-shift monitor per group (Page
     1954 — the streaming twin of `ts_cusum_changepoint`): maintain
     S⁺ = max(0, S⁺ + (x − μ₀ − κ)) in GroupState and count alert
     crossings S⁺ > h. The state is O(1) per group — the closed form
@@ -1309,12 +1314,32 @@ def stream_cusum_alert(
             }
         )
 
-    result = base.groupBy("g").applyInPandasWithState(
+    return base.groupBy("g").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_cusum_alert(
+    spark: SparkSession,
+    path: str,
+    mu0: float = 100.0,
+    kappa: float = 5.0,
+    h: float = 500.0,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Oracle-harness runner for the streaming CUSUM monitor — plan
+    semantics, exactness, and order contract documented on
+    `_cusum_plan` (split r12 so the state-scale stress harness can
+    run the same plan with its own query handle)."""
+    result = _cusum_plan(
+        spark, path, mu0, kappa, h, group_col, value_col,
+        max_files_per_trigger,
     )
     return _run_to_memory(
         result,
