@@ -323,6 +323,9 @@ HEADLINE = [
     # r12 additions
     "dedup_auto_method_choice",   # probe-dispatched exact-vs-LSH dedup
     "dedup_auto_lsh_branch",      # the dispatcher's LSH arm, value-pinned
+    "ts_mann_kendall_daily_trend",  # tie-corrected nonparametric trend test
+    "eval_regression_user_baseline",  # MAE/RMSE/R2 of the LOO user-mean baseline
+    "mix_temperature_sweep_entropy",  # effective-source count across temperatures
 ]
 
 

@@ -1112,3 +1112,105 @@ def _q_events_markov_attribution(
         "channel string, conv_rate_base double, conv_rate_removed double,"
         " removal_effect double",
     )
+
+
+@register(
+    "eval_regression_user_baseline",
+    f"""
+    WITH e AS (
+      SELECT event_type, user_id,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    ),
+    u AS (
+      SELECT user_id, sum(vq) AS su, count(*) AS cu
+      FROM e GROUP BY user_id
+    ),
+    g AS (
+      SELECT event_type, sum(vq) AS st, count(*) AS ct
+      FROM e GROUP BY event_type
+    ),
+    err AS (
+      SELECT e.event_type,
+             e.vq - (u.su - e.vq) // (u.cu - 1) AS er,
+             e.vq - g.st // g.ct AS et
+      FROM e
+      JOIN u ON u.user_id = e.user_id AND u.cu >= 2
+      JOIN g ON g.event_type = e.event_type
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           {R("CAST(sum(abs(er)) AS DOUBLE) / count(*) / 10000.0", 6)} AS mae,
+           {R("sqrt(CAST(sum(CAST(er AS DECIMAL(38,0)) * er) AS DOUBLE)"
+              " / count(*)) / 10000.0", 6)} AS rmse,
+           {R("1.0 - CAST(sum(CAST(er AS DECIMAL(38,0)) * er) AS DOUBLE)"
+              " / CAST(sum(CAST(et AS DECIMAL(38,0)) * et) AS DOUBLE)", 6)}
+             AS r2_vs_type_mean
+    FROM err GROUP BY event_type
+    """,
+)
+def _q_eval_regression_user_baseline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REGRESSION-EVAL metrics (MAE / RMSE / R²) for the standard
+    leakage-safe baseline: predict each event's value from its USER's
+    leave-one-out mean — the feature-store sanity check that tells a
+    modeling team whether user identity explains the target before
+    they spend a training run (R² > 0 = signal; ≈ 0 = the per-user
+    feature is noise vs the per-type mean). Completes the eval family
+    with its regression half (AUC/PR/ECE/F1 cover classification
+    only). Engine-exactness: values quantize to integer
+    ten-thousandths; the LOO prediction is the INTEGER division
+    (su − vq) div (cu − 1) (non-negative operands — Spark DIV
+    truncation and DuckDB // floor agree; quantization grid 1e-4,
+    stated in-unit by the /10000 rescale), so every residual is exact
+    int64 in both engines and the squared sums ride decimal(38,0).
+    Users with one event are excluded (LOO undefined). Plan: two
+    user/type-keyed aggregates broadcast-joined back to one events
+    scan — three shuffles total, no window, scales as the scan."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    e = ev.select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("__vq"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.sum("__vq").alias("__su"), F.count(F.lit(1)).alias("__cu")
+    )
+    g = e.groupBy("event_type").agg(
+        F.sum("__vq").alias("__st"), F.count(F.lit(1)).alias("__ct")
+    )
+    err = (
+        e.join(
+            u.filter(F.col("__cu") >= 2).hint("shuffle_hash"), "user_id"
+        )
+        .join(F.broadcast(g), "event_type")
+        .select(
+            "event_type",
+            (
+                F.col("__vq")
+                - F.expr("(__su - __vq) div (__cu - 1)")
+            ).alias("__er"),
+            (F.col("__vq") - F.expr("__st div __ct")).alias("__et"),
+        )
+    )
+    sse = F.sum(F.col("__er").cast("decimal(38,0)") * F.col("__er"))
+    sst = F.sum(F.col("__et").cast("decimal(38,0)") * F.col("__et"))
+    n = F.count(F.lit(1))
+    return err.groupBy("event_type").agg(
+        n.cast("long").alias("n_scored"),
+        rd(
+            F.sum(F.abs(F.col("__er"))).cast("double")
+            / n
+            / F.lit(10000.0),
+            6,
+        ).alias("mae"),
+        rd(
+            F.sqrt(sse.cast("double") / n) / F.lit(10000.0), 6
+        ).alias("rmse"),
+        rd(F.lit(1.0) - sse.cast("double") / sst.cast("double"), 6).alias(
+            "r2_vs_type_mean"
+        ),
+    )

@@ -1668,3 +1668,100 @@ def _q_mix_waterfill_token_budget(
         (F.col("feas") == 0).alias("capped"),
         F.col("__c").cast("long").alias("water_level"),
     )
+
+
+@register(
+    "mix_temperature_sweep_entropy",
+    f"""
+    WITH c AS (
+      SELECT coalesce(CAST(source AS VARCHAR), '<NULL>') AS src,
+             count(*) AS c
+      FROM documents GROUP BY 1
+    ),
+    taus AS (
+      SELECT unnest([CAST(1 AS INT), 2, 4]) AS tau
+    ),
+    w AS (
+      SELECT t.tau, c.src,
+             CASE t.tau WHEN 1 THEN CAST(c.c AS DOUBLE)
+                        WHEN 2 THEN {R("sqrt(CAST(c.c AS DOUBLE))", 9)}
+                        ELSE {R("sqrt(sqrt(CAST(c.c AS DOUBLE)))", 9)}
+             END AS wt
+      FROM c CROSS JOIN taus t
+    ),
+    tot AS (
+      SELECT tau,
+             CAST(sum(CAST(wt AS DECIMAL(38,9))) AS DOUBLE) AS tw,
+             count(*) AS n_sources
+      FROM w GROUP BY tau
+    ),
+    p AS (
+      SELECT w.tau, {R("w.wt / tot.tw", 9)} AS p
+      FROM w JOIN tot ON tot.tau = w.tau
+    )
+    SELECT p.tau,
+           CAST(max(tot.n_sources) AS BIGINT) AS n_sources,
+           {R("CAST(sum(CAST(CASE WHEN p.p > 0.0 THEN"
+              f" {R('-p.p * ln(p.p)', 9)} ELSE 0.0 END"
+              " AS DECIMAL(38,9))) AS DOUBLE)", 6)} AS entropy_nats,
+           {R("exp(CAST(sum(CAST(CASE WHEN p.p > 0.0 THEN"
+              f" {R('-p.p * ln(p.p)', 9)} ELSE 0.0 END"
+              " AS DECIMAL(38,9))) AS DOUBLE))", 6)} AS eff_sources,
+           {R("max(p.p)", 6)} AS max_share
+    FROM p JOIN tot ON tot.tau = p.tau
+    GROUP BY p.tau
+    """,
+)
+def _q_mix_temperature_sweep_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TEMPERATURE-SWEEP mix diagnostics: for τ ∈ {{1, 2, 4}} compute
+    the temperature-scaled source distribution p_s ∝ c_s^(1/τ) and
+    report its Shannon entropy, EFFECTIVE source count exp(H) (the
+    number every mixing paper quotes — how many sources the mix
+    "really" has), and the dominant source's share. This is the
+    decision table read BEFORE committing to a temperature
+    (`mix_temperature_sample` then applies the chosen one): τ=1 shows
+    raw dominance, higher τ flattens toward uniform. Exactness: the
+    exponents 1/τ ∈ {{1, ½, ¼}} are computed as sqrt / sqrt∘sqrt —
+    IEEE-754 requires CORRECTLY-ROUNDED sqrt, so the weights are
+    bit-identical across engines with no pow() cross-engine risk; ln
+    rides the established rd-9 entropy idiom and sums accumulate in
+    decimal. One source-keyed count ×3 τ rows — constant cost at any
+    corpus size beyond the scan."""
+    docs = _table(spark, sf_dir, "documents")
+    c = docs.groupBy(
+        F.coalesce(F.col("source").cast("string"), F.lit("<NULL>")).alias(
+            "src"
+        )
+    ).agg(F.count(F.lit(1)).alias("c"))
+    taus = F.explode(
+        F.array(F.lit(1), F.lit(2), F.lit(4))
+    ).alias("tau")
+    w = c.select("src", "c", taus).select(
+        "tau",
+        "src",
+        F.when(F.col("tau") == 1, F.col("c").cast("double"))
+        .when(F.col("tau") == 2, rd(F.sqrt(F.col("c").cast("double")), 9))
+        .otherwise(rd(F.sqrt(F.sqrt(F.col("c").cast("double"))), 9))
+        .alias("wt"),
+    )
+    tot = w.groupBy("tau").agg(
+        F.sum(F.col("wt").cast("decimal(38,9)"))
+        .cast("double")
+        .alias("tw"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    p = w.join(tot.hint("shuffle_hash"), "tau").select(
+        "tau", "n_sources", rd(F.col("wt") / F.col("tw"), 9).alias("p")
+    )
+    hterm = F.when(
+        F.col("p") > 0.0, rd(-F.col("p") * F.log(F.col("p")), 9)
+    ).otherwise(F.lit(0.0))
+    h = F.sum(hterm.cast("decimal(38,9)")).cast("double")
+    return p.groupBy("tau").agg(
+        F.max("n_sources").cast("long").alias("n_sources"),
+        rd(h, 6).alias("entropy_nats"),
+        rd(F.exp(h), 6).alias("eff_sources"),
+        rd(F.max("p"), 6).alias("max_share"),
+    )

@@ -2376,3 +2376,163 @@ def _q_ts_ljungbox_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_stat"),
         F.lit(_LB_H).cast("int").alias("df"),
     )
+
+
+@register(
+    "ts_mann_kendall_daily_trend",
+    f"""
+    WITH d AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS s,
+             count(*) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, day
+    ),
+    pr AS (
+      SELECT a.event_type,
+             CASE WHEN b.s * a.c > a.s * b.c THEN 1
+                  WHEN b.s * a.c < a.s * b.c THEN -1 ELSE 0 END AS sg
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    sstat AS (
+      SELECT event_type, sum(sg) AS s_stat FROM pr GROUP BY event_type
+    ),
+    ties AS (
+      SELECT a.event_type, a.day, count(*) AS e
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND b.s * a.c = a.s * b.c
+      GROUP BY a.event_type, a.day
+    ),
+    tt AS (
+      SELECT event_type,
+             count(*) AS n_days,
+             sum((e - 1) * (2 * e + 5)) AS tie_term
+      FROM ties GROUP BY event_type
+    )
+    SELECT t.event_type,
+           CAST(t.n_days AS BIGINT) AS n_days,
+           CAST(ss.s_stat AS BIGINT) AS s_stat,
+           {R("(CAST(t.n_days AS DOUBLE) * (t.n_days - 1) * (2 * t.n_days + 5)"
+              " - t.tie_term) / 18.0", 6)} AS var_s,
+           CASE WHEN (t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
+                      - t.tie_term) > 0 THEN
+             {R("(CASE WHEN ss.s_stat > 0 THEN ss.s_stat - 1.0"
+                "      WHEN ss.s_stat < 0 THEN ss.s_stat + 1.0"
+                "      ELSE 0.0 END)"
+                " / sqrt((CAST(t.n_days AS DOUBLE) * (t.n_days - 1)"
+                "         * (2 * t.n_days + 5) - t.tie_term) / 18.0)", 6)}
+           END AS z_mk,
+           CASE WHEN (t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
+                      - t.tie_term) <= 0 THEN 'flat'
+                WHEN (CASE WHEN ss.s_stat > 0 THEN ss.s_stat - 1.0
+                           WHEN ss.s_stat < 0 THEN ss.s_stat + 1.0
+                           ELSE 0.0 END)
+                     / sqrt((CAST(t.n_days AS DOUBLE) * (t.n_days - 1)
+                             * (2 * t.n_days + 5) - t.tie_term) / 18.0)
+                     > 1.959964 THEN 'increasing'
+                WHEN (CASE WHEN ss.s_stat > 0 THEN ss.s_stat - 1.0
+                           WHEN ss.s_stat < 0 THEN ss.s_stat + 1.0
+                           ELSE 0.0 END)
+                     / sqrt((CAST(t.n_days AS DOUBLE) * (t.n_days - 1)
+                             * (2 * t.n_days + 5) - t.tie_term) / 18.0)
+                     < -1.959964 THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM tt t JOIN sstat ss ON ss.event_type = t.event_type
+    """,
+)
+def _q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL nonparametric trend test per event_type over the
+    daily mean series — the distribution-free complement to the
+    Theil-Sen slope (`ts_theilsen_lag_slope` estimates the magnitude,
+    MK tests the existence): S = Σ_{{i<j}} sign(m̄_j − m̄_i) with the
+    tie-corrected normal approximation
+    Var = [n(n−1)(2n+5) − Σ_k t_k(t_k−1)(2t_k+5)]/18 and the
+    continuity-corrected z. Engine-exactness choices: daily means are
+    NEVER divided — sign(m̄_j − m̄_i) = sign(s_j·c_i − s_i·c_j) on
+    quantized integer sums (cross-multiplication; products bounded by
+    1e16 « 2^63), so S is exact int in both engines; the tie term
+    avoids group-by-equal-mean entirely via the identity
+    Σ_k t_k(t_k−1)(2t_k+5) = Σ_i (e_i−1)(2e_i+5) where e_i = #days
+    whose mean EQUALS day i's (pairwise equality by the same
+    cross-multiplication, self-inclusive) — per-day tie degrees, no
+    canonical rational key needed. The day-pair join is keyed on
+    event_type over the BOUNDED daily table (≤31 rows/type at any
+    corpus size — the pair space is calendar-bounded, not
+    corpus-bounded), so the op costs one events scan + one tiny keyed
+    self-join at 100 TB."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    us = event_micros(ev)
+    d = (
+        ev.select(
+            "event_type",
+            (us / F.lit(86400000000)).cast("long").alias("day"),
+            F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("__vq"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("__vq").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    a = d.select(
+        F.col("event_type"),
+        F.col("day").alias("__da"),
+        F.col("s").alias("__sa"),
+        F.col("c").alias("__ca"),
+    )
+    b = d.select(
+        F.col("event_type"),
+        F.col("day").alias("__db"),
+        F.col("s").alias("__sb"),
+        F.col("c").alias("__cb"),
+    )
+    lhs = F.col("__sb") * F.col("__ca")
+    rhs = F.col("__sa") * F.col("__cb")
+    pr = a.join(b.hint("shuffle_hash"), "event_type").filter(
+        F.col("__da") < F.col("__db")
+    )
+    sstat = pr.groupBy("event_type").agg(
+        F.sum(
+            F.when(lhs > rhs, 1).when(lhs < rhs, -1).otherwise(0)
+        ).alias("s_stat")
+    )
+    ties = (
+        a.join(b.hint("shuffle_hash"), "event_type")
+        .filter(lhs == rhs)
+        .groupBy("event_type", "__da")
+        .agg(F.count(F.lit(1)).alias("__e"))
+    )
+    tt = ties.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum((F.col("__e") - 1) * (2 * F.col("__e") + 5)).alias("__tt"),
+    )
+    j = tt.join(sstat.hint("shuffle_hash"), "event_type")
+    nvar = (
+        F.col("n_days").cast("double")
+        * (F.col("n_days") - 1)
+        * (2 * F.col("n_days") + 5)
+        - F.col("__tt")
+    ) / F.lit(18.0)
+    ivar = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("__tt")
+    )
+    numer = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - F.lit(1.0))
+        .when(F.col("s_stat") < 0, F.col("s_stat") + F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    z = numer / F.sqrt(nvar)
+    return j.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        rd(nvar, 6).alias("var_s"),
+        F.when(ivar > 0, rd(z, 6)).alias("z_mk"),
+        F.when(ivar <= 0, F.lit("flat"))
+        .when(z > F.lit(1.959964), F.lit("increasing"))
+        .when(z < F.lit(-1.959964), F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    )
