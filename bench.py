@@ -326,6 +326,8 @@ HEADLINE = [
     "ts_mann_kendall_daily_trend",  # tie-corrected nonparametric trend test
     "eval_regression_user_baseline",  # MAE/RMSE/R2 of the LOO user-mean baseline
     "mix_temperature_sweep_entropy",  # effective-source count across temperatures
+    "dedup_minhash_estimator_error",  # signature-agreement bias/MAE vs exact Jaccard
+    "sample_reservoir_weighted",  # A-ES token-weighted per-source sample
 ]
 
 

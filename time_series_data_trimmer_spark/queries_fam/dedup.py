@@ -2007,3 +2007,118 @@ def _q_dedup_auto_lsh_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_pairs_tau vs `dedup_auto_method_choice`'s — the measured cost of
     the cheap path, in the same report shape."""
     return _auto_dispatch_frame(spark, sf_dir, (1, 8))
+
+
+@register(
+    "dedup_minhash_estimator_error",
+    f"""
+    WITH sub AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    shingled AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(generate_series(1, len(w) - 2),
+                                   i -> array_to_string(list_slice(w, i, i + 2), ' '))
+               ELSE [array_to_string(w, ' ')] END) AS grams
+      FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+            FROM sub)
+    ),
+    sig AS ({_SIG_SQL}),
+    jac AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                      AS DOUBLE) AS j
+      FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    ),
+    pairs AS (SELECT id_a, id_b, j FROM jac WHERE j >= {_PREFIX_TAU}),
+    est AS (
+      SELECT p.id_a, p.id_b, p.j,
+             ({" + ".join(f"CASE WHEN a.sig[{i}] = b.sig[{i}] THEN 1 ELSE 0 END" for i in range(1, 9))})
+               / 8.0 AS e
+      FROM pairs p
+      JOIN sig a ON a.doc_id = p.id_a
+      JOIN sig b ON b.doc_id = p.id_b
+    ),
+    banded AS (
+      SELECT CASE WHEN j < 0.4 THEN '0.2-0.4'
+                  WHEN j < 0.6 THEN '0.4-0.6'
+                  WHEN j < 0.8 THEN '0.6-0.8'
+                  ELSE '0.8-1.0' END AS j_band,
+             j, e
+      FROM est
+    )
+    SELECT j_band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {R("CAST(sum(CAST(" + R("j", 6) + " AS DECIMAL(38,9)))"
+              " AS DOUBLE) / count(*)", 6)} AS mean_exact,
+           {R("CAST(sum(CAST(e AS DECIMAL(38,9))) AS DOUBLE)"
+              " / count(*)", 6)} AS mean_estimate,
+           {R("CAST(sum(CAST(e AS DECIMAL(38,9))) AS DOUBLE) / count(*)"
+              " - CAST(sum(CAST(" + R("j", 6) + " AS DECIMAL(38,9)))"
+              " AS DOUBLE) / count(*)", 6)} AS bias,
+           {R("CAST(sum(CAST(" + R("abs(e - j)", 6) + " AS DECIMAL(38,9)))"
+              " AS DOUBLE) / count(*)", 6)} AS mae
+    FROM banded GROUP BY j_band
+    """,
+)
+def _q_dedup_minhash_estimator_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MINHASH ESTIMATOR CALIBRATION — the third leg of the dedup
+    eval triad: the LSH/SimHash eval reports measure CANDIDATE
+    quality (precision/recall), this measures the ESTIMATOR itself —
+    per exact-Jaccard band, the 8-hash signature-agreement estimate's
+    mean, bias, and MAE against exact truth on the parity-half
+    corpus. The numbers a team reads before trusting
+    `minhash_jaccard_estimate` as a verify-free filter (expected MAE
+    at 8 hashes ≈ √(j(1−j)/8) ≈ 0.17 at j=0.5 — if the measured row
+    says that, skipping exact verify at a coarse τ is quantified, not
+    hoped). Truth pairs come from the zero-false-negative prefix
+    join; estimates are exact eighths (binary-exact doubles) and the
+    exact j values are identical integer-ratio divisions in both
+    engines; band means accumulate via the rd→decimal idiom. All
+    joins are id-keyed over the bounded truth-pair set."""
+    sub = _table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    truth = dd.ngram_jaccard_prefix_pairs(sub, min_jaccard=_PREFIX_TAU)
+    sig = dd.minhash_signatures(sub)
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("__sa"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("__sb"))
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("__sa"), F.col("__sb"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = (
+        truth.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+        .select(
+            F.col("jaccard").alias("__j"),
+            (agree.cast("double") / F.lit(8.0)).alias("__e"),
+        )
+    )
+    banded = est.select(
+        F.when(F.col("__j") < 0.4, F.lit("0.2-0.4"))
+        .when(F.col("__j") < 0.6, F.lit("0.4-0.6"))
+        .when(F.col("__j") < 0.8, F.lit("0.6-0.8"))
+        .otherwise(F.lit("0.8-1.0"))
+        .alias("j_band"),
+        "__j",
+        "__e",
+    )
+    n = F.count(F.lit(1))
+    sj = F.sum(rd(F.col("__j"), 6).cast("decimal(38,9)")).cast("double")
+    se = F.sum(F.col("__e").cast("decimal(38,9)")).cast("double")
+    sd = F.sum(
+        rd(F.abs(F.col("__e") - F.col("__j")), 6).cast("decimal(38,9)")
+    ).cast("double")
+    return banded.groupBy("j_band").agg(
+        n.cast("long").alias("n_pairs"),
+        rd(sj / n, 6).alias("mean_exact"),
+        rd(se / n, 6).alias("mean_estimate"),
+        rd(se / n - sj / n, 6).alias("bias"),
+        rd(sd / n, 6).alias("mae"),
+    )

@@ -1765,3 +1765,95 @@ def _q_mix_temperature_sweep_entropy(
         rd(F.exp(h), 6).alias("eff_sources"),
         rd(F.max("p"), 6).alias("max_share"),
     )
+
+
+_RES_K = 5
+_RES_SEED = "tsdt|res"
+
+
+@register(
+    "sample_reservoir_weighted",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             coalesce(CAST(source AS VARCHAR), '<NULL>') AS src,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 1
+                  ELSE len(string_split(trim(text), ' ')) END AS w
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, src, w,
+             {R("ln((" + sp.sql_hash_u32("doc_id", _RES_SEED)
+                + " + 0.5) / 4294967296.0) / w", 9)} AS k
+      FROM d
+    ),
+    rk AS (
+      SELECT doc_id, src, w, k,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY k DESC, doc_id ASC) AS rnk
+      FROM keyed
+    )
+    SELECT src AS source, CAST(rnk AS INTEGER) AS rank,
+           doc_id, CAST(w AS BIGINT) AS weight_tokens, k AS res_key
+    FROM rk WHERE rnk <= {_RES_K}
+    """,
+)
+def _q_sample_reservoir_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED RESERVOIR SAMPLE (Efraimidis-Spirakis A-ES), k={_RES_K}
+    per source, weight = whitespace token count — the one-pass
+    distributed answer to "give me a k-doc sample per domain where
+    long documents are proportionally more likely", the standard
+    inclusion design for eyeballing/QA-ing a giant corpus by token
+    mass rather than doc count. A-ES key: u^(1/w) with u uniform ⇔
+    rank by ln(u)/w descending (order-equivalent, overflow-free); u
+    is the PORTABLE md5 coin ((hash_u32+0.5)/2^32 — same bits in
+    Spark/DuckDB/Python, the hash_sample precedent), ln rides the
+    established rd-9 idiom, ties broken by doc_id. The window is
+    keyed by source (never keyless); at 100 TB this is one scan + one
+    source-keyed top-k — and because the key is a pure function of
+    (seed, doc_id, w), the sample is REPRODUCIBLE and mergeable
+    across partitions/batches by construction (keep the k largest
+    keys under union — the streaming-reservoir property A-ES is
+    chosen for)."""
+    docs = _table(spark, sf_dir, "documents")
+    w = F.when(
+        F.col("text").isNull() | (F.trim(F.col("text")) == ""), F.lit(1)
+    ).otherwise(tx.token_count(F.col("text")))
+    u = (
+        (sp.hash_u32(F.col("doc_id"), _RES_SEED) + F.lit(0.5))
+        / F.lit(4294967296.0)
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.coalesce(F.col("source").cast("string"), F.lit("<NULL>")).alias(
+            "src"
+        ),
+        w.alias("__w"),
+    ).select(
+        "doc_id",
+        "src",
+        "__w",
+        rd(F.log(u) / F.col("__w"), 9).alias("__k"),
+    )
+    rk = keyed.select(
+        "doc_id",
+        "src",
+        "__w",
+        "__k",
+        F.row_number()
+        .over(
+            Window.partitionBy("src").orderBy(
+                F.col("__k").desc(), F.col("doc_id").asc()
+            )
+        )
+        .alias("__rnk"),
+    ).filter(F.col("__rnk") <= _RES_K)
+    return rk.select(
+        F.col("src").alias("source"),
+        F.col("__rnk").cast("int").alias("rank"),
+        "doc_id",
+        F.col("__w").cast("long").alias("weight_tokens"),
+        F.col("__k").alias("res_key"),
+    )
