@@ -328,6 +328,8 @@ HEADLINE = [
     "mix_temperature_sweep_entropy",  # effective-source count across temperatures
     "dedup_minhash_estimator_error",  # signature-agreement bias/MAE vs exact Jaccard
     "sample_reservoir_weighted",  # A-ES token-weighted per-source sample
+    "orders_kaplan_meier_repeat",  # censoring-correct repeat-purchase survival
+    "text_self_bleu_proxy",       # per-source corpus diversity (clipped n-gram)
 ]
 
 

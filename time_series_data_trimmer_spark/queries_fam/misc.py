@@ -1214,3 +1214,167 @@ def _q_eval_regression_user_baseline(
             "r2_vs_type_mean"
         ),
     )
+
+
+@register(
+    "orders_kaplan_meier_repeat",
+    f"""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             o_orderkey
+      FROM orders
+    ),
+    gmax AS (SELECT max(day) AS gday FROM o),
+    seq AS (
+      SELECT o_custkey, day,
+             lead(day) OVER (PARTITION BY o_custkey
+                             ORDER BY day, o_orderkey) AS nxt
+      FROM o
+    ),
+    dur AS (
+      SELECT CASE WHEN nxt IS NOT NULL THEN nxt - day
+                  ELSE gmax.gday - day END AS t,
+             CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM seq CROSS JOIN gmax
+    ),
+    byt AS (
+      SELECT t, sum(ev) AS d, sum(1 - ev) AS c FROM dur GROUP BY t
+    ),
+    one AS (
+      SELECT list_sort(list(struct_pack(t := t, d := d, c := c))) AS a,
+             sum(d + c) AS n
+      FROM byt
+    ),
+    step AS (
+      SELECT a[k].t AS t, a[k].d AS d,
+             n - coalesce(list_sum(list_transform(a[1:k-1],
+                                                  x -> x.d + x.c)), 0)
+               AS n_risk
+      FROM one, LATERAL (SELECT unnest(generate_series(1, len(a))) AS k)
+    ),
+    terms AS (
+      SELECT t, d, n_risk,
+             {R("1.0 - CAST(d AS DOUBLE) / n_risk", 9)} AS term
+      FROM step
+    ),
+    tb AS (
+      SELECT list_sort(list(struct_pack(t := t, term := term, d := d,
+                                        n_risk := n_risk))) AS b
+      FROM terms
+    )
+    SELECT b[k].t AS t_days,
+           CAST(b[k].n_risk AS BIGINT) AS n_risk,
+           CAST(b[k].d AS BIGINT) AS n_events,
+           {R("list_reduce(list_prepend(CAST(1.0 AS DOUBLE),"
+              " list_transform(b[1:k], x -> x.term)),"
+              " (x, y) -> x * y)", 6)} AS survival
+    FROM tb, LATERAL (SELECT unnest(generate_series(1, len(b))) AS k)
+    WHERE b[k].d > 0
+    """,
+)
+def _q_orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve for REPEAT-PURCHASE time — the
+    censoring-correct answer to "how long until a customer orders
+    again?" (a plain histogram of gaps UNDERSTATES long waits because
+    every customer's final order is still waiting — right-censored at
+    the observation end; KM is the standard estimator that uses those
+    censored spells correctly). Subjects: every order→next-order gap
+    (event) plus every customer's last-order→corpus-end spell
+    (censored); S(t) = Π_(t_i ≤ t) (1 − d_i/n_i) over event times.
+
+    Plan shape: the per-customer gap derivation is a customer-keyed
+    window; everything after runs on the per-duration table, which is
+    CALENDAR-BOUNDED (≤ ~2.4k distinct day gaps regardless of corpus
+    size), so the risk-set prefix and the survival product use the
+    bounded sorted-array double-posexplode (waterfill precedent) —
+    never a keyless window on the Spark side. Engine exactness: d and
+    n_risk are exact integers; each KM factor is one double division
+    rounded to 9 dp; the product multiplies those identical doubles
+    in identical ascending-t order (fold both sides — Spark aggregate
+    vs DuckDB list_reduce with 1.0 prepended), then rounds to 6 dp."""
+    o = _table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+        ).alias("__day"),
+        "o_orderkey",
+    )
+    gmax = o.agg(F.max("__day").alias("__gday"))
+    seq = o.select(
+        "o_custkey",
+        "__day",
+        F.lead("__day")
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.col("__day").asc(), F.col("o_orderkey").asc()
+            )
+        )
+        .alias("__nxt"),
+    )
+    dur = seq.crossJoin(F.broadcast(gmax)).select(
+        F.when(
+            F.col("__nxt").isNotNull(), F.col("__nxt") - F.col("__day")
+        )
+        .otherwise(F.col("__gday") - F.col("__day"))
+        .alias("t"),
+        F.when(F.col("__nxt").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__ev"),
+    )
+    byt = dur.groupBy("t").agg(
+        F.sum("__ev").alias("d"),
+        F.sum(F.lit(1) - F.col("__ev")).alias("c"),
+    )
+    one = byt.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("t"), F.col("d"), F.col("c")))
+        ).alias("a"),
+        F.sum(F.col("d") + F.col("c")).alias("n"),
+    )
+    step = one.select(
+        "n", "a", F.posexplode("a").alias("__k0", "__s")
+    ).select(
+        F.col("__s.t").alias("t"),
+        F.col("__s.d").alias("d"),
+        (
+            F.col("n")
+            - F.expr(
+                "aggregate(slice(a, 1, __k0), CAST(0 AS BIGINT),"
+                " (acc, x) -> acc + x.d + x.c)"
+            )
+        ).alias("n_risk"),
+    )
+    terms = step.select(
+        "t",
+        "d",
+        "n_risk",
+        rd(
+            F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"), 9
+        ).alias("term"),
+    )
+    tb = terms.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("t"), F.col("term"), F.col("d"), F.col("n_risk")
+                )
+            )
+        ).alias("b")
+    )
+    return (
+        tb.select("b", F.posexplode("b").alias("__k0", "__s"))
+        .select(
+            F.col("__s.t").alias("t_days"),
+            F.col("__s.n_risk").cast("long").alias("n_risk"),
+            F.col("__s.d").cast("long").alias("n_events"),
+            rd(
+                F.expr(
+                    "aggregate(slice(b, 1, __k0 + 1), CAST(1.0 AS DOUBLE),"
+                    " (acc, x) -> acc * x.term)"
+                ),
+                6,
+            ).alias("survival"),
+        )
+        .filter(F.col("n_events") > 0)
+    )

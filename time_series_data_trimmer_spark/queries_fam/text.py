@@ -2627,3 +2627,157 @@ def _q_text_lang_mixing_entropy(
             6,
         ).alias("mixed_share"),
     )
+
+
+@register(
+    "text_self_bleu_proxy",
+    f"""
+    WITH d AS (
+      SELECT doc_id, coalesce(CAST(source AS VARCHAR), '<NULL>') AS src,
+             string_split(trim(text), ' ') AS w
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    uni AS (
+      SELECT doc_id, src, 1 AS n, unnest(w) AS g FROM d
+    ),
+    bi AS (
+      SELECT doc_id, src, 2 AS n, w[i.i] || ' ' || w[i.i + 1] AS g
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) i
+      WHERE len(w) >= 2
+    ),
+    cnt AS (
+      SELECT src, n, g, doc_id, count(*) AS c
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+      GROUP BY src, n, g, doc_id
+    ),
+    g1 AS (
+      SELECT src, n, g, max(c) AS m1 FROM cnt GROUP BY src, n, g
+    ),
+    g2 AS (
+      SELECT cnt.src, cnt.n, cnt.g, g1.m1,
+             sum(CASE WHEN cnt.c = g1.m1 THEN 1 ELSE 0 END) AS n1,
+             coalesce(max(CASE WHEN cnt.c < g1.m1 THEN cnt.c END), 0) AS m2
+      FROM cnt JOIN g1 ON g1.src = cnt.src AND g1.n = cnt.n AND g1.g = cnt.g
+      GROUP BY cnt.src, cnt.n, cnt.g, g1.m1
+    ),
+    clip AS (
+      SELECT cnt.src, cnt.n,
+             least(cnt.c,
+                   CASE WHEN cnt.c = g2.m1 AND g2.n1 = 1
+                        THEN g2.m2 ELSE g2.m1 END) AS cl,
+             cnt.c
+      FROM cnt JOIN g2 ON g2.src = cnt.src AND g2.n = cnt.n AND g2.g = cnt.g
+    ),
+    pn AS (
+      SELECT src, n,
+             {R("CAST(sum(cl) AS DOUBLE) / sum(c)", 9)} AS p
+      FROM clip GROUP BY src, n
+    ),
+    nd AS (SELECT src, count(*) AS n_docs FROM d GROUP BY src)
+    SELECT nd.src AS source,
+           CAST(nd.n_docs AS BIGINT) AS n_docs,
+           {R("max(CASE WHEN pn.n = 1 THEN pn.p END)", 6)} AS p1_clipped,
+           {R("max(CASE WHEN pn.n = 2 THEN pn.p END)", 6)} AS p2_clipped,
+           {R("sqrt(max(CASE WHEN pn.n = 1 THEN pn.p END)"
+              " * max(CASE WHEN pn.n = 2 THEN pn.p END))", 6)}
+             AS self_bleu2
+    FROM nd JOIN pn ON pn.src = nd.src
+    GROUP BY nd.src, nd.n_docs
+    """,
+)
+def _q_text_self_bleu_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-BLEU diversity audit per source (Zhu et al.'s generation-
+    diversity metric applied to corpus curation): each document's
+    clipped 1-/2-gram precision against the POOL of the other
+    documents in its source, aggregated corpus-level — high self-BLEU
+    = the source is internally repetitive (template spam, mirror
+    scrape), low = diverse. The standard formulation scores each doc
+    against the others as references; the distributed reformulation
+    avoids any doc×doc pair space: clipping each doc's gram count at
+    max_{{d'≠d}} count_{{d'}}(g) needs only the TOP-2 per-gram counts
+    (if the doc is the unique argmax its clip is the runner-up, else
+    the max) — one gram-keyed aggregate + one join back, all integer
+    counts, linear in corpus grams at any scale. self_bleu2 =
+    geometric mean of the two clipped precisions (integer-ratio
+    doubles; sqrt is IEEE-correctly-rounded — no cross-engine risk)."""
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("source").cast("string"), F.lit("<NULL>")
+            ).alias("src"),
+            F.split(F.trim(F.col("text")), " ").alias("__w"),
+        )
+    )
+    uni = docs.select(
+        "doc_id", "src", F.lit(1).alias("n"), F.explode("__w").alias("g")
+    )
+    bi = docs.filter(F.size("__w") >= 2).select(
+        "doc_id",
+        "src",
+        F.lit(2).alias("n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, 2)),
+            )
+        ).alias("g"),
+    )
+    cnt = (
+        uni.unionByName(bi)
+        .groupBy("src", "n", "g", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g1 = cnt.groupBy("src", "n", "g").agg(F.max("c").alias("__m1"))
+    g2 = (
+        cnt.join(g1.hint("shuffle_hash"), ["src", "n", "g"])
+        .groupBy("src", "n", "g", "__m1")
+        .agg(
+            F.sum(
+                F.when(F.col("c") == F.col("__m1"), 1).otherwise(0)
+            ).alias("__n1"),
+            F.coalesce(
+                F.max(F.when(F.col("c") < F.col("__m1"), F.col("c"))),
+                F.lit(0),
+            ).alias("__m2"),
+        )
+    )
+    clip = cnt.join(g2.hint("shuffle_hash"), ["src", "n", "g"]).select(
+        "src",
+        "n",
+        "c",
+        F.least(
+            F.col("c"),
+            F.when(
+                (F.col("c") == F.col("__m1")) & (F.col("__n1") == 1),
+                F.col("__m2"),
+            ).otherwise(F.col("__m1")),
+        ).alias("__cl"),
+    )
+    pn = clip.groupBy("src", "n").agg(
+        rd(
+            F.sum("__cl").cast("double") / F.sum("c").cast("double"), 9
+        ).alias("p")
+    )
+    nd = docs.groupBy("src").agg(F.count(F.lit(1)).alias("n_docs"))
+    p1 = F.max(F.when(F.col("n") == 1, F.col("p")))
+    p2 = F.max(F.when(F.col("n") == 2, F.col("p")))
+    return (
+        nd.join(pn.hint("shuffle_hash"), "src")
+        .groupBy("src", "n_docs")
+        .agg(
+            rd(p1, 6).alias("p1_clipped"),
+            rd(p2, 6).alias("p2_clipped"),
+            rd(F.sqrt(p1 * p2), 6).alias("self_bleu2"),
+        )
+        .select(
+            F.col("src").alias("source"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "p1_clipped",
+            "p2_clipped",
+            "self_bleu2",
+        )
+    )
