@@ -330,6 +330,8 @@ HEADLINE = [
     "sample_reservoir_weighted",  # A-ES token-weighted per-source sample
     "orders_kaplan_meier_repeat",  # censoring-correct repeat-purchase survival
     "text_self_bleu_proxy",       # per-source corpus diversity (clipped n-gram)
+    "emb_simplified_silhouette",  # O(n*k) centroid silhouette per label
+    "graph_edge_embeddedness",    # triangle support per edge; local bridges
 ]
 
 

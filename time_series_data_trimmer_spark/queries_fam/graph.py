@@ -2030,3 +2030,186 @@ def _q_graph_concurrency_autocap_edges(
             ).alias("forfeit_share"),
         )
     )
+
+
+@register(
+    "graph_edge_embeddedness",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT user_id, event_type,
+             epoch_us(ts) // {_TRI_BLK_US} AS blk
+      FROM events
+    ),
+    capped AS (
+      SELECT user_id, event_type, blk
+      FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY event_type, blk ORDER BY user_id
+               ) AS rn
+        FROM d
+      ) WHERE rn <= {_TRI_CAP}
+    ),
+    canon AS (
+      SELECT DISTINCT x.user_id AS a, y.user_id AS b
+      FROM capped x JOIN capped y
+        ON x.event_type = y.event_type AND x.blk = y.blk
+       AND x.user_id < y.user_id
+    ),
+    deg AS (
+      SELECT v, count(*) AS deg FROM (
+        SELECT a AS v FROM canon UNION ALL SELECT b AS v FROM canon
+      ) GROUP BY v
+    ),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+                  THEN c.a ELSE c.b END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+                  THEN c.b ELSE c.a END AS w
+      FROM canon c
+      JOIN deg da ON da.v = c.a
+      JOIN deg db ON db.v = c.b
+    ),
+    tri AS (
+      SELECT l.u AS u, l.w AS a, r.w AS b
+      FROM o l JOIN o r ON l.u = r.u AND l.w < r.w
+      JOIN canon c ON c.a = l.w AND c.b = r.w
+    ),
+    tedges AS (
+      SELECT least(u, a) AS a, greatest(u, a) AS b FROM tri
+      UNION ALL
+      SELECT least(u, b) AS a, greatest(u, b) AS b FROM tri
+      UNION ALL
+      SELECT a, b FROM tri
+    ),
+    sup AS (
+      SELECT a, b, count(*) AS s FROM tedges GROUP BY a, b
+    ),
+    emb AS (
+      SELECT c.a, c.b, coalesce(sup.s, 0) AS s
+      FROM canon c LEFT JOIN sup ON sup.a = c.a AND sup.b = c.b
+    ),
+    tot AS (SELECT count(*) AS n FROM emb)
+    SELECT CASE WHEN s = 0 THEN '0_bridge'
+                WHEN s = 1 THEN '1'
+                WHEN s = 2 THEN '2'
+                WHEN s <= 4 THEN '3-4'
+                ELSE '5+' END AS embeddedness,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           {R("CAST(count(*) AS DOUBLE) / max(tot.n)", 6)} AS edge_frac
+    FROM emb CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def _q_graph_edge_embeddedness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EDGE EMBEDDEDNESS distribution of the co-occurrence graph —
+    per edge, the number of triangles it participates in (= common
+    neighbors of its endpoints). Embeddedness-0 edges are LOCAL
+    BRIDGES: ties with zero mutual context, the classic weak-tie /
+    anomaly signal (in an engagement graph, a burst of bridge edges
+    is bot-ring or crawler behavior; in curation, bridges are the
+    links that connect otherwise-disjoint communities and should
+    survive pruning). Same capped co-occurrence edges and same
+    degree-oriented wedge enumeration as `graph_triangle_count_cooc`
+    (O(sqrt(m)) wedge fan per vertex, per-block sorted-neighborhood
+    cap), extended from COUNTING triangles to CREDITING them: each
+    closed triangle credits its three canonical edges, a left join
+    back to the edge set scores the zeros, and the bounded histogram
+    is the output. All integer counts; one double ratio."""
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        "user_id",
+        "event_type",
+        F.expr(
+            f"unix_micros(cast(ts as timestamp)) div {_TRI_BLK_US}"
+        ).alias("blk"),
+    ).distinct()
+    wcap = Window.partitionBy("event_type", "blk").orderBy("user_id")
+    capped = (
+        d.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _TRI_CAP)
+        .drop("rn")
+    )
+    x = capped.select(
+        F.col("event_type"), F.col("blk"), F.col("user_id").alias("__ua")
+    )
+    y = capped.select(
+        F.col("event_type"), F.col("blk"), F.col("user_id").alias("__ub")
+    )
+    canon = (
+        x.join(y.hint("shuffle_hash"), ["event_type", "blk"])
+        .filter(F.col("__ua") < F.col("__ub"))
+        .select(F.col("__ua").alias("a"), F.col("__ub").alias("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .unionAll(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("__db"))
+    oriented = (
+        canon.join(da.hint("shuffle_hash"), "a")
+        .join(db.hint("shuffle_hash"), "b")
+        .select(
+            F.when(
+                (F.col("__da") < F.col("__db"))
+                | ((F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))),
+                F.col("a"),
+            )
+            .otherwise(F.col("b"))
+            .alias("u"),
+            F.when(
+                (F.col("__da") < F.col("__db"))
+                | ((F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))),
+                F.col("b"),
+            )
+            .otherwise(F.col("a"))
+            .alias("w"),
+        )
+    )
+    l = oriented.select(F.col("u"), F.col("w").alias("__wa"))
+    r = oriented.select(F.col("u"), F.col("w").alias("__wb"))
+    wedges = (
+        l.join(r.hint("shuffle_hash"), "u")
+        .filter(F.col("__wa") < F.col("__wb"))
+        .select("u", F.col("__wa").alias("a"), F.col("__wb").alias("b"))
+    )
+    tri = wedges.join(canon.hint("shuffle_hash"), ["a", "b"])
+    tedges = (
+        tri.select(
+            F.least("u", "a").alias("a"), F.greatest("u", "a").alias("b")
+        )
+        .unionAll(
+            tri.select(
+                F.least("u", "b").alias("a"),
+                F.greatest("u", "b").alias("b"),
+            )
+        )
+        .unionAll(tri.select("a", "b"))
+    )
+    sup = tedges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("__s"))
+    emb = canon.join(sup.hint("shuffle_hash"), ["a", "b"], "left").select(
+        F.coalesce(F.col("__s"), F.lit(0)).alias("s")
+    )
+    tot = emb.agg(F.count(F.lit(1)).alias("__n"))
+    bucket = (
+        F.when(F.col("s") == 0, F.lit("0_bridge"))
+        .when(F.col("s") == 1, F.lit("1"))
+        .when(F.col("s") == 2, F.lit("2"))
+        .when(F.col("s") <= 4, F.lit("3-4"))
+        .otherwise(F.lit("5+"))
+    )
+    return (
+        emb.crossJoin(F.broadcast(tot))
+        .groupBy(bucket.alias("embeddedness"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            rd(
+                F.count(F.lit(1)).cast("double") / F.max("__n"), 6
+            ).alias("edge_frac"),
+        )
+    )

@@ -2086,3 +2086,119 @@ def _q_emb_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_cosine"),
         rd(F.sqrt(F.col("__sh2")), 6).alias("l2_shift"),
     )
+
+
+@register(
+    "emb_simplified_silhouette",
+    f"""
+    WITH ex AS (
+      SELECT vec_id, label, u['i'] - 1 AS i, CAST(u['v'] AS DOUBLE) AS x
+      FROM (SELECT vec_id, label,
+                   unnest(list_transform(embedding, (x, i) -> {{'v': x, 'i': i}})) AS u
+            FROM embeddings)
+    ),
+    cen AS (
+      SELECT label AS clabel, i,
+             {R("CAST(sum(CAST(" + R("x", 9) + " AS DECIMAL(38,9)))"
+                " AS DOUBLE) / count(*)", 9)} AS m
+      FROM ex GROUP BY label, i
+    ),
+    d2 AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             CAST(sum(CAST({R("(e.x - c.m) * (e.x - c.m)", 9)}
+                  AS DECIMAL(38,9))) AS DOUBLE) AS dd
+      FROM ex e JOIN cen c ON c.i = e.i
+      GROUP BY e.vec_id, e.label, c.clabel
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             max(CASE WHEN clabel = label
+                      THEN {R("sqrt(dd)", 9)} END) AS a,
+             min(CASE WHEN clabel <> label
+                      THEN {R("sqrt(dd)", 9)} END) AS b
+      FROM d2 GROUP BY vec_id, label
+    ),
+    s AS (
+      SELECT label, a, b,
+             CASE WHEN greatest(a, b) > 0.0
+                  THEN {R("(b - a) / greatest(a, b)", 9)}
+                  ELSE 0.0 END AS sil
+      FROM ab
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           {R("CAST(sum(CAST(a AS DECIMAL(38,9))) AS DOUBLE)"
+              " / count(*)", 6)} AS mean_intra,
+           {R("CAST(sum(CAST(b AS DECIMAL(38,9))) AS DOUBLE)"
+              " / count(*)", 6)} AS mean_nearest_other,
+           {R("CAST(sum(CAST(sil AS DECIMAL(38,9))) AS DOUBLE)"
+              " / count(*)", 6)} AS mean_silhouette
+    FROM s GROUP BY label
+    """,
+)
+def _q_emb_simplified_silhouette(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SIMPLIFIED SILHOUETTE per label — the cluster-quality score a
+    team reads before trusting label-conditioned sampling or
+    per-label ANN routing: a = distance to OWN label centroid, b =
+    distance to the NEAREST other centroid, s = (b−a)/max(a,b)
+    averaged per label (s → 1 separated, → 0 overlapping, < 0
+    misassigned). The simplified (centroid) form replaces classic
+    silhouette's O(n²) pairwise distances with O(n·k) centroid
+    distances — the only formulation that survives 10⁹ vectors, and
+    the standard large-scale substitute (same ordering, bounded
+    bias). Plan: decimal-exact per-(label, dim) centroids
+    (`emb_mean_pool_by_label` pattern, 640 bounded rows) BROADCAST
+    back onto one exploded scan; per-(vector, centroid) squared
+    distances accumulate rd-9 decimal terms (order-independent in
+    both engines); sqrt is IEEE-exact. Vectors never pairwise-join,
+    never shuffle whole."""
+    emb = _table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "__xf")
+    ).select("vec_id", "label", "i", F.col("__xf").cast("double").alias("x"))
+    cen = ex.groupBy(F.col("label").alias("clabel"), "i").agg(
+        rd(
+            F.sum(rd(F.col("x"), 9).cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("m")
+    )
+    term = rd((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")), 9)
+    d2 = (
+        ex.join(F.broadcast(cen), "i")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(term.cast("decimal(38,9)")).cast("double").alias("dd"))
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), rd(F.sqrt("dd"), 9))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), rd(F.sqrt("dd"), 9))
+        ).alias("b"),
+    )
+    sil = F.when(
+        F.greatest(F.col("a"), F.col("b")) > 0.0,
+        rd(
+            (F.col("b") - F.col("a"))
+            / F.greatest(F.col("a"), F.col("b")),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    s = ab.select("label", "a", "b", sil.alias("sil"))
+
+    def dmean(c):
+        return rd(
+            F.sum(F.col(c).cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        dmean("a").alias("mean_intra"),
+        dmean("b").alias("mean_nearest_other"),
+        dmean("sil").alias("mean_silhouette"),
+    )
