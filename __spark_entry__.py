@@ -84,13 +84,17 @@ _FIRST_50 = [
     "emb_jl_project", "graph_degree_stats",
     "decontam_overlap_frac", "sim_ivf_topk_refined",
     "emb_lsh_bits_sweep", "orders_basket_lift_pairs",
-    "sim_ivf_batch_topk", "cube_revenue_by_flag_status",
-    "text_lang_confusion", "ts_seasonal_strength",
-    "text_lang_mixing_entropy", "sketch_cm_token_freq_by_source",
-    "sketch_kmv_intersection_sources", "pipeline_cluster_topics",
-    "pipeline_drift_report", "sim_ivf_topk",
-    "events_markov_attribution", "profile_events_columns",
-    "text_ngram_novelty",
+    "sim_ivf_batch_topk", "sim_ivf_topk",
+    # the 11 r12 additions (same-round sampling precedent — all
+    # locally oracle-verified this round, never driver-sampled by
+    # construction); the cheapest r11-backlog picks they displace
+    # stay at the head of never_driver_verified.json for r13
+    "dedup_auto_method_choice", "dedup_auto_lsh_branch",
+    "ts_mann_kendall_daily_trend", "eval_regression_user_baseline",
+    "mix_temperature_sweep_entropy", "dedup_minhash_estimator_error",
+    "sample_reservoir_weighted", "orders_kaplan_meier_repeat",
+    "text_self_bleu_proxy", "emb_simplified_silhouette",
+    "graph_edge_embeddedness",
 ]
 
 
