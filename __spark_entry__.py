@@ -83,8 +83,7 @@ _FIRST_50 = [
     "pipeline_c4_survivors", "dedup_semantic_tau_sweep",
     "emb_jl_project", "graph_degree_stats",
     "decontam_overlap_frac", "sim_ivf_topk_refined",
-    "emb_lsh_bits_sweep", "orders_basket_lift_pairs",
-    "sim_ivf_batch_topk", "sim_ivf_topk",
+    "emb_lsh_bits_sweep", "sim_ivf_topk",
     # the 11 r12 additions (same-round sampling precedent — all
     # locally oracle-verified this round, never driver-sampled by
     # construction); the cheapest r11-backlog picks they displace
@@ -94,7 +93,8 @@ _FIRST_50 = [
     "mix_temperature_sweep_entropy", "dedup_minhash_estimator_error",
     "sample_reservoir_weighted", "orders_kaplan_meier_repeat",
     "text_self_bleu_proxy", "emb_simplified_silhouette",
-    "graph_edge_embeddedness",
+    "graph_edge_embeddedness", "dedup_removed_vs_kept_profile",
+    "sample_group_kfold_assignment",
 ]
 
 

@@ -332,6 +332,8 @@ HEADLINE = [
     "text_self_bleu_proxy",       # per-source corpus diversity (clipped n-gram)
     "emb_simplified_silhouette",  # O(n*k) centroid silhouette per label
     "graph_edge_embeddedness",    # triangle support per edge; local bridges
+    "dedup_removed_vs_kept_profile",  # what exact dedup removes, per source
+    "sample_group_kfold_assignment",  # leakage-safe group k-fold + balance check
 ]
 
 

@@ -2122,3 +2122,80 @@ def _q_dedup_minhash_estimator_error(
         rd(se / n - sj / n, 6).alias("bias"),
         rd(sd / n, 6).alias("mae"),
     )
+
+
+@register(
+    "dedup_removed_vs_kept_profile",
+    f"""
+    WITH g AS (
+      SELECT doc_id, source, text,
+             min(doc_id) OVER (PARTITION BY md5(coalesce(text, '<null>')))
+               AS keep_id
+      FROM documents
+    ),
+    cls AS (
+      SELECT coalesce(CAST(source AS VARCHAR), '<NULL>') AS src,
+             CASE WHEN doc_id = keep_id THEN 'kept' ELSE 'removed' END
+               AS fate,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(string_split(trim(text), ' ')) END AS toks,
+             CASE WHEN text IS NULL THEN 0 ELSE length(text) END AS chars
+      FROM g
+    )
+    SELECT src AS source, fate,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           {R("CAST(sum(toks) AS DOUBLE) / count(*)", 6)} AS mean_tokens,
+           {R("CAST(sum(chars) AS DOUBLE) / count(*)", 6)} AS mean_chars
+    FROM cls GROUP BY src, fate
+    """,
+)
+def _q_dedup_removed_vs_kept_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WHAT DOES DEDUP REMOVE? — the bias audit run before trusting a
+    deduped corpus: per source, the kept-vs-removed doc/token counts
+    and mean length under exact (content-hash, min-id survivor)
+    dedup. If the removed mass is systematically SHORTER (template
+    boilerplate) the dedup is cleaning; if a source's removed docs
+    look like its kept ones, that source is mirror-duplicated and its
+    effective diversity is the kept count, which mix budgeting
+    (`mix_budget_after_dedup`) must consume. Exact-dedup survivor
+    rule is the registry-wide one (min doc_id per md5(text), NULL
+    text = its own group via the sentinel). Integer token/char sums;
+    one digest-keyed window + one grouped aggregate — two shuffles at
+    any scale."""
+    docs = _table(spark, sf_dir, "documents")
+    keep = F.min("doc_id").over(
+        Window.partitionBy(F.md5(F.coalesce(F.col("text"), F.lit("<null>"))))
+    )
+    toks = F.when(
+        F.col("text").isNull() | (F.trim(F.col("text")) == ""), F.lit(0)
+    ).otherwise(tx.token_count(F.col("text")))
+    chars = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+        F.length("text")
+    )
+    cls = docs.select(
+        F.coalesce(F.col("source").cast("string"), F.lit("<NULL>")).alias(
+            "src"
+        ),
+        F.when(F.col("doc_id") == keep, F.lit("kept"))
+        .otherwise(F.lit("removed"))
+        .alias("fate"),
+        toks.alias("__toks"),
+        chars.alias("__chars"),
+    )
+    n = F.count(F.lit(1))
+    return cls.groupBy("src", "fate").agg(
+        n.cast("long").alias("n_docs"),
+        F.sum("__toks").cast("long").alias("total_tokens"),
+        rd(F.sum("__toks").cast("double") / n, 6).alias("mean_tokens"),
+        rd(F.sum("__chars").cast("double") / n, 6).alias("mean_chars"),
+    ).select(
+        F.col("src").alias("source"),
+        "fate",
+        "n_docs",
+        "total_tokens",
+        "mean_tokens",
+        "mean_chars",
+    )

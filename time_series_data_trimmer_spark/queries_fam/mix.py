@@ -1857,3 +1857,76 @@ def _q_sample_reservoir_weighted(
         F.col("__w").cast("long").alias("weight_tokens"),
         F.col("__k").alias("res_key"),
     )
+
+
+_KF_K = 5
+_KF_SEED = "tsdt|kfold"
+
+
+@register(
+    "sample_group_kfold_assignment",
+    f"""
+    WITH e AS (
+      SELECT user_id, CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    ),
+    f AS (
+      SELECT user_id, vq,
+             {sp.sql_hash_u32("user_id", _KF_SEED)} % {_KF_K} AS fold
+      FROM e
+    ),
+    tot AS (SELECT count(*) AS n FROM f)
+    SELECT CAST(fold AS INTEGER) AS fold,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {R("CAST(count(*) AS DOUBLE) / max(tot.n)", 6)} AS row_share,
+           {R("CAST(sum(vq) AS DOUBLE) / count(*) / 10000.0", 6)}
+             AS mean_value
+    FROM f CROSS JOIN tot
+    GROUP BY fold
+    """,
+)
+def _q_sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE k-fold assignment (k={_KF_K}, grouped by user) —
+    the leakage-safe CV split: every row of a user lands in the SAME
+    fold (fold = portable md5 hash of user_id mod k), so no user
+    straddles train/validation — the within-entity leak that inflates
+    every per-user-feature model, prevented by construction rather
+    than audited after (`mix_split_leakage_audit` checks an existing
+    split; this OWNS the assignment). The report is the balance
+    check read before trusting the folds: per fold, user/row counts,
+    row share (should be ≈1/k), and the outcome mean (a fold whose
+    target mean deviates is a stratification warning — the SRM-check
+    shape applied to CV). Deterministic, seedable, reproducible on
+    any engine; one scan + one grouped aggregate."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    f = ev.select(
+        "user_id",
+        F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("__vq"),
+        (sp.hash_u32(F.col("user_id"), _KF_SEED) % F.lit(_KF_K)).alias(
+            "fold"
+        ),
+    )
+    tot = f.agg(F.count(F.lit(1)).alias("__n"))
+    n = F.count(F.lit(1))
+    return (
+        f.crossJoin(F.broadcast(tot))
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            n.cast("long").alias("n_rows"),
+            rd(n.cast("double") / F.max("__n"), 6).alias("row_share"),
+            rd(
+                F.sum("__vq").cast("double") / n / F.lit(10000.0), 6
+            ).alias("mean_value"),
+        )
+        .select(
+            F.col("fold").cast("int").alias("fold"),
+            "n_users",
+            "n_rows",
+            "row_share",
+            "mean_value",
+        )
+    )
