@@ -82,8 +82,8 @@ _FIRST_50 = [
     "sketch_kmv_sliding_distinct_users", "text_heavy_hitters_by_source",
     "pipeline_c4_survivors", "dedup_semantic_tau_sweep",
     "emb_jl_project", "graph_degree_stats",
-    "decontam_overlap_frac", "sim_ivf_topk_refined",
-    "emb_lsh_bits_sweep", "sim_ivf_topk",
+    "decontam_overlap_frac",
+    "sim_ivf_topk",
     # the 11 r12 additions (same-round sampling precedent — all
     # locally oracle-verified this round, never driver-sampled by
     # construction); the cheapest r11-backlog picks they displace
@@ -94,7 +94,8 @@ _FIRST_50 = [
     "sample_reservoir_weighted", "orders_kaplan_meier_repeat",
     "text_self_bleu_proxy", "emb_simplified_silhouette",
     "graph_edge_embeddedness", "dedup_removed_vs_kept_profile",
-    "sample_group_kfold_assignment",
+    "sample_group_kfold_assignment", "privacy_dp_quantile_utility",
+    "stats_chapman_source_overlap",
 ]
 
 

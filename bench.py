@@ -334,6 +334,8 @@ HEADLINE = [
     "graph_edge_embeddedness",    # triangle support per edge; local bridges
     "dedup_removed_vs_kept_profile",  # what exact dedup removes, per source
     "sample_group_kfold_assignment",  # leakage-safe group k-fold + balance check
+    "privacy_dp_quantile_utility",  # exponential-mechanism median release planner
+    "stats_chapman_source_overlap",  # capture-recapture crawl-coverage estimate
 ]
 
 

@@ -1378,3 +1378,295 @@ def _q_orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_events") > 0)
     )
+
+
+_DPQ_BINS = 64
+_DPQ_LO = 0.0
+_DPQ_HI = 640.0
+_DPQ_W = (_DPQ_HI - _DPQ_LO) / _DPQ_BINS  # 10.0 — binary-exact
+_DPQ_EPS = 1.0
+
+
+@register(
+    "privacy_dp_quantile_utility",
+    f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(least(greatest(floor(value / {_DPQ_W}), 0),
+                        {_DPQ_BINS - 1}) AS INTEGER) AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    h AS (
+      SELECT event_type, bin, count(*) AS c FROM e GROUP BY event_type, bin
+    ),
+    grid AS (
+      SELECT t.event_type, g.b
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (SELECT unnest(generate_series(0, {_DPQ_BINS - 1})) AS b) g
+    ),
+    cum AS (
+      SELECT grid.event_type, grid.b,
+             (SELECT coalesce(sum(h.c), 0) FROM h
+              WHERE h.event_type = grid.event_type AND h.bin < grid.b)
+               AS below,
+             (SELECT sum(h.c) FROM h
+              WHERE h.event_type = grid.event_type) AS n
+      FROM grid
+    ),
+    u AS (
+      SELECT event_type, b, n,
+             -abs(2 * below - n) AS u2   -- 2*|rank error|, integer
+      FROM cum
+    ),
+    mx AS (SELECT event_type, max(u2) AS umax FROM u GROUP BY event_type),
+    w AS (
+      SELECT u.event_type, u.b, u.n, u.u2, mx.umax,
+             {R(f"exp({_DPQ_EPS} * (u.u2 - mx.umax) / 4.0)", 9)} AS wt
+      FROM u JOIN mx ON mx.event_type = u.event_type
+    ),
+    z AS (
+      SELECT event_type,
+             CAST(sum(CAST(wt AS DECIMAL(38,9))) AS DOUBLE) AS zz
+      FROM w GROUP BY event_type
+    ),
+    map AS (
+      SELECT event_type, b, n, u2, wt
+      FROM w
+      QUALIFY row_number() OVER (PARTITION BY event_type
+                                 ORDER BY u2 DESC, b ASC) = 1
+    )
+    SELECT m.event_type,
+           CAST(m.b AS INTEGER) AS map_bin,
+           {R(f"m.b * {_DPQ_W} + {_DPQ_W / 2.0}", 6)} AS map_bin_mid,
+           CAST(m.n AS BIGINT) AS n_rows,
+           CAST(-m.u2 AS BIGINT) AS map_rank_error_x2,
+           {R("m.wt / z.zz", 6)} AS map_probability
+    FROM map m JOIN z ON z.event_type = m.event_type
+    """,
+)
+def _q_privacy_dp_quantile_utility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DP MEDIAN release planner via the EXPONENTIAL MECHANISM — the
+    quantile companion to `privacy_dp_count_report`: over a fixed
+    {_DPQ_BINS}-bin grid, each bin's utility is −|rank error| against
+    the true median, selection weight ∝ exp(ε·u/2) (sensitivity-1
+    rank utility, ε={_DPQ_EPS}). This query releases the
+    DETERMINISTIC planning view: the MAP bin (what the mechanism
+    returns most often), its exact selection probability, and the
+    rank error it carries — the table a privacy reviewer reads to
+    decide whether ε buys acceptable accuracy BEFORE any noisy draw
+    happens (the draw itself is one multinomial sample downstream).
+    Exactness: utilities are exact integers (doubled to avoid n/2
+    halves), weights are log-sum-exp-SHIFTED by the per-type max
+    before exp (no underflow at any n), rd-9 rounded, decimal-summed;
+    the MAP pick is an integer-utility argmax with bin-index
+    tie-break — no float ordering anywhere. One scan + one
+    (type, bin)-keyed count; the {_DPQ_BINS}-bin grid is constant at
+    any scale."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    e = ev.select(
+        "event_type",
+        F.least(
+            F.greatest(
+                F.floor(F.col("value") / F.lit(_DPQ_W)), F.lit(0)
+            ),
+            F.lit(_DPQ_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    h = e.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    # bounded per-type fold: 64-entry histogram array -> below/n per bin
+    one = h.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("bin"), F.col("c")))
+        ).alias("a"),
+        F.sum("c").alias("n"),
+    )
+    grid = one.select(
+        "event_type",
+        "n",
+        "a",
+        F.explode(F.sequence(F.lit(0), F.lit(_DPQ_BINS - 1))).alias("b"),
+    ).select(
+        "event_type",
+        "n",
+        "b",
+        F.expr(
+            "aggregate(filter(a, x -> x.bin < b), CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + x.c)"
+        ).alias("below"),
+    )
+    u = grid.select(
+        "event_type",
+        "b",
+        "n",
+        (-F.abs(F.lit(2) * F.col("below") - F.col("n"))).alias("u2"),
+    )
+    mx = u.groupBy("event_type").agg(F.max("u2").alias("__umax"))
+    w = u.join(mx.hint("shuffle_hash"), "event_type").select(
+        "event_type",
+        "b",
+        "n",
+        "u2",
+        rd(
+            F.exp(
+                F.lit(_DPQ_EPS)
+                * (F.col("u2") - F.col("__umax"))
+                / F.lit(4.0)
+            ),
+            9,
+        ).alias("wt"),
+    )
+    z = w.groupBy("event_type").agg(
+        F.sum(F.col("wt").cast("decimal(38,9)")).cast("double").alias("__z")
+    )
+    mapped = w.select(
+        "event_type",
+        "b",
+        "n",
+        "u2",
+        "wt",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("u2").desc(), F.col("b").asc()
+            )
+        )
+        .alias("__rn"),
+    ).filter(F.col("__rn") == 1)
+    return mapped.join(z.hint("shuffle_hash"), "event_type").select(
+        "event_type",
+        F.col("b").cast("int").alias("map_bin"),
+        rd(
+            F.col("b") * F.lit(_DPQ_W) + F.lit(_DPQ_W / 2.0), 6
+        ).alias("map_bin_mid"),
+        F.col("n").cast("long").alias("n_rows"),
+        (-F.col("u2")).cast("long").alias("map_rank_error_x2"),
+        rd(F.col("wt") / F.col("__z"), 6).alias("map_probability"),
+    )
+
+
+@register(
+    "stats_chapman_source_overlap",
+    f"""
+    WITH fp AS (
+      SELECT DISTINCT coalesce(CAST(source AS VARCHAR), '<NULL>') AS src,
+             md5(coalesce(text, '<null>')) AS f
+      FROM documents
+    ),
+    sz AS (SELECT src, count(*) AS n FROM fp GROUP BY src),
+    ov AS (
+      SELECT a.src AS src_a, b.src AS src_b, count(*) AS m
+      FROM fp a JOIN fp b ON a.f = b.f AND a.src < b.src
+      GROUP BY a.src, b.src
+    ),
+    pairs AS (
+      SELECT x.src AS src_a, y.src AS src_b,
+             x.n AS n_a, y.n AS n_b,
+             coalesce(ov.m, 0) AS m
+      FROM sz x JOIN sz y ON x.src < y.src
+      LEFT JOIN ov ON ov.src_a = x.src AND ov.src_b = y.src
+    )
+    SELECT src_a, src_b,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(m AS BIGINT) AS n_shared,
+           CAST(n_a + n_b - m AS BIGINT) AS n_union_observed,
+           {R("(CAST(n_a AS DOUBLE) + 1.0) * (n_b + 1.0) / (m + 1.0)"
+              " - 1.0", 6)} AS chapman_total_est,
+           {R("greatest(0.0, ((CAST(n_a AS DOUBLE) + 1.0) * (n_b + 1.0)"
+              " / (m + 1.0) - 1.0) - (n_a + n_b - m))", 6)}
+             AS est_unseen
+    FROM pairs
+    """,
+)
+def _q_stats_chapman_source_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CAPTURE-RECAPTURE corpus forensics (Chapman estimator): treat
+    each pair of sources as two independent "captures" of a shared
+    underlying document population (distinct content fingerprints);
+    the overlap size m then estimates the TOTAL population
+    N̂ = (n_a+1)(n_b+1)/(m+1) − 1 — and N̂ minus the observed union is
+    the estimated UNSEEN mass: content both crawls missed. This is
+    the standard ecology estimator applied to crawl-coverage
+    planning ("how much more is out there if we keep crawling these
+    two mirrors?") — a pair with large m and small est_unseen is
+    saturated (stop crawling), a pair with m≈0 is disjoint and the
+    independence assumption (and hence N̂) is meaningless, which the
+    raw m column exposes. All counts are exact integers off one
+    fingerprint-keyed self-join (distinct-collapsed first, so the
+    join is |distinct contents|-bounded); the source-pair space is
+    |sources|²-bounded. Chapman's +1 form keeps the estimator finite
+    at m=0."""
+    docs = _table(spark, sf_dir, "documents")
+    fp = docs.select(
+        F.coalesce(F.col("source").cast("string"), F.lit("<NULL>")).alias(
+            "src"
+        ),
+        F.md5(F.coalesce(F.col("text"), F.lit("<null>"))).alias("f"),
+    ).distinct()
+    sz = fp.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    a = fp.select(F.col("src").alias("src_a"), "f")
+    b = fp.select(F.col("src").alias("src_b"), "f")
+    ov = (
+        a.join(b.hint("shuffle_hash"), "f")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    # source-pair grid via the bounded-array double-explode (|sources|
+    # rows collapse to ONE sorted array, then two explodes) — an
+    # inequality join here would compile to a BNLJ with a multi-row
+    # build side, the exact plan class the sweep bans
+    one = sz.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("src"), F.col("n")))
+        ).alias("a")
+    )
+    grid = (
+        one.select("a", F.explode("a").alias("x"))
+        .select("x", F.explode("a").alias("y"))
+        .filter(F.col("x.src") < F.col("y.src"))
+        .select(
+            F.col("x.src").alias("src_a"),
+            F.col("y.src").alias("src_b"),
+            F.col("x.n").alias("n_a"),
+            F.col("y.n").alias("n_b"),
+        )
+    )
+    pairs = grid.join(
+        F.broadcast(ov), ["src_a", "src_b"], "left"
+    ).select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        F.coalesce(F.col("m"), F.lit(0)).alias("m"),
+    )
+    chap = (
+        (F.col("n_a").cast("double") + F.lit(1.0))
+        * (F.col("n_b") + F.lit(1.0))
+        / (F.col("m") + F.lit(1.0))
+        - F.lit(1.0)
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("m").cast("long").alias("n_shared"),
+        (F.col("n_a") + F.col("n_b") - F.col("m"))
+        .cast("long")
+        .alias("n_union_observed"),
+        rd(chap, 6).alias("chapman_total_est"),
+        rd(
+            F.greatest(
+                F.lit(0.0),
+                chap - (F.col("n_a") + F.col("n_b") - F.col("m")),
+            ),
+            6,
+        ).alias("est_unseen"),
+    )
