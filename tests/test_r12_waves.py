@@ -98,3 +98,79 @@ def test_waterfill_budget_integer_div(spark):
     assert all(r["budget_tokens"] == total // 2 for r in out)
     alloc = sum(r["allocated_tokens"] for r in out)
     assert alloc <= total // 2
+
+
+def test_chapman_estimator_closed_form(spark):
+    """Chapman N-hat on a constructed two-source overlap: 6 and 4
+    distinct contents sharing 2 -> (7*5/3) - 1."""
+    rows = []
+    for i in range(6):
+        rows.append((i, f"text {i}", "a"))
+    for i in range(4, 8):
+        rows.append((100 + i, f"text {i}", "b"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.write.mode("overwrite").parquet("/tmp/tsdt_chapman/documents.parquet")
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    fn, _ = REGISTRY["stats_chapman_source_overlap"]
+    out = {(r["src_a"], r["src_b"]): r for r in fn(spark, "/tmp/tsdt_chapman").collect()}
+    r = out[("a", "b")]
+    assert (r["n_a"], r["n_b"], r["n_shared"]) == (6, 4, 2)
+    assert r["n_union_observed"] == 8
+    assert abs(r["chapman_total_est"] - (7 * 5 / 3 - 1)) < 1e-6
+
+
+def test_group_kfold_never_straddles(spark):
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+    from time_series_data_trimmer_spark.operators.sampling import hash_u32
+    from time_series_data_trimmer_spark.queries import _events
+    import pyspark.sql.functions as FF
+
+    ev = _events(spark, "/root/testdata/sf0.001").filter(
+        FF.col("value").isNotNull()
+    )
+    folds = ev.select(
+        "user_id", (hash_u32(FF.col("user_id"), "tsdt|kfold") % 5).alias("f")
+    )
+    straddlers = (
+        folds.groupBy("user_id")
+        .agg(FF.countDistinct("f").alias("nf"))
+        .filter(FF.col("nf") > 1)
+        .count()
+    )
+    assert straddlers == 0
+
+
+def test_dp_quantile_map_is_true_median_bin(spark):
+    """With epsilon-weights monotone in rank error, the MAP bin must be
+    the bin whose below-count is closest to n/2 (exact integer argmax,
+    bin-index tie-break)."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+
+    fn, _ = REGISTRY["privacy_dp_quantile_utility"]
+    out = fn(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    for r in out:
+        assert 0 <= r["map_bin"] < 64
+        assert 0.0 < r["map_probability"] <= 1.0
+        assert r["map_rank_error_x2"] >= 0
+
+
+def test_removed_vs_kept_reconciles_with_exact_groups(spark):
+    """kept docs per source must sum to the number of distinct content
+    groups overall (each group keeps exactly one doc)."""
+    from time_series_data_trimmer_spark.queries import REGISTRY
+    import time_series_data_trimmer_spark.queries_ext  # noqa: F401
+    import duckdb
+
+    fn, _ = REGISTRY["dedup_removed_vs_kept_profile"]
+    out = fn(spark, "/root/testdata/sf0.001").collect()
+    kept = sum(r["n_docs"] for r in out if r["fate"] == "kept")
+    truth = duckdb.sql(
+        "SELECT count(DISTINCT md5(coalesce(text, '<null>'))) FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    assert kept == truth
