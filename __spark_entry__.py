@@ -80,8 +80,8 @@ _FIRST_50 = [
     "text_score_calibration", "eval_lift_gains_decile",
     "feature_woe_encoding", "events_rfm_segments",
     "sketch_kmv_sliding_distinct_users", "text_heavy_hitters_by_source",
-    "pipeline_c4_survivors", "dedup_semantic_tau_sweep",
-    "emb_jl_project", "graph_degree_stats",
+    "pipeline_c4_survivors",
+    "graph_degree_stats",
     "decontam_overlap_frac",
     "sim_ivf_topk",
     # the 11 r12 additions (same-round sampling precedent — all
@@ -95,7 +95,8 @@ _FIRST_50 = [
     "text_self_bleu_proxy", "emb_simplified_silhouette",
     "graph_edge_embeddedness", "dedup_removed_vs_kept_profile",
     "sample_group_kfold_assignment", "privacy_dp_quantile_utility",
-    "stats_chapman_source_overlap",
+    "stats_chapman_source_overlap", "ts_variance_ratio_test",
+    "text_code_like_score",
 ]
 
 

@@ -336,6 +336,8 @@ HEADLINE = [
     "sample_group_kfold_assignment",  # leakage-safe group k-fold + balance check
     "privacy_dp_quantile_utility",  # exponential-mechanism median release planner
     "stats_chapman_source_overlap",  # capture-recapture crawl-coverage estimate
+    "ts_variance_ratio_test",     # Lo-MacKinlay horizon-q random-walk test
+    "text_code_like_score",       # code-vs-prose curation heuristic per source
 ]
 
 

@@ -2781,3 +2781,109 @@ def _q_text_self_bleu_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "self_bleu2",
         )
     )
+
+
+_CODE_KEYWORDS = (
+    "def |class |return |import |function |var |const |#include|"
+    "public |private |SELECT |INSERT "
+)
+
+
+@register(
+    "text_code_like_score",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             coalesce(CAST(source AS VARCHAR), '<NULL>') AS src,
+             text,
+             length(text) AS chars
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    feats AS (
+      SELECT doc_id, src, chars,
+             length(text)
+               - length(regexp_replace(text, '[;{{}}()=<>\\[\\]]', '', 'g'))
+               AS sym,
+             len(regexp_extract_all(text, '({_CODE_KEYWORDS.rstrip()})'))
+               AS kw
+      FROM d
+    ),
+    scored AS (
+      SELECT src, chars, sym, kw,
+             CASE WHEN sym * 20 >= chars AND kw >= 1 THEN 1
+                  WHEN sym * 10 >= chars THEN 1
+                  ELSE 0 END AS is_code_like
+      FROM feats
+    )
+    SELECT src AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_code_like) AS BIGINT) AS n_code_like,
+           {R("CAST(sum(is_code_like) AS DOUBLE) / count(*)", 6)}
+             AS code_like_frac,
+           {R("CAST(sum(sym) AS DOUBLE) / sum(chars)", 6)}
+             AS symbol_char_ratio,
+           CAST(sum(kw) AS BIGINT) AS keyword_hits
+    FROM scored GROUP BY src
+    """,
+)
+def _q_text_code_like_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-vs-PROSE detection heuristic per source — the curation
+    axis language-ID misses entirely (code is 'en' to an n-gram
+    marker but needs its own mixing budget, tokenizer treatment, and
+    dedup policy): per doc, the code-symbol character ratio
+    (;{{}}()=<>[] density) and a programming-keyword hit count drive
+    an integer decision rule (symbol-dense + any keyword, or very
+    symbol-dense alone); the report is per-source code-like fraction
+    plus the raw feature mass so thresholds are re-derivable. All
+    features are exact integer counts from scan-side regex codegen
+    (count-by-replace for the symbol class, extract_all for
+    keywords); the only doubles are the two reported ratios (rd-6).
+    One scan + one source-keyed aggregate at any scale."""
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .filter(F.length("text") > 0)
+    )
+    sym = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[;{}()=<>\[\]]", "")
+    )
+    kw = F.size(
+        F.expr(f"regexp_extract_all(text, '({_CODE_KEYWORDS.rstrip()})')")
+    )
+    feats = docs.select(
+        F.coalesce(F.col("source").cast("string"), F.lit("<NULL>")).alias(
+            "src"
+        ),
+        F.length("text").alias("__chars"),
+        sym.alias("__sym"),
+        kw.alias("__kw"),
+    )
+    scored = feats.withColumn(
+        "__code",
+        F.when(
+            (F.col("__sym") * 20 >= F.col("__chars"))
+            & (F.col("__kw") >= 1),
+            1,
+        )
+        .when(F.col("__sym") * 10 >= F.col("__chars"), 1)
+        .otherwise(0),
+    )
+    n = F.count(F.lit(1))
+    return scored.groupBy("src").agg(
+        n.cast("long").alias("n_docs"),
+        F.sum("__code").cast("long").alias("n_code_like"),
+        rd(F.sum("__code").cast("double") / n, 6).alias("code_like_frac"),
+        rd(
+            F.sum("__sym").cast("double")
+            / F.sum("__chars").cast("double"),
+            6,
+        ).alias("symbol_char_ratio"),
+        F.sum("__kw").cast("long").alias("keyword_hits"),
+    ).select(
+        F.col("src").alias("source"),
+        "n_docs",
+        "n_code_like",
+        "code_like_frac",
+        "symbol_char_ratio",
+        "keyword_hits",
+    )

@@ -2536,3 +2536,147 @@ def _q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("none"))
         .alias("trend"),
     )
+
+
+_VR_Q = 5
+
+
+@register(
+    "ts_variance_ratio_test",
+    f"""
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS s,
+             count(*) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, day
+    ),
+    m AS (
+      -- overflow-safe fixed-grid mean: (s*10^6) div c via the exact
+      -- identity (s div c)*10^6 + ((s mod c)*10^6) div c, so no
+      -- intermediate exceeds ~10^15 even at 10^9 rows/day/type
+      SELECT event_type, day,
+             (s // c) * 1000000 + ((s % c) * 1000000) // c AS mq
+      FROM d
+    ),
+    r AS (
+      SELECT event_type,
+             mq - lag(mq) OVER (PARTITION BY event_type ORDER BY day)
+               AS r1,
+             mq - lag(mq, {_VR_Q}) OVER (PARTITION BY event_type
+                                         ORDER BY day) AS rq
+      FROM m
+    ),
+    v1 AS (
+      SELECT event_type, count(*) AS n1,
+             sum(r1) AS sr, sum(CAST(r1 AS DECIMAL(38,0)) * r1) AS srr
+      FROM r WHERE r1 IS NOT NULL GROUP BY event_type
+    ),
+    vq AS (
+      SELECT event_type, count(*) AS nq,
+             sum(rq) AS sq, sum(CAST(rq AS DECIMAL(38,0)) * rq) AS sqq
+      FROM r WHERE rq IS NOT NULL GROUP BY event_type
+    )
+    SELECT v1.event_type,
+           CAST(v1.n1 AS BIGINT) AS n_returns,
+           {R("(CAST(vq.sqq AS DOUBLE) / vq.nq"
+              " - (CAST(vq.sq AS DOUBLE) / vq.nq)"
+              " * (CAST(vq.sq AS DOUBLE) / vq.nq))"
+              f" / ({_VR_Q}.0 * (CAST(v1.srr AS DOUBLE) / v1.n1"
+              " - (CAST(v1.sr AS DOUBLE) / v1.n1)"
+              " * (CAST(v1.sr AS DOUBLE) / v1.n1)))", 6)} AS vr,
+           {R("((CAST(vq.sqq AS DOUBLE) / vq.nq"
+              " - (CAST(vq.sq AS DOUBLE) / vq.nq)"
+              " * (CAST(vq.sq AS DOUBLE) / vq.nq))"
+              f" / ({_VR_Q}.0 * (CAST(v1.srr AS DOUBLE) / v1.n1"
+              " - (CAST(v1.sr AS DOUBLE) / v1.n1)"
+              " * (CAST(v1.sr AS DOUBLE) / v1.n1))) - 1.0)"
+              f" * sqrt(3.0 * v1.n1 * {_VR_Q}.0"
+              f" / (2.0 * (2.0 * {_VR_Q} - 1.0) * ({_VR_Q} - 1.0)))", 6)}
+             AS z_vr
+    FROM v1 JOIN vq ON vq.event_type = v1.event_type
+    """,
+)
+def _q_ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LO-MACKINLAY VARIANCE-RATIO random-walk test per event_type on
+    the daily-mean series: VR(q) = Var(q-day change)/(q·Var(1-day
+    change)); under a random walk VR = 1, mean reversion pulls it
+    below, trending/momentum above — the standard pre-model test for
+    "is there exploitable serial structure in this metric at horizon
+    q={_VR_Q}, or is tracking it day-by-day just noise?" (complements
+    `ts_ljungbox_whiteness`: Ljung-Box asks "any autocorrelation at
+    all", VR asks the horizon-q aggregation question forecasters
+    actually face). z is the homoskedastic asymptotic statistic.
+    Engine exactness: daily means land on a fixed integer grid
+    ((s·10⁶) div c — non-negative operands so Spark DIV and DuckDB //
+    agree), both variance legs come from exact integer/decimal power
+    sums, and only the final ratio/z are doubles (rd-6). The lag
+    windows are event_type-keyed over the calendar-bounded daily
+    table — constant-size state at any corpus scale."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    us = event_micros(ev)
+    d = (
+        ev.select(
+            "event_type",
+            (us / F.lit(86400000000)).cast("long").alias("day"),
+            F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("__vq"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("__vq").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    m = d.select(
+        "event_type",
+        "day",
+        F.expr(
+            "(s div c) * 1000000 + (pmod(s, c) * 1000000) div c"
+        ).alias("mq"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    r = m.select(
+        "event_type",
+        (F.col("mq") - F.lag("mq", 1).over(w)).alias("r1"),
+        (F.col("mq") - F.lag("mq", _VR_Q).over(w)).alias("rq"),
+    )
+    v1 = (
+        r.filter(F.col("r1").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.sum("r1").alias("sr"),
+            F.sum(F.col("r1").cast("decimal(38,0)") * F.col("r1")).alias(
+                "srr"
+            ),
+        )
+    )
+    vq = (
+        r.filter(F.col("rq").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("nq"),
+            F.sum("rq").alias("sq"),
+            F.sum(F.col("rq").cast("decimal(38,0)") * F.col("rq")).alias(
+                "sqq"
+            ),
+        )
+    )
+    j = v1.join(vq.hint("shuffle_hash"), "event_type")
+    mean1 = F.col("sr").cast("double") / F.col("n1")
+    var1 = F.col("srr").cast("double") / F.col("n1") - mean1 * mean1
+    meanq = F.col("sq").cast("double") / F.col("nq")
+    varq = F.col("sqq").cast("double") / F.col("nq") - meanq * meanq
+    vr = varq / (F.lit(float(_VR_Q)) * var1)
+    zf = F.sqrt(
+        F.lit(3.0)
+        * F.col("n1")
+        * F.lit(float(_VR_Q))
+        / F.lit(2.0 * (2.0 * _VR_Q - 1.0) * (_VR_Q - 1.0))
+    )
+    return j.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_returns"),
+        rd(vr, 6).alias("vr"),
+        rd((vr - F.lit(1.0)) * zf, 6).alias("z_vr"),
+    )
