@@ -76,7 +76,7 @@ _FIRST_50 = [
     "dedup_cluster_size_histogram", "emb_retrieval_mrr",
     "dedup_fuzzy_prefix_pairs", "emb_lsh_recall_by_bits",
     "graph_jaccard_links", "retrieval_prf_expansion",
-    "eval_ece_binned", "eval_confusion_at_threshold",
+    "eval_ece_binned",
     "text_score_calibration", "eval_lift_gains_decile",
     "feature_woe_encoding", "events_rfm_segments",
     "sketch_kmv_sliding_distinct_users", "text_heavy_hitters_by_source",
@@ -96,7 +96,7 @@ _FIRST_50 = [
     "graph_edge_embeddedness", "dedup_removed_vs_kept_profile",
     "sample_group_kfold_assignment", "privacy_dp_quantile_utility",
     "stats_chapman_source_overlap", "ts_variance_ratio_test",
-    "text_code_like_score",
+    "text_code_like_score", "dq_candidate_key_audit",
 ]
 
 

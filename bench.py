@@ -338,6 +338,7 @@ HEADLINE = [
     "stats_chapman_source_overlap",  # capture-recapture crawl-coverage estimate
     "ts_variance_ratio_test",     # Lo-MacKinlay horizon-q random-walk test
     "text_code_like_score",       # code-vs-prose curation heuristic per source
+    "dq_candidate_key_audit",     # uniqueness contract per candidate key
 ]
 
 

@@ -1670,3 +1670,67 @@ def _q_stats_chapman_source_overlap(
             6,
         ).alias("est_unseen"),
     )
+
+
+@register(
+    "dq_candidate_key_audit",
+    """
+    WITH n AS (SELECT count(*) AS n_rows FROM events),
+    k1 AS (SELECT count(DISTINCT event_id) AS d FROM events),
+    k2 AS (SELECT count(*) AS d FROM
+           (SELECT DISTINCT user_id, ts FROM events)),
+    k3 AS (SELECT count(*) AS d FROM
+           (SELECT DISTINCT user_id, event_id FROM events)),
+    rows_k AS (
+      SELECT 'event_id' AS candidate_key, k1.d AS n_distinct FROM k1
+      UNION ALL
+      SELECT 'user_id,ts', k2.d FROM k2
+      UNION ALL
+      SELECT 'user_id,event_id', k3.d FROM k3
+    )
+    SELECT candidate_key,
+           CAST(n.n_rows AS BIGINT) AS n_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n.n_rows - n_distinct AS BIGINT) AS n_violations,
+           n_distinct = n.n_rows AS is_key
+    FROM rows_k CROSS JOIN n
+    """,
+)
+def _q_dq_candidate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANDIDATE-KEY audit — the uniqueness half of the DQ contract
+    (`dq_functional_dependency` checks determinations, this checks
+    keys): for each declared candidate key, distinct-count vs row
+    count and the violation mass. A key that silently stops being
+    unique is how double-delivery and replay bugs reach training data
+    (the dedup family then "fixes" what ingestion broke — this audit
+    names the breakage at the source). Each distinct count is one
+    hash aggregate; the three run as independent keyed aggregates
+    cross-joined to the 1-row total (sanctioned scalar shape) —
+    no Expand blow-up, no sort, scales as three scans (or one, once
+    a caller fuses them; kept separate here so each key's cost is
+    attributable)."""
+    ev = _events(spark, sf_dir)
+    n = ev.agg(F.count(F.lit(1)).alias("n_rows"))
+    k1 = ev.agg(F.countDistinct("event_id").alias("d")).select(
+        F.lit("event_id").alias("candidate_key"), "d"
+    )
+    k2 = (
+        ev.select("user_id", "ts")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select(F.lit("user_id,ts").alias("candidate_key"), "d")
+    )
+    k3 = (
+        ev.select("user_id", "event_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select(F.lit("user_id,event_id").alias("candidate_key"), "d")
+    )
+    rows_k = k1.unionByName(k2).unionByName(k3)
+    return rows_k.crossJoin(F.broadcast(n)).select(
+        "candidate_key",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("d").cast("long").alias("n_distinct"),
+        (F.col("n_rows") - F.col("d")).cast("long").alias("n_violations"),
+        (F.col("d") == F.col("n_rows")).alias("is_key"),
+    )
