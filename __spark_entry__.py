@@ -77,7 +77,7 @@ _FIRST_50 = [
     "dedup_fuzzy_prefix_pairs", "emb_lsh_recall_by_bits",
     "graph_jaccard_links", "retrieval_prf_expansion",
     "eval_ece_binned",
-    "text_score_calibration", "eval_lift_gains_decile",
+    "text_score_calibration",
     "feature_woe_encoding", "events_rfm_segments",
     "sketch_kmv_sliding_distinct_users", "text_heavy_hitters_by_source",
     "pipeline_c4_survivors",
@@ -97,6 +97,7 @@ _FIRST_50 = [
     "sample_group_kfold_assignment", "privacy_dp_quantile_utility",
     "stats_chapman_source_overlap", "ts_variance_ratio_test",
     "text_code_like_score", "dq_candidate_key_audit",
+    "funnel_attribution_window_sweep",
 ]
 
 

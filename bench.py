@@ -339,6 +339,7 @@ HEADLINE = [
     "ts_variance_ratio_test",     # Lo-MacKinlay horizon-q random-walk test
     "text_code_like_score",       # code-vs-prose curation heuristic per source
     "dq_candidate_key_audit",     # uniqueness contract per candidate key
+    "funnel_attribution_window_sweep",  # conversion vs window from one as-of join
 ]
 
 

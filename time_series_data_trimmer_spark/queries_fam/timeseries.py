@@ -2680,3 +2680,80 @@ def _q_ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         rd(vr, 6).alias("vr"),
         rd((vr - F.lit(1.0)) * zf, 6).alias("z_vr"),
     )
+
+
+_ATTR_WINDOWS_S = (600, 3600, 21600, 86400)
+
+
+@register(
+    "funnel_attribution_window_sweep",
+    f"""
+    WITH v AS (
+      SELECT user_id, event_id, epoch(ts) AS t
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, epoch(ts) AS pt FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id, epoch(ts)
+    ),
+    vp AS (
+      SELECT v.user_id, v.t, p.pt
+      FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.t <= p.pt
+    ),
+    w AS (SELECT unnest([{", ".join(str(w) for w in _ATTR_WINDOWS_S)}])
+            AS win_s)
+    SELECT CAST(w.win_s AS BIGINT) AS window_s,
+           CAST(count(vp.t) AS BIGINT) AS n_clicks,
+           CAST(count(CASE WHEN vp.pt - vp.t <= w.win_s THEN 1 END)
+                AS BIGINT) AS n_converted,
+           {R("CAST(count(CASE WHEN vp.pt - vp.t <= w.win_s THEN 1 END)"
+              " AS DOUBLE) / count(vp.t)", 6)} AS conversion_rate,
+           {R("quantile_cont(CASE WHEN vp.pt - vp.t <= w.win_s"
+              " THEN vp.pt - vp.t END, 0.5)", 6)} AS p50_latency_s
+    FROM w CROSS JOIN vp
+    GROUP BY w.win_s
+    """,
+)
+def _q_funnel_attribution_window_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ATTRIBUTION-WINDOW sensitivity sweep — the number every
+    conversion metric silently depends on: click→purchase conversion
+    rate and median latency at 10 min / 1 h / 6 h / 24 h windows,
+    from ONE as-of join (the window is applied as a post-filter on
+    the matched latency, so sweeping N windows costs N aggregate rows,
+    not N joins — the reason to prefer as-of over a per-window range
+    join, which would re-scan per window and degrade with window
+    width). A rate that keeps climbing at 24 h means the attribution
+    window is load-bearing and any A/B readout using a shorter one
+    undercounts; a flat curve past 1 h says the metric is
+    window-robust. Oracle: one native DuckDB ASOF LEFT JOIN × the
+    same window constants."""
+    ev = _events(spark, sf_dir)
+    hops = edits.funnel(ev, ["click", "purchase"], [float(2**40)])
+    lat = hops.select(
+        F.col("t_0").alias("t"), (F.col("t_1") - F.col("t_0")).alias("dt")
+    )
+    w = F.explode(
+        F.array(*[F.lit(int(x)) for x in _ATTR_WINDOWS_S])
+    ).alias("window_s")
+    sw = lat.select("t", "dt", w)
+    conv = F.count(
+        F.when(F.col("dt").isNotNull() & (F.col("dt") <= F.col("window_s")), 1)
+    )
+    within = F.when(
+        F.col("dt").isNotNull() & (F.col("dt") <= F.col("window_s")),
+        F.col("dt"),
+    )
+    return sw.groupBy("window_s").agg(
+        F.count("t").cast("long").alias("n_clicks"),
+        conv.cast("long").alias("n_converted"),
+        rd(conv.cast("double") / F.count("t"), 6).alias("conversion_rate"),
+        rd(F.percentile(within, F.lit(0.5)), 6).alias("p50_latency_s"),
+    ).select(
+        F.col("window_s").cast("long").alias("window_s"),
+        "n_clicks",
+        "n_converted",
+        "conversion_rate",
+        "p50_latency_s",
+    )
