@@ -2389,11 +2389,16 @@ def _q_ts_ljungbox_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE value IS NOT NULL
       GROUP BY event_type, day
     ),
+    dm AS (
+      SELECT event_type, day,
+             (s // c) * 1000000 + ((s % c) * 1000000) // c AS mq
+      FROM d
+    ),
     pr AS (
       SELECT a.event_type,
-             CASE WHEN b.s * a.c > a.s * b.c THEN 1
-                  WHEN b.s * a.c < a.s * b.c THEN -1 ELSE 0 END AS sg
-      FROM d a JOIN d b
+             CASE WHEN b.mq > a.mq THEN 1
+                  WHEN b.mq < a.mq THEN -1 ELSE 0 END AS sg
+      FROM dm a JOIN dm b
         ON a.event_type = b.event_type AND a.day < b.day
     ),
     sstat AS (
@@ -2401,8 +2406,8 @@ def _q_ts_ljungbox_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ties AS (
       SELECT a.event_type, a.day, count(*) AS e
-      FROM d a JOIN d b
-        ON a.event_type = b.event_type AND b.s * a.c = a.s * b.c
+      FROM dm a JOIN dm b
+        ON a.event_type = b.event_type AND b.mq = a.mq
       GROUP BY a.event_type, a.day
     ),
     tt AS (
@@ -2449,15 +2454,17 @@ def _q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     MK tests the existence): S = Σ_{{i<j}} sign(m̄_j − m̄_i) with the
     tie-corrected normal approximation
     Var = [n(n−1)(2n+5) − Σ_k t_k(t_k−1)(2t_k+5)]/18 and the
-    continuity-corrected z. Engine-exactness choices: daily means are
-    NEVER divided — sign(m̄_j − m̄_i) = sign(s_j·c_i − s_i·c_j) on
-    quantized integer sums (cross-multiplication; products bounded by
-    1e16 « 2^63), so S is exact int in both engines; the tie term
-    avoids group-by-equal-mean entirely via the identity
-    Σ_k t_k(t_k−1)(2t_k+5) = Σ_i (e_i−1)(2e_i+5) where e_i = #days
-    whose mean EQUALS day i's (pairwise equality by the same
-    cross-multiplication, self-inclusive) — per-day tie degrees, no
-    canonical rational key needed. The day-pair join is keyed on
+    continuity-corrected z. Engine-exactness choices: daily means
+    land on the OVERFLOW-SAFE fixed integer grid
+    (s div c)·10⁶ + ((s mod c)·10⁶) div c (the exact-identity split —
+    no intermediate exceeds ~10¹⁵ even at 10⁹ rows/day/type, where a
+    naive s_j·c_i cross-product would overflow int64 and ANSI Spark
+    would throw while DuckDB promoted — same grid as
+    `ts_variance_ratio_test`), so sign comparisons and ties are plain
+    integer compares; the tie term avoids group-by-equal-mean via the
+    identity Σ_k t_k(t_k−1)(2t_k+5) = Σ_i (e_i−1)(2e_i+5) where
+    e_i = #days whose grid-mean EQUALS day i's (self-inclusive) —
+    per-day tie degrees, no canonical rational key needed. The day-pair join is keyed on
     event_type over the BOUNDED daily table (≤31 rows/type at any
     corpus size — the pair space is calendar-bounded, not
     corpus-bounded), so the op costs one events scan + one tiny keyed
@@ -2475,20 +2482,25 @@ def _q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.sum("__vq").alias("s"), F.count(F.lit(1)).alias("c"))
     )
-    a = d.select(
+    dm = d.select(
+        "event_type",
+        "day",
+        F.expr(
+            "(s div c) * 1000000 + (pmod(s, c) * 1000000) div c"
+        ).alias("mq"),
+    )
+    a = dm.select(
         F.col("event_type"),
         F.col("day").alias("__da"),
-        F.col("s").alias("__sa"),
-        F.col("c").alias("__ca"),
+        F.col("mq").alias("__ma"),
     )
-    b = d.select(
+    b = dm.select(
         F.col("event_type"),
         F.col("day").alias("__db"),
-        F.col("s").alias("__sb"),
-        F.col("c").alias("__cb"),
+        F.col("mq").alias("__mb"),
     )
-    lhs = F.col("__sb") * F.col("__ca")
-    rhs = F.col("__sa") * F.col("__cb")
+    lhs = F.col("__mb")
+    rhs = F.col("__ma")
     pr = a.join(b.hint("shuffle_hash"), "event_type").filter(
         F.col("__da") < F.col("__db")
     )
