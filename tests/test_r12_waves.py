@@ -174,3 +174,58 @@ def test_removed_vs_kept_reconciles_with_exact_groups(spark):
         "'/root/testdata/sf0.001/documents.parquet'"
     ).fetchone()[0]
     assert kept == truth
+
+
+def _naive_bpe_merges(corpora, rounds):
+    """The pre-r12 full-recount trainer, kept as the property-test
+    reference: recount every adjacent pair each round, same
+    (count desc, lhs, rhs) tie-break, same leftmost rewrite."""
+    import time_series_data_trimmer_spark.operators.text as _tx
+
+    corpora = [list(t) for t in corpora]
+    merges = []
+    for r in range(1, rounds + 1):
+        counts = {}
+        for toks in corpora:
+            for p in zip(toks, toks[1:]):
+                counts[p] = counts.get(p, 0) + 1
+        if not counts:
+            break
+        (A, B), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, A, B, int(cnt)))
+        corpora = [_tx._apply_rules_py(t, [(A, B)]) for t in corpora]
+    return merges
+
+
+def test_bpe_incremental_equals_naive_recount_property(spark):
+    """Property: the r12 incremental pair-count maintenance is
+    merge-for-merge identical (counts AND tie-breaks) to the naive
+    full recount on randomized small corpora — including adversarial
+    shapes (runs of one token, overlapping pairs, empty docs)."""
+    from hypothesis import given, settings, strategies as st
+
+    tok = st.sampled_from(list("abcd"))
+    doc = st.lists(tok, min_size=0, max_size=12)
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    @settings(max_examples=25, deadline=None)
+    @given(corpus=corpus, rounds=st.integers(min_value=1, max_value=8))
+    def check(corpus, rounds):
+        rows = [(i, " ".join(d)) for i, d in enumerate(corpus)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        import time_series_data_trimmer_spark.operators.text as _tx
+
+        got = _tx.bpe_train_merges_local(df, rounds=rounds)
+        # the trainer tokenizes via _norm_tokens; reproduce its view of
+        # the corpus for the naive reference
+        toks = [
+            list(r["__toks"])
+            for r in df.filter(df.text.isNotNull())
+            .select(_tx._norm_tokens("text").alias("__toks"))
+            .collect()
+        ]
+        assert got == _naive_bpe_merges(toks, rounds)
+
+    check()
