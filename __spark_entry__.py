@@ -73,8 +73,8 @@ _FIRST_50 = [
     # mix_dedup_aware_epochs, graph_lp_modularity, ...) were already
     # driver-green in r7-r10 per the generated artifact — the backlog
     # says so mechanically now, no memory required.
-    "dedup_cluster_size_histogram", "emb_retrieval_mrr",
-    "dedup_fuzzy_prefix_pairs", "emb_lsh_recall_by_bits",
+    "dedup_cluster_size_histogram",
+    "dedup_fuzzy_prefix_pairs",
     "graph_jaccard_links", "retrieval_prf_expansion",
     "eval_ece_binned",
     "text_score_calibration",
@@ -97,7 +97,8 @@ _FIRST_50 = [
     "sample_group_kfold_assignment", "privacy_dp_quantile_utility",
     "stats_chapman_source_overlap", "ts_variance_ratio_test",
     "text_code_like_score", "dq_candidate_key_audit",
-    "funnel_attribution_window_sweep",
+    "funnel_attribution_window_sweep", "stats_power_analysis_mde",
+    "profile_documents_columns",
 ]
 
 

@@ -340,6 +340,8 @@ HEADLINE = [
     "text_code_like_score",       # code-vs-prose curation heuristic per source
     "dq_candidate_key_audit",     # uniqueness contract per candidate key
     "funnel_attribution_window_sweep",  # conversion vs window from one as-of join
+    "stats_power_analysis_mde",   # minimum detectable effect per event type
+    "profile_documents_columns",  # ANALYZE-style corpus column profile
 ]
 
 

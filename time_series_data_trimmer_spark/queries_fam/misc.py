@@ -1734,3 +1734,182 @@ def _q_dq_candidate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_rows") - F.col("d")).cast("long").alias("n_violations"),
         (F.col("d") == F.col("n_rows")).alias("is_key"),
     )
+
+
+_MDE_Z = 2.801585218  # z_{0.975} + z_{0.80}: alpha=.05 two-sided, power=.80
+
+
+@register(
+    "stats_power_analysis_mde",
+    f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, count(*) AS n, sum(vq) AS s,
+             sum(CAST(vq AS DECIMAL(38,0)) * vq) AS ss
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_obs,
+           {R("CAST(s AS DOUBLE) / n / 10000.0", 6)} AS mean_value,
+           {R("sqrt(CAST(ss AS DOUBLE) / n"
+              " - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
+              " / 10000.0", 6)} AS sd_value,
+           {R(f"{_MDE_Z} * (sqrt(CAST(ss AS DOUBLE) / n"
+              " - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
+              " / 10000.0) * sqrt(2.0 / n)", 6)} AS mde_abs,
+           {R(f"CASE WHEN s > 0 THEN ({_MDE_Z} * sqrt(CAST(ss AS DOUBLE)"
+              " / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
+              " * sqrt(2.0 / n)) / (CAST(s AS DOUBLE) / n) END", 6)}
+             AS mde_rel
+    FROM g
+    """,
+)
+def _q_stats_power_analysis_mde(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MINIMUM DETECTABLE EFFECT calculator per event_type — the
+    experiment-design half of the stats family (SRM/CUPED/TOST judge
+    a FINISHED experiment; this sizes the NEXT one): at α=0.05
+    two-sided and 80% power with today's traffic split evenly, the
+    smallest mean shift a two-sample z-test can detect is
+    (z_.975+z_.80)·σ·√(2/n). A team reads mde_rel before launching —
+    if the effect they hope for is under it, the experiment is
+    underpowered BY CONSTRUCTION and needs more traffic or CUPED
+    variance reduction. Engine exactness: σ comes from integer/
+    decimal power sums of quantized values (one grouped aggregate);
+    the z-sum is a folded literal; only the final products are
+    doubles (rd-6). One scan, |types| rows, any scale."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    g = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("__vq"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__vq").alias("s"),
+        F.sum(F.col("__vq").cast("decimal(38,0)") * F.col("__vq")).alias(
+            "ss"
+        ),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(F.col("ss").cast("double") / F.col("n") - mean * mean)
+    mde = F.lit(_MDE_Z) * sd * F.sqrt(F.lit(2.0) / F.col("n"))
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_obs"),
+        rd(mean / F.lit(10000.0), 6).alias("mean_value"),
+        rd(sd / F.lit(10000.0), 6).alias("sd_value"),
+        rd(mde / F.lit(10000.0), 6).alias("mde_abs"),
+        rd(F.when(F.col("s") > 0, mde / mean), 6).alias("mde_rel"),
+    )
+
+
+@register(
+    "profile_documents_columns",
+    """
+    WITH t AS (SELECT count(*) AS n FROM documents),
+    cols AS (
+      SELECT 'doc_id' AS col,
+             count(doc_id) AS n_filled,
+             count(DISTINCT doc_id) AS n_distinct,
+             CAST(NULL AS BIGINT) AS sum_len
+      FROM documents
+      UNION ALL
+      SELECT 'text', count(text), count(DISTINCT md5(text)),
+             sum(length(text))
+      FROM documents
+      UNION ALL
+      SELECT 'lang', count(lang), count(DISTINCT lang),
+             sum(length(lang))
+      FROM documents
+      UNION ALL
+      SELECT 'source', count(source), count(DISTINCT source),
+             sum(length(source))
+      FROM documents
+      UNION ALL
+      SELECT 'n_chars', count(n_chars), count(DISTINCT n_chars),
+             CAST(NULL AS BIGINT)
+      FROM documents
+    )
+    SELECT col,
+           CAST(t.n AS BIGINT) AS n_rows,
+           CAST(t.n - n_filled AS BIGINT) AS n_nulls,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(sum_len AS BIGINT) AS total_chars
+    FROM cols CROSS JOIN t
+    """,
+)
+def _q_profile_documents_columns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANALYZE-style column profile of the documents table (the
+    corpus twin of `profile_events_columns`): per column, null mass,
+    exact distinct count (text via md5 digest so wide strings never
+    shuffle whole), and character mass — the first table a curation
+    run prints, and the statistics a cost-based planner wants. Five
+    independent hash aggregates unioned and cross-joined to the 1-row
+    total (sanctioned scalar) — each column's cost attributable, no
+    Expand blow-up."""
+    docs = _table(spark, sf_dir, "documents")
+    t = docs.agg(F.count(F.lit(1)).alias("n"))
+
+    def col_row(name, filled, distinct, slen):
+        return docs.agg(
+            F.lit(name).alias("col"),
+            filled.alias("n_filled"),
+            distinct.alias("n_distinct"),
+            slen.alias("sum_len"),
+        )
+
+    rows = (
+        col_row(
+            "doc_id",
+            F.count("doc_id"),
+            F.countDistinct("doc_id"),
+            F.lit(None).cast("long"),
+        )
+        .unionByName(
+            col_row(
+                "text",
+                F.count("text"),
+                F.countDistinct(F.md5("text")),
+                F.sum(F.length("text")),
+            )
+        )
+        .unionByName(
+            col_row(
+                "lang",
+                F.count("lang"),
+                F.countDistinct("lang"),
+                F.sum(F.length("lang")),
+            )
+        )
+        .unionByName(
+            col_row(
+                "source",
+                F.count("source"),
+                F.countDistinct("source"),
+                F.sum(F.length("source")),
+            )
+        )
+        .unionByName(
+            col_row(
+                "n_chars",
+                F.count("n_chars"),
+                F.countDistinct("n_chars"),
+                F.lit(None).cast("long"),
+            )
+        )
+    )
+    return rows.crossJoin(F.broadcast(t)).select(
+        "col",
+        F.col("n").cast("long").alias("n_rows"),
+        (F.col("n") - F.col("n_filled")).cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("sum_len").cast("long").alias("total_chars"),
+    )
