@@ -75,10 +75,10 @@ _FIRST_50 = [
     # says so mechanically now, no memory required.
     "dedup_cluster_size_histogram",
     "dedup_fuzzy_prefix_pairs",
-    "graph_jaccard_links", "retrieval_prf_expansion",
+    "graph_jaccard_links",
     "eval_ece_binned",
     "text_score_calibration",
-    "feature_woe_encoding", "events_rfm_segments",
+    "events_rfm_segments",
     "sketch_kmv_sliding_distinct_users", "text_heavy_hitters_by_source",
     "pipeline_c4_survivors",
     "graph_degree_stats",
@@ -98,7 +98,8 @@ _FIRST_50 = [
     "stats_chapman_source_overlap", "ts_variance_ratio_test",
     "text_code_like_score", "dq_candidate_key_audit",
     "funnel_attribution_window_sweep", "stats_power_analysis_mde",
-    "profile_documents_columns",
+    "profile_documents_columns", "dq_timestamp_monotonicity_audit",
+    "dedup_shingle_size_probe",
 ]
 
 

@@ -342,6 +342,8 @@ HEADLINE = [
     "funnel_attribution_window_sweep",  # conversion vs window from one as-of join
     "stats_power_analysis_mde",   # minimum detectable effect per event type
     "profile_documents_columns",  # ANALYZE-style corpus column profile
+    "dq_timestamp_monotonicity_audit",  # within-key disorder vs the order contract
+    "dedup_shingle_size_probe",   # density forecast swept over n-gram orders
 ]
 
 

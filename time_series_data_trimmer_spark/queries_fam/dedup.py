@@ -2199,3 +2199,100 @@ def _q_dedup_removed_vs_kept_profile(
         "mean_tokens",
         "mean_chars",
     )
+
+
+_SHINGLE_SWEEP_NS = (2, 3, 4)
+
+
+def _shingle_probe_sql(n: int) -> str:
+    return f"""
+      SELECT {n} AS shingle_n, gd FROM (
+        SELECT list_distinct(CASE WHEN len(w) >= {n}
+          THEN list_transform(generate_series(1, len(w) - {n - 1}),
+               i -> array_to_string(list_slice(w, i, i + {n - 1}), ' '))
+          ELSE [array_to_string(w, ' ')] END) AS grams
+        FROM (SELECT string_split(text, ' ') AS w
+              FROM documents WHERE text IS NOT NULL)
+      ), LATERAL (SELECT md5(unnest(grams)) AS gd) g"""
+
+
+@register(
+    "dedup_shingle_size_probe",
+    f"""
+    WITH tok AS (
+      {" UNION ALL ".join(_shingle_probe_sql(n) for n in _SHINGLE_SWEEP_NS)}
+    ),
+    dfc AS (
+      SELECT shingle_n, gd, count(*) AS df FROM tok GROUP BY shingle_n, gd
+    ),
+    tot AS (
+      SELECT shingle_n,
+             count(*) AS n_types,
+             sum(df) AS n_postings,
+             sum(CAST(df * (df - 1) // 2 AS DECIMAL(38,0))) AS cand
+      FROM dfc GROUP BY shingle_n
+    )
+    SELECT CAST(shingle_n AS INTEGER) AS shingle_n,
+           CAST(n_types AS BIGINT) AS n_gram_types,
+           CAST(n_postings AS BIGINT) AS n_postings,
+           CAST(cand AS BIGINT) AS candidate_upper_bound,
+           {R("CASE WHEN n_postings > 0 THEN CAST(cand AS DOUBLE)"
+              " / n_postings ELSE 0.0 END", 6)} AS density_ratio,
+           CASE WHEN cand <= 64 * n_postings
+                THEN 'ppjoin' ELSE 'lsh_first' END AS recommend
+    FROM tot
+    """,
+)
+def _q_dedup_shingle_size_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHINGLE-SIZE sensitivity of the dedup cost forecast: the
+    posting-density probe swept over n-gram orders n ∈ {_SHINGLE_SWEEP_NS}
+    — the knob every near-dup pipeline sets once and forgets. Smaller
+    n → fewer, hotter gram types → posting lists fatten and the exact
+    join's Σ C(df,2) forecast explodes; larger n → sparser postings
+    but less recall against paraphrase. This one-scan-per-n sweep
+    puts NUMBERS on that trade for the corpus at hand (density_ratio
+    and the 64-envelope decision per n), so shingle size is chosen
+    from data like the method is (`dedup_auto_pairs`) and the cap is
+    (`auto_bucket_cap`). Each n is an independent shingle scan +
+    digest-keyed count; |{_SHINGLE_SWEEP_NS}| bounded rows out."""
+    docs = _table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = None
+    for n in _SHINGLE_SWEEP_NS:
+        t = docs.select(
+            F.lit(n).alias("shingle_n"),
+            F.explode(dd.word_shingles(F.col("text"), n)).alias("g"),
+        ).select("shingle_n", F.md5("g").alias("gd"))
+        toks = t if toks is None else toks.unionByName(t)
+    dfc = toks.groupBy("shingle_n", "gd").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    tot = dfc.groupBy("shingle_n").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("df").alias("n_postings"),
+        F.sum(
+            F.expr("CAST(df * (df - 1) DIV 2 AS DECIMAL(38,0))")
+        ).alias("cand"),
+    )
+    return tot.select(
+        F.col("shingle_n").cast("int").alias("shingle_n"),
+        F.col("n_types").cast("long").alias("n_gram_types"),
+        F.col("n_postings").cast("long").alias("n_postings"),
+        F.col("cand").cast("long").alias("candidate_upper_bound"),
+        rd(
+            F.when(
+                F.col("n_postings") > 0,
+                F.col("cand").cast("double") / F.col("n_postings"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("density_ratio"),
+        F.when(
+            F.col("cand") <= F.lit(64) * F.col("n_postings"),
+            F.lit("ppjoin"),
+        )
+        .otherwise(F.lit("lsh_first"))
+        .alias("recommend"),
+    )

@@ -1913,3 +1913,94 @@ def _q_profile_documents_columns(
         F.col("n_distinct").cast("long").alias("n_distinct"),
         F.col("sum_len").cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "dq_timestamp_monotonicity_audit",
+    f"""
+    WITH e AS (
+      SELECT event_type, user_id, epoch_us(ts) AS us, event_id
+      FROM events
+    ),
+    arr AS (
+      SELECT event_type, user_id,
+             list_transform(
+               list_sort(list(struct_pack(us := us, eid := event_id))),
+               x -> x.eid) AS ids
+      FROM e GROUP BY event_type, user_id
+    ),
+    inv AS (
+      SELECT event_type, user_id, len(ids) AS n,
+             CAST(len(ids) * (len(ids) - 1) // 2 AS BIGINT) AS n_pairs,
+             coalesce(list_sum(list_transform(
+               generate_series(1, len(ids)),
+               i -> len(list_filter(ids[i+1:len(ids)],
+                                    y -> y < ids[i])))), 0) AS n_inv
+      FROM arr
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+           CAST(sum(n_inv) AS BIGINT) AS n_inversions,
+           {R("CASE WHEN sum(n_pairs) > 0 THEN CAST(sum(n_inv) AS DOUBLE)"
+              " / sum(n_pairs) ELSE 0.0 END", 6)} AS inversion_frac
+    FROM inv GROUP BY event_type
+    """,
+)
+def _q_dq_timestamp_monotonicity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INGESTION-ORDER audit: per (event_type, user), the fraction of
+    event pairs whose event_id order INVERTS their event-time order —
+    the Kendall-style disarray between assignment order and time
+    order. This is the measurement behind the streaming family's
+    order contract (`_cusum_plan` and every order-dependent state
+    machine assume near-in-order arrival; `stream_watermark_lateness
+    _audit` measures CROSS-batch lateness, this measures WITHIN-key
+    disorder at the source): inversion_frac ≈ 0 certifies the
+    assumption, a hot type with high disarray needs a reorder buffer
+    in front. Per-user event counts are BOUNDED (a user's events per
+    type, ~tens), so the pairwise inversion count runs as a bounded
+    sorted-array fold inside each group — no window, no join, one
+    user-keyed aggregate; cost is Σ n_u² with n_u bounded, linear in
+    users at any scale."""
+    ev = _events(spark, sf_dir)
+    us = event_micros(ev)
+    e = ev.select("event_type", "user_id", us.alias("__us"), "event_id")
+    arr = e.groupBy("event_type", "user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__us"), F.col("event_id")))
+            ),
+            lambda x: x.getField("event_id"),
+        ).alias("ids")
+    )
+    n = F.size("ids")
+    inv = arr.select(
+        "event_type",
+        n.alias("__n"),
+        F.expr("CAST(size(ids) * (size(ids) - 1) DIV 2 AS BIGINT)").alias(
+            "__pairs"
+        ),
+        F.coalesce(
+            F.expr(
+                "aggregate(transform(sequence(1, size(ids)),"
+                " i -> size(filter(slice(ids, i + 1, size(ids)),"
+                " y -> y < ids[i - 1]))),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ),
+            F.lit(0),
+        ).alias("__inv"),
+    )
+    return inv.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("__pairs").cast("long").alias("n_pairs"),
+        F.sum("__inv").cast("long").alias("n_inversions"),
+        rd(
+            F.when(
+                F.sum("__pairs") > 0,
+                F.sum("__inv").cast("double") / F.sum("__pairs"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("inversion_frac"),
+    )
