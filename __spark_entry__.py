@@ -79,7 +79,7 @@ _FIRST_50 = [
     "eval_ece_binned",
     "text_score_calibration",
     "events_rfm_segments",
-    "sketch_kmv_sliding_distinct_users", "text_heavy_hitters_by_source",
+    "sketch_kmv_sliding_distinct_users",
     "pipeline_c4_survivors",
     "graph_degree_stats",
     "decontam_overlap_frac",
@@ -99,7 +99,7 @@ _FIRST_50 = [
     "text_code_like_score", "dq_candidate_key_audit",
     "funnel_attribution_window_sweep", "stats_power_analysis_mde",
     "profile_documents_columns", "dq_timestamp_monotonicity_audit",
-    "dedup_shingle_size_probe",
+    "dedup_shingle_size_probe", "seq_markov_order_test",
 ]
 
 

@@ -344,6 +344,7 @@ HEADLINE = [
     "profile_documents_columns",  # ANALYZE-style corpus column profile
     "dq_timestamp_monotonicity_audit",  # within-key disorder vs the order contract
     "dedup_shingle_size_probe",   # density forecast swept over n-gram orders
+    "seq_markov_order_test",      # G2 first-vs-second-order memory gate
 ]
 
 

@@ -2769,3 +2769,107 @@ def _q_funnel_attribution_window_sweep(
         "conversion_rate",
         "p50_latency_s",
     )
+
+
+@register(
+    "seq_markov_order_test",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) AS us, event_id
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type AS a,
+             lead(event_type, 1) OVER w AS b,
+             lead(event_type, 2) OVER w AS c
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    tri AS (
+      SELECT a, b, c, count(*) AS n_abc
+      FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+      GROUP BY a, b, c
+    ),
+    ab AS (SELECT a, b, sum(n_abc) AS n_ab FROM tri GROUP BY a, b),
+    bc AS (SELECT b, c, sum(n_abc) AS n_bc FROM tri GROUP BY b, c),
+    bb AS (SELECT b, sum(n_abc) AS n_b FROM tri GROUP BY b),
+    g AS (
+      SELECT CAST(sum(CAST({R("2.0 * t.n_abc * ln((CAST(t.n_abc AS DOUBLE)"
+             " * bb.n_b) / (CAST(ab.n_ab AS DOUBLE) * bc.n_bc))", 9)}
+             AS DECIMAL(38,9))) AS DOUBLE) AS g2,
+             count(*) AS n_cells,
+             sum(t.n_abc) AS n_triples
+      FROM tri t
+      JOIN ab ON ab.a = t.a AND ab.b = t.b
+      JOIN bc ON bc.b = t.b AND bc.c = t.c
+      JOIN bb ON bb.b = t.b
+    ),
+    k AS (SELECT count(DISTINCT b) AS k FROM tri)
+    SELECT CAST(g.n_triples AS BIGINT) AS n_triples,
+           CAST(g.n_cells AS BIGINT) AS n_observed_cells,
+           {R("g.g2", 6)} AS g2_stat,
+           CAST(k.k * (k.k - 1) * (k.k - 1) AS BIGINT) AS df,
+           g.g2 > 124.342 AS second_order_significant
+    FROM g CROSS JOIN k
+    """,
+)
+def _q_seq_markov_order_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV ORDER-SELECTION test for the event-type process — the
+    model-validation gate for everything the markov family computes
+    (stationary distribution, entropy rate, removal-effect
+    attribution ALL assume first-order memory): the G² likelihood-
+    ratio of second-order vs first-order transitions,
+    G² = 2 Σ_abc n_abc·ln(n_abc·n_b / (n_ab·n_bc)), asymptotically
+    χ²(k(k−1)²) under the first-order null (124.342 = χ²₀.₉₅ at
+    k=5 → df=80 for this corpus's 5 types; df is emitted so other
+    corpora re-derive their own threshold). If this flags, the
+    first-order chain underfits and attribution numbers inherit the
+    bias — the query exists so that assumption is MEASURED, not
+    hoped. Plan: one user-keyed lead window → (a,b,c) counts (k³
+    bounded) → three bounded joins; the G² sum rides the rd-9 →
+    decimal idiom over ≤k³ cells. One scan at any scale."""
+    ev = _events(spark, sf_dir)
+    us = event_micros(ev)
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    )
+    tri = (
+        seq.filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("n_abc"))
+    )
+    ab = tri.groupBy("a", "b").agg(F.sum("n_abc").alias("n_ab"))
+    bc = tri.groupBy("b", "c").agg(F.sum("n_abc").alias("n_bc"))
+    bb = tri.groupBy("b").agg(F.sum("n_abc").alias("n_b"))
+    term = rd(
+        F.lit(2.0)
+        * F.col("n_abc")
+        * F.log(
+            (F.col("n_abc").cast("double") * F.col("n_b"))
+            / (F.col("n_ab").cast("double") * F.col("n_bc"))
+        ),
+        9,
+    )
+    g = (
+        tri.join(ab.hint("shuffle_hash"), ["a", "b"])
+        .join(bc.hint("shuffle_hash"), ["b", "c"])
+        .join(bb.hint("shuffle_hash"), "b")
+        .agg(
+            F.sum(term.cast("decimal(38,9)")).cast("double").alias("g2"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_abc").alias("n_triples"),
+        )
+    )
+    k = tri.agg(F.countDistinct("b").alias("k"))
+    return g.crossJoin(F.broadcast(k)).select(
+        F.col("n_triples").cast("long").alias("n_triples"),
+        F.col("n_cells").cast("long").alias("n_observed_cells"),
+        rd(F.col("g2"), 6).alias("g2_stat"),
+        (F.col("k") * (F.col("k") - 1) * (F.col("k") - 1))
+        .cast("long")
+        .alias("df"),
+        (F.col("g2") > F.lit(124.342)).alias("second_order_significant"),
+    )
