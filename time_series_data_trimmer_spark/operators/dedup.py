@@ -765,10 +765,18 @@ def connected_components(
     ``all_ids`` (e.g. ``documents.select('doc_id')``) adds singleton
     nodes so every document gets a cluster row.
     """
+    # r13 (guide §2.4/§5): the candidate-pair generator (LSH shingle →
+    # md5 → band buckets) is the expensive subtree here, and the lazy
+    # form re-executed it once per union side and once per propagation
+    # round (~8× at 3 rounds — the dominant cost of every CC consumer).
+    # Checkpoint pairs once, then the symmetrized edge set once; each
+    # round reads materialized (src, dst) longs.
+    p = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     sym = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        p.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(p.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     nodes = sym.select(F.col("src").alias(id_col)).distinct()
     if all_ids is not None:
@@ -805,11 +813,16 @@ def connected_components(
     converged = False
     for _ in range(max_iter):
         merged = pointer_jump(propagate(labels)).withColumnRenamed("cluster_id", "new")
+        # r13: checkpoint (id, old, new) ONCE, then derive both the
+        # convergence count and the next labels from the materialized
+        # rows — the previous order ran the round's propagate+join
+        # twice (once for the count() action, once to materialize the
+        # checkpoint).
         merged = labels.join(merged, id_col).select(
             F.col(id_col), F.col("cluster_id").alias("old"), F.col("new").alias("cluster_id")
-        )
+        ).localCheckpoint()
         changed = merged.filter(F.col("cluster_id") != F.col("old")).count()
-        labels = merged.select(id_col, "cluster_id").localCheckpoint()
+        labels = merged.select(id_col, "cluster_id")
         if changed == 0:
             converged = True
             break

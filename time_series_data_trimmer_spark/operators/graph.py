@@ -44,12 +44,18 @@ def pagerank(
     joins once as a 1-row broadcast. Nothing driver-side, nothing
     O(V) broadcast, iteration count fixed at plan time.
     """
+    # r13 (guide §2.4): e and deg are re-joined every iteration; the
+    # lazy form re-executed the caller's edge build (e.g. the session-
+    # overlap concurrency pairing) 1 + iterations times. Checkpoint
+    # once; every iteration reads materialized rows.
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("double").alias("w"),
+    ).localCheckpoint(eager=False)
+    deg = e.groupBy("src").agg(F.sum("w").alias("wdeg")).localCheckpoint(
+        eager=False
     )
-    deg = e.groupBy("src").agg(F.sum("w").alias("wdeg"))
     nodes = deg.select("src")
     n_scalar = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     base = F.lit(1.0 - float(damping)) / F.col("__n")
@@ -117,6 +123,11 @@ def triangle_count(
     orientation bound — the number to watch at scale), n_wedges
     (candidate volume actually joined), n_triangles.
     """
+    # r13 (guide §2.4): canon is consumed by 5 downstream subtrees
+    # (degree union ×2, orientation join, closing join, stats) and deg
+    # by 2, oriented by 3 — the lineage discipline `local_clustering`
+    # already applies (PLANS.md invariant 17). Without it the caller's
+    # edge build (capped co-occurrence self-join over events) ran ~5×.
     canon = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -124,12 +135,14 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         canon.select(F.col("a").alias("v"))
         .unionAll(canon.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("dega"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("degb"))
@@ -143,7 +156,7 @@ def triangle_count(
     oriented = with_deg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
-    )
+    ).localCheckpoint(eager=False)
     out_deg = oriented.groupBy("u").agg(F.count(F.lit(1)).alias("odeg"))
     left = oriented.select("u", F.col("w").alias("v1"))
     right = oriented.select("u", F.col("w").alias("v2"))
@@ -152,7 +165,25 @@ def triangle_count(
         .filter(F.col("v1") < F.col("v2"))
         .select(F.col("v1").alias("a"), F.col("v2").alias("b"))
     )
-    closed = wedges.join(canon.hint("shuffle_hash"), ["a", "b"])
+    # r13: count wedges and closed wedges in ONE pass over the wedge
+    # self-join (left membership join + conditional sum) — the lazy
+    # form ran the wedge join twice (once for n_wedges, once for
+    # n_triangles), and wedge volume is the biggest intermediate here.
+    closed_stats = (
+        wedges.join(
+            canon.withColumn("__hit", F.lit(1)).hint("shuffle_hash"),
+            ["a", "b"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_wedges"),
+            # coalesce: an empty wedge set must read 0, not NULL (the
+            # count(*) form it replaces returned 0)
+            F.coalesce(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))), F.lit(0)
+            ).cast("long").alias("n_triangles"),
+        )
+    )
     stats = canon.agg(
         F.count(F.lit(1)).alias("n_edges"),
     )
@@ -161,8 +192,7 @@ def triangle_count(
             F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_vertices")))
         )
         .crossJoin(F.broadcast(out_deg.agg(F.max("odeg").alias("max_out_degree"))))
-        .crossJoin(F.broadcast(wedges.agg(F.count(F.lit(1)).alias("n_wedges"))))
-        .crossJoin(F.broadcast(closed.agg(F.count(F.lit(1)).alias("n_triangles"))))
+        .crossJoin(F.broadcast(closed_stats))
         .select("n_vertices", "n_edges", "max_out_degree", "n_wedges", "n_triangles")
     )
 
@@ -189,8 +219,15 @@ def label_propagation(
     plan shape with the sum swapped for a mode. Nothing O(V) leaves
     the executors.
     """
-    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-    e = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # r13 (guide §2.4): the caller's edge build (often an LSH-blocked
+    # exact-cosine pair generation) is referenced once per round — at
+    # 2 rounds the lazy form ran it 4× (2 union sides × 2 rounds).
+    # Checkpoint the canonical edges once; the per-round joins read
+    # materialized longs.
+    e0 = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).localCheckpoint(eager=False)
+    e = e0.unionAll(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
     cur = seeds.select(
         F.col(id_col).alias("node"), F.col(label_col).alias("lbl")
     )
@@ -495,12 +532,16 @@ def personalized_pagerank(
     """
     from time_series_data_trimmer_spark.functions.rounding import rd
 
+    # r13 (guide §2.4): same lineage discipline as `pagerank` — e and
+    # deg are re-joined every iteration, so checkpoint them once.
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("double").alias("w"),
+    ).localCheckpoint(eager=False)
+    deg = e.groupBy("src").agg(F.sum("w").alias("wdeg")).localCheckpoint(
+        eager=False
     )
-    deg = e.groupBy("src").agg(F.sum("w").alias("wdeg"))
     nodes = (
         e.select("src").unionAll(e.select(F.col("dst").alias("src"))).distinct()
     )

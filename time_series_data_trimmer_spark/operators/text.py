@@ -1939,6 +1939,10 @@ def chunk_centrality(
         text_col=text_col,
     )
 
+    # r13 (guide §2.4): toks feeds sizes + both self-join sides, and
+    # the per-iteration pr chain embeds the whole edge build once per
+    # downstream reference — the fully lazy form re-ran the
+    # chunk+tokenize scan ~5×. Materialize the narrow rows once.
     toks = ch.select(
         F.col(id_col),
         F.col("chunk_id").alias("__cid"),
@@ -1950,7 +1954,7 @@ def chunk_centrality(
                 )
             )
         ).alias("__tok"),
-    )
+    ).localCheckpoint(eager=False)
     sizes = toks.groupBy(id_col, "__cid").agg(
         F.count(F.lit(1)).alias("__sz")
     )
@@ -1996,6 +2000,8 @@ def chunk_centrality(
         "__ns",
     )
     # transition weight w_ji / wsum_j, fixed across iterations
+    # r13 (guide §2.4): trans is re-joined every iteration (and each
+    # instance re-derives edges→wsum) — checkpoint it once.
     trans = (
         edges.join(
             wsum.withColumnRenamed("__src", "__j").hint("shuffle_hash"),
@@ -2004,7 +2010,7 @@ def chunk_centrality(
             F.col(id_col), "__i", "__j",
             (F.col("__w") / F.col("__ws")).alias("__t"),
         )
-    )
+    ).localCheckpoint(eager=False)
     for _ in range(int(iters)):
         contrib = (
             trans.join(

@@ -1095,7 +1095,15 @@ def _candidate_eval_frame(sub: DataFrame, pred: DataFrame) -> DataFrame:
     over bounded pair sets; the only scalar is the 1-row n_pred count
     (sanctioned 1-row-aggregate cross join)."""
     taus = list(_EVAL_TAUS)
-    truth_min = dd.ngram_jaccard_prefix_pairs(sub, min_jaccard=min(taus))
+    # r13 (guide §2.4): truth feeds two branches (tp join + n_truth)
+    # and pred three (tp join, n_pred, and the generator itself is
+    # expensive) — the lazy form ran the exact PPJoin truth AND the
+    # candidate generator twice each. Checkpoint both bounded pair
+    # sets once; every eval branch reads materialized (id, id) rows.
+    truth_min = dd.ngram_jaccard_prefix_pairs(
+        sub, min_jaccard=min(taus)
+    ).localCheckpoint(eager=False)
+    pred = pred.localCheckpoint(eager=False)
     tau_rows = F.explode(
         F.array(*[F.lit(float(t)) for t in taus])
     ).alias("tau")

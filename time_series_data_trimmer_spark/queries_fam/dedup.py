@@ -1112,56 +1112,53 @@ def _q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays CC with a recursive CTE (the dedup_clusters
     precedent)."""
     docs = _table(spark, sf_dir, "documents")
+    # r13 (guide §2.3): ONE tokenize scan + ONE source-keyed
+    # aggregation with survivor flags attached by two left joins,
+    # replacing three independent tokenize scans + three shuffles +
+    # a 3-way re-join (the `dedup_report_suite` §2 restructure applied
+    # to the standalone query). Conditional sums over 0/1 flags ≡ the
+    # old per-survivor-set aggs; sources with no survivors read 0
+    # either way.
     tok = docs.select(
         "doc_id", "source", tx.token_count(F.col("text")).cast("long").alias("__t")
     )
-    base = tok.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("__t").alias("n_tokens")
-    )
     keep_exact = dd.exact_dedup_groups(docs).select(
-        F.col("keep_id").alias("doc_id")
-    )
-    e = (
-        tok.join(keep_exact.hint("shuffle_hash"), "doc_id", "left_semi")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs_exact"),
-            F.sum("__t").alias("n_tokens_exact"),
-        )
+        F.col("keep_id").alias("doc_id"), F.lit(1).alias("__ke")
     )
     comp = dd.dedup_components(docs)
     keep_near = comp.filter(F.col("doc_id") == F.col("cluster_id")).select(
-        "doc_id"
+        "doc_id", F.lit(1).alias("__kn")
     )
-    nr = (
-        tok.join(keep_near.hint("shuffle_hash"), "doc_id", "left_semi")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs_near"),
-            F.sum("__t").alias("n_tokens_near"),
+    flagged = (
+        tok.join(keep_exact.hint("shuffle_hash"), "doc_id", "left")
+        .join(keep_near.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "source",
+            "__t",
+            F.coalesce(F.col("__ke"), F.lit(0)).alias("__ke"),
+            F.coalesce(F.col("__kn"), F.lit(0)).alias("__kn"),
         )
     )
-    out = (
-        base.join(e.hint("shuffle_hash"), "source", "left")
-        .join(nr.hint("shuffle_hash"), "source", "left")
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__t").cast("long").alias("n_tokens"),
+        F.sum("__ke").cast("long").alias("n_docs_exact"),
+        F.sum(F.col("__t") * F.col("__ke")).cast("long").alias("n_tokens_exact"),
+        F.sum("__kn").cast("long").alias("n_docs_near"),
+        F.sum(F.col("__t") * F.col("__kn")).cast("long").alias("n_tokens_near"),
     )
-    ntn = F.coalesce(F.col("n_tokens_near"), F.lit(0))
-    return out.select(
+    return agg.select(
         "source",
-        F.col("n_docs").cast("long").alias("n_docs"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.coalesce(F.col("n_docs_exact"), F.lit(0))
-        .cast("long")
-        .alias("n_docs_exact"),
-        F.coalesce(F.col("n_tokens_exact"), F.lit(0))
-        .cast("long")
-        .alias("n_tokens_exact"),
-        F.coalesce(F.col("n_docs_near"), F.lit(0))
-        .cast("long")
-        .alias("n_docs_near"),
-        ntn.cast("long").alias("n_tokens_near"),
+        "n_docs",
+        "n_tokens",
+        "n_docs_exact",
+        "n_tokens_exact",
+        "n_docs_near",
+        "n_tokens_near",
         rd(
-            F.lit(1.0) - ntn.cast("double") / F.col("n_tokens").cast("double"),
+            F.lit(1.0)
+            - F.col("n_tokens_near").cast("double")
+            / F.col("n_tokens").cast("double"),
             6,
         ).alias("pct_tokens_removed_near"),
     )
@@ -1524,48 +1521,43 @@ def _q_dedup_report_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["n_clusters", "n_docs", "min_size", "max_size"],
     )
 
-    # §2 per-source impact (raw / exact / near)
+    # §2 per-source impact (raw / exact / near) — r13 (guide §2.3):
+    # ONE tokenize scan + ONE source-keyed aggregation with survivor
+    # flags attached by two left joins, replacing three independent
+    # tokenize scans + three shuffles + a 3-way re-join. Same output:
+    # conditional sums over flags ≡ the old per-survivor-set aggs
+    # (sources with no survivors read 0 either way).
     tok = docs.select(
         "doc_id", "source",
         tx.token_count(F.col("text")).cast("long").alias("__t"),
     )
-    base = tok.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("__t").alias("n_tokens")
-    )
     keep_exact = dd.exact_dedup_groups(docs).select(
-        F.col("keep_id").alias("doc_id")
-    )
-    e = (
-        tok.join(keep_exact.hint("shuffle_hash"), "doc_id", "left_semi")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs_exact"),
-            F.sum("__t").alias("n_tokens_exact"),
-        )
+        F.col("keep_id").alias("doc_id"), F.lit(1).alias("__ke")
     )
     keep_near = comp.filter(F.col("doc_id") == F.col("cluster_id")).select(
         "doc_id"
     )
-    nr = (
-        tok.join(keep_near.hint("shuffle_hash"), "doc_id", "left_semi")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs_near"),
-            F.sum("__t").alias("n_tokens_near"),
+    flagged = (
+        tok.join(keep_exact.hint("shuffle_hash"), "doc_id", "left")
+        .join(
+            keep_near.withColumn("__kn", F.lit(1)).hint("shuffle_hash"),
+            "doc_id",
+            "left",
         )
-    )
-    imp = (
-        base.join(e.hint("shuffle_hash"), "source", "left")
-        .join(nr.hint("shuffle_hash"), "source", "left")
         .select(
             "source",
-            F.col("n_docs").cast("long").alias("n_docs"),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.coalesce(F.col("n_docs_exact"), F.lit(0)).cast("long").alias("n_docs_exact"),
-            F.coalesce(F.col("n_tokens_exact"), F.lit(0)).cast("long").alias("n_tokens_exact"),
-            F.coalesce(F.col("n_docs_near"), F.lit(0)).cast("long").alias("n_docs_near"),
-            F.coalesce(F.col("n_tokens_near"), F.lit(0)).cast("long").alias("n_tokens_near"),
+            "__t",
+            F.coalesce(F.col("__ke"), F.lit(0)).alias("__ke"),
+            F.coalesce(F.col("__kn"), F.lit(0)).alias("__kn"),
         )
+    )
+    imp = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__t").cast("long").alias("n_tokens"),
+        F.sum("__ke").cast("long").alias("n_docs_exact"),
+        F.sum(F.col("__t") * F.col("__ke")).cast("long").alias("n_tokens_exact"),
+        F.sum("__kn").cast("long").alias("n_docs_near"),
+        F.sum(F.col("__t") * F.col("__kn")).cast("long").alias("n_tokens_near"),
     )
     impact = unpivot(
         imp, "impact", F.col("source"),
@@ -1575,7 +1567,11 @@ def _q_dedup_report_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # §3 post-dedup budget summary (survivors only)
     surv = docs.join(keep_near.hint("shuffle_hash"), "doc_id", "left_semi")
-    budgeted = sp.token_budget_per_stratum(surv, _MIX_BUDGET)
+    # r13: budgeted feeds both the §3 summary and the §4 pack semi-join
+    # — checkpoint so the budget window runs once.
+    budgeted = sp.token_budget_per_stratum(surv, _MIX_BUDGET).localCheckpoint(
+        eager=False
+    )
     bsum = budgeted.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
         F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
@@ -2082,7 +2078,9 @@ def _q_dedup_minhash_estimator_error(
     joins are id-keyed over the bounded truth-pair set."""
     sub = _table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     truth = dd.ngram_jaccard_prefix_pairs(sub, min_jaccard=_PREFIX_TAU)
-    sig = dd.minhash_signatures(sub)
+    # r13 (guide §2.4): both join sides (a, b) read the signatures —
+    # checkpoint so the shingle→md5→min aggregation runs once.
+    sig = dd.minhash_signatures(sub).localCheckpoint(eager=False)
     a = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("__sa"))
     b = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("__sb"))
     agree = F.aggregate(

@@ -665,9 +665,13 @@ def _q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = iv.overlap_join(ivl, ivl, bucket_us="auto").filter(
         F.col("user_id_a") < F.col("user_id_b")
     )
+    # r13 (guide §2.4): ed (sessionize → interval self-overlap →
+    # distinct) feeds the symmetrization twice plus the final
+    # anti-join, and nbr feeds both two-hop sides — the lazy form ran
+    # the overlap join ~5×. Checkpoint both bounded frames once.
     ed = pairs.select(
         F.col("user_id_a").alias("ua"), F.col("user_id_b").alias("ub")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sym = ed.select(F.col("ua").alias("u"), F.col("ub").alias("v")).unionAll(
         ed.select(F.col("ub").alias("u"), F.col("ua").alias("v"))
     )
@@ -679,6 +683,7 @@ def _q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.withColumn("__rn", F.row_number().over(wn))
         .filter(F.col("__rn") <= _AA_CAP)
         .select("u", "v")
+        .localCheckpoint(eager=False)
     )
     a = nbr.select(F.col("u").alias("__via"), F.col("v").alias("x"))
     b = nbr.select(F.col("u").alias("__via"), F.col("v").alias("y"))
@@ -1150,9 +1155,12 @@ def _q_graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = iv.overlap_join(ivl, ivl, bucket_us="auto").filter(
         F.col("user_id_a") < F.col("user_id_b")
     )
+    # r13 (guide §2.4): same lineage discipline as
+    # `graph_adamic_adar_links` — ed feeds 3 subtrees and nbr 2; the
+    # lazy form ran the interval overlap join ~5×.
     ed = pairs.select(
         F.col("user_id_a").alias("ua"), F.col("user_id_b").alias("ub")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sym = ed.select(F.col("ua").alias("u"), F.col("ub").alias("v")).unionAll(
         ed.select(F.col("ub").alias("u"), F.col("ua").alias("v"))
     )
@@ -1164,6 +1172,7 @@ def _q_graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.withColumn("__rn", F.row_number().over(wn))
         .filter(F.col("__rn") <= _AA_CAP)
         .select("u", "v")
+        .localCheckpoint(eager=False)
     )
     a = nbr.select(F.col("u").alias("__via"), F.col("v").alias("x"))
     b = nbr.select(F.col("u").alias("__via"), F.col("v").alias("y"))
@@ -1266,9 +1275,12 @@ def _q_graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     and one user-keyed shuffle-hash join + user agg — all keyed, no
     iteration-count data dependence."""
     ev = _events(spark, sf_dir)
+    # r13 (guide §2.4): ed is re-joined in every half-step of both
+    # rounds plus the n_users agg (~5 references, each re-running the
+    # events scan+agg in the lazy form) — materialize once.
     ed = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("double").alias("__c")
-    )
+    ).localCheckpoint(eager=False)
 
     def _ds12(term):
         return F.sum(rd(term, 12).cast("decimal(38,12)")).cast("double")
@@ -1475,11 +1487,16 @@ def _q_markov_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("__src"), F.col("__nxt").alias("__dst")
     ).agg(F.count(F.lit(1)).alias("__n"))
     t = c.groupBy("__src").agg(F.sum("__n").alias("__tot"))
+    # r13 (guide §2.4): pm (the |types|² matrix, derived from the
+    # events scan + lead window) is re-joined every power round, and
+    # ty every renormalization — the lazy form re-ran the scan ~4×.
     pm = c.join(t.hint("shuffle_hash"), "__src").select(
         "__src", "__dst",
         rd(F.col("__n").cast("double") / F.col("__tot").cast("double"), 6).alias("__p"),
-    )
-    ty = ev.select(F.col("event_type").alias("__et")).distinct()
+    ).localCheckpoint(eager=False)
+    ty = ev.select(
+        F.col("event_type").alias("__et")
+    ).distinct().localCheckpoint(eager=False)
     nt = ty.agg(F.count(F.lit(1)).cast("double").alias("__nt"))
     pi = ty.crossJoin(F.broadcast(nt)).select(
         "__et", rd(F.lit(1.0) / F.col("__nt"), 12).alias("__pi")
@@ -1635,9 +1652,13 @@ def _q_graph_lp_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
     )
     prs = iv.overlap_join(ivl, ivl).filter(F.col("user_id_a") < F.col("user_id_b"))
+    # r13 (guide §2.4): p (sessionize → interval self-overlap join →
+    # distinct) feeds ~8 subtrees here (nodes ×2, the LP rounds, dc,
+    # ec, mm) — checkpoint it once; same for the LP labels, read by
+    # 4 downstream branches (dc, ec ×2, community sizes).
     p = prs.select(
         F.col("user_id_a").alias("ua"), F.col("user_id_b").alias("ub")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     nodes = (
         p.select(F.col("ua").alias("node"))
         .unionByName(p.select(F.col("ub").alias("node")))
@@ -1648,7 +1669,7 @@ def _q_graph_lp_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.select(F.col("ua").alias("src"), F.col("ub").alias("dst")),
         seeds,
         iterations=2,
-    )
+    ).localCheckpoint(eager=False)
     e = p.select(F.col("ua").alias("s"), F.col("ub").alias("d")).unionByName(
         p.select(F.col("ub").alias("s"), F.col("ua").alias("d"))
     )
@@ -2137,17 +2158,24 @@ def _q_graph_edge_embeddedness(
     y = capped.select(
         F.col("event_type"), F.col("blk"), F.col("user_id").alias("__ub")
     )
+    # r13 (guide §2.4): canon feeds 5 subtrees (degree union ×2,
+    # orientation, triangle closing, the embeddedness left join), tri
+    # feeds the 3-way edge-credit union — the fully lazy form re-ran
+    # the capped co-occurrence self-join ~5×. Same lineage discipline
+    # as `graph.local_clustering` (PLANS.md invariant 17).
     canon = (
         x.join(y.hint("shuffle_hash"), ["event_type", "blk"])
         .filter(F.col("__ua") < F.col("__ub"))
         .select(F.col("__ua").alias("a"), F.col("__ub").alias("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         canon.select(F.col("a").alias("v"))
         .unionAll(canon.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("__da"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("__db"))
@@ -2170,6 +2198,7 @@ def _q_graph_edge_embeddedness(
             .otherwise(F.col("a"))
             .alias("w"),
         )
+        .localCheckpoint(eager=False)
     )
     l = oriented.select(F.col("u"), F.col("w").alias("__wa"))
     r = oriented.select(F.col("u"), F.col("w").alias("__wb"))
@@ -2178,7 +2207,9 @@ def _q_graph_edge_embeddedness(
         .filter(F.col("__wa") < F.col("__wb"))
         .select("u", F.col("__wa").alias("a"), F.col("__wb").alias("b"))
     )
-    tri = wedges.join(canon.hint("shuffle_hash"), ["a", "b"])
+    tri = wedges.join(canon.hint("shuffle_hash"), ["a", "b"]).localCheckpoint(
+        eager=False
+    )
     tedges = (
         tri.select(
             F.least("u", "a").alias("a"), F.greatest("u", "a").alias("b")
@@ -2194,7 +2225,7 @@ def _q_graph_edge_embeddedness(
     sup = tedges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("__s"))
     emb = canon.join(sup.hint("shuffle_hash"), ["a", "b"], "left").select(
         F.coalesce(F.col("__s"), F.lit(0)).alias("s")
-    )
+    ).localCheckpoint(eager=False)
     tot = emb.agg(F.count(F.lit(1)).alias("__n"))
     bucket = (
         F.when(F.col("s") == 0, F.lit("0_bridge"))

@@ -987,6 +987,10 @@ def _q_mix_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("__sa"), F.col("__sb")).alias("split_a"),
             F.greatest(F.col("__sa"), F.col("__sb")).alias("split_b"),
         )
+        # r13 (guide §2.4): labeled feeds both the total and the
+        # per-cell agg — checkpoint so the LSH pair generation + split
+        # joins run once.
+        .localCheckpoint(eager=False)
     )
     tot = labeled.agg(F.count(F.lit(1)).alias("__n"))
     return (
@@ -1224,9 +1228,15 @@ def _q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoints per round (PLANS.md invariant 17). Vectors
     never shuffle; k is plan-time fixed."""
     emb = _table(spark, sf_dir, "embeddings")
+    # r13 (guide §2.4): _dist_to references ex twice per round (center
+    # slice + candidate side) across 7 rounds — the lazy form re-ran
+    # the scan+posexplode ~14×. Materialize the narrow (vec_id, i, x)
+    # rows once.
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "__xf")
-    ).select("vec_id", "i", F.col("__xf").cast("double").alias("x"))
+    ).select(
+        "vec_id", "i", F.col("__xf").cast("double").alias("x")
+    ).localCheckpoint(eager=False)
     seed = (
         emb.select(
             "vec_id",

@@ -856,6 +856,10 @@ def _q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cos"),
         )
+        # r13 (guide §2.4): both union arms of the symmetrization read
+        # this frame — without materialization the LSH candidate
+        # generation + exact decimal re-rank ran twice.
+        .localCheckpoint(eager=False)
     )
     sym = scored.select(
         F.col("id_a").alias("vec_id"), F.col("id_b").alias("nbr"), "cos"
@@ -1563,9 +1567,12 @@ def _q_sim_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = sim.ivf_centroids(emb, 16)
     qset = emb.filter(F.col("vec_id").isin([0, 1, 2, 3, 4]))
     assigned = sim.ivf_assign_dec(emb, cents).localCheckpoint(eager=False)
+    # r13 (guide §2.4): truth (the nprobe=16 full-probe exact re-rank,
+    # the most expensive branch) is joined by all 5 sweep branches —
+    # the lazy form re-executed it per branch. Checkpoint once.
     truth = sim.ivf_batch_topk(
         emb, qset, k=10, nprobe=16, centroids=cents, assigned=assigned
-    ).select("query_id", "vec_id")
+    ).select("query_id", "vec_id").localCheckpoint(eager=False)
     rows = []
     for np_ in _NPROBE_SWEEP:
         pred = sim.ivf_batch_topk(

@@ -2845,6 +2845,10 @@ def _q_eval_ece_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__p").cast("long").alias("__np"),
             F.sum("__cm").cast("long").alias("__smic"),
         )
+        # r13 (guide §2.4): the ≤100-row bin table feeds both the total
+        # and the gap branch — without materialization the expensive
+        # scorer + C4-gate subtree above it ran twice.
+        .localCheckpoint(eager=False)
     )
     tot = bins.agg(F.sum("__n").cast("long").alias("__nn"))
     gaps = bins.crossJoin(F.broadcast(tot)).select(
@@ -4161,7 +4165,10 @@ def _q_eval_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp").cast("long").alias("fp"),
         F.col("fn").cast("long").alias("fn"),
         f1.alias("f1"),
-    )
+    ).localCheckpoint(eager=False)
+    # r13 (guide §2.4): sc2 (≤100 rows) feeds the best-F1 scalars (mx,
+    # mb) AND the output rows — without materialization the scorer +
+    # C4-gate corpus scan below it ran 3×.
     mx = sc2.agg(F.max("f1").alias("__mf"))
     mb = (
         sc2.crossJoin(F.broadcast(mx))

@@ -1788,6 +1788,9 @@ def _q_text_bpe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "section string, k string, metric string, value double",
     )
 
+    # r13 (guide §2.4): j feeds both the fertility agg and the pack
+    # audit — checkpoint so the enc⨝lang join runs once (enc itself is
+    # already materialized above).
     j = enc.join(
         docs.select("doc_id", "lang").hint("shuffle_hash"), "doc_id"
     ).select(
@@ -1795,7 +1798,7 @@ def _q_text_bpe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_tokens_raw",
         F.size("bpe_tokens").cast("long").alias("__nb"),
-    )
+    ).localCheckpoint(eager=False)
     fert = (
         j.filter(F.col("n_tokens_raw") > 0)
         .groupBy("lang")
@@ -2014,9 +2017,11 @@ def _q_retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-dp rounded, so both engines pick the same candidate at every
     step."""
     emb = _table(spark, sf_dir, "embeddings")
+    # r13 (guide §2.4): ex feeds qex, norms, and the dots join — the
+    # lazy form re-ran the scan+posexplode 3×.
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
-    ).withColumn("x", F.col("x").cast("double"))
+    ).withColumn("x", F.col("x").cast("double")).localCheckpoint(eager=False)
     qex = ex.filter(F.col("vec_id") < _RECALL_Q).select(
         F.col("vec_id").alias("qid"), "i", F.col("x").alias("__qx")
     )
