@@ -1137,9 +1137,16 @@ def _q_pipeline_budget_pack_real_tokens(
         docs.select("doc_id", "source")
         .join(counts.hint("shuffle_hash"), "doc_id")
     )
-    budgeted = sp.token_budget_per_stratum(
-        joined, _MIX_BUDGET, n_tokens_col="__nt"
-    ).select("doc_id", "source", "n_tokens", "cum_tokens")
+    # r13 (guide §2.4): budgeted embeds the Arrow BPE encode and is
+    # consumed by TWO separate jobs (the packer's internal prefix-sum
+    # checkpoint and the final re-join) — cross-JOB runs can't share
+    # exchanges, so the lazy form ran the encode twice. Checkpoint the
+    # narrow (id, source, counts) rows once.
+    budgeted = (
+        sp.token_budget_per_stratum(joined, _MIX_BUDGET, n_tokens_col="__nt")
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .localCheckpoint(eager=False)
+    )
     packed = sp.sequence_pack_offsets(
         budgeted, seq_len=512, n_tokens_col="n_tokens"
     )

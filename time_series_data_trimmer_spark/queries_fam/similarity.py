@@ -1455,14 +1455,24 @@ def _q_emb_lsh_recall_by_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("qid").orderBy(
         F.col("__c").desc(), F.col("vec_id").asc()
     )
+    # r13 (guide §2.4): truth is joined by every bits branch — without
+    # materialization the rank window over cos re-ran per branch.
     truth = (
         cos.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= 10)
         .select("qid", "vec_id", F.lit(1).alias("__t"))
+        .localCheckpoint(eager=False)
     )
     qsig = sigs.select(F.col("vec_id").alias("qid"), F.col("sig").alias("__qs"))
     vsig = sigs.select("vec_id", F.col("sig").alias("__vs"))
     rows = []
+    # r13 (guide §2.2): the per-branch rank window was a provable
+    # no-op — each branch's candidate set is a SUBSET of cos (1:1 sig
+    # joins, one sig per vec) ranked by the same total order
+    # (__c desc, vec_id asc), so a truth row (≤ 9 rows ahead of it
+    # globally) has ≤ 9 subset rows ahead of it and its subset rank is
+    # always ≤ 10: (__t = 1 AND rn ≤ 10) ≡ (__t = 1). Dropping the
+    # window removes one full Q×N-candidate sort per bits branch.
     for b in _BITS_SWEEP:
         probe = (
             cos.join(F.broadcast(qsig), "qid")
@@ -1471,14 +1481,11 @@ def _q_emb_lsh_recall_by_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.pmod(F.col("__qs"), F.lit(1 << b))
                 == F.pmod(F.col("__vs"), F.lit(1 << b))
             )
-            .withColumn("__rn", F.row_number().over(wq))
         )
         scored = probe.join(
             truth.hint("shuffle_hash"), ["qid", "vec_id"], "left"
         ).select(
-            F.when(
-                (F.col("__t") == 1) & (F.col("__rn") <= 10), 1
-            ).otherwise(0).alias("hit")
+            F.when(F.col("__t") == 1, 1).otherwise(0).alias("hit")
         )
         rows.append(
             scored.agg(
@@ -1871,13 +1878,19 @@ def _q_sim_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
+    # r13 (guide §2.2): the per-branch rank window was a provable
+    # no-op for every LSH/IVF branch — each branch's candidate set is
+    # a SUBSET of cos (1:1 sig joins / one centroid per vec) ranked by
+    # the same total order (__c desc, vec_id asc), so a truth row (≤ 9
+    # rows ahead of it globally) has ≤ 9 subset rows ahead of it and
+    # its subset rank is always ≤ 10: (__t = 1 AND rn ≤ 10) ≡
+    # (__t = 1). The MRL branches rank by their own prefix cosine and
+    # keep their shortlist window; they pass only shortlist rows here.
     def branch(section: str, k: int, pred) -> DataFrame:
         scored = pred.join(
             truth.hint("shuffle_hash"), ["qid", "vec_id"], "left"
         ).select(
-            F.when(
-                (F.col("__t") == 1) & (F.col("__rn") <= 10), 1
-            ).otherwise(0).alias("hit")
+            F.when(F.col("__t") == 1, 1).otherwise(0).alias("hit")
         )
         return scored.agg(
             F.sum("hit").cast("long").alias("n_hits"),
@@ -1909,7 +1922,6 @@ def _q_sim_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.pmod(F.col("__qs"), F.lit(1 << b))
                 == F.pmod(F.col("__vs"), F.lit(1 << b))
             )
-            .withColumn("__rn", F.row_number().over(wq))
         )
         rows.append(branch("lsh_bits", b, pred))
     # IVF nprobe: one corpus assignment, driver-ranked probe cells
@@ -1932,9 +1944,7 @@ def _q_sim_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = assigned.join(F.broadcast(probe_df), "centroid_id").select(
             "vec_id", "qid"
         )
-        pred = cos.join(
-            cand.hint("shuffle_hash"), ["qid", "vec_id"]
-        ).withColumn("__rn", F.row_number().over(wq))
+        pred = cos.join(cand.hint("shuffle_hash"), ["qid", "vec_id"])
         rows.append(branch("ivf_nprobe", np_, pred))
     # MRL prefix dims: one pass computes every prefix dot conditionally
     def csum(cond, term):
@@ -1983,7 +1993,7 @@ def _q_sim_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             j.select("qid", "vec_id", c.alias("__mc"))
             .withColumn("__rn", F.row_number().over(wsh))
             .filter(F.col("__rn") <= _MRL_SHORTLIST)
-            .select("qid", "vec_id", F.lit(1).alias("__rn"))
+            .select("qid", "vec_id")
         )
         rows.append(branch("mrl_dim", d, short))
     out = rows[0]

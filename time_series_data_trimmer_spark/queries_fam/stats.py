@@ -9,6 +9,38 @@ from __future__ import annotations
 from time_series_data_trimmer_spark.queries_common import *  # noqa: F401,F403
 
 
+def _sv_cum_hist(ev, keys, pre_counted=False):
+    """Cumulative value histogram over ``(keys…, sv)``: one map-side-
+    combined count per distinct scaled value plus the running (``cum``)
+    and total (``n``) counts per key group — the shared engine for
+    exact nearest-rank order statistics WITHOUT a per-row rank window
+    (r13, guide §2.2). The old shape sorted every event row inside a
+    |key-domain|-partition window (|types| tasks at any core count —
+    the straggler profile that inflated the drift family under load);
+    here the full-row pass is a combinable groupBy and the only window
+    runs over DISTINCT values. Rank r's order statistic is the unique
+    bin with ``cum − cnt < r ≤ cum``; a tie group occupies rank span
+    (cum−cnt, cum], so min tie rank = cum−cnt+1 and the doubled
+    tie-averaged rank = 2·cum − cnt + 1. ``pre_counted=True`` takes an
+    already-built (keys…, sv, cnt) histogram instead of raw rows."""
+    if pre_counted:
+        h = ev
+    else:
+        h = ev.groupBy(*keys, "sv").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy("sv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*keys)
+    return h.select(
+        *keys,
+        "sv",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+
 
 @register(
     "stats_spearman_value_vs_hour",
@@ -47,9 +79,12 @@ def _q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks are half-integers, so DOUBLED ranks are integers
     (2·avg_rank = 2·min_rank + ties − 1), every moment accumulates as
     an exact decimal, and rho is one IEEE expression over exact sums —
-    the doubling cancels in the correlation. Two rank windows + one
-    tie-count window on the same event_type-keyed exchange, then a
-    |types|-row aggregate."""
+    the doubling cancels in the correlation. r13 (guide §2.2): the
+    doubled rank of a value depends only on its marginal cumulative
+    count (2·cum − cnt + 1), so both rank maps come from DISTINCT-value
+    histograms joined back onto the joint (xv, yv) histogram — one
+    combinable groupBy over the rows, windows over distinct values
+    only, never a per-row rank sort."""
     ev = _events(spark, sf_dir).select(
         "event_type",
         F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("xv"),
@@ -57,25 +92,49 @@ def _q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 24
         ).alias("yv"),
     )
-    wp = Window.partitionBy("event_type")
-    rx2 = (
-        2 * F.rank().over(wp.orderBy("xv"))
-        + F.count(F.lit(1)).over(Window.partitionBy("event_type", "xv"))
-        - 1
+    joint = ev.groupBy("event_type", "xv", "yv").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    ry2 = (
-        2 * F.rank().over(wp.orderBy("yv"))
-        + F.count(F.lit(1)).over(Window.partitionBy("event_type", "yv"))
-        - 1
+    xr = _sv_cum_hist(
+        joint.select(
+            "event_type", F.col("xv").alias("sv"), "cnt"
+        ).groupBy("event_type", "sv").agg(F.sum("cnt").alias("cnt")),
+        ["event_type"],
+        pre_counted=True,
+    ).select(
+        "event_type",
+        F.col("sv").alias("xv"),
+        (2 * F.col("cum") - F.col("cnt") + 1).alias("rx2"),
     )
-    r = ev.select("event_type", rx2.alias("rx2"), ry2.alias("ry2"))
+    yr = _sv_cum_hist(
+        joint.select(
+            "event_type", F.col("yv").alias("sv"), "cnt"
+        ).groupBy("event_type", "sv").agg(F.sum("cnt").alias("cnt")),
+        ["event_type"],
+        pre_counted=True,
+    ).select(
+        "event_type",
+        F.col("sv").alias("yv"),
+        (2 * F.col("cum") - F.col("cnt") + 1).alias("ry2"),
+    )
+    r = (
+        joint.join(xr.hint("shuffle_hash"), ["event_type", "xv"])
+        .join(yr.hint("shuffle_hash"), ["event_type", "yv"])
+        .select("event_type", "cnt", "rx2", "ry2")
+    )
     s = r.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("rx2").alias("sx"),
-        F.sum("ry2").alias("sy"),
-        F.sum(F.col("rx2").cast("decimal(38,0)") * F.col("ry2")).alias("sxy"),
-        F.sum(F.col("rx2").cast("decimal(38,0)") * F.col("rx2")).alias("sxx"),
-        F.sum(F.col("ry2").cast("decimal(38,0)") * F.col("ry2")).alias("syy"),
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("rx2")).alias("sx"),
+        F.sum(F.col("cnt") * F.col("ry2")).alias("sy"),
+        F.sum(
+            F.col("rx2").cast("decimal(38,0)") * F.col("ry2") * F.col("cnt")
+        ).alias("sxy"),
+        F.sum(
+            F.col("rx2").cast("decimal(38,0)") * F.col("rx2") * F.col("cnt")
+        ).alias("sxx"),
+        F.sum(
+            F.col("ry2").cast("decimal(38,0)") * F.col("ry2") * F.col("cnt")
+        ).alias("syy"),
     )
     return s.select(
         "event_type",
@@ -219,11 +278,12 @@ def _q_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Wasserstein distance between the month's two halves — chi-square
     (`stats_chi2_type_vs_hour`) covers the categorical axis, this one
     covers numeric columns, the pair every ingest monitor needs.
-    Nearest-rank deciles over 4-dp scaled INTEGERS (rank windows on
-    the (type, half) key, ties broken by event_id), so the nine
-    quantile gaps are exact integer differences and the final score is
-    one IEEE division. Output is |types| rows; quantile extraction is
-    a rank filter, not a sort-collect."""
+    Nearest-rank deciles over 4-dp scaled INTEGERS (value-histogram
+    cumulative counts on the (type, half) key — map-side-combined,
+    never a per-row rank sort), so the nine quantile gaps are exact
+    integer differences and the final score is one IEEE division.
+    Output is |types| rows; quantile extraction is a cumulative-count
+    bin probe, not a sort-collect."""
     ev = _events(spark, sf_dir).select(
         "event_type",
         F.when(
@@ -232,37 +292,59 @@ def _q_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
         .alias("half"),
         F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("sv"),
-        "event_id",
     )
-    w = Window.partitionBy("event_type", "half").orderBy("sv", "event_id")
-    wc = Window.partitionBy("event_type", "half")
-    r = ev.select(
+    # r13 (guide §2.2): nearest-rank deciles off the VALUE HISTOGRAM
+    # instead of a per-row rank window. The old row_number window
+    # sorted every event row inside |types|×2 partitions — 10 tasks
+    # total no matter the core count, the straggler shape that
+    # inflated `pipeline_drift_report` under load. The histogram
+    # groupBy is map-side combined (full parallelism), and the cum-sum
+    # window runs over DISTINCT scaled values only. Equivalent by
+    # construction: the sv bin covering rank positions
+    # (cum−cnt, cum] contains rank ⌈d·n/10⌉ iff that rank's order
+    # statistic equals sv (ties share a bin, and the event_id
+    # tiebreak never changes WHICH VALUE sits at a given rank).
+    h = ev.groupBy("event_type", "half", "sv").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type", "half")
+        .orderBy("sv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type", "half")
+    ch = h.select(
         "event_type",
         "half",
         "sv",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
     )
     # decile membership scan-side via explode(sequence) — a 9-row
     # dimension joined on a mixed-side expression would plan as an
     # unsanctioned BNLJ (caught by the plan sweep); exploding the 9
-    # candidate deciles onto each narrow rank row keeps it join-free
-    # (the text_vocab_growth idiom)
+    # candidate deciles onto each narrow histogram row keeps it
+    # join-free (the text_vocab_growth idiom)
+    rank = F.ceil(F.col("decile") * F.col("n") / F.lit(10.0)).cast("long")
     q = (
-        r.select(
+        ch.select(
             "event_type",
             "half",
             "sv",
-            "rn",
+            "cnt",
+            "cum",
             "n",
             F.explode(F.sequence(F.lit(1), F.lit(9))).alias("decile"),
         )
-        .filter(
-            F.col("rn")
-            == F.ceil(F.col("decile") * F.col("n") / F.lit(10.0)).cast("long")
+        .filter((rank > F.col("cum") - F.col("cnt")) & (rank <= F.col("cum")))
+        .select(
+            "event_type",
+            "half",
+            "decile",
+            F.col("sv").alias("qv"),
+            "n",
         )
-        .groupBy("event_type", "half", "decile")
-        .agg(F.min("sv").alias("qv"), F.min("n").alias("n"))
     )
     a = q.filter(F.col("half") == 0).select(
         "event_type", "decile", F.col("qv").alias("qa"), F.col("n").alias("na")
@@ -387,30 +469,35 @@ def _q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the trim boundary is a rank, so integer sums stay exact)."""
     ev = _events(spark, sf_dir).select(
         "event_type",
-        "event_id",
         F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("sv"),
     )
-    w = Window.partitionBy("event_type").orderBy("sv", "event_id")
-    wc = Window.partitionBy("event_type")
-    r = ev.select(
-        "event_type",
-        "sv",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    )
+    # r13 (guide §2.2): band sum off the cumulative value histogram —
+    # a value bin covering rank span (cum−cnt, cum] contributes
+    # sv × |overlap with the kept band (t, n−t]| — replacing the
+    # per-row rank window (|types| sort tasks) with a combinable
+    # groupBy; identical integer totals term for term.
+    ch = _sv_cum_hist(ev, ["event_type"])
     t = F.expr("n div 10")
-    return r.groupBy("event_type").agg(
+    inband = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.col("n") - t)
+        - F.greatest(F.col("cum") - F.col("cnt"), t),
+    )
+    return ch.groupBy("event_type").agg(
         F.max("n").cast("long").alias("n"),
         (F.max("n") - 2 * F.expr("max(n) div 10")).cast("long").alias("n_kept"),
         rd(
-            F.sum(
-                F.when((F.col("rn") > t) & (F.col("rn") <= F.col("n") - t), F.col("sv"))
-            ).cast("double")
+            F.sum(F.col("sv") * inband).cast("double")
             / (F.max("n") - 2 * F.expr("max(n) div 10"))
             / 10000.0,
             6,
         ).alias("trimmed_mean"),
-        rd(F.sum("sv").cast("double") / F.max("n") / 10000.0, 6).alias("raw_mean"),
+        rd(
+            F.sum(F.col("sv") * F.col("cnt")).cast("double")
+            / F.max("n")
+            / 10000.0,
+            6,
+        ).alias("raw_mean"),
     )
 
 
@@ -459,27 +546,28 @@ def _q_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters on the same type-keyed window the trimmed mean uses."""
     ev = _events(spark, sf_dir).select(
         "event_type",
-        "event_id",
         F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("sv"),
     )
-    w = Window.partitionBy("event_type").orderBy("sv", "event_id")
-    wc = Window.partitionBy("event_type")
-    r = ev.select(
-        "event_type",
-        "sv",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    )
-    q = r.groupBy("event_type").agg(
+    # r13 (guide §2.2): quartiles via cumulative-histogram bin probe
+    # (rank r lives in the unique bin with cum−cnt < r ≤ cum) and the
+    # fence count as Σ cnt over out-of-fence bins — replacing the
+    # per-row rank window and the full-row re-join with histogram-
+    # sized work after one combinable groupBy.
+    ch = _sv_cum_hist(ev, ["event_type"])
+    r1 = F.ceil(0.25 * F.col("n")).cast("long")
+    r3 = F.ceil(0.75 * F.col("n")).cast("long")
+    q = ch.groupBy("event_type").agg(
         F.max("n").alias("n"),
         F.max(
             F.when(
-                F.col("rn") == F.ceil(0.25 * F.col("n")).cast("long"), F.col("sv")
+                (r1 > F.col("cum") - F.col("cnt")) & (r1 <= F.col("cum")),
+                F.col("sv"),
             )
         ).alias("q1"),
         F.max(
             F.when(
-                F.col("rn") == F.ceil(0.75 * F.col("n")).cast("long"), F.col("sv")
+                (r3 > F.col("cum") - F.col("cnt")) & (r3 <= F.col("cum")),
+                F.col("sv"),
             )
         ).alias("q3"),
     )
@@ -492,7 +580,7 @@ def _q_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
     )
     return (
-        r.select("event_type", "sv")
+        ch.select("event_type", "sv", "cnt")
         .join(f.hint("shuffle_hash"), "event_type")
         .groupBy("event_type")
         .agg(
@@ -501,8 +589,9 @@ def _q_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             rd(F.max("q3").cast("double") / 10000.0, 6).alias("q3"),
             F.sum(
                 F.when(
-                    (F.col("sv") < F.col("lo")) | (F.col("sv") > F.col("hi")), 1
-                ).otherwise(0)
+                    (F.col("sv") < F.col("lo")) | (F.col("sv") > F.col("hi")),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0).cast("long"))
             )
             .cast("long")
             .alias("n_outliers"),
@@ -2148,15 +2237,21 @@ def _q_stats_interarrival_expfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = d.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("__n"), F.sum("__dt").alias("__sdt")
     )
-    wr = Window.partitionBy("event_type").orderBy(
-        F.col("__dt").asc(), F.col("event_id").asc()
+    # r13 (guide §2.2): the KS scan off the inter-arrival HISTOGRAM —
+    # within a dt tie the extreme index dominates both D⁺ (max i = cum)
+    # and D⁻ (min i − 1 = cum − cnt, per the tie-dominance note in the
+    # docstring), so cumulative bin counts replace the per-row rank
+    # window (|types| full-row sort tasks) with distinct-delta work.
+    ch = _sv_cum_hist(
+        d.select("event_type", F.col("__dt").alias("sv")), ["event_type"]
     )
-    r = d.join(F.broadcast(st), "event_type").select(
+    r = ch.join(F.broadcast(st), "event_type").select(
         "event_type",
-        "__dt",
+        F.col("sv").alias("__dt"),
+        "cnt",
+        "cum",
         "__n",
         "__sdt",
-        F.row_number().over(wr).alias("__i"),
     )
     fmodel = F.lit(1.0) - F.exp(
         -(
@@ -2167,12 +2262,13 @@ def _q_stats_interarrival_expfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = r.groupBy("event_type", "__n", "__sdt").agg(
         F.max(
-            rd(F.col("__i").cast("double") / F.col("__n").cast("double") - fmodel, 6)
+            rd(F.col("cum").cast("double") / F.col("__n").cast("double") - fmodel, 6)
         ).alias("__dplus"),
         F.max(
             rd(
                 fmodel
-                - (F.col("__i") - 1).cast("double") / F.col("__n").cast("double"),
+                - (F.col("cum") - F.col("cnt")).cast("double")
+                / F.col("__n").cast("double"),
                 6,
             )
         ).alias("__dminus"),
@@ -2275,8 +2371,8 @@ def _q_stats_mannwhitney_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds an earlier one) and the tie-corrected z, each one literal
     IEEE expression 6-dp-rounded identically in both engines (zero-
     variance groups emit NULL z by the same CASE guard). One
-    event_type-keyed exchange: rank window + tie counts + group sums
-    all share it."""
+    combinable (type, value)-histogram pass carries tie counts, group
+    sizes and the rank sums together (r13, guide §2.2)."""
     evs = _events(spark, sf_dir).filter(F.col("value").isNotNull())
     ev = evs.select(
         "event_type",
@@ -2297,36 +2393,38 @@ def _q_stats_mannwhitney_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("isa"),
     )
-    wp = Window.partitionBy("event_type")
-    r2 = (
-        2 * F.rank().over(wp.orderBy("sv"))
-        + F.count(F.lit(1)).over(Window.partitionBy("event_type", "sv"))
-        - 1
+    # r13 (guide §2.2): the doubled tie-averaged rank of every row in
+    # a tie bin is 2·cum − c + 1 (helper contract), so the A-side rank
+    # sum is Σ ca·(2·cum − c + 1) over the (type, sv) HISTOGRAM — one
+    # combinable groupBy carrying (c, ca) replaces the per-row rank
+    # window AND the separate tie-count pass; group sizes and the tie
+    # correction come off the same frame.
+    hh = f.groupBy("event_type", "sv").agg(
+        F.count(F.lit(1)).alias("__c"), F.sum("isa").alias("__ca")
     )
-    r = f.select("event_type", "sv", "isa", r2.cast("long").alias("__r2"))
-    g = r.groupBy("event_type").agg(
-        F.sum("isa").alias("n_a"),
-        F.sum(F.lit(1) - F.col("isa")).alias("n_b"),
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("sv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ch = hh.select(
+        "event_type",
+        "__c",
+        "__ca",
+        F.sum("__c").over(wcum).alias("__cum"),
+    )
+    r2bin = 2 * F.col("__cum") - F.col("__c") + 1
+    g = ch.groupBy("event_type").agg(
+        F.sum("__ca").alias("n_a"),
+        F.sum(F.col("__c") - F.col("__ca")).alias("n_b"),
+        F.sum(F.col("__ca").cast("decimal(38,0)") * r2bin).alias("__r2a"),
         F.sum(
-            F.when(
-                F.col("isa") == 1, F.col("__r2").cast("decimal(38,0)")
-            ).otherwise(F.lit(0).cast("decimal(38,0)"))
-        ).alias("__r2a"),
-    )
-    ties = (
-        f.groupBy("event_type", "sv")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .groupBy("event_type")
-        .agg(
-            F.sum(
-                F.col("__c").cast("decimal(38,0)") * F.col("__c") * F.col("__c")
-                - F.col("__c")
-            ).alias("__t3t")
-        )
+            F.col("__c").cast("decimal(38,0)") * F.col("__c") * F.col("__c")
+            - F.col("__c")
+        ).alias("__t3t"),
     )
     m = (
-        g.join(ties.hint("shuffle_hash"), "event_type")
-        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        g.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
         .select(
             "event_type",
             F.col("n_a").cast("long").alias("n_a"),
@@ -4566,9 +4664,10 @@ def _q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine, interpolated quantiles don't). Everything else is
     the ANOVA query's integer discipline verbatim: values on the 1e-4
     grid, z integer, sums as exact decimals, one final IEEE division
-    per output on the 6-dp grid. Plan: one type-keyed window pass for
-    (rank, count), a broadcast-size median table joined back, one
-    map-side-combined aggregate. Stats-family extension."""
+    per output on the 6-dp grid. Plan: one combinable value-histogram
+    pass with a distinct-value cum window for the median probe, a
+    broadcast-size median table joined back, one map-side-combined
+    aggregate. Stats-family extension."""
     e = (
         _table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -4579,16 +4678,13 @@ def _q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sv"),
         )
     )
-    w = Window.partitionBy("event_type").orderBy(F.col("sv").asc())
-    wf = Window.partitionBy("event_type")
-    rk = e.select(
-        "event_type",
-        "sv",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wf).alias("__n"),
-    )
-    md = rk.filter(
-        F.col("rn") == F.ceil(F.col("__n") / F.lit(2.0))
+    # r13 (guide §2.2): lower-median via cumulative-histogram bin
+    # probe (rank ⌈n/2⌉ lives in the unique bin with cum−cnt < r ≤
+    # cum) — no per-row rank window.
+    ch = _sv_cum_hist(e, ["event_type"])
+    rmed = F.ceil(F.col("n") / F.lit(2.0)).cast("long")
+    md = ch.filter(
+        (rmed > F.col("cum") - F.col("cnt")) & (rmed <= F.col("cum"))
     ).select("event_type", F.col("sv").alias("med"))
     z = e.join(F.broadcast(md), "event_type").select(
         "event_type", F.abs(F.col("sv") - F.col("med")).alias("zv")
