@@ -1147,6 +1147,39 @@ def _candidate_eval_frame(sub: DataFrame, pred: DataFrame) -> DataFrame:
     )
 
 
+def _sv_cum_hist(ev, keys, pre_counted=False):
+    """Cumulative value histogram over ``(keys…, sv)``: one map-side-
+    combined count per distinct scaled value plus the running (``cum``)
+    and total (``n``) counts per key group — the shared engine for
+    exact nearest-rank order statistics WITHOUT a per-row rank window
+    (r13, guide §2.2). The old shape sorted every event row inside a
+    |key-domain|-partition window (|types| tasks at any core count —
+    the straggler profile that inflated the drift family under load);
+    here the full-row pass is a combinable groupBy and the only window
+    runs over DISTINCT values. Rank r's order statistic is the unique
+    bin with ``cum − cnt < r ≤ cum``; a tie group occupies rank span
+    (cum−cnt, cum], so min tie rank = cum−cnt+1 and the doubled
+    tie-averaged rank = 2·cum − cnt + 1. ``pre_counted=True`` takes an
+    already-built (keys…, sv, cnt) histogram instead of raw rows."""
+    if pre_counted:
+        h = ev
+    else:
+        h = ev.groupBy(*keys, "sv").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy("sv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*keys)
+    return h.select(
+        *keys,
+        "sv",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+
+
 def _pack_efficiency_agg(packed: DataFrame) -> DataFrame:
     """One-row packing audit over a pack-offsets frame (shared by the
     raw-corpus report and the dedup→budget→pack pipeline)."""
@@ -2308,6 +2341,7 @@ __all__ = [
     "_suite_lsh_branch_sql",
     "_suite_mrl_branch_sql",
     "_suite_unpivot_sql",
+    "_sv_cum_hist",
     "_table",
     "ag",
     "annotations",

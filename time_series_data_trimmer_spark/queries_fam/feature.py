@@ -100,25 +100,30 @@ def _q_feature_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame
     needs no distribution assumption. Same doubled-rank exactness as
     the Spearman operator (half-integer average ranks become
     integers), so every emitted quantile is one IEEE division of
-    exact integers. Two rank windows on one event_type-keyed
-    exchange."""
+    exact integers. The rank map lives on the (type, value) histogram
+    — value-DOMAIN-bounded (1e-4-grid bins), hence broadcastable at
+    any corpus size — joined back map-side per row (r13)."""
     ev = _events(spark, sf_dir).select(
         "event_id",
         "event_type",
         F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("sv"),
     )
-    wp = Window.partitionBy("event_type")
-    r2 = (
-        2 * F.rank().over(wp.orderBy("sv"))
-        + F.count(F.lit(1)).over(Window.partitionBy("event_type", "sv"))
-        - 1
+    # r13 (guide §2.2): the doubled tie-averaged rank of a row depends
+    # only on its (type, sv) bin (2·cum − cnt + 1), so rank the
+    # DISTINCT-value histogram and broadcast-join it back per row —
+    # replacing the per-row rank window (|types| sort tasks at any
+    # core count) with a combinable groupBy + map-side lookup.
+    bins = _sv_cum_hist(ev.select("event_type", "sv"), ["event_type"]).select(
+        "event_type",
+        "sv",
+        (2 * F.col("cum") - F.col("cnt") + 1).alias("__r2"),
+        "n",
     )
-    return ev.select(
+    return ev.join(F.broadcast(bins), ["event_type", "sv"]).select(
         "event_id",
         "event_type",
         rd(
-            r2.cast("double")
-            / (2.0 * (F.count(F.lit(1)).over(wp) + 1)),
+            F.col("__r2").cast("double") / (2.0 * (F.col("n") + 1)),
             6,
         ).alias("q"),
     )

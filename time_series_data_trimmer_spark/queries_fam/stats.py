@@ -9,39 +9,6 @@ from __future__ import annotations
 from time_series_data_trimmer_spark.queries_common import *  # noqa: F401,F403
 
 
-def _sv_cum_hist(ev, keys, pre_counted=False):
-    """Cumulative value histogram over ``(keys…, sv)``: one map-side-
-    combined count per distinct scaled value plus the running (``cum``)
-    and total (``n``) counts per key group — the shared engine for
-    exact nearest-rank order statistics WITHOUT a per-row rank window
-    (r13, guide §2.2). The old shape sorted every event row inside a
-    |key-domain|-partition window (|types| tasks at any core count —
-    the straggler profile that inflated the drift family under load);
-    here the full-row pass is a combinable groupBy and the only window
-    runs over DISTINCT values. Rank r's order statistic is the unique
-    bin with ``cum − cnt < r ≤ cum``; a tie group occupies rank span
-    (cum−cnt, cum], so min tie rank = cum−cnt+1 and the doubled
-    tie-averaged rank = 2·cum − cnt + 1. ``pre_counted=True`` takes an
-    already-built (keys…, sv, cnt) histogram instead of raw rows."""
-    if pre_counted:
-        h = ev
-    else:
-        h = ev.groupBy(*keys, "sv").agg(F.count(F.lit(1)).alias("cnt"))
-    wcum = (
-        Window.partitionBy(*keys)
-        .orderBy("sv")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wall = Window.partitionBy(*keys)
-    return h.select(
-        *keys,
-        "sv",
-        "cnt",
-        F.sum("cnt").over(wcum).alias("cum"),
-        F.sum("cnt").over(wall).alias("n"),
-    )
-
-
 @register(
     "stats_spearman_value_vs_hour",
     f"""
