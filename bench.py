@@ -468,30 +468,48 @@ def main() -> None:
     run_samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     probe_samples: dict[str, list[float]] = {p: [] for p in PROBE_BASELINE_SEC}
+    #: r13 (VERDICT r12 #3): the pooled run-median probe_index cannot
+    #: see a LOCAL contended stretch (it missed r12's, which inflated
+    #: ~10 heavy queries 3-9×, and this session's run-1, same pattern).
+    #: Record every probe round WITH its position — after_query = how
+    #: many headline queries had completed when the round ran — so any
+    #: query's stretch-local load is bracketed by the two nearest
+    #: rounds and self-adjudicates without isolated re-measurement.
+    #: The quotable probe_index is UNCHANGED (same pooled median rule).
+    probe_rounds: list[dict] = []
 
-    def run_probes() -> None:
+    def run_probes(after_query: int) -> None:
         # single steady runs, raw (no min-of-2): the probes measure the
         # box, so smoothing would hide exactly the load they exist to
         # expose. One warmup happened with the first probe round.
+        rnd: dict = {"after_query": after_query}
         for p in PROBE_BASELINE_SEC:
             if p not in REGISTRY:
                 continue
             try:
-                probe_samples[p].append(run_query(spark, p, SF_DIR))
+                t = run_query(spark, p, SF_DIR)
+                probe_samples[p].append(t)
+                rnd[p] = round(t, 3)
+                rnd.setdefault("ratios", []).append(
+                    round(t / PROBE_BASELINE_SEC[p], 2)
+                )
             except Exception:  # noqa: BLE001 — probes never fail the bench
                 pass
+        probe_rounds.append(rnd)
 
     # probe interleave: before the run (after one warmup round so JVM
-    # warmup isn't misread as load), then after every quarter of the
-    # headline set -> 5 sample rounds spanning the whole wall-clock.
+    # warmup isn't misread as load), then after every EIGHTH of the
+    # headline set -> 9 sample rounds spanning the whole wall-clock
+    # (r13: was every quarter; a contended stretch shorter than ~75
+    # queries was invisible between rounds — ~37 now).
     for p in PROBE_BASELINE_SEC:
         if p in REGISTRY:
             try:
                 run_query(spark, p, SF_DIR)  # probe warmup, untimed
             except Exception:  # noqa: BLE001
                 pass
-    run_probes()
-    probe_every = max(1, (len(names) + 3) // 4)
+    run_probes(0)
+    probe_every = max(1, (len(names) + 7) // 8)
     for qi, name in enumerate(names, start=1):
         # steady-state measurement: first run pays one-time analysis/
         # codegen-compile costs (irrelevant at 100 TB where execution
@@ -520,9 +538,9 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         if qi % probe_every == 0:
-            run_probes()
+            run_probes(qi)
     if len(names) % probe_every != 0:
-        run_probes()  # end-of-run round (the modulo can skip it)
+        run_probes(len(names))  # end-of-run round (the modulo can skip it)
     ratios = sorted(
         t / PROBE_BASELINE_SEC[p]
         for p, ts in probe_samples.items()
@@ -582,6 +600,10 @@ def main() -> None:
         "probe_medians_sec": probe_medians,
         "probe_baseline_sec": PROBE_BASELINE_SEC,
         "probe_baseline_sf": 0.1,
+        # per-round probe readings with run position (r13, VERDICT r12
+        # #3): bracket any query between its two nearest rounds to read
+        # the stretch-local load the pooled median cannot see.
+        "probe_rounds": probe_rounds,
         "family_subtotals": family_subtotals,
         "family_counts": family_counts,
         # [warmup, steady_a, steady_b] per query; `queries` holds
