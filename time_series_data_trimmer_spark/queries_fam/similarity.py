@@ -1416,6 +1416,15 @@ def _q_emb_lsh_recall_by_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     qex = ex.filter(F.col("vec_id") < _RECALL_Q).select(
         F.col("vec_id").alias("qid"), "i", F.col("x").alias("__qx")
     )
+    # r13 examined-and-kept: fusing the norms pass into the dots
+    # aggregation (cos = rd(__dxy/(√Σqx²·√Σx²), 6) per group) was
+    # measured ~0.7 s SLOWER across 3 interleaved A/B alternations —
+    # the dots join is Q probes wide, so the fused form recomputes
+    # each corpus vector's norm² Q times where this separate N×D pass
+    # computes it once. Same argument holds at scale (2·Q·N·D extra
+    # decimal ops vs one N×D pass + an N-row shuffle saved). The
+    # sibling sim_recall_suite DOES fuse — its MRL pass already pays
+    # the Q-wide expansion, so deriving cos there is free.
     dots = (
         ex.join(F.broadcast(qex), "i")
         .filter(F.col("vec_id") != F.col("qid"))
@@ -1832,41 +1841,58 @@ def _q_sim_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     qex = ex.filter(F.col("vec_id") < _RECALL_Q).select(
         F.col("vec_id").alias("qid"), "i", F.col("x").alias("__qx")
     )
-    norms = ex.groupBy("vec_id").agg(
-        F.sqrt(
-            F.sum(rd(F.col("x") * F.col("x"), 9).cast("decimal(38,9)")).cast(
-                "double"
+
+    # r13 (guide §2.3/§2.4): _MRL_DIMS includes the full dim (64), so
+    # the MRL pass's d=64 prefix columns ARE the exact full-dim dot and
+    # norms² — the separate dots pass (a second Q×N×D expansion + agg)
+    # and the norms pass (a third full scan+explode+groupBy) were
+    # recomputing values the MRL aggregation already produces. One
+    # expansion pass (j, checkpointed) now feeds cos, truth, and every
+    # MRL branch; cos = rd(__dxy64 / (sqrt(__qxx64)·sqrt(__dxx64)), 6)
+    # is bit-identical to the old two-pass form (same decimal addend
+    # multisets, same double ops in the same order).
+    def csum(cond, term):
+        return F.sum(F.when(cond, rd(term, 9).cast("decimal(38,9)"))).cast(
+            "double"
+        )
+
+    qn = qex.groupBy("qid").agg(
+        *[
+            csum(F.col("i") < d, F.col("__qx") * F.col("__qx")).alias(
+                f"__qxx{d}"
             )
-        ).alias("__nrm")
-    ).localCheckpoint(eager=False)
-    dots = (
+            for d in _MRL_DIMS
+        ]
+    )
+    mdots = (
         ex.join(F.broadcast(qex), "i")
         .filter(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", "vec_id")
         .agg(
-            F.sum(rd(F.col("__qx") * F.col("x"), 9).cast("decimal(38,9)"))
-            .cast("double")
-            .alias("__dxy")
+            *[
+                c
+                for d in _MRL_DIMS
+                for c in (
+                    csum(F.col("i") < d, F.col("__qx") * F.col("x")).alias(
+                        f"__dxy{d}"
+                    ),
+                    csum(F.col("i") < d, F.col("x") * F.col("x")).alias(
+                        f"__dxx{d}"
+                    ),
+                )
+            ]
         )
     )
-    cos = (
-        dots.join(
-            F.broadcast(
-                norms.select(
-                    F.col("vec_id").alias("qid"), F.col("__nrm").alias("__nq")
-                ).filter(F.col("qid") < _RECALL_Q)
-            ),
-            "qid",
-        )
-        .join(norms.hint("shuffle_hash"), "vec_id")
-        .select(
-            "qid",
-            "vec_id",
-            rd(F.col("__dxy") / (F.col("__nq") * F.col("__nrm")), 6).alias(
-                "__c"
-            ),
-        )
-        .localCheckpoint(eager=False)
+    j = mdots.join(F.broadcast(qn), "qid").localCheckpoint(eager=False)
+    _D = max(_MRL_DIMS)
+    cos = j.select(
+        "qid",
+        "vec_id",
+        rd(
+            F.col(f"__dxy{_D}")
+            / (F.sqrt(F.col(f"__qxx{_D}")) * F.sqrt(F.col(f"__dxx{_D}"))),
+            6,
+        ).alias("__c"),
     )
     wq = Window.partitionBy("qid").orderBy(
         F.col("__c").desc(), F.col("vec_id").asc()
@@ -1946,40 +1972,8 @@ def _q_sim_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pred = cos.join(cand.hint("shuffle_hash"), ["qid", "vec_id"])
         rows.append(branch("ivf_nprobe", np_, pred))
-    # MRL prefix dims: one pass computes every prefix dot conditionally
-    def csum(cond, term):
-        return F.sum(F.when(cond, rd(term, 9).cast("decimal(38,9)"))).cast(
-            "double"
-        )
-
-    qn = qex.groupBy("qid").agg(
-        *[
-            csum(F.col("i") < d, F.col("__qx") * F.col("__qx")).alias(
-                f"__qxx{d}"
-            )
-            for d in _MRL_DIMS
-        ]
-    )
-    mdots = (
-        ex.join(F.broadcast(qex), "i")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(
-            *[
-                c
-                for d in _MRL_DIMS
-                for c in (
-                    csum(F.col("i") < d, F.col("__qx") * F.col("x")).alias(
-                        f"__dxy{d}"
-                    ),
-                    csum(F.col("i") < d, F.col("x") * F.col("x")).alias(
-                        f"__dxx{d}"
-                    ),
-                )
-            ]
-        )
-    )
-    j = mdots.join(F.broadcast(qn), "qid").localCheckpoint(eager=False)
+    # MRL prefix dims: every prefix dot comes from the same checkpointed
+    # one-pass aggregation (j) that produced cos/truth above
     for d in _MRL_DIMS:
         c = rd(
             F.col(f"__dxy{d}")
