@@ -468,17 +468,17 @@ def _ngram_jaccard_capped_digest(
     )
     # ONE (blk, digest) → sorted-member-ids frame feeds every downstream
     # consumer (postings, the reps semi-join, both expansion sides, the
-    # within-family arm). Catalyst still prunes different column subsets
-    # below each consumer's Exchange, so the subtree re-executes per
-    # consumer rather than ReusedExchange-ing; at 100 TB, persist() this
-    # frame — it is BOUNDED (≤ cap ids per block across all families) —
-    # to scan+md5 the corpus once. The registered query deliberately does
-    # NOT persist: Spark's CacheManager matches by canonicalized plan, so
-    # a cached first bench iteration would silently serve the later ones
-    # and fake the steady-state numbers.
+    # within-family arm). Catalyst prunes different column subsets below
+    # each consumer's Exchange, so without materialization the
+    # scan+md5+cap-window+agg subtree re-executed per consumer (5×).
+    # r13 (guide §2.4/§5): lazy localCheckpoint — BOUNDED rows (≤ cap
+    # ids per block across all families), snapshot is per-DataFrame so
+    # each bench invocation still recomputes from parquet (unlike
+    # persist(), whose CacheManager plan-matching could silently serve
+    # a first iteration's cache to later ones and fake steady-state).
     fam = surv.groupBy("blk", "__dg").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
-    )
+    ).localCheckpoint(eager=False)
     # one gram set per distinct SURVIVING digest. dropDuplicates before
     # the semi-join gets map-side partial aggregation: duplicate texts
     # collapse locally before any text byte shuffles.
