@@ -2499,7 +2499,25 @@ def _q_text_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.col("b.vd").alias("vd"), F.col("b.wd").alias("wd")
         )
     )
-    cbg = bg.groupBy("vd", "wd").agg(F.count(F.lit(1)).alias("cvw"))
+    # r13 (guide §2.4): bg (the regex-normalize + md5 + explode frame,
+    # one row per bigram OCCURRENCE) used to feed two independent
+    # aggregations — the global (vd, wd) counts and the per-source
+    # counts — so the string-heavy subtree executed twice. Aggregate
+    # per-source FIRST (sc, bounded by source × bigram TYPES, never
+    # occurrences), checkpoint it, and derive the global counts as the
+    # exact integer roll-up Σ_source cnt: one pass over the occurrence
+    # frame, and cv/nw/tt/pt re-aggregate the materialized type table
+    # instead of re-running the scan per consumer.
+    sc = (
+        bg.groupBy("source", "vd", "wd")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    cbg = (
+        sc.groupBy("vd", "wd")
+        .agg(F.sum("cnt").alias("cvw"))
+        .localCheckpoint(eager=False)
+    )
     cv = cbg.groupBy("vd").agg(
         F.sum("cvw").alias("cvtot"), F.count(F.lit(1)).alias("n1pv")
     )
@@ -2516,7 +2534,6 @@ def _q_text_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tt))
         .select("vd", "wd", rd(F.log2(p), 6).alias("term"))
     )
-    sc = bg.groupBy("source", "vd", "wd").agg(F.count(F.lit(1)).alias("cnt"))
     agg = (
         sc.join(pt.hint("shuffle_hash"), ["vd", "wd"])
         .groupBy("source")
