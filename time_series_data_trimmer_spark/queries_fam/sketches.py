@@ -841,6 +841,10 @@ def _q_sketch_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").cast("long").alias("n_kept"),
         F.col("q_est").alias("sketch_q"),
     )
+    # r13 (guide §2.4): this |types|-row frame is unioned once per
+    # quantile below — without materialization the sort-based exact
+    # percentile aggregation over the full events scan re-executed per
+    # union arm (5×). Lazy checkpoint: 5 rows, one execution.
     exact = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_total"),
         *[
@@ -849,7 +853,7 @@ def _q_sketch_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for i, q in enumerate(_QERR_QS)
         ],
-    )
+    ).localCheckpoint(eager=False)
     exl = None
     for i, q in enumerate(_QERR_QS):
         part = exact.select(

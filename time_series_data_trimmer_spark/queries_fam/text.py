@@ -1239,7 +1239,15 @@ def _q_text_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("token"),
     )
-    tf = tok.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("c"))
+    # r13 (guide §2.4): tf feeds three independent aggregations (gt,
+    # ns, terms) — without materialization the scan+split+explode
+    # subtree re-executed per consumer. Vocabulary-bounded
+    # (source, token) cells; lazy checkpoint, one execution.
+    tf = (
+        tok.groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     gt = tf.groupBy("token").agg(F.sum("c").alias("cg"))
     ns = tf.groupBy("grp").agg(F.sum("c").alias("n"))
     nt = gt.agg(F.sum("cg").alias("ntot"))
