@@ -1931,8 +1931,29 @@ def _q_sim_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_10"),
         )
 
+    def sweep_rows(section: str, agg_row, ks) -> list:
+        return [
+            agg_row.select(
+                F.lit(section).alias("section"),
+                F.lit(k).cast("int").alias("k"),
+                F.col(f"__h{k}").alias("n_hits"),
+                F.col(f"__c{k}").alias("n_candidates"),
+                rd(
+                    F.col(f"__h{k}").cast("double")
+                    / F.lit(_RECALL_Q * 10.0),
+                    6,
+                ).alias("recall_at_10"),
+            )
+            for k in ks
+        ]
+
     rows = []
-    # LSH bits: one signature pass at max bits, nested lower-bit buckets
+    # LSH bits: one signature pass at max bits, nested lower-bit buckets.
+    # r13 session 4 (guide §2.4): the three bits branches each re-ran
+    # the cos⨝sigs⨝truth join and differed only in the pmod filter —
+    # ONE join pass with per-bits conditional sums computes the same
+    # (n_hits, n_candidates) integers (bucket membership at b bits is a
+    # row-local predicate), projected to the same 3 output rows.
     sigs = (
         sim.lsh_signatures(emb, dim=64, bits=max(_BITS_SWEEP), tables=1)
         .select("vec_id", "sig")
@@ -1940,38 +1961,76 @@ def _q_sim_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qsig = sigs.select(F.col("vec_id").alias("qid"), F.col("sig").alias("__qs"))
     vsig = sigs.select("vec_id", F.col("sig").alias("__vs"))
-    for b in _BITS_SWEEP:
-        pred = (
-            cos.join(F.broadcast(qsig), "qid")
-            .join(vsig.hint("shuffle_hash"), "vec_id")
-            .filter(
-                F.pmod(F.col("__qs"), F.lit(1 << b))
-                == F.pmod(F.col("__vs"), F.lit(1 << b))
-            )
+
+    def hc(match, tag):
+        return [
+            F.sum(F.when(match & (F.col("__t") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__h{tag}"),
+            F.sum(F.when(match, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__c{tag}"),
+        ]
+
+    lsh_agg = (
+        cos.join(F.broadcast(qsig), "qid")
+        .join(vsig.hint("shuffle_hash"), "vec_id")
+        .join(truth.hint("shuffle_hash"), ["qid", "vec_id"], "left")
+        .agg(
+            *[
+                c
+                for b in _BITS_SWEEP
+                for c in hc(
+                    F.pmod(F.col("__qs"), F.lit(1 << b))
+                    == F.pmod(F.col("__vs"), F.lit(1 << b)),
+                    b,
+                )
+            ]
         )
-        rows.append(branch("lsh_bits", b, pred))
-    # IVF nprobe: one corpus assignment, driver-ranked probe cells
+        .localCheckpoint(eager=False)
+    )
+    rows.extend(sweep_rows("lsh_bits", lsh_agg, _BITS_SWEEP))
+    # IVF nprobe: one corpus assignment, driver-ranked probe cells.
+    # r13 session 4: probe_centroids ranks by (decimal distance, cid)
+    # and slices the SAME sorted list per nprobe, so the probe sets
+    # nest — ship the max-nprobe probe table WITH each cell's probe
+    # rank and compute every operating point as a pr ≤ nprobe
+    # conditional sum over ONE cos⨝candidates⨝truth join (was one
+    # join pass per nprobe).
     cents = sim.ivf_centroids(emb, 16)
     assigned = sim.ivf_assign_dec(emb, cents).localCheckpoint(eager=False)
     qrows = emb.filter(F.col("vec_id") < _RECALL_Q).select(
         "vec_id", "embedding"
     ).collect()
-    for np_ in _NPROBE_SWEEP:
-        probe_rows = [
-            (int(r["vec_id"]), cid)
-            for r in qrows
-            for cid in sim.probe_centroids(
-                cents, [float(x) for x in r["embedding"]], np_
-            )
-        ]
-        probe_df = spark.createDataFrame(
-            probe_rows, "qid bigint, centroid_id int"
+    probe_rows = [
+        (int(r["vec_id"]), cid, pr)
+        for r in qrows
+        for pr, cid in enumerate(
+            sim.probe_centroids(
+                cents, [float(x) for x in r["embedding"]], max(_NPROBE_SWEEP)
+            ),
+            start=1,
         )
-        cand = assigned.join(F.broadcast(probe_df), "centroid_id").select(
-            "vec_id", "qid"
+    ]
+    probe_df = spark.createDataFrame(
+        probe_rows, "qid bigint, centroid_id int, pr int"
+    )
+    candm = assigned.join(F.broadcast(probe_df), "centroid_id").select(
+        "vec_id", "qid", "pr"
+    )
+    ivf_agg = (
+        cos.join(candm.hint("shuffle_hash"), ["qid", "vec_id"])
+        .join(truth.hint("shuffle_hash"), ["qid", "vec_id"], "left")
+        .agg(
+            *[
+                c
+                for np_ in _NPROBE_SWEEP
+                for c in hc(F.col("pr") <= F.lit(np_), np_)
+            ]
         )
-        pred = cos.join(cand.hint("shuffle_hash"), ["qid", "vec_id"])
-        rows.append(branch("ivf_nprobe", np_, pred))
+        .localCheckpoint(eager=False)
+    )
+    rows.extend(sweep_rows("ivf_nprobe", ivf_agg, _NPROBE_SWEEP))
     # MRL prefix dims: every prefix dot comes from the same checkpointed
     # one-pass aggregation (j) that produced cos/truth above
     for d in _MRL_DIMS:
