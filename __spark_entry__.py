@@ -59,47 +59,53 @@ _FIRST_50 = [
     "a1_sample_rate", "a4_episode_overlay", "a5_suggest_segments",
     "e1_frame_transform", "recipe_compiled_chain",
     "tpch_q1_pricing_summary", "tpch_q21_waiting_supplier",
-    # r12 rotation (VERDICT r11 #2/#4): GENERATED, not hand-curated —
-    # `python scripts/never_driver_verified.py` derives the 134-name
-    # backlog (names never green in any CORRECTNESS_r1..r11) from the
-    # driver history + current REGISTRY and annotates each with its
-    # latest bench cost; this list is its top-by-cost slice plus three
-    # special cases: `sim_ivf_topk` (sampled r1 rows-only BEFORE it had
-    # an oracle — the one name the judge counts verified that never
-    # drew a value check), `events_rfm_segments` (this round's triage
-    # subject — re-verify after the localCheckpoint rewrite), and
-    # `graph_degree_stats` (secondary r11 mover). The heavy suites
-    # VERDICT r11 listed by name (dedup_report_suite, lsh_eval,
-    # mix_dedup_aware_epochs, graph_lp_modularity, ...) were already
-    # driver-green in r7-r10 per the generated artifact — the backlog
-    # says so mechanically now, no memory required.
-    "dedup_cluster_size_histogram",
-    "dedup_fuzzy_prefix_pairs",
-    "graph_jaccard_links",
-    "eval_ece_binned",
+    # r14 rotation (VERDICT r13 #1): the optimization rounds rewrote
+    # ~53 query paths in r13 and ~18 more in r14, but the driver's
+    # 50-name sample had been frozen on the r12 list — the clever
+    # rewrites (histogram order statistics, the MRL-derived cosine,
+    # branch fusion, the gram dictionary, the scorer/gate fusion) were
+    # verified only by the local exact-hash DuckDB sweep. These 35
+    # slots rotate exactly those paths into the driver's window:
+    # every r14-rewritten query, VERDICT r13's named minimum set, and
+    # the heaviest remaining r13-touched suites. The r12 names they
+    # displace were all driver-green in CORRECTNESS_r12/r13 (the
+    # backlog artifact, never_driver_verified.json, is regenerated
+    # from r01-r13 in the same change).
+    #
+    # r14-rewritten paths (gram dictionary: prefix join + its eval/
+    # estimator/dispatch consumers; scorer/gate one-scan fusion: the
+    # eval_* family; triangle-credit fusion; empty-subset hardening):
+    "dedup_ngram_jaccard_prefix",
+    "dedup_lsh_eval_report",
+    "dedup_simhash_eval_report",
+    "dedup_minhash_estimator_error",
+    "dedup_auto_method_choice",
+    "eval_auc_binned", "eval_pr_curve_binned",
+    "eval_brier_decomposition", "eval_isotonic_calibration",
+    "eval_confusion_at_threshold", "eval_lift_gains_decile",
+    "eval_f1_threshold_sweep", "eval_bootstrap_auc_ci",
     "text_score_calibration",
-    "events_rfm_segments",
-    "sketch_kmv_sliding_distinct_users",
-    "pipeline_c4_survivors",
-    "graph_degree_stats",
-    "decontam_overlap_frac",
-    "sim_ivf_topk",
-    # the 11 r12 additions (same-round sampling precedent — all
-    # locally oracle-verified this round, never driver-sampled by
-    # construction); the cheapest r11-backlog picks they displace
-    # stay at the head of never_driver_verified.json for r13
-    "dedup_auto_method_choice", "dedup_auto_lsh_branch",
-    "ts_mann_kendall_daily_trend", "eval_regression_user_baseline",
-    "mix_temperature_sweep_entropy", "dedup_minhash_estimator_error",
-    "sample_reservoir_weighted", "orders_kaplan_meier_repeat",
-    "text_self_bleu_proxy", "emb_simplified_silhouette",
-    "graph_edge_embeddedness", "dedup_removed_vs_kept_profile",
-    "sample_group_kfold_assignment", "privacy_dp_quantile_utility",
-    "stats_chapman_source_overlap", "ts_variance_ratio_test",
-    "text_code_like_score", "dq_candidate_key_audit",
-    "funnel_attribution_window_sweep", "stats_power_analysis_mde",
-    "profile_documents_columns", "dq_timestamp_monotonicity_audit",
-    "dedup_shingle_size_probe", "seq_markov_order_test",
+    "graph_clustering_by_degree",
+    "retrieval_mmr_topk",
+    "sim_ivf_nprobe_recall",
+    # VERDICT r13 #1 minimum set (the r13 rewrites that most need
+    # external confirmation):
+    "sim_recall_suite",
+    "dedup_ngram_jaccard",
+    "text_kn_bigram_ppl",
+    "stats_w1_value_drift_by_type", "stats_spearman_value_vs_hour",
+    "stats_trimmed_mean_by_type", "stats_iqr_fences_by_type",
+    "stats_interarrival_expfit", "stats_mannwhitney_halves_by_type",
+    "stats_brown_forsythe_by_type",
+    "feature_quantile_transform",
+    "pipeline_drift_report",
+    "markov_stationary_dist",
+    "graph_hits_scores",
+    "emb_lsh_recall_by_bits",
+    # heaviest remaining r13-touched suites (CC family + iterative):
+    "dedup_clusters",
+    "dedup_report_suite",
+    "graph_lp_modularity",
 ]
 
 
