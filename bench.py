@@ -580,12 +580,17 @@ def main() -> None:
     # a family's subtotal is attributable to membership vs per-query
     # cost in one read.
     family_counts = {k: fam_n[k] for k in family_subtotals}
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        # r14 (VERDICT r13 #4/#7): record the core count in the detail
+        # payload so a scaling run at a different $SPARK_GRAFT_CPUS is
+        # self-identifying and cannot be misread as the main run.
+        "cpus": cpus,
         # min-of-two steady runs since r02 (r01/BASELINE: single run)
         "timing_rule": "min_of_2_steady",
         "headline_set": f"headline-{len(names)}q",
@@ -627,6 +632,15 @@ def main() -> None:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
             json.dump(detail, fh, indent=1)
+        # r14 (VERDICT r13 #4/#7): ALSO write a per-core-count file so
+        # the driver's low-core scaling run no longer overwrites the
+        # main run's per-query record (r13 lost its 32-core detail
+        # this way). Additive — BENCH_DETAIL.json stays for existing
+        # tooling; the filename embeds $SPARK_GRAFT_CPUS.
+        with open(
+            os.path.join(here, f"BENCH_DETAIL_c{cpus}.json"), "w"
+        ) as fh:
+            json.dump(detail, fh, indent=1)
     except OSError:
         pass  # read-only checkout: the stdout line above still has it
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
@@ -648,9 +662,10 @@ def main() -> None:
         "compare_set_v2_baseline_sec": COMPARE_SET_V2_BASELINE_SEC,
         "probe_index": probe_index,
         "probe_n": len(ratios),
+        "cpus": cpus,
         "family_subtotals": family_subtotals,
         "family_counts": family_counts,
-        "detail": "BENCH_DETAIL.json",
+        "detail": f"BENCH_DETAIL_c{cpus}.json",
     }
     if errors:
         payload["errors"] = {k: v[:80] for k, v in errors.items()}

@@ -156,14 +156,33 @@ def triangle_count(
     oriented = with_deg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
-    ).localCheckpoint(eager=False)
-    out_deg = oriented.groupBy("u").agg(F.count(F.lit(1)).alias("odeg"))
-    left = oriented.select("u", F.col("w").alias("v1"))
-    right = oriented.select("u", F.col("w").alias("v2"))
-    wedges = (
-        left.join(right.hint("shuffle_hash"), "u")
-        .filter(F.col("v1") < F.col("v2"))
-        .select(F.col("v1").alias("a"), F.col("v2").alias("b"))
+    )
+    # r14 wedge build (guide §2.3/§2.4/§2.5, the local_clustering
+    # rewrite): the o⨝o self-join on u (two exchanges + an
+    # AQE-coalesced CPU-dense reduce) becomes ONE user-pinned exchange
+    # on u + a sorted per-apex neighbor list + a bounded in-row pair
+    # explode (fan ≤ O(√m) by orientation). out-degree is the list
+    # SIZE — the separate out_deg aggregation folds into the same
+    # pass. nb is O(V) rows / O(m) cells, checkpointed for its two
+    # consumers (max-odeg scalar + the wedge explode).
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    nb = (
+        oriented.repartition(par, "u")
+        .groupBy("u")
+        .agg(F.sort_array(F.collect_list("w")).alias("__ws"))
+        .localCheckpoint(eager=False)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__ws"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ws"), i + F.lit(2), F.size(F.col("__ws"))),
+                lambda y: F.struct(x.alias("v1"), y.alias("v2")),
+            ),
+        )
+    )
+    wedges = nb.select(F.explode(pair_structs).alias("__p")).select(
+        F.col("__p.v1").alias("a"), F.col("__p.v2").alias("b")
     )
     # r13: count wedges and closed wedges in ONE pass over the wedge
     # self-join (left membership join + conditional sum) — the lazy
@@ -191,7 +210,15 @@ def triangle_count(
         stats.crossJoin(
             F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_vertices")))
         )
-        .crossJoin(F.broadcast(out_deg.agg(F.max("odeg").alias("max_out_degree"))))
+        .crossJoin(
+            F.broadcast(
+                nb.agg(
+                    F.max(F.size("__ws"))
+                    .cast("long")
+                    .alias("max_out_degree")
+                )
+            )
+        )
         .crossJoin(F.broadcast(closed_stats))
         .select("n_vertices", "n_edges", "max_out_degree", "n_wedges", "n_triangles")
     )
@@ -288,11 +315,21 @@ def kcore_bound(
     took minutes at sf0.001. `localCheckpoint` after the shared canon
     build and after every round keeps the plan one round deep; each
     round's edges materialize once and every consumer reads the
-    materialized longs."""
+    materialized longs.
+
+    r14 (guide §2.4 iteration discipline): the checkpoints are LAZY —
+    the Catalyst plan is truncated to a LogicalRDD either way, but
+    eager=True forced one blocking materialization JOB per (k, round)
+    cell (9 + canon) where no driver action needs the result; lazy
+    rounds materialize inside the output job's stages instead.
+    Measured ~neutral at sf0.1 (6.5-6.9 s both forms — per-job
+    overhead traded for in-job stages); kept for the scheduling
+    round-trips it removes per k at real scale. Unlike `kcore_exact`,
+    no per-round count() exists to pay for eagerness."""
     canon = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out = None
     for k in ks:
@@ -313,7 +350,7 @@ def kcore_bound(
                 keep.withColumnRenamed("v", "b").hint("shuffle_hash"),
                 "b",
                 "left_semi",
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
         nv = (
             e.select(F.col("a").alias("v"))
             .union(e.select(F.col("b").alias("v")))
@@ -455,6 +492,19 @@ def local_clustering(
     lo_first = (F.col("__da") < F.col("__db")) | (
         (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
     )
+    # r14 wedge build (guide §2.3/§2.4/§2.5): the old shape was an
+    # o⨝o self-join on u — TWO exchanges of the oriented edges plus a
+    # join whose reduce stage AQE coalesced to ~3 tasks at sf0.1 (tiny
+    # bytes, O(Σ deg_lo²) fan-out CPU — the operator's hottest stage
+    # ran on 3 of 32 cores). Degree-orientation bounds each vertex's
+    # low-neighbor fan at O(√m), so the wedge set is exactly the
+    # sorted per-u neighbor list's C(fan, 2) ordered pairs: ONE
+    # user-pinned exchange on u (repartition counts are exempt from
+    # AQE coalescing → the expansion runs at defaultParallelism, which
+    # is submit-conf on a real cluster), one partial+final collect per
+    # u, and a bounded in-row pair explode — no self-join, no
+    # checkpoint (single consumer), one shuffle of o instead of two.
+    par = edges.sparkSession.sparkContext.defaultParallelism
     o = (
         canon.join(da.hint("shuffle_hash"), "a")
         .join(db.hint("shuffle_hash"), "b")
@@ -462,17 +512,36 @@ def local_clustering(
             F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("w"),
         )
-    ).localCheckpoint(eager=False)
-    l = o.select("u", F.col("w").alias("a"))
-    r = o.select("u", F.col("w").alias("b"))
-    wedges = l.join(r.hint("shuffle_hash"), "u").filter(F.col("a") < F.col("b"))
+    )
+    nb = (
+        o.repartition(par, "u")
+        .groupBy("u")
+        .agg(F.sort_array(F.collect_list("w")).alias("__ws"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__ws"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ws"), i + F.lit(2), F.size(F.col("__ws"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    wedges = nb.select("u", F.explode(pair_structs).alias("__p")).select(
+        "u", F.col("__p.a").alias("a"), F.col("__p.b").alias("b")
+    )
     tri = wedges.join(canon.hint("shuffle_hash"), ["a", "b"]).select(
         "u", "a", "b"
     )
+    # r14 triangle-credit fusion (guide §2.3/§2.4): the 3-way unionAll
+    # of tri projections embedded the WEDGE JOIN subtree three times —
+    # AQE exchange reuse deduped the shuffles but each union branch
+    # re-ran the join itself (the O(Σ deg_lo²) wedge expansion + the
+    # closing probe, the operator's dominant CPU). Exploding the
+    # 3-corner array credits all three vertices from ONE tri pass —
+    # same multiset of v rows, identical counts.
     tv = (
-        tri.select(F.col("u").alias("v"))
-        .unionAll(tri.select(F.col("a").alias("v")))
-        .unionAll(tri.select(F.col("b").alias("v")))
+        tri.select(F.explode(F.array("u", "a", "b")).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("__t"))
     )

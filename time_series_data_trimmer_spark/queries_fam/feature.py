@@ -420,20 +420,27 @@ def _q_feature_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    surv = tx.c4_filter_survivors(docs).select(
-        "doc_id", F.lit(1).alias("__pass")
+    # r14 (guide §2.3/§2.4): the gate label rides the SAME scan as the
+    # category column (was: a second corpus pass + doc_id join), and
+    # the global pos/neg totals roll up from the bounded per-source
+    # table (checkpointed) instead of re-reading the corpus — Σ np /
+    # Σ nn over sources are the identical integers the old full-row
+    # aggregate summed.
+    lab = tx.c4_label_frame(docs, ("source",)).select(
+        "source", F.col("__pass").alias("__p")
     )
-    lab = docs.select("doc_id", "source").join(
-        surv.hint("shuffle_hash"), "doc_id", "left"
-    ).select("source", F.coalesce(F.col("__pass"), F.lit(0)).alias("__p"))
-    tot = lab.agg(
-        F.sum("__p").cast("long").alias("__pos"),
-        (F.count(F.lit(1)) - F.sum("__p")).cast("long").alias("__neg"),
+    cls = (
+        lab.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__p").cast("long").alias("__np"),
+            (F.count(F.lit(1)) - F.sum("__p")).cast("long").alias("__nn"),
+        )
+        .localCheckpoint(eager=False)
     )
-    cls = lab.groupBy("source").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum("__p").cast("long").alias("__np"),
-        (F.count(F.lit(1)) - F.sum("__p")).cast("long").alias("__nn"),
+    tot = cls.agg(
+        F.sum("__np").cast("long").alias("__pos"),
+        F.sum("__nn").cast("long").alias("__neg"),
     )
     w = cls.crossJoin(F.broadcast(tot)).select(
         "source",

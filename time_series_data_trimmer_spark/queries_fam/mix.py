@@ -1232,6 +1232,11 @@ def _q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slice + candidate side) across 7 rounds — the lazy form re-ran
     # the scan+posexplode ~14×. Materialize the narrow (vec_id, i, x)
     # rows once.
+    # NOTE (r14 checkpoint policy, VERDICT r13 #6): O(N·D) — unbounded.
+    # Justification: ~14 consumers vs one narrow 3-column snapshot;
+    # executor loss fails the job (no lineage) and a retry recomputes
+    # from parquet. Reliable-checkpoint-dir candidate on a real
+    # cluster; at the bench SFs the snapshot is trivially small.
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "__xf")
     ).select(

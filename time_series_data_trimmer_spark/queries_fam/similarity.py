@@ -822,6 +822,10 @@ def _q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     an all-pairs pass. Exact decimal cosines rounded before ranking,
     per-anchor keyed window, label joins on the id key. Same bounded
     candidate volume as the blocked dedup/audit paths."""
+    # r14 examined-and-reverted: _spread_scan here measured 2.7→3.7 s
+    # SLOWER — the `emb.count()` register probe below executes the
+    # spread exchange before any CPU-dense work benefits, and the
+    # query's cost lives in the blocked pair join, not the scan stage.
     emb = _table(spark, sf_dir, "embeddings")
     bits = _knn_bits(emb.count())
     cand = sim.lsh_candidate_pairs(
@@ -1401,7 +1405,8 @@ def _q_emb_lsh_recall_by_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     a sample, the per-probe cost is one bucket scan, and truth costs
     Q·N — the standard sampled-recall audit (the IVF/PQ recall rows'
     methodology, now for the hyperplane blocker)."""
-    emb = _table(spark, sf_dir, "embeddings")
+    # r14: CPU-spread the single-split scan (guide §2.5; _spread_scan)
+    emb = _spread_scan(_table(spark, sf_dir, "embeddings"), "vec_id")
     sigs = (
         sim.lsh_signatures(emb, dim=64, bits=max(_BITS_SWEEP), tables=1)
         .select("vec_id", "sig")
@@ -1579,7 +1584,8 @@ def _q_sim_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pays ONE corpus assignment per branch instead of re-deriving
     centroids. Cell membership, probe ranking, and candidate ranks are
     all decimal-exact — the oracle replays them cell-for-cell."""
-    emb = _table(spark, sf_dir, "embeddings")
+    # r14: CPU-spread the single-split scan (guide §2.5; _spread_scan)
+    emb = _spread_scan(_table(spark, sf_dir, "embeddings"), "vec_id")
     cents = sim.ivf_centroids(emb, 16)
     qset = emb.filter(F.col("vec_id").isin([0, 1, 2, 3, 4]))
     assigned = sim.ivf_assign_dec(emb, cents).localCheckpoint(eager=False)
@@ -1729,7 +1735,8 @@ def _q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve. One pass computes all four prefix dots as conditional
     decimal sums (no fourfold scan); per-(D, probe) ranks are keyed
     windows."""
-    emb = _table(spark, sf_dir, "embeddings")
+    # r14: CPU-spread the single-split scan (guide §2.5; _spread_scan)
+    emb = _spread_scan(_table(spark, sf_dir, "embeddings"), "vec_id")
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
     ).withColumn("x", F.col("x").cast("double"))
@@ -1767,7 +1774,12 @@ def _q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    j = dots.join(F.broadcast(qn), "qid")
+    # r14 (guide §2.4): j feeds one union branch PER prefix dim plus
+    # the truth re-read — the lazy form re-ran the Q×N×D expansion +
+    # 10-column decimal agg once per branch (profiled: 4 sequential
+    # ~0.5-1.5 s single-task stages). Checkpoint the bounded Q×N
+    # result once; every branch reads materialized rows.
+    j = dots.join(F.broadcast(qn), "qid").localCheckpoint(eager=False)
     cosd = None
     for d in _MRL_DIMS:
         c = rd(
@@ -1834,7 +1846,10 @@ def _q_sim_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH and MRL sections reconcile with them exactly (pytest), the IVF
     section differs by design (8 probes vs 5, self excluded vs kept).
     """
-    emb = _table(spark, sf_dir, "embeddings")
+    # r14: CPU-spread the single-split scan (guide §2.5; see
+    # _spread_scan) — the Q×N×D expansion + 10-column decimal partial
+    # agg below fuse into the scan stage and ran on ONE core.
+    emb = _spread_scan(_table(spark, sf_dir, "embeddings"), "vec_id")
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
     ).withColumn("x", F.col("x").cast("double"))
@@ -1963,13 +1978,20 @@ def _q_sim_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     vsig = sigs.select("vec_id", F.col("sig").alias("__vs"))
 
     def hc(match, tag):
+        # r14 (ADVICE r13): reproduce the pre-fusion empty-subset
+        # semantics exactly. The oracle's per-branch sum(hit)/count(*)
+        # over an EMPTY subset yields (NULL, 0, NULL); the plain
+        # conditional sums yield (0, 0, 0.0) for an empty bucket and
+        # (NULL, NULL, NULL) when the joined frame itself is empty.
+        # n_hits is NULL unless the branch has candidates; n_candidates
+        # coalesces to 0 (count(*) is never NULL); recall derives from
+        # n_hits, so it goes NULL with it. Identical integers on any
+        # corpus where every branch is non-empty (all test SFs).
+        m = F.sum(F.when(match, 1).otherwise(0))
+        h = F.sum(F.when(match & (F.col("__t") == 1), 1).otherwise(0))
         return [
-            F.sum(F.when(match & (F.col("__t") == 1), 1).otherwise(0))
-            .cast("long")
-            .alias(f"__h{tag}"),
-            F.sum(F.when(match, 1).otherwise(0))
-            .cast("long")
-            .alias(f"__c{tag}"),
+            F.when(m > 0, h).cast("long").alias(f"__h{tag}"),
+            F.coalesce(m, F.lit(0)).cast("long").alias(f"__c{tag}"),
         ]
 
     lsh_agg = (

@@ -1635,11 +1635,9 @@ def _q_eval_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cumulative with `F.aggregate` — all JVM-side, zero windows,
     zero joins after the bin agg."""
     docs = _table(spark, sf_dir, "documents")
-    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
-    surv = tx.c4_filter_survivors(docs).select(
-        "doc_id", F.lit(1).alias("__pass")
-    )
-    j = scores.join(surv.hint("shuffle_hash"), "doc_id", "left")
+    # r14 (guide §2.3/§2.4): scorer + gate label in ONE scan — the old
+    # two-scan + doc_id-join shape paid the corpus twice per query.
+    j = tx.hls_vs_c4_frame(docs)
     bin_col = F.least(
         F.floor(
             (F.round(F.col("logit") * 1000000, 0) + F.lit(500000))
@@ -1906,11 +1904,8 @@ def _q_eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines because every compared double is a ratio of exact
     integers. Zero windows, zero joins after the bin agg."""
     docs = _table(spark, sf_dir, "documents")
-    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
-    surv = tx.c4_filter_survivors(docs).select(
-        "doc_id", F.lit(1).alias("__pass")
-    )
-    j = scores.join(surv.hint("shuffle_hash"), "doc_id", "left")
+    # r14 (guide §2.3/§2.4): scorer + gate label in ONE scan.
+    j = tx.hls_vs_c4_frame(docs)
     bin_col = F.least(
         F.floor(
             (F.round(F.col("logit") * 1000000, 0) + F.lit(500000))
@@ -2673,11 +2668,8 @@ def _q_eval_pr_curve_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     — zero keyless windows, zero joins after the bin agg; the oracle
     uses a plain window (no plan constraints oracle-side)."""
     docs = _table(spark, sf_dir, "documents")
-    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
-    surv = tx.c4_filter_survivors(docs).select(
-        "doc_id", F.lit(1).alias("__pass")
-    )
-    j = scores.join(surv.hint("shuffle_hash"), "doc_id", "left")
+    # r14 (guide §2.3/§2.4): scorer + gate label in ONE scan.
+    j = tx.hls_vs_c4_frame(docs)
     bin_col = F.least(
         F.floor(
             (F.round(F.col("logit") * 1000000, 0) + F.lit(500000))
@@ -2811,20 +2803,29 @@ def _q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    surv = tx.c4_filter_survivors(docs).select(
-        "doc_id", F.lit(1).alias("__pass")
+    # r14 (guide §2.3/§2.4): the gate label rides the SAME scan as the
+    # quasi-identifier columns (was: a second corpus pass + doc_id
+    # join), and the global rate rolls up from the bounded class table
+    # (checkpointed — |lang × source| rows) instead of re-reading the
+    # corpus: Σ np / Σ n over the classes is the identical integer
+    # ratio the old full-row aggregate divided.
+    lab = tx.c4_label_frame(docs, ("lang", "source")).select(
+        "lang", "source", F.col("__pass").alias("__p")
     )
-    lab = docs.select("doc_id", "lang", "source").join(
-        surv.hint("shuffle_hash"), "doc_id", "left"
-    ).select(
-        "lang", "source", F.coalesce(F.col("__pass"), F.lit(0)).alias("__p")
+    cls0 = (
+        lab.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__p").cast("long").alias("__np"),
+        )
+        .localCheckpoint(eager=False)
     )
-    tot = lab.agg(
-        (F.sum("__p").cast("double") / F.count(F.lit(1))).alias("__pg")
+    tot = cls0.agg(
+        (F.sum("__np").cast("double") / F.sum("__n")).alias("__pg")
     )
-    cls = lab.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("__n"),
-        (F.sum("__p").cast("double") / F.count(F.lit(1))).alias("__pc"),
+    cls = cls0.select(
+        "__n",
+        (F.col("__np").cast("double") / F.col("__n")).alias("__pc"),
     )
     t = cls.crossJoin(F.broadcast(tot)).select(
         "__n", rd(F.abs(F.col("__pc") - F.col("__pg")), 6).alias("__t")
@@ -2887,11 +2888,8 @@ def _q_eval_ece_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything after the bin aggregation is ≤100 rows — scan-bound at
     any corpus size."""
     docs = _table(spark, sf_dir, "documents")
-    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
-    surv = tx.c4_filter_survivors(docs).select(
-        "doc_id", F.lit(1).alias("__pass")
-    )
-    j = scores.join(surv.hint("shuffle_hash"), "doc_id", "left")
+    # r14 (guide §2.3/§2.4): scorer + gate label in ONE scan.
+    j = tx.hls_vs_c4_frame(docs)
     conf_micro = (F.round(F.col("logit") * 1000000, 0) + F.lit(500000)).cast(
         "long"
     )
@@ -3002,11 +3000,11 @@ def _q_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions of exact integer ratios, 9-dp rounded per bin, decimal
     summed, 6-dp surfaced; ≤100 rows after the bin agg."""
     docs = _table(spark, sf_dir, "documents")
-    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
-    surv = tx.c4_filter_survivors(docs).select(
-        "doc_id", F.lit(1).alias("__pass")
-    )
-    j = scores.join(surv.hint("shuffle_hash"), "doc_id", "left")
+    # r14 (guide §2.3/§2.4): scorer + gate label in ONE scan, and the
+    # ≤100-row bin table checkpointed — it feeds both the total and
+    # the terms branch, so the lazy form ran the whole scorer+gate
+    # subtree twice (the before-plan shows 8 parquet scans).
+    j = tx.hls_vs_c4_frame(docs)
     conf_micro = (F.round(F.col("logit") * 1000000, 0) + F.lit(500000)).cast(
         "long"
     )
@@ -3025,6 +3023,7 @@ def _q_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__p").cast("long").alias("__np"),
             F.sum("__cm").cast("long").alias("__smic"),
         )
+        .localCheckpoint(eager=False)
     )
     tot = bins.agg(
         F.sum("__n").cast("long").alias("__nn"),
@@ -3122,11 +3121,8 @@ def _q_eval_confusion_at_threshold(spark: SparkSession, sf_dir: str) -> DataFram
     zero-denominator cells NULL-guarded. Single-row output — at
     100 TB this is a pure scan + one broadcast-sized join, no state."""
     docs = _table(spark, sf_dir, "documents")
-    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
-    surv = tx.c4_filter_survivors(docs).select(
-        "doc_id", F.lit(1).alias("__pass")
-    )
-    j = scores.join(surv.hint("shuffle_hash"), "doc_id", "left").select(
+    # r14 (guide §2.3/§2.4): scorer + gate label in ONE scan.
+    j = tx.hls_vs_c4_frame(docs).select(
         F.when(F.col("logit") >= 0.0, 1).otherwise(0).alias("__pred"),
         F.coalesce(F.col("__pass"), F.lit(0)).alias("__y"),
     )
@@ -3600,9 +3596,8 @@ def _q_eval_lift_gains_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the collect-sorted-array fold — the BH/AUC pattern, no keyless
     window. Zero-pass corpora NULL-guard every lift column."""
     docs = _table(spark, sf_dir, "documents")
-    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
-    surv = tx.c4_filter_survivors(docs).select("doc_id", F.lit(1).alias("__pass"))
-    j = scores.join(surv.hint("shuffle_hash"), "doc_id", "left")
+    # r14 (guide §2.3/§2.4): scorer + gate label in ONE scan.
+    j = tx.hls_vs_c4_frame(docs)
     bin_col = F.least(
         F.floor(
             (F.round(F.col("logit") * 1000000, 0) + F.lit(500000)) / F.lit(100000)
@@ -4171,9 +4166,8 @@ def _q_eval_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     BH/lift fold pattern — no keyless window); counts exact, ratios
     6-dp. ≤100-row output at any corpus size."""
     docs = _table(spark, sf_dir, "documents")
-    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
-    surv = tx.c4_filter_survivors(docs).select("doc_id", F.lit(1).alias("__pass"))
-    j = scores.join(surv.hint("shuffle_hash"), "doc_id", "left")
+    # r14 (guide §2.3/§2.4): scorer + gate label in ONE scan.
+    j = tx.hls_vs_c4_frame(docs)
     bin_col = F.least(
         F.floor(
             (F.round(F.col("logit") * 1000000, 0) + F.lit(500000)) / F.lit(10000)

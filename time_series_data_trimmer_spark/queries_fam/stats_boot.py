@@ -110,10 +110,8 @@ def _q_eval_bootstrap_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a b-KEYED window (no keyless window); the final pick is a
     bounded sorted-array fold. Eval-family extension."""
     docs = _table(spark, sf_dir, "documents")
-    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
-    surv = tx.c4_filter_survivors(docs).select(
-        "doc_id", F.lit(1).alias("__pass")
-    )
+    # r14 (guide §2.3/§2.4): scorer + gate label in ONE scan.
+    j = tx.hls_vs_c4_frame(docs)
     bin_col = F.least(
         F.floor(
             (F.round(F.col("logit") * 1000000, 0) + F.lit(500000))
@@ -122,8 +120,7 @@ def _q_eval_bootstrap_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(99),
     )
     db = (
-        scores.join(surv.hint("shuffle_hash"), "doc_id", "left")
-        .select(
+        j.select(
             "doc_id",
             bin_col.alias("bin"),
             F.coalesce(F.col("__pass"), F.lit(0)).alias("pass"),

@@ -1144,11 +1144,9 @@ def _q_text_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     same rational), so no float bin-edge ambiguity exists. One scan
     per side, one doc_id-keyed left join, 10-row output."""
     docs = _table(spark, sf_dir, "documents")
-    scores = tx.hashed_linear_score(docs).select("doc_id", "logit")
-    surv = tx.c4_filter_survivors(docs).select(
-        "doc_id", F.lit(1).alias("__pass")
-    )
-    j = scores.join(surv.hint("shuffle_hash"), "doc_id", "left")
+    # r14 (guide §2.3/§2.4): scorer + gate label in ONE scan — the old
+    # two-scan + doc_id-join shape paid the corpus twice per query.
+    j = tx.hls_vs_c4_frame(docs)
     bin_col = F.least(
         F.floor(
             (F.round(F.col("logit") * 1000000, 0) + F.lit(500000))
@@ -2024,9 +2022,13 @@ def _q_retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-cosine table); every cosine is the repo's decimal-exact dot,
     6-dp rounded, so both engines pick the same candidate at every
     step."""
-    emb = _table(spark, sf_dir, "embeddings")
+    # r14: CPU-spread the single-split scan (guide §2.5; _spread_scan)
+    emb = _spread_scan(_table(spark, sf_dir, "embeddings"), "vec_id")
     # r13 (guide §2.4): ex feeds qex, norms, and the dots join — the
     # lazy form re-ran the scan+posexplode 3×.
+    # NOTE (r14 checkpoint policy, VERDICT r13 #6): O(N·D) — unbounded.
+    # 3 consumers vs one narrow snapshot; executor loss fails the job,
+    # retry recomputes from parquet. Reliable-dir candidate at scale.
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
     ).withColumn("x", F.col("x").cast("double")).localCheckpoint(eager=False)
