@@ -444,6 +444,18 @@ def _ngram_jaccard_capped_digest(
     """
     from pyspark.sql import Window
 
+    # r14 (guide §2.5): at the test SFs the documents scan is one row
+    # group ⇒ one task, and AQE coalesces the tiny-byte post-shuffle
+    # stages to 1 task as well — so BOTH md5-heavy stages (the digest
+    # scan and the per-distinct-digest shingle explode after the semi
+    # join, profiled at ~5.5 s on 1 of 32 cores) serialize. `tiny`
+    # keys the guard off the scan split count: at real scale the scan
+    # has ≥ par splits and post-shuffle partitions carry real bytes,
+    # so no extra exchange is ever inserted there.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tiny = df.rdd.getNumPartitions() < par
+    if tiny:
+        df = df.repartition(par, F.col(id_col))
     digest = F.md5(F.coalesce(F.col(text_col), F.lit("<NULL:ngram>")))
     # narrow membership rows; blk is a function of the digest (identical
     # text => identical length), so it rides along without text.
@@ -486,8 +498,22 @@ def _ngram_jaccard_capped_digest(
         df.select(digest.alias("__dg"), F.col(text_col))
         .dropDuplicates(["__dg"])
         .join(fam.select("__dg").distinct().hint("shuffle_hash"), "__dg", "leftsemi")
-        .select("__dg", word_shingles(F.col(text_col), n).alias("grams"))
     )
+    if tiny:
+        # pin the shingle stage's parallelism on tiny corpora — AQE
+        # coalesces the semi-join reduce to 1 task on bytes alone and
+        # the whole-corpus shingle explode would run serially there.
+        # The checkpoint makes the pin stick: without it the projection
+        # executes in the bg-join stage below, whose OTHER side AQE
+        # coalesces to 1 partition, forcing a 1-partition re-exchange
+        # of this side too. Skipped entirely at scale (tiny=False).
+        reps = reps.repartition(par, "__dg").select(
+            "__dg", word_shingles(F.col(text_col), n).alias("grams")
+        ).localCheckpoint(eager=False)
+    else:
+        reps = reps.select(
+            "__dg", word_shingles(F.col(text_col), n).alias("grams")
+        )
     # inverted index over (block, gram) at DIGEST granularity: posting
     # arrays hold distinct digests, bounded by the block cap. Each
     # posting entry carries its digest's gram-set SIZE (functionally
@@ -498,6 +524,13 @@ def _ngram_jaccard_capped_digest(
         "__dg", F.size("grams").alias("__sz"), F.explode("grams").alias("g")
     )
     bg = blk_dg.join(gx.hint("shuffle_hash"), "__dg")
+    if tiny:
+        # pin the posting/pair stage too: the groupBy reuses this
+        # user-pinned exchange (same (blk, g) hash clustering), so the
+        # posting build + the candidate pair explode + the digest-pair
+        # aggregation below all run at `par` instead of the 1 task AQE
+        # coalesces tiny gram bytes to (profiled: 4.7 s on 1 core)
+        bg = bg.repartition(par, "blk", "g")
     posts = (
         bg.groupBy("blk", "g")
         .agg(
@@ -536,9 +569,16 @@ def _ngram_jaccard_capped_digest(
     mb = fam.select(
         "blk", F.col("__dg").alias("dg_b"), F.col("ids").alias("ids_b")
     )
+    if tiny:
+        # pin the membership-join/doc-fan-out stages too (same
+        # pathology: qualifying digest pairs are few bytes, the pair
+        # fan-out is the CPU)
+        dp = dp.repartition(par, "blk", "dg_a")
+    j1 = dp.join(ma.hint("shuffle_hash"), ["blk", "dg_a"])
+    if tiny:
+        j1 = j1.repartition(par, "blk", "dg_b")
     cross = (
-        dp.join(ma.hint("shuffle_hash"), ["blk", "dg_a"])
-        .join(mb.hint("shuffle_hash"), ["blk", "dg_b"])
+        j1.join(mb.hint("shuffle_hash"), ["blk", "dg_b"])
         .select(F.explode("ids_a").alias("__ia"), "ids_b", "jaccard")
         .select(
             "__ia", F.explode("ids_b").alias("__ib"), "jaccard"
@@ -568,9 +608,13 @@ def _ngram_jaccard_capped_digest(
     )
     # a pair can appear under up to two adjacent blocks with the same
     # jaccard — one agg dedups both arms
+    both = cross.unionByName(within)
+    if tiny:
+        # pin the doc-pair fan-out + dedup stage on tiny corpora (same
+        # AQE-coalesce pathology as the posting stage above)
+        both = both.repartition(par, "id_a", "id_b")
     return (
-        cross.unionByName(within)
-        .groupBy("id_a", "id_b")
+        both.groupBy("id_a", "id_b")
         .agg(F.max("jaccard").alias("jaccard"))
     )
 

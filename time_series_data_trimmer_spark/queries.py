@@ -87,10 +87,9 @@ def _spread_scan(df: DataFrame, key: str) -> DataFrame:
     scale-adaptive, not a local[32] constant. Keyed (deterministic
     hash), never round-robin: retried tasks reproduce the same
     row-to-partition assignment (guide §2.5 / SPARK-38388)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par, F.col(key))
-    return df
+    from time_series_data_trimmer_spark.functions.spread import spread_scan
+
+    return spread_scan(df, key)
 
 
 _EVK = dict(trial_key="user_id", time_col="t", order_cols=["t", "event_id"])
